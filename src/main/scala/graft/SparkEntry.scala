@@ -1,13 +1,37 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY.md §2 coverage) to DataFrame
+  * builders over the fixture dir; `oracleSql` holds the exactly-equivalent
+  * DuckDB SQL for each (column names and float rounding match on both
+  * sides so the driver's hash compare is stable).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * End-to-end RAG retrieval: embed the documents table with the
+    * deterministic embedder, embed a question, return top-5 chunks by
+    * cosine similarity (the reference's POST /query path re-expressed as
+    * one DataFrame plan).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.rag.RagChain.flagship(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++
+      VectorQueries.queries ++
+      TextQueries.queries ++
+      DedupQueries.queries ++
+      PipelineQueries.queries
+
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++
+      VectorQueries.oracles ++
+      TextQueries.oracles ++
+      DedupQueries.oracles ++
+      PipelineQueries.oracles
 }

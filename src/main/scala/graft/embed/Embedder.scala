@@ -1,0 +1,56 @@
+package graft.embed
+
+import scala.util.hashing.MurmurHash3
+
+/** Pluggable embedding provider — the engine-side contract for the
+  * reference's `EmbeddingGenerator` (`app/core/embeddings.py:142-187`):
+  * batch embed + a fixed output dimension the index enforces at write
+  * time. Implementations must be Serializable (shipped to executors via
+  * `mapPartitions`).
+  */
+trait Embedder extends Serializable {
+  def dimension: Int
+
+  /** Embed one text. */
+  def embedOne(text: String): Array[Float]
+
+  /** Embed a partition's worth of texts. Implementations talking to an
+    * external service should batch internally (the reference uses 32
+    * texts/request, `app/core/embeddings.py:150-155`); the deterministic
+    * local default is pure CPU so it maps 1:1.
+    */
+  def embed(texts: Iterator[String]): Iterator[Array[Float]] = texts.map(embedOne)
+}
+
+/** Deterministic, offline, seedable embedder: hashed character-trigram
+  * projection (feature hashing into `dimension` buckets with ±1 signs),
+  * L2-normalized. Same text → same vector on any JVM/executor, so KNN
+  * results are reproducible without network access — the test/default
+  * provider standing in for the reference's HF/OpenAI HTTP embedders.
+  */
+final class DeterministicEmbedder(val dimension: Int = 64, seed: Int = 42)
+    extends Embedder {
+
+  override def embedOne(text: String): Array[Float] = {
+    val v = new Array[Float](dimension)
+    val t = "^" + text.toLowerCase + "$"
+    var i = 0
+    while (i <= t.length - 3) {
+      val h      = MurmurHash3.stringHash(t.substring(i, i + 3), seed)
+      val bucket = math.floorMod(h, dimension)
+      val sign   = if (((h >>> 31) & 1) == 0) 1.0f else -1.0f
+      v(bucket) += sign
+      i += 1
+    }
+    // L2-normalize; zero vector (trigram-free text) stays zero.
+    var ss = 0.0
+    var j  = 0
+    while (j < dimension) { ss += v(j).toDouble * v(j).toDouble; j += 1 }
+    if (ss > 0) {
+      val inv = 1.0 / math.sqrt(ss)
+      var k   = 0
+      while (k < dimension) { v(k) = (v(k) * inv).toFloat; k += 1 }
+    }
+    v
+  }
+}

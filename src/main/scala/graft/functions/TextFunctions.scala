@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar operators for LLM training-data pipelines:
+  * tokenization, token counting, quality scoring, language-ID, document
+  * fingerprinting. All are pure built-in `functions._` compositions
+  * (codegen'd, no UDFs) so filters composed from them still push down
+  * and stay inside whole-stage codegen.
+  *
+  * The reference has no text analytics beyond chunking
+  * (`scripts/ingest_documents.py:67-90`); these are the scale-pipeline
+  * extensions mandated by BASELINE.json's north star.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (lowercased). The same regex is used by the
+    * DuckDB oracle (`string_split_regex(trim(lower(text)), '\s+')`) so
+    * token counts hash-match.
+    */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Token count = |whitespace tokens|. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** A BPE-ish subword proxy: counts alphanumeric runs and individual
+    * punctuation marks as separate tokens (approximates byte-pair token
+    * counts without a vocab — standard heuristic for data pipelines).
+    */
+  def approxBpeTokenCount(text: Column): Column =
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= ""))
+
+  /** Ratio of alphabetic characters to all characters (double in [0,1]). */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Ratio of whitespace-free characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
+      length(regexp_replace(text, "\\s", "")).cast("double")
+
+  // Small per-language stopword profiles. Deliberately tiny + frozen:
+  // they are part of the operator contract (the DuckDB oracle embeds the
+  // same lists), not a linguistics resource.
+  val EN_STOP: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val DE_STOP: Seq[String] = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von")
+  val ES_STOP: Seq[String] = Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
+  val FR_STOP: Seq[String] = Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Count of English stopword tokens. */
+  def stopwordHits(text: Column): Column = hits(tokens(text), EN_STOP)
+
+  /** Stopword ratio: EN stopword tokens / tokens. */
+  def stopwordRatio(text: Column): Column =
+    stopwordHits(text).cast("double") / tokenCount(text).cast("double")
+
+  /** N-gram-profile language ID (heuristic): score each language by its
+    * stopword-hit count, pick the argmax; ties + all-zero resolve in the
+    * fixed order en > de > es > fr > und. Deterministic and exactly
+    * SQL-mirrorable.
+    */
+  def langId(text: Column): Column = {
+    val t  = tokens(text)
+    val en = hits(t, EN_STOP); val de = hits(t, DE_STOP)
+    val es = hits(t, ES_STOP); val fr = hits(t, FR_STOP)
+    val mx = greatest(en, de, es, fr)
+    when(mx === 0, lit("und"))
+      .when(en === mx, lit("en"))
+      .when(de === mx, lit("de"))
+      .when(es === mx, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4*alphaRatio + 0.3*min(1, tokens/100) + 0.3*stopwordRatio.
+    * Rounded by callers for oracle comparison.
+    */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * alphaRatio(text) +
+      lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
+      lit(0.3) * stopwordRatio(text)
+
+  /** Content-defined document fingerprint: md5 of the casefolded,
+    * alnum-only text — invariant to whitespace/punctuation edits. First 16
+    * hex chars (64 bits). Same formula runs in the DuckDB oracle.
+    */
+  def fingerprint(text: Column): Column =
+    substring(md5(regexp_replace(lower(text), "[^a-z0-9]", "")), 1, 16)
+
+  /** Word n-gram shingles (arrays of n consecutive tokens joined by a
+    * single space) — the dedup unit for Jaccard/MinHash.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array()).otherwise(
+      transform(
+        sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))
+      )
+    )
+  }
+}

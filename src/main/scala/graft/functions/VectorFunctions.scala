@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ArrayType(FloatType)` columns, built from Spark's
+  * codegen'd higher-order functions (`zip_with`, `aggregate`, `transform`)
+  * so the whole expression stays inside whole-stage codegen — no UDFs.
+  *
+  * Mirrors the scoring semantics of the reference's Pinecone query path
+  * (cosine similarity, reference `app/services/pinecone_service.py:148-182`,
+  * metric fixed at `app/api/routes.py:139`). All accumulation is done in
+  * DOUBLE, element-order left-to-right, so results are bit-stable and
+  * reproducible against an oracle that does the same.
+  */
+object VectorFunctions {
+
+  /** Element-wise dot product in double precision: sum_i a[i]*b[i]. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Squared L2 norm: sum_i a[i]^2 (double). */
+  def normSq(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double"))
+
+  /** L2 norm: sqrt(sum_i a[i]^2). */
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** Cosine similarity in [-1, 1]: dot(a,b) / (|a| * |b|).
+    * Null/zero-vector guard: returns null when either norm is 0 rather
+    * than NaN, matching SQL-style semantics.
+    */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val d  = dotProduct(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(d / (na * nb))
+  }
+
+  /** Negative squared euclidean distance (so that "higher is more similar",
+    * aligning with the cosine/dot score ordering convention).
+    */
+  def euclideanDistance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val dd = x.cast("double") - y.cast("double")
+        dd * dd
+      }),
+      lit(0.0),
+      (acc, v) => acc + v
+    ))
+
+  /** L2-normalize a vector to unit length (double elements). Storing
+    * normalized vectors at ingest makes query-time cosine = plain dot
+    * product — cheaper at scale, same ordering (SURVEY.md Q2).
+    */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, lit(null))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+}

@@ -1,0 +1,137 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Recursive character text splitter with output parity to the
+  * reference's chunking stage (`scripts/ingest_documents.py:67-90`:
+  * LangChain `RecursiveCharacterTextSplitter(chunk_size=500,
+  * chunk_overlap=50)`, separator priority `"\n\n"` → `"\n"` → `" "` →
+  * `""`). Reimplemented from the publicly documented algorithm:
+  *
+  *  1. pick the first separator (in priority order) present in the text;
+  *  2. split, keeping each separator attached as a prefix of the
+  *     following fragment;
+  *  3. fragments still longer than `chunkSize` recurse with the remaining
+  *     separators; short fragments are greedily merged into chunks of at
+  *     most `chunkSize` chars, re-seeding each next chunk with up to
+  *     `overlap` trailing chars of fragments from the previous one;
+  *  4. chunks are whitespace-stripped and empties dropped.
+  *
+  * This is the reference's one real UDTF (1→N generator). The DataFrame
+  * form runs it inside `posexplode` over a per-row array — embarrassingly
+  * parallel, no shuffle.
+  */
+final class Chunker(
+    chunkSize: Int = 500,
+    chunkOverlap: Int = 50,
+    separators: Seq[String] = Chunker.DefaultSeparators
+) extends Serializable {
+  require(chunkOverlap < chunkSize, "overlap must be smaller than chunk size")
+
+  def split(text: String): Seq[String] = splitRec(text, separators)
+
+  private def splitRec(text: String, seps: Seq[String]): Seq[String] = {
+    // First separator present in the text wins; "" always matches.
+    var separator = seps.lastOption.getOrElse("")
+    var remaining = Seq.empty[String]
+    var i         = 0
+    var found     = false
+    while (i < seps.length && !found) {
+      val s = seps(i)
+      if (s.isEmpty || text.contains(s)) {
+        separator = s
+        remaining = seps.drop(i + 1)
+        found = true
+      }
+      i += 1
+    }
+
+    val splits = splitKeepSeparator(text, separator)
+
+    val out        = ArrayBuffer.empty[String]
+    val goodSplits = ArrayBuffer.empty[String]
+    for (s <- splits) {
+      if (s.length < chunkSize) goodSplits += s
+      else {
+        if (goodSplits.nonEmpty) {
+          out ++= mergeSplits(goodSplits.toSeq)
+          goodSplits.clear()
+        }
+        if (remaining.isEmpty) out += s
+        else out ++= splitRec(s, remaining)
+      }
+    }
+    if (goodSplits.nonEmpty) out ++= mergeSplits(goodSplits.toSeq)
+    out.toSeq
+  }
+
+  /** Split on `sep`, attaching each separator occurrence as a prefix of
+    * the fragment that follows it (LangChain `keep_separator=True`).
+    */
+  private def splitKeepSeparator(text: String, sep: String): Seq[String] = {
+    if (sep.isEmpty) return text.map(_.toString)
+    val parts = ArrayBuffer.empty[String]
+    var start = 0
+    var idx   = text.indexOf(sep)
+    var first = true
+    while (idx >= 0) {
+      if (first) { parts += text.substring(0, idx); first = false }
+      else parts += text.substring(start - sep.length, idx)
+      start = idx + sep.length
+      idx = text.indexOf(sep, start)
+    }
+    if (first) parts += text
+    else parts += text.substring(start - sep.length)
+    parts.filter(_.nonEmpty).toSeq
+  }
+
+  /** Greedy merge of short fragments into ≤chunkSize chunks with
+    * `chunkOverlap` carry-over (LangChain `_merge_splits` with the
+    * keep-separator "" join).
+    */
+  private def mergeSplits(splits: Seq[String]): Seq[String] = {
+    val docs    = ArrayBuffer.empty[String]
+    val current = ArrayBuffer.empty[String]
+    var total   = 0
+    for (d <- splits) {
+      val len = d.length
+      if (total + len > chunkSize && current.nonEmpty) {
+        val doc = current.mkString("").trim
+        if (doc.nonEmpty) docs += doc
+        while (total > chunkOverlap || (total + len > chunkSize && total > 0)) {
+          total -= current.head.length
+          current.remove(0)
+        }
+      }
+      current += d
+      total += len
+    }
+    val doc = current.mkString("").trim
+    if (doc.nonEmpty) docs += doc
+    docs.toSeq
+  }
+
+  /** Column form: array<string> of chunks. */
+  def chunksCol(text: Column): Column = {
+    val f = udf((t: String) => if (t == null) Seq.empty[String] else split(t))
+    f(text)
+  }
+
+  /** DataFrame form: one row per chunk, with `chunk_index` (the
+    * reference's per-chunk metadata, `scripts/ingest_documents.py:206-215`).
+    */
+  def chunk(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        df.columns.map(col).toIndexedSeq :+
+          posexplode(chunksCol(col(textCol))).as(Seq("chunk_index", "chunk_text")): _*
+      )
+      .drop(textCol)
+}
+
+object Chunker {
+  /** LangChain default separator priority. */
+  val DefaultSeparators: Seq[String] = Seq("\n\n", "\n", " ", "")
+}

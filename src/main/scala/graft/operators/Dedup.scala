@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM training-data pipelines: exact
+  * (content-hash), MinHash + LSH banding, SimHash, and n-gram Jaccard.
+  *
+  * All hashing goes through `md5` (a Spark built-in with a bit-identical
+  * DuckDB counterpart) so every stage is oracle-checkable; at production
+  * scale `xxhash64` is a drop-in faster substitute.
+  *
+  * Scale design: every stage is groupBy/join on a key (shingle, band
+  * bucket) — map-side combinable and AQE-skew-splittable. Nothing here
+  * collects to the driver. The quadratic candidate space is only ever
+  * materialized for rows sharing a bucket/shingle (the point of LSH).
+  */
+object Dedup {
+
+  /** Exact dedup groups: content hash → surviving (min) id + group size.
+    * "Last-wins"/"first-wins" policy is just the choice of min/max.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct word-n-gram shingles per doc: `(doc, sh)`. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(
+      col(idCol).as("doc"),
+      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh")
+    )
+
+  /** MinHash signatures: `(doc, seed, mh)` where
+    * `mh = min over shingles of md5(seed || '|' || shingle)`.
+    * One row per (doc, hash-function); `numHashes` cheap seed-derived
+    * hash functions stand in for independent permutations.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int
+  ): DataFrame =
+    shingles(df, idCol, textCol, shingleN)
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .groupBy(col("doc"), col("seed"))
+      .agg(min(md5(concat(col("seed"), lit("|"), col("sh")))).as("mh"))
+
+  /** LSH band buckets from minhash signatures: `(doc, band, bucket)` with
+    * `rowsPerBand` signature rows hashed together per band. Docs sharing
+    * any (band, bucket) are near-dup candidates.
+    */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", floor(col("seed") / rowsPerBand).cast("int"))
+      .groupBy(col("doc"), col("band"))
+      .agg(
+        md5(concat_ws("|",
+          transform(
+            array_sort(collect_list(struct(col("seed"), col("mh")))),
+            s => s.getField("mh")
+          )
+        )).as("bucket")
+      )
+
+  /** Candidate near-dup pairs (a < b) from LSH buckets, with the number
+    * of colliding bands as the signal strength.
+    */
+  def lshCandidatePairs(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("doc").as("doc_a"), col("band"), col("bucket"))
+    val b = buckets.select(col("doc").as("doc_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+    a.join(b,
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Top near-dup pairs by word-n-gram Jaccard similarity. The shingle
+    * equi-join only materializes pairs that share at least one shingle;
+    * at scale, cap ubiquitous shingles (stop-shingles) before the join.
+    */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, topPairs: Int
+  ): DataFrame = {
+    val sh    = shingles(df, idCol, textCol, shingleN)
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("sh_a")), "doc_a")
+      .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("sh_b")), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sh_a") + col("sh_b") - col("common")).cast("double"), 6).as("jaccard")
+      )
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(topPairs)
+  }
+
+  /** 32-bit SimHash over whitespace tokens, as a '0'/'1' bitstring.
+    * Bit i is the majority vote across tokens of the top bit of hex
+    * nibble i of md5(token) — i.e. 32 pseudo-random projections derived
+    * from md5, so the DuckDB oracle can reproduce it exactly.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    concat_ws("",
+      transform(sequence(lit(1), lit(32)), pos =>
+        when(
+          aggregate(toks, lit(0), (acc, t) =>
+            acc + when(md5(t).substr(pos, lit(1)) >= "8", 1).otherwise(0)
+          ) * 2 >= size(toks),
+          lit("1")
+        ).otherwise(lit("0"))
+      ))
+  }
+
+  /** Hamming distance between two equal-length bitstrings. */
+  def hammingDistance(a: Column, b: Column): Column =
+    size(filter(
+      sequence(lit(1), length(a)),
+      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))
+    ))
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist. Quadratic
+    * fallback for small corpora; at scale, block on bit-prefixes first
+    * (split the 32-bit signature into 4 bytes — pairs within distance 3
+    * must share at least one byte; join per block).
+    */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int
+  ): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sig"))
+    val a = sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a"))
+    val b = sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b"))
+    a.crossJoin(b)
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        hammingDistance(col("sig_a"), col("sig_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact top-k similarity search — the reference's one real query operator
+  * (Pinecone `index.query`, `app/services/pinecone_service.py:148-182`),
+  * re-expressed as declarative DataFrame plans.
+  *
+  * Scale design:
+  *  - Single query: score every row (whole-stage codegen'd cosine) then
+  *    `orderBy(desc).limit(k)` — Catalyst plans `TakeOrderedAndProject`,
+  *    a per-partition heap + driver merge; no global sort, no shuffle of
+  *    the corpus. Linear scan parallelizes perfectly across 1000 executors.
+  *  - Batched queries: broadcast the (small) query set against the corpus
+  *    — the corpus never shuffles; per-(query, row) scores are reduced by
+  *    a window top-k partitioned by query id. For very large query sets,
+  *    swap broadcast for a bucketed co-partitioned join.
+  *  - Metadata filters are plain `Column` predicates applied *before*
+  *    scoring, so Catalyst pushes them into the parquet scan
+  *    (`PushedFilters`) — the analog of Pinecone's filter pushdown
+  *    (`pinecone_service.py:152,174`).
+  */
+object Knn {
+
+  /** Top-k rows of `corpus` most cosine-similar to the single literal
+    * query vector. Ties broken by `idCol` ascending; score rounded to
+    * `scale` decimals for deterministic cross-engine comparison (pass -1
+    * to skip rounding).
+    */
+  def topK(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      filter: Option[Column] = None,
+      scale: Int = 6
+  ): DataFrame = {
+    val base   = filter.map(corpus.filter).getOrElse(corpus)
+    val rawSim = cosineSimilarity(col(vecCol), typedlit(queryVec))
+    val score  = if (scale >= 0) round(rawSim, scale) else rawSim
+    base
+      .select(col(idCol), score.as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Top-k per query for a query set `(queryIdCol, queryVecCol)`.
+    * The query side is broadcast; ranking is a window partitioned by
+    * query id with deterministic (score desc, id asc) order. Returns
+    * `(queryIdCol, idCol, score, rn)`.
+    */
+  def topKBatch(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queriesDf: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      excludeSelf: Boolean = true,
+      scale: Int = 6
+  ): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queriesDf))
+    val kept =
+      if (excludeSelf) joined.filter(col(idCol) =!= col(queryIdCol)) else joined
+    val scored = kept.select(
+      col(queryIdCol),
+      col(idCol),
+      (if (scale >= 0) round(cosineSimilarity(col(vecCol), col(queryVecCol)), scale)
+       else cosineSimilarity(col(vecCol), col(queryVecCol))).as("score")
+    )
+    val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** All-pairs top-k near neighbors (a < b) by cosine — the
+    * embedding-cosine near-duplicate detector. Quadratic by construction;
+    * at 100 TB use [[AnnLsh]] to bucket candidates first and feed the
+    * bucket-joined pairs through the same scoring expression.
+    */
+  def nearestPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      topPairs: Int,
+      scale: Int = 6
+  ): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        round(cosineSimilarity(col("vec_a"), col("vec_b")), scale).as("score")
+      )
+      .orderBy(col("score").desc, col("id_a"), col("id_b"))
+      .limit(topPairs)
+  }
+}

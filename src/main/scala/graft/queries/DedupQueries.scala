@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication coverage on the `documents` fixture: exact hash groups,
+  * n-gram Jaccard pairs, MinHash signatures, LSH candidate pairs, SimHash
+  * signatures. All md5-based so the DuckDB oracle is bit-identical.
+  */
+object DedupQueries {
+
+  private val duckToks = """string_split_regex(trim(lower(text)), '\s+')"""
+  // word-3-gram shingles, distinct, as in TextFunctions.wordShingles(n=3)
+  private val duckShingles =
+    s"""list_distinct(CASE WHEN len($duckToks) < 3 THEN []
+       |  ELSE [concat_ws(' ', $duckToks[i], $duckToks[i+1], $duckToks[i+2])
+       |        for i in range(1, len($duckToks) - 1)] END)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: content-hash groups, min-id survivor.
+    "q30_exact_dedup" -> { (s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text").orderBy("h")
+    },
+
+    // n-gram Jaccard: top-20 most similar doc pairs.
+    "q31_jaccard_pairs" -> { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, topPairs = 20)
+    },
+
+    // MinHash signatures (8 hash functions over 3-gram shingles).
+    "q32_minhash_signatures" -> { (s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+          numHashes = 8, shingleN = 3)
+        .select(col("doc").as("doc_id"), col("seed"), col("mh"))
+        .orderBy("doc_id", "seed")
+    },
+
+    // LSH banding (4 bands x 2 rows) → candidate pairs.
+    "q33_lsh_candidates" -> { (s, d) =>
+      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 8, shingleN = 3)
+      Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, rowsPerBand = 2))
+        .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
+    },
+
+    // SimHash 32-bit signatures.
+    "q34_simhash" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY h""".stripMargin,
+
+    "q31_jaccard_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(common AS DOUBLE)
+         |        / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc = doc_a
+         |JOIN sizes sb ON sb.doc = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin,
+
+    "q32_minhash_signatures" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents)
+         |SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
+         |FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+         |GROUP BY doc_id, seed
+         |ORDER BY doc_id, seed""".stripMargin,
+
+    "q33_lsh_candidates" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |buckets AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+         |  FROM mh GROUP BY doc_id, seed // 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM buckets a
+         |JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |              AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY n_bands DESC, doc_a, doc_b""".stripMargin,
+
+    "q34_simhash" ->
+      s"""SELECT doc_id,
+         |  array_to_string([
+         |    CASE WHEN 2 * len(list_filter($duckToks, t -> substr(md5(t), pos, 1) >= '8'))
+         |              >= len($duckToks)
+         |         THEN '1' ELSE '0' END
+         |    for pos in range(1, 33)], '') AS simhash
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,183 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion-pipeline + orchestration coverage (SURVEY.md §2 P1/P2, S5,
+  * X2, plus events-stream analytics): fixed-stride chunking, reference id
+  * generation, upsert-by-id last-wins, retrieval context formatting,
+  * sessionization, JSON extraction.
+  */
+object PipelineQueries {
+
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])
+       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
+       |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P1 (SQL-expressible form): fixed-size/stride chunking as a 1→N
+    // generator — stride 80, window 100 (recursive-splitter parity lives
+    // in graft.ingest.Chunker with its own golden tests).
+    "q40_chunk_fixed" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            floor((length(col("text")) - 1) / lit(80)).cast("int"))).as("chunk_index"))
+        .select(
+          col("doc_id"), col("chunk_index"),
+          col("text").substr(col("chunk_index") * 80 + 1, lit(100)).as("chunk_text")
+        )
+        .withColumn("chunk_len", length(col("chunk_text")))
+        .orderBy("doc_id", "chunk_index")
+    },
+
+    // P2: deterministic reference id scheme doc_{i}_{md5[:8]}
+    // (scripts/ingest_documents.py:93-105).
+    "q41_doc_ids" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          concat(lit("doc_"), col("doc_id"), lit("_"),
+            substring(md5(col("text")), 1, 8)).as("id")
+        )
+        .orderBy("doc_id")
+    },
+
+    // S5: upsert-by-id last-wins (Pinecone upsert semantics,
+    // app/services/pinecone_service.py:108-146) as union + window dedup.
+    "q42_upsert_last_wins" -> { (s, d) =>
+      val v0 = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), lit(0).as("version"))
+      val v1 = Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), upper(col("text")).as("text"), lit(1).as("version"))
+      val w = Window.partitionBy("doc_id").orderBy(col("version").desc)
+      v0.unionByName(v1)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("version"),
+          substring(col("text"), 1, 40).as("head"))
+        .orderBy("doc_id")
+    },
+
+    // X2: retrieval-context formatting — top-5 matches for query vec 0
+    // rendered "[Document i] (Source: vec_{id}, Relevance: {bp})" and
+    // joined with newlines in pinned rank order.
+    "q43_context_format" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val w = Window.orderBy(col("score").desc, col("vec_id"))
+      val top = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+      top
+        .select(col("rn"),
+          concat(
+            lit("[Document "), col("rn"),
+            lit("] (Source: vec_"), col("vec_id"),
+            lit(", Relevance: "), floor(col("score") * 10000).cast("long"), lit(")")
+          ).as("line"))
+        .agg(concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("rn"), col("line")))),
+            s => s.getField("line"))).as("context"))
+    },
+
+    // Sessionization over the events stream (gap > 10 min ⇒ new session)
+    // — the batch form of stateful streaming session windows.
+    "q44_sessionize" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("gap_us") > 600L * 1000000L, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg((sum("new_s") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Semi-structured extraction: JSON props → typed column + agg.
+    "q45_json_extract" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(round(avg(col("k").cast("double")), 6).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q40_chunk_fixed" ->
+      """WITH idx AS (
+        |  SELECT doc_id, text,
+        |         unnest(range(0, (length(text) - 1) // 80 + 1)) AS chunk_index
+        |  FROM documents)
+        |SELECT doc_id, chunk_index,
+        |  substr(text, 80 * chunk_index + 1, 100) AS chunk_text,
+        |  length(substr(text, 80 * chunk_index + 1, 100)) AS chunk_len
+        |FROM idx
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q41_doc_ids" ->
+      """SELECT doc_id,
+        |  concat('doc_', doc_id, '_', substr(md5(text), 1, 8)) AS id
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q42_upsert_last_wins" ->
+      """WITH v0 AS (SELECT doc_id, text, 0 AS version FROM documents),
+        |v1 AS (SELECT doc_id, upper(text) AS text, 1 AS version
+        |       FROM documents WHERE doc_id < 50),
+        |u AS (SELECT * FROM v0 UNION ALL SELECT * FROM v1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                                   ORDER BY version DESC) AS rn FROM u)
+        |SELECT doc_id, version, substr(text, 1, 40) AS head
+        |FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q43_context_format" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |scored AS (
+         |  SELECT vec_id, round(${duckCosine("embedding", "qvec")}, 6) AS score
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |top AS (
+         |  SELECT vec_id, score,
+         |         row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored QUALIFY rn <= 5)
+         |SELECT string_agg(
+         |  concat('[Document ', rn, '] (Source: vec_', vec_id,
+         |         ', Relevance: ', CAST(floor(score * 10000) AS BIGINT), ')'),
+         |  chr(10) ORDER BY rn) AS context
+         |FROM top""".stripMargin,
+
+    "q44_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN gap_us > 600 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q45_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis coverage on the `documents` fixture: token counting,
+  * quality scoring, language-ID, fingerprinting, per-source stats.
+  * Every operator is a codegen'd column expression mirrored token-for-token
+  * in the DuckDB oracle.
+  */
+object TextQueries {
+
+  // DuckDB fragments mirroring TextFunctions (same regex, same casts).
+  private val duckToks   = """string_split_regex(trim(lower(text)), '\s+')"""
+  private def duckHits(words: Seq[String]): String =
+    s"""len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting + char stats per doc.
+    "q20_token_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("n_chars_actual"),
+          round(alphaRatio(col("text")), 6).as("alpha_ratio")
+        )
+        .orderBy("doc_id")
+    },
+
+    // Composite quality score (alpha ratio / length / stopword density).
+    "q21_quality_scores" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          stopwordHits(col("text")).as("stop_hits"),
+          round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(qualityScore(col("text")), 6).as("quality")
+        )
+        .orderBy("doc_id")
+    },
+
+    // Stopword-profile language ID + agreement with the labeled lang.
+    "q22_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // Content-defined fingerprint (whitespace/punct-invariant identity).
+    "q23_fingerprints" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus stats per source (A3/A4-style aggregation).
+    "q24_source_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          round(avg(tokenCount(col("text")).cast("double")), 6).as("avg_tokens"),
+          countDistinct("lang").as("n_langs")
+        )
+        .orderBy("source")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($duckToks) AS n_tokens,
+         |  length(text) AS n_chars_actual,
+         |  round(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |        / CAST(length(text) AS DOUBLE), 6) AS alpha_ratio
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "q21_quality_scores" ->
+      s"""SELECT doc_id,
+         |  ${duckHits(EN_STOP)} AS stop_hits,
+         |  round(CAST(${duckHits(EN_STOP)} AS DOUBLE) / CAST(len($duckToks) AS DOUBLE), 6) AS stop_ratio,
+         |  round(0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |               / CAST(length(text) AS DOUBLE))
+         |      + 0.3 * least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0)
+         |      + 0.3 * (CAST(${duckHits(EN_STOP)} AS DOUBLE) / CAST(len($duckToks) AS DOUBLE)), 6) AS quality
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "q22_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    ${duckHits(EN_STOP)} AS en, ${duckHits(DE_STOP)} AS de,
+         |    ${duckHits(ES_STOP)} AS es, ${duckHits(FR_STOP)} AS fr
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN greatest(en, de, es, fr) = 0 THEN 'und'
+         |       WHEN en = greatest(en, de, es, fr) THEN 'en'
+         |       WHEN de = greatest(en, de, es, fr) THEN 'de'
+         |       WHEN es = greatest(en, de, es, fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM scored
+         |ORDER BY doc_id""".stripMargin,
+
+    "q23_fingerprints" ->
+      """SELECT doc_id,
+        |  substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q24_source_stats" ->
+      s"""SELECT source,
+         |  count(*) AS n_docs,
+         |  sum(n_chars) AS total_chars,
+         |  round(avg(CAST(len($duckToks) AS DOUBLE)), 6) AS avg_tokens,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM documents
+         |GROUP BY source
+         |ORDER BY source""".stripMargin
+  )
+}

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-path coverage (SURVEY.md §2 Q1/Q2/J1/F1 + ANN extensions) on the
+  * `embeddings` fixture. All cosine math runs in double with left-to-right
+  * accumulation on both engines, rounded to 6 decimals, ties broken by id —
+  * so results hash-match exactly.
+  */
+object VectorQueries {
+
+  /** Shared DuckDB fragment: cosine(embedding, qvec) in double, mirroring
+    * VectorFunctions.cosineSimilarity element order exactly.
+    */
+  private def duckCosine(a: String, b: String): String =
+    s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])
+       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
+       |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q1: single-query exact KNN — query vector taken from vec_id=0,
+    // broadcast against the corpus, TakeOrderedAndProject top-10.
+    "q10_knn_single" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // Q1 batched: top-5 neighbors for each of the first 10 vectors
+    // (broadcast query set + windowed rank).
+    "q11_knn_batch" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Knn.topKBatch(e, "vec_id", "embedding", q, "query_id", "qvec", k = 5)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("score"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
+    // F1 + Q1: metadata filter pushed below the scoring (Pinecone
+    // filter_dict analog) — label IN (1,2,3) reaches the parquet scan.
+    "q12_knn_filtered" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.filter(col("label").isin(1, 2, 3))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // Vector norms + dimension check (the index-dimension invariant the
+    // reference enforces at write time; SURVEY §1.2).
+    "q13_vector_norms" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(l2Norm(col("embedding")), 6).as("l2_norm"),
+          round(dotProduct(col("embedding"), col("embedding")), 6).as("self_dot")
+        )
+        .orderBy("vec_id")
+    },
+
+    // Embedding-cosine near-duplicate pairs: top-20 closest pairs.
+    "q14_near_dup_pairs" -> { (s, d) =>
+      Knn.nearestPairs(Tables.embeddings(s, d), "vec_id", "embedding", topPairs = 20)
+    },
+
+    // Per-label centroid norms: element-wise mean across grouped vectors
+    // (SURVEY A1 generalized to a relational group) via posexplode +
+    // groupBy(label, pos) + avg — the shuffle-friendly formulation.
+    "q15_label_centroids" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("dim"),
+          round(sqrt(sum(col("m") * col("m"))), 6).as("centroid_norm")
+        )
+        .orderBy("label")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q10_knn_single" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${duckCosine("embedding", "qvec")}, 6) AS score
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "q11_knn_batch" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckCosine("e.embedding", "q.qvec")}, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, score, rn FROM ranked
+         |WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "q12_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round(${duckCosine("embedding", "qvec")}, 6) AS score
+         |FROM embeddings, q
+         |WHERE label IN (1, 2, 3)
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "q13_vector_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])), 6) AS l2_norm,
+        |  round(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding]), 6) AS self_dot
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q14_near_dup_pairs" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${duckCosine("a.embedding", "b.embedding")}, 6) AS score
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |ORDER BY score DESC, id_a, id_b
+         |LIMIT 20""".stripMargin,
+
+    "q15_label_centroids" ->
+      """WITH ex AS (
+        |  SELECT label,
+        |         unnest(range(0, len(embedding))) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (SELECT label, pos, avg(v) AS m FROM ex GROUP BY label, pos)
+        |SELECT label, count(*) AS dim, round(sqrt(sum(m * m)), 6) AS centroid_norm
+        |FROM m GROUP BY label ORDER BY label""".stripMargin
+  )
+}

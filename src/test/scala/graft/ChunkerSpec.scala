@@ -1,0 +1,81 @@
+package graft
+
+import graft.ingest.Chunker
+
+/** Golden + property tests for the recursive character splitter
+  * (output-parity target: LangChain RecursiveCharacterTextSplitter as
+  * configured by the reference, 500/50 — scripts/ingest_documents.py:67-90).
+  */
+class ChunkerSpec extends GraftSpec {
+
+  test("short text is a single chunk") {
+    val c = new Chunker(500, 50)
+    assert(c.split("hello world") == Seq("hello world"))
+  }
+
+  test("merges adjacent paragraphs that fit chunkSize together") {
+    val c   = new Chunker(20, 5)
+    val out = c.split("aaaa aaaa\n\nbbbb bbbb\n\ncccc cccc")
+    // first two paragraphs total exactly 20 chars (incl. separator) → one chunk
+    assert(out == Seq("aaaa aaaa\n\nbbbb bbbb", "cccc cccc"))
+  }
+
+  test("splits on paragraph boundary when paragraphs don't fit together") {
+    val c   = new Chunker(12, 5)
+    val out = c.split("aaaa aaaa\n\nbbbb bbbb\n\ncccc cccc")
+    assert(out == Seq("aaaa aaaa", "bbbb bbbb", "cccc cccc"))
+  }
+
+  test("falls back to word boundary inside long paragraphs") {
+    val c   = new Chunker(10, 3)
+    val out = c.split("one two three four five")
+    // every chunk fits, boundaries at spaces, whole text covered in order
+    assert(out.forall(_.length <= 10))
+    assert(out.forall(ch => !ch.startsWith(" ") && !ch.endsWith(" ")))
+    val joined = out.mkString(" ")
+    Seq("one", "two", "three", "four", "five").foreach(w => assert(joined.contains(w)))
+  }
+
+  test("overlap carries trailing fragments into next chunk") {
+    val c   = new Chunker(12, 6)
+    val out = c.split("aa bb cc dd ee ff")
+    assert(out.length > 1)
+    // consecutive chunks share content (the overlap re-seed)
+    out.sliding(2).foreach { case Seq(a, b) =>
+      val tail = a.split(" ").last
+      assert(b.contains(tail) || a.length <= 6,
+        s"no overlap between '$a' and '$b'")
+    case _ => ()
+    }
+  }
+
+  test("hard-splits a separator-free run at chunkSize") {
+    val c   = new Chunker(10, 2)
+    val out = c.split("x" * 25)
+    assert(out.forall(_.length <= 10))
+    assert(out.map(_.length).sum >= 25 - 2 * out.length) // covers text modulo overlap trim
+  }
+
+  test("every chunk fits chunkSize on real docs, none empty") {
+    val c    = new Chunker(500, 50)
+    val docs = Tables.documents(spark, sfDir).select("text")
+      .collect().map(_.getString(0))
+    docs.foreach { t =>
+      val chunks = c.split(t)
+      assert(chunks.nonEmpty)
+      assert(chunks.forall(ch => ch.nonEmpty && ch.length <= 500))
+      // chunks cover the document: concatenation contains all non-space chars
+      assert(chunks.mkString("").replaceAll("\\s", "").length >=
+        t.replaceAll("\\s", "").length - 50)
+    }
+  }
+
+  test("DataFrame chunk() explodes with chunk_index") {
+    val df  = Tables.documents(spark, sfDir).limit(20)
+    val out = new Chunker(100, 20).chunk(df, "text")
+    assert(out.columns.contains("chunk_index"))
+    assert(out.columns.contains("chunk_text"))
+    assert(!out.columns.contains("text"))
+    assert(out.count() >= 20)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, Knn}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),      // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),    // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")       // case-variant
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, min-id survives") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length == 4) // 1==2; 3,4,5 distinct (md5 is case-sensitive)
+    val dup = groups.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccard: identical texts score 1.0; near-dups rank above unrelated") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 10).collect()
+    val top   = pairs.head
+    // (1,2) and case-folded (1,5)/(2,5) are identical after lowering: jaccard 1.0
+    assert(top.getAs[Double]("jaccard") == 1.0)
+    val oneTwo = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L).get
+    assert(oneTwo.getAs[Double]("jaccard") == 1.0)
+    val near = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 3L).get
+    assert(near.getAs[Double]("jaccard") > 0.4 && near.getAs[Double]("jaccard") < 1.0)
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") == 4L))
+  }
+
+  test("minhash: identical (case-folded) docs share full signatures") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+    val byDoc = sigs.collect()
+      .groupBy(_.getAs[Long]("doc"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("seed")).map(_.getAs[String]("mh")).toSeq)
+      .toMap
+    assert(byDoc(1L) == byDoc(2L))
+    assert(byDoc(1L) == byDoc(5L)) // tokens are lowercased
+    assert(byDoc(1L) != byDoc(4L))
+    assert(byDoc.values.forall(_.size == 8))
+  }
+
+  test("LSH candidates include the duplicate pair with all bands matching") {
+    val sigs  = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
+    val pairs = Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, 2)).collect()
+    val p12 = pairs.find(r =>
+      r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L).get
+    assert(p12.getAs[Long]("n_bands") == 4)
+    assert(!pairs.exists(r =>
+      Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")).contains(4L)))
+  }
+
+  test("simhash: identical docs distance 0, near-dups close, unrelated far") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 32).collect()
+    def dist(a: Long, b: Long): Int = pairs.find(r =>
+      r.getAs[Long]("doc_a") == a && r.getAs[Long]("doc_b") == b)
+      .get.getAs[Int]("dist")
+    assert(dist(1L, 2L) == 0)
+    assert(dist(1L, 5L) == 0)
+    assert(dist(1L, 3L) < dist(1L, 4L))
+  }
+
+  test("embedding near-dup pairs are symmetric-deduped and sorted") {
+    val pairs = Knn.nearestPairs(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding", 10).collect()
+    assert(pairs.length == 10)
+    assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+    val scores = pairs.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+}

@@ -1,0 +1,32 @@
+package graft
+
+/** Driver-contract smoke: entry() and every registered query return rows
+  * on the smallest fixture, and every query has either an oracle or a
+  * documented reason not to.
+  */
+class EntrySmokeSpec extends GraftSpec {
+
+  test("entry returns rows") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Double]("score") >= -1.0))
+  }
+
+  test("every query runs and returns rows on sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sfDir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empty.isEmpty, s"queries with 0 rows: $empty")
+  }
+
+  test("every query has an oracle") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+  }
+
+  test("oracle keys all correspond to queries") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.embed.DeterministicEmbedder
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends GraftSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val qvec: Seq[Float] = emb.filter(col("vec_id") === 0)
+    .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+  test("topK returns k rows sorted by score desc") {
+    val rows = Knn.topK(emb, "vec_id", "embedding", qvec, 10).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+    // self-match first with score 1
+    assert(rows.head.getAs[Long]("vec_id") == 0L)
+    assert(rows.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("monotonicity: topK(k) is a prefix of topK(k+5)") {
+    val k5  = Knn.topK(emb, "vec_id", "embedding", qvec, 5)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    val k10 = Knn.topK(emb, "vec_id", "embedding", qvec, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(k10.take(5) == k5)
+  }
+
+  test("metadata filter restricts candidates and pushes to scan") {
+    val df = Knn.topK(emb, "vec_id", "embedding", qvec, 10,
+      filter = Some(col("label") === 3))
+    val withLabel = Knn.topK(emb.filter(col("label") === 3), "vec_id",
+      "embedding", qvec, 10)
+    assert(df.collect().toSeq == withLabel.collect().toSeq)
+    val plan = emb.filter(col("label") === 3).select("vec_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("label"),
+      s"filter not pushed:\n$plan")
+  }
+
+  test("single-query plan uses TakeOrderedAndProject (no global sort)") {
+    val plan = Knn.topK(emb, "vec_id", "embedding", qvec, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
+  test("batch KNN matches per-query single KNN") {
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val batch = Knn.topKBatch(emb, "vec_id", "embedding", queries,
+        "query_id", "qvec", 4)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+    for (q <- 0L until 3L) {
+      val qv = emb.filter(col("vec_id") === q).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val single = Knn.topK(emb.filter(col("vec_id") =!= q), "vec_id", "embedding", qv, 4)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(batch(q) == single, s"query $q")
+    }
+  }
+
+  test("deterministic embedder: stable, unit-norm, right dimension") {
+    val e  = new DeterministicEmbedder(64)
+    val v1 = e.embedOne("hello spark world")
+    val v2 = e.embedOne("hello spark world")
+    assert(v1.toSeq == v2.toSeq)
+    assert(v1.length == 64)
+    val n = math.sqrt(v1.map(x => x.toDouble * x.toDouble).sum)
+    assert(math.abs(n - 1.0) < 1e-6)
+    val v3 = e.embedOne("a completely different sentence")
+    assert(v1.toSeq != v3.toSeq)
+  }
+}

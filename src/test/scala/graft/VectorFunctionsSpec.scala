@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def cosOf(a: Seq[Float], b: Seq[Float]): Option[Double] = {
+    val df = Seq((a, b)).toDF("a", "b")
+    val r  = df.select(cosineSimilarity(col("a"), col("b")).as("c")).head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("cosine matches hand-computed value") {
+    val got = cosOf(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f)).get
+    val exp = (4.0 + 10.0 + 18.0) / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("self-similarity is 1 for non-zero vectors") {
+    val v = Seq(0.5f, -1.5f, 2.0f)
+    assert(math.abs(cosOf(v, v).get - 1.0) < 1e-12)
+  }
+
+  test("zero vector yields null, not NaN") {
+    assert(cosOf(Seq(0f, 0f), Seq(1f, 2f)).isEmpty)
+  }
+
+  test("cosine is symmetric and bounded (property, seeded)") {
+    val rng = new scala.util.Random(42)
+    def vec() = Seq.fill(8)(rng.nextFloat() * 20f - 10f)
+    // batch all cases into one plan to keep the test fast
+    val cases = Seq.fill(40)((vec(), vec()))
+    val df = spark.createDataFrame(cases).toDF("a", "b")
+    val rows = df.select(
+      cosineSimilarity(col("a"), col("b")).as("ab"),
+      cosineSimilarity(col("b"), col("a")).as("ba")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(0) >= -1.0 - 1e-9 && r.getDouble(0) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("l2Normalize produces unit vectors; dot of normalized == cosine") {
+    val df = Tables.embeddings(spark, sfDir).limit(50)
+    val norms = df.select(
+      aggregate(l2Normalize(col("embedding")), lit(0.0),
+        (acc, v) => acc + v * v).as("n2"))
+      .collect().map(_.getDouble(0))
+    norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
+  }
+
+  test("euclidean distance of identical vectors is 0") {
+    val d = Seq((Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
+      .select(euclideanDistance(col("a"), col("b"))).head().getDouble(0)
+    assert(d == 0.0)
+  }
+}

@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Local pre-validation mimicking the driver's correctness gate:
+runs each oracle_sql.json query in DuckDB over the fixture tables and
+compares against the Verify parquet dumps (columns sorted by name,
+values hashed). Usage: check_correctness.py <sfDir> <verifyOutDir>
+"""
+import sys, json, hashlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    # sort columns by name, then rows by all columns, stringify
+    cols = sorted(df.columns)
+    df = df[cols]
+    df = df.sort_values(by=cols).reset_index(drop=True)
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append("|".join(norm(v) for v in row))
+    return rows
+
+def norm(v):
+    import math
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    return str(v)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df()
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        try:
+            g, e = canon(got), canon(exp)
+        except Exception as ex:
+            print(f"FAIL {name}: canon error {ex}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL {name}: rows spark={len(g)} duckdb={len(e)}")
+            n_fail += 1
+        elif g != e:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, e)) if a != b]
+            print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[0]}")
+            n_fail += 1
+        else:
+            h = hashlib.md5("\n".join(g).encode()).hexdigest()[:8]
+            print(f"PASS {name}: {len(g)} rows hash={h}")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
