@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector hot path, with full
+  * whole-stage codegen (`doGenCode`). Spark's higher-order array functions
+  * (`zip_with`, `aggregate`) are `CodegenFallback` — interpreted per row —
+  * which makes brute-force KNN / all-pairs scoring ~20× slower than
+  * necessary. These expressions generate a tight scalar loop instead.
+  *
+  * Semantics are bit-identical to the HOF formulations in
+  * [[VectorFunctions]] (kept there as `*Hof` for cross-checks): double
+  * precision, left-to-right accumulation, NULL on dimension mismatch,
+  * NULL element, or zero-norm input. That determinism is what lets the
+  * DuckDB oracle hash-match.
+  */
+object VectorExpressions {
+
+  private[functions] def checkFloatArrays(es: Expression*): TypeCheckResult =
+    if (es.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"expected array<float> inputs, got ${es.map(_.dataType.simpleString).mkString(", ")}")
+
+  /** Names of the generated locals, freshened per call site so the same
+    * expression can appear several times inside one codegen'd stage.
+    */
+  private[functions] final case class LoopVars(
+      n: String, bad: String, dot: String, na: String, nb: String)
+
+  private[functions] def freshVars(ctx: CodegenContext): LoopVars =
+    LoopVars(ctx.freshName("n"), ctx.freshName("bad"), ctx.freshName("dot"),
+      ctx.freshName("na"), ctx.freshName("nb"))
+
+  /** Shared generated-code core: accumulates dot, |a|^2, |b|^2. */
+  private[functions] def pairLoop(
+      v: LoopVars, a: String, b: String, onMismatch: String): String = {
+    val i  = s"${v.n}_i"
+    val xi = s"${v.n}_x"
+    val yi = s"${v.n}_y"
+    s"""int ${v.n} = $a.numElements();
+       |boolean ${v.bad} = ${v.n} != $b.numElements();
+       |double ${v.dot} = 0.0, ${v.na} = 0.0, ${v.nb} = 0.0;
+       |if (!${v.bad}) {
+       |  for (int $i = 0; $i < ${v.n}; $i++) {
+       |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${v.bad} = true; break; }
+       |    double $xi = $a.getFloat($i);
+       |    double $yi = $b.getFloat($i);
+       |    ${v.dot} += $xi * $yi; ${v.na} += $xi * $xi; ${v.nb} += $yi * $yi;
+       |  }
+       |}
+       |if (${v.bad}) { $onMismatch }""".stripMargin
+  }
+
+  private[functions] final case class PairAcc(dot: Double, na: Double, nb: Double)
+
+  private[functions] def evalPair(x: ArrayData, y: ArrayData): Option[PairAcc] = {
+    val n = x.numElements()
+    if (n != y.numElements()) return None
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return None
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    Some(PairAcc(dot, na, nb))
+  }
+}
+
+/** cosine(a, b) = dot/(|a||b|); NULL for zero norms (no NaN). */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType         = DoubleType
+  override def nullable: Boolean          = true
+  override def nullIntolerant: Boolean    = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(left, right)
+  override def prettyName: String         = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalPair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]) match {
+      case Some(p) if p.na != 0.0 && p.nb != 0.0 =>
+        p.dot / (math.sqrt(p.na) * math.sqrt(p.nb))
+      case _ => null
+    }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = freshVars(ctx)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${pairLoop(v, a, b, s"${ev.isNull} = true;")}
+         |else if (${v.na} == 0.0 || ${v.nb} == 0.0) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${v.dot} / (java.lang.Math.sqrt(${v.na}) * java.lang.Math.sqrt(${v.nb})); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** dot(a, b); NULL on dimension mismatch or NULL element. */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType         = DoubleType
+  override def nullable: Boolean          = true
+  override def nullIntolerant: Boolean    = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(left, right)
+  override def prettyName: String         = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalPair(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData]) match {
+      case Some(p) => p.dot
+      case None    => null
+    }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val v = freshVars(ctx)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""${pairLoop(v, a, b, s"${ev.isNull} = true;")}
+         |else { ${ev.value} = ${v.dot}; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** l2_norm(a) = sqrt(sum a_i^2); NULL on NULL element. */
+case class L2NormExpr(child: Expression) extends UnaryExpression {
+  import VectorExpressions._
+
+  override def dataType: DataType         = DoubleType
+  override def nullable: Boolean          = true
+  override def nullIntolerant: Boolean    = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(child)
+  override def prettyName: String         = "l2_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var ss = 0.0
+    var i  = 0
+    val n  = x.numElements()
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble
+      ss += xi * xi
+      i += 1
+    }
+    math.sqrt(ss)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val n   = ctx.freshName("n")
+    val bad = ctx.freshName("bad")
+    val ss  = ctx.freshName("ss")
+    val i   = ctx.freshName("i")
+    val xi  = ctx.freshName("xi")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""int $n = $a.numElements();
+         |boolean $bad = false;
+         |double $ss = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  double $xi = $a.getFloat($i);
+         |  $ss += $xi * $xi;
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} = java.lang.Math.sqrt($ss); }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** Column wrappers + SQL registration for the native expressions. */
+object VectorSql {
+  private def expr(c: Column): Expression = GraftBridge.expression(c)
+
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineSimilarityExpr(expr(a), expr(b)))
+  def dot(a: Column, b: Column): Column =
+    GraftBridge.column(DotProductExpr(expr(a), expr(b)))
+  def l2norm(a: Column): Column =
+    GraftBridge.column(L2NormExpr(expr(a)))
+
+  /** Register `cosine_similarity`, `dot_product`, `l2_norm` for
+    * `spark.sql(...)` use.
+    */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_similarity",
+      es => CosineSimilarityExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product",
+      es => DotProductExpr(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm",
+      es => L2NormExpr(es.head), "built-in")
+  }
+}

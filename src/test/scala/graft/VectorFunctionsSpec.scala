@@ -52,6 +52,38 @@ class VectorFunctionsSpec extends GraftSpec {
     norms.foreach(n2 => assert(math.abs(n2 - 1.0) < 1e-9))
   }
 
+  test("native codegen expression is bit-identical to HOF reference") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val both = e.crossJoin(broadcast(q)).select(
+      cosineSimilarity(col("embedding"), col("qvec")).as("fast"),
+      cosineSimilarityHof(col("embedding"), col("qvec")).as("ref"),
+      dotProduct(col("embedding"), col("qvec")).as("dfast"),
+      dotProductHof(col("embedding"), col("qvec")).as("dref"),
+      l2Norm(col("embedding")).as("nfast"),
+      l2NormHof(col("embedding")).as("nref")
+    ).collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "cosine mismatch")
+      assert(r.getDouble(2) == r.getDouble(3), "dot mismatch")
+      assert(r.getDouble(4) == r.getDouble(5), "norm mismatch")
+    }
+  }
+
+  test("native expressions evaluate in SQL after registration") {
+    graft.functions.VectorSql.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_sql_t")
+    val r = spark.sql(
+      """SELECT cosine_similarity(embedding, embedding) AS c,
+        |       dot_product(embedding, embedding) AS d,
+        |       l2_norm(embedding) AS n
+        |FROM emb_sql_t""".stripMargin).collect()
+    r.foreach { row =>
+      assert(math.abs(row.getDouble(0) - 1.0) < 1e-9)
+      assert(math.abs(row.getDouble(1) - row.getDouble(2) * row.getDouble(2)) < 1e-9)
+    }
+  }
+
   test("euclidean distance of identical vectors is 0") {
     val d = Seq((Seq(1f, 2f), Seq(1f, 2f))).toDF("a", "b")
       .select(euclideanDistance(col("a"), col("b"))).head().getDouble(0)
