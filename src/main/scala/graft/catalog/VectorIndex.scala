@@ -1,0 +1,111 @@
+package graft.catalog
+
+import graft.operators.Knn
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A named vector index: parquet data dir + catalog meta, with
+  * upsert-by-id last-wins semantics (Pinecone upsert,
+  * `app/services/pinecone_service.py:108-146`) and top-k query
+  * (`pinecone_service.py:148-182`).
+  *
+  * Write path is merge-on-read: each upsert appends a new `_version`
+  * batch; reads keep the newest row per id via a window. `compact()`
+  * rewrites to a single deduped version. At scale this is the standard
+  * log-structured layout (append cheap + periodic compaction), and the
+  * dedup window shuffles only on `id` — AQE-coalesced and skew-safe.
+  */
+final class VectorIndex(
+    spark: SparkSession,
+    catalog: VectorCatalog,
+    val meta: IndexMeta
+) {
+  private val path = catalog.dataPath(meta.name)
+
+  /** Schema contract for upserts: `id STRING` + `embedding ARRAY<FLOAT>`
+    * (+ arbitrary metadata columns). Dimension is validated row-wise at
+    * write time — the invariant the reference enforces
+    * (`pinecone_service.py:126-133`, SURVEY §1.2).
+    */
+  def upsert(df: DataFrame): Long = {
+    require(df.columns.contains("id") && df.columns.contains("embedding"),
+      "upsert requires id + embedding columns")
+    val bad = df.filter(size(col("embedding")) =!= meta.dimension).limit(1).count()
+    require(bad == 0,
+      s"embedding dimension mismatch: index ${meta.name} expects ${meta.dimension}")
+    val version = nextVersion()
+    val out     = df.withColumn("_version", lit(version))
+    out.write.mode("append").parquet(path)
+    df.count()
+  }
+
+  private def nextVersion(): Long =
+    if (!hasData) 0L
+    else spark.read.parquet(path).agg(max("_version")).head().getLong(0) + 1L
+
+  private def hasData: Boolean = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      st.getPath.getName.endsWith(".parquet") || st.getPath.getName.startsWith("part-")
+    }
+  }
+
+  /** Live view: newest version per id. */
+  def read: DataFrame =
+    if (!hasData) emptyLike()
+    else {
+      val w = Window.partitionBy("id").orderBy(col("_version").desc)
+      spark.read.parquet(path)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_version")
+    }
+
+  private def emptyLike(): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", StringType),
+        StructField("embedding", ArrayType(FloatType, containsNull = false))
+      ))
+    )
+  }
+
+  /** Rewrite the log to a single deduped version (run periodically; the
+    * read-side window disappears for subsequent queries).
+    */
+  def compact(): Unit = {
+    val deduped = read.withColumn("_version", lit(0L))
+    val tmp     = s"$path._compact"
+    deduped.write.mode("overwrite").parquet(tmp)
+    val p    = new org.apache.hadoop.fs.Path(path)
+    val fs   = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+  }
+
+  /** Top-k cosine query with optional metadata filter — the reference's
+    * `index.query(vector, top_k, filter)` (`pinecone_service.py:148-182`).
+    */
+  def knn(queryVec: Seq[Float], k: Int, filter: Option[Column] = None): DataFrame = {
+    require(queryVec.length == meta.dimension,
+      s"query dimension ${queryVec.length} != index dimension ${meta.dimension}")
+    val base   = filter.map(read.filter).getOrElse(read)
+    val scored = base.withColumn("score",
+      round(graft.functions.VectorFunctions.cosineSimilarity(
+        col("embedding"), typedlit(queryVec)), 6))
+    scored.orderBy(col("score").desc, col("id")).limit(k)
+  }
+
+  def stats: IndexStats = catalog.stats(meta.name).get
+}
+
+object VectorIndex {
+  /** Create-or-connect (`pinecone_service.py:33-68`). */
+  def createOrConnect(
+      spark: SparkSession, catalog: VectorCatalog, meta: IndexMeta): VectorIndex =
+    new VectorIndex(spark, catalog, catalog.create(meta))
+}

@@ -1,0 +1,38 @@
+package graft.embed
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** Distributed embedding over a DataFrame — the canonical
+  * expensive-external-UDF pattern (SURVEY §2 E1): `mapPartitions` with
+  * within-partition batching, so a provider that talks HTTP amortizes
+  * calls exactly like the reference's 32-texts-per-request loop
+  * (`app/core/embeddings.py:150-155`), and a local provider just streams.
+  *
+  * The embedder is shipped once per task via closure serialization; no
+  * driver-side loops, no collect.
+  */
+object EmbedOps {
+
+  /** Append `outCol ARRAY<FLOAT>` computed from `textCol`. */
+  def embedText(
+      df: DataFrame,
+      textCol: String,
+      embedder: Embedder,
+      outCol: String = "embedding",
+      batchSize: Int = 32
+  ): DataFrame = {
+    val schema = StructType(
+      df.schema.fields :+ StructField(outCol, ArrayType(FloatType, containsNull = false)))
+    val textIdx = df.schema.fieldIndex(textCol)
+    val enc     = Encoders.row(schema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        val vecs = embedder.embed(batch.iterator.map(_.getString(textIdx))).toSeq
+        batch.iterator.zip(vecs.iterator).map { case (row, vec) =>
+          Row.fromSeq(row.toSeq :+ vec.toSeq)
+        }
+      }
+    }(enc)
+  }
+}

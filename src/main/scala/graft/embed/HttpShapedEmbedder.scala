@@ -1,0 +1,49 @@
+package graft.embed
+
+/** Provider-shaped embedder reproducing the reference's HTTP embedding
+  * client semantics (`app/core/embeddings.py:63-172`) behind an
+  * injectable transport, so the behavior — batch size 32, one retry on
+  * 503, fallback to a secondary provider on auth failure (401/403) — is
+  * testable in this zero-egress environment and swappable for a real
+  * HTTP stack on a cluster.
+  *
+  * `transport(texts) => Right(vectors) | Left(statusCode)`.
+  */
+final class HttpShapedEmbedder(
+    val dimension: Int,
+    transport: Seq[String] => Either[Int, Seq[Array[Float]]],
+    fallback: Option[Embedder] = None,
+    batchSize: Int = 32,
+    retryOn: Set[Int] = Set(503),
+    fallbackOn: Set[Int] = Set(401, 403)
+) extends Embedder {
+
+  override def embedOne(text: String): Array[Float] =
+    embed(Iterator(text)).next()
+
+  override def embed(texts: Iterator[String]): Iterator[Array[Float]] =
+    texts.grouped(batchSize).flatMap { batch =>
+      callWithRetry(batch.toSeq)
+    }
+
+  private def callWithRetry(batch: Seq[String]): Seq[Array[Float]] =
+    transport(batch) match {
+      case Right(vecs) =>
+        require(vecs.length == batch.length, "transport returned wrong batch size")
+        vecs
+      case Left(code) if retryOn(code) =>
+        // reference retries once after a fixed backoff (embeddings.py:75-78)
+        transport(batch) match {
+          case Right(vecs) => vecs
+          case Left(c2)    => failover(batch, c2)
+        }
+      case Left(code) => failover(batch, code)
+    }
+
+  private def failover(batch: Seq[String], code: Int): Seq[Array[Float]] =
+    fallback match {
+      case Some(fb) if fallbackOn(code) => fb.embed(batch.iterator).toSeq
+      case _ =>
+        throw new RuntimeException(s"embedding provider failed with status $code")
+    }
+}

@@ -1,0 +1,61 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document source scans (SURVEY §2 S1-S4): text directory, PDF
+  * directory (parse stubbed — no PDF lib ships in this environment),
+  * and their union. One row per document: `(text, source)`.
+  */
+object Readers {
+
+  /** S1: recursive `*.txt` scan, one Document per file, `source` = path
+    * (`scripts/ingest_documents.py:42-49`). `wholetext` keeps each file a
+    * single row; Spark parallelizes across files, so a 100 TB corpus
+    * just needs enough files.
+    */
+  def textDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.txt")
+      .text(dir)
+      .select(col("value").as("text"), input_file_name().as("source"))
+
+  /** Pluggable page extractor for binary documents; returns one string
+    * per page (PDF page explode = the reference's per-page Documents,
+    * `scripts/ingest_documents.py:52-59`).
+    */
+  trait BinaryDocParser extends Serializable {
+    def pages(bytes: Array[Byte]): Seq[String]
+  }
+
+  /** STUB: no PDF library is available offline. Deterministic fake that
+    * "extracts" a single pseudo-page naming the payload size — the
+    * Spark-side plumbing (binaryFile scan, glob filter, page explode) is
+    * real and tested; swap in a pdfbox-backed parser on a cluster.
+    */
+  final class StubPdfParser extends BinaryDocParser {
+    override def pages(bytes: Array[Byte]): Seq[String] =
+      Seq(s"[pdf-stub ${bytes.length} bytes]")
+  }
+
+  /** S2: recursive `*.pdf` scan via the binaryFile source + page explode. */
+  def pdfDirectory(
+      spark: SparkSession, dir: String,
+      parser: BinaryDocParser = new StubPdfParser
+  ): DataFrame = {
+    val pagesUdf = udf((bytes: Array[Byte]) =>
+      if (bytes == null) Seq.empty[String] else parser.pages(bytes))
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.pdf")
+      .load(dir)
+      .select(explode(pagesUdf(col("content"))).as("text"),
+        col("path").as("source"))
+  }
+
+  /** S3: txt ∪ pdf (`scripts/ingest_documents.py:61-64`). */
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    textDirectory(spark, dir).unionByName(pdfDirectory(spark, dir))
+}

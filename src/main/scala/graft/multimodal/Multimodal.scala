@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: media (image/audio/
+  * video) carried as opaque `BINARY` columns with typed metadata, and
+  * decode / feature-extract / resize / frame-sample as `mapPartitions`
+  * stages over batched rows.
+  *
+  * The media codecs themselves are STUBBED (no image/audio libraries ship
+  * in this container): each `Decoder` below is a deterministic fake
+  * clearly marked as such. Everything Spark-side — the binaryFile scan,
+  * schema contracts, partition-batched UDF shape, column pruning — is
+  * real and tested, so swapping in a JavaCV/ImageIO-backed decoder on a
+  * cluster changes one class, not the pipeline.
+  *
+  * Scale notes: binary payloads never shuffle (all stages are narrow
+  * maps); metadata-only queries prune the `content` column at the
+  * parquet scan, so "count images larger than X" reads kilobytes, not
+  * the 100 TB of pixels.
+  */
+object Multimodal {
+
+  /** Typed metadata attached to each media row. */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("format", StringType)
+  ))
+
+  /** Pluggable media decoder: bytes → (meta, feature vector). */
+  trait MediaDecoder extends Serializable {
+    def featureDim: Int
+    /** Decode one payload; None for undecodable bytes (kept, flagged). */
+    def decode(bytes: Array[Byte]): Option[(Row, Array[Float])]
+  }
+
+  /** STUB decoder — deterministic fake standing in for a real image
+    * codec: "dimensions" derive from the byte length and the "features"
+    * are a hashed byte-histogram, so tests are hermetic and stable.
+    * Replace with an ImageIO/JavaCV implementation in production.
+    */
+  final class StubImageDecoder(override val featureDim: Int = 16) extends MediaDecoder {
+    override def decode(bytes: Array[Byte]): Option[(Row, Array[Float])] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val side = math.max(1, math.sqrt(bytes.length.toDouble).toInt)
+      val meta = Row(side, side, 3, "stub")
+      val feat = new Array[Float](featureDim)
+      var i = 0
+      while (i < bytes.length) {
+        feat(java.lang.Byte.toUnsignedInt(bytes(i)) % featureDim) += 1.0f
+        i += 1
+      }
+      var j = 0
+      while (j < featureDim) { feat(j) /= bytes.length.toFloat; j += 1 }
+      Some((meta, feat))
+    }
+  }
+
+  /** Scan a directory of media files: `(path, length, content BINARY)`. */
+  def scanMedia(spark: SparkSession, dir: String, glob: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("length"), col("content"))
+
+  /** Decode + feature-extract: appends `meta STRUCT` + `features
+    * ARRAY<FLOAT>` + `decode_ok BOOLEAN`. Runs as mapPartitions so a
+    * real codec can amortize native-library init per partition (the
+    * JVM-side analog of a Pandas-UDF batch).
+    */
+  def decodeAndFeaturize(
+      df: DataFrame,
+      decoder: MediaDecoder,
+      contentCol: String = "content"
+  ): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("meta", MediaMetaSchema),
+      StructField("features", ArrayType(FloatType, containsNull = false)),
+      StructField("decode_ok", BooleanType, nullable = false)
+    ))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        decoder.decode(row.getAs[Array[Byte]](idx)) match {
+          case Some((meta, feat)) =>
+            Row.fromSeq(row.toSeq ++ Seq(meta, feat.toSeq, true))
+          case None =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, false))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Frame sampling contract for video payloads: emit every `stride`-th
+    * frame index up to `maxFrames` as its own row `(frame_index, frame
+    * BINARY)`. The stub "frame" is a deterministic byte slice; a real
+    * implementation seeks the container. 1→N explode keeps the pipeline
+    * narrow (no shuffle).
+    */
+  def sampleFrames(
+      df: DataFrame,
+      stride: Int,
+      maxFrames: Int,
+      contentCol: String = "content"
+  ): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame", BinaryType)
+    ))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        if (bytes == null || bytes.isEmpty) Iterator.empty
+        else {
+          val nFrames = math.min(maxFrames, math.max(1, bytes.length / math.max(1, stride)))
+          Iterator.tabulate(nFrames) { f =>
+            // STUB frame extraction: slice of the payload
+            val start = math.min(f * stride, bytes.length - 1)
+            val end   = math.min(start + stride, bytes.length)
+            Row.fromSeq(row.toSeq ++ Seq(f, java.util.Arrays.copyOfRange(bytes, start, end)))
+          }
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

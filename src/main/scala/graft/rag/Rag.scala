@@ -1,0 +1,172 @@
+package graft.rag
+
+import graft.catalog.{IndexMeta, VectorCatalog, VectorIndex}
+import graft.embed.{EmbedOps, Embedder}
+import graft.ingest.{Chunker, Readers}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pluggable generation client (reference `app/rag/chain.py:39-44`:
+  * ChatOpenAI, temperature 0.7, max_tokens 500). Offline default is a
+  * deterministic extractive stub so correctness tests never need a
+  * network.
+  */
+trait LlmClient extends Serializable {
+  def generate(prompt: String): String
+}
+
+/** Deterministic extractive "LLM": answers with the highest-relevance
+  * retrieved passage. Stands in for the OpenAI call (chain.py:99-104).
+  */
+final class ExtractiveStubLlm extends LlmClient {
+  override def generate(prompt: String): String = {
+    // prompt layout is Rag.prompt(context, question); extract the first
+    // document body from the context block
+    val lines = prompt.linesIterator.toSeq
+    val body  = lines.dropWhile(l => !l.startsWith("[Document 1]")).drop(1)
+      .takeWhile(l => l.nonEmpty && !l.startsWith("[Document"))
+    if (body.isEmpty) "I don't know." else body.mkString(" ")
+  }
+}
+
+final case class RetrievedDoc(id: String, score: Double, text: String, source: String)
+
+/** The reference's QueryResponse shape (`app/api/routes.py:34-39`):
+  * answer + deduped sources + truncated retrieved docs.
+  */
+final case class RagAnswer(
+    question: String,
+    answer: String,
+    sources: Seq[String],
+    retrieved: Seq[RetrievedDoc]
+)
+
+/** End-to-end RAG engine (reference `app/rag/chain.py:71-154` +
+  * `app/rag/retriever.py:35-95`), Spark-first: retrieval is a single
+  * lazy plan (scan → filter → cosine → TakeOrderedAndProject(k)); only
+  * the ≤20 result rows ever reach the driver.
+  */
+final class Rag(
+    spark: SparkSession,
+    index: VectorIndex,
+    embedder: Embedder,
+    llm: LlmClient = new ExtractiveStubLlm,
+    defaultTopK: Int = 5
+) {
+  require(embedder.dimension == index.meta.dimension,
+    "embedder/index dimension mismatch")
+
+  /** Retrieve top-k chunks (`retriever.py:35-73`). */
+  def retrieve(question: String, topK: Int = defaultTopK,
+      filter: Option[Column] = None): Seq[RetrievedDoc] = {
+    require(topK >= 1 && topK <= 20, "top_k must be in [1, 20]") // routes.py:31
+    val qvec = embedder.embedOne(question).toSeq
+    index.knn(qvec, topK, filter).collect().toSeq.map { r =>
+      RetrievedDoc(
+        id = r.getAs[String]("id"),
+        score = r.getAs[Double]("score"),
+        text = Option(r.getAs[String]("text")).getOrElse(""),
+        source = Option(r.getAs[String]("source")).getOrElse("unknown")
+      )
+    }
+  }
+
+  /** Context block (`retriever.py:75-95`):
+    * "[Document i] (Source: s, Relevance: x.xxx)\ntext" joined by newlines.
+    */
+  def formatContext(docs: Seq[RetrievedDoc]): String =
+    docs.zipWithIndex.map { case (d, i) =>
+      f"[Document ${i + 1}] (Source: ${d.source}, Relevance: ${d.score}%.3f)%n${d.text}%n"
+    }.mkString("\n")
+
+  /** System+human prompt (`chain.py:47-60`). */
+  def prompt(context: String, question: String): String =
+    s"""You are a helpful financial analyst assistant. Answer based on the context.
+       |
+       |Context:
+       |$context
+       |
+       |Question: $question
+       |Answer:""".stripMargin
+
+  /** Full invoke (`chain.py:71-124`): retrieve → empty guard → format →
+    * generate → dedup sources → truncate texts.
+    */
+  def invoke(question: String, topK: Int = defaultTopK,
+      filter: Option[Column] = None): RagAnswer = {
+    val docs = retrieve(question, topK, filter)
+    if (docs.isEmpty) {
+      // chain.py:87-94 short-circuit
+      return RagAnswer(question,
+        "I couldn't find any relevant documents to answer your question.",
+        Seq.empty, Seq.empty)
+    }
+    val answer  = llm.generate(prompt(formatContext(docs), question))
+    val sources = docs.map(_.source).distinct // chain.py:107
+    val truncated = docs.map(d =>
+      d.copy(text = if (d.text.length > 200) d.text.take(200) + "..." else d.text)) // chain.py:113-121
+    RagAnswer(question, answer, sources, truncated)
+  }
+
+  /** Conversational invoke (`chain.py:126-154`): last 3 turns flattened
+    * to "Q/A" text and prefixed to the question before embedding.
+    */
+  def invokeWithHistory(question: String,
+      history: Seq[(String, String)], topK: Int = defaultTopK): RagAnswer = {
+    val recent = history.takeRight(3) // chain.py:147
+    if (recent.isEmpty) invoke(question, topK)
+    else {
+      val ctx = recent.map { case (q, a) => s"Q: $q\nA: $a" }.mkString("\n")
+      invoke(s"Previous conversation:\n$ctx\n\nCurrent question: $question", topK)
+        .copy(question = question)
+    }
+  }
+}
+
+/** Batch ingestion job (reference `scripts/ingest_documents.py:108-233`):
+  * scan → chunk → embed → id/metadata → upsert, as one Spark pipeline.
+  */
+object Ingest {
+
+  /** Ingest a directory of txt/pdf files into `indexBase`, negotiating
+    * the index name by dimension like the reference (suffix on
+    * mismatch, `ingest_documents.py:175-195`).
+    */
+  def run(
+      spark: SparkSession,
+      catalog: VectorCatalog,
+      dataDir: String,
+      indexBase: String,
+      embedder: Embedder,
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50
+  ): VectorIndex = {
+    val docs = Readers.documents(spark, dataDir)
+    ingestDf(spark, catalog, docs, indexBase, embedder, chunkSize, chunkOverlap)
+  }
+
+  /** Same pipeline over an arbitrary `(text, source)` DataFrame. */
+  def ingestDf(
+      spark: SparkSession,
+      catalog: VectorCatalog,
+      docs: DataFrame,
+      indexBase: String,
+      embedder: Embedder,
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50
+  ): VectorIndex = {
+    val chunked = new Chunker(chunkSize, chunkOverlap).chunk(docs, "text")
+      .withColumnRenamed("chunk_text", "text")
+    val embedded = EmbedOps.embedText(chunked, "text", embedder)
+    // reference id scheme doc_{i}_{md5[:8]} over the chunk text
+    // (ingest_documents.py:93-105); chunk_index keeps intra-doc order.
+    val withIds = embedded.withColumn("id",
+      concat(lit("doc_"), col("chunk_index"), lit("_"),
+        substring(md5(col("text")), 1, 8)))
+    val name  = catalog.resolveForDimension(indexBase, embedder.dimension)
+    val index = VectorIndex.createOrConnect(spark, catalog,
+      IndexMeta(name, embedder.dimension))
+    index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
+    index
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.catalog.VectorIndex
+import graft.embed.{EmbedOps, Embedder}
+import graft.ingest.Chunker
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Incremental ingestion as Structured Streaming (SURVEY §2.9): the
+  * idiomatic Spark form of the reference's POST /upload → re-ingest loop
+  * (`app/api/routes.py:314-334`) — files land in a directory, each
+  * micro-batch runs the same chunk → embed → id pipeline, and
+  * `foreachBatch` upserts with per-batch id dedup. No watermark is
+  * needed (no event-time logic); exactly-once lands on the index's
+  * upsert-by-id semantics + checkpointed source offsets.
+  */
+object StreamingIngest {
+
+  /** Start a file-source stream over `landingDir` (*.txt) into `index`.
+    * `maxFilesPerTrigger` bounds micro-batch size — the streaming analog
+    * of the reference's upsert batching (100/request,
+    * `pinecone_service.py:135-140`).
+    */
+  def start(
+      spark: SparkSession,
+      landingDir: String,
+      index: VectorIndex,
+      embedder: Embedder,
+      checkpointDir: String,
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50,
+      maxFilesPerTrigger: Int = 100
+  ): StreamingQuery = {
+    val raw = spark.readStream
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.txt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+      .select(col("value").as("text"), lit(landingDir).as("source"))
+
+    val chunker = new Chunker(chunkSize, chunkOverlap)
+
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val chunked = chunker.chunk(batch, "text")
+            .withColumnRenamed("chunk_text", "text")
+          val embedded = EmbedOps.embedText(chunked, "text", embedder)
+          val withIds = embedded.withColumn("id",
+            concat(lit("doc_"), col("chunk_index"), lit("_"),
+              substring(md5(col("text")), 1, 8)))
+            .dropDuplicates("id")
+          index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
+          ()
+        }
+      }
+      .start()
+  }
+
+  /** Streaming analytics over the events shape (batch q06's streaming
+    * twin): watermarked tumbling-window counts per event type.
+    */
+  def eventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.catalog.{IndexMeta, VectorCatalog, VectorIndex}
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class CatalogSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val root = Files.createTempDirectory("graft-catalog").toString
+  private lazy val cat  = new VectorCatalog(spark, root)
+
+  test("create is idempotent; exists/dimension/list/delete roundtrip") {
+    val m = cat.create(IndexMeta("idx-a", 4))
+    assert(cat.create(IndexMeta("idx-a", 4)) == m)
+    assert(cat.exists("idx-a"))
+    assert(cat.dimensionOf("idx-a").contains(4))
+    assert(cat.list().map(_.name).contains("idx-a"))
+    intercept[IllegalArgumentException](cat.create(IndexMeta("idx-a", 8)))
+    cat.delete("idx-a")
+    assert(!cat.exists("idx-a"))
+  }
+
+  test("dimension-suffix resolution mirrors the reference") {
+    cat.create(IndexMeta("idx-b", 4))
+    assert(cat.resolveForDimension("idx-b", 4) == "idx-b")
+    assert(cat.resolveForDimension("idx-b", 8) == "idx-b-8")
+    assert(cat.resolveForDimension("idx-new", 8) == "idx-new")
+  }
+
+  test("upsert enforces dimension; last write wins per id; stats count") {
+    val idx = VectorIndex.createOrConnect(spark, cat, IndexMeta("idx-c", 3))
+    val v1 = Seq(
+      ("a", Seq(1f, 0f, 0f), "t1"),
+      ("b", Seq(0f, 1f, 0f), "t2")
+    ).toDF("id", "embedding", "text")
+    idx.upsert(v1)
+    assert(idx.read.count() == 2)
+
+    // re-upsert id "a" with new vector → count unchanged, value replaced
+    val v2 = Seq(("a", Seq(0f, 0f, 1f), "t1-new")).toDF("id", "embedding", "text")
+    idx.upsert(v2)
+    val rows = idx.read.collect()
+    assert(rows.length == 2)
+    val a = rows.find(_.getString(0) == "a").get
+    assert(a.getAs[scala.collection.Seq[Float]]("embedding").toSeq == Seq(0f, 0f, 1f))
+    assert(a.getAs[String]("text") == "t1-new")
+    assert(idx.stats.totalVectorCount == 2)
+    assert(idx.stats.dimension == 3)
+
+    // wrong dimension rejected
+    val bad = Seq(("c", Seq(1f, 2f), "t")).toDF("id", "embedding", "text")
+    intercept[IllegalArgumentException](idx.upsert(bad))
+
+    // knn over the live view
+    val hits = idx.knn(Seq(0f, 0f, 1f), 1).collect()
+    assert(hits.head.getAs[String]("id") == "a")
+    assert(hits.head.getAs[Double]("score") == 1.0)
+
+    // compact preserves the live view
+    idx.compact()
+    assert(idx.read.count() == 2)
+    assert(idx.knn(Seq(0f, 1f, 0f), 1).collect().head.getAs[String]("id") == "b")
+  }
+
+  test("bestIndex picks the candidate with most vectors") {
+    val small = VectorIndex.createOrConnect(spark, cat, IndexMeta("probe-384", 2))
+    small.upsert(Seq(("x", Seq(1f, 0f))).toDF("id", "embedding"))
+    val big = VectorIndex.createOrConnect(spark, cat, IndexMeta("probe-768", 2))
+    big.upsert(Seq(("y", Seq(1f, 0f)), ("z", Seq(0f, 1f))).toDF("id", "embedding"))
+    assert(cat.bestIndex("probe").map(_.name).contains("probe-768"))
+  }
+}

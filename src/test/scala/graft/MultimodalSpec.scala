@@ -1,0 +1,64 @@
+package graft
+
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class MultimodalSpec extends GraftSpec {
+
+  private lazy val mediaDir = {
+    val dir = Files.createTempDirectory("graft-media")
+    Files.write(dir.resolve("a.img"), Array.tabulate[Byte](400)(i => (i % 251).toByte))
+    Files.write(dir.resolve("b.img"), Array.tabulate[Byte](100)(i => (i % 7).toByte))
+    Files.write(dir.resolve("skip.txt"), "not media".getBytes)
+    dir.toString
+  }
+
+  test("binaryFile scan respects the glob and carries payload + length") {
+    val df = Multimodal.scanMedia(spark, mediaDir, "*.img")
+    val rows = df.collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[Long]("length") > 0))
+  }
+
+  test("decode+featurize appends typed meta and unit-scale features") {
+    val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
+    val out = Multimodal.decodeAndFeaturize(df, new Multimodal.StubImageDecoder(16))
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Boolean]("decode_ok")))
+    rows.foreach { r =>
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") > 0 && meta.getAs[Int]("channels") == 3)
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(feats.length == 16)
+      assert(math.abs(feats.sum - 1.0f) < 1e-3) // normalized histogram
+    }
+    // deterministic: same payload → same features
+    val again = Multimodal.decodeAndFeaturize(df, new Multimodal.StubImageDecoder(16))
+      .orderBy("path").collect().map(_.getAs[scala.collection.Seq[Float]]("features"))
+    assert(out.orderBy("path").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("features")).toSeq == again.toSeq)
+  }
+
+  test("metadata-only projection prunes the binary column at the scan") {
+    val df = Multimodal.scanMedia(spark, mediaDir, "*.img").select("path", "length")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(!scan.contains("content#") || !scan.toLowerCase.contains("readschema: struct<path: string, length: bigint, content"),
+      s"binary column not pruned:\n$scan")
+    assert(df.count() == 2)
+  }
+
+  test("frame sampling explodes video payloads into bounded frame rows") {
+    val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
+    val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
+    val byPath = out.groupBy("path").agg(count(lit(1)).as("n"),
+      max("frame_index").as("maxf")).collect()
+    byPath.foreach { r =>
+      assert(r.getAs[Long]("n") <= 4)
+      assert(r.getAs[Int]("maxf") == r.getAs[Long]("n") - 1)
+    }
+    val frames = out.select("frame").collect()
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
+  }
+}

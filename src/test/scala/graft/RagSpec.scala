@@ -1,0 +1,134 @@
+package graft
+
+import graft.catalog.{IndexMeta, VectorCatalog, VectorIndex}
+import graft.embed.{DeterministicEmbedder, HttpShapedEmbedder}
+import graft.rag.{Ingest, Rag}
+
+import java.nio.file.{Files, Paths}
+
+/** End-to-end RAG parity tests (FIXTURES.md §C): ingest a small financial
+  * corpus with known facts, retrieve through the deterministic embedder,
+  * answer with the extractive stub; the retrieved chunk must contain the
+  * known fact. Mirrors the reference's sample-question goldens
+  * (README.md:290-299 over data/sample_docs).
+  */
+class RagSpec extends GraftSpec {
+
+  private lazy val dataDir = {
+    val dir = Files.createTempDirectory("graft-docs")
+    Files.writeString(dir.resolve("quarterly_report.txt"),
+      """Quarterly Report Q1 2024
+        |
+        |Financial Highlights:
+        |Total revenue for Q1 2024 was $450 million, an increase of 20% year over year.
+        |Net income reached $85 million with a gross margin of 68 percent.
+        |
+        |Operating Expenses:
+        |Research and development spending was $95 million in the quarter.
+        |Sales and marketing expenses totaled $120 million.
+        |""".stripMargin)
+    Files.writeString(dir.resolve("annual_report.txt"),
+      """Annual Report 2023
+        |
+        |Full year revenue was $1.65 billion across all segments.
+        |The cloud segment grew 45% and now represents half of total revenue.
+        |Headcount ended the year at 8,500 employees worldwide.
+        |""".stripMargin)
+    Files.writeString(dir.resolve("metrics_guide.txt"),
+      """Financial Metrics Guide
+        |
+        |Annual Recurring Revenue (ARR) measures the yearly value of subscriptions.
+        |Net Revenue Retention (NRR) tracks expansion within existing customers.
+        |Customer Acquisition Cost (CAC) is total sales spend per new customer.
+        |""".stripMargin)
+    dir.toString
+  }
+
+  private lazy val catalogRoot = Files.createTempDirectory("graft-rag-cat").toString
+  private lazy val catalog     = new VectorCatalog(spark, catalogRoot)
+  private lazy val embedder    = new DeterministicEmbedder(64)
+  private lazy val index       = Ingest.run(spark, catalog, dataDir, "docs", embedder)
+  private lazy val rag         = new Rag(spark, index, embedder)
+
+  test("ingest builds a populated index with chunk metadata") {
+    val rows = index.read.collect()
+    assert(rows.length >= 3)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("embedding").length == 64))
+    assert(rows.forall(_.getAs[String]("id").startsWith("doc_")))
+    assert(rows.map(_.getAs[String]("source")).distinct.length == 3)
+  }
+
+  test("retrieval surfaces the document containing the asked-about fact") {
+    val r = rag.invoke("What was the total revenue in Q1 2024?")
+    assert(r.retrieved.nonEmpty)
+    assert(r.retrieved.map(_.text).exists(_.contains("$450 million")),
+      s"retrieved: ${r.retrieved.map(_.text.take(60))}")
+    assert(r.sources.distinct == r.sources, "sources must be deduped")
+    assert(r.answer.nonEmpty)
+  }
+
+  test("scores are sorted desc and bounded; top_k respected") {
+    val r = rag.invoke("What does ARR stand for?", topK = 3)
+    assert(r.retrieved.length <= 3)
+    val scores = r.retrieved.map(_.score)
+    assert(scores == scores.sorted.reverse)
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    intercept[IllegalArgumentException](rag.invoke("q", topK = 0))
+    intercept[IllegalArgumentException](rag.invoke("q", topK = 21))
+  }
+
+  test("empty index returns the no-documents answer") {
+    val emptyIdx = VectorIndex.createOrConnect(spark, catalog, IndexMeta("empty", 64))
+    val r = new Rag(spark, emptyIdx, embedder).invoke("anything?")
+    assert(r.answer.contains("couldn't find any relevant documents"))
+    assert(r.sources.isEmpty && r.retrieved.isEmpty)
+  }
+
+  test("chat history: only last 3 turns contextualize the question") {
+    val history = Seq(
+      ("ignored oldest turn", "a0"),
+      ("what is ARR?", "ARR is annual recurring revenue"),
+      ("and NRR?", "net revenue retention"),
+      ("what about CAC?", "customer acquisition cost")
+    )
+    val r = rag.invokeWithHistory("what was Q1 revenue?", history)
+    assert(r.question == "what was Q1 revenue?")
+    assert(r.retrieved.nonEmpty)
+    // empty history delegates to plain invoke
+    val r2 = rag.invokeWithHistory("what was Q1 revenue?", Seq.empty)
+    assert(r2.retrieved.map(_.id) == rag.invoke("what was Q1 revenue?").retrieved.map(_.id))
+  }
+
+  test("http-shaped embedder: batching, 503 retry, auth fallback") {
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val base  = new DeterministicEmbedder(8)
+    // transport fails with 503 once, then succeeds
+    var failed = false
+    val flaky = new HttpShapedEmbedder(8, { texts =>
+      calls.incrementAndGet()
+      if (!failed) { failed = true; Left(503) }
+      else Right(texts.map(base.embedOne))
+    })
+    val out = flaky.embed(Iterator.tabulate(40)(i => s"text $i")).toSeq
+    assert(out.length == 40)
+    // 40 texts at batch 32 → 2 batches + 1 retry = 3 transport calls
+    assert(calls.get() == 3)
+
+    // 401 → falls back to the secondary provider (embeddings.py:160-172)
+    val auth = new HttpShapedEmbedder(8, _ => Left(401), fallback = Some(base))
+    assert(auth.embedOne("hello").toSeq == base.embedOne("hello").toSeq)
+
+    // unhandled code → error
+    val broken = new HttpShapedEmbedder(8, _ => Left(500))
+    intercept[RuntimeException](broken.embedOne("x"))
+  }
+
+  test("truncation caps retrieved text at 200 chars + ellipsis") {
+    val longDir = Files.createTempDirectory("graft-long")
+    Files.writeString(longDir.resolve("long.txt"),
+      "spark " * 200 + "needle fact here")
+    val idx = Ingest.run(spark, catalog, longDir.toString, "long-docs", embedder)
+    val r   = new Rag(spark, idx, embedder).invoke("needle fact")
+    assert(r.retrieved.forall(_.text.length <= 203))
+  }
+}
