@@ -34,4 +34,14 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       PipelineQueries.oracles
+
+  /** Queries intentionally without a DuckDB oracle (driver records a
+    * rows-only check): their operators aren't ANSI-SQL-expressible —
+    * hash-based ANN bucketing, the recursive chunker, murmur-hash
+    * embeddings — and are instead covered by dedicated ScalaTest specs
+    * (AnnSpec recall bounds, ChunkerSpec goldens, KnnSpec/RagSpec e2e).
+    */
+  val rowsOnly: Set[String] =
+    Set("q16_ann_lsh", "q17_ann_ivf", "q50_chunk_recursive",
+      "q51_embed_documents", "q52_rag_retrieve")
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/** Approximate nearest-neighbor search — the 100 TB path. Brute-force
+  * exact KNN ([[Knn]]) is the correctness baseline; these two operators
+  * trade bounded recall for touching a small fraction of the corpus:
+  *
+  *  - [[AnnLsh]]: random-hyperplane (sign) LSH for cosine. Bucket ids are
+  *    computed from hash-derived hyperplanes, so signatures are
+  *    deterministic across JVMs with no stored model. Multi-probe visits
+  *    Hamming-adjacent buckets.
+  *  - [[AnnIvf]]: inverted-file index. Deterministically seeded centroids
+  *    partition the corpus into cells; queries scan only the closest
+  *    `nProbe` cells. On a cluster the cell id doubles as the storage
+  *    partition key, so a probe is a partition-pruned scan, not a full
+  *    shuffle.
+  *
+  * Both bucket/cell assignments are plain columns — at scale you write
+  * them once at ingest (`partitionBy("bucket")`) and queries prune files.
+  */
+object AnnLsh {
+
+  /** Deterministic ±1 hyperplane matrix: entry (p, d) = sign of
+    * murmur3(seed, p, d). No RNG state, no model to ship.
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Int = 42): Array[Array[Float]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val h = MurmurHash3.productHash((seed, p, d))
+      if ((h & 1) == 0) 1.0f else -1.0f
+    }
+
+  /** Signature of one vector: bit p = (v · plane_p) >= 0. */
+  def signatureOf(vec: Seq[Float], planes: Array[Array[Float]]): Long = {
+    var sig = 0L
+    var p   = 0
+    while (p < planes.length) {
+      val plane = planes(p)
+      var dot   = 0.0
+      var d     = 0
+      val n     = math.min(plane.length, vec.length)
+      while (d < n) { dot += vec(d) * plane(d); d += 1 }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Append a `bucket` column with the LSH signature. */
+  def withBuckets(corpus: DataFrame, vecCol: String,
+      nPlanes: Int, seed: Int = 42): DataFrame = {
+    val dim    = corpus.select(size(col(vecCol))).head().getInt(0)
+    val planes = hyperplanes(dim, nPlanes, seed)
+    val sigUdf = udf((v: Seq[Float]) => signatureOf(v, planes))
+    corpus.withColumn("bucket", sigUdf(col(vecCol)))
+  }
+
+  /** Buckets to probe for a query signature: itself + all signatures
+    * within Hamming distance `probeRadius` (radius 1 = flip each bit).
+    */
+  def probeBuckets(sig: Long, nPlanes: Int, probeRadius: Int): Seq[Long] =
+    if (probeRadius <= 0) Seq(sig)
+    else Seq(sig) ++ (0 until nPlanes).flatMap { b =>
+      val flipped = sig ^ (1L << b)
+      if (probeRadius == 1) Seq(flipped)
+      else probeBuckets(flipped, nPlanes, probeRadius - 1)
+    }.distinct
+
+  /** Approximate top-k: score only rows in the probed buckets, then
+    * exact cosine rank within candidates.
+    */
+  def topKApprox(
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int,
+      nPlanes: Int, probeRadius: Int = 1, seed: Int = 42
+  ): DataFrame = {
+    val dim     = queryVec.length
+    val planes  = hyperplanes(dim, nPlanes, seed)
+    val qsig    = signatureOf(queryVec, planes)
+    val buckets = probeBuckets(qsig, nPlanes, probeRadius)
+    bucketed
+      .filter(col("bucket").isin(buckets: _*))
+      .select(col(idCol),
+        round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}
+
+object AnnIvf {
+
+  /** Deterministic centroid pick: the `nList` corpus vectors with the
+    * smallest ids (seed-free, reproducible; swap for k-means iterations
+    * when a trained model is worth shipping).
+    */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String, nList: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nList)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Assign every row to its nearest centroid (broadcast argmax join) —
+    * one narrow pass; at scale this column becomes the storage partition
+    * key.
+    */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(cents))
+      .withColumn("cscore", cosineSimilarity(col(vecCol), col("centroid_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("cscore").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "cscore", "centroid_vec")
+      .withColumnRenamed("centroid_id", "cell")
+  }
+
+  /** Approximate top-k: rank centroids for the query, exact-search only
+    * the best `nProbe` cells.
+    */
+  def topKApprox(
+      assigned: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int, nProbe: Int
+  ): DataFrame = {
+    val probeCells = cents
+      .select(col("centroid_id"),
+        cosineSimilarity(col("centroid_vec"), typedlit(queryVec)).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(nProbe)
+      .collect().map(_.getAs[Long]("centroid_id")).toSeq
+    assigned
+      .filter(col("cell").isin(probeCells: _*))
+      .select(col(idCol),
+        round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -103,6 +103,34 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // P1 (real form, rows-only oracle): the recursive character splitter
+    // with the reference's 500/50 config — not SQL-expressible; parity is
+    // covered by ChunkerSpec goldens.
+    "q50_chunk_recursive" -> { (s, d) =>
+      val chunked = new graft.ingest.Chunker(500, 50)
+        .chunk(Tables.documents(s, d), "text")
+      chunked.select(col("doc_id"), col("chunk_index"),
+          col("chunk_text"), length(col("chunk_text")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_index")
+    },
+
+    // E1 (rows-only oracle): distributed deterministic embedding via
+    // mapPartitions with batch-32 grouping.
+    "q51_embed_documents" -> { (s, d) =>
+      val embedded = graft.embed.EmbedOps.embedText(
+        Tables.documents(s, d).select("doc_id", "text"),
+        "text", new graft.embed.DeterministicEmbedder(64))
+      embedded.select(col("doc_id"), size(col("embedding")).as("dim"),
+          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
+        .orderBy("doc_id")
+    },
+
+    // L3 (rows-only oracle): end-to-end RAG retrieval — chunk, embed,
+    // score against a question embedding, top-5.
+    "q52_rag_retrieve" -> { (s, d) =>
+      graft.rag.RagChain.flagship(s, d)
+    },
+
     // Semi-structured extraction: JSON props → typed column + agg.
     "q45_json_extract" -> { (s, d) =>
       Tables.events(s, d)

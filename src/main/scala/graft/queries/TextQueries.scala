@@ -56,6 +56,24 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // A2: source dedup (chain.py:107 `list(set(sources))`).
+    "q25_distinct_sources" -> { (s, d) =>
+      Tables.documents(s, d).select("source").distinct().orderBy("source")
+    },
+
+    // P4/P5: result projection with 200-char truncation (chain.py:113-121).
+    "q26_result_truncation" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          col("source"),
+          when(length(col("text")) > 200,
+            concat(substring(col("text"), 1, 200), lit("...")))
+            .otherwise(col("text")).as("snippet")
+        )
+        .orderBy("doc_id")
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -120,6 +138,16 @@ object TextQueries {
          |  count(DISTINCT lang) AS n_langs
          |FROM documents
          |GROUP BY source
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    "q25_distinct_sources" ->
+      """SELECT DISTINCT source FROM documents ORDER BY source""",
+
+    "q26_result_truncation" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN length(text) > 200 THEN substr(text, 1, 200) || '...'
+        |       ELSE text END AS snippet
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin
   )
 }

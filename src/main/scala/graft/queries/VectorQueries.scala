@@ -77,6 +77,44 @@ object VectorQueries {
       Knn.nearestPairs(Tables.embeddings(s, d), "vec_id", "embedding", topPairs = 20)
     },
 
+    // ANN scale path (rows-only oracle: bucket hashes aren't
+    // SQL-expressible): LSH-bucketed approximate top-10 for query vec 0.
+    "q16_ann_lsh" -> { (s, d) =>
+      val e    = Tables.embeddings(s, d)
+      val qvec = e.filter(col("vec_id") === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val bucketed = graft.operators.AnnLsh.withBuckets(e, "embedding", nPlanes = 8)
+      graft.operators.AnnLsh.topKApprox(bucketed, "vec_id", "embedding",
+        qvec, k = 10, nPlanes = 8, probeRadius = 2)
+    },
+
+    // ANN scale path: IVF cell-probed approximate top-10 for query vec 0.
+    "q17_ann_ivf" -> { (s, d) =>
+      val e    = Tables.embeddings(s, d)
+      val qvec = e.filter(col("vec_id") === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val cents    = graft.operators.AnnIvf.centroids(e, "vec_id", "embedding", nList = 16)
+      val assigned = graft.operators.AnnIvf.assign(e, "vec_id", "embedding", cents)
+      graft.operators.AnnIvf.topKApprox(assigned, cents, "vec_id", "embedding",
+        qvec, k = 10, nProbe = 4)
+    },
+
+    // A5 (demo notebook cell 22): per-query retrieval metrics over a
+    // batched KNN run.
+    "q18_batch_query_metrics" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Knn.topKBatch(e, "vec_id", "embedding", q, "query_id", "qvec", k = 5)
+        .groupBy("query_id")
+        .agg(
+          round(max("score"), 6).as("top_score"),
+          round(avg("score"), 6).as("avg_score"),
+          count(lit(1)).as("n_results")
+        )
+        .orderBy("query_id")
+    },
+
     // Per-label centroid norms: element-wise mean across grouped vectors
     // (SURVEY A1 generalized to a relational group) via posexplode +
     // groupBy(label, pos) + avg — the shuffle-friendly formulation.
@@ -139,6 +177,23 @@ object VectorQueries {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |ORDER BY score DESC, id_a, id_b
          |LIMIT 20""".stripMargin,
+
+    "q18_batch_query_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckCosine("e.embedding", "q.qvec")}, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, round(max(score), 6) AS top_score,
+         |       round(avg(score), 6) AS avg_score, count(*) AS n_results
+         |FROM ranked WHERE rn <= 5
+         |GROUP BY query_id
+         |ORDER BY query_id""".stripMargin,
 
     "q15_label_centroids" ->
       """WITH ex AS (

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{AnnIvf, AnnLsh, Knn}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends GraftSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val qvec: Seq[Float] = emb.filter(col("vec_id") === 0)
+    .head().getAs[scala.collection.Seq[Float]]("embedding").toSeq
+  private lazy val exactTop10: Seq[Long] =
+    Knn.topK(emb, "vec_id", "embedding", qvec, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+
+  test("LSH signatures are deterministic and bucket the corpus") {
+    val b1 = AnnLsh.withBuckets(emb, "embedding", 8)
+    val b2 = AnnLsh.withBuckets(emb, "embedding", 8)
+    val m1 = b1.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m2 = b2.select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m1 == m2)
+    val nBuckets = b1.select("bucket").distinct().count()
+    assert(nBuckets > 1 && nBuckets <= 256)
+  }
+
+  test("LSH approximate top-k: candidates shrink, recall stays useful") {
+    val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
+    try {
+      val planes  = AnnLsh.hyperplanes(qvec.length, 8)
+      val qsig    = AnnLsh.signatureOf(qvec, planes)
+      val buckets = AnnLsh.probeBuckets(qsig, 8, 2)
+      val candidates = bucketed.filter(col("bucket").isin(buckets: _*)).count()
+      val total      = bucketed.count()
+      assert(candidates < total / 2,
+        s"LSH probed $candidates of $total — no pruning")
+
+      val approx = AnnLsh.topKApprox(bucketed, "vec_id", "embedding",
+        qvec, 10, 8, 2).collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(approx.head == 0L, "self-match must survive LSH probing")
+      // the fixture's neighbors are weak (cosine ~0.4, barely above the
+      // random floor), so sign-LSH collision probability caps recall;
+      // radius-2 probing of 37/256 buckets predicts ~0.3-0.4 here.
+      val recall = approx.toSet.intersect(exactTop10.toSet).size / 10.0
+      assert(recall >= 0.2, s"recall@10 = $recall; approx=$approx exact=$exactTop10")
+    } finally { bucketed.unpersist(); () }
+  }
+
+  test("IVF: assignment covers the corpus; probing prunes cells") {
+    val cents    = AnnIvf.centroids(emb, "vec_id", "embedding", 16)
+    val assigned = AnnIvf.assign(emb, "vec_id", "embedding", cents).cache()
+    try {
+      assert(assigned.count() == emb.count())
+      assert(assigned.select("cell").distinct().count() <= 16)
+
+      val approx = AnnIvf.topKApprox(assigned, cents, "vec_id", "embedding",
+        qvec, 10, nProbe = 4).collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(approx.nonEmpty && approx.head == 0L)
+      val recall = approx.toSet.intersect(exactTop10.toSet).size / 10.0
+      assert(recall >= 0.3, s"recall@10 = $recall")
+    } finally { assigned.unpersist(); () }
+  }
+
+  test("higher probe budget improves or preserves LSH recall") {
+    val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
+    try {
+      def recallAt(radius: Int): Double = {
+        val ids = AnnLsh.topKApprox(bucketed, "vec_id", "embedding",
+          qvec, 10, 8, radius).collect().map(_.getAs[Long]("vec_id")).toSet
+        ids.intersect(exactTop10.toSet).size / 10.0
+      }
+      assert(recallAt(2) >= recallAt(0))
+    } finally { bucketed.unpersist(); () }
+  }
+}

@@ -20,9 +20,12 @@ class EntrySmokeSpec extends GraftSpec {
     assert(empty.isEmpty, s"queries with 0 rows: $empty")
   }
 
-  test("every query has an oracle") {
-    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+  test("every query has an oracle or a documented rows-only waiver") {
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- SparkEntry.rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    val overlap = SparkEntry.rowsOnly.intersect(SparkEntry.oracleSql.keySet)
+    assert(overlap.isEmpty, s"rows-only queries with oracles: $overlap")
   }
 
   test("oracle keys all correspond to queries") {
