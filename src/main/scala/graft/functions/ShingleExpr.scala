@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel for word-n-gram shingling, callable from generated code.
+  * Tokenization matches [[TextFunctions.tokens]] exactly:
+  * `split(trim(lower(text)), "\s+")` — UTF8String lower/trim (locale
+  * independent, same as Spark's `lower`) + Java-regex split (what
+  * Spark's `split` uses).
+  */
+object ShingleUtil {
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val toks = s.trim().toLowerCase().toString.split("\\s+", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j  = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(text, n)`: overlapping n-grams of whitespace tokens as
+  * an array<string>. The HOF formulation (`transform` + `slice` +
+  * `concat_ws`) is interpreted per element; this expression does one
+  * static-call per row from inside whole-stage codegen — the dedup
+  * pipelines (Jaccard/MinHash/LSH) recompute shingles per join branch,
+  * so the kernel speed multiplies.
+  */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType      = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String      = "word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    ShingleUtil.compute(s.asInstanceOf[UTF8String], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleUtil.compute($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

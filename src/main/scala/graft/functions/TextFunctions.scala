@@ -94,9 +94,15 @@ object TextFunctions {
     substring(md5(regexp_replace(lower(text), "[^a-z0-9]", "")), 1, 16)
 
   /** Word n-gram shingles (arrays of n consecutive tokens joined by a
-    * single space) — the dedup unit for Jaccard/MinHash.
+    * single space) — the dedup unit for Jaccard/MinHash. Native codegen'd
+    * kernel ([[WordShinglesExpr]]); HOF reference kept below.
     */
-  def wordShingles(text: Column, n: Int): Column = {
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      WordShinglesExpr(org.apache.spark.sql.GraftBridge.expression(text), n))
+
+  /** HOF reference implementation of [[wordShingles]] (interpreted). */
+  def wordShinglesHof(text: Column, n: Int): Column = {
     val t = tokens(text)
     when(size(t) < n, array()).otherwise(
       transform(

@@ -25,12 +25,20 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("h"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Distinct word-n-gram shingles per doc: `(doc, sh)`. */
+  /** Distinct word-n-gram shingles per doc: `(doc, sh)`.
+    *
+    * Repartitions the input by doc id first: shingling is a row-expanding
+    * generator, and a small-file corpus otherwise leaves the whole
+    * expansion on one partition (a 1-file scan = 1 task). Hash-partitioned
+    * by id the output is deterministic and every downstream groupBy on
+    * doc is already co-partitioned.
+    */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(
-      col(idCol).as("doc"),
-      explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh")
-    )
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(
+        col(idCol).as("doc"),
+        explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh")
+      )
 
   /** MinHash signatures: `(doc, seed, mh)` where
     * `mh = min over shingles of md5(seed || '|' || shingle)`.

@@ -91,7 +91,11 @@ object Knn {
       topPairs: Int,
       scale: Int = 6
   ): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    // repartition the streamed side: a small corpus often scans as one
+    // file partition, which would serialize the O(n^2) scoring loop
+    val a = corpus
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))

@@ -46,9 +46,11 @@ object DedupQueries {
         .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
     },
 
-    // SimHash 32-bit signatures.
+    // SimHash 32-bit signatures (repartition: 32 interpreted md5 votes
+    // per token on a 1-file scan would otherwise run on one core).
     "q34_simhash" -> { (s, d) =>
       Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")
     }

@@ -107,8 +107,11 @@ object PipelineQueries {
     // with the reference's 500/50 config — not SQL-expressible; parity is
     // covered by ChunkerSpec goldens.
     "q50_chunk_recursive" -> { (s, d) =>
-      val chunked = new graft.ingest.Chunker(500, 50)
-        .chunk(Tables.documents(s, d), "text")
+      // repartition: chunking is compute-heavy per row and the fixture is
+      // a single parquet file (1 scan partition)
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val chunked = new graft.ingest.Chunker(500, 50).chunk(docs, "text")
       chunked.select(col("doc_id"), col("chunk_index"),
           col("chunk_text"), length(col("chunk_text")).as("chunk_len"))
         .orderBy("doc_id", "chunk_index")
@@ -118,7 +121,8 @@ object PipelineQueries {
     // mapPartitions with batch-32 grouping.
     "q51_embed_documents" -> { (s, d) =>
       val embedded = graft.embed.EmbedOps.embedText(
-        Tables.documents(s, d).select("doc_id", "text"),
+        Tables.documents(s, d).select("doc_id", "text")
+          .repartition(s.sparkContext.defaultParallelism),
         "text", new graft.embed.DeterministicEmbedder(64))
       embedded.select(col("doc_id"), size(col("embedding")).as("dim"),
           round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))

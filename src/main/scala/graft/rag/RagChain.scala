@@ -23,8 +23,9 @@ object RagChain {
     * Spark plan.
     */
   def flagship(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs     = Tables.documents(spark, sfDir)
-    val chunked  = new Chunker(500, 50).chunk(docs, "text")
+    val docs = Tables.documents(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
+    val chunked = new Chunker(500, 50).chunk(docs, "text")
     val embedder = new DeterministicEmbedder(64)
     val embedUdf = udf((t: String) => embedder.embedOne(t))
     val indexed = chunked

@@ -67,6 +67,28 @@ class DedupSpec extends GraftSpec {
     assert(dist(1L, 3L) < dist(1L, 4L))
   }
 
+  test("native shingle kernel matches the HOF reference on real docs") {
+    import graft.functions.TextFunctions
+    val docs = Tables.documents(spark, sfDir)
+    val both = docs.select(
+      TextFunctions.wordShingles(col("text"), 3).as("fast"),
+      TextFunctions.wordShinglesHof(col("text"), 3).as("ref")
+    ).collect()
+    both.foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast") ==
+        r.getAs[scala.collection.Seq[String]]("ref"))
+    }
+    // edge cases: empty, underful, multi-space
+    val edge = Seq("", "one two", "a  b \t c  d").toDF("text")
+    edge.select(
+      TextFunctions.wordShingles(col("text"), 3).as("fast"),
+      TextFunctions.wordShinglesHof(col("text"), 3).as("ref")
+    ).collect().foreach { r =>
+      assert(r.getAs[scala.collection.Seq[String]]("fast") ==
+        r.getAs[scala.collection.Seq[String]]("ref"))
+    }
+  }
+
   test("embedding near-dup pairs are symmetric-deduped and sorted") {
     val pairs = Knn.nearestPairs(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 10).collect()
