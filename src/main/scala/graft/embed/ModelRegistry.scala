@@ -1,0 +1,32 @@
+package graft.embed
+
+/** Dimension ↔ embedding-model registry (SURVEY §2 E3/E4): the
+  * reference keeps two copies of this map (`app/api/routes.py:120-126`,
+  * `scripts/ingest_documents.py:132-138`) to pick a provider whose
+  * output dimension matches an existing index. One canonical copy here.
+  */
+object ModelRegistry {
+
+  final case class ModelInfo(provider: String, model: String, dimension: Int)
+
+  /** Known dimension → model choices (reference's hint table,
+    * `app/core/embeddings.py:33-39`).
+    */
+  val byDimension: Map[Int, ModelInfo] = Map(
+    384  -> ModelInfo("huggingface", "all-MiniLM-L6-v2", 384),
+    768  -> ModelInfo("huggingface", "all-mpnet-base-v2", 768),
+    1024 -> ModelInfo("huggingface", "bge-large-en-v1.5", 1024),
+    1536 -> ModelInfo("openai", "text-embedding-3-small", 1536),
+    3072 -> ModelInfo("openai", "text-embedding-3-large", 3072)
+  )
+
+  /** Model for an index dimension, if any provider matches. */
+  def forDimension(dim: Int): Option[ModelInfo] = byDimension.get(dim)
+
+  /** Dimension probe (`app/core/embeddings.py:189-202`): trust the hint
+    * table, else embed a probe text and measure.
+    */
+  def probeDimension(embedder: Embedder): Int =
+    if (embedder.dimension > 0) embedder.dimension
+    else embedder.embedOne("dimension probe").length
+}

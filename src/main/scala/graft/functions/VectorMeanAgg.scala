@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Element-wise mean of grouped float vectors (SURVEY §2 A1 generalized
+  * to relational groups — centroids, mean-pooling) as a native
+  * `TypedImperativeAggregate`.
+  *
+  * Scale rationale: the composable formulation (`posexplode` → groupBy
+  * (key, pos) → avg → re-assemble) shuffles `dim × rows` scalar rows.
+  * This aggregate keeps a per-group `double[dim+1]` buffer (count +
+  * running sums), so partial aggregation ships ONE array per group per
+  * partition — a `dim ×` shuffle reduction, exactly how a 100 TB
+  * centroid job must run.
+  *
+  * Buffer: `[count, sum_0, ..., sum_{dim-1}]`; dimension fixed by the
+  * first non-null input, mismatching rows are an error (the index
+  * dimension invariant). Empty group → null.
+  */
+case class VectorMeanAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Double]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean         = true
+  override def dataType: DataType        = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String        = "vector_mean"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vector_mean expects array<float>, got ${other.simpleString}")
+  }
+
+  override def createAggregationBuffer(): Array[Double] = Array.emptyDoubleArray
+
+  override def update(buffer: Array[Double], input: InternalRow): Array[Double] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val dim = arr.numElements()
+    val buf =
+      if (buffer.isEmpty) new Array[Double](dim + 1)
+      else {
+        require(buffer.length == dim + 1,
+          s"vector_mean: dimension mismatch (${buffer.length - 1} vs $dim)")
+        buffer
+      }
+    buf(0) += 1.0
+    var i = 0
+    while (i < dim) { buf(i + 1) += arr.getFloat(i).toDouble; i += 1 }
+    buf
+  }
+
+  override def merge(b1: Array[Double], b2: Array[Double]): Array[Double] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    require(b1.length == b2.length, "vector_mean: dimension mismatch in merge")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Double]): Any =
+    if (buffer.isEmpty || buffer(0) == 0.0) null
+    else {
+      val n   = buffer(0)
+      val out = new Array[Any](buffer.length - 1)
+      var i   = 1
+      while (i < buffer.length) { out(i - 1) = buffer(i) / n; i += 1 }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buffer: Array[Double]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val out = new Array[Double](bytes.length / 8)
+    var i   = 0
+    while (i < out.length) { out(i) = bb.getDouble(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): VectorMeanAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): VectorMeanAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+object VectorMeanAgg {
+  /** Column form: `vectorMean($"embedding")` inside `agg(...)`. */
+  def vectorMean(c: Column): Column =
+    GraftBridge.column(
+      VectorMeanAgg(GraftBridge.expression(c)).toAggregateExpression())
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_mean", es => VectorMeanAgg(es.head).toAggregateExpression(), "built-in")
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-hardening helpers: skew-salted aggregation and bucketed
+  * co-located joins. These don't add query semantics — they re-shape
+  * plans for hostile data distributions at 100 TB.
+  */
+object Scale {
+
+  /** Two-phase salted aggregation for skewed group keys: phase 1 groups
+    * by (key, salt) so one hot key spreads over `saltBuckets` reducers;
+    * phase 2 combines the partials. sum/count (and anything decomposable)
+    * re-aggregate exactly; the result is identical to a direct groupBy.
+    *
+    * AQE's skew handling covers joins; aggregation skew on a hot key
+    * still needs salting because all partials for one key land on one
+    * reducer otherwise.
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      saltBuckets: Int
+  ): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(xxhash64(col(keyCol), monotonically_increasing_id()), lit(saltBuckets)))
+    salted
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(sum(col(valueCol)).as("_psum"), count(lit(1)).as("_pcnt"))
+      .groupBy(col(keyCol))
+      .agg(sum("_psum").as("total"), sum("_pcnt").as("n"))
+  }
+
+  /** Write a DataFrame bucketed + sorted by the join key. Two tables
+    * bucketed the same way join with ZERO shuffle (bucket-local
+    * sort-merge) — the co-located join strategy for repeated big-big
+    * joins at scale.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int
+  ): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on the bucket key; with broadcast
+    * disabled this plans a shuffle-free sort-merge join.
+    */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String,
+      rightTable: String,
+      key: String
+  ): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), key)
+}

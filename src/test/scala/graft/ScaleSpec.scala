@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.VectorMeanAgg
+import graft.operators.Scale
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends GraftSpec {
+
+  test("vector_mean aggregate matches the posexplode formulation") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val native = emb.groupBy("label")
+      .agg(VectorMeanAgg.vectorMean(col("embedding")).as("centroid"))
+      .collect()
+      .map(r => r.getAs[Int]("label") ->
+        r.getAs[scala.collection.Seq[Double]]("centroid").toSeq)
+      .toMap
+    val reference = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .collect()
+      .groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("m")).toSeq)
+      .toMap
+    assert(native.keySet == reference.keySet)
+    for (k <- native.keySet) {
+      native(k).zip(reference(k)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-12, s"label $k")
+      }
+    }
+  }
+
+  test("vector_mean works via SQL registration and handles empty input") {
+    VectorMeanAgg.register(spark)
+    Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_vm")
+    val r = spark.sql(
+      "SELECT label, vector_mean(embedding) AS c FROM emb_vm GROUP BY label ORDER BY label")
+    assert(r.count() == 10)
+    assert(r.head().getAs[scala.collection.Seq[Double]]("c").length == 64)
+    val empty = spark.sql(
+      "SELECT vector_mean(embedding) AS c FROM emb_vm WHERE vec_id < 0")
+    assert(empty.head().isNullAt(0))
+  }
+
+  test("salted aggregation equals direct groupBy on skewed keys") {
+    val ev = Tables.events(spark, sfDir)
+    val direct = ev.groupBy("event_type")
+      .agg(sum("value").as("total"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Scale.saltedSumCount(ev, "event_type", "value", 8)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted.keySet == direct.keySet)
+    salted.foreach { case (k, (s, n)) =>
+      assert(n == direct(k)._2)
+      assert(math.abs(s - direct(k)._1) < 1e-6)
+    }
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Scale.writeBucketed(
+        Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice")
+          .withColumnRenamed("o_orderkey", "k"), "t_orders_b", "k", 8)
+      Scale.writeBucketed(
+        Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+          .withColumnRenamed("l_orderkey", "k"), "t_lineitem_b", "k", 8)
+      val joined = Scale.bucketedJoin(spark, "t_orders_b", "t_lineitem_b", "k")
+      val plan   = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS t_orders_b")
+      spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+      ()
+    }
+  }
+}
