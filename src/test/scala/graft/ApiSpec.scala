@@ -1,0 +1,73 @@
+package graft
+
+import graft.api.GraftApi
+import graft.catalog.VectorCatalog
+import graft.embed.DeterministicEmbedder
+import graft.query.FilterDict
+import graft.rag.Ingest
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class ApiSpec extends GraftSpec {
+
+  test("filter dict translates Pinecone operators to equivalent predicates") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def ids(f: Map[String, Any]): Set[Long] =
+      emb.filter(FilterDict.toColumn(f)).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+
+    assert(ids(Map("label" -> 3)) ==
+      emb.filter(col("label") === 3).select("vec_id").collect().map(_.getLong(0)).toSet)
+    assert(ids(Map("label" -> Map("$in" -> Seq(1, 2)))) ==
+      ids(Map("$or" -> Seq(Map("label" -> 1), Map("label" -> 2)))))
+    assert(ids(Map("label" -> Map("$gte" -> 8))) ==
+      ids(Map("$and" -> Seq(Map("label" -> Map("$gt" -> 7))))))
+    assert(ids(Map("label" -> Map("$nin" -> Seq(0, 1, 2, 3, 4)))) ==
+      ids(Map("label" -> Map("$gte" -> 5))))
+    assert(ids(Map("vec_id" -> Map("$lt" -> 10), "label" -> Map("$ne" -> 0))).forall(_ < 10))
+    intercept[IllegalArgumentException](FilterDict.toColumn(Map.empty))
+    intercept[IllegalArgumentException](
+      FilterDict.toColumn(Map("x" -> Map("$regex" -> "a"))))
+  }
+
+  test("api mirrors the five endpoints end-to-end") {
+    val docsDir = Files.createTempDirectory("graft-api-docs")
+    Files.writeString(docsDir.resolve("doc1.txt"),
+      "The quarterly revenue was $450 million in Q1 2024.")
+    val catRoot  = Files.createTempDirectory("graft-api-cat").toString
+    val catalog  = new VectorCatalog(spark, catRoot)
+    val embedder = new DeterministicEmbedder(32)
+    val index    = Ingest.run(spark, catalog, docsDir.toString, "api-idx", embedder)
+    val api      = new GraftApi(spark, catalog, index, embedder)
+
+    // health
+    val h = api.health
+    assert(h.status == "healthy" && h.indexReady && h.vectorCount > 0)
+
+    // stats
+    assert(api.stats.dimension == 32)
+    assert(api.stats.totalVectorCount == h.vectorCount)
+
+    // query (+ validation)
+    val q = api.query("what was the revenue?")
+    assert(q.retrieved.nonEmpty)
+    assert(q.retrieved.exists(_.text.contains("$450 million")))
+    intercept[IllegalArgumentException](api.query("  "))
+
+    // chat
+    val c = api.chat("and the quarter?", Seq(("what was revenue?", "$450M")))
+    assert(c.question == "and the quarter?")
+    assert(c.retrieved.nonEmpty)
+
+    // upload: new content becomes retrievable
+    val landing = Files.createTempDirectory("graft-api-landing").toString
+    val up = api.upload(Seq(("doc2.txt",
+      "Headcount grew to 9,000 employees by December.")), landing)
+    assert(up.filesReceived == 1 && up.chunksIndexed > 0)
+    val q2 = api.query("how many employees?", topK = 3)
+    assert(q2.retrieved.exists(_.text.contains("9,000")))
+    intercept[IllegalArgumentException](
+      api.upload(Seq(("../evil.txt", "x")), landing))
+  }
+}
