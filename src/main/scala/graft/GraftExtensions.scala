@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the engine's native functions for SQL:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions()) ...
+  * }}}
+  *
+  * After which `SELECT cosine_similarity(a, b)`, `dot_product`,
+  * `l2_norm`, `word_shingles(text, 3)` and `vector_mean(embedding)`
+  * work in plain `spark.sql`. (Programmatic sessions can also call
+  * `VectorSql.register` / `VectorMeanAgg.register`.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.1.2", "", "built-in")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float vectors"),
+      (es: Seq[Expression]) => CosineSimilarityExpr(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product", "_FUNC_(a, b) - dot product of two float vectors"),
+      (es: Seq[Expression]) => DotProductExpr(es.head, es(1))))
+    e.injectFunction((
+      FunctionIdentifier("l2_norm"),
+      info("l2_norm", "_FUNC_(a) - L2 norm of a float vector"),
+      (es: Seq[Expression]) => L2NormExpr(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "_FUNC_(text, n) - word n-gram shingles"),
+      (es: Seq[Expression]) => {
+        val n = es(1).eval(null).asInstanceOf[Int]
+        WordShinglesExpr(es.head, n)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("vector_mean"),
+      info("vector_mean", "_FUNC_(v) - element-wise mean of grouped float vectors"),
+      (es: Seq[Expression]) => VectorMeanAgg(es.head).toAggregateExpression()))
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsSpec extends GraftSpec {
+
+  test("GraftExtensions registers SQL functions in a fresh session") {
+    // force the shared session to exist first, then build a sibling
+    // session (same SparkContext) with the extensions applied
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val extSession = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val r = extSession.sql(
+        """SELECT cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+          |       dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS d,
+          |       l2_norm(array(3.0F, 4.0F)) AS n,
+          |       word_shingles('a b c d', 3) AS sh""".stripMargin).head()
+      assert(r.getDouble(0) == 1.0)
+      assert(r.getDouble(1) == 11.0)
+      assert(r.getDouble(2) == 5.0)
+      assert(r.getAs[scala.collection.Seq[String]]("sh") == Seq("a b c", "b c d"))
+
+      val agg = extSession.sql(
+        """SELECT vector_mean(v) AS m FROM VALUES
+          |  (array(1.0F, 2.0F)), (array(3.0F, 4.0F)) AS t(v)""".stripMargin).head()
+      assert(agg.getAs[scala.collection.Seq[Double]]("m") == Seq(2.0, 3.0))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+}
