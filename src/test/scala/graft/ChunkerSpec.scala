@@ -70,6 +70,30 @@ class ChunkerSpec extends GraftSpec {
     }
   }
 
+  test("reference sample corpus chunks within bounds at 500/50") {
+    val refDir = java.nio.file.Paths.get("/root/reference/data/sample_docs")
+    assume(java.nio.file.Files.isDirectory(refDir), "reference corpus not present")
+    val c = new Chunker(500, 50)
+    val files = java.nio.file.Files.list(refDir).toArray.toSeq
+      .map(_.toString).filter(_.endsWith(".txt"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val text   = java.nio.file.Files.readString(java.nio.file.Paths.get(f))
+      val chunks = c.split(text)
+      assert(chunks.nonEmpty, f)
+      assert(chunks.forall(ch => ch.nonEmpty && ch.length <= 500), f)
+      // known fact survives chunking intact (FIXTURES.md golden)
+      if (f.contains("quarterly_report_q1_2024"))
+        assert(chunks.exists(_.contains("$450")), s"$f lost the revenue fact")
+      // full coverage: every source line (never longer than chunkSize, so
+      // never split mid-line) appears intact in some chunk
+      text.linesIterator.map(_.trim).filter(l => l.nonEmpty && l.length <= 400)
+        .foreach { line =>
+          assert(chunks.exists(_.contains(line)), s"$f lost line: $line")
+        }
+    }
+  }
+
   test("DataFrame chunk() explodes with chunk_index") {
     val df  = Tables.documents(spark, sfDir).limit(20)
     val out = new Chunker(100, 20).chunk(df, "text")
