@@ -40,23 +40,56 @@ object Dedup {
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh")
       )
 
-  /** MinHash signatures: `(doc, seed, mh)` where
-    * `mh = min over shingles of md5(seed || '|' || shingle)`.
-    * One row per (doc, hash-function); `numHashes` cheap seed-derived
-    * hash functions stand in for independent permutations.
+  /** Wide MinHash: one row per doc with columns `mh0..mh{n-1}`, where
+    * `mh_s = min over shingles of md5(s || '|' || shingle)`.
+    *
+    * Single aggregation pass: the `numHashes` mins are computed as
+    * parallel aggregates over the shingle rows — one shuffle keyed by
+    * doc, no seed-explode row blowup, and partial aggregation reduces
+    * each partition to one row per (doc) before the exchange.
+    */
+  def minhashWide(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int
+  ): DataFrame = {
+    val sh   = shingles(df, idCol, textCol, shingleN)
+    val aggs = (0 until numHashes).map(s =>
+      min(md5(concat(lit(s), lit("|"), col("sh")))).as(s"mh$s"))
+    sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures in narrow form `(doc, seed, mh)` — the wide
+    * row unpivoted; output identical to computing each seed separately.
     */
   def minhashSignatures(
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int
-  ): DataFrame =
-    shingles(df, idCol, textCol, shingleN)
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy(col("doc"), col("seed"))
-      .agg(min(md5(concat(col("seed"), lit("|"), col("sh")))).as("mh"))
+  ): DataFrame = {
+    val wide = minhashWide(df, idCol, textCol, numHashes, shingleN)
+    wide.select(col("doc"),
+      posexplode(array((0 until numHashes).map(s => col(s"mh$s")): _*))
+        .as(Seq("seed", "mh")))
+  }
 
-  /** LSH band buckets from minhash signatures: `(doc, band, bucket)` with
-    * `rowsPerBand` signature rows hashed together per band. Docs sharing
-    * any (band, bucket) are near-dup candidates.
+    /** LSH band buckets from a wide signature row: `(doc, band, bucket)`,
+    * `bucket = md5(mh_{b*r} | ... | mh_{b*r+r-1})`. Pure column math on
+    * the wide row — no extra shuffle.
+    */
+  def lshBucketsWide(wide: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      md5(concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+    }
+    wide.select(col("doc"),
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** LSH band buckets from narrow minhash signatures: `(doc, band,
+    * bucket)` with `rowsPerBand` signature rows hashed together per band.
+    * Docs sharing any (band, bucket) are near-dup candidates. (Prefer
+    * [[lshBucketsWide]] when the wide form is already at hand — it skips
+    * this extra shuffle.)
     */
   def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame =
     signatures

@@ -38,11 +38,12 @@ object DedupQueries {
         .orderBy("doc_id", "seed")
     },
 
-    // LSH banding (4 bands x 2 rows) → candidate pairs.
+    // LSH banding (4 bands x 2 rows) → candidate pairs. Wide signature
+    // path: one shuffle for the 8 mins, bands derived by column concat.
     "q33_lsh_candidates" -> { (s, d) =>
-      val sigs = Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+      val wide = Dedup.minhashWide(Tables.documents(s, d), "doc_id", "text",
         numHashes = 8, shingleN = 3)
-      Dedup.lshCandidatePairs(Dedup.lshBuckets(sigs, rowsPerBand = 2))
+      Dedup.lshCandidatePairs(Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
         .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
     },
 
