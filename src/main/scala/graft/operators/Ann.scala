@@ -70,6 +70,31 @@ object AnnLsh {
       else probeBuckets(flipped, nPlanes, probeRadius - 1)
     }.distinct
 
+  /** Persist a corpus partitioned by LSH bucket. At 100 TB this is the
+    * point of the operator: each bucket is a parquet partition
+    * directory, so a probe reads only the probed buckets' files —
+    * `PartitionFilters` partition pruning, no scan of the other 99%.
+    */
+  def writeBucketPartitioned(
+      corpus: DataFrame, vecCol: String, path: String,
+      nPlanes: Int, seed: Int = 42
+  ): Unit =
+    withBuckets(corpus, vecCol, nPlanes, seed)
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(path)
+
+  /** Approximate top-k against a bucket-partitioned store: the bucket
+    * predicate prunes partitions at planning time.
+    */
+  def topKApproxFromStore(
+      spark: SparkSession, path: String, idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int,
+      nPlanes: Int, probeRadius: Int = 1, seed: Int = 42
+  ): DataFrame =
+    topKApprox(spark.read.parquet(path), idCol, vecCol, queryVec, k,
+      nPlanes, probeRadius, seed)
+
   /** Approximate top-k: score only rows in the probed buckets, then
     * exact cosine rank within candidates.
     */

@@ -105,6 +105,29 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Rollup with subtotals (extension beyond the reference; group keys
+    // coalesced so no engine-specific NULL ordering can break parity).
+    "q09_rollup_status_priority" -> { (s, d) =>
+      Tables.orders(s, d)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Set operations: nations having customers vs suppliers.
+    "q0A_nation_setops" -> { (s, d) =>
+      val cn = Tables.customer(s, d).select(col("c_nationkey").as("n")).distinct()
+      val sn = Tables.supplier(s, d).select(col("s_nationkey").as("n")).distinct()
+      cn.intersect(sn).select(lit("both").as("tag"), col("n"))
+        .unionByName(cn.except(sn).select(lit("cust_only").as("tag"), col("n")))
+        .orderBy("tag", "n")
+    },
+
     // Anti-join (NOT EXISTS): customers with no high-value (>300k) order.
     "q08_customers_without_orders" -> { (s, d) =>
       val c = Tables.customer(s, d)
@@ -181,6 +204,26 @@ object RelationalQueries {
         |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q09_rollup_status_priority" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q0A_nation_setops" ->
+      """SELECT 'both' AS tag, n FROM (
+        |  SELECT DISTINCT c_nationkey AS n FROM customer
+        |  INTERSECT
+        |  SELECT DISTINCT s_nationkey AS n FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, n FROM (
+        |  SELECT DISTINCT c_nationkey AS n FROM customer
+        |  EXCEPT
+        |  SELECT DISTINCT s_nationkey AS n FROM supplier)
+        |ORDER BY tag, n""".stripMargin,
 
     "q08_customers_without_orders" ->
       """SELECT c_mktsegment, count(*) AS n_customers,

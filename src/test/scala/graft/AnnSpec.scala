@@ -61,6 +61,23 @@ class AnnSpec extends GraftSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("bucket-partitioned store prunes partitions at the scan") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
+    AnnLsh.writeBucketPartitioned(emb, "embedding", path, nPlanes = 6)
+    val approx = AnnLsh.topKApproxFromStore(spark, path, "vec_id", "embedding",
+      qvec, 10, nPlanes = 6, probeRadius = 1)
+    val plan = approx.queryExecution.executedPlan.toString
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("bucket"), s"no partition pruning:\n$plan")
+    val rows = approx.collect()
+    assert(rows.nonEmpty && rows.head.getAs[Long]("vec_id") == 0L)
+    // pruned scan result == unpartitioned probe result
+    val direct = AnnLsh.topKApprox(AnnLsh.withBuckets(emb, "embedding", 6),
+      "vec_id", "embedding", qvec, 10, 6, 1).collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSeq ==
+      direct.map(_.getAs[Long]("vec_id")).toSeq)
+  }
+
   test("higher probe budget improves or preserves LSH recall") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
     try {
