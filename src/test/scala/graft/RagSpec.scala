@@ -123,6 +123,25 @@ class RagSpec extends GraftSpec {
     intercept[RuntimeException](broken.embedOne("x"))
   }
 
+  test("SURVEY §7 minimum slice: reference corpus + sample question") {
+    val refDocs = "/root/reference/data/sample_docs"
+    assume(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(refDocs)))
+    val idx = Ingest.run(spark, catalog, refDocs, "ref-docs", embedder)
+    val r   = new Rag(spark, idx, embedder)
+      .invoke("What was TechCorp's total revenue in Q1 2024?", topK = 5)
+    // exact QueryResponse shape (routes.py:34-39): k rows sorted desc,
+    // sources deduped, texts truncated
+    assert(r.retrieved.length == 5)
+    val scores = r.retrieved.map(_.score)
+    assert(scores == scores.sorted.reverse)
+    assert(r.sources.distinct == r.sources && r.sources.nonEmpty)
+    assert(r.retrieved.forall(_.text.length <= 203))
+    // retrieval quality: the quarterly report should surface for the
+    // revenue question (golden fact at quarterly_report_q1_2024.txt:7)
+    assert(r.sources.exists(_.contains("quarterly_report")),
+      s"sources: ${r.sources}")
+  }
+
   test("truncation caps retrieved text at 200 chars + ellipsis") {
     val longDir = Files.createTempDirectory("graft-long")
     Files.writeString(longDir.resolve("long.txt"),
