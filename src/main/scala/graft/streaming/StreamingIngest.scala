@@ -3,9 +3,9 @@ package graft.streaming
 import graft.catalog.VectorIndex
 import graft.embed.{EmbedOps, Embedder}
 import graft.ingest.Chunker
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Incremental ingestion as Structured Streaming (SURVEY §2.9): the
   * idiomatic Spark form of the reference's POST /upload → re-ingest loop
@@ -68,4 +68,42 @@ object StreamingIngest {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+
+  final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+  final case class ClosedSession(
+      user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
+
+  /** Custom cross-batch state (SURVEY §2.9 / KeyValueGroupedDataset):
+    * per-user session accumulation with a gap timeout —
+    * `flatMapGroupsWithState` keeps one small state object per user and
+    * emits a session row when the inactivity gap closes it. This is the
+    * streaming twin of the batch q44_sessionize window query; state is
+    * O(active users), never O(events).
+    */
+  def statefulSessions(
+      events: Dataset[UserEvent], gapUs: Long
+  ): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
+          var st     = state.getOption.orNull
+          val closed = Seq.newBuilder[ClosedSession]
+          for (e <- sorted) {
+            if (st == null) st = SessionState(e.ts_us, e.ts_us, 1, e.value)
+            else if (e.ts_us - st.lastUs > gapUs) {
+              closed += ClosedSession(user, st.startUs, st.lastUs, st.n, st.total)
+              st = SessionState(e.ts_us, e.ts_us, 1, e.value)
+            } else {
+              st = SessionState(st.startUs, e.ts_us, st.n + 1, st.total + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          closed.result().iterator
+      }
+  }
 }

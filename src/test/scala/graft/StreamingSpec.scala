@@ -39,6 +39,43 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stateful sessions close across micro-batches with per-user state") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
+
+    val dir = Files.createTempDirectory("graft-sess").toString
+    // two users; user 1 has two sessions split by a >10min gap that
+    // spans the two input files (forces cross-batch state)
+    val m = 60L * 1000000L
+    Seq(
+      UserEvent(1L, 0 * m, 1.0), UserEvent(1L, 2 * m, 2.0),
+      UserEvent(2L, 1 * m, 5.0)
+    ).toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    Seq(
+      UserEvent(1L, 30 * m, 3.0), UserEvent(1L, 32 * m, 4.0),
+      UserEvent(2L, 3 * m, 6.0)
+    ).toDS().coalesce(1).write.parquet(s"$dir/batch2")
+
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .as[UserEvent]
+    val sessions = graft.streaming.StreamingIngest
+      .statefulSessions(stream, gapUs = 10 * m)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("closed_sessions").start()
+    try {
+      q.processAllAvailable()
+      val closed = spark.table("closed_sessions").as[ClosedSession].collect()
+      // only user 1's first session has closed (gap exceeded);
+      // open sessions remain in state, not emitted
+      assert(closed.length == 1)
+      val s = closed.head
+      assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
+      assert(s.start_us == 0L && s.end_us == 2 * m)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an events stream") {
     val dir = Files.createTempDirectory("graft-events").toString
     Tables.events(spark, sfDir).limit(500)
