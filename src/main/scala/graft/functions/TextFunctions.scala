@@ -30,7 +30,8 @@ object TextFunctions {
     * counts without a vocab — standard heuristic for data pipelines).
     */
   def approxBpeTokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), t => t =!= ""))
+    size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => trim(t) =!= ""))
 
   /** Ratio of alphabetic characters to all characters (double in [0,1]). */
   def alphaRatio(text: Column): Column =

@@ -1,0 +1,37 @@
+package graft.rag
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Columnar chat-history operators (SURVEY §2 O2/X3) for BATCH chat
+  * processing — scoring thousands of conversations at once, where the
+  * reference handles one request at a time (`app/rag/chain.py:126-154`).
+  * History is an `ARRAY<STRUCT<question STRING, answer STRING>>` column.
+  */
+object ChatHistory {
+
+  /** O2: keep the last `n` turns (`chat_history[-3:]`, chain.py:147). */
+  def lastTurns(history: Column, n: Int = 3): Column =
+    when(size(history) <= n, history)
+      .otherwise(slice(history, -n, n))
+
+  /** X3: flatten turns to "Q: ...\nA: ..." lines joined by newlines
+    * (chain.py:145-148).
+    */
+  def flatten(history: Column): Column =
+    concat_ws("\n",
+      transform(history, t =>
+        concat(lit("Q: "), t.getField("question"),
+          lit("\nA: "), t.getField("answer"))))
+
+  /** Full contextualization (chain.py:144-151): prefix the last-3
+    * flattened history to the question; empty history passes the
+    * question through unchanged.
+    */
+  def contextualize(question: Column, history: Column, n: Int = 3): Column =
+    when(history.isNull || size(history) === 0, question)
+      .otherwise(concat(
+        lit("Previous conversation:\n"),
+        flatten(lastTurns(history, n)),
+        lit("\n\nCurrent question: "), question))
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.rag.ChatHistory
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String) =
+    Seq(text).toDF("t").select(c.as("v")).head()
+
+  test("token counting: whitespace and BPE-ish") {
+    assert(one(tokenCount(col("t")), "Hello big  world").getInt(0) == 3)
+    assert(one(tokenCount(col("t")), "  padded  ").getInt(0) == 1)
+    // BPE-ish: alnum runs + punctuation marks count separately
+    assert(one(approxBpeTokenCount(col("t")), "don't stop!").getInt(0) == 5)
+    assert(one(approxBpeTokenCount(col("t")), "abc").getInt(0) == 1)
+  }
+
+  test("ratios and quality bounds") {
+    assert(one(alphaRatio(col("t")), "abcd").getDouble(0) == 1.0)
+    assert(one(alphaRatio(col("t")), "ab12").getDouble(0) == 0.5)
+    assert(one(punctRatio(col("t")), "a,b.").getDouble(0) == 0.5)
+    val q = one(qualityScore(col("t")),
+      "the quick brown fox and a dog in the yard").getDouble(0)
+    assert(q > 0.0 && q <= 1.0)
+  }
+
+  test("language id picks the dominant stopword profile") {
+    assert(one(langId(col("t")), "the cat and the dog is in it").getString(0) == "en")
+    assert(one(langId(col("t")), "der hund und die katze ist nicht da").getString(0) == "de")
+    assert(one(langId(col("t")), "el perro y la casa es de madera").getString(0) == "es")
+    assert(one(langId(col("t")), "les chats est une des pour").getString(0) == "fr")
+    assert(one(langId(col("t")), "xyzzy qwerty plugh").getString(0) == "und")
+  }
+
+  test("fingerprint is whitespace/punctuation invariant, content sensitive") {
+    val a = one(fingerprint(col("t")), "Hello, World!").getString(0)
+    val b = one(fingerprint(col("t")), "  hello world  ").getString(0)
+    val c = one(fingerprint(col("t")), "hello worlds").getString(0)
+    assert(a == b)
+    assert(a != c)
+    assert(a.length == 16)
+  }
+
+  test("chat history columnar ops: last-3 slice, flatten, contextualize") {
+    val df = Seq(
+      ("q5", Seq(("q1", "a1"), ("q2", "a2"), ("q3", "a3"), ("q4", "a4"))),
+      ("fresh", Seq.empty[(String, String)])
+    ).toDF("question", "hist")
+      .withColumn("hist",
+        transform(col("hist"),
+          t => struct(t.getField("_1").as("question"), t.getField("_2").as("answer"))))
+
+    val out = df.select(
+      col("question"),
+      size(ChatHistory.lastTurns(col("hist"))).as("kept"),
+      ChatHistory.contextualize(col("question"), col("hist")).as("ctx")
+    ).collect().map(r => r.getString(0) -> r).toMap
+
+    assert(out("q5").getInt(1) == 3)
+    val ctx = out("q5").getString(2)
+    assert(!ctx.contains("q1"), "oldest turn must be dropped")
+    assert(ctx.contains("Q: q2\nA: a2") && ctx.contains("Q: q4\nA: a4"))
+    assert(ctx.endsWith("Current question: q5"))
+    assert(out("fresh").getString(2) == "fresh")
+  }
+
+  test("stopword hits count occurrences, not distinct matches") {
+    assert(one(stopwordHits(col("t")), "the the the cat").getInt(0) == 3)
+  }
+}
