@@ -119,12 +119,38 @@ object AnnLsh {
 object AnnIvf {
 
   /** Deterministic centroid pick: the `nList` corpus vectors with the
-    * smallest ids (seed-free, reproducible; swap for k-means iterations
-    * when a trained model is worth shipping).
+    * smallest ids (seed-free, reproducible). Starting point for
+    * [[trainCentroids]].
     */
   def centroids(corpus: DataFrame, idCol: String, vecCol: String, nList: Int): DataFrame =
     corpus.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
+
+  /** Deterministic Lloyd iterations: assign → per-cell element-wise mean
+    * (one [[graft.functions.VectorMeanAgg]] pass — a single array per
+    * cell crosses the shuffle) → renormalize as the new centroid.
+    * Fixed iteration count, deterministic seeding, no RNG — same
+    * centroids on every run/cluster. Only `nList × dim` doubles ever
+    * reach the driver per iteration.
+    */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, iterations: Int
+  ): DataFrame = {
+    val spark = corpus.sparkSession
+    var cents = centroids(corpus, idCol, vecCol, nList)
+    for (_ <- 0 until iterations) {
+      val assigned = assign(corpus, idCol, vecCol, cents)
+      val means = assigned
+        .groupBy(col("cell"))
+        .agg(graft.functions.VectorMeanAgg.vectorMean(col(vecCol)).as("m"))
+        .select(col("cell").as("centroid_id"),
+          transform(col("m"), x => x.cast("float")).as("centroid_vec"))
+      // empty cells drop out; keep the id space stable by re-ranking
+      cents = means
+    }
+    cents
+  }
 
   /** Assign every row to its nearest centroid (broadcast argmax join) —
     * one narrow pass; at scale this column becomes the storage partition

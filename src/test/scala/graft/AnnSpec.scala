@@ -61,6 +61,28 @@ class AnnSpec extends GraftSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("k-means-trained IVF centroids are deterministic and don't hurt recall") {
+    val cents1 = AnnIvf.trainCentroids(emb, "vec_id", "embedding", 16, 2)
+    val cents2 = AnnIvf.trainCentroids(emb, "vec_id", "embedding", 16, 2)
+    val c1 = cents1.orderBy("centroid_id").collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid_vec").toSeq).toSeq
+    val c2 = cents2.orderBy("centroid_id").collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid_vec").toSeq).toSeq
+    assert(c1 == c2, "training must be deterministic")
+
+    val assigned = AnnIvf.assign(emb, "vec_id", "embedding", cents1).cache()
+    try {
+      assert(assigned.count() == emb.count())
+      val approx = AnnIvf.topKApprox(assigned, cents1, "vec_id", "embedding",
+        qvec, 10, nProbe = 4).collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(approx.nonEmpty && approx.head == 0L)
+      val recall = approx.toSet.intersect(exactTop10.toSet).size / 10.0
+      assert(recall >= 0.3, s"trained-IVF recall@10 = $recall")
+    } finally { assigned.unpersist(); () }
+  }
+
   test("bucket-partitioned store prunes partitions at the scan") {
     val path = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
     AnnLsh.writeBucketPartitioned(emb, "embedding", path, nPlanes = 6)
