@@ -115,6 +115,25 @@ object VectorQueries {
         .orderBy("query_id")
     },
 
+    // Scaled exact KNN: corpus replicated 100x (distinct ids, same
+    // vectors — 200K rows at sf0.1) to exercise scan-scoring throughput;
+    // fully oracle-checkable since the expansion is pure SQL.
+    "q19_knn_scaled" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      val big = e
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(0), lit(99))).as("r"))
+        .select((col("vec_id") * 100 + col("r")).as("rep_id"), col("embedding"))
+      big.crossJoin(broadcast(q))
+        .select(col("rep_id"),
+          round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc, col("rep_id"))
+        .limit(20)
+    },
+
     // Per-label centroid norms: element-wise mean across grouped vectors
     // (SURVEY A1 generalized to a relational group) via posexplode +
     // groupBy(label, pos) + avg — the shuffle-friendly formulation.
@@ -194,6 +213,16 @@ object VectorQueries {
          |FROM ranked WHERE rn <= 5
          |GROUP BY query_id
          |ORDER BY query_id""".stripMargin,
+
+    "q19_knn_scaled" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |big AS (
+         |  SELECT vec_id * 100 + r AS rep_id, embedding
+         |  FROM embeddings, (SELECT unnest(range(0, 100)) AS r) reps)
+         |SELECT rep_id, round(${duckCosine("embedding", "qvec")}, 6) AS score
+         |FROM big, q
+         |ORDER BY score DESC, rep_id
+         |LIMIT 20""".stripMargin,
 
     "q15_label_centroids" ->
       """WITH ex AS (
