@@ -49,7 +49,18 @@ final class VectorCatalog(spark: SparkSession, root: String) {
   /** Idempotent create-or-connect (`pinecone_service.py:49-68`). Returns
     * the existing meta when present; dimension conflicts are an error.
     */
-  def create(meta: IndexMeta): IndexMeta = get(meta.name) match {
+  def create(meta: IndexMeta): IndexMeta = {
+    // names/metric/model become filesystem paths and hand-rolled JSON —
+    // restrict to a safe charset rather than escape
+    val safe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+    Seq(meta.name, meta.metric, meta.model).foreach { s =>
+      require(safe.findFirstIn(s).isDefined,
+        s"index metadata field '$s' must match [A-Za-z0-9._-]+ (no path or quote chars)")
+    }
+    createValidated(meta)
+  }
+
+  private def createValidated(meta: IndexMeta): IndexMeta = get(meta.name) match {
     case Some(existing) =>
       require(existing.dimension == meta.dimension,
         s"index ${meta.name} exists with dimension ${existing.dimension}, requested ${meta.dimension}")

@@ -31,13 +31,23 @@ final class VectorIndex(
   def upsert(df: DataFrame): Long = {
     require(df.columns.contains("id") && df.columns.contains("embedding"),
       "upsert requires id + embedding columns")
-    val bad = df.filter(size(col("embedding")) =!= meta.dimension).limit(1).count()
-    require(bad == 0,
-      s"embedding dimension mismatch: index ${meta.name} expects ${meta.dimension}")
-    val version = nextVersion()
-    val out     = df.withColumn("_version", lit(version))
-    out.write.mode("append").parquet(path)
-    df.count()
+    // One pass over the (potentially expensive: chunk+embed) input:
+    // persist the batch, validate + write + count from the materialized
+    // data instead of recomputing the upstream pipeline three times.
+    val batch = df.persist()
+    try {
+      val bad = batch.filter(size(col("embedding")) =!= meta.dimension)
+        .limit(1).count()
+      require(bad == 0,
+        s"embedding dimension mismatch: index ${meta.name} expects ${meta.dimension}")
+      val version = nextVersion()
+      batch.withColumn("_version", lit(version))
+        .write.mode("append").parquet(path)
+      batch.count()
+    } finally {
+      batch.unpersist()
+      ()
+    }
   }
 
   private def nextVersion(): Long =

@@ -28,21 +28,30 @@ final class HttpShapedEmbedder(
 
   private def callWithRetry(batch: Seq[String]): Seq[Array[Float]] =
     transport(batch) match {
-      case Right(vecs) =>
-        require(vecs.length == batch.length, "transport returned wrong batch size")
-        vecs
+      case Right(vecs) => validated(batch, vecs)
       case Left(code) if retryOn(code) =>
         // reference retries once after a fixed backoff (embeddings.py:75-78)
         transport(batch) match {
-          case Right(vecs) => vecs
+          case Right(vecs) => validated(batch, vecs)
           case Left(c2)    => failover(batch, c2)
         }
       case Left(code) => failover(batch, code)
     }
 
+  /** Every success path validates the batch size — a short or reordered
+    * response would otherwise silently misalign texts and embeddings
+    * downstream (EmbedOps zips them positionally).
+    */
+  private def validated(
+      batch: Seq[String], vecs: Seq[Array[Float]]): Seq[Array[Float]] = {
+    require(vecs.length == batch.length,
+      s"transport returned ${vecs.length} vectors for ${batch.length} texts")
+    vecs
+  }
+
   private def failover(batch: Seq[String], code: Int): Seq[Array[Float]] =
     fallback match {
-      case Some(fb) if fallbackOn(code) => fb.embed(batch.iterator).toSeq
+      case Some(fb) if fallbackOn(code) => validated(batch, fb.embed(batch.iterator).toSeq)
       case _ =>
         throw new RuntimeException(s"embedding provider failed with status $code")
     }

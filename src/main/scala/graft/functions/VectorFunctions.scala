@@ -57,8 +57,9 @@ object VectorFunctions {
       .otherwise(d / (na * nb))
   }
 
-  /** Negative squared euclidean distance (so that "higher is more similar",
-    * aligning with the cosine/dot score ordering convention).
+  /** Euclidean (L2) distance: sqrt(sum_i (a[i]-b[i])^2). Note this is a
+    * DISTANCE — lower means more similar — the opposite ordering of the
+    * cosine/dot similarity scores; rank with `.asc`, not `.desc`.
     */
   def euclideanDistance(a: Column, b: Column): Column =
     sqrt(aggregate(

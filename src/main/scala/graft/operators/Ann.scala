@@ -28,11 +28,14 @@ object AnnLsh {
   /** Deterministic ±1 hyperplane matrix: entry (p, d) = sign of
     * murmur3(seed, p, d). No RNG state, no model to ship.
     */
-  def hyperplanes(dim: Int, nPlanes: Int, seed: Int = 42): Array[Array[Float]] =
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Int = 42): Array[Array[Float]] = {
+    require(nPlanes >= 1 && nPlanes <= 64,
+      s"nPlanes must be in [1, 64] (signature is a Long bitset), got $nPlanes")
     Array.tabulate(nPlanes, dim) { (p, d) =>
       val h = MurmurHash3.productHash((seed, p, d))
       if ((h & 1) == 0) 1.0f else -1.0f
     }
+  }
 
   /** Signature of one vector: bit p = (v · plane_p) >= 0. */
   def signatureOf(vec: Seq[Float], planes: Array[Array[Float]]): Long = {
@@ -40,10 +43,11 @@ object AnnLsh {
     var p   = 0
     while (p < planes.length) {
       val plane = planes(p)
-      var dot   = 0.0
-      var d     = 0
-      val n     = math.min(plane.length, vec.length)
-      while (d < n) { dot += vec(d) * plane(d); d += 1 }
+      require(plane.length == vec.length,
+        s"vector dimension ${vec.length} != hyperplane dimension ${plane.length}")
+      var dot = 0.0
+      var d   = 0
+      while (d < plane.length) { dot += vec(d) * plane(d); d += 1 }
       if (dot >= 0) sig |= (1L << p)
       p += 1
     }

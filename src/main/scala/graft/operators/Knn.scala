@@ -102,7 +102,8 @@ object Knn {
       .select(
         col("id_a"),
         col("id_b"),
-        round(cosineSimilarity(col("vec_a"), col("vec_b")), scale).as("score")
+        (if (scale >= 0) round(cosineSimilarity(col("vec_a"), col("vec_b")), scale)
+         else cosineSimilarity(col("vec_a"), col("vec_b"))).as("score")
       )
       .orderBy(col("score").desc, col("id_a"), col("id_b"))
       .limit(topPairs)

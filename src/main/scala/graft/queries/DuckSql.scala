@@ -1,0 +1,16 @@
+package graft.queries
+
+/** Shared DuckDB oracle fragments. One definition so a formula fix can
+  * never leave two query packs' oracles diverged.
+  */
+private[queries] object DuckSql {
+
+  /** cosine(a, b) in double precision, element order left-to-right —
+    * mirrors VectorFunctions.cosineSimilarity / CosineSimilarityExpr
+    * exactly (same accumulation order ⇒ bit-identical before rounding).
+    */
+  def cosine(a: String, b: String): String =
+    s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])
+       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
+       |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
+}

@@ -13,17 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
-  private def duckCosine(a: String, b: String): String =
-    s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])
-       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
-       |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
+  private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 (SQL-expressible form): fixed-size/stride chunking as a 1→N
     // generator — stride 80, window 100 (recursive-splitter parity lives
     // in graft.ingest.Chunker with its own golden tests).
     "q40_chunk_fixed" -> { (s, d) =>
+      // empty texts are excluded on BOTH sides: Spark's sequence(0,-1)
+      // counts DOWN ([0,-1]) while DuckDB's range(0,0) is empty, so an
+      // empty doc would otherwise diverge (and emit a bogus chunk)
       Tables.documents(s, d)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"), col("text"),
           explode(sequence(lit(0),
             floor((length(col("text")) - 1) / lit(80)).cast("int"))).as("chunk_index"))
@@ -152,7 +153,8 @@ object PipelineQueries {
       """WITH idx AS (
         |  SELECT doc_id, text,
         |         unnest(range(0, (length(text) - 1) // 80 + 1)) AS chunk_index
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE length(text) > 0)
         |SELECT doc_id, chunk_index,
         |  substr(text, 80 * chunk_index + 1, 100) AS chunk_text,
         |  length(substr(text, 80 * chunk_index + 1, 100)) AS chunk_len

@@ -13,13 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
-  /** Shared DuckDB fragment: cosine(embedding, qvec) in double, mirroring
-    * VectorFunctions.cosineSimilarity element order exactly.
-    */
-  private def duckCosine(a: String, b: String): String =
-    s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])
-       | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
-       |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
+  private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: single-query exact KNN — query vector taken from vec_id=0,

@@ -158,11 +158,16 @@ object Ingest {
     val chunked = new Chunker(chunkSize, chunkOverlap).chunk(docs, "text")
       .withColumnRenamed("chunk_text", "text")
     val embedded = EmbedOps.embedText(chunked, "text", embedder)
-    // reference id scheme doc_{i}_{md5[:8]} over the chunk text
-    // (ingest_documents.py:93-105); chunk_index keeps intra-doc order.
+    // Deterministic chunk ids, shaped like the reference's
+    // doc_{i}_{md5[:8]} (ingest_documents.py:93-105) but collision-free
+    // at scale: the reference enumerates i over ALL chunks globally
+    // (serial, anti-scale); we hash (source | chunk_index | text) so two
+    // documents sharing boilerplate at the same position cannot collide
+    // and silently lose chunks to the index's last-wins read.
     val withIds = embedded.withColumn("id",
       concat(lit("doc_"), col("chunk_index"), lit("_"),
-        substring(md5(col("text")), 1, 8)))
+        substring(md5(concat_ws("|", col("source"), col("text"))), 1, 8)))
+      .dropDuplicates("id")
     val name  = catalog.resolveForDimension(indexBase, embedder.dimension)
     val index = VectorIndex.createOrConnect(spark, catalog,
       IndexMeta(name, embedder.dimension))

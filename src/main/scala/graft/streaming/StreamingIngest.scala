@@ -37,7 +37,7 @@ object StreamingIngest {
       .option("pathGlobFilter", "*.txt")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(landingDir)
-      .select(col("value").as("text"), lit(landingDir).as("source"))
+      .select(col("value").as("text"), input_file_name().as("source"))
 
     val chunker = new Chunker(chunkSize, chunkOverlap)
 
@@ -49,9 +49,10 @@ object StreamingIngest {
           val chunked = chunker.chunk(batch, "text")
             .withColumnRenamed("chunk_text", "text")
           val embedded = EmbedOps.embedText(chunked, "text", embedder)
+          // same collision-free id scheme as the batch Ingest path
           val withIds = embedded.withColumn("id",
             concat(lit("doc_"), col("chunk_index"), lit("_"),
-              substring(md5(col("text")), 1, 8)))
+              substring(md5(concat_ws("|", col("source"), col("text"))), 1, 8)))
             .dropDuplicates("id")
           index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
           ()

@@ -32,10 +32,16 @@ class StreamingSpec extends GraftSpec {
       val n2 = index.read.count()
       assert(n2 > n1)
 
-      // re-delivering identical content dedups by id (upsert last-wins)
+      // identical content from a DIFFERENT file keeps both (distinct
+      // sources → distinct ids, matching the reference's per-file docs);
+      // per-id last-wins dedup itself is covered in CatalogSpec
       Files.writeString(landing.resolve("c.txt"), "beta document about vector search")
       q.processAllAvailable()
-      assert(index.read.count() == n2)
+      val n3 = index.read.count()
+      assert(n3 == n2 + (n2 - n1))
+      // and sources are per-file, not the landing dir
+      val sources = index.read.select("source").distinct().count()
+      assert(sources == 3)
     } finally q.stop()
   }
 
