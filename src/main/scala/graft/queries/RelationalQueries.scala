@@ -85,6 +85,30 @@ object RelationalQueries {
         .orderBy("r_name")
     },
 
+    // Exact percentiles (interpolated, same formula as quantile_cont).
+    "q0D_quantiles" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty")
+        )
+        .orderBy("l_returnflag")
+    },
+
+    // Statistical aggregates: stddev / correlation / covariance.
+    "q0E_stats_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 8).as("disc_tax_cov")
+        )
+        .orderBy("l_returnflag")
+    },
+
     // Event-time tumbling-window aggregation (batch form of the
     // streaming windowed agg; SURVEY §2.9).
     "q06_events_hourly" -> { (s, d) =>
@@ -229,6 +253,24 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name
         |ORDER BY r_name""".stripMargin,
+
+    "q0D_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q0E_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |  round(covar_samp(l_discount, l_tax), 8) AS disc_tax_cov
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q06_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,

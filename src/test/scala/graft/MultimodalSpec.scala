@@ -49,6 +49,30 @@ class MultimodalSpec extends GraftSpec {
     assert(df.count() == 2)
   }
 
+  test("media features compose with the vector near-dup operator") {
+    // duplicate payload under a new name → near-dup by feature cosine
+    val dupDir = Files.createTempDirectory("graft-media-dup")
+    val payload = Array.tabulate[Byte](400)(i => (i % 251).toByte)
+    Files.write(java.nio.file.Paths.get(dupDir.toString, "x.img"), payload)
+    Files.write(java.nio.file.Paths.get(dupDir.toString, "y.img"), payload)
+    Files.write(java.nio.file.Paths.get(dupDir.toString, "z.img"),
+      Array.tabulate[Byte](300)(i => ((i * 7) % 127).toByte))
+
+    val feats = Multimodal.decodeAndFeaturize(
+      Multimodal.scanMedia(spark, dupDir.toString, "*.img"),
+      new Multimodal.StubImageDecoder(16))
+      .select(col("path").as("id"),
+        graft.functions.VectorFunctions.l2Normalize(col("features"))
+          .cast("array<float>").as("vec"))
+    val pairs = graft.operators.Knn.nearestPairs(feats, "id", "vec", 3)
+      .collect()
+    val top = pairs.head
+    assert(top.getAs[Double]("score") > 0.999,
+      s"identical payloads should be cosine-1: ${pairs.mkString(";")}")
+    val topIds = Set(top.getAs[String]("id_a"), top.getAs[String]("id_b"))
+    assert(topIds.forall(p => p.contains("x.img") || p.contains("y.img")))
+  }
+
   test("frame sampling explodes video payloads into bounded frame rows") {
     val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
     val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
