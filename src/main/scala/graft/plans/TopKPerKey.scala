@@ -1,0 +1,150 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+import scala.collection.mutable
+
+/** Custom whole-operator: top-k rows per key — the workhorse of batched
+  * KNN ("best k neighbors per query") and any grouped-ranking pipeline.
+  *
+  * Spark's composable formulation (`row_number().over(Window.partitionBy
+  * (key).orderBy(...)) <= k`) SORTS every partition — O(n log n) per
+  * partition and the full input flows through the sort. This operator
+  * keeps a bounded k-heap per key — O(n log k) — and runs in two phases
+  * like an aggregate:
+  *
+  *   partial (map-side): per-partition heaps, emits ≤ k rows per
+  *     (partition, key) — the shuffle then moves at most
+  *     partitions × keys × k rows instead of n;
+  *   final: after clustering by key, one heap per key emits the global
+  *     top k, sorted.
+  *
+  * Memory is O(keys-per-partition × k) rows — suited to the batched-KNN
+  * shape (bounded query set). Exchange insertion is left to Spark's
+  * EnsureRequirements via `requiredChildDistribution`, so AQE still
+  * plans/coalesces the shuffle.
+  *
+  * This re-expresses, Spark-first, what the reference delegates to
+  * Pinecone per query (`app/services/pinecone_service.py:148-182`) for
+  * whole query BATCHES.
+  */
+final case class TopKPerKeyPlan(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan
+) extends UnaryNode {
+  require(k >= 1, "k must be >= 1")
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopKPerKeyPlan =
+    copy(child = c)
+}
+
+final case class TopKPerKeyExec(
+    keys: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan,
+    partial: Boolean
+) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs    = keys
+    val sortOrder   = order
+    val kk          = k
+    child.execute().mapPartitions { iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      // ordering.compare(a,b) < 0  ⇔  a sorts before b; the heap
+      // dequeues the max, i.e. the row sorting LAST — exactly the one
+      // to evict when the heap exceeds k.
+      val rowOrd: Ordering[InternalRow] =
+        GenerateOrdering.generate(sortOrder, childOutput)
+      val heaps =
+        mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key  = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopKPerKeyExec =
+    copy(child = c)
+}
+
+/** Plans TopKPerKeyPlan as partial exec → (exchange by key, inserted by
+  * EnsureRequirements) → final exec.
+  */
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      val partial = TopKPerKeyExec(keys, order, k, planLater(child), partial = true)
+      TopKPerKeyExec(keys, order, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Column-level API. */
+object TopK {
+
+  /** Top `k` rows per distinct value of `keyCols`, ranked by `orderBy`
+    * (`(columnName, ascending)` pairs; later entries are tie-breaks —
+    * give a unique tie-break for deterministic output). Computed sort
+    * keys should be materialized as columns first (`withColumn`), which
+    * also keeps them codegen'd upstream of this operator.
+    */
+  def perKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderBy: Seq[(String, Boolean)],
+      k: Int
+  ): DataFrame = {
+    val spark = df.sparkSession
+    // idempotent strategy registration on this session
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(TopKPerKeyStrategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
+    }
+    // resolve names against the analyzed child directly — Column-derived
+    // expressions stay wrapped in unresolved ColumnNode form, which a
+    // custom logical node cannot rely on the analyzer to unwrap
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    val keyExprs = keyCols.map(attr)
+    val sortOrder = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending)
+    }
+    GraftBridge.ofRows(spark, TopKPerKeyPlan(keyExprs, sortOrder, k, analyzed))
+  }
+}

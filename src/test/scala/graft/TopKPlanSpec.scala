@@ -1,0 +1,86 @@
+package graft
+
+import graft.functions.VectorFunctions.cosineSimilarity
+import graft.plans.TopK
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPlanSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("TopK.perKey matches the window row_number formulation") {
+    val df = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag").as("key"), col("l_orderkey"),
+        col("l_extendedprice").as("v"))
+    val native = TopK.perKey(df, Seq("key"),
+        Seq(("v", false), ("l_orderkey", true)), k = 7)
+      .collect()
+      .groupBy(_.getAs[String]("key"))
+      .view.mapValues(_.map(r => (r.getAs[Double]("v"), r.getAs[Long]("l_orderkey"))).toSeq)
+      .toMap
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("l_orderkey"))
+    val reference = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .collect()
+      .groupBy(_.getAs[String]("key"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rn"))
+        .map(r => (r.getAs[Double]("v"), r.getAs[Long]("l_orderkey"))).toSeq)
+      .toMap
+    assert(native.keySet == reference.keySet)
+    for (k <- native.keySet) assert(native(k) == reference(k), s"key $k")
+  }
+
+  test("per-key output is sorted best-first within each key") {
+    val df = Seq(
+      ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("a", 4, 40.0),
+      ("b", 5, 5.0), ("b", 6, 15.0)
+    ).toDF("key", "id", "v")
+    val out = TopK.perKey(df, Seq("key"),
+        Seq(("v", false), ("id", true)), k = 2)
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getAs[Double]("v")).toSeq).toMap
+    assert(out("a") == Seq(40.0, 30.0))
+    assert(out("b") == Seq(15.0, 5.0))
+  }
+
+  test("fewer rows than k passes all rows through") {
+    val df  = Seq(("a", 1.0), ("a", 2.0)).toDF("key", "v")
+    val out = TopK.perKey(df, Seq("key"), Seq(("v", false)), k = 10)
+    assert(out.count() == 2)
+  }
+
+  test("plan shape: partial exec below the exchange, final above") {
+    val df = Tables.orders(spark, sfDir)
+      .select(col("o_orderstatus").as("key"), col("o_totalprice").as("v"),
+        col("o_orderkey"))
+    val out = TopK.perKey(df, Seq("key"),
+      Seq(("v", false), ("o_orderkey", true)), k = 3)
+    assert(out.count() == 3 * df.select("key").distinct().count())
+    // exec nodes render without the Exec suffix; expect partial + final
+    // with the exchange between them
+    val plan = out.queryExecution.executedPlan.toString
+    assert("TopKPerKey ".r.findAllIn(plan).length == 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(key"), plan)
+  }
+
+  test("batched KNN through the native operator matches topKBatch") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val scored = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
+    val native = TopK.perKey(scored, Seq("query_id"),
+        Seq(("score", false), ("vec_id", true)), k = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSeq).toMap
+    val window = graft.operators.Knn.topKBatch(emb, "vec_id", "embedding",
+        q, "query_id", "qvec", 4)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq)
+      .toMap
+    assert(native == window)
+  }
+}
