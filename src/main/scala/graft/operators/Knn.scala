@@ -49,9 +49,12 @@ object Knn {
   }
 
   /** Top-k per query for a query set `(queryIdCol, queryVecCol)`.
-    * The query side is broadcast; ranking is a window partitioned by
-    * query id with deterministic (score desc, id asc) order. Returns
-    * `(queryIdCol, idCol, score, rn)`.
+    * The query side is broadcast (the corpus never shuffles); the
+    * heavy n×queries reduction runs through the custom [[graft.plans
+    * .TopK]] operator — per-partition bounded heaps, so the shuffle
+    * carries at most partitions × queries × k scored rows, and the rank
+    * window only ever sees the ≤ queries × k survivors. Deterministic
+    * (score desc, id asc) order. Returns `(queryIdCol, idCol, score, rn)`.
     */
   def topKBatch(
       corpus: DataFrame,
@@ -73,10 +76,10 @@ object Knn {
       (if (scale >= 0) round(cosineSimilarity(col(vecCol), col(queryVecCol)), scale)
        else cosineSimilarity(col(vecCol), col(queryVecCol))).as("score")
     )
+    val reduced = graft.plans.TopK.perKey(scored, Seq(queryIdCol),
+      Seq(("score", false), (idCol, true)), k)
     val w = Window.partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    reduced.withColumn("rn", row_number().over(w))
   }
 
   /** All-pairs top-k near neighbors (a < b) by cosine — the
