@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.1.2", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // custom operators: grouped top-k (graft.plans.TopKPerKey)
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     e.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", "_FUNC_(a, b) - cosine similarity of two float vectors"),

@@ -52,9 +52,11 @@ final class VectorCatalog(spark: SparkSession, root: String) {
   def create(meta: IndexMeta): IndexMeta = {
     // names/metric/model become filesystem paths and hand-rolled JSON —
     // restrict to a safe charset rather than escape
-    val safe = "^[A-Za-z0-9][A-Za-z0-9._-]*$".r
+    // matches() (not findFirstIn with $): '$' would still match before a
+    // trailing newline, letting "name\n" corrupt paths + JSON
+    val safe = java.util.regex.Pattern.compile("[A-Za-z0-9][A-Za-z0-9._-]*")
     Seq(meta.name, meta.metric, meta.model).foreach { s =>
-      require(safe.findFirstIn(s).isDefined,
+      require(safe.matcher(s).matches(),
         s"index metadata field '$s' must match [A-Za-z0-9._-]+ (no path or quote chars)")
     }
     createValidated(meta)

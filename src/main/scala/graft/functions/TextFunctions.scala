@@ -30,8 +30,10 @@ object TextFunctions {
     * counts without a vocab — standard heuristic for data pipelines).
     */
   def approxBpeTokenCount(text: Column): Column =
+    // whitespace runs (space, tab, newline — trim() would only strip
+    // spaces) are separators, not tokens
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
-      t => trim(t) =!= ""))
+      t => !t.rlike("^\\s*$")))
 
   /** Ratio of alphabetic characters to all characters (double in [0,1]). */
   def alphaRatio(text: Column): Column =

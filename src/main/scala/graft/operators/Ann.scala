@@ -130,12 +130,16 @@ object AnnIvf {
     corpus.orderBy(col(idCol)).limit(nList)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centroid_vec"))
 
-  /** Deterministic Lloyd iterations: assign → per-cell element-wise mean
-    * (one [[graft.functions.VectorMeanAgg]] pass — a single array per
-    * cell crosses the shuffle) → renormalize as the new centroid.
-    * Fixed iteration count, deterministic seeding, no RNG — same
-    * centroids on every run/cluster. Only `nList × dim` doubles ever
-    * reach the driver per iteration.
+  /** Lloyd iterations with deterministic seeding and a fixed iteration
+    * count: assign → per-cell element-wise mean (one
+    * [[graft.functions.VectorMeanAgg]] pass — a single array per cell
+    * crosses the shuffle) → new centroid (cast to float; cells that end
+    * up empty drop out, shrinking the list). No RNG anywhere; note the
+    * mean's partial-buffer merge order can vary across cluster
+    * topologies, so centroids are deterministic up to floating-point
+    * merge order (bit-stable on a fixed local setup, last-ulp variation
+    * possible across clusters). Only `nList × dim` doubles ever reach
+    * the driver per iteration.
     */
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
@@ -145,13 +149,11 @@ object AnnIvf {
     var cents = centroids(corpus, idCol, vecCol, nList)
     for (_ <- 0 until iterations) {
       val assigned = assign(corpus, idCol, vecCol, cents)
-      val means = assigned
+      cents = assigned
         .groupBy(col("cell"))
         .agg(graft.functions.VectorMeanAgg.vectorMean(col(vecCol)).as("m"))
         .select(col("cell").as("centroid_id"),
           transform(col("m"), x => x.cast("float")).as("centroid_vec"))
-      // empty cells drop out; keep the id space stable by re-ranking
-      cents = means
     }
     cents
   }

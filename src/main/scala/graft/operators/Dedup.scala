@@ -76,10 +76,13 @@ object Dedup {
     * the wide row — no extra shuffle.
     */
   def lshBucketsWide(wide: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
-    val nBands = numHashes / rowsPerBand
+    // ceil, matching the narrow path: a remainder band is built from the
+    // leftover signature rows rather than silently dropped
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val bands = (0 until nBands).map { b =>
+      val hi = math.min((b + 1) * rowsPerBand, numHashes)
       md5(concat_ws("|",
-        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
+        (b * rowsPerBand until hi).map(r => col(s"mh$r")): _*))
     }
     wide.select(col("doc"),
       posexplode(array(bands: _*)).as(Seq("band", "bucket")))

@@ -115,6 +115,8 @@ object TopKPerKeyStrategy extends SparkStrategy {
 /** Column-level API. */
 object TopK {
 
+  private[plans] val registrationLock = new Object
+
   /** Top `k` rows per distinct value of `keyCols`, ranked by `orderBy`
     * (`(columnName, ascending)` pairs; later entries are tie-breaks —
     * give a unique tie-break for deterministic output). Computed sort
@@ -128,10 +130,16 @@ object TopK {
       k: Int
   ): DataFrame = {
     val spark = df.sparkSession
-    // idempotent strategy registration on this session
-    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(TopKPerKeyStrategy)) {
-      exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
+    // idempotent strategy registration on this session; synchronized —
+    // extraStrategies is a plain var and a concurrent read-modify-write
+    // from two query-building threads could drop a registration.
+    // (Sessions built with graft.GraftExtensions get the strategy
+    // injected up front and skip this path's mutation entirely.)
+    TopK.registrationLock.synchronized {
+      val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].experimental
+      if (!exp.extraStrategies.contains(TopKPerKeyStrategy)) {
+        exp.extraStrategies = exp.extraStrategies :+ TopKPerKeyStrategy
+      }
     }
     // resolve names against the analyzed child directly — Column-derived
     // expressions stay wrapped in unresolved ColumnNode form, which a

@@ -161,12 +161,12 @@ object Ingest {
     // Deterministic chunk ids, shaped like the reference's
     // doc_{i}_{md5[:8]} (ingest_documents.py:93-105) but collision-free
     // at scale: the reference enumerates i over ALL chunks globally
-    // (serial, anti-scale); we hash (source | chunk_index | text) so two
-    // documents sharing boilerplate at the same position cannot collide
-    // and silently lose chunks to the index's last-wins read.
+    // (serial, anti-scale); we hash (source | text) and keep 64 bits —
+    // 8 hex chars (32 bits) would hit birthday collisions around ~77K
+    // distinct chunks per chunk_index and silently drop real chunks.
     val withIds = embedded.withColumn("id",
       concat(lit("doc_"), col("chunk_index"), lit("_"),
-        substring(md5(concat_ws("|", col("source"), col("text"))), 1, 8)))
+        substring(md5(concat_ws("|", col("source"), col("text"))), 1, 16)))
       .dropDuplicates("id")
     val name  = catalog.resolveForDimension(indexBase, embedder.dimension)
     val index = VectorIndex.createOrConnect(spark, catalog,

@@ -52,7 +52,7 @@ object StreamingIngest {
           // same collision-free id scheme as the batch Ingest path
           val withIds = embedded.withColumn("id",
             concat(lit("doc_"), col("chunk_index"), lit("_"),
-              substring(md5(concat_ws("|", col("source"), col("text"))), 1, 8)))
+              substring(md5(concat_ws("|", col("source"), col("text"))), 1, 16)))
             .dropDuplicates("id")
           index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
           ()
@@ -80,31 +80,49 @@ object StreamingIngest {
     * `flatMapGroupsWithState` keeps one small state object per user and
     * emits a session row when the inactivity gap closes it. This is the
     * streaming twin of the batch q44_sessionize window query; state is
-    * O(active users), never O(events).
+    * O(users with an open session): an idle user's final session is
+    * flushed (and their state removed) by a processing-time timeout of
+    * `idleTimeoutMs`, so state does not grow with users-ever-seen.
+    *
+    * Late events: an event older than the session's high-water mark is
+    * folded into the current session without moving the mark backwards —
+    * a deliberately simple late policy (exact event-time sessionization
+    * would need watermark-held buffering).
     */
   def statefulSessions(
-      events: Dataset[UserEvent], gapUs: Long
+      events: Dataset[UserEvent], gapUs: Long,
+      idleTimeoutMs: Long = 60000L
   ): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
-          var st     = state.getOption.orNull
-          val closed = Seq.newBuilder[ClosedSession]
-          for (e <- sorted) {
-            if (st == null) st = SessionState(e.ts_us, e.ts_us, 1, e.value)
-            else if (e.ts_us - st.lastUs > gapUs) {
-              closed += ClosedSession(user, st.startUs, st.lastUs, st.n, st.total)
-              st = SessionState(e.ts_us, e.ts_us, 1, e.value)
-            } else {
-              st = SessionState(st.startUs, e.ts_us, st.n + 1, st.total + e.value)
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator(ClosedSession(user, st.startUs, st.lastUs, st.n, st.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.value))
+            var st     = state.getOption.orNull
+            val closed = Seq.newBuilder[ClosedSession]
+            for (e <- sorted) {
+              if (st == null) st = SessionState(e.ts_us, e.ts_us, 1, e.value)
+              else if (e.ts_us - st.lastUs > gapUs) {
+                closed += ClosedSession(user, st.startUs, st.lastUs, st.n, st.total)
+                st = SessionState(e.ts_us, e.ts_us, 1, e.value)
+              } else {
+                st = SessionState(st.startUs, math.max(st.lastUs, e.ts_us),
+                  st.n + 1, st.total + e.value)
+              }
             }
+            if (st != null) {
+              state.update(st)
+              state.setTimeoutDuration(idleTimeoutMs)
+            }
+            closed.result().iterator
           }
-          if (st != null) state.update(st)
-          closed.result().iterator
       }
   }
 }

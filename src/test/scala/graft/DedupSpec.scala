@@ -47,14 +47,16 @@ class DedupSpec extends GraftSpec {
     assert(byDoc.values.forall(_.size == 8))
   }
 
-  test("wide and narrow LSH bucket paths agree") {
-    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
-    val wide = Dedup.minhashWide(docs, "doc_id", "text", 8, 3)
-    val narrow = Dedup.lshBuckets(sigs, 2).collect()
-      .map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band")) -> r.getAs[String]("bucket")).toMap
-    val wideB = Dedup.lshBucketsWide(wide, 8, 2).collect()
-      .map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band")) -> r.getAs[String]("bucket")).toMap
-    assert(narrow == wideB)
+  test("wide and narrow LSH bucket paths agree (incl. remainder band)") {
+    for ((nh, rpb) <- Seq((8, 2), (9, 2), (7, 3))) {
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", nh, 3)
+      val wide = Dedup.minhashWide(docs, "doc_id", "text", nh, 3)
+      val narrow = Dedup.lshBuckets(sigs, rpb).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band")) -> r.getAs[String]("bucket")).toMap
+      val wideB = Dedup.lshBucketsWide(wide, nh, rpb).collect()
+        .map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band")) -> r.getAs[String]("bucket")).toMap
+      assert(narrow == wideB, s"numHashes=$nh rowsPerBand=$rpb")
+    }
   }
 
   test("LSH candidates include the duplicate pair with all bands matching") {

@@ -66,19 +66,51 @@ class StreamingSpec extends GraftSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
       .as[UserEvent]
+    // long idle timeout: only the in-data gap closes a session here;
+    // the idle flush is exercised separately below
     val sessions = graft.streaming.StreamingIngest
-      .statefulSessions(stream, gapUs = 10 * m)
+      .statefulSessions(stream, gapUs = 10 * m, idleTimeoutMs = 3600000L)
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("closed_sessions").start()
     try {
-      q.processAllAvailable()
-      val closed = spark.table("closed_sessions").as[ClosedSession].collect()
+      // with ProcessingTimeTimeout the engine keeps scheduling batches to
+      // evaluate timeouts, so processAllAvailable() never settles — poll
+      // the sink for the expected row instead
+      def closedRows() = spark.table("closed_sessions").as[ClosedSession].collect()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (closedRows().length < 1 && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      val closed = closedRows()
       // only user 1's first session has closed (gap exceeded);
       // open sessions remain in state, not emitted
-      assert(closed.length == 1)
+      assert(closed.length == 1, s"closed=${closed.toSeq}")
       val s = closed.head
       assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 3.0)
       assert(s.start_us == 0L && s.end_us == 2 * m)
+    } finally q.stop()
+  }
+
+  test("idle users' final sessions flush via the processing-time timeout") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
+    val dir = Files.createTempDirectory("graft-sess-idle").toString
+    val m   = 60L * 1000000L
+    Seq(UserEvent(7L, 0 * m, 1.0), UserEvent(7L, 1 * m, 2.0))
+      .toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/batch*")
+      .as[UserEvent]
+    val sessions = graft.streaming.StreamingIngest
+      .statefulSessions(stream, gapUs = 10 * m, idleTimeoutMs = 2000L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("idle_sessions").start()
+    try {
+      def rows() = spark.table("idle_sessions").as[ClosedSession].collect()
+      val deadline = System.nanoTime() + 90L * 1000000000L
+      while (rows().isEmpty && System.nanoTime() < deadline) Thread.sleep(250)
+      val closed = rows()
+      assert(closed.length == 1, "idle session should flush on timeout")
+      assert(closed.head.user_id == 7L && closed.head.n_events == 2)
     } finally q.stop()
   }
 
