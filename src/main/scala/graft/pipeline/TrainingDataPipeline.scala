@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import graft.catalog.{VectorCatalog, VectorIndex}
+import graft.embed.Embedder
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+import graft.rag.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The 100 TB training-data pipeline, composed end-to-end from the
+  * engine's operators: language filter → quality filter → exact dedup →
+  * (optional) near-dup pruning via MinHash/LSH → chunk → embed → vector
+  * index. Every stage is a narrow map or a keyed aggregation — nothing
+  * collects to the driver, and each stage's reduction shrinks the data
+  * before the next (filters before dedup, dedup before the expensive
+  * embed).
+  */
+object TrainingDataPipeline {
+
+  final case class Config(
+      languages: Set[String] = Set("en"),
+      minQuality: Double = 0.0,
+      minTokens: Int = 1,
+      nearDupBands: Int = 0, // 0 disables LSH near-dup pruning
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50
+  )
+
+  final case class StageCounts(
+      input: Long, afterFilters: Long, afterExactDedup: Long,
+      afterNearDedup: Long, indexed: Long)
+
+  /** Run the pipeline over a `(text, source)` corpus into `indexBase`.
+    * Returns the index plus per-stage row counts (the observability a
+    * data pipeline needs: silent row loss is the classic failure mode).
+    */
+  def run(
+      spark: SparkSession,
+      catalog: VectorCatalog,
+      corpus: DataFrame,
+      indexBase: String,
+      embedder: Embedder,
+      cfg: Config = Config()
+  ): (VectorIndex, StageCounts) = {
+    val input = corpus.count()
+
+    // 1. cheap codegen'd filters first — they prune before anything
+    //    expensive runs, and Catalyst pushes them toward the scan
+    val filtered = corpus
+      .filter(tokenCount(col("text")) >= cfg.minTokens)
+      .filter(langId(col("text")).isin(cfg.languages.toSeq: _*))
+      .filter(qualityScore(col("text")) >= cfg.minQuality)
+    val nFiltered = filtered.count()
+
+    // 2. exact dedup: keep the first (min source) row per content hash
+    val exact = filtered
+      .withColumn("_h", md5(col("text")))
+      .withColumn("_rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("_h").orderBy("source")))
+      .filter(col("_rn") === 1)
+      .drop("_h", "_rn")
+    val nExact = exact.count()
+
+    // 3. optional near-dup pruning: LSH candidates above half the bands
+    //    drop the lexicographically-later doc of each pair
+    val deduped =
+      if (cfg.nearDupBands <= 0) exact
+      else {
+        val keyed = exact.withColumn("_doc_key",
+          md5(concat_ws("|", col("source"), col("text"))))
+        val wide = Dedup.minhashWide(keyed, "_doc_key", "text",
+          numHashes = cfg.nearDupBands * 2, shingleN = 3)
+        val pairs = Dedup.lshCandidatePairs(
+          Dedup.lshBucketsWide(wide, cfg.nearDupBands * 2, 2))
+          .filter(col("n_bands") * 2 >= cfg.nearDupBands)
+        val losers = pairs.select(col("doc_b").as("_doc_key")).distinct()
+        keyed.join(losers, Seq("_doc_key"), "left_anti").drop("_doc_key")
+      }
+    val nNear = deduped.count()
+
+    // 4. chunk + embed + index (Ingest handles ids + upsert)
+    val index   = Ingest.ingestDf(spark, catalog, deduped, indexBase, embedder,
+      cfg.chunkSize, cfg.chunkOverlap)
+    val indexed = index.stats.totalVectorCount
+
+    (index, StageCounts(input, nFiltered, nExact, nNear, indexed))
+  }
+}
