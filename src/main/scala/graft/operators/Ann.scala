@@ -174,6 +174,23 @@ object AnnIvf {
       .withColumnRenamed("centroid_id", "cell")
   }
 
+  /** Persist an assigned corpus partitioned by IVF cell — the probe-side
+    * twin of [[AnnLsh.writeBucketPartitioned]]: a query reads only its
+    * `nProbe` cells' partition directories.
+    */
+  def writeCellPartitioned(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Approximate top-k against a cell-partitioned store (partition
+    * pruning on the cell predicate).
+    */
+  def topKApproxFromStore(
+      spark: SparkSession, path: String, cents: DataFrame,
+      idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int, nProbe: Int
+  ): DataFrame =
+    topKApprox(spark.read.parquet(path), cents, idCol, vecCol, queryVec, k, nProbe)
+
   /** Approximate top-k: rank centroids for the query, exact-search only
     * the best `nProbe` cells.
     */

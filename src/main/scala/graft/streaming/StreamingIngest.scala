@@ -70,6 +70,19 @@ object StreamingIngest {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
+  /** Streaming exact dedup: drop events whose `dedupCols` were already
+    * seen, with the dedup state bounded by a watermark (events older
+    * than the watermark can be forgotten — without it, state grows
+    * unboundedly). The streaming twin of the batch exact-dedup operator.
+    */
+  def dedupStream(
+      events: DataFrame, tsCol: String, watermarkDelay: String,
+      dedupCols: Seq[String]
+  ): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(dedupCols :+ tsCol)
+
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class ClosedSession(

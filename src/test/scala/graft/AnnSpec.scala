@@ -100,6 +100,21 @@ class AnnSpec extends GraftSpec {
       direct.map(_.getAs[Long]("vec_id")).toSeq)
   }
 
+  test("IVF cell-partitioned store prunes partitions and matches direct probe") {
+    val cents    = AnnIvf.centroids(emb, "vec_id", "embedding", 16)
+    val assigned = AnnIvf.assign(emb, "vec_id", "embedding", cents)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-store").toString
+    AnnIvf.writeCellPartitioned(assigned, path)
+    val fromStore = AnnIvf.topKApproxFromStore(spark, path, cents,
+      "vec_id", "embedding", qvec, 10, nProbe = 4)
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("cell")), s"no pruning:\n$plan")
+    val direct = AnnIvf.topKApprox(assigned, cents, "vec_id", "embedding",
+      qvec, 10, nProbe = 4).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(fromStore.collect().map(_.getAs[Long]("vec_id")).toSeq == direct)
+  }
+
   test("higher probe budget improves or preserves LSH recall") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
     try {

@@ -114,6 +114,32 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("watermarked streaming dedup drops re-delivered events") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, offsetS: Int) =
+      (id, new java.sql.Timestamp(base.getTime + offsetS * 1000L), s"e$id")
+    // batch2 re-delivers event 1 (same id+ts) and adds event 3
+    Seq(ev(1, 0), ev(2, 10)).toDF("event_id", "ts", "payload")
+      .coalesce(1).write.parquet(s"$dir/batch1")
+    Seq(ev(1, 0), ev(3, 20)).toDF("event_id", "ts", "payload")
+      .coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+    val deduped = graft.streaming.StreamingIngest
+      .dedupStream(stream, "ts", "10 minutes", Seq("event_id"))
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("deduped_events").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("deduped_events")
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an events stream") {
     val dir = Files.createTempDirectory("graft-events").toString
     Tables.events(spark, sfDir).limit(500)
