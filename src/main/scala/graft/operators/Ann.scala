@@ -182,14 +182,21 @@ object AnnIvf {
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Approximate top-k against a cell-partitioned store (partition
-    * pruning on the cell predicate).
+    * pruning on the cell predicate). Note: partition-column inference
+    * reads `cell` back as an INT in last column position — we restore
+    * the LONG type here; callers unioning a store read with fresh
+    * `assign` output should align columns by name (`unionByName`), not
+    * position.
     */
   def topKApproxFromStore(
       spark: SparkSession, path: String, cents: DataFrame,
       idCol: String, vecCol: String,
       queryVec: Seq[Float], k: Int, nProbe: Int
-  ): DataFrame =
-    topKApprox(spark.read.parquet(path), cents, idCol, vecCol, queryVec, k, nProbe)
+  ): DataFrame = {
+    val stored = spark.read.parquet(path)
+      .withColumn("cell", col("cell").cast("long"))
+    topKApprox(stored, cents, idCol, vecCol, queryVec, k, nProbe)
+  }
 
   /** Approximate top-k: rank centroids for the query, exact-search only
     * the best `nProbe` cells.

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   * index. Every stage is a narrow map or a keyed aggregation — nothing
   * collects to the driver, and each stage's reduction shrinks the data
   * before the next (filters before dedup, dedup before the expensive
-  * embed).
+  * embed). Stage outputs are persisted while counted + consumed, so the
+  * per-stage observability counts don't re-run the lineage.
   */
 object TrainingDataPipeline {
 
@@ -34,6 +35,8 @@ object TrainingDataPipeline {
   /** Run the pipeline over a `(text, source)` corpus into `indexBase`.
     * Returns the index plus per-stage row counts (the observability a
     * data pipeline needs: silent row loss is the classic failure mode).
+    * `indexed` is THIS run's contribution to the index, not the catalog
+    * total.
     */
   def run(
       spark: SparkSession,
@@ -46,45 +49,72 @@ object TrainingDataPipeline {
     val input = corpus.count()
 
     // 1. cheap codegen'd filters first — they prune before anything
-    //    expensive runs, and Catalyst pushes them toward the scan
+    //    expensive runs, and Catalyst pushes them toward the scan.
+    //    Blank guard is explicit: tokenCount("") is 1 (split of "" is
+    //    [""]), so minTokens alone can't reject whitespace-only docs.
     val filtered = corpus
+      .filter(trim(col("text")) =!= "")
       .filter(tokenCount(col("text")) >= cfg.minTokens)
       .filter(langId(col("text")).isin(cfg.languages.toSeq: _*))
       .filter(qualityScore(col("text")) >= cfg.minQuality)
-    val nFiltered = filtered.count()
+      .persist()
+    try {
+      val nFiltered = filtered.count()
 
-    // 2. exact dedup: keep the first (min source) row per content hash
-    val exact = filtered
-      .withColumn("_h", md5(col("text")))
-      .withColumn("_rn",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy("_h").orderBy("source")))
-      .filter(col("_rn") === 1)
-      .drop("_h", "_rn")
-    val nExact = exact.count()
+      // 2. exact dedup via the tested operator (Dedup.exactGroups, the
+      //    same path the oracle checks): keep the min-source row per
+      //    content hash, then collapse byte-identical rows within that
+      //    source.
+      val groups = Dedup.exactGroups(filtered, "source", "text")
+      val exact = filtered
+        .join(groups,
+          md5(col("text")) === col("h") && col("source") === col("keep_id"))
+        .drop("h", "keep_id", "n_dups")
+        .dropDuplicates("text")
+        .persist()
+      try {
+        val nExact = exact.count()
 
-    // 3. optional near-dup pruning: LSH candidates above half the bands
-    //    drop the lexicographically-later doc of each pair
-    val deduped =
-      if (cfg.nearDupBands <= 0) exact
-      else {
-        val keyed = exact.withColumn("_doc_key",
-          md5(concat_ws("|", col("source"), col("text"))))
-        val wide = Dedup.minhashWide(keyed, "_doc_key", "text",
-          numHashes = cfg.nearDupBands * 2, shingleN = 3)
-        val pairs = Dedup.lshCandidatePairs(
-          Dedup.lshBucketsWide(wide, cfg.nearDupBands * 2, 2))
-          .filter(col("n_bands") * 2 >= cfg.nearDupBands)
-        val losers = pairs.select(col("doc_b").as("_doc_key")).distinct()
-        keyed.join(losers, Seq("_doc_key"), "left_anti").drop("_doc_key")
+        // 3. optional near-dup pruning: LSH candidates above half the
+        //    bands drop the lexicographically-later doc of each pair
+        val deduped =
+          if (cfg.nearDupBands <= 0) exact
+          else {
+            val keyed = exact.withColumn("_doc_key",
+              md5(concat_ws("|", col("source"), col("text"))))
+            val wide = Dedup.minhashWide(keyed, "_doc_key", "text",
+              numHashes = cfg.nearDupBands * 2, shingleN = 3)
+            val pairs = Dedup.lshCandidatePairs(
+              Dedup.lshBucketsWide(wide, cfg.nearDupBands * 2, 2))
+              .filter(col("n_bands") * 2 >= cfg.nearDupBands)
+            val losers = pairs.select(col("doc_b").as("_doc_key")).distinct()
+            keyed.join(losers, Seq("_doc_key"), "left_anti").drop("_doc_key")
+              .persist()
+          }
+        try {
+          val nNear = deduped.count()
+
+          // 4. chunk + embed + index (Ingest handles ids + upsert).
+          //    `indexed` = before/after diff on the RESOLVED index name —
+          //    the catalog total would hide silent row loss when
+          //    upserting into a pre-existing index.
+          val resolved = catalog.resolveForDimension(indexBase, embedder.dimension)
+          val before = catalog.stats(resolved).map(_.totalVectorCount).getOrElse(0L)
+          val index = Ingest.ingestDf(spark, catalog, deduped, indexBase,
+            embedder, cfg.chunkSize, cfg.chunkOverlap)
+          val indexed = index.stats.totalVectorCount - before
+          (index, StageCounts(input, nFiltered, nExact, nNear, indexed))
+        } finally {
+          if (deduped ne exact) deduped.unpersist()
+          ()
+        }
+      } finally {
+        exact.unpersist()
+        ()
       }
-    val nNear = deduped.count()
-
-    // 4. chunk + embed + index (Ingest handles ids + upsert)
-    val index   = Ingest.ingestDf(spark, catalog, deduped, indexBase, embedder,
-      cfg.chunkSize, cfg.chunkOverlap)
-    val indexed = index.stats.totalVectorCount
-
-    (index, StageCounts(input, nFiltered, nExact, nNear, indexed))
+    } finally {
+      filtered.unpersist()
+      ()
+    }
   }
 }

@@ -71,9 +71,10 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
 
   /** Streaming exact dedup: drop events whose `dedupCols` were already
-    * seen, with the dedup state bounded by a watermark (events older
-    * than the watermark can be forgotten — without it, state grows
-    * unboundedly). The streaming twin of the batch exact-dedup operator.
+    * seen within the watermark horizon — `dropDuplicatesWithinWatermark`
+    * keys on the dedup columns ONLY (a re-delivery with a jittered
+    * timestamp is still dropped) while the watermark bounds state.
+    * The streaming twin of the batch exact-dedup operator.
     */
   def dedupStream(
       events: DataFrame, tsCol: String, watermarkDelay: String,
@@ -81,7 +82,7 @@ object StreamingIngest {
   ): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(dedupCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(dedupCols)
 
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)

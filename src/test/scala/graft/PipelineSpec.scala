@@ -34,6 +34,13 @@ class PipelineSpec extends GraftSpec {
     val rows = index.read.collect()
     assert(rows.map(_.getAs[String]("source")).toSet == Set("s1", "s5"))
     assert(rows.forall(_.getAs[scala.collection.Seq[Float]]("embedding").length == 32))
+
+    // idempotent re-run: same corpus upserts the same ids, so THIS run's
+    // indexed contribution is 0 (catalog total would have hidden this)
+    val (_, counts2) = TrainingDataPipeline.run(
+      spark, catalog, corpus, "pipe-idx", embedder,
+      TrainingDataPipeline.Config(languages = Set("en"), minTokens = 5))
+    assert(counts2.indexed == 0, s"re-run counts: $counts2")
   }
 
   test("near-dup pruning stage drops LSH-colliding docs") {

@@ -120,10 +120,11 @@ class StreamingSpec extends GraftSpec {
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ev(id: Long, offsetS: Int) =
       (id, new java.sql.Timestamp(base.getTime + offsetS * 1000L), s"e$id")
-    // batch2 re-delivers event 1 (same id+ts) and adds event 3
+    // batch2 re-delivers event 1 with a JITTERED timestamp (the
+    // at-least-once retry case) and adds event 3
     Seq(ev(1, 0), ev(2, 10)).toDF("event_id", "ts", "payload")
       .coalesce(1).write.parquet(s"$dir/batch1")
-    Seq(ev(1, 0), ev(3, 20)).toDF("event_id", "ts", "payload")
+    Seq(ev(1, 3), ev(3, 20)).toDF("event_id", "ts", "payload")
       .coalesce(1).write.parquet(s"$dir/batch2")
     val schema = spark.read.parquet(s"$dir/batch1").schema
     val stream = spark.readStream.schema(schema)
