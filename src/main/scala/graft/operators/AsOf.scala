@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join: for each left row, the most recent right
+  * row with the same key and `rightTs <= leftTs` — the lookup behind
+  * feature backfills ("customer's latest order state at event time")
+  * where a plain join would leak the future.
+  *
+  * Implementation is the scalable union trick, NOT a per-left-row
+  * aggregation: tag both sides, union, and run one `last(_, ignoreNulls)`
+  * window per key ordered by (ts, side) with right rows sorting before
+  * left rows on equal timestamps (<= semantics). Exactly one shuffle on
+  * the key, no row fanout, no re-scan per probe — the formulation that
+  * survives 100 TB on both sides. Ties among right rows at the same
+  * timestamp resolve to the largest `valueCol` (deterministic).
+  */
+object AsOf {
+
+  /** Returns `left` with `valueCol` = the as-of value from `right`
+    * (null when no right row precedes the left row).
+    *
+    * @param left      probe side; must contain `keyCol` + `leftTsCol`
+    * @param right     reference side; must contain `keyCol` + `rightTsCol` + `valueCol`
+    */
+  def lastValueBefore(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCol: String
+  ): DataFrame = {
+    val l = left
+      .withColumn("_ts", col(leftTsCol))
+      .withColumn("_side", lit(1))
+      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      col(keyCol),
+      col(rightTsCol).as("_ts"),
+      lit(0).as("_side"),
+      col(valueCol).as("_v"))
+
+    val leftCols = left.columns
+    val unioned = l.select(
+      (leftCols.map(col) :+ col("_ts") :+ col("_side") :+ col("_v")): _*)
+      .unionByName(
+        r.select(
+          (leftCols.map(c =>
+            if (c == keyCol) col(keyCol) else lit(null).cast(left.schema(c).dataType).as(c))
+            :+ col("_ts") :+ col("_side") :+ col("_v")): _*))
+
+    // right rows sort before left rows at the same ts (<= semantics);
+    // among same-ts right rows the largest value wins (deterministic)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col("_ts"), col("_side"), col("_v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(valueCol, last(col("_v"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_ts", "_side", "_v")
+  }
+}

@@ -136,6 +136,23 @@ object PipelineQueries {
       graft.rag.RagChain.flagship(s, d)
     },
 
+    // As-of (point-in-time) join: each event picks up the price of the
+    // customer's most recent order at event time (union+window
+    // formulation — one shuffle, no fanout; oracle uses DuckDB's native
+    // ASOF JOIN). Right side pre-aggregated per (key, ts) so tie
+    // resolution matches across engines.
+    "q46_asof_last_order" -> { (s, d) =>
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+      val ord = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+        .agg(round(max("o_totalprice"), 2).as("last_order_price"))
+      graft.operators.AsOf.lastValueBefore(ev, ord,
+          keyCol = "user_id", leftTsCol = "ts",
+          rightTsCol = "o_orderdate", valueCol = "last_order_price")
+        .select("event_id", "user_id", "last_order_price")
+        .orderBy("event_id")
+    },
+
     // Semi-structured extraction: JSON props → typed column + agg.
     "q45_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -205,6 +222,17 @@ object PipelineQueries {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q46_asof_last_order" ->
+      """WITH ord AS (
+        |  SELECT o_custkey AS user_id, o_orderdate,
+        |         round(max(o_totalprice), 2) AS last_order_price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.last_order_price
+        |FROM events e
+        |ASOF LEFT JOIN ord o
+        |  ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "q45_json_extract" ->
       """SELECT event_type,

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.AsOf
+import org.apache.spark.sql.functions._
+
+class AsOfSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("as-of picks the latest right value at or before each left ts") {
+    val left = Seq(
+      (1L, "k1", 100L), (2L, "k1", 250L), (3L, "k1", 50L),
+      (4L, "k2", 100L), (5L, "k3", 100L)
+    ).toDF("id", "key", "ts")
+    val right = Seq(
+      ("k1", 100L, 10.0), // equal ts counts (<= semantics)
+      ("k1", 200L, 20.0),
+      ("k1", 300L, 30.0), // after every left row for k1 → never picked
+      ("k2", 90L, 99.0)
+      // k3 has no reference rows → null
+    ).toDF("key", "rts", "v")
+
+    val out = AsOf.lastValueBefore(left, right, "key", "ts", "rts", "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[Any]("v")).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).contains(10.0)) // ts=100 → right@100 (inclusive)
+    assert(out(2L).contains(20.0)) // ts=250 → right@200
+    assert(out(3L).isEmpty)        // ts=50 → nothing at or before
+    assert(out(4L).contains(99.0))
+    assert(out(5L).isEmpty)        // no right rows for key
+  }
+
+  test("matches the naive per-row aggregation formulation on real data") {
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+      .limit(300)
+    val ord = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate"))
+      .agg(max("o_totalprice").as("price"))
+    val fast = AsOf.lastValueBefore(ev, ord, "user_id", "ts", "o_orderdate", "price")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("price"))).toMap
+
+    // naive: join all earlier orders, keep the latest per event
+    val naive = ev.join(ord, Seq("user_id"), "left")
+      .filter(col("o_orderdate").isNull || col("o_orderdate") <= col("ts"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+          .orderBy(col("o_orderdate").desc_nulls_last)))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("price"))).toMap
+
+    assert(fast.keySet == naive.keySet)
+    val diffs = fast.keySet.filter(k => fast(k) != naive(k))
+    assert(diffs.isEmpty, s"mismatched events: ${diffs.take(5)}")
+  }
+
+  test("plan: one shuffle on the key, no join fanout") {
+    val left  = Seq((1L, "k", 10L)).toDF("id", "key", "ts")
+    val right = Seq(("k", 5L, 1.0)).toDF("key", "rts", "v")
+    val plan = AsOf.lastValueBefore(left, right, "key", "ts", "rts", "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+}
