@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Range (interval) self-join: pairs of rows with the same key whose
+  * numeric/timestamp distance is within a tolerance. A naive inequality
+  * join plans as a cartesian/broadcast-nested-loop; bucketizing the
+  * range dimension turns it into an equi-join on (key, bucket) with the
+  * right side exploded to its three candidate buckets — each qualifying
+  * pair matches exactly once (buckets of in-tolerance rows differ by at
+  * most 1), so no dedup pass is needed. One hash shuffle, AQE-skew-safe.
+  */
+object RangeJoin {
+
+  /** Pairs `(id_a < id_b)` sharing `keyCol` with
+    * `|tsA - tsB| <= toleranceUs` (`tsCol` must be a long, e.g.
+    * microseconds). Returns (keyCol, id_a, id_b, gap_us).
+    */
+  def pairsWithinTolerance(
+      df: DataFrame,
+      keyCol: String,
+      idCol: String,
+      tsCol: String,
+      toleranceUs: Long
+  ): DataFrame = {
+    require(toleranceUs > 0, "tolerance must be positive")
+    val a = df.select(
+      col(keyCol),
+      col(idCol).as("id_a"),
+      col(tsCol).as("ts_a"),
+      floor(col(tsCol) / toleranceUs).as("bucket"))
+    val b = df.select(
+        col(keyCol).as("_k"),
+        col(idCol).as("id_b"),
+        col(tsCol).as("ts_b"),
+        floor(col(tsCol) / toleranceUs).as("_bb"))
+      .withColumn("bucket",
+        explode(array(col("_bb") - 1, col("_bb"), col("_bb") + 1)))
+      .drop("_bb")
+    a.join(b, a(keyCol) === b("_k") && a("bucket") === b("bucket"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("ts_a") - col("ts_b")) <= toleranceUs)
+      .select(col(keyCol), col("id_a"), col("id_b"),
+        abs(col("ts_a") - col("ts_b")).as("gap_us"))
+  }
+}

@@ -153,6 +153,19 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // Range (interval) self-join via bucketization: events of the same
+    // user within 60s of each other — per-user pair counts + min gap.
+    "q47_event_pairs_60s" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.operators.RangeJoin.pairsWithinTolerance(
+          ev, "user_id", "event_id", "ts_us", toleranceUs = 60L * 1000000L)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), min("gap_us").as("min_gap_us"))
+        .orderBy("user_id")
+    },
+
     // Semi-structured extraction: JSON props → typed column + agg.
     "q45_json_extract" -> { (s, d) =>
       Tables.events(s, d)
@@ -222,6 +235,16 @@ object PipelineQueries {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q47_event_pairs_60s" ->
+      """SELECT a.user_id, count(*) AS n_pairs,
+        |  min(abs(epoch_us(a.ts) - epoch_us(b.ts))) AS min_gap_us
+        |FROM events a
+        |JOIN events b ON a.user_id = b.user_id
+        |             AND a.event_id < b.event_id
+        |             AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 60 * 1000000
+        |GROUP BY a.user_id
+        |ORDER BY a.user_id""".stripMargin,
 
     "q46_asof_last_order" ->
       """WITH ord AS (

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.RangeJoin
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("bucketized range join finds exactly the in-tolerance pairs") {
+    val df = Seq(
+      // key, id, ts — tolerance will be 10
+      ("k", 1L, 100L), ("k", 2L, 105L), ("k", 3L, 110L), ("k", 4L, 130L),
+      ("j", 5L, 100L), ("j", 6L, 250L)
+    ).toDF("key", "id", "ts")
+    val pairs = RangeJoin.pairsWithinTolerance(df, "key", "id", "ts", 10L)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Long]("gap_us")))
+      .toSet
+    // (1,2):5, (2,3):5, (1,3):10 inclusive; 4 is 20 away from 3; j has none
+    assert(pairs == Set((1L, 2L, 5L), (2L, 3L, 5L), (1L, 3L, 10L)))
+  }
+
+  test("matches the naive inequality join on real events") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .limit(500)
+    val tol = 120L * 1000000L
+    val fast = RangeJoin.pairsWithinTolerance(ev, "user_id", "event_id", "ts_us", tol)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = ev.select(col("user_id"), col("event_id").as("ia"), col("ts_us").as("ta"))
+    val b = ev.select(col("user_id").as("_u"), col("event_id").as("ib"), col("ts_us").as("tb"))
+    val naive = a.join(b, col("user_id") === col("_u") && col("ia") < col("ib") &&
+        abs(col("ta") - col("tb")) <= tol)
+      .select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast == naive, s"missing=${(naive -- fast).take(5)} extra=${(fast -- naive).take(5)}")
+    assert(fast.nonEmpty)
+  }
+
+  test("plans an equi-join (hash/merge), not a nested-loop cartesian") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val plan = RangeJoin.pairsWithinTolerance(ev, "user_id", "event_id", "ts_us", 1000000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join degenerated to nested loop:\n$plan")
+  }
+}
