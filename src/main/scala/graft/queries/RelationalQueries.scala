@@ -183,6 +183,19 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Explicit grouping sets (finer control than rollup: the two
+    // single-dimension marginals without the grand total).
+    "q0F_grouping_sets" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+          |  coalesce(o_orderpriority, 'ALL') AS priority,
+          |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+          |ORDER BY status, priority""".stripMargin)
+    },
+
     // Set operations: nations having customers vs suppliers.
     "q0A_nation_setops" -> { (s, d) =>
       val cn = Tables.customer(s, d).select(col("c_nationkey").as("n")).distinct()
@@ -319,6 +332,14 @@ object RelationalQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q0F_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY status, priority""".stripMargin,
 
     "q0A_nation_setops" ->

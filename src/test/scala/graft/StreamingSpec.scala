@@ -141,6 +141,29 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches a stream with a dimension table") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    Tables.events(spark, sfDir).limit(200)
+      .select("event_id", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val schema   = spark.read.parquet(dir).schema
+    val stream   = spark.readStream.schema(schema).parquet(dir)
+    val customer = Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val enriched = stream.join(customer, Seq("user_id"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"))
+    val q = enriched.writeStream.outputMode("complete")
+      .format("memory").queryName("enriched_events").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("enriched_events")
+      assert(out.agg(sum("n")).head().getLong(0) == 200)
+      // joined rows carry real segments (user ids overlap custkeys)
+      assert(out.filter(col("c_mktsegment").isNotNull).count() > 0)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over an events stream") {
     val dir = Files.createTempDirectory("graft-events").toString
     Tables.events(spark, sfDir).limit(500)
