@@ -33,15 +33,27 @@ object AsOf {
       rightTsCol: String,
       valueCol: String
   ): DataFrame = {
+    Seq("_ts", "_side", "_v").foreach { c =>
+      require(!left.columns.contains(c),
+        s"left input may not contain the reserved working column '$c'")
+    }
     val l = left
       .withColumn("_ts", col(leftTsCol))
       .withColumn("_side", lit(1))
-      .withColumn("_v", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(
-      col(keyCol),
-      col(rightTsCol).as("_ts"),
-      lit(0).as("_side"),
-      col(valueCol).as("_v"))
+      .withColumn("_v",
+        lit(null).cast(s"struct<v:${right.schema(valueCol).dataType.sql}>"))
+    // join-equality semantics: right rows with a null key or null
+    // timestamp can never match (as in SQL ASOF JOIN), so drop them
+    val r = right
+      .filter(col(keyCol).isNotNull && col(rightTsCol).isNotNull)
+      .select(
+        col(keyCol),
+        col(rightTsCol).as("_ts"),
+        lit(0).as("_side"),
+        // wrap the value in a struct so a matched-but-null value is
+        // distinguishable from "no preceding right row": the struct is
+        // never null for right rows, its field may be
+        struct(col(valueCol).as("v")).as("_v"))
 
     val leftCols = left.columns
     val unioned = l.select(
@@ -58,7 +70,8 @@ object AsOf {
       .orderBy(col("_ts"), col("_side"), col("_v"))
       .rowsBetween(Window.unboundedPreceding, 0)
     unioned
-      .withColumn(valueCol, last(col("_v"), ignoreNulls = true).over(w))
+      .withColumn(valueCol,
+        last(col("_v"), ignoreNulls = true).over(w).getField("v"))
       .filter(col("_side") === 1)
       .drop("_ts", "_side", "_v")
   }

@@ -25,16 +25,24 @@ object RangeJoin {
       toleranceUs: Long
   ): DataFrame = {
     require(toleranceUs > 0, "tolerance must be positive")
+    Seq("id_a", "id_b", "ts_a", "ts_b", "bucket", "_k", "_bb", "gap_us")
+      .foreach { c =>
+        require(!df.columns.contains(c),
+          s"input may not contain the reserved working column '$c'")
+      }
+    // integer division: floor(col / lit) promotes to double and loses
+    // exactness for ts magnitudes beyond 2^53 (e.g. nanosecond epochs)
+    val bucketOf = expr(s"`$tsCol` div ${toleranceUs}L")
     val a = df.select(
       col(keyCol),
       col(idCol).as("id_a"),
       col(tsCol).as("ts_a"),
-      floor(col(tsCol) / toleranceUs).as("bucket"))
+      bucketOf.as("bucket"))
     val b = df.select(
         col(keyCol).as("_k"),
         col(idCol).as("id_b"),
         col(tsCol).as("ts_b"),
-        floor(col(tsCol) / toleranceUs).as("_bb"))
+        bucketOf.as("_bb"))
       .withColumn("bucket",
         explode(array(col("_bb") - 1, col("_bb"), col("_bb") + 1)))
       .drop("_bb")

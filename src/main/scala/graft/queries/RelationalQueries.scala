@@ -184,16 +184,20 @@ object RelationalQueries {
     },
 
     // Explicit grouping sets (finer control than rollup: the two
-    // single-dimension marginals without the grand total).
+    // single-dimension marginals without the grand total). Pure
+    // DataFrame API — no temp-view side effects on the shared session.
     "q0F_grouping_sets" -> { (s, d) =>
-      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
-      s.sql(
-        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
-          |  coalesce(o_orderpriority, 'ALL') AS priority,
-          |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
-          |FROM orders_gs
-          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-          |ORDER BY status, priority""".stripMargin)
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority")
     },
 
     // Set operations: nations having customers vs suppliers.

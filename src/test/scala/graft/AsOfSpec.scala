@@ -9,14 +9,18 @@ class AsOfSpec extends GraftSpec {
   test("as-of picks the latest right value at or before each left ts") {
     val left = Seq(
       (1L, "k1", 100L), (2L, "k1", 250L), (3L, "k1", 50L),
-      (4L, "k2", 100L), (5L, "k3", 100L)
+      (4L, "k2", 100L), (5L, "k3", 100L), (6L, "k4", 150L)
     ).toDF("id", "key", "ts")
     val right = Seq(
-      ("k1", 100L, 10.0), // equal ts counts (<= semantics)
-      ("k1", 200L, 20.0),
-      ("k1", 300L, 30.0), // after every left row for k1 → never picked
-      ("k2", 90L, 99.0)
+      ("k1", Some(100L), Some(10.0)), // equal ts counts (<= semantics)
+      ("k1", Some(200L), Some(20.0)),
+      ("k1", Some(300L), Some(30.0)), // after every left row → never picked
+      ("k1", None, Some(99.0)),       // null ts can never match (join semantics)
+      ("k2", Some(90L), Some(99.0)),
       // k3 has no reference rows → null
+      ("k4", Some(50L), Some(7.0)),
+      ("k4", Some(100L), None)        // matched row with a NULL value must
+                                      // win over the stale 7.0, not be skipped
     ).toDF("key", "rts", "v")
 
     val out = AsOf.lastValueBefore(left, right, "key", "ts", "rts", "v")
@@ -27,6 +31,8 @@ class AsOfSpec extends GraftSpec {
     assert(out(3L).isEmpty)        // ts=50 → nothing at or before
     assert(out(4L).contains(99.0))
     assert(out(5L).isEmpty)        // no right rows for key
+    assert(out(6L).isEmpty)        // latest match has a null VALUE: the
+                                   // null wins; stale 7.0 must not leak
   }
 
   test("matches the naive per-row aggregation formulation on real data") {
@@ -39,15 +45,20 @@ class AsOfSpec extends GraftSpec {
       .collect().map(r => r.getAs[Long]("event_id") ->
         Option(r.getAs[Any]("price"))).toMap
 
-    // naive: join all earlier orders, keep the latest per event
+    // naive: left-join ALL orders, null out future ones, keep the latest
+    // qualifying row per event — keeps events whose user has only
+    // future orders (a time-filter join would silently drop them)
     val naive = ev.join(ord, Seq("user_id"), "left")
-      .filter(col("o_orderdate").isNull || col("o_orderdate") <= col("ts"))
+      .withColumn("qdate",
+        when(col("o_orderdate") <= col("ts"), col("o_orderdate")))
+      .withColumn("qprice",
+        when(col("o_orderdate") <= col("ts"), col("price")))
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("event_id")
-          .orderBy(col("o_orderdate").desc_nulls_last)))
+          .orderBy(col("qdate").desc_nulls_last)))
       .filter(col("rn") === 1)
       .collect().map(r => r.getAs[Long]("event_id") ->
-        Option(r.getAs[Any]("price"))).toMap
+        Option(r.getAs[Any]("qprice"))).toMap
 
     assert(fast.keySet == naive.keySet)
     val diffs = fast.keySet.filter(k => fast(k) != naive(k))
