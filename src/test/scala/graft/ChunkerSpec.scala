@@ -70,6 +70,20 @@ class ChunkerSpec extends GraftSpec {
     }
   }
 
+  test("hand-traced golden: mixed paragraph/word splitting with overlap") {
+    // traced step-by-step through the documented algorithm (separator
+    // priority, keep-separator prefixes, 10-char overlap re-seed)
+    val text =
+      "Para one has some words.\n\nSecond paragraph is slightly longer than one.\n\nShort."
+    val out = new Chunker(40, 10).split(text)
+    assert(out == Seq(
+      "Para one has some words.",
+      "Second paragraph is slightly longer",
+      "longer than one.",
+      "Short."
+    ), out)
+  }
+
   test("reference sample corpus chunks within bounds at 500/50") {
     val refDir = java.nio.file.Paths.get("/root/reference/data/sample_docs")
     assume(java.nio.file.Files.isDirectory(refDir), "reference corpus not present")

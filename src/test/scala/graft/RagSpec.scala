@@ -142,6 +142,21 @@ class RagSpec extends GraftSpec {
       s"sources: ${r.sources}")
   }
 
+  test("paraphrase robustness: rephrasings retrieve overlapping sources") {
+    // demo.ipynb cell 30's check, deterministic form: paraphrases of the
+    // same question should agree on at least one retrieved source
+    val paraphrases = Seq(
+      "What was the total revenue in Q1 2024?",
+      "How much revenue did the company make in the first quarter of 2024?",
+      "Q1 2024 total revenue figure?"
+    )
+    val sourceSets = paraphrases.map(q => rag.invoke(q, topK = 3).sources.toSet)
+    sourceSets.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.intersect(b).nonEmpty, s"no overlap between $a and $b")
+    case _ => ()
+    }
+  }
+
   test("truncation caps retrieved text at 200 chars + ellipsis") {
     val longDir = Files.createTempDirectory("graft-long")
     Files.writeString(longDir.resolve("long.txt"),
