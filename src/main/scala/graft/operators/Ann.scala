@@ -32,7 +32,8 @@ object AnnLsh {
     require(nPlanes >= 1 && nPlanes <= 64,
       s"nPlanes must be in [1, 64] (signature is a Long bitset), got $nPlanes")
     Array.tabulate(nPlanes, dim) { (p, d) =>
-      val h = MurmurHash3.productHash((seed, p, d))
+      val h = MurmurHash3.finalizeHash(
+        MurmurHash3.mix(MurmurHash3.mix(seed, p), d), 2)
       if ((h & 1) == 0) 1.0f else -1.0f
     }
   }

@@ -55,7 +55,7 @@ object AsOf {
         // never null for right rows, its field may be
         struct(col(valueCol).as("v")).as("_v"))
 
-    val leftCols = left.columns
+    val leftCols = left.columns.toIndexedSeq
     val unioned = l.select(
       (leftCols.map(col) :+ col("_ts") :+ col("_side") :+ col("_v")): _*)
       .unionByName(
