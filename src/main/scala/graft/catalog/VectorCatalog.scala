@@ -89,6 +89,24 @@ final class VectorCatalog(spark: SparkSession, root: String) {
 
   def dimensionOf(name: String): Option[Int] = get(name).map(_.dimension)
 
+  /** S8 fallback (`pinecone_service.py:79-100` probes the live index when
+    * metadata is unavailable): measure the dimension from the stored
+    * data itself — parquet schema proves the column exists, one row
+    * gives the length. Returns None for a missing/empty index.
+    */
+  def dimensionFromData(name: String): Option[Int] = {
+    val p = new Path(dataPath(name))
+    if (!fs.exists(p) ||
+      !fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))) None
+    else {
+      val df = spark.read.parquet(dataPath(name))
+      if (!df.columns.contains("embedding")) None
+      else df.select(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("embedding")))
+        .limit(1).collect().headOption.map(_.getInt(0))
+    }
+  }
+
   /** Drop index + data (`pinecone_service.py:184-191`). */
   def delete(name: String): Unit = {
     fs.delete(metaPath(name), false)

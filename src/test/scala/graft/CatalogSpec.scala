@@ -64,6 +64,14 @@ class CatalogSpec extends GraftSpec {
     assert(idx.knn(Seq(0f, 1f, 0f), 1).collect().head.getAs[String]("id") == "b")
   }
 
+  test("dimension probe falls back to measuring the stored data") {
+    val idx = VectorIndex.createOrConnect(spark, cat, IndexMeta("probe-data", 3))
+    assert(cat.dimensionFromData("probe-data").isEmpty) // no data yet
+    idx.upsert(Seq(("p1", Seq(1f, 2f, 3f))).toDF("id", "embedding"))
+    assert(cat.dimensionFromData("probe-data").contains(3))
+    assert(cat.dimensionFromData("never-created").isEmpty)
+  }
+
   test("bestIndex picks the candidate with most vectors") {
     val small = VectorIndex.createOrConnect(spark, cat, IndexMeta("probe-384", 2))
     small.upsert(Seq(("x", Seq(1f, 0f))).toDF("id", "embedding"))
