@@ -36,10 +36,13 @@ final class VectorIndex(
     // data instead of recomputing the upstream pipeline three times.
     val batch = df.persist()
     try {
-      val bad = batch.filter(size(col("embedding")) =!= meta.dimension)
+      // null-safe: size(NULL) is NULL and would slip through a plain
+      // =!= filter — null embeddings are invalid, not ignorable
+      val bad = batch.filter(col("embedding").isNull ||
+          size(col("embedding")) =!= meta.dimension)
         .limit(1).count()
       require(bad == 0,
-        s"embedding dimension mismatch: index ${meta.name} expects ${meta.dimension}")
+        s"embedding dimension mismatch or null embedding: index ${meta.name} expects ${meta.dimension}")
       val version = nextVersion()
       batch.withColumn("_version", lit(version))
         .write.mode("append").parquet(path)
@@ -50,9 +53,19 @@ final class VectorIndex(
     }
   }
 
-  private def nextVersion(): Long =
-    if (!hasData) 0L
-    else spark.read.parquet(path).agg(max("_version")).head().getLong(0) + 1L
+  /** Monotonic version for the next batch. Wall-clock based with a
+    * strictly-greater guard, so sequential upserts are always ordered
+    * and two concurrent writers (API upload racing a streaming batch)
+    * only tie within the same millisecond — a far narrower window than
+    * a pure read-max-then-increment. True multi-writer isolation needs
+    * an external lock or a table format with a commit protocol.
+    */
+  private def nextVersion(): Long = {
+    val existing =
+      if (!hasData) -1L
+      else spark.read.parquet(path).agg(max("_version")).head().getLong(0)
+    math.max(existing + 1L, System.currentTimeMillis())
+  }
 
   private def hasData: Boolean = {
     val p  = new org.apache.hadoop.fs.Path(path)
@@ -85,16 +98,29 @@ final class VectorIndex(
   }
 
   /** Rewrite the log to a single deduped version (run periodically; the
-    * read-side window disappears for subsequent queries).
+    * read-side window disappears for subsequent queries). Crash-safe
+    * ordering: the old data is moved ASIDE (not deleted) before the
+    * compacted dir takes its place, so every crash window leaves either
+    * the old or the new data at a recoverable location; the aside copy
+    * is removed last.
     */
   def compact(): Unit = {
     val deduped = read.withColumn("_version", lit(0L))
     val tmp     = s"$path._compact"
     deduped.write.mode("overwrite").parquet(tmp)
-    val p    = new org.apache.hadoop.fs.Path(path)
-    val fs   = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(p, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), p)
+    val conf  = spark.sparkContext.hadoopConfiguration
+    val p     = new org.apache.hadoop.fs.Path(path)
+    val tmpP  = new org.apache.hadoop.fs.Path(tmp)
+    val aside = new org.apache.hadoop.fs.Path(s"$path._old")
+    val fs    = p.getFileSystem(conf)
+    fs.delete(aside, true) // clear any leftover from a prior crash
+    require(fs.rename(p, aside), s"compact: could not move $path aside")
+    if (!fs.rename(tmpP, p)) {
+      // restore the old data rather than leaving an empty index
+      fs.rename(aside, p)
+      throw new RuntimeException(s"compact: rename of $tmp into place failed; restored old data")
+    }
+    fs.delete(aside, true)
   }
 
   /** Top-k cosine query with optional metadata filter — the reference's

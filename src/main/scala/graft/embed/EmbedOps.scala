@@ -28,7 +28,10 @@ object EmbedOps {
     val enc     = Encoders.row(schema)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        val vecs = embedder.embed(batch.iterator.map(_.getString(textIdx))).toSeq
+        // null text embeds as the empty string rather than NPE-ing the
+        // executor task deep inside the provider
+        val vecs = embedder.embed(batch.iterator.map(r =>
+          Option(r.getString(textIdx)).getOrElse(""))).toSeq
         batch.iterator.zip(vecs.iterator).map { case (row, vec) =>
           Row.fromSeq(row.toSeq :+ vec.toSeq)
         }

@@ -57,8 +57,16 @@ case class VectorMeanAgg(
           s"vector_mean: dimension mismatch (${buffer.length - 1} vs $dim)")
         buffer
       }
-    buf(0) += 1.0
+    // SQL-aggregate null handling: a vector containing a NULL element is
+    // skipped like a NULL input row (siblings null-poison scalar results;
+    // for an aggregate, skipping matches sum/avg semantics)
     var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return buf
+      i += 1
+    }
+    buf(0) += 1.0
+    i = 0
     while (i < dim) { buf(i + 1) += arr.getFloat(i).toDouble; i += 1 }
     buf
   }

@@ -159,20 +159,27 @@ object AnnIvf {
     cents
   }
 
-  /** Assign every row to its nearest centroid (broadcast argmax join) —
-    * one narrow pass; at scale this column becomes the storage partition
-    * key.
+  /** Assign every row to its nearest centroid (broadcast argmax).
+    * Formulated as `max_by` aggregation, not a window: the window form
+    * would shuffle the full corpus × nList expansion to cluster by id,
+    * while max_by partial-aggregates each partition down to one row per
+    * id BEFORE the exchange — the nList× expansion never crosses the
+    * network. Ties break to the smallest centroid id (deterministic).
+    * At scale the `cell` column becomes the storage partition key.
     */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
+    val others = corpus.columns.filterNot(_ == idCol).toIndexedSeq
     val scored = corpus.crossJoin(broadcast(cents))
       .withColumn("cscore", cosineSimilarity(col(vecCol), col("centroid_vec")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("cscore").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cscore", "centroid_vec")
-      .withColumnRenamed("centroid_id", "cell")
+    val payload = struct((others.map(col) :+ col("centroid_id").as("cell")): _*)
+    val ordering = struct(col("cscore"), -col("centroid_id"))
+    scored
+      .groupBy(col(idCol))
+      .agg(max_by(payload, ordering).as("_best"))
+      .select(col(idCol) +:
+        others.map(c => col(s"_best.$c")) :+
+        col("_best.cell").as("cell"): _*)
   }
 
   /** Persist an assigned corpus partitioned by IVF cell — the probe-side

@@ -61,12 +61,20 @@ final class Rag(
       filter: Option[Column] = None): Seq[RetrievedDoc] = {
     require(topK >= 1 && topK <= 20, "top_k must be in [1, 20]") // routes.py:31
     val qvec = embedder.embedOne(question).toSeq
-    index.knn(qvec, topK, filter).collect().toSeq.map { r =>
+    val rows = index.knn(qvec, topK, filter).collect().toSeq
+    rows.map { r =>
+      // metadata columns are optional on the index schema (VectorIndex
+      // only contracts id + embedding) — getAs on a missing field throws,
+      // so check the schema, not just the value
+      def opt(name: String, default: String): String =
+        if (r.schema.fieldNames.contains(name))
+          Option(r.getAs[String](name)).getOrElse(default)
+        else default
       RetrievedDoc(
         id = r.getAs[String]("id"),
-        score = r.getAs[Double]("score"),
-        text = Option(r.getAs[String]("text")).getOrElse(""),
-        source = Option(r.getAs[String]("source")).getOrElse("unknown")
+        score = Option(r.getAs[Any]("score")).fold(0.0)(_.asInstanceOf[Double]),
+        text = opt("text", ""),
+        source = opt("source", "unknown")
       )
     }
   }
@@ -128,6 +136,22 @@ final class Rag(
   */
 object Ingest {
 
+  /** Deterministic, collision-free chunk id — shaped like the reference's
+    * `doc_{i}_{md5[:8]}` (ingest_documents.py:93-105) but safe at scale:
+    *  - the reference's global enumeration is serial (anti-scale);
+    *  - hashing the two fields SEPARATELY before the outer hash removes
+    *    delimiter ambiguity (source="a|b",text="c" vs source="a",
+    *    text="b|c" must not collide — file paths can contain any char);
+    *  - 16 hex chars (64 bits) keeps birthday collisions negligible.
+    * Shared by the batch and streaming ingest paths so their id spaces
+    * never fork.
+    */
+  def chunkId(source: org.apache.spark.sql.Column,
+      chunkIndex: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("doc_"), chunkIndex, lit("_"),
+      substring(md5(concat(md5(source), md5(text))), 1, 16))
+
   /** Ingest a directory of txt/pdf files into `indexBase`, negotiating
     * the index name by dimension like the reference (suffix on
     * mismatch, `ingest_documents.py:175-195`).
@@ -158,15 +182,9 @@ object Ingest {
     val chunked = new Chunker(chunkSize, chunkOverlap).chunk(docs, "text")
       .withColumnRenamed("chunk_text", "text")
     val embedded = EmbedOps.embedText(chunked, "text", embedder)
-    // Deterministic chunk ids, shaped like the reference's
-    // doc_{i}_{md5[:8]} (ingest_documents.py:93-105) but collision-free
-    // at scale: the reference enumerates i over ALL chunks globally
-    // (serial, anti-scale); we hash (source | text) and keep 64 bits —
-    // 8 hex chars (32 bits) would hit birthday collisions around ~77K
-    // distinct chunks per chunk_index and silently drop real chunks.
-    val withIds = embedded.withColumn("id",
-      concat(lit("doc_"), col("chunk_index"), lit("_"),
-        substring(md5(concat_ws("|", col("source"), col("text"))), 1, 16)))
+    val withIds = embedded
+      .withColumn("id",
+        Ingest.chunkId(col("source"), col("chunk_index"), col("text")))
       .dropDuplicates("id")
     val name  = catalog.resolveForDimension(indexBase, embedder.dimension)
     val index = VectorIndex.createOrConnect(spark, catalog,

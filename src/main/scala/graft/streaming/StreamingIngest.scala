@@ -49,10 +49,9 @@ object StreamingIngest {
           val chunked = chunker.chunk(batch, "text")
             .withColumnRenamed("chunk_text", "text")
           val embedded = EmbedOps.embedText(chunked, "text", embedder)
-          // same collision-free id scheme as the batch Ingest path
-          val withIds = embedded.withColumn("id",
-            concat(lit("doc_"), col("chunk_index"), lit("_"),
-              substring(md5(concat_ws("|", col("source"), col("text"))), 1, 16)))
+          val withIds = embedded
+            .withColumn("id", graft.rag.Ingest.chunkId(
+              col("source"), col("chunk_index"), col("text")))
             .dropDuplicates("id")
           index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
           ()
