@@ -230,7 +230,7 @@ object PipelineQueries {
         |                                           ORDER BY ts, event_id) AS gap_us
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN gap_us > 600 * 1000000 THEN 1 ELSE 0 END) + 1 AS n_sessions,
+        |  CAST(sum(CASE WHEN gap_us > 600 * 1000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g
         |GROUP BY user_id

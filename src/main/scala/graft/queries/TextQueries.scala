@@ -133,7 +133,7 @@ object TextQueries {
     "q24_source_stats" ->
       s"""SELECT source,
          |  count(*) AS n_docs,
-         |  sum(n_chars) AS total_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
          |  round(avg(CAST(len($duckToks) AS DOUBLE)), 6) AS avg_tokens,
          |  count(DISTINCT lang) AS n_langs
          |FROM documents

@@ -21,14 +21,17 @@ def canon(df):
     return rows
 
 def norm(v):
+    # Type-strict: an int-valued float must NOT normalize to the int's
+    # string. DuckDB returns HUGEINT for integer sum() which pandas turns
+    # into float64 — if the Spark side is int64 that's a real driver-side
+    # hash mismatch (r01: q24/q44), so surface it here too. Oracles must
+    # CAST integer sums to BIGINT instead.
     import math
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(round(v, 9))
     return str(v)
 
