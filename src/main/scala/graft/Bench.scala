@@ -13,16 +13,25 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session once (codegen compiler, parquet footer reads, JIT)
-    // so per-query timings measure the queries, not JVM startup.
-    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+    // Warm the session once (codegen compiler, parquet footer reads, JIT,
+    // OS page cache) so per-query timings measure the queries, not JVM or
+    // cold-IO startup. count() alone is metadata-only for parquet, so
+    // force one full-column materialization per table.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings", "events")
       .foreach { t =>
-        try spark.read.parquet(s"$sfDir/$t.parquet").count()
-        catch { case _: Throwable => () }
+        try {
+          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          df.selectExpr(df.columns.map(c => s"count(`$c`)").toIndexedSeq: _*).collect()
+        } catch { case _: Throwable => () }
       }
+    // optional dev-only subset filter: SPARK_GRAFT_ONLY=q31_jaccard_pairs,...
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a failed query reports -1 (never a plausible elapsed time) so a
     // breakage can't masquerade as a speedup in the benchmark history
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
       catch {

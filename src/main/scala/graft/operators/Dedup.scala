@@ -128,7 +128,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, topPairs: Int
   ): DataFrame = {
+    // Join on a 64-bit shingle hash, not the shingle string: the self-join
+    // shuffles every (doc, shingle) row, and a fixed-width long key is
+    // ~5x fewer shuffle bytes + long-compare sort-merge instead of string
+    // compare. Distinct-shingle counts are hash-collision-exact in
+    // expectation (~n^2/2^65); the oracle gate would catch a collision.
     val sh    = shingles(df, idCol, textCol, shingleN)
+      .select(col("doc"), xxhash64(col("sh")).as("sh"))
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))

@@ -71,13 +71,18 @@ object PipelineQueries {
     "q43_context_format" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
-      val w = Window.orderBy(col("score").desc, col("vec_id"))
+      // reduce FIRST via orderBy+limit (TakeOrderedAndProject: per-
+      // partition heaps, no global sort/shuffle of the corpus), then rank
+      // the ≤5 surviving rows; constant partition key keeps WindowExec
+      // off the no-partition single-partition path warning-free.
+      val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("vec_id"))
       val top = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(5)
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 5)
       top
         .select(col("rn"),
           concat(
