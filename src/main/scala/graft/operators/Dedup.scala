@@ -177,10 +177,41 @@ object Dedup {
       i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))
     ))
 
+  /** SimHash near-dup pairs within hamming distance `maxDist`, blocked:
+    * the 32-bit signature splits into 4 byte blocks, and by pigeonhole a
+    * pair within distance 3 agrees exactly on at least one block — so the
+    * per-block equi-join is exhaustive for maxDist <= 3 with no quadratic
+    * scan. Distance itself is bit_count(xor) on the signature as a long
+    * (codegen'd integer ops, not per-character comparison).
+    */
+  def simhashPairsBlocked(
+      df: DataFrame, idCol: String, textCol: String, maxDist: Int
+  ): DataFrame = {
+    require(maxDist <= 3,
+      s"4x8-bit blocking is only exhaustive for maxDist <= 3, got $maxDist")
+    val sigs = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sig"))
+      .withColumn("sigl", conv(col("sig"), 2, 10).cast("long"))
+    val blocks = sigs.select(col("doc"), col("sigl"),
+      posexplode(array((0 until 4).map(b =>
+        substring(col("sig"), 8 * b + 1, 8)): _*)).as(Seq("b", "blk")))
+    val a = blocks.select(
+      col("doc").as("doc_a"), col("sigl").as("sig_a"), col("b"), col("blk"))
+    val bb = blocks.select(
+      col("doc").as("doc_b"), col("sigl").as("sig_b"),
+      col("b").as("b_b"), col("blk").as("blk_b"))
+    a.join(bb, col("b") === col("b_b") && col("blk") === col("blk_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      // a near pair can agree on several blocks; collapse the duplicates
+      .groupBy("doc_a", "doc_b")
+      .agg(min("dist").as("dist"))
+  }
+
   /** SimHash near-dup pairs with hamming distance <= maxDist. Quadratic
-    * fallback for small corpora; at scale, block on bit-prefixes first
-    * (split the 32-bit signature into 4 bytes — pairs within distance 3
-    * must share at least one byte; join per block).
+    * reference form for small corpora / arbitrary maxDist; prefer
+    * [[simhashPairsBlocked]] when maxDist <= 3.
     */
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int

@@ -54,6 +54,15 @@ object DedupQueries {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy("doc_id")
+    },
+
+    // SimHash near-dup pairs (hamming <= 2) via exhaustive 4-byte-block
+    // pigeonhole join — the scale path that avoids the quadratic scan.
+    "q35_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairsBlocked(
+        Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+        "doc_id", "text", maxDist = 2)
+        .orderBy("dist", "doc_a", "doc_b")
     }
   )
 
@@ -115,6 +124,23 @@ object DedupQueries {
          |         THEN '1' ELSE '0' END
          |    for pos in range(1, 33)], '') AS simhash
          |FROM documents
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Oracle uses the plain quadratic form — blocking is a plan choice,
+    // not a semantics change (exhaustive for dist <= 3 by pigeonhole).
+    "q35_simhash_pairs" ->
+      s"""WITH s AS (
+         |  SELECT doc_id,
+         |    array_to_string([
+         |      CASE WHEN 2 * len(list_filter($duckToks, t -> substr(md5(t), pos, 1) >= '8'))
+         |                >= len($duckToks)
+         |           THEN '1' ELSE '0' END
+         |      for pos in range(1, 33)], '') AS simhash
+         |  FROM documents)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) AS dist
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) <= 2
+         |ORDER BY dist, doc_a, doc_b""".stripMargin
   )
 }

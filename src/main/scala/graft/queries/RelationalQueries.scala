@@ -200,6 +200,20 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Cube: all four grouping combinations (completes the rollup /
+    // grouping-sets / cube family; same coalesced-key parity trick).
+    "q0G_cube_status_priority" -> { (s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("total"))
+        .orderBy("status", "priority")
+    },
+
     // Set operations: nations having customers vs suppliers.
     "q0A_nation_setops" -> { (s, d) =>
       val cn = Tables.customer(s, d).select(col("c_nationkey").as("n")).distinct()
@@ -344,6 +358,14 @@ object RelationalQueries {
         |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+
+    "q0G_cube_status_priority" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
 
     "q0A_nation_setops" ->

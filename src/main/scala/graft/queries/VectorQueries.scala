@@ -109,6 +109,21 @@ object VectorQueries {
         .orderBy("query_id")
     },
 
+    // A4 (demo notebook cell 26): retrieval-frequency histogram — how
+    // often each label ("source") is retrieved across the query batch.
+    "q27_retrieval_histogram" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val hits = Knn.topKBatch(e, "vec_id", "embedding", q, "query_id", "qvec", k = 5)
+      // hits is <= |queries| * k rows — broadcast it against the corpus
+      e.select(col("vec_id"), col("label"))
+        .join(broadcast(hits.select("vec_id")), "vec_id")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_retrieved"))
+        .orderBy("label")
+    },
+
     // Scaled exact KNN: corpus replicated 100x (distinct ids, same
     // vectors — 200K rows at sf0.1) to exercise scan-scoring throughput;
     // fully oracle-checkable since the expansion is pure SQL.
@@ -207,6 +222,23 @@ object VectorQueries {
          |FROM ranked WHERE rn <= 5
          |GROUP BY query_id
          |ORDER BY query_id""".stripMargin,
+
+    "q27_retrieval_histogram" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${duckCosine("e.embedding", "q.qvec")}, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT e.label, count(*) AS n_retrieved
+         |FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+         |WHERE r.rn <= 5
+         |GROUP BY e.label
+         |ORDER BY e.label""".stripMargin,
 
     "q19_knn_scaled" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),

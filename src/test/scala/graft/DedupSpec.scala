@@ -79,6 +79,27 @@ class DedupSpec extends GraftSpec {
     assert(dist(1L, 3L) < dist(1L, 4L))
   }
 
+  test("blocked simhash pairs match the quadratic reference form") {
+    // real fixture docs: enough near-pairs to exercise multi-block
+    // collisions and the pair-dedup groupBy
+    val fixture = Tables.documents(spark, sfDir).limit(200)
+    for (maxDist <- Seq(0, 2, 3)) {
+      val quad = Dedup.simhashPairs(fixture, "doc_id", "text", maxDist)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Int]("dist").toLong)).toSet
+      val blocked = Dedup.simhashPairsBlocked(fixture, "doc_id", "text", maxDist)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+          r.getAs[Long]("dist"))).toSet
+      assert(blocked == quad, s"maxDist=$maxDist")
+    }
+    // blocking is only exhaustive to distance 3
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBlocked(fixture, "doc_id", "text", maxDist = 4)
+    }
+  }
+
   test("native shingle kernel matches the HOF reference on real docs") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sfDir)
