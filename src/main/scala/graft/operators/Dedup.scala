@@ -152,6 +152,70 @@ object Dedup {
       .limit(topPairs)
   }
 
+  /** Exact Jaccard for an explicit candidate-pair list: each doc's
+    * distinct shingle hashes travel as ONE array row, so the join cost is
+    * |candidates| + |docs| rows — not the all-sharing-pairs blowup of
+    * [[jaccardPairs]]. This is the verification stage after LSH pruning.
+    */
+  def verifyJaccard(
+      df: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, shingleN: Int
+  ): DataFrame = {
+    val arrs = df.select(
+      col(idCol).as("doc"),
+      array_distinct(transform(
+        TextFunctions.wordShingles(col(textCol), shingleN), s => xxhash64(s)
+      )).as("shs"))
+    candidates
+      .join(arrs.select(col("doc").as("doc_a"), col("shs").as("shs_a")), "doc_a")
+      .join(arrs.select(col("doc").as("doc_b"), col("shs").as("shs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("shs_a"), col("shs_b"))).as("common"),
+        size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("n_a") + col("n_b") - col("common")).cast("double"), 6).as("jaccard"))
+  }
+
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: every node's label converges to the minimum
+    * id in its component. Each round is one join + one min-aggregate
+    * (shuffles sized by |edges| + |nodes|, never by component count), and
+    * `localCheckpoint` truncates the lineage so plans stay O(1) per
+    * round. Rounds needed = component diameter — near-dup clusters are
+    * shallow; for web-scale graphs swap in the alternating
+    * large-star/small-star variant behind the same signature.
+    */
+  def connectedComponents(
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20
+  ): DataFrame = {
+    val und = edges
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("root", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = und
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("root"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("root").as("root"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("root", "prev"), "node")
+        .filter(col("root") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 32-bit SimHash over whitespace tokens, as a '0'/'1' bitstring.
     * Bit i is the majority vote across tokens of the top bit of hex
     * nibble i of md5(token) — i.e. 32 pseudo-random projections derived

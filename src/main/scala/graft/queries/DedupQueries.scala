@@ -63,6 +63,24 @@ object DedupQueries {
         Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
         "doc_id", "text", maxDist = 2)
         .orderBy("dist", "doc_a", "doc_b")
+    },
+
+    // The production dedup pipeline end-to-end: LSH candidates → exact
+    // Jaccard verification (per-candidate array intersect, no re-blowup)
+    // → connected-components clustering (min-label propagation). Output:
+    // every clustered doc with its cluster id (= min doc_id in cluster).
+    "q36_dedup_clusters" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wide = Dedup.minhashWide(docs, "doc_id", "text",
+        numHashes = 8, shingleN = 3)
+      val cands = Dedup.lshCandidatePairs(
+          Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+        .select("doc_a", "doc_b")
+      val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .select(col("node").as("doc_id"), col("root").as("cluster"))
+        .orderBy("doc_id")
     }
   )
 
@@ -141,6 +159,53 @@ object DedupQueries {
          |  bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) AS dist
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) <= 2
-         |ORDER BY dist, doc_a, doc_b""".stripMargin
+         |ORDER BY dist, doc_a, doc_b""".stripMargin,
+
+    // Clustering oracle: same LSH candidate + jaccard-verify pipeline,
+    // then component min-labels via a recursive transitive-closure CTE
+    // (UNION dedups, so the walk terminates).
+    "q36_dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |buckets AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |                AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM common c
+         |  JOIN sizes sa ON sa.doc = c.doc_a
+         |  JOIN sizes sb ON sb.doc = c.doc_b
+         |  WHERE round(CAST(common AS DOUBLE)
+         |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM verified),
+         |walk(doc, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+         |SELECT doc AS doc_id, min(reach) AS cluster
+         |FROM walk
+         |GROUP BY doc
+         |ORDER BY doc_id""".stripMargin
   )
 }

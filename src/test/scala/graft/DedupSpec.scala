@@ -100,6 +100,32 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("connected components: min-label over chains and disjoint pairs") {
+    // 4-chain (needs > 1 propagation round), triangle, disjoint pair
+    val edges = Seq(
+      (7L, 8L), (8L, 9L), (9L, 10L),       // chain -> root 7
+      (1L, 2L), (2L, 3L), (1L, 3L),        // triangle -> root 1
+      (20L, 15L)                           // pair -> root 15
+    ).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    assert(got == Map(
+      7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L,
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      15L -> 15L, 20L -> 15L))
+  }
+
+  test("verifyJaccard matches jaccardPairs for the same pairs") {
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 100).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    val cands = all.keys.toSeq.toDF("doc_a", "doc_b")
+    val verified = Dedup.verifyJaccard(docs, cands, "doc_id", "text", 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(verified == all)
+  }
+
   test("native shingle kernel matches the HOF reference on real docs") {
     import graft.functions.TextFunctions
     val docs = Tables.documents(spark, sfDir)
