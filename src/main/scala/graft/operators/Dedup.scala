@@ -253,8 +253,14 @@ object Dedup {
   ): DataFrame = {
     require(maxDist <= 3,
       s"4x8-bit blocking is only exhaustive for maxDist <= 3, got $maxDist")
+    // Materialize the signature table once: it feeds BOTH sides of the
+    // self-join, and without the cut Spark re-evaluates the interpreted
+    // simhash expression per join subtree (and project collapse can pull
+    // it past the join — per OUTPUT row). One row per doc, so this is
+    // exactly the signature table a production pipeline would persist.
     val sigs = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sig"))
       .withColumn("sigl", conv(col("sig"), 2, 10).cast("long"))
+      .localCheckpoint()
     val blocks = sigs.select(col("doc"), col("sigl"),
       posexplode(array((0 until 4).map(b =>
         substring(col("sig"), 8 * b + 1, 8)): _*)).as(Seq("b", "blk")))

@@ -81,6 +81,27 @@ object DedupQueries {
       Dedup.connectedComponents(edges, "doc_a", "doc_b")
         .select(col("node").as("doc_id"), col("root").as("cluster"))
         .orderBy("doc_id")
+    },
+
+    // The materialized dedup result: the corpus minus every clustered
+    // non-root doc (cluster root = min id survives) — what a training-
+    // data pipeline actually writes out. left_anti keeps the scan-side
+    // streaming; the drop list is the small side.
+    "q37_dedup_survivors" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wide = Dedup.minhashWide(docs, "doc_id", "text",
+        numHashes = 8, shingleN = 3)
+      val cands = Dedup.lshCandidatePairs(
+          Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+        .select("doc_a", "doc_b")
+      val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
+        .filter(col("jaccard") >= 0.5)
+      val drop = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .filter(col("node") =!= col("root"))
+        .select(col("node").as("doc_id"))
+      docs.join(drop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     }
   )
 
@@ -206,6 +227,52 @@ object DedupQueries {
          |SELECT doc AS doc_id, min(reach) AS cluster
          |FROM walk
          |GROUP BY doc
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q37_dedup_survivors" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |buckets AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |                AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM common c
+         |  JOIN sizes sa ON sa.doc = c.doc_a
+         |  JOIN sizes sb ON sb.doc = c.doc_b
+         |  WHERE round(CAST(common AS DOUBLE)
+         |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM verified
+         |  UNION ALL
+         |  SELECT doc_b AS a, doc_a AS b FROM verified),
+         |walk(doc, reach) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+         |drop_ids AS (
+         |  SELECT doc FROM walk GROUP BY doc HAVING doc <> min(reach))
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc = d.doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   )
 }
