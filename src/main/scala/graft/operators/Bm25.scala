@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical (keyword) retrieval: BM25 scoring and the hybrid
+  * lexical+vector blend — the sparse half of a hybrid vector store
+  * (the reference's stack exposes this Pinecone-side; here it is a
+  * first-class relational pipeline).
+  *
+  * Scale design: the query-term filter is applied INSIDE the token
+  * array before the explode, so the row expansion is |docs| x |matched
+  * terms| (bounded by the query length), never |docs| x |tokens|. The
+  * document-frequency table is |terms| rows — always broadcast. The
+  * only O(corpus) shuffles are the (doc, term) tf aggregate (map-side
+  * combinable) and the doc-length join, both keyed by doc id.
+  *
+  * Float parity: the scoring constants and operation order mirror the
+  * DuckDB oracle exactly (same literals, same association), so rounded
+  * scores hash-match.
+  */
+object Bm25 {
+
+  /** Per-document BM25 score (unrounded) for a bag of query terms:
+    * `(id, bm25)`, docs with no matching term absent.
+    * Uses the standard Lucene-style formulation with the +1 idf floor:
+    * idf = ln(1 + (N - df + 0.5) / (df + 0.5)).
+    */
+  def scores(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75
+  ): DataFrame = {
+    require(terms.nonEmpty, "BM25 needs at least one query term")
+    val dl = docs.select(col(idCol),
+      TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col(idCol),
+        explode(filter(TextFunctions.tokens(col(textCol)),
+          t => t.isin(terms: _*))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df_ = tf.groupBy("term")
+      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+    val lenNorm: Column =
+      col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) / lenNorm)
+      .groupBy(col(idCol))
+      .agg(sum("s").as("bm25"))
+  }
+}

@@ -48,6 +48,68 @@ object Knn {
       .limit(k)
   }
 
+  /** Maximal-marginal-relevance reranking (the standard retriever
+    * diversifier): greedily pick k results maximizing
+    * `lambda * sim(q, d) - (1 - lambda) * max_{s in picked} sim(d, s)`.
+    * The candidate pool is the exact top-`poolSize` by query similarity
+    * (distributed scan, [[topK]]-style); the greedy selection over the
+    * pool is inherently sequential and tiny (poolSize <= ~100, like the
+    * reference's k <= 20 driver-side results), so it runs on the driver.
+    * Deterministic: ties broken by ascending id. Returns
+    * `(idCol, score, mmr, rank)` in pick order.
+    */
+  def mmrRerank(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryVec: Seq[Float],
+      k: Int,
+      poolSize: Int = 50,
+      lambda: Double = 0.5
+  ): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
+    val spark = corpus.sparkSession
+    val pool = corpus
+      .select(col(idCol), col(vecCol),
+        round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(poolSize)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Float]](1).toArray, r.getDouble(2)))
+
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val picked  = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val pickedV = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map { case (id, v, s) => id -> (v, s) }: _*)
+    while (picked.length < k && remaining.nonEmpty) {
+      val (bestId, bestMmr) = remaining.iterator.map { case (id, (v, s)) =>
+        val redundancy =
+          if (pickedV.isEmpty) 0.0 else pickedV.iterator.map(p => cos(v, p)).max
+        id -> (lambda * s - (1.0 - lambda) * redundancy)
+      }.minBy { case (id, m) => (-m, id) }
+      val (v, s) = remaining.remove(bestId).get
+      picked += ((bestId, s, bestMmr))
+      pickedV += v
+    }
+    import spark.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case ((id, s, m), i) =>
+        (id, s, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
+      .toDF(idCol, "score", "mmr", "rank")
+  }
+
   /** Top-k per query for a query set `(queryIdCol, queryVecCol)`.
     * The query side is broadcast (the corpus never shuffles); the
     * heavy n×queries reduction runs through the custom [[graft.plans

@@ -141,6 +141,16 @@ object PipelineQueries {
       graft.rag.RagChain.flagship(s, d)
     },
 
+    // MMR-diversified retrieval (rows-only oracle: greedy selection is
+    // not SQL-expressible): exact top-50 pool, lambda=0.5 rerank to 5.
+    "q53_mmr_rerank" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val qvec = e.filter(col("vec_id") === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      graft.operators.Knn.mmrRerank(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", qvec, k = 5, poolSize = 50, lambda = 0.5)
+    },
+
     // As-of (point-in-time) join: each event picks up the price of the
     // customer's most recent order at event time (union+window
     // formulation — one shuffle, no fanout; oracle uses DuckDB's native

@@ -74,6 +74,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // BM25 keyword search (the sparse half of hybrid retrieval): top-10
+    // docs for a fixed 5-term query.
+    "q28_bm25_search" -> { (s, d) =>
+      graft.operators.Bm25.scores(Tables.documents(s, d), "doc_id", "text",
+          Seq("vector", "query", "merge", "window", "stream"))
+        .select(col("doc_id"), round(col("bm25"), 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // Hybrid retrieval: 0.5 * max-normalized BM25 + 0.5 * embedding
+    // cosine, over the docs that carry an embedding (doc_id = vec_id).
+    "q29_hybrid_search" -> { (s, d) =>
+      import graft.functions.VectorFunctions.cosineSimilarity
+      val docs = Tables.documents(s, d)
+      val e    = Tables.embeddings(s, d)
+      val qv   = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val bm   = graft.operators.Bm25.scores(docs, "doc_id", "text",
+        Seq("vector", "query", "merge", "window", "stream"))
+      val mx   = bm.agg(max("bm25").as("max_bm25"))
+      docs.select("doc_id")
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .join(bm, Seq("doc_id"), "left")
+        .crossJoin(broadcast(mx))
+        .crossJoin(broadcast(qv))
+        .select(col("doc_id"),
+          round(lit(0.5) * coalesce(col("bm25") / col("max_bm25"), lit(0.0)) +
+            lit(0.5) * cosineSimilarity(col("embedding"), col("qvec")), 6).as("hybrid"))
+        .orderBy(col("hybrid").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -129,6 +161,48 @@ object TextQueries {
         |  substr(md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')), 1, 16) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q28_bm25_search" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, unnest($duckToks) AS term FROM documents)
+         |       WHERE term IN ('vector', 'query', 'merge', 'window', 'stream')
+         |       GROUP BY doc_id, term),
+         |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term)
+         |SELECT tf.doc_id,
+         |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         |FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |GROUP BY tf.doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 10""".stripMargin,
+
+    "q29_hybrid_search" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, unnest($duckToks) AS term FROM documents)
+         |       WHERE term IN ('vector', 'query', 'merge', 'window', 'stream')
+         |       GROUP BY doc_id, term),
+         |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |mx AS (SELECT max(bm25) AS max_bm25 FROM bm),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT d.doc_id,
+         |  round(0.5 * coalesce(bm.bm25 / mx.max_bm25, 0.0) +
+         |        0.5 * ${DuckSql.cosine("e.embedding", "q.qvec")}, 6) AS hybrid
+         |FROM documents d
+         |JOIN embeddings e ON e.vec_id = d.doc_id
+         |LEFT JOIN bm ON bm.doc_id = d.doc_id
+         |CROSS JOIN mx CROSS JOIN q
+         |ORDER BY hybrid DESC, d.doc_id
+         |LIMIT 10""".stripMargin,
 
     "q24_source_stats" ->
       s"""SELECT source,

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Bm25, Knn}
+import org.apache.spark.sql.functions._
+
+class LexicalSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("bm25: more hits of rarer terms score higher; no-hit docs absent") {
+    val docs = Seq(
+      (1L, "spark spark spark streams data"),
+      (2L, "spark data"),
+      (3L, "completely unrelated words here"),
+      (4L, "data data data data data data data data")
+    ).toDF("doc_id", "text")
+    val scores = Bm25.scores(docs, "doc_id", "text", Seq("spark", "data"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(!scores.contains(3L))
+    // doc 1 has 3x spark (df=2) + 1x data; doc 2 one of each: strictly more
+    assert(scores(1L) > scores(2L))
+    // spark appears in 2/4 docs, data in 3/4 -> spark has higher idf:
+    // one spark-heavy doc must outrank the all-data doc of similar length
+    assert(scores(1L) > scores(4L))
+    assert(scores.values.forall(_ > 0.0))
+  }
+
+  test("mmr: greedy picks relevance first, then diversity") {
+    // q = (0.6, 0.8); d is most similar; b and c are each closer to an
+    // already-picked vector than to fresh ground; hand-traced greedy
+    // order at lambda = 0.5 is d, a, c.
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // a: sim .6, far from d
+      (2L, Seq(0.98f, 0.2f)),   // b: sim .748, redundant with a
+      (3L, Seq(0.0f, 1.0f)),    // c: sim .8, redundant with d
+      (4L, Seq(0.1f, 0.995f))   // d: sim .856 -> picked first
+    ).toDF("vec_id", "embedding")
+    val got = Knn.mmrRerank(corpus, "vec_id", "embedding",
+      Seq(0.6f, 0.8f), k = 3, poolSize = 4, lambda = 0.5)
+    val ids = got.orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(ids == Seq(4L, 1L, 3L))
+    // pure similarity order would be d, c, b — MMR demotes the redundant c/b
+    val bySim = Knn.topK(corpus, "vec_id", "embedding", Seq(0.6f, 0.8f), 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(bySim == Seq(4L, 3L, 2L))
+    // rank-1 is always the max-similarity doc; scores arrive rounded
+    assert(got.filter(col("rank") === 1).head().getAs[Double]("score") ==
+      got.agg(max("score")).head().getDouble(0))
+  }
+
+  test("mmr determinism: same input, same output across runs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val qvec = e.filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val run = () => Knn.mmrRerank(e.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qvec, k = 5, poolSize = 20)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("mmr"))).toSeq
+    assert(run() == run())
+  }
+}
