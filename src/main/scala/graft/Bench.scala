@@ -26,7 +26,14 @@ object Bench {
         } catch { case _: Throwable => () }
       }
     // optional dev-only subset filter: SPARK_GRAFT_ONLY=q31_jaccard_pairs,...
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
+    }
     // a failed query reports -1 (never a plausible elapsed time) so a
     // breakage can't masquerade as a speedup in the benchmark history
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

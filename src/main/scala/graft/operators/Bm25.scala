@@ -42,8 +42,9 @@ object Bm25 {
           t => t.isin(terms: _*))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    // tf is unique per (id, term), so document frequency is a plain count
     val df_ = tf.groupBy("term")
-      .agg(countDistinct(col(idCol)).cast("double").as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
     val lenNorm: Column =
       col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
     tf.join(broadcast(df_), "term")
@@ -53,6 +54,13 @@ object Bm25 {
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("s", col("idf") * col("tf") * lit(k1 + 1.0) / lenNorm)
       .groupBy(col(idCol))
-      .agg(sum("s").as("bm25"))
+      // accumulate per-term scores in term order, left to right — a plain
+      // sum() leaves cross-row float addition order to the partial-agg
+      // merge, which the oracle cannot mirror (the term list is tiny, so
+      // the interpreted HOF is off the hot path)
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("term"), col("s")))),
+          x => x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("bm25"))
   }
 }

@@ -213,6 +213,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — a " +
+          s"component has diameter > $maxIter; raise maxIter (rounds are " +
+          "cheap: one join + one min-aggregate each)")
     labels
   }
 

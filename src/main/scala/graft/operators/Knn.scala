@@ -4,6 +4,7 @@ import graft.functions.VectorFunctions._
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Exact top-k similarity search — the reference's one real query operator
   * (Pinecone `index.query`, `app/services/pinecone_service.py:148-182`),
@@ -55,7 +56,8 @@ object Knn {
     * (distributed scan, [[topK]]-style); the greedy selection over the
     * pool is inherently sequential and tiny (poolSize <= ~100, like the
     * reference's k <= 20 driver-side results), so it runs on the driver.
-    * Deterministic: ties broken by ascending id. Returns
+    * Deterministic: MMR ties resolve to the earlier pool entry (score
+    * desc, id asc), so no Ordering on the id type is needed. Returns
     * `(idCol, score, mmr, rank)` in pick order.
     */
   def mmrRerank(
@@ -69,13 +71,16 @@ object Knn {
   ): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need 1 <= k <= poolSize, got k=$k pool=$poolSize")
     val spark = corpus.sparkSession
+    // id stays whatever type the caller's column is (every other Knn
+    // operator is id-type agnostic); null vectors can't be scored
     val pool = corpus
+      .filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(poolSize)
       .collect()
-      .map(r => (r.getLong(0),
+      .map(r => (r.get(0),
         r.getAs[scala.collection.Seq[Float]](1).toArray, r.getDouble(2)))
 
     def cos(a: Array[Float], b: Array[Float]): Double = {
@@ -89,25 +94,42 @@ object Knn {
       if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
-    val picked  = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val picked  = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Double)]
     val pickedV = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-    val remaining = scala.collection.mutable.LinkedHashMap(
-      pool.map { case (id, v, s) => id -> (v, s) }: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
     while (picked.length < k && remaining.nonEmpty) {
-      val (bestId, bestMmr) = remaining.iterator.map { case (id, (v, s)) =>
+      // strict > keeps the first-seen candidate on MMR ties, and
+      // `remaining` preserves pool order (score desc, id asc) — so tie
+      // resolution is deterministic without needing an id Ordering
+      var bestIdx = -1
+      var bestMmr = Double.NegativeInfinity
+      var i = 0
+      while (i < remaining.length) {
+        val (_, v, s) = remaining(i)
         val redundancy =
           if (pickedV.isEmpty) 0.0 else pickedV.iterator.map(p => cos(v, p)).max
-        id -> (lambda * s - (1.0 - lambda) * redundancy)
-      }.minBy { case (id, m) => (-m, id) }
-      val (v, s) = remaining.remove(bestId).get
-      picked += ((bestId, s, bestMmr))
+        val m = lambda * s - (1.0 - lambda) * redundancy
+        if (m > bestMmr) { bestMmr = m; bestIdx = i }
+        i += 1
+      }
+      val (id, v, s) = remaining.remove(bestIdx)
+      picked += ((id, s, bestMmr))
       pickedV += v
     }
-    import spark.implicits._
-    picked.toSeq.zipWithIndex
-      .map { case ((id, s, m), i) =>
-        (id, s, BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
-      .toDF(idCol, "score", "mmr", "rank")
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      corpus.schema(idCol).copy(name = idCol),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(picked.toSeq.zipWithIndex.map { case ((id, s, m), i) =>
+        org.apache.spark.sql.Row(id, s,
+          BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1)
+      }.asJava)
+    spark.createDataFrame(rows, outSchema)
   }
 
   /** Top-k per query for a query set `(queryIdCol, queryVecCol)`.

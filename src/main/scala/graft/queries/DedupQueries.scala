@@ -70,15 +70,7 @@ object DedupQueries {
     // → connected-components clustering (min-label propagation). Output:
     // every clustered doc with its cluster id (= min doc_id in cluster).
     "q36_dedup_clusters" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val wide = Dedup.minhashWide(docs, "doc_id", "text",
-        numHashes = 8, shingleN = 3)
-      val cands = Dedup.lshCandidatePairs(
-          Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
-        .select("doc_a", "doc_b")
-      val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
-        .filter(col("jaccard") >= 0.5)
-      Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      clusterLabels(s, d)
         .select(col("node").as("doc_id"), col("root").as("cluster"))
         .orderBy("doc_id")
     },
@@ -88,22 +80,30 @@ object DedupQueries {
     // data pipeline actually writes out. left_anti keeps the scan-side
     // streaming; the drop list is the small side.
     "q37_dedup_survivors" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val wide = Dedup.minhashWide(docs, "doc_id", "text",
-        numHashes = 8, shingleN = 3)
-      val cands = Dedup.lshCandidatePairs(
-          Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
-        .select("doc_a", "doc_b")
-      val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
-        .filter(col("jaccard") >= 0.5)
-      val drop = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val drop = clusterLabels(s, d)
         .filter(col("node") =!= col("root"))
         .select(col("node").as("doc_id"))
-      docs.join(drop, Seq("doc_id"), "left_anti")
+      Tables.documents(s, d).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
     }
   )
+
+  // Shared q36/q37 pipeline (ONE set of parameters — the survivor set
+  // must stay consistent with the cluster set): minhash(8 seeds,
+  // 3-shingles) → LSH bands(4x2) → candidates → jaccard >= 0.5 verify →
+  // connected components. Mirrored 1:1 by the shared oracle CTE prefix.
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val wide = Dedup.minhashWide(docs, "doc_id", "text",
+      numHashes = 8, shingleN = 3)
+    val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+      .select("doc_a", "doc_b")
+    val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
+      .filter(col("jaccard") >= 0.5)
+    Dedup.connectedComponents(edges, "doc_a", "doc_b")
+  }
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
@@ -184,90 +184,17 @@ object DedupQueries {
 
     // Clustering oracle: same LSH candidate + jaccard-verify pipeline,
     // then component min-labels via a recursive transitive-closure CTE
-    // (UNION dedups, so the walk terminates).
+    // (UNION dedups, so the walk terminates). Shared prefix: see
+    // [[clusterWalkCte]].
     "q36_dedup_clusters" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
-         |mh AS (
-         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
-         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
-         |buckets AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
-         |  FROM mh GROUP BY doc_id, seed // 2),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM buckets a
-         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-         |                AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
-         |common AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS common
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
-         |  GROUP BY 1, 2),
-         |verified AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM common c
-         |  JOIN sizes sa ON sa.doc = c.doc_a
-         |  JOIN sizes sb ON sb.doc = c.doc_b
-         |  WHERE round(CAST(common AS DOUBLE)
-         |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM verified
-         |  UNION ALL
-         |  SELECT doc_b AS a, doc_a AS b FROM verified),
-         |walk(doc, reach) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+      s"""$clusterWalkCte
          |SELECT doc AS doc_id, min(reach) AS cluster
          |FROM walk
          |GROUP BY doc
          |ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_survivors" ->
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
-         |mh AS (
-         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
-         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
-         |buckets AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
-         |  FROM mh GROUP BY doc_id, seed // 2),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM buckets a
-         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-         |                AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
-         |common AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS common
-         |  FROM cand c
-         |  JOIN sh a ON a.doc_id = c.doc_a
-         |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
-         |  GROUP BY 1, 2),
-         |verified AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM common c
-         |  JOIN sizes sa ON sa.doc = c.doc_a
-         |  JOIN sizes sb ON sb.doc = c.doc_b
-         |  WHERE round(CAST(common AS DOUBLE)
-         |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5),
-         |edges AS (
-         |  SELECT doc_a AS a, doc_b AS b FROM verified
-         |  UNION ALL
-         |  SELECT doc_b AS a, doc_a AS b FROM verified),
-         |walk(doc, reach) AS (
-         |  SELECT a, a FROM edges
-         |  UNION
-         |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+      s"""$clusterWalkCte,
          |drop_ids AS (
          |  SELECT doc FROM walk GROUP BY doc HAVING doc <> min(reach))
          |SELECT d.doc_id, d.source, d.n_chars
@@ -275,4 +202,47 @@ object DedupQueries {
          |WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc = d.doc_id)
          |ORDER BY d.doc_id""".stripMargin
   )
+
+  /** Oracle CTE prefix shared by q36/q37 — the DuckDB mirror of
+    * `clusterLabels` (parameters appear exactly once per engine).
+    */
+  private lazy val clusterWalkCte: String =
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
+       |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+       |  GROUP BY doc_id, seed),
+       |buckets AS (
+       |  SELECT doc_id, seed // 2 AS band,
+       |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+       |  FROM mh GROUP BY doc_id, seed // 2),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM buckets a
+       |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+       |                AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
+       |common AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.doc_a
+       |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM common c
+       |  JOIN sizes sa ON sa.doc = c.doc_a
+       |  JOIN sizes sb ON sb.doc = c.doc_b
+       |  WHERE round(CAST(common AS DOUBLE)
+       |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM verified
+       |  UNION ALL
+       |  SELECT doc_b AS a, doc_a AS b FROM verified),
+       |walk(doc, reach) AS (
+       |  SELECT a, a FROM edges
+       |  UNION
+       |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a)""".stripMargin
 }

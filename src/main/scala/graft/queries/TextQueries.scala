@@ -91,8 +91,10 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val e    = Tables.embeddings(s, d)
       val qv   = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      // materialize once: bm feeds both the max-normalizer aggregate and
+      // the join — uncached, the whole tf/df pipeline would run twice
       val bm   = graft.operators.Bm25.scores(docs, "doc_id", "text",
-        Seq("vector", "query", "merge", "window", "stream"))
+        Seq("vector", "query", "merge", "window", "stream")).localCheckpoint()
       val mx   = bm.agg(max("bm25").as("max_bm25"))
       docs.select("doc_id")
         .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
@@ -171,8 +173,9 @@ object TextQueries {
          |       GROUP BY doc_id, term),
          |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term)
          |SELECT tf.doc_id,
-         |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25
+         |  round(list_sum(list(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |            * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |            ORDER BY term)), 6) AS bm25
          |FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
          |GROUP BY tf.doc_id
          |ORDER BY bm25 DESC, doc_id
@@ -188,8 +191,9 @@ object TextQueries {
          |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
          |bm AS (
          |  SELECT tf.doc_id,
-         |    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-         |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS bm25
+         |    list_sum(list(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |        ORDER BY term)) AS bm25
          |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
          |  GROUP BY tf.doc_id),
          |mx AS (SELECT max(bm25) AS max_bm25 FROM bm),
