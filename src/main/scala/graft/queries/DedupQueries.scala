@@ -75,6 +75,37 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Sketch calibration: MinHash-estimated jaccard (fraction of
+    // agreeing signature slots) vs the exact value, per LSH candidate
+    // pair — the accuracy check a pipeline runs before trusting a
+    // sketch-only dedup threshold at full scale.
+    "q38_minhash_estimate" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val wide = Dedup.minhashWide(docs, "doc_id", "text",
+        numHashes = 8, shingleN = 3)
+      val cands = Dedup.lshCandidatePairs(
+          Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+        .select("doc_a", "doc_b")
+      val sideA = wide.select(col("doc").as("doc_a") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+      val sideB = wide.select(col("doc").as("doc_b") +:
+        (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+      val est = cands
+        .join(sideA, "doc_a")
+        .join(sideB, "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          ((0 until 8).map(i =>
+            when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+            .reduce(_ + _).cast("double") / 8.0).as("est"))
+      val exact = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
+      est.join(exact, Seq("doc_a", "doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("est"), 6).as("est"),
+          col("jaccard").as("exact"),
+          round(abs(col("est") - col("jaccard")), 6).as("abs_err"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // The materialized dedup result: the corpus minus every clustered
     // non-root doc (cluster root = min id survives) — what a training-
     // data pipeline actually writes out. left_anti keeps the scan-side
@@ -181,6 +212,49 @@ object DedupQueries {
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) <= 2
          |ORDER BY dist, doc_a, doc_b""".stripMargin,
+
+    "q38_minhash_estimate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
+         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |buckets AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+         |  FROM mh GROUP BY doc_id, seed // 2),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |                AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         |  GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    round(CAST(common AS DOUBLE)
+         |          / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS exact
+         |  FROM common c
+         |  JOIN sizes sa ON sa.doc = c.doc_a
+         |  JOIN sizes sb ON sb.doc = c.doc_b),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est
+         |  FROM cand c
+         |  JOIN mh a ON a.doc_id = c.doc_a
+         |  JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed
+         |  GROUP BY 1, 2)
+         |SELECT e.doc_a, e.doc_b, round(e.est, 6) AS est, x.exact AS exact,
+         |  round(abs(e.est - x.exact), 6) AS abs_err
+         |FROM est e JOIN exact x USING (doc_a, doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Clustering oracle: same LSH candidate + jaccard-verify pipeline,
     // then component min-labels via a recursive transitive-closure CTE
