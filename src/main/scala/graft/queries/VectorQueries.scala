@@ -109,6 +109,25 @@ object VectorQueries {
         .orderBy("query_id")
     },
 
+    // SQ8 scalar quantization (4x smaller vectors): top-10 by cosine on
+    // dequantized uint8 codes — approximate scores, exact cross-engine
+    // arithmetic, so even this ANN path is oracle-checkable.
+    "q1A_sq8_knn" -> { (s, d) =>
+      import graft.operators.Quantize
+      val e = Tables.embeddings(s, d)
+      val (mins, maxs) = Quantize.sq8Params(e, "embedding")
+      val q = e.filter(col("vec_id") === 0)
+        .select(Quantize.sq8Quantize(col("embedding"), mins, maxs).as("qq"))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          Quantize.sq8Quantize(col("embedding"), mins, maxs).as("qv"))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Quantize.sq8Cosine(col("qv"), col("qq"), mins, maxs), 6).as("score_q"))
+        .orderBy(col("score_q").desc, col("vec_id"))
+        .limit(10)
+    },
+
     // A4 (demo notebook cell 26): retrieval-frequency histogram — how
     // often each label ("source") is retrieved across the query batch.
     "q27_retrieval_histogram" -> { (s, d) =>
@@ -222,6 +241,37 @@ object VectorQueries {
          |FROM ranked WHERE rn <= 5
          |GROUP BY query_id
          |ORDER BY query_id""".stripMargin,
+
+    "q1A_sq8_knn" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v
+        |  FROM embeddings),
+        |params AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos),
+        |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+        |       FROM params),
+        |qz AS (
+        |  SELECT vec_id,
+        |    [CASE WHEN mxs[i] = mns[i] THEN 0
+        |          ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+        |                          / (mxs[i] - mns[i])) AS INT) END
+        |     for i in range(1, len(embedding) + 1)] AS qv
+        |  FROM embeddings CROSS JOIN pl),
+        |deq AS (
+        |  SELECT vec_id,
+        |    [mns[i] + CAST(qv[i] AS DOUBLE) * (mxs[i] - mns[i]) / 255.0
+        |     for i in range(1, len(qv) + 1)] AS dv
+        |  FROM qz CROSS JOIN pl),
+        |q AS (SELECT dv AS qdv FROM deq WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_sum([dv[i] * qdv[i] for i in range(1, len(dv) + 1)])
+        |        / (sqrt(list_sum([dv[i] * dv[i] for i in range(1, len(dv) + 1)]))
+        |           * sqrt(list_sum([qdv[i] * qdv[i] for i in range(1, len(qdv) + 1)]))),
+        |        6) AS score_q
+        |FROM deq, q
+        |WHERE vec_id <> 0
+        |ORDER BY score_q DESC, vec_id
+        |LIMIT 10""".stripMargin,
 
     "q27_retrieval_histogram" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Knn, Quantize}
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends GraftSpec {
+
+  private lazy val e = Tables.embeddings(spark, sfDir)
+  private lazy val params = Quantize.sq8Params(e, "embedding")
+
+  test("sq8 codes are ints in 0..255 with dimension preserved") {
+    val (mins, maxs) = params
+    assert(mins.length == 64 && maxs.length == 64)
+    assert(mins.zip(maxs).forall { case (lo, hi) => lo <= hi })
+    val codes = e.select(
+      Quantize.sq8Quantize(col("embedding"), mins, maxs).as("qv")).collect()
+    codes.foreach { r =>
+      val qv = r.getAs[scala.collection.Seq[Int]]("qv")
+      assert(qv.length == 64)
+      assert(qv.forall(q => q >= 0 && q <= 255))
+    }
+  }
+
+  test("sq8 cosine approximates exact cosine closely") {
+    val (mins, maxs) = params
+    val qz = e.select(col("vec_id"), col("embedding"),
+      Quantize.sq8Quantize(col("embedding"), mins, maxs).as("qv"))
+      .localCheckpoint()
+    val q = qz.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("qv").as("qq"))
+    val both = qz.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(
+        graft.functions.VectorFunctions
+          .cosineSimilarity(col("embedding"), col("qe")).as("exact"),
+        Quantize.sq8Cosine(col("qv"), col("qq"), mins, maxs).as("approx"))
+      .collect()
+    // 8-bit codes over a [-1,1]-ish range: expect ~1e-2 worst-case error
+    both.foreach { r =>
+      assert(math.abs(r.getAs[Double]("exact") - r.getAs[Double]("approx")) < 0.02)
+    }
+  }
+
+  test("sq8 top-10 recalls most of the exact top-10") {
+    val (mins, maxs) = params
+    val qvec = e.filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val exact = Knn.topK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      qvec, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = SparkEntry.queries("q1A_sq8_knn")(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & approx).size >= 7, s"recall too low: ${(exact & approx).size}/10")
+  }
+}
