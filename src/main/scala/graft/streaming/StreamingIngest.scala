@@ -83,6 +83,33 @@ object StreamingIngest {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  /** Watermarked stream-stream inner join with a time-interval
+    * condition (the impressions-to-clicks attribution pattern): each
+    * left row joins right rows of the same key whose timestamp falls in
+    * `[left.ts, left.ts + intervalSeconds]`. Both sides carry a
+    * watermark, so the join state the engine buffers is bounded by
+    * `delay + intervalSeconds` per key — the requirement for append-mode
+    * stream-stream joins and the reason this holds at 100 TB/day
+    * (state size tracks the time window, not the stream length).
+    * The right side's key column is returned as `<keyCol>_r`.
+    */
+  def joinWithinInterval(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      delay: String, intervalSeconds: Long
+  ): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      "left and right timestamp columns must have distinct names")
+    val l = left.withWatermark(leftTsCol, delay)
+    val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
+      .withWatermark(rightTsCol, delay)
+    l.join(r, expr(
+      s"""$keyCol = ${keyCol}_r
+         |AND $rightTsCol >= $leftTsCol
+         |AND $rightTsCol <= $leftTsCol + interval $intervalSeconds seconds
+         |""".stripMargin))
+  }
+
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class ClosedSession(

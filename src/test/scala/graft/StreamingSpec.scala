@@ -45,6 +45,42 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssj").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+
+    // impressions at t=0 (u1), t=100 (u2); clicks: u1@30s (in window),
+    // u1@90s (outside 60s window), u2@130s (in window), u3@10s (no imp)
+    Seq((1L, "imp_a", ts(0)), (2L, "imp_b", ts(100)))
+      .toDF("user_id", "imp_id", "imp_ts").coalesce(1)
+      .write.parquet(s"$dir/imps")
+    Seq((1L, "clk_1", ts(30)), (1L, "clk_2", ts(90)),
+        (2L, "clk_3", ts(130)), (3L, "clk_4", ts(10)))
+      .toDF("user_id", "click_id", "click_ts").coalesce(1)
+      .write.parquet(s"$dir/clicks")
+
+    val impSchema = spark.read.parquet(s"$dir/imps").schema
+    val clkSchema = spark.read.parquet(s"$dir/clicks").schema
+    val imps = spark.readStream.schema(impSchema).parquet(s"$dir/imps")
+    val clks = spark.readStream.schema(clkSchema).parquet(s"$dir/clicks")
+
+    val joined = StreamingIngest.joinWithinInterval(
+      imps, clks, "user_id", "imp_ts", "click_ts",
+      delay = "10 seconds", intervalSeconds = 60)
+    val q = joined.select("user_id", "imp_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attributed").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("imp_id"),
+          r.getAs[String]("click_id"))).toSet
+      assert(got == Set((1L, "imp_a", "clk_1"), (2L, "imp_b", "clk_3")))
+    } finally q.stop()
+  }
+
   test("stateful sessions close across micro-batches with per-user state") {
     import spark.implicits._
     import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
