@@ -32,8 +32,13 @@ object Bm25 {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75
   ): DataFrame = {
     require(terms.nonEmpty, "BM25 needs at least one query term")
+    // dl feeds both the corpus stats and the per-doc join, and tf feeds
+    // both the df aggregate and the score join — materialize each once
+    // (one row per doc / per matched (doc, term)) or the corpus gets
+    // tokenized four times
     val dl = docs.select(col(idCol),
-      TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+        TextFunctions.tokenCount(col(textCol)).cast("double").as("dl"))
+      .localCheckpoint()
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
     val tf = docs
@@ -42,6 +47,7 @@ object Bm25 {
           t => t.isin(terms: _*))).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
+      .localCheckpoint()
     // tf is unique per (id, term), so document frequency is a plain count
     val df_ = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))
