@@ -95,6 +95,20 @@ object PipelineQueries {
             s => s.getField("line"))).as("context"))
     },
 
+    // Sliding (overlapping) time windows — each event lands in four
+    // 1-hour windows sliding by 15 min; the batch twin of the streaming
+    // windowed aggregation, oracle-mirrored by explicit window-start
+    // arithmetic.
+    "q48_sliding_windows" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    },
+
     // Sessionization over the events stream (gap > 10 min ⇒ new session)
     // — the batch form of stateful streaming session windows.
     "q44_sessionize" -> { (s, d) =>
@@ -237,6 +251,21 @@ object PipelineQueries {
          |         ', Relevance: ', CAST(floor(score * 10000) AS BIGINT), ')'),
          |  chr(10) ORDER BY rn) AS context
          |FROM top""".stripMargin,
+
+    // Window membership: starts s aligned to 15 min with s <= ts < s+1h
+    // == floor15(ts) - j*15min for j in 0..3. epoch_us truncates the
+    // nanos exactly like the Spark-side `ts div 1000` load path.
+    "q48_sliding_windows" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    (epoch_us(ts) // 900000000) * 900000000 - j * 900000000 AS start_us
+        |  FROM events, (SELECT unnest(range(0, 4)) AS j) js)
+        |SELECT make_timestamp(start_us) AS win_start,
+        |  make_timestamp(start_us + 3600000000) AS win_end,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM w
+        |GROUP BY start_us, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
 
     "q44_sessionize" ->
       """WITH g AS (
