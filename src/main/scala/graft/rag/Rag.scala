@@ -79,6 +79,36 @@ final class Rag(
     }
   }
 
+  /** MMR-diversified retrieve (beyond the reference, which only offers
+    * plain similarity): exact top-`poolSize` candidate pool, greedy
+    * maximal-marginal-relevance rerank to `topK` via [[graft.operators
+    * .Knn.mmrRerank]]. Results keep MMR pick order.
+    */
+  def retrieveMmr(question: String, topK: Int = defaultTopK,
+      poolSize: Int = 50, lambda: Double = 0.5): Seq[RetrievedDoc] = {
+    require(topK >= 1 && topK <= 20, "top_k must be in [1, 20]")
+    val qvec = embedder.embedOne(question).toSeq
+    val picked = graft.operators.Knn
+      .mmrRerank(index.read, "id", "embedding", qvec, topK, poolSize, lambda)
+      .collect()
+      .map(r => (r.getAs[String]("id"), r.getAs[Double]("score"),
+        r.getAs[Int]("rank")))
+    if (picked.isEmpty) return Seq.empty
+    val meta = index.read
+      .filter(org.apache.spark.sql.functions.col("id")
+        .isin(picked.map(_._1).toSeq: _*))
+      .collect()
+      .map(r => r.getAs[String]("id") -> r).toMap
+    picked.sortBy(_._3).toSeq.map { case (id, score, _) =>
+      val r = meta(id)
+      def opt(name: String, default: String): String =
+        if (r.schema.fieldNames.contains(name))
+          Option(r.getAs[String](name)).getOrElse(default)
+        else default
+      RetrievedDoc(id, score, opt("text", ""), opt("source", "unknown"))
+    }
+  }
+
   /** Context block (`retriever.py:75-95`):
     * "[Document i] (Source: s, Relevance: x.xxx)\ntext" joined by newlines.
     */

@@ -77,6 +77,19 @@ class RagSpec extends GraftSpec {
     intercept[IllegalArgumentException](rag.invoke("q", topK = 21))
   }
 
+  test("mmr retrieve: same best hit, k results, deterministic, diversified") {
+    val q = "What was the total revenue in Q1 2024?"
+    val plain = rag.retrieve(q, topK = 3)
+    val mmr   = rag.retrieveMmr(q, topK = 3, poolSize = 8)
+    assert(mmr.length == 3)
+    // relevance first: the top pick is the plain top-1
+    assert(mmr.head.id == plain.head.id)
+    assert(mmr.map(_.id).distinct.length == 3)
+    // metadata survives the rerank round-trip
+    assert(mmr.forall(d => d.text.nonEmpty && d.source != "unknown"))
+    assert(rag.retrieveMmr(q, topK = 3, poolSize = 8) == mmr)
+  }
+
   test("empty index returns the no-documents answer") {
     val emptyIdx = VectorIndex.createOrConnect(spark, catalog, IndexMeta("empty", 64))
     val r = new Rag(spark, emptyIdx, embedder).invoke("anything?")
