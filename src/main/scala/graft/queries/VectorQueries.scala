@@ -243,35 +243,32 @@ object VectorQueries {
          |ORDER BY query_id""".stripMargin,
 
     "q1A_sq8_knn" ->
-      """WITH ex AS (
-        |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
-        |         CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings),
-        |params AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos),
-        |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
-        |       FROM params),
-        |qz AS (
-        |  SELECT vec_id,
-        |    [CASE WHEN mxs[i] = mns[i] THEN 0
-        |          ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
-        |                          / (mxs[i] - mns[i])) AS INT) END
-        |     for i in range(1, len(embedding) + 1)] AS qv
-        |  FROM embeddings CROSS JOIN pl),
-        |deq AS (
-        |  SELECT vec_id,
-        |    [mns[i] + CAST(qv[i] AS DOUBLE) * (mxs[i] - mns[i]) / 255.0
-        |     for i in range(1, len(qv) + 1)] AS dv
-        |  FROM qz CROSS JOIN pl),
-        |q AS (SELECT dv AS qdv FROM deq WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  round(list_sum([dv[i] * qdv[i] for i in range(1, len(dv) + 1)])
-        |        / (sqrt(list_sum([dv[i] * dv[i] for i in range(1, len(dv) + 1)]))
-        |           * sqrt(list_sum([qdv[i] * qdv[i] for i in range(1, len(qdv) + 1)]))),
-        |        6) AS score_q
-        |FROM deq, q
-        |WHERE vec_id <> 0
-        |ORDER BY score_q DESC, vec_id
-        |LIMIT 10""".stripMargin,
+      s"""WITH ex AS (
+         |  SELECT vec_id, unnest(range(0, len(embedding))) AS pos,
+         |         CAST(unnest(embedding) AS DOUBLE) AS v
+         |  FROM embeddings),
+         |params AS (SELECT pos, min(v) AS mn, max(v) AS mx FROM ex GROUP BY pos),
+         |pl AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         |       FROM params),
+         |qz AS (
+         |  SELECT vec_id,
+         |    [CASE WHEN mxs[i] = mns[i] THEN 0
+         |          ELSE CAST(round((CAST(embedding[i] AS DOUBLE) - mns[i]) * 255.0
+         |                          / (mxs[i] - mns[i])) AS INT) END
+         |     for i in range(1, len(embedding) + 1)] AS qv
+         |  FROM embeddings CROSS JOIN pl),
+         |deq AS (
+         |  SELECT vec_id,
+         |    [mns[i] + CAST(qv[i] AS DOUBLE) * (mxs[i] - mns[i]) / 255.0
+         |     for i in range(1, len(qv) + 1)] AS dv
+         |  FROM qz CROSS JOIN pl),
+         |q AS (SELECT dv AS qdv FROM deq WHERE vec_id = 0)
+         |SELECT vec_id,
+         |  round(${duckCosine("dv", "qdv")}, 6) AS score_q
+         |FROM deq, q
+         |WHERE vec_id <> 0
+         |ORDER BY score_q DESC, vec_id
+         |LIMIT 10""".stripMargin,
 
     "q27_retrieval_histogram" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),

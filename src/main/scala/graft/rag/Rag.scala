@@ -56,26 +56,26 @@ final class Rag(
   require(embedder.dimension == index.meta.dimension,
     "embedder/index dimension mismatch")
 
+  // metadata columns are optional on the index schema (VectorIndex only
+  // contracts id + embedding) — getAs on a missing field throws, so
+  // check the schema, not just the value
+  private def rowToDoc(r: org.apache.spark.sql.Row, id: String, score: Double): RetrievedDoc = {
+    def opt(name: String, default: String): String =
+      if (r.schema.fieldNames.contains(name))
+        Option(r.getAs[String](name)).getOrElse(default)
+      else default
+    RetrievedDoc(id, score, opt("text", ""), opt("source", "unknown"))
+  }
+
   /** Retrieve top-k chunks (`retriever.py:35-73`). */
   def retrieve(question: String, topK: Int = defaultTopK,
       filter: Option[Column] = None): Seq[RetrievedDoc] = {
     require(topK >= 1 && topK <= 20, "top_k must be in [1, 20]") // routes.py:31
     val qvec = embedder.embedOne(question).toSeq
-    val rows = index.knn(qvec, topK, filter).collect().toSeq
-    rows.map { r =>
-      // metadata columns are optional on the index schema (VectorIndex
-      // only contracts id + embedding) — getAs on a missing field throws,
-      // so check the schema, not just the value
-      def opt(name: String, default: String): String =
-        if (r.schema.fieldNames.contains(name))
-          Option(r.getAs[String](name)).getOrElse(default)
-        else default
-      RetrievedDoc(
-        id = r.getAs[String]("id"),
-        score = Option(r.getAs[Any]("score")).fold(0.0)(_.asInstanceOf[Double]),
-        text = opt("text", ""),
-        source = opt("source", "unknown")
-      )
+    index.knn(qvec, topK, filter).collect().toSeq.map { r =>
+      rowToDoc(r,
+        r.getAs[String]("id"),
+        Option(r.getAs[Any]("score")).fold(0.0)(_.asInstanceOf[Double]))
     }
   }
 
@@ -88,25 +88,26 @@ final class Rag(
       poolSize: Int = 50, lambda: Double = 0.5): Seq[RetrievedDoc] = {
     require(topK >= 1 && topK <= 20, "top_k must be in [1, 20]")
     val qvec = embedder.embedOne(question).toSeq
-    val picked = graft.operators.Knn
-      .mmrRerank(index.read, "id", "embedding", qvec, topK, poolSize, lambda)
-      .collect()
-      .map(r => (r.getAs[String]("id"), r.getAs[Double]("score"),
-        r.getAs[Int]("rank")))
-    if (picked.isEmpty) return Seq.empty
-    val meta = index.read
-      .filter(org.apache.spark.sql.functions.col("id")
-        .isin(picked.map(_._1).toSeq: _*))
-      .collect()
-      .map(r => r.getAs[String]("id") -> r).toMap
-    picked.sortBy(_._3).toSeq.map { case (id, score, _) =>
-      val r = meta(id)
-      def opt(name: String, default: String): String =
-        if (r.schema.fieldNames.contains(name))
-          Option(r.getAs[String](name)).getOrElse(default)
-        else default
-      RetrievedDoc(id, score, opt("text", ""), opt("source", "unknown"))
-    }
+    // cache the snapshot: both the MMR pool scan and the <=k metadata
+    // fetch read it, and index.read repeats a full scan + version-dedup
+    // window shuffle per action otherwise
+    val snap = index.read.persist()
+    try {
+      val picked = graft.operators.Knn
+        .mmrRerank(snap, "id", "embedding", qvec, topK, poolSize, lambda)
+        .collect()
+        .map(r => (r.getAs[String]("id"), r.getAs[Double]("score"),
+          r.getAs[Int]("rank")))
+      if (picked.isEmpty) return Seq.empty
+      val meta = snap
+        .filter(org.apache.spark.sql.functions.col("id")
+          .isin(picked.map(_._1).toSeq: _*))
+        .collect()
+        .map(r => r.getAs[String]("id") -> r).toMap
+      picked.sortBy(_._3).toSeq.map { case (id, score, _) =>
+        rowToDoc(meta(id), id, score)
+      }
+    } finally { snap.unpersist(); () }
   }
 
   /** Context block (`retriever.py:75-95`):

@@ -103,11 +103,12 @@ object StreamingIngest {
     val l = left.withWatermark(leftTsCol, delay)
     val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
       .withWatermark(rightTsCol, delay)
-    l.join(r, expr(
-      s"""$keyCol = ${keyCol}_r
-         |AND $rightTsCol >= $leftTsCol
-         |AND $rightTsCol <= $leftTsCol + interval $intervalSeconds seconds
-         |""".stripMargin))
+    // Column-API condition (not an interpolated SQL string) so key /
+    // timestamp names needing quoting still work
+    l.join(r,
+      col(keyCol) === col(s"${keyCol}_r") &&
+        col(rightTsCol) >= col(leftTsCol) &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"interval $intervalSeconds seconds"))
   }
 
   final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
