@@ -42,6 +42,6 @@ object SparkEntry {
     * (AnnSpec recall bounds, ChunkerSpec goldens, KnnSpec/RagSpec e2e).
     */
   val rowsOnly: Set[String] =
-    Set("q16_ann_lsh", "q17_ann_ivf", "q50_chunk_recursive",
+    Set("q16_ann_lsh", "q17_ann_ivf", "q1B_pq_knn", "q50_chunk_recursive",
       "q51_embed_documents", "q52_rag_retrieve", "q53_mmr_rerank")
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StructField, StructType}
 
 /** Scalar (SQ8) vector quantization: each dimension is affinely mapped
   * to 0..255 using per-dimension corpus min/max — the standard
@@ -71,5 +72,136 @@ object Quantize {
     val nb  = acc(transform(idx, i => { val d = deq(element_at(qb, i + 1), i); d * d }))
     when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
       .otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  // ----- Product quantization (PQ) -----------------------------------
+
+  /** PQ codebooks: `codebooks(s)(c)` is the `subDim`-dim centroid `c` of
+    * subspace `s`. Codes per vector: `m` bytes (vs 4*dim for float32).
+    */
+  final case class PqModel(m: Int, subDim: Int, codebooks: Array[Array[Array[Double]]])
+      extends Serializable
+
+  /** Train PQ codebooks with deterministic Lloyd k-means per subspace on
+    * a driver-side sample (the standard PQ recipe — codebooks are always
+    * fit on a sample; only ENCODING must scale, and that is distributed
+    * in [[pqEncode]]). Deterministic: sample is the first `sampleLimit`
+    * rows by id, init takes the first k distinct sub-vectors, distance
+    * ties resolve to the lowest centroid index, empty clusters keep
+    * their previous centroid.
+    */
+  def pqTrain(
+      df: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int, iterations: Int = 10, sampleLimit: Int = 2048
+  ): PqModel = {
+    val sample = df.orderBy(col(idCol)).limit(sampleLimit)
+      .select(col(vecCol)).collect()
+      .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val subDim = dim / m
+
+    def l2sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+
+    val codebooks = Array.tabulate(m) { s =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+      subs.iterator.takeWhile(_ => init.length < k).foreach { v =>
+        if (seen.add(v.toSeq)) init += v
+      }
+      var cents = init.toArray
+      for (_ <- 0 until iterations) {
+        val sums   = Array.fill(cents.length)(new Array[Double](subDim))
+        val counts = new Array[Long](cents.length)
+        subs.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < cents.length) {
+            val d = l2sq(v, cents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += v(j); j += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c)
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+    PqModel(m, subDim, codebooks)
+  }
+
+  /** Distributed PQ encoding: appends `codes ARRAY<INT>` (length m, each
+    * the nearest-centroid index of that subspace). mapPartitions with the
+    * broadcast model — the same expensive-per-row kernel shape as the
+    * embedder, narrow and shuffle-free.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, model: PqModel): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false))
+    val idx = df.schema.fieldIndex(vecCol)
+    val bc  = df.sparkSession.sparkContext.broadcast(model)
+    df.mapPartitions { rows =>
+      val mod = bc.value
+      rows.map { row =>
+        val v = row.getAs[scala.collection.Seq[Float]](idx)
+        val codes = Array.tabulate(mod.m) { s =>
+          var best = 0; var bestD = Double.MaxValue; var c = 0
+          while (c < mod.codebooks(s).length) {
+            val cent = mod.codebooks(s)(c)
+            var d = 0.0; var j = 0
+            while (j < mod.subDim) {
+              val diff = v(s * mod.subDim + j).toDouble - cent(j)
+              d += diff * diff; j += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        Row.fromSeq(row.toSeq :+ codes.toSeq)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Approximate top-k by asymmetric distance computation (ADC): the
+    * query builds an `m x k` lookup table of exact sub-distances to every
+    * centroid once on the driver; each corpus row's distance is then m
+    * table lookups — no vector math per row, and the per-row cost is
+    * independent of dimension. Returns `(idCol, adc_dist)` ascending,
+    * ties by id.
+    */
+  def pqTopK(
+      encoded: DataFrame, idCol: String, model: PqModel,
+      queryVec: Seq[Float], k: Int
+  ): DataFrame = {
+    val table: Seq[Seq[Double]] = (0 until model.m).map { s =>
+      model.codebooks(s).toSeq.map { cent =>
+        var d = 0.0; var j = 0
+        while (j < model.subDim) {
+          val diff = queryVec(s * model.subDim + j).toDouble - cent(j)
+          d += diff * diff; j += 1
+        }
+        d
+      }
+    }
+    val t = typedlit(table)
+    val dist = aggregate(
+      sequence(lit(0), lit(model.m - 1)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(t, s + 1), element_at(col("codes"), s + 1) + 1))
+    encoded
+      .select(col(idCol), round(dist, 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
   }
 }

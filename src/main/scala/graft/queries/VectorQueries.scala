@@ -128,6 +128,24 @@ object VectorQueries {
         .limit(10)
     },
 
+    // PQ (product quantization) ANN: m=8 byte codes per vector (32x
+    // compression) scored by asymmetric distance — per-row cost is m
+    // table lookups, independent of dimension. Rows-only oracle
+    // (k-means codebooks aren't SQL-expressible); recall bounds in
+    // QuantizeSpec.
+    "q1B_pq_knn" -> { (s, d) =>
+      import graft.operators.Quantize
+      val e = Tables.embeddings(s, d)
+      val model = Quantize.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+      val qvec = e.filter(col("vec_id") === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val encoded = Quantize.pqEncode(
+        e.filter(col("vec_id") =!= 0)
+          .repartition(s.sparkContext.defaultParallelism),
+        "embedding", model)
+      Quantize.pqTopK(encoded, "vec_id", model, qvec, 10)
+    },
+
     // A4 (demo notebook cell 26): retrieval-frequency histogram — how
     // often each label ("source") is retrieved across the query batch.
     "q27_retrieval_histogram" -> { (s, d) =>

@@ -40,6 +40,34 @@ class QuantizeSpec extends GraftSpec {
     }
   }
 
+  test("pq: codes bounded, training deterministic, ADC recalls neighbors") {
+    val model  = Quantize.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    val model2 = Quantize.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    assert(model.m == 8 && model.subDim == 8)
+    def nested(c: Array[Array[Array[Double]]]) = c.map(_.map(_.toSeq).toSeq).toSeq
+    assert(nested(model.codebooks) == nested(model2.codebooks))
+
+    val corpus  = e.filter(col("vec_id") =!= 0)
+    val encoded = Quantize.pqEncode(corpus, "embedding", model)
+    encoded.select("codes").collect().foreach { r =>
+      val c = r.getAs[scala.collection.Seq[Int]]("codes")
+      assert(c.length == 8 && c.forall(x => x >= 0 && x < 16))
+    }
+
+    // recall vs the EXACT L2 top-10 (ADC approximates L2 distance)
+    val q = e.filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+    val exact = corpus.select("vec_id", "embedding").collect()
+      .map { r =>
+        val v = r.getAs[scala.collection.Seq[Float]]("embedding")
+        val d = v.indices.map(i => { val x = v(i) - q(i); x * x }).sum
+        (r.getAs[Long]("vec_id"), d)
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val approx = Quantize.pqTopK(encoded, "vec_id", model, q.map(_.toFloat).toSeq, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact & approx).size >= 4, s"PQ recall too low: ${(exact & approx).size}/10")
+  }
+
   test("sq8 top-10 recalls most of the exact top-10") {
     val (mins, maxs) = params
     val qvec = e.filter(col("vec_id") === 0).head()
