@@ -155,6 +155,27 @@ object PipelineQueries {
       graft.rag.RagChain.flagship(s, d)
     },
 
+    // Multimodal pipeline in the registry (rows-only): text bytes stand
+    // in for media payloads; the binary column flows through the
+    // partition-batched decode/featurize kernel (STUB codec — the Spark
+    // plumbing is what's under test) into per-source feature stats.
+    "q54_media_features" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("source"),
+          encode(col("text"), "UTF-8").as("content"))
+      val feat = Multimodal.decodeAndFeaturize(media,
+        new Multimodal.StubImageDecoder(16))
+      feat.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_media"),
+          sum(when(col("decode_ok"), 1).otherwise(0)).as("n_decoded"),
+          round(avg(col("meta.width").cast("double")), 2).as("avg_width"),
+          round(avg(element_at(col("features"), 1).cast("double")), 6).as("avg_f0"))
+        .orderBy("source")
+    },
+
     // MMR-diversified retrieval (rows-only oracle: greedy selection is
     // not SQL-expressible): exact top-50 pool, lambda=0.5 rerank to 5.
     "q53_mmr_rerank" -> { (s, d) =>
