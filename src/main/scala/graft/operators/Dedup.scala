@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Deduplication operators for LLM training-data pipelines: exact
   * (content-hash), MinHash + LSH banding, SimHash, and n-gram Jaccard.
@@ -177,23 +178,29 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6).as("jaccard"))
   }
 
-  /** Connected components over an undirected edge list by iterative
-    * min-label propagation: every node's label converges to the minimum
-    * id in its component. Each round is one join + one min-aggregate
-    * (shuffles sized by |edges| + |nodes|, never by component count), and
-    * `localCheckpoint` truncates the lineage so plans stay O(1) per
-    * round. Rounds needed = component diameter — near-dup clusters are
-    * shallow; for web-scale graphs swap in the alternating
-    * large-star/small-star variant behind the same signature.
+  /** Connected components over an undirected edge list: every node's
+    * label is the minimum id in its component.
+    *
+    * Size-adaptive plan (the shape production graph libraries use): at
+    * or below `driverMaxEdges` the deduped edge list is collected and
+    * solved with union-find — one action instead of a multi-round job
+    * storm, right whenever the candidate graph fits comfortably on the
+    * driver. Above it, iterative min-label propagation: each round is
+    * one join + one min-aggregate (shuffles sized by |edges| + |nodes|,
+    * never by component count) with `localCheckpoint` truncating the
+    * lineage; rounds needed = component diameter. Both paths produce
+    * identical labels (asserted in DedupSpec).
     */
   def connectedComponents(
-      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20
+      edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
+      driverMaxEdges: Long = 100000L
   ): DataFrame = {
     val und = edges
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
+    if (und.count() <= driverMaxEdges) return ccDriver(und)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint()
@@ -219,6 +226,38 @@ object Dedup {
           s"component has diameter > $maxIter; raise maxIter (rounds are " +
           "cheap: one join + one min-aggregate each)")
     labels
+  }
+
+  /** Driver-side union-find for small graphs. Min-root labels without
+    * needing an Ordering on the (generic) id type: nodes are scanned in
+    * the engine's ascending sort order, and the first node seen in each
+    * component names it.
+    */
+  private def ccDriver(und: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    und.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent(rb) = ra
+    }
+    val nodesAsc = und.select(col("src")).distinct().orderBy(col("src"))
+      .collect().map(_.get(0))
+    val rootLabel = scala.collection.mutable.HashMap.empty[Any, Any]
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList(nodesAsc.map { n =>
+        org.apache.spark.sql.Row(n, rootLabel.getOrElseUpdate(find(n), n))
+      }.toSeq.asJava)
+    val idType = und.schema("src").dataType
+    und.sparkSession.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node", idType),
+        org.apache.spark.sql.types.StructField("root", idType))))
   }
 
   /** 32-bit SimHash over whitespace tokens, as a '0'/'1' bitstring.

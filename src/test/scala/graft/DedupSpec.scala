@@ -107,12 +107,19 @@ class DedupSpec extends GraftSpec {
       (1L, 2L), (2L, 3L), (1L, 3L),        // triangle -> root 1
       (20L, 15L)                           // pair -> root 15
     ).toDF("a", "b")
-    val got = Dedup.connectedComponents(edges, "a", "b").collect()
-      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
-    assert(got == Map(
+    val expected = Map(
       7L -> 7L, 8L -> 7L, 9L -> 7L, 10L -> 7L,
       1L -> 1L, 2L -> 1L, 3L -> 1L,
-      15L -> 15L, 20L -> 15L))
+      15L -> 15L, 20L -> 15L)
+    // driver union-find path (default threshold) and distributed
+    // min-label propagation (threshold 0) must agree exactly
+    val viaDriver = Dedup.connectedComponents(edges, "a", "b").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    val viaSpark = Dedup.connectedComponents(edges, "a", "b",
+        driverMaxEdges = 0L).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    assert(viaDriver == expected)
+    assert(viaSpark == expected)
   }
 
   test("verifyJaccard matches jaccardPairs for the same pairs") {
