@@ -122,6 +122,13 @@ class DedupSpec extends GraftSpec {
     assert(viaSpark == expected)
   }
 
+  test("connected components on an empty edge list is empty (both paths)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
+    // -1 forces the distributed path even for the 0-edge list
+    assert(Dedup.connectedComponents(empty, "a", "b", driverMaxEdges = -1L).isEmpty)
+  }
+
   test("verifyJaccard matches jaccardPairs for the same pairs") {
     val all = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 100).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->

@@ -47,6 +47,18 @@ class LexicalSpec extends GraftSpec {
       got.agg(max("score")).head().getDouble(0))
   }
 
+  test("edge cases: no-match bm25 is empty; small-pool mmr returns what exists") {
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    assert(Bm25.scores(docs, "doc_id", "text", Seq("zzz_nomatch")).isEmpty)
+    intercept[IllegalArgumentException](Bm25.scores(docs, "doc_id", "text", Nil))
+    // corpus smaller than the pool: rerank returns every scoreable row
+    val tiny = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    val got = Knn.mmrRerank(tiny, "vec_id", "embedding", Seq(1.0f, 0.0f),
+      k = 2, poolSize = 10)
+    assert(got.count() == 2) // null vector skipped, both real rows returned
+  }
+
   test("mmr determinism: same input, same output across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val qvec = e.filter(col("vec_id") === 0).head()
