@@ -96,7 +96,7 @@ object Knn {
 
     val picked  = scala.collection.mutable.ArrayBuffer.empty[(Any, Double, Double)]
     val pickedV = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
-    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    val remaining = scala.collection.mutable.ArrayBuffer.from(pool)
     while (picked.length < k && remaining.nonEmpty) {
       // strict > keeps the first-seen candidate on MMR ties, and
       // `remaining` preserves pool order (score desc, id asc) — so tie
