@@ -42,7 +42,7 @@ object SparkEntry {
     * (AnnSpec recall bounds, ChunkerSpec goldens, KnnSpec/RagSpec e2e).
     */
   val rowsOnly: Set[String] =
-    Set("q16_ann_lsh", "q17_ann_ivf", "q1B_pq_knn", "q50_chunk_recursive",
-      "q51_embed_documents", "q52_rag_retrieve", "q53_mmr_rerank",
-      "q54_media_features")
+    Set("q16_ann_lsh", "q17_ann_ivf", "q1B_pq_knn", "q1C_ivfpq_knn",
+      "q50_chunk_recursive", "q51_embed_documents", "q52_rag_retrieve",
+      "q53_mmr_rerank", "q54_media_features")
 }

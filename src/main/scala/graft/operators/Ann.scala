@@ -227,4 +227,29 @@ object AnnIvf {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF-PQ composite (the FAISS-style production index): the IVF probe
+    * prunes the candidate set to ~nProbe/nList of the corpus (a
+    * partition-pruned read when the store is partitioned by cell), and
+    * PQ asymmetric distance scores the survivors with m table lookups
+    * per row over 32x-compressed codes — neither full vectors nor full
+    * scans anywhere in the query path. `encoded` must carry the `cell`
+    * column from [[assign]] and `codes` from
+    * [[graft.operators.Quantize.pqEncode]].
+    */
+  def topKApproxPq(
+      encoded: DataFrame, cents: DataFrame, idCol: String,
+      model: graft.operators.Quantize.PqModel,
+      queryVec: Seq[Float], k: Int, nProbe: Int
+  ): DataFrame = {
+    val probeCells = cents
+      .select(col("centroid_id"),
+        cosineSimilarity(col("centroid_vec"), typedlit(queryVec)).as("cs"))
+      .orderBy(col("cs").desc, col("centroid_id"))
+      .limit(nProbe)
+      .collect().map(_.getAs[Long]("centroid_id")).toSeq
+    graft.operators.Quantize.pqTopK(
+      encoded.filter(col("cell").isin(probeCells: _*)),
+      idCol, model, queryVec, k)
+  }
 }

@@ -146,6 +146,22 @@ object VectorQueries {
       Quantize.pqTopK(encoded, "vec_id", model, qvec, 10)
     },
 
+    // IVF-PQ composite index (rows-only): cell-probed candidate pruning
+    // + PQ table-lookup scoring — no full vectors and no full scan in
+    // the query path.
+    "q1C_ivfpq_knn" -> { (s, d) =>
+      import graft.operators.{AnnIvf, Quantize}
+      val e = Tables.embeddings(s, d)
+      val qvec = e.filter(col("vec_id") === 0).head()
+        .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      val cents    = AnnIvf.centroids(e, "vec_id", "embedding", nList = 16)
+      val assigned = AnnIvf.assign(e.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", cents)
+      val model    = Quantize.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+      val encoded  = Quantize.pqEncode(assigned, "embedding", model)
+      AnnIvf.topKApproxPq(encoded, cents, "vec_id", model, qvec, k = 10, nProbe = 8)
+    },
+
     // A4 (demo notebook cell 26): retrieval-frequency histogram — how
     // often each label ("source") is retrieved across the query batch.
     "q27_retrieval_histogram" -> { (s, d) =>

@@ -68,6 +68,17 @@ class QuantizeSpec extends GraftSpec {
     assert((exact & approx).size >= 4, s"PQ recall too low: ${(exact & approx).size}/10")
   }
 
+  test("ivf-pq composite returns k rows overlapping the pq-only ranking") {
+    val pqOnly = SparkEntry.queries("q1B_pq_knn")(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivfpq = SparkEntry.queries("q1C_ivfpq_knn")(spark, sfDir)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(ivfpq.size == 10)
+    // probing half the cells keeps most of the unpruned PQ ranking
+    assert((pqOnly & ivfpq).size >= 5,
+      s"IVF pruning lost too much: ${(pqOnly & ivfpq).size}/10")
+  }
+
   test("sq8 top-10 recalls most of the exact top-10") {
     val (mins, maxs) = params
     val qvec = e.filter(col("vec_id") === 0).head()
