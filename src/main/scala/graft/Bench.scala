@@ -28,6 +28,13 @@ object Bench {
     // optional dev-only subset filter: SPARK_GRAFT_ONLY=q31_jaccard_pairs,...
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      // an empty/blank value must not silently benchmark zero queries
+      .filter { names =>
+        if (names.isEmpty)
+          System.err.println(
+            "[bench] WARNING: SPARK_GRAFT_ONLY is blank — running all queries")
+        names.nonEmpty
+      }
     only.foreach { names =>
       val unknown = names -- SparkEntry.queries.keySet
       if (unknown.nonEmpty)

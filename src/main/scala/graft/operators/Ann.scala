@@ -209,19 +209,25 @@ object AnnIvf {
   /** Approximate top-k: rank centroids for the query, exact-search only
     * the best `nProbe` cells.
     */
-  def topKApprox(
-      assigned: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String,
-      queryVec: Seq[Float], k: Int, nProbe: Int
-  ): DataFrame = {
-    val probeCells = cents
+  /** The nProbe centroid ids nearest the query (desc cosine, ties by
+    * id) — the probe set shared by the IVF and IVF-PQ query paths.
+    */
+  private def probeCells(
+      cents: DataFrame, queryVec: Seq[Float], nProbe: Int): Seq[Long] =
+    cents
       .select(col("centroid_id"),
         cosineSimilarity(col("centroid_vec"), typedlit(queryVec)).as("cs"))
       .orderBy(col("cs").desc, col("centroid_id"))
       .limit(nProbe)
       .collect().map(_.getAs[Long]("centroid_id")).toSeq
+
+  def topKApprox(
+      assigned: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String,
+      queryVec: Seq[Float], k: Int, nProbe: Int
+  ): DataFrame = {
     assigned
-      .filter(col("cell").isin(probeCells: _*))
+      .filter(col("cell").isin(probeCells(cents, queryVec, nProbe): _*))
       .select(col(idCol),
         round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
@@ -241,15 +247,8 @@ object AnnIvf {
       encoded: DataFrame, cents: DataFrame, idCol: String,
       model: graft.operators.Quantize.PqModel,
       queryVec: Seq[Float], k: Int, nProbe: Int
-  ): DataFrame = {
-    val probeCells = cents
-      .select(col("centroid_id"),
-        cosineSimilarity(col("centroid_vec"), typedlit(queryVec)).as("cs"))
-      .orderBy(col("cs").desc, col("centroid_id"))
-      .limit(nProbe)
-      .collect().map(_.getAs[Long]("centroid_id")).toSeq
+  ): DataFrame =
     graft.operators.Quantize.pqTopK(
-      encoded.filter(col("cell").isin(probeCells: _*)),
+      encoded.filter(col("cell").isin(probeCells(cents, queryVec, nProbe): _*)),
       idCol, model, queryVec, k)
-  }
 }

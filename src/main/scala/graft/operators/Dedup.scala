@@ -200,7 +200,9 @@ object Dedup {
       .unionByName(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .localCheckpoint()
-    if (und.count() <= driverMaxEdges) return ccDriver(und)
+    // und is symmetrized (both directions), so the undirected edge count
+    // is half its row count
+    if (und.count() <= 2L * driverMaxEdges) return ccDriver(und)
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint()

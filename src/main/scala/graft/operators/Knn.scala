@@ -77,6 +77,9 @@ object Knn {
       .filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
         round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
+      // zero-norm vectors score NULL (cosine contract) — unscorable,
+      // so they can't join the pool
+      .filter(col("score").isNotNull)
       .orderBy(col("score").desc, col(idCol))
       .limit(poolSize)
       .collect()

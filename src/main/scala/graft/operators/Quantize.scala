@@ -154,6 +154,8 @@ object Quantize {
       val mod = bc.value
       rows.map { row =>
         val v = row.getAs[scala.collection.Seq[Float]](idx)
+        require(v != null,
+          s"PQ encoding requires a non-null vector column ($vecCol)")
         val codes = Array.tabulate(mod.m) { s =>
           var best = 0; var bestD = Double.MaxValue; var c = 0
           while (c < mod.codebooks(s).length) {

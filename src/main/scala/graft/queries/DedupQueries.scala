@@ -81,11 +81,13 @@ object DedupQueries {
     // sketch-only dedup threshold at full scale.
     "q38_minhash_estimate" -> { (s, d) =>
       val docs = Tables.documents(s, d)
+      // wide feeds the LSH banding AND both signature-join sides, and
+      // cands feeds both est and the exact verify — cut each once
       val wide = Dedup.minhashWide(docs, "doc_id", "text",
-        numHashes = 8, shingleN = 3)
+        numHashes = 8, shingleN = 3).localCheckpoint()
       val cands = Dedup.lshCandidatePairs(
           Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b").localCheckpoint()
       val sideA = wide.select(col("doc").as("doc_a") +:
         (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
       val sideB = wide.select(col("doc").as("doc_b") +:

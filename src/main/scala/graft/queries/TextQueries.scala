@@ -96,7 +96,9 @@ object TextQueries {
       val bm   = graft.operators.Bm25.scores(docs, "doc_id", "text",
         Seq("vector", "query", "merge", "window", "stream")).localCheckpoint()
       val mx   = bm.agg(max("bm25").as("max_bm25"))
-      docs.select("doc_id")
+      // exclude the query's own row (vec_id 0 is the designated query
+      // vector corpus-wide) — otherwise it self-retrieves at cosine 1.0
+      docs.select("doc_id").filter(col("doc_id") =!= 0)
         .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
         .join(bm, Seq("doc_id"), "left")
         .crossJoin(broadcast(mx))
@@ -205,6 +207,7 @@ object TextQueries {
          |JOIN embeddings e ON e.vec_id = d.doc_id
          |LEFT JOIN bm ON bm.doc_id = d.doc_id
          |CROSS JOIN mx CROSS JOIN q
+         |WHERE d.doc_id <> 0
          |ORDER BY hybrid DESC, d.doc_id
          |LIMIT 10""".stripMargin,
 

@@ -100,6 +100,14 @@ object StreamingIngest {
   ): DataFrame = {
     require(leftTsCol != rightTsCol,
       "left and right timestamp columns must have distinct names")
+    // the only legal shared column name is the key (which the right side
+    // gives up via rename) — anything else would make the join output
+    // ambiguous; also guard the rename target itself
+    val shared = (left.columns.toSet & right.columns.toSet) - keyCol
+    require(shared.isEmpty,
+      s"left and right streams share non-key columns: ${shared.mkString(", ")}")
+    require(!right.columns.contains(s"${keyCol}_r"),
+      s"right stream already has a ${keyCol}_r column")
     val l = left.withWatermark(leftTsCol, delay)
     val r = right.withColumnRenamed(keyCol, s"${keyCol}_r")
       .withWatermark(rightTsCol, delay)
