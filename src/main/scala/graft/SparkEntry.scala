@@ -26,14 +26,16 @@ object SparkEntry {
       VectorQueries.queries ++
       TextQueries.queries ++
       DedupQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      CurationQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
       VectorQueries.oracles ++
       TextQueries.oracles ++
       DedupQueries.oracles ++
-      PipelineQueries.oracles
+      PipelineQueries.oracles ++
+      CurationQueries.oracles
 
   /** Queries intentionally without a DuckDB oracle (driver records a
     * rows-only check): their operators aren't ANSI-SQL-expressible —

@@ -114,4 +114,91 @@ object TextFunctions {
       )
     )
   }
+
+  // -------------------------------------------------------------------------
+  // Curation extensions: normalization, PII scrubbing, Gopher-style line
+  // rules, lexical diversity, deterministic hash bucketing. Same contract as
+  // the rest of this file: built-ins only, every formula SQL-mirrorable.
+  // -------------------------------------------------------------------------
+
+  /** Canonical text normalization: casefold, collapse every whitespace run
+    * to a single space, trim. (Oracle: `trim(regexp_replace(lower(x),
+    * '\s+', ' ', 'g'))` — DuckDB needs the explicit 'g' flag.)
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** PII patterns. RE2-safe (no lookaround/backrefs) so Java regex (Spark)
+    * and RE2 (DuckDB) agree match-for-match. Frozen: part of the operator
+    * contract, not a compliance resource.
+    */
+  val EMAIL_RE: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SSN_RE: String   = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PHONE_RE: String = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails, then SSNs, then phone numbers (order matters: emails may
+    * embed digits; SSN/phone shapes are disjoint by middle-group width).
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EMAIL_RE, "<EMAIL>"),
+        SSN_RE, "<SSN>"),
+      PHONE_RE, "<PHONE>")
+
+  /** Newline-split lines (keeps empty segments, like DuckDB string_split). */
+  def lines(text: Column): Column = split(text, "\n")
+
+  /** Gopher-style duplicate-line fraction: 1 - |distinct lines|/|lines|. */
+  def dupLineFraction(text: Column): Column = {
+    val l = lines(text)
+    lit(1.0) - size(array_distinct(l)).cast("double") / size(l).cast("double")
+  }
+
+  /** Fraction of lines that start with a bullet marker ("- " or "* "). */
+  def bulletLineFraction(text: Column): Column = {
+    val l = lines(text)
+    size(filter(l, x => substring(x, 1, 2).isin("- ", "* "))).cast("double") /
+      size(l).cast("double")
+  }
+
+  /** Fraction of lines ending in an ellipsis ("..."). */
+  def ellipsisLineFraction(text: Column): Column = {
+    val l = lines(text)
+    size(filter(l, x => length(x) >= 3 && x.substr(length(x) - 2, lit(3)) === "..."))
+      .cast("double") / size(l).cast("double")
+  }
+
+  /** Mean token length (characters per whitespace token). */
+  def meanWordLen(text: Column): Column = {
+    val t = tokens(text)
+    aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x)
+      .cast("double") / size(t).cast("double")
+  }
+
+  /** Type-token ratio (lexical diversity): |distinct tokens|/|tokens|. */
+  def typeTokenRatio(text: Column): Column = {
+    val t = tokens(text)
+    size(array_distinct(t)).cast("double") / size(t).cast("double")
+  }
+
+  /** Value of one lowercase-hex digit char, via ascii arithmetic (portable:
+    * Spark `instr`/`locate` only take literal needles, DuckDB lacks `conv`).
+    */
+  private def hexDigit(c: Column): Column = {
+    val a = ascii(c)
+    a - when(a >= 97, lit(87)).otherwise(lit(48))
+  }
+
+  /** Deterministic bucket in [0, buckets): first 4 hex chars of md5(id as
+    * string) → int → mod. Stable across engines, runs, and partitionings —
+    * the primitive under train/val/test splits and weighted mixtures.
+    */
+  def hashBucket(id: Column, buckets: Int): Column = {
+    val h = md5(id.cast("string"))
+    val v = (0 until 4)
+      .map(i => hexDigit(substring(h, i + 1, 1)))
+      .reduce((acc, d) => acc * 16 + d)
+    v % buckets
+  }
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic splits, weighted dataset
+  * mixtures, benchmark-contamination checks, n-gram repetition scoring, and
+  * sequence packing. The reference stops at chunk→embed→index
+  * (`scripts/ingest_documents.py`); these are the corpus-preparation stages a
+  * 100 TB pretraining pipeline runs before any of that.
+  *
+  * Scale notes: split/mixture are narrow per-row maps (no shuffle);
+  * contamination broadcasts the (small) benchmark side; packing windows are
+  * partitioned by shard so shards pack in parallel; repetition aggregates
+  * with map-side combine. Nothing here collects to the driver.
+  */
+object Curation {
+
+  /** Deterministic train/val/test assignment from [[hashBucket]] over the id
+    * column: bucket < trainPct → "train", < trainPct+valPct → "val", else
+    * "test". Stable under reruns, repartitioning, and incremental appends —
+    * a row's split never depends on what other rows are present.
+    */
+  def assignSplit(df: DataFrame, idCol: String,
+                  trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"invalid split percentages ($trainPct, $valPct)")
+    val b = hashBucket(col(idCol), 100)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Weighted deterministic mixture: keep a row when its hash bucket falls
+    * under the per-stratum sampling percentage (0..100). Rows in strata
+    * absent from `pctByStratum` keep `defaultPct`. Exactly reproducible —
+    * the "sample 50% of web, 100% of books" stage of corpus assembly. The
+    * bucket is salted so mixture decisions are independent of the
+    * train/val/test assignment made from the same id.
+    */
+  def mixture(df: DataFrame, idCol: String, stratumCol: String,
+              pctByStratum: Map[String, Int], defaultPct: Int = 0,
+              salt: String = "mix"): DataFrame = {
+    require((defaultPct +: pctByStratum.values.toSeq).forall(p => p >= 0 && p <= 100),
+      "sampling percentages must be in [0, 100]")
+    val rate = pctByStratum.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+        when(col(stratumCol) === k, lit(p)).otherwise(acc)
+      }
+    df.filter(hashBucket(concat(col(idCol).cast("string"), lit(salt)), 100) < rate)
+  }
+
+  /** Benchmark-contamination check: for each training doc, the number of
+    * distinct word n-grams it shares with the benchmark corpus and how many
+    * benchmark docs it overlaps. The benchmark side is aggregated small
+    * (distinct shingles) and broadcast, so the train side streams through
+    * one hash join + one aggregation — no quadratic pair blowup.
+    */
+  def contamination(train: DataFrame, bench: DataFrame,
+                    idCol: String, textCol: String, shingleN: Int): DataFrame = {
+    val trainSh = train
+      .select(col(idCol), explode(wordShingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    val benchSh = bench
+      .select(col(idCol).as("bench_id"),
+        explode(wordShingles(col(textCol), shingleN)).as("sh"))
+      .distinct()
+    trainSh.join(broadcast(benchSh), "sh")
+      .groupBy(col(idCol))
+      .agg(countDistinct("sh").as("n_shared"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
+  /** Per-document repetition score: frequency of the most common word
+    * 2..n-gram over all n-grams (Gopher's "top n-gram fraction"). Documents
+    * with fewer than n tokens are dropped (no n-grams to score).
+    */
+  def topNgramFraction(df: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), n)).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_grams"),
+        (max("cnt").cast("double") / sum("cnt").cast("double")).as("top_fraction"))
+
+  /** Sequence packing for pretraining: concatenate each shard's documents in
+    * id order and cut the token stream into fixed `windowTokens` context
+    * windows. Emits, per document, its token offset within the shard and the
+    * first/last window it lands in — the bookkeeping a packed-batch writer
+    * needs. The cumulative sum is windowed PER SHARD, so shards pack in
+    * parallel; within a shard packing is inherently sequential.
+    */
+  def packSequences(df: DataFrame, shardCol: String, idCol: String,
+                    textCol: String, windowTokens: Int): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val winOf: Column => Column = c => floor(c / lit(windowTokens.toDouble)).cast("long")
+    df.select(col(shardCol), col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("first_window", winOf(col("offset")))
+      .withColumn("last_window", winOf(col("offset") + col("n_tokens") - 1))
+      .withColumn("n_windows", col("last_window") - col("first_window") + 1)
+  }
+}

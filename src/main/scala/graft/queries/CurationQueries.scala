@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Curation
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation coverage on the `documents` fixture: PII scrubbing,
+  * lexical diversity, deterministic train/val/test splits, n-gram
+  * repetition, weighted dataset mixtures, benchmark contamination, and
+  * sequence packing. Every formula is mirrored token-for-token in the
+  * DuckDB oracle (md5-derived buckets, ascii hex arithmetic, double
+  * division) so the driver's hash compare is exact.
+  *
+  * The fixture has no natural PII, so q60 synthesizes deterministic
+  * emails/phones/SSNs from doc_id identically on both engines — the regex
+  * machinery is exercised on real matches, not vacuous zero counts.
+  */
+object CurationQueries {
+
+  private val duckToks = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  // Non-distinct word n-grams (the repetition/contamination unit).
+  private def duckGrams(n: Int): String = {
+    val parts = (0 until n).map(j => if (j == 0) "$t[i]" else s"$$t[i+$j]")
+      .mkString(", ").replace("$t", duckToks)
+    s"""CASE WHEN len($duckToks) < $n THEN []
+       |  ELSE [concat_ws(' ', $parts) for i in range(1, len($duckToks) - ${n - 2})] END""".stripMargin
+  }
+
+  // hashBucket mirror: first 4 hex chars of md5(expr) via ascii arithmetic.
+  private def duckBucket(idExpr: String, buckets: Int): String = {
+    def hv(i: Int) =
+      s"(ascii(substr(md5($idExpr), $i, 1)) - CASE WHEN ascii(substr(md5($idExpr), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
+  }
+
+  // Mixture percentages per lang (see q64).
+  private val MIX: Map[String, Int] =
+    Map("en" -> 50, "de" -> 100, "es" -> 25, "fr" -> 10, "zh" -> 75)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII scrub: synthesize deterministic PII from doc_id, normalize,
+    // count each pattern, emit md5 of the redacted text.
+    "q60_pii_scrub" -> { (s, d) =>
+      val id = col("doc_id")
+      val emailP = when(id % 3 =!= 0,
+        concat(lit("Reach user"), id.cast("string"), lit("@Example.COM now ")))
+        .otherwise(lit(""))
+      val phoneP = when(id % 4 =!= 0,
+        concat(lit("call 555-"), lpad((id % 1000).cast("string"), 3, "0"),
+          lit("-"), lpad(id.cast("string"), 4, "0"), lit(" ")))
+        .otherwise(lit(""))
+      val ssnP = when(id % 5 === 0, lit("ssn 123-45-6789 ")).otherwise(lit(""))
+      Tables.documents(s, d)
+        .select(id, normalizeText(concat(emailP, phoneP, ssnP, col("text"))).as("aug"))
+        .select(id,
+          regexp_count(col("aug"), lit(EMAIL_RE)).as("n_emails"),
+          regexp_count(col("aug"), lit(SSN_RE)).as("n_ssns"),
+          regexp_count(col("aug"), lit(PHONE_RE)).as("n_phones"),
+          md5(redactPii(col("aug"))).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+
+    // Lexical diversity: token count, type-token ratio, mean word length.
+    "q61_lexical_diversity" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          round(typeTokenRatio(col("text")), 6).as("ttr"),
+          round(meanWordLen(col("text")), 6).as("mean_word_len"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic 80/10/10 split: stable under reruns and appends.
+    "q62_train_split" -> { (s, d) =>
+      Curation.assignSplit(Tables.documents(s, d), "doc_id")
+        .select("doc_id", "bucket", "split")
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition: top word-2-gram frequency fraction per doc.
+    "q63_repetition_2gram" -> { (s, d) =>
+      Curation.topNgramFraction(
+          Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism),
+          "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("n_grams"),
+          round(col("top_fraction"), 6).as("top_fraction"))
+        .orderBy("doc_id")
+    },
+
+    // Weighted mixture: per-lang sampling percentages over a salted bucket.
+    "q64_dataset_mixture" -> { (s, d) =>
+      Curation.mixture(Tables.documents(s, d), "doc_id", "lang", MIX)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Benchmark contamination: 4-gram overlap of each training doc (id % 50
+    // != 0) against the held-out benchmark docs (id % 50 == 0).
+    "q65_contamination" -> { (s, d) =>
+      val docs  = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+      Curation.contamination(train, bench, "doc_id", "text", shingleN = 4)
+        .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Sequence packing: concat each source-shard's docs in id order, cut
+    // into 256-token context windows, report per-doc offsets/window spans.
+    "q66_sequence_packing" -> { (s, d) =>
+      Curation.packSequences(Tables.documents(s, d), "source", "doc_id",
+          "text", windowTokens = 256)
+        .withColumnRenamed("offset", "tok_offset")
+        .orderBy("source", "doc_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_pii_scrub" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, trim(regexp_replace(lower(
+         |    CASE WHEN doc_id % 3 <> 0
+         |         THEN 'Reach user' || CAST(doc_id AS VARCHAR) || '@Example.COM now '
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 4 <> 0
+         |         THEN 'call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |              || '-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || ' '
+         |         ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN 'ssn 123-45-6789 ' ELSE '' END ||
+         |    text), '\\s+', ' ', 'g')) AS s
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(s, '$EMAIL_RE')) AS n_emails,
+         |  len(regexp_extract_all(s, '$SSN_RE')) AS n_ssns,
+         |  len(regexp_extract_all(s, '$PHONE_RE')) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(s,
+         |    '$EMAIL_RE', '<EMAIL>', 'g'),
+         |    '$SSN_RE', '<SSN>', 'g'),
+         |    '$PHONE_RE', '<PHONE>', 'g')) AS scrub_md5
+         |FROM aug
+         |ORDER BY doc_id""".stripMargin,
+
+    "q61_lexical_diversity" ->
+      s"""SELECT doc_id,
+         |  len($duckToks) AS n_tokens,
+         |  round(CAST(len(list_distinct($duckToks)) AS DOUBLE)
+         |        / CAST(len($duckToks) AS DOUBLE), 6) AS ttr,
+         |  round(CAST(list_sum(list_transform($duckToks, t -> length(t))) AS DOUBLE)
+         |        / CAST(len($duckToks) AS DOUBLE), 6) AS mean_word_len
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "q62_train_split" ->
+      s"""SELECT doc_id,
+         |  ${duckBucket("CAST(doc_id AS VARCHAR)", 100)} AS bucket,
+         |  CASE WHEN ${duckBucket("CAST(doc_id AS VARCHAR)", 100)} < 80 THEN 'train'
+         |       WHEN ${duckBucket("CAST(doc_id AS VARCHAR)", 100)} < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    "q63_repetition_2gram" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, unnest(${duckGrams(2)}) AS gram FROM documents),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         |SELECT doc_id,
+         |  CAST(sum(cnt) AS BIGINT) AS n_grams,
+         |  round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) AS top_fraction
+         |FROM c
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q64_dataset_mixture" -> {
+      val rate = MIX.toSeq.sortBy(_._1)
+        .map { case (k, p) => s"WHEN lang = '$k' THEN $p" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT doc_id, lang
+         |FROM documents
+         |WHERE ${duckBucket("CAST(doc_id AS VARCHAR) || 'mix'", 100)} < $rate
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q65_contamination" ->
+      s"""WITH trd AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${duckGrams(4)}) AS sh
+         |    FROM documents WHERE doc_id % 50 <> 0)),
+         |be AS (
+         |  SELECT DISTINCT bench_id, sh FROM (
+         |    SELECT doc_id AS bench_id, unnest(${duckGrams(4)}) AS sh
+         |    FROM documents WHERE doc_id % 50 = 0))
+         |SELECT doc_id,
+         |  count(DISTINCT sh) AS n_shared,
+         |  count(DISTINCT bench_id) AS n_bench_docs
+         |FROM trd JOIN be USING (sh)
+         |GROUP BY doc_id
+         |ORDER BY n_shared DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    "q66_sequence_packing" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($duckToks) AS n_tokens FROM documents),
+         |o AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (
+         |      PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, tok_offset,
+         |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS first_window,
+         |  CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) AS last_window,
+         |  CAST(floor((tok_offset + n_tokens - 1) / 256.0)
+         |       - floor(tok_offset / 256.0) + 1 AS BIGINT) AS n_windows
+         |FROM o
+         |ORDER BY source, doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,134 @@
+package graft
+
+import graft.functions.TextFunctions._
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Curation operators: PII redaction, Gopher line rules, deterministic
+  * splits/mixtures, contamination, repetition, sequence packing. Synthetic
+  * inputs here exercise the cases the fixture corpus can't (multi-line
+  * text, real PII shapes, exact window boundaries).
+  */
+class CurationSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  test("redactPii masks emails, SSNs, and phones, leaves the rest") {
+    val df = Seq(
+      "mail Bob.Smith+x@sub.Example.org or 555-123-4567 ssn 987-65-4321 ok",
+      "no pii here 123-4567 and 12-34",
+      "edge a@b.co end"
+    ).toDF("t").select(redactPii($"t").as("r"))
+    val out = df.as[String].collect()
+    assert(out(0) == "mail <EMAIL> or <PHONE> ssn <SSN> ok")
+    assert(out(1) == "no pii here 123-4567 and 12-34") // partial shapes untouched
+    assert(out(2) == "edge <EMAIL> end")
+  }
+
+  test("normalizeText collapses whitespace runs and casefolds") {
+    val out = Seq("  A\t\tB \n C  ").toDF("t")
+      .select(normalizeText($"t")).as[String].head()
+    assert(out == "a b c")
+  }
+
+  test("gopher line rules: duplicate/bullet/ellipsis fractions") {
+    val text = "- item one\n- item one\nplain line\nwait for it...\n- item one"
+    val row = Seq(text).toDF("t")
+      .select(
+        round(dupLineFraction($"t"), 6).as("dup"),
+        round(bulletLineFraction($"t"), 6).as("bullet"),
+        round(ellipsisLineFraction($"t"), 6).as("ell"))
+      .head()
+    // 5 lines, 3 distinct -> dup 2/5; bullets 3/5; ellipsis 1/5
+    assert(row.getDouble(0) == 0.4)
+    assert(row.getDouble(1) == 0.6)
+    assert(row.getDouble(2) == 0.2)
+  }
+
+  test("lexical diversity: TTR and mean word length") {
+    val row = Seq("aa bb aa cccc").toDF("t")
+      .select(round(typeTokenRatio($"t"), 6), round(meanWordLen($"t"), 6)).head()
+    assert(row.getDouble(0) == 0.75)  // 3 distinct / 4 tokens
+    assert(row.getDouble(1) == 2.5)   // (2+2+2+4)/4
+  }
+
+  test("hashBucket is deterministic, in-range, and roughly uniform") {
+    val ids = spark.range(0, 2000).toDF("id")
+    val b1 = ids.select(hashBucket($"id", 100).as("b"))
+    val b2 = ids.select(hashBucket($"id", 100).as("b"))
+    assert(b1.collect().map(_.getInt(0)).toSeq == b2.collect().map(_.getInt(0)).toSeq)
+    val buckets = b1.as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 100))
+    // 2000 ids over 100 buckets: every bucket within [5, 45] of expected 20
+    val counts = buckets.groupBy(identity).view.mapValues(_.length)
+    assert(counts.size > 90 && counts.values.forall(c => c >= 5 && c <= 45))
+  }
+
+  test("assignSplit: stable proportions, row-independent assignment") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val split = Curation.assignSplit(df, "doc_id")
+    val bySplit = split.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit("train") > 700 && bySplit("train") < 900)
+    assert(bySplit("val") > 50 && bySplit("val") < 170)
+    assert(bySplit("test") > 50 && bySplit("test") < 170)
+    // append-stability: the same id gets the same split in a different frame
+    val sub = Curation.assignSplit(df.filter($"doc_id" < 100), "doc_id")
+    val full = split.filter($"doc_id" < 100).select("doc_id", "split")
+    assert(sub.select("doc_id", "split").except(full).isEmpty)
+  }
+
+  test("mixture keeps ~pct per stratum and is salt-independent of split") {
+    val df = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("src", when($"doc_id" % 2 === 0, "a").otherwise("b"))
+    val kept = Curation.mixture(df, "doc_id", "src", Map("a" -> 100, "b" -> 30))
+    val by = kept.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(by("a") == 500)                       // 100% stratum keeps all
+    assert(by("b") > 90 && by("b") < 210)        // ~30% of 500
+    // defaultPct drops unknown strata entirely
+    val dropped = Curation.mixture(df, "doc_id", "src", Map("a" -> 100))
+    assert(dropped.filter($"src" === "b").count() == 0)
+  }
+
+  test("contamination counts shared distinct n-grams, no self-pairs") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six"),
+      (3L, "totally different words here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta zeta"),
+      (101L, "x one two three four y five six")
+    ).toDF("doc_id", "text")
+    val out = Curation.contamination(train, bench, "doc_id", "text", shingleN = 3)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // doc 1 shares 2 3-grams with bench 100; doc 2 shares 2 with bench 101
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 2L, 1L)))
+  }
+
+  test("packSequences: offsets accumulate per shard, windows span correctly") {
+    val df = Seq(
+      ("s1", 1L, "a b c d e f g h i j"),   // 10 tokens, offset 0
+      ("s1", 2L, "k l m n o p"),           // 6 tokens, offset 10
+      ("s1", 3L, "q r s t u v w x"),       // 8 tokens, offset 16 -> crosses 20
+      ("s2", 9L, "z z z")                  // separate shard restarts at 0
+    ).toDF("source", "doc_id", "text")
+    val out = Curation.packSequences(df, "source", "doc_id", "text", windowTokens = 20)
+      .select("source", "doc_id", "n_tokens", "offset", "first_window", "n_windows")
+      .as[(String, Long, Int, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out(0) == (("s1", 1L, 10, 0L, 0L, 1L)))
+    assert(out(1) == (("s1", 2L, 6, 10L, 0L, 1L)))
+    assert(out(2) == (("s1", 3L, 8, 16L, 0L, 2L)))  // tokens 16..23 span w0,w1
+    assert(out(3) == (("s2", 9L, 3, 0L, 0L, 1L)))
+  }
+
+  test("topNgramFraction: hand-traced repetition score") {
+    val df = Seq((1L, "ho ho ho ho")).toDF("doc_id", "text")
+    // 2-grams: "ho ho" x3 -> top fraction 1.0, n_grams 3
+    val (n, f) = Curation.topNgramFraction(df, "doc_id", "text", n = 2)
+      .select("n_grams", "top_fraction").as[(Long, Double)].head()
+    assert(n == 3 && f == 1.0)
+    // docs shorter than n drop out
+    assert(Curation.topNgramFraction(
+      Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text", 2).isEmpty)
+  }
+}
