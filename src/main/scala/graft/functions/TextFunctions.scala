@@ -158,15 +158,14 @@ object TextFunctions {
   /** Fraction of lines that start with a bullet marker ("- " or "* "). */
   def bulletLineFraction(text: Column): Column = {
     val l = lines(text)
-    size(filter(l, x => substring(x, 1, 2).isin("- ", "* "))).cast("double") /
+    size(filter(l, x => x.startsWith("- ") || x.startsWith("* "))).cast("double") /
       size(l).cast("double")
   }
 
   /** Fraction of lines ending in an ellipsis ("..."). */
   def ellipsisLineFraction(text: Column): Column = {
     val l = lines(text)
-    size(filter(l, x => length(x) >= 3 && x.substr(length(x) - 2, lit(3)) === "..."))
-      .cast("double") / size(l).cast("double")
+    size(filter(l, x => x.endsWith("..."))).cast("double") / size(l).cast("double")
   }
 
   /** Mean token length (characters per whitespace token). */

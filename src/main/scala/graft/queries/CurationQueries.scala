@@ -19,15 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
-  private val duckToks = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val duckToks = DuckSql.toks
 
   // Non-distinct word n-grams (the repetition/contamination unit).
-  private def duckGrams(n: Int): String = {
-    val parts = (0 until n).map(j => if (j == 0) "$t[i]" else s"$$t[i+$j]")
-      .mkString(", ").replace("$t", duckToks)
-    s"""CASE WHEN len($duckToks) < $n THEN []
-       |  ELSE [concat_ws(' ', $parts) for i in range(1, len($duckToks) - ${n - 2})] END""".stripMargin
-  }
+  private def duckGrams(n: Int): String = DuckSql.grams(n)
 
   // hashBucket mirror: first 4 hex chars of md5(expr) via ascii arithmetic.
   private def duckBucket(idExpr: String, buckets: Int): String = {

@@ -11,12 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private val duckToks = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val duckToks = DuckSql.toks
   // word-3-gram shingles, distinct, as in TextFunctions.wordShingles(n=3)
-  private val duckShingles =
-    s"""list_distinct(CASE WHEN len($duckToks) < 3 THEN []
-       |  ELSE [concat_ws(' ', $duckToks[i], $duckToks[i+1], $duckToks[i+2])
-       |        for i in range(1, len($duckToks) - 1)] END)""".stripMargin
+  private val duckShingles = DuckSql.distinctGrams(3)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groups, min-id survivor.

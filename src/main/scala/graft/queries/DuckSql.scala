@@ -13,4 +13,27 @@ private[queries] object DuckSql {
     s"""(list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])
        | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
        |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
+
+  /** Whitespace tokenizer over `text` — mirrors TextFunctions.tokens
+    * (`split(trim(lower(text)), "\s+")`) byte-for-byte.
+    */
+  val toks: String = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  /** Non-distinct word n-grams over [[toks]] — mirrors
+    * WordShinglesExpr / TextFunctions.wordShingles(n) (which keeps
+    * duplicates; dedup callers wrap with list_distinct).
+    */
+  def grams(n: Int): String = {
+    require(n >= 2, s"gram size must be >= 2, got $n")
+    val parts = (0 until n)
+      .map(j => if (j == 0) s"$toks[i]" else s"$toks[i+$j]")
+      .mkString(", ")
+    s"""CASE WHEN len($toks) < $n THEN []
+       |  ELSE [concat_ws(' ', $parts) for i in range(1, len($toks) - ${n - 2})] END""".stripMargin
+  }
+
+  /** Distinct word n-grams — the dedup/Jaccard unit (mirrors
+    * array_distinct(wordShingles(text, n))).
+    */
+  def distinctGrams(n: Int): String = s"list_distinct(${grams(n)})"
 }

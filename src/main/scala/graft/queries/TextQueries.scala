@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
 object TextQueries {
 
   // DuckDB fragments mirroring TextFunctions (same regex, same casts).
-  private val duckToks   = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val duckToks   = DuckSql.toks
   private def duckHits(words: Seq[String]): String =
     s"""len(list_filter($duckToks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"""
 

@@ -87,6 +87,12 @@ class CurationSpec extends GraftSpec {
     // defaultPct drops unknown strata entirely
     val dropped = Curation.mixture(df, "doc_id", "src", Map("a" -> 100))
     assert(dropped.filter($"src" === "b").count() == 0)
+    // salt independence: the 30%-kept set must NOT be the prefix of the
+    // unsalted split buckets (i.e. mixture != "bucket < 30" from assignSplit)
+    val keptB = kept.filter($"src" === "b").select("doc_id")
+    val unsaltedB = Curation.assignSplit(df.filter($"src" === "b"), "doc_id")
+      .filter($"bucket" < 30).select("doc_id")
+    assert(keptB.except(unsaltedB).count() > 0)
   }
 
   test("contamination counts shared distinct n-grams, no self-pairs") {
