@@ -3,7 +3,7 @@ package graft.pipeline
 import graft.catalog.{VectorCatalog, VectorIndex}
 import graft.embed.Embedder
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 import graft.rag.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -25,7 +25,9 @@ object TrainingDataPipeline {
       minTokens: Int = 1,
       nearDupBands: Int = 0, // 0 disables LSH near-dup pruning
       chunkSize: Int = 500,
-      chunkOverlap: Int = 50
+      chunkOverlap: Int = 50,
+      redactPii: Boolean = false,       // normalize + scrub text up front
+      maxTopBigramFraction: Double = 1.0 // >=1.0 disables the repetition filter
   )
 
   final case class StageCounts(
@@ -48,16 +50,38 @@ object TrainingDataPipeline {
   ): (VectorIndex, StageCounts) = {
     val input = corpus.count()
 
+    // 0. optional curation rewrite: normalize + PII scrub is a narrow
+    //    per-row map, so it runs before anything that reads the text.
+    val curated =
+      if (!cfg.redactPii) corpus
+      else corpus.withColumn("text", redactPii(normalizeText(col("text"))))
+
     // 1. cheap codegen'd filters first — they prune before anything
     //    expensive runs, and Catalyst pushes them toward the scan.
     //    Blank guard is explicit: tokenCount("") is 1 (split of "" is
     //    [""]), so minTokens alone can't reject whitespace-only docs.
-    val filtered = corpus
+    val cheapFiltered = curated
       .filter(trim(col("text")) =!= "")
       .filter(tokenCount(col("text")) >= cfg.minTokens)
       .filter(langId(col("text")).isin(cfg.languages.toSeq: _*))
       .filter(qualityScore(col("text")) >= cfg.minQuality)
-      .persist()
+
+    // 1b. optional repetition filter (Gopher top-2-gram fraction). An
+    //     aggregation, so it runs after the cheap filters have pruned.
+    //     Docs too short to have 2-grams can't be scored and pass.
+    //     afterFilters counts the result of BOTH filter stages.
+    val filtered = (
+      if (cfg.maxTopBigramFraction >= 1.0) cheapFiltered
+      else {
+        val keyed = cheapFiltered.withColumn("_k",
+          md5(concat_ws("|", col("source"), col("text"))))
+        val tooRepetitive = Curation
+          .topNgramFraction(keyed, "_k", "text", n = 2)
+          .filter(col("top_fraction") > cfg.maxTopBigramFraction)
+          .select("_k")
+        keyed.join(tooRepetitive, Seq("_k"), "left_anti").drop("_k")
+      }
+    ).persist()
     try {
       val nFiltered = filtered.count()
 

@@ -58,4 +58,23 @@ class PipelineSpec extends GraftSpec {
     assert(counts.afterExactDedup == 3)
     assert(counts.afterNearDedup == 2, s"counts=$counts")
   }
+
+  test("curation stage: PII scrubbed before indexing, repetitive docs dropped") {
+    val corpus = Seq(
+      ("contact me at it.is.bob@example.com for the data we need today", "c1"),
+      // top 2-gram "the spark" dominates: 5 of 9 2-grams > 0.5 threshold
+      ("the spark the spark the spark the spark the spark", "c2"),
+      ("a normal document about the engine with varied useful words in it", "c3")
+    ).toDF("text", "source")
+    val catalog = new VectorCatalog(spark,
+      Files.createTempDirectory("graft-pipe-cat3").toString)
+    val (index, counts) = TrainingDataPipeline.run(
+      spark, catalog, corpus, "pipe-idx3", new DeterministicEmbedder(16),
+      TrainingDataPipeline.Config(languages = Set("en"),
+        redactPii = true, maxTopBigramFraction = 0.5))
+    assert(counts.afterFilters == 2, s"counts=$counts") // c2 too repetitive
+    val texts = index.read.select("text").as[String].collect()
+    assert(texts.exists(_.contains("<EMAIL>")))
+    assert(!texts.exists(_.contains("bob@example.com")))
+  }
 }
