@@ -87,6 +87,40 @@ object Curation {
       .agg(sum("cnt").as("n_grams"),
         (max("cnt").cast("double") / sum("cnt").cast("double")).as("top_fraction"))
 
+  /** Per-stratum cap (the CCNet/RefinedWeb "downweight overrepresented
+    * domains" stage): keep at most `k` rows per stratum, chosen
+    * deterministically by salted-hash order (id as tiebreak) so the sample
+    * is stable across runs and unbiased by ingestion order. One shuffle on
+    * the stratum key; the per-partition sort is bounded by stratum size.
+    */
+  def perStratumCap(df: DataFrame, idCol: String, stratumCol: String,
+                    k: Int, salt: String = "cap"): DataFrame = {
+    require(k > 0, "cap must be positive")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Length-outlier pruning: keep documents whose token count lies within
+    * the corpus [pLo, pHi] percentile band. The two bounds are a single
+    * tiny aggregate broadcast to the filter — the corpus never shuffles.
+    * Bounds are rounded (6 dp) so the comparison is reproducible across
+    * engines computing the same interpolated percentile.
+    */
+  def lengthBand(df: DataFrame, textCol: String,
+                 pLo: Double, pHi: Double): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"invalid band ($pLo, $pHi)")
+    val withTok = df.withColumn("n_tokens", tokenCount(col(textCol)))
+    val bounds = withTok.agg(
+      round(expr(s"percentile(n_tokens, $pLo)"), 6).as("lo"),
+      round(expr(s"percentile(n_tokens, $pHi)"), 6).as("hi"))
+    withTok.crossJoin(broadcast(bounds))
+      .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
+      .drop("lo", "hi")
+  }
+
   /** Sequence packing for pretraining: concatenate each shard's documents in
     * id order and cut the token stream into fixed `windowTokens` context
     * windows. Emits, per document, its token offset within the shard and the

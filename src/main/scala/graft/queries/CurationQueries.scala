@@ -111,6 +111,22 @@ object CurationQueries {
           "text", windowTokens = 256)
         .withColumnRenamed("offset", "tok_offset")
         .orderBy("source", "doc_id")
+    },
+
+    // Per-domain cap: at most 15 docs per source, hash-ordered (the
+    // "downweight overrepresented domains" curation stage).
+    "q67_per_source_cap" -> { (s, d) =>
+      Curation.perStratumCap(Tables.documents(s, d), "doc_id", "source", k = 15)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // Length-outlier pruning: keep docs inside the corpus [p10, p90]
+    // token-count band.
+    "q68_length_band" -> { (s, d) =>
+      Curation.lengthBand(Tables.documents(s, d), "text", 0.10, 0.90)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
     }
   )
 
@@ -211,6 +227,24 @@ object CurationQueries {
          |  CAST(floor((tok_offset + n_tokens - 1) / 256.0)
          |       - floor(tok_offset / 256.0) + 1 AS BIGINT) AS n_windows
          |FROM o
-         |ORDER BY source, doc_id""".stripMargin
+         |ORDER BY source, doc_id""".stripMargin,
+
+    "q67_per_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+
+    "q68_length_band" ->
+      s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),
+         |b AS (SELECT round(quantile_cont(n_tokens, 0.10), 6) AS lo,
+         |             round(quantile_cont(n_tokens, 0.90), 6) AS hi FROM t)
+         |SELECT doc_id, n_tokens
+         |FROM t CROSS JOIN b
+         |WHERE n_tokens >= lo AND n_tokens <= hi
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -127,6 +127,30 @@ class CurationSpec extends GraftSpec {
     assert(out(3) == (("s2", 9L, 3, 0L, 0L, 1L)))
   }
 
+  test("perStratumCap keeps exactly k per stratum, deterministically") {
+    val df = spark.range(0, 200).toDF("doc_id")
+      .withColumn("src", when($"doc_id" % 2 === 0, "a").otherwise("b"))
+    val capped = Curation.perStratumCap(df, "doc_id", "src", k = 10)
+    val by = capped.groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(by == Map("a" -> 10L, "b" -> 10L))
+    // deterministic: same selection on rerun
+    val again = Curation.perStratumCap(df, "doc_id", "src", k = 10)
+    assert(capped.select("doc_id").except(again.select("doc_id")).isEmpty)
+    // a stratum smaller than k survives whole
+    val small = Curation.perStratumCap(df.filter($"doc_id" < 6), "doc_id", "src", 10)
+    assert(small.count() == 6)
+  }
+
+  test("lengthBand prunes token-count outliers outside the percentile band") {
+    val docs = (1 to 98).map(i => (i.toLong, "w " * 50 + "w")) ++
+      Seq((99L, "w"), (100L, ("w " * 999) + "w")) // extreme short + long
+    val out = Curation.lengthBand(docs.toDF("doc_id", "text"), "text", 0.05, 0.95)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(99L) && !ids.contains(100L))
+    assert(ids.size == 98)
+    assert(out.columns.contains("n_tokens"))
+  }
+
   test("topNgramFraction: hand-traced repetition score") {
     val df = Seq((1L, "ho ho ho ho")).toDF("doc_id", "text")
     // 2-grams: "ho ho" x3 -> top fraction 1.0, n_grams 3

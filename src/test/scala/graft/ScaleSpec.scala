@@ -77,4 +77,24 @@ class ScaleSpec extends GraftSpec {
       ()
     }
   }
+
+  test("HLL sketch: approx distinct within 5% of exact at 100k cardinality") {
+    // the cardinality-estimation primitive a dedup pipeline runs before
+    // committing to an exact distinct shuffle: sketch is fixed-size per
+    // group, merges associatively across partitions
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 300000).select((col("id") % 100000).as("k"))
+      .withColumn("grp", col("k") % 2)
+    val rows = df.groupBy("grp")
+      .agg(approx_count_distinct("k", 0.02).as("est"),
+        countDistinct("k").as("exact"))
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val est = r.getAs[Long]("est").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"HLL estimate $est vs exact $exact")
+    }
+  }
 }
