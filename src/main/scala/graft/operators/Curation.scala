@@ -96,6 +96,8 @@ object Curation {
   def perStratumCap(df: DataFrame, idCol: String, stratumCol: String,
                     k: Int, salt: String = "cap"): DataFrame = {
     require(k > 0, "cap must be positive")
+    require(!df.columns.contains("_rn"),
+      "input already has a _rn column (would be clobbered)")
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
     df.withColumn("_rn", row_number().over(w))
@@ -112,6 +114,8 @@ object Curation {
   def lengthBand(df: DataFrame, textCol: String,
                  pLo: Double, pHi: Double): DataFrame = {
     require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"invalid band ($pLo, $pHi)")
+    require(!df.columns.exists(Set("n_tokens", "lo", "hi")),
+      "input already has an n_tokens/lo/hi column (would be clobbered)")
     val withTok = df.withColumn("n_tokens", tokenCount(col(textCol)))
     val bounds = withTok.agg(
       round(expr(s"percentile(n_tokens, $pLo)"), 6).as("lo"),

@@ -27,7 +27,8 @@ object TrainingDataPipeline {
       chunkSize: Int = 500,
       chunkOverlap: Int = 50,
       redactPii: Boolean = false,       // normalize + scrub text up front
-      maxTopBigramFraction: Double = 1.0 // >=1.0 disables the repetition filter
+      maxTopBigramFraction: Double = 1.0, // >=1.0 disables the repetition filter
+      repetitionMinGrams: Int = 10      // short docs score ~1.0 trivially; exempt them
   )
 
   final case class StageCounts(
@@ -68,22 +69,31 @@ object TrainingDataPipeline {
 
     // 1b. optional repetition filter (Gopher top-2-gram fraction). An
     //     aggregation, so it runs after the cheap filters have pruned.
-    //     Docs too short to have 2-grams can't be scored and pass.
+    //     Guard rails: docs with fewer than repetitionMinGrams 2-grams
+    //     are exempt (a 2-token doc scores 1.0 trivially — dropping it
+    //     would be silent row loss, not repetition pruning), and the
+    //     keyed frame is persisted because it feeds BOTH the scoring
+    //     aggregate and the anti-join probe side.
     //     afterFilters counts the result of BOTH filter stages.
+    var keyedHandle: Option[DataFrame] = None
     val filtered = (
       if (cfg.maxTopBigramFraction >= 1.0) cheapFiltered
       else {
         val keyed = cheapFiltered.withColumn("_k",
-          md5(concat_ws("|", col("source"), col("text"))))
+          md5(concat_ws("|", col("source"), col("text")))).persist()
+        keyedHandle = Some(keyed)
         val tooRepetitive = Curation
           .topNgramFraction(keyed, "_k", "text", n = 2)
-          .filter(col("top_fraction") > cfg.maxTopBigramFraction)
+          .filter(col("n_grams") >= cfg.repetitionMinGrams &&
+            col("top_fraction") > cfg.maxTopBigramFraction)
           .select("_k")
         keyed.join(tooRepetitive, Seq("_k"), "left_anti").drop("_k")
       }
     ).persist()
     try {
       val nFiltered = filtered.count()
+      // filtered is materialized; the keyed intermediate can go
+      keyedHandle.foreach(_.unpersist())
 
       // 2. exact dedup via the tested operator (Dedup.exactGroups, the
       //    same path the oracle checks): keep the min-source row per

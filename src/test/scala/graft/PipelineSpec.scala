@@ -64,15 +64,17 @@ class PipelineSpec extends GraftSpec {
       ("contact me at it.is.bob@example.com for the data we need today", "c1"),
       // top 2-gram "the spark" dominates: 5 of 9 2-grams > 0.5 threshold
       ("the spark the spark the spark the spark the spark", "c2"),
-      ("a normal document about the engine with varied useful words in it", "c3")
+      ("a normal document about the engine with varied useful words in it", "c3"),
+      // trivially scores 1.0 but is below repetitionMinGrams — must survive
+      ("the end", "c4")
     ).toDF("text", "source")
     val catalog = new VectorCatalog(spark,
       Files.createTempDirectory("graft-pipe-cat3").toString)
     val (index, counts) = TrainingDataPipeline.run(
       spark, catalog, corpus, "pipe-idx3", new DeterministicEmbedder(16),
       TrainingDataPipeline.Config(languages = Set("en"),
-        redactPii = true, maxTopBigramFraction = 0.5))
-    assert(counts.afterFilters == 2, s"counts=$counts") // c2 too repetitive
+        redactPii = true, maxTopBigramFraction = 0.5, repetitionMinGrams = 5))
+    assert(counts.afterFilters == 3, s"counts=$counts") // only c2 dropped
     val texts = index.read.select("text").as[String].collect()
     assert(texts.exists(_.contains("<EMAIL>")))
     assert(!texts.exists(_.contains("bob@example.com")))
