@@ -224,4 +224,35 @@ class StreamingSpec extends GraftSpec {
       assert(out.columns.toSet == Set("window", "event_type", "n", "total_value"))
     } finally q.stop()
   }
+
+  test("curation column ops compose on a stream: scrub + dedup in one plan") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.{normalizeText, redactPii}
+    val dir = Files.createTempDirectory("graft-curate-stream").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def doc(id: Long, offsetS: Int, text: String) =
+      (id, new java.sql.Timestamp(base.getTime + offsetS * 1000L), text)
+    Seq(
+      doc(1, 0, "Mail  a@b.co  now"),
+      doc(1, 5, "Mail  a@b.co  now"), // re-delivery, dropped by dedup
+      doc(2, 10, "clean   TEXT here")
+    ).toDF("doc_id", "ts", "text").coalesce(1).write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in")
+    // narrow per-row curation maps are stream-transparent: the same
+    // columns run under a watermarked dedup with no extra state
+    val curated = graft.streaming.StreamingIngest
+      .dedupStream(stream, "ts", "10 minutes", Seq("doc_id"))
+      .withColumn("text", redactPii(normalizeText(col("text"))))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curated_docs").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("curated_docs")
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      assert(rows.length == 2, s"got ${rows.toSeq}")
+      assert(rows(0)._2 == "mail <EMAIL> now")
+      assert(rows(1)._2 == "clean text here")
+    } finally q.stop()
+  }
 }
