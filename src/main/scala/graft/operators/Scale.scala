@@ -61,4 +61,20 @@ object Scale {
       key: String
   ): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), key)
+
+  /** Hive-style partitioned layout: one directory per `partitionCol`
+    * value. A reader filtering on that column scans only the matching
+    * directories (`PartitionFilters` in the plan — zero IO for pruned
+    * partitions), the first line of defense for time-sliced queries
+    * over a 100 TB table. Keep partition cardinality modest (days, not
+    * user ids): each value is a directory and a task-planning unit.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Read back a partitioned layout (partition column is reconstructed
+    * from directory names by the reader).
+    */
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

@@ -82,7 +82,6 @@ class ScaleSpec extends GraftSpec {
     // the cardinality-estimation primitive a dedup pipeline runs before
     // committing to an exact distinct shuffle: sketch is fixed-size per
     // group, merges associatively across partitions
-    import org.apache.spark.sql.functions._
     val df = spark.range(0, 300000).select((col("id") % 100000).as("k"))
       .withColumn("grp", col("k") % 2)
     val rows = df.groupBy("grp")
@@ -96,5 +95,23 @@ class ScaleSpec extends GraftSpec {
       assert(math.abs(est - exact) / exact < 0.05,
         s"HLL estimate $est vs exact $exact")
     }
+  }
+
+  test("date-partitioned layout prunes partitions on a date filter") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-part").toString
+    val events = Tables.events(spark, sfDir).limit(2000)
+      .withColumn("day", to_date(col("ts")))
+    Scale.writePartitioned(events, dir, "day")
+    val days = events.select("day").distinct().count()
+    assert(days > 1, "fixture slice spans a single day; widen the limit")
+    val firstDay = events.agg(min("day")).head().getDate(0)
+    val pruned = Scale.readPartitioned(spark, dir)
+      .filter(col("day") === lit(firstDay))
+    val plan = pruned.queryExecution.executedPlan.toString
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("day"), s"no partition pruning:\n$plan")
+    // pruned read returns exactly the first day's rows
+    assert(pruned.count() == events.filter(col("day") === lit(firstDay)).count())
   }
 }
