@@ -12,7 +12,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the bench contract is one bare JSON line on
+    // stdout, and stray WARNs in the captured output make the run
+    // harder to parse downstream.
+    spark.sparkContext.setLogLevel("ERROR")
     // Warm the session once (codegen compiler, parquet footer reads, JIT,
     // OS page cache) so per-query timings measure the queries, not JVM or
     // cold-IO startup. count() alone is metadata-only for parquet, so
