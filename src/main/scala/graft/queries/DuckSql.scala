@@ -14,6 +14,19 @@ private[queries] object DuckSql {
        | / (sqrt(list_sum([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE) for i in range(1, len($a)+1)]))
        |   * sqrt(list_sum([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($b)+1)]))))""".stripMargin
 
+  /** dot(a, b) in double precision, left-to-right — mirrors
+    * VectorFunctions.dotProduct / DotProductExpr.
+    */
+  def dot(a: String, b: String): String =
+    s"""list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, len($a)+1)])""".stripMargin
+
+  /** Euclidean distance sqrt(sum (a_i-b_i)^2), accumulation order
+    * mirroring VectorFunctions.euclideanDistance.
+    */
+  def l2dist(a: String, b: String): String =
+    s"""sqrt(list_sum([(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+       |  * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) for i in range(1, len($a)+1)]))""".stripMargin
+
   /** Whitespace tokenizer over `text` — mirrors TextFunctions.tokens
     * (`split(trim(lower(text)), "\s+")`) byte-for-byte.
     */

@@ -72,27 +72,27 @@ object PipelineQueries {
       val e = Tables.embeddings(s, d)
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
       // reduce FIRST via orderBy+limit (TakeOrderedAndProject: per-
-      // partition heaps, no global sort/shuffle of the corpus), then rank
-      // the ≤5 surviving rows; constant partition key keeps WindowExec
-      // off the no-partition single-partition path warning-free.
-      val w = Window.partitionBy(lit(0)).orderBy(col("score").desc, col("vec_id"))
+      // partition heaps, no global sort/shuffle of the corpus); the rank
+      // of each surviving row is its index in the sorted collected array,
+      // so no WindowExec (a windowless global row_number would drag the
+      // plan onto a single partition) — the ≤5 survivors are one agg row.
       val top = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(5)
-        .withColumn("rn", row_number().over(w))
       top
-        .select(col("rn"),
-          concat(
-            lit("[Document "), col("rn"),
-            lit("] (Source: vec_"), col("vec_id"),
-            lit(", Relevance: "), floor(col("score") * 10000).cast("long"), lit(")")
-          ).as("line"))
         .agg(concat_ws("\n",
-          transform(array_sort(collect_list(struct(col("rn"), col("line")))),
-            s => s.getField("line"))).as("context"))
+          transform(
+            array_sort(collect_list(struct(
+              (-col("score")).as("neg_score"), col("vec_id"), col("score")))),
+            (t, i) => concat(
+              lit("[Document "), (i + 1).cast("string"),
+              lit("] (Source: vec_"), t.getField("vec_id"),
+              lit(", Relevance: "),
+              floor(t.getField("score") * 10000).cast("long"), lit(")")
+            ))).as("context"))
     },
 
     // Sliding (overlapping) time windows — each event lands in four
@@ -121,6 +121,47 @@ object PipelineQueries {
         .groupBy("user_id")
         .agg((sum("new_s") + 1).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")
+    },
+
+    // Lead/lag analytics: inter-event gap per user (lag over a per-user
+    // ordered window), aggregated into per-type gap statistics. Gap math
+    // stays in integer microseconds; the average divides an exact integer
+    // sum so both engines round the same double.
+    "q49_event_gaps" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          round(sum("gap_us").cast("double") / count(lit(1)) / lit(1000000.0), 6)
+            .as("avg_gap_s"),
+          max("gap_us").as("max_gap_us"))
+        .orderBy("event_type")
+    },
+
+    // O2 + X3 oracle-checked: batch chat-history contextualization —
+    // histories synthesized per source from the documents table (turn
+    // order pinned by doc_id), last-3 turns flattened and prefixed to the
+    // current question exactly like the reference (chain.py:144-151).
+    "q55_chat_contextualize" -> { (s, d) =>
+      import graft.rag.ChatHistory
+      val turns = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("source"), col("doc_id"),
+          concat(lit("What is in doc "), col("doc_id").cast("string"), lit("?"))
+            .as("question"),
+          substring(col("text"), 1, 30).as("answer"))
+      val hist = turns.groupBy("source")
+        .agg(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("question"), col("answer")))),
+          t => struct(t.getField("question").as("question"),
+            t.getField("answer").as("answer"))).as("history"))
+      hist.select(col("source"),
+          ChatHistory.contextualize(lit("What changed?"), col("history")).as("prompt"))
+        .orderBy("source")
     },
 
     // P1 (real form, rows-only oracle): the recursive character splitter
@@ -300,6 +341,42 @@ object PipelineQueries {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q49_event_gaps" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                                           ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0, 6) AS avg_gap_s,
+        |  max(gap_us) AS max_gap_us
+        |FROM g
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q55_chat_contextualize" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    'What is in doc ' || doc_id || '?' AS question,
+        |    substr(text, 1, 30) AS answer
+        |  FROM documents WHERE doc_id < 100),
+        |h AS (
+        |  SELECT source,
+        |    list(struct_pack(question := question, answer := answer)
+        |         ORDER BY doc_id) AS history
+        |  FROM t GROUP BY source)
+        |SELECT source,
+        |  CASE WHEN len(history) = 0 THEN 'What changed?'
+        |  ELSE 'Previous conversation:' || chr(10) ||
+        |    array_to_string(
+        |      ['Q: ' || x.question || chr(10) || 'A: ' || x.answer
+        |       for x in history[greatest(len(history) - 2, 1):len(history)]],
+        |      chr(10)) ||
+        |    chr(10) || chr(10) || 'Current question: What changed?' END AS prompt
+        |FROM h
+        |ORDER BY source""".stripMargin,
 
     "q47_event_pairs_60s" ->
       """SELECT a.user_id, count(*) AS n_pairs,

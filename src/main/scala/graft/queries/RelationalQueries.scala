@@ -214,6 +214,39 @@ object RelationalQueries {
         .orderBy("status", "priority")
     },
 
+    // Pivot (long→wide): order counts per priority with one column per
+    // status. Pivot values enumerated explicitly so the plan is a single
+    // pass (no distinct-values pre-query) — the form that scales.
+    "q0H_priority_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(
+          col("o_orderpriority").as("priority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("priority")
+    },
+
+    // Running (cumulative) monthly revenue per order status — ordered
+    // window aggregation over pre-aggregated months. Monthly values are
+    // rounded BEFORE the cumsum so both engines add identical doubles in
+    // identical (month) order → bit-stable running totals.
+    "q0I_cumulative_revenue" -> { (s, d) =>
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"),
+          date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      val w = Window.partitionBy("status").orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly
+        .withColumn("cum_revenue", round(sum("revenue").over(w), 2))
+        .select("status", "month", "revenue", "cum_revenue")
+        .orderBy("status", "month")
+    },
+
     // Set operations: nations having customers vs suppliers.
     "q0A_nation_setops" -> { (s, d) =>
       val cn = Tables.customer(s, d).select(col("c_nationkey").as("n")).distinct()
@@ -367,6 +400,29 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+
+    "q0H_priority_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY priority""".stripMargin,
+
+    "q0I_cumulative_revenue" ->
+      """WITH monthly AS (
+        |  SELECT o_orderstatus AS status,
+        |    date_trunc('month', o_orderdate) AS month,
+        |    round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders
+        |  GROUP BY 1, 2)
+        |SELECT status, month, revenue,
+        |  round(sum(revenue) OVER (PARTITION BY status ORDER BY month
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS cum_revenue
+        |FROM monthly
+        |ORDER BY status, month""".stripMargin,
 
     "q0A_nation_setops" ->
       """SELECT 'both' AS tag, n FROM (

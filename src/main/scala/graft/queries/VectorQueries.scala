@@ -93,6 +93,32 @@ object VectorQueries {
         qvec, k = 10, nProbe = 4)
     },
 
+    // Q1 metric variants: the reference accepts metric = dotproduct /
+    // euclidean at index creation (`pinecone_service.py:33`); same scan +
+    // TakeOrderedAndProject shape, only the scoring expression changes.
+    "q1D_knn_dot" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(dotProduct(col("embedding"), col("qvec")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // Euclidean is a DISTANCE: rank ascending (nearest first).
+    "q1E_knn_l2" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(euclideanDistance(col("embedding"), col("qvec")), 6).as("dist"))
+        .orderBy(col("dist").asc, col("vec_id"))
+        .limit(10)
+    },
+
     // A5 (demo notebook cell 22): per-query retrieval metrics over a
     // batched KNN run.
     "q18_batch_query_metrics" -> { (s, d) =>
@@ -302,6 +328,22 @@ object VectorQueries {
          |FROM deq, q
          |WHERE vec_id <> 0
          |ORDER BY score_q DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "q1D_knn_dot" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${DuckSql.dot("embedding", "qvec")}, 6) AS score
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id
+         |LIMIT 10""".stripMargin,
+
+    "q1E_knn_l2" ->
+      s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round(${DuckSql.l2dist("embedding", "qvec")}, 6) AS dist
+         |FROM embeddings, q
+         |WHERE vec_id <> 0
+         |ORDER BY dist ASC, vec_id
          |LIMIT 10""".stripMargin,
 
     "q27_retrieval_histogram" ->
