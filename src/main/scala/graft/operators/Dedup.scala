@@ -41,8 +41,22 @@ object Dedup {
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh")
       )
 
+  /** Affine minhash family over a single 32-bit base hash: `mh_s(x) =
+    * (a_s * h(x) + b_s) mod P` with `h` = first 8 hex chars of md5 and
+    * `P` the smallest prime above 2^32 — the classic one-hash + k
+    * affine-transform scheme. One md5 per shingle (not one per seed):
+    * at a production 64-seed config that is 64x less hashing, and the
+    * multiply-mod stays in whole-stage codegen. Bounds keep every
+    * intermediate in a signed 64-bit lane on both engines:
+    * a < 2^30, h < 2^32 ⇒ a*h + b < 2^62 + 2^33.
+    */
+  val MinhashPrime: Long = 4294967311L
+  def minhashA(seed: Int): Long = (2654435761L * (seed + 1)) % 1073741789L + 1
+  def minhashB(seed: Int): Long = (40503L * (seed + 1)) % MinhashPrime
+
   /** Wide MinHash: one row per doc with columns `mh0..mh{n-1}`, where
-    * `mh_s = min over shingles of md5(s || '|' || shingle)`.
+    * `mh_s = min over shingles of (a_s * h(shingle) + b_s) mod P`
+    * (see [[minhashA]]).
     *
     * Single aggregation pass: the `numHashes` mins are computed as
     * parallel aggregates over the shingle rows — one shuffle keyed by
@@ -53,9 +67,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       numHashes: Int, shingleN: Int
   ): DataFrame = {
-    val sh   = shingles(df, idCol, textCol, shingleN)
+    val sh = shingles(df, idCol, textCol, shingleN)
+      .select(col("doc"),
+        conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long").as("h"))
     val aggs = (0 until numHashes).map(s =>
-      min(md5(concat(lit(s), lit("|"), col("sh")))).as(s"mh$s"))
+      min((lit(minhashA(s)) * col("h") + lit(minhashB(s))) % lit(MinhashPrime))
+        .as(s"mh$s"))
     sh.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
   }
 
@@ -83,7 +100,7 @@ object Dedup {
     val bands = (0 until nBands).map { b =>
       val hi = math.min((b + 1) * rowsPerBand, numHashes)
       md5(concat_ws("|",
-        (b * rowsPerBand until hi).map(r => col(s"mh$r")): _*))
+        (b * rowsPerBand until hi).map(r => col(s"mh$r").cast("string")): _*))
     }
     wide.select(col("doc"),
       posexplode(array(bands: _*)).as(Seq("band", "bucket")))
@@ -103,7 +120,7 @@ object Dedup {
         md5(concat_ws("|",
           transform(
             array_sort(collect_list(struct(col("seed"), col("mh")))),
-            s => s.getField("mh")
+            s => s.getField("mh").cast("string")
           )
         )).as("bucket")
       )

@@ -15,6 +15,27 @@ object DedupQueries {
   // word-3-gram shingles, distinct, as in TextFunctions.wordShingles(n=3)
   private val duckShingles = DuckSql.distinctGrams(3)
 
+  // Affine-minhash mirror of Dedup.minhashWide (constants = Dedup.minhashA/
+  // minhashB/MinhashPrime): h = first 8 md5 hex chars as a 32-bit int,
+  // mh_s = (a_s*h + b_s) mod P. Expects a CTE `sh(doc_id, sh)` in scope;
+  // seeds 0..7 as in every 8-hash registry query.
+  private val duckMinhashMh: String =
+    """mh AS (
+      |  SELECT doc_id, seed,
+      |    min((((2654435761 * (seed + 1)) % 1073741789 + 1)
+      |           * (('0x' || substr(md5(sh), 1, 8))::BIGINT)
+      |         + (40503 * (seed + 1)) % 4294967311) % 4294967311) AS mh
+      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+      |  GROUP BY doc_id, seed)""".stripMargin
+
+  // LSH band buckets over [[duckMinhashMh]] (4 bands x 2 rows, decimal
+  // string join mirroring the Spark side's cast-to-string concat).
+  private val duckLshBuckets: String =
+    """buckets AS (
+      |  SELECT doc_id, seed // 2 AS band,
+      |         md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bucket
+      |  FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groups, min-id survivor.
     "q30_exact_dedup" -> { (s, d) =>
@@ -161,23 +182,16 @@ object DedupQueries {
 
     "q32_minhash_signatures" ->
       s"""WITH sh AS (
-         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents)
-         |SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
-         |FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
-         |GROUP BY doc_id, seed
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |$duckMinhashMh
+         |SELECT doc_id, seed, mh FROM mh
          |ORDER BY doc_id, seed""".stripMargin,
 
     "q33_lsh_candidates" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
-         |mh AS (
-         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
-         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
-         |buckets AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
-         |  FROM mh GROUP BY doc_id, seed // 2)
+         |$duckMinhashMh,
+         |$duckLshBuckets
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
          |FROM buckets a
          |JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
@@ -215,14 +229,8 @@ object DedupQueries {
     "q38_minhash_estimate" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
-         |mh AS (
-         |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
-         |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
-         |buckets AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
-         |  FROM mh GROUP BY doc_id, seed // 2),
+         |$duckMinhashMh,
+         |$duckLshBuckets,
          |cand AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM buckets a
@@ -282,14 +290,8 @@ object DedupQueries {
   private lazy val clusterWalkCte: String =
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
-       |mh AS (
-       |  SELECT doc_id, seed, min(md5(concat(seed, '|', sh))) AS mh
-       |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
-       |  GROUP BY doc_id, seed),
-       |buckets AS (
-       |  SELECT doc_id, seed // 2 AS band,
-       |         md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
-       |  FROM mh GROUP BY doc_id, seed // 2),
+       |$duckMinhashMh,
+       |$duckLshBuckets,
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM buckets a

@@ -39,7 +39,7 @@ class DedupSpec extends GraftSpec {
     val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 8, 3)
     val byDoc = sigs.collect()
       .groupBy(_.getAs[Long]("doc"))
-      .view.mapValues(_.sortBy(_.getAs[Int]("seed")).map(_.getAs[String]("mh")).toSeq)
+      .view.mapValues(_.sortBy(_.getAs[Int]("seed")).map(_.getAs[Long]("mh")).toSeq)
       .toMap
     assert(byDoc(1L) == byDoc(2L))
     assert(byDoc(1L) == byDoc(5L)) // tokens are lowercased
