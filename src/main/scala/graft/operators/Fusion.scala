@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rank-based retrieval fusion — reciprocal rank fusion (RRF), the
+  * standard score-free combiner for hybrid lexical+vector search
+  * (`score(d) = Σ_systems 1 / (k + rank_system(d))`, Cormack et al.).
+  * Rank-based fusion is what production hybrid stores expose next to
+  * weighted-score blending (our `q29_hybrid_search`); being integer-rank
+  * arithmetic it is also exactly reproducible across engines.
+  *
+  * Scale design: each system's candidate pool is reduced FIRST with
+  * `orderBy(score).limit(pool)` — a `TakeOrderedAndProject` per-partition
+  * heap, no global sort or shuffle of the corpus. Ranks are then derived
+  * from the sorted collected pool's array index (pool is k-sized, one
+  * aggregate row), so no WindowExec and no single-partition window enters
+  * the plan at any corpus size.
+  */
+object Fusion {
+
+  /** Global dense top-`pool` ranks (1-based) of `df` by `scoreCol` in the
+    * given direction, ties broken by `idCol` ascending: `(idCol, rank)`.
+    */
+  def rankedPool(
+      df: DataFrame, idCol: String, scoreCol: String,
+      pool: Int, ascending: Boolean = false
+  ): DataFrame = {
+    val ord: Seq[Column] =
+      if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
+      else Seq(col(scoreCol).desc, col(idCol).asc)
+    // + 0.0 normalizes any -0.0 the negation can mint, so the struct
+    // sort key can never order a 0.0 tie differently from the oracle
+    val sortKey: Column =
+      if (ascending) col(scoreCol) + lit(0.0) else -col(scoreCol) + lit(0.0)
+    df.orderBy(ord: _*)
+      .limit(pool)
+      .agg(collect_list(struct(sortKey.as("k"), col(idCol).as("id"))).as("arr"))
+      .select(posexplode(array_sort(col("arr"))).as(Seq("r0", "t")))
+      .select(col("t.id").as(idCol), (col("r0") + 1).cast("long").as("rank"))
+  }
+
+  /** Reciprocal-rank-fusion of two ranked pools on `idCol`:
+    * `rrf = 1/(k + rank_a) + 1/(k + rank_b)`, absent side contributing 0.
+    * Returns `(idCol, rank_a, rank_b, rrf)` unrounded/unsorted — callers
+    * round and order.
+    */
+  def rrf(a: DataFrame, b: DataFrame, idCol: String, k: Int = 60): DataFrame = {
+    val ra = a.withColumnRenamed("rank", "rank_a")
+    val rb = b.withColumnRenamed("rank", "rank_b")
+    ra.join(rb, Seq(idCol), "full_outer")
+      .select(col(idCol), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(k.toDouble) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(k.toDouble) + col("rank_b")), lit(0.0)))
+          .as("rrf"))
+  }
+}

@@ -110,6 +110,33 @@ object TextQueries {
         .limit(10)
     },
 
+    // Hybrid retrieval via reciprocal rank fusion — the score-free
+    // combiner (rrf = Σ 1/(60+rank)); ranks are computed on ROUNDED
+    // scores with id tie-breaks so the two engines rank identically.
+    "q2A_hybrid_rrf" -> { (s, d) =>
+      import graft.functions.VectorFunctions.cosineSimilarity
+      import graft.operators.{Bm25, Fusion}
+      val docs = Tables.documents(s, d)
+      val e    = Tables.embeddings(s, d)
+      val qv   = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      val bmRanks = Fusion.rankedPool(
+        Bm25.scores(docs, "doc_id", "text",
+            Seq("vector", "query", "merge", "window", "stream"))
+          .select(col("doc_id"), round(col("bm25"), 6).as("score")),
+        "doc_id", "score", pool = 50)
+      val cosRanks = Fusion.rankedPool(
+        e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            round(cosineSimilarity(col("embedding"), col("qvec")), 6).as("score")),
+        "doc_id", "score", pool = 50)
+      Fusion.rrf(bmRanks, cosRanks, "doc_id", k = 60)
+        .select(col("doc_id"),
+          col("rank_a").as("bm25_rank"), col("rank_b").as("cos_rank"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -209,6 +236,40 @@ object TextQueries {
          |CROSS JOIN mx CROSS JOIN q
          |WHERE d.doc_id <> 0
          |ORDER BY hybrid DESC, d.doc_id
+         |LIMIT 10""".stripMargin,
+
+    "q2A_hybrid_rrf" ->
+      s"""WITH dl AS (SELECT doc_id, CAST(len($duckToks) AS DOUBLE) AS dl FROM documents),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, unnest($duckToks) AS term FROM documents)
+         |       WHERE term IN ('vector', 'query', 'merge', 'window', 'stream')
+         |       GROUP BY doc_id, term),
+         |dfr AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |bm AS (
+         |  SELECT tf.doc_id,
+         |    round(list_sum(list(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         |        ORDER BY term)), 6) AS score
+         |  FROM tf JOIN dfr USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+         |  GROUP BY tf.doc_id),
+         |bmr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+         |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+         |cs AS (
+         |  SELECT vec_id AS doc_id,
+         |         round(${DuckSql.cosine("embedding", "qvec")}, 6) AS score
+         |  FROM embeddings, q WHERE vec_id <> 0),
+         |csr AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b
+         |  FROM cs ORDER BY score DESC, doc_id LIMIT 50)
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  a.rank_a AS bm25_rank, b.rank_b AS cos_rank,
+         |  round(coalesce(1.0 / (60.0 + a.rank_a), 0.0)
+         |      + coalesce(1.0 / (60.0 + b.rank_b), 0.0), 6) AS rrf
+         |FROM bmr a FULL OUTER JOIN csr b ON a.doc_id = b.doc_id
+         |ORDER BY rrf DESC, doc_id
          |LIMIT 10""".stripMargin,
 
     "q24_source_stats" ->

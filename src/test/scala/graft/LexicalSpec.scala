@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bm25, Knn}
+import graft.operators.{Bm25, Fusion, Knn}
 import org.apache.spark.sql.functions._
 
 class LexicalSpec extends GraftSpec {
@@ -57,6 +57,30 @@ class LexicalSpec extends GraftSpec {
     val got = Knn.mmrRerank(tiny, "vec_id", "embedding", Seq(1.0f, 0.0f),
       k = 2, poolSize = 10)
     assert(got.count() == 2) // null vector skipped, both real rows returned
+  }
+
+  test("rrf: hand-traced fusion of two ranked pools") {
+    val sysA = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("id", "s")
+    val sysB = Seq((20L, 0.99), (40L, 0.5)).toDF("id", "s")
+    val ra = Fusion.rankedPool(sysA, "id", "s", pool = 10)
+    val rb = Fusion.rankedPool(sysB, "id", "s", pool = 10)
+    // pools rank by score desc: A = 10,20,30; B = 20,40
+    assert(ra.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(10L -> 1L, 20L -> 2L, 30L -> 3L))
+    val fused = Fusion.rrf(ra, rb, "id", k = 60).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("rrf")).toMap
+    // doc 20: 1/62 + 1/61 (both systems); doc 10: 1/61 only; doc 40: 1/62
+    assert(math.abs(fused(20L) - (1.0 / 62 + 1.0 / 61)) < 1e-12)
+    assert(math.abs(fused(10L) - 1.0 / 61) < 1e-12)
+    assert(math.abs(fused(40L) - 1.0 / 62) < 1e-12)
+    assert(fused(20L) > fused(10L) && fused(10L) > fused(40L))
+    // tie in score ranks by id asc; ascending=true flips the direction
+    val tied = Seq((2L, 1.0), (1L, 1.0)).toDF("id", "s")
+    assert(Fusion.rankedPool(tied, "id", "s", 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == Map(1L -> 1L, 2L -> 2L))
+    assert(Fusion.rankedPool(sysA, "id", "s", 10, ascending = true).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(30L -> 1L, 20L -> 2L, 10L -> 3L))
   }
 
   test("mmr determinism: same input, same output across runs") {
