@@ -45,6 +45,6 @@ object SparkEntry {
     */
   val rowsOnly: Set[String] =
     Set("q16_ann_lsh", "q17_ann_ivf", "q1B_pq_knn", "q1C_ivfpq_knn",
-      "q50_chunk_recursive", "q51_embed_documents", "q52_rag_retrieve",
-      "q53_mmr_rerank", "q54_media_features")
+      "q39_embed_near_dup_lsh", "q50_chunk_recursive", "q51_embed_documents",
+      "q52_rag_retrieve", "q53_mmr_rerank", "q54_media_features")
 }

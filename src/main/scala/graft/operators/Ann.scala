@@ -100,6 +100,48 @@ object AnnLsh {
     topKApprox(spark.read.parquet(path), idCol, vecCol, queryVec, k,
       nPlanes, probeRadius, seed)
 
+  /** Embedding near-duplicate candidate pairs at scale: the banded-LSH
+    * twin of [[graft.operators.Knn.nearestPairs]] (which is exact but
+    * quadratic). The `nPlanes`-bit sign signature splits into bands of
+    * `bandBits` bits; ids agreeing on any band become a candidate pair
+    * (banding boosts recall exactly like MinHash-LSH: collision prob
+    * 1-(1-p^bandBits)^nBands), and candidates are verified with exact
+    * cosine >= `minScore`.
+    *
+    * Scale: the only corpus-sized shuffles are the band equi-join (keyed
+    * by (band, bucket)) and the two id-keyed vector lookups for
+    * verification — the quadratic pair space is materialized only for
+    * rows sharing a band bucket. Returns `(id_a, id_b, n_bands, score)`.
+    */
+  def nearDupPairsLsh(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nPlanes: Int, bandBits: Int, minScore: Double,
+      seed: Int = 42
+  ): DataFrame = {
+    require(nPlanes % bandBits == 0,
+      s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
+    val nBands = nPlanes / bandBits
+    val mask   = (1L << bandBits) - 1
+    val bands = withBuckets(corpus, vecCol, nPlanes, seed)
+      .select(col(idCol).as("id"),
+        posexplode(array((0 until nBands).map(b =>
+          shiftright(col("bucket"), b * bandBits).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bkt")))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val vecs = corpus.select(col(idCol), col(vecCol))
+    cands
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("_va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("_vb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_bands"),
+        round(cosineSimilarity(col("_va"), col("_vb")), 6).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
   /** Approximate top-k: score only rows in the probed buckets, then
     * exact cosine rank within candidates.
     */

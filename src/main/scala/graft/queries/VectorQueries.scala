@@ -71,6 +71,19 @@ object VectorQueries {
       Knn.nearestPairs(Tables.embeddings(s, d), "vec_id", "embedding", topPairs = 20)
     },
 
+    // Embedding near-dup at scale (rows-only: murmur-derived hyperplanes
+    // aren't SQL-expressible): banded sign-LSH candidates verified with
+    // exact cosine — the subquadratic twin of q14. AnnSpec asserts its
+    // recall against the brute-force pairs.
+    // minScore 0.4: the synthetic embeddings top out near cosine 0.48
+    // (no planted duplicates), so 0.4 is the "near-dup" band this
+    // fixture actually has.
+    "q39_embed_near_dup_lsh" -> { (s, d) =>
+      graft.operators.AnnLsh.nearDupPairsLsh(Tables.embeddings(s, d),
+          "vec_id", "embedding", nPlanes = 16, bandBits = 4, minScore = 0.4)
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
+    },
+
     // ANN scale path (rows-only oracle: bucket hashes aren't
     // SQL-expressible): LSH-bucketed approximate top-10 for query vec 0.
     "q16_ann_lsh" -> { (s, d) =>

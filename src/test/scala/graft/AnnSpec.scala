@@ -115,6 +115,23 @@ class AnnSpec extends GraftSpec {
     assert(fromStore.collect().map(_.getAs[Long]("vec_id")).toSeq == direct)
   }
 
+  test("banded LSH near-dup pairs: subset of brute force, decent recall") {
+    val thresh = 0.4
+    val exact = graft.operators.Knn.nearestPairs(
+        emb, "vec_id", "embedding", topPairs = 500)
+      .filter(col("score") >= thresh).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = AnnLsh.nearDupPairsLsh(emb, "vec_id", "embedding",
+        nPlanes = 16, bandBits = 4, minScore = thresh).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // verification makes every reported pair exact-correct (no false
+    // positives); banding should surface a reasonable share of the true
+    // pairs at this similarity band (deterministic hashes, fixed fixture)
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.nonEmpty && lsh.size.toDouble / exact.size >= 0.3,
+      s"recall ${lsh.size}/${exact.size}")
+  }
+
   test("higher probe budget improves or preserves LSH recall") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
     try {
