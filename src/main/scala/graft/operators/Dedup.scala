@@ -195,6 +195,47 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Incremental dedup: drop incoming docs that are near-duplicates of
+    * the EXISTING corpus — the daily-ingest pattern (new batch vs a
+    * 100 TB corpus) where re-clustering everything is not an option.
+    * Candidates come from an LSH band-bucket join of the incoming side
+    * against the corpus side (at scale the corpus buckets are a
+    * partitioned table written once at ingest; the join prunes to the
+    * incoming batch's buckets), verified with exact shingle Jaccard
+    * >= `minJaccard`. Returns the surviving incoming rows unchanged.
+    */
+  def newDocSurvivors(
+      incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int, rowsPerBand: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    def buckets(df: DataFrame) = lshBucketsWide(
+      minhashWide(df, idCol, textCol, numHashes, shingleN),
+      numHashes, rowsPerBand)
+    val cands = buckets(incoming).as("i")
+      .join(buckets(corpus).as("c"), Seq("band", "bucket"))
+      .select(col("i.doc").as("doc_new"), col("c.doc").as("doc_old"))
+      .distinct()
+    def arrs(df: DataFrame, docAs: String, shsAs: String) = df.select(
+      col(idCol).as(docAs),
+      array_distinct(transform(
+        TextFunctions.wordShingles(col(textCol), shingleN), s => xxhash64(s)
+      )).as(shsAs))
+    val dupNew = cands
+      .join(arrs(incoming, "doc_new", "shs_n"), "doc_new")
+      .join(arrs(corpus, "doc_old", "shs_o"), "doc_old")
+      .select(col("doc_new"),
+        size(array_intersect(col("shs_n"), col("shs_o"))).as("common"),
+        size(col("shs_n")).as("n_n"), size(col("shs_o")).as("n_o"))
+      .filter(
+        round(col("common").cast("double") /
+          (col("n_n") + col("n_o") - col("common")).cast("double"), 6)
+          >= minJaccard)
+      .select("doc_new").distinct()
+    incoming.join(dupNew, incoming(idCol) === dupNew("doc_new"), "left_anti")
+  }
+
   /** Connected components over an undirected edge list: every node's
     * label is the minimum id in its component.
     *

@@ -126,6 +126,21 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Incremental (new-batch-vs-corpus) dedup: docs 400+ are "incoming",
+    // docs <400 the existing corpus; incoming docs near-duplicating the
+    // corpus (LSH candidates, jaccard >= 0.5 verify) are dropped. The
+    // daily-ingest pattern — nothing recomputes over the old corpus
+    // except the bucket join.
+    "q3A_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.newDocSurvivors(
+          docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+          "doc_id", "text", numHashes = 8, shingleN = 3, rowsPerBand = 2,
+          minJaccard = 0.5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // The materialized dedup result: the corpus minus every clustered
     // non-root doc (cluster root = min id survives) — what a training-
     // data pipeline actually writes out. left_anti keeps the scan-side
@@ -262,6 +277,40 @@ object DedupQueries {
          |  round(abs(e.est - x.exact), 6) AS abs_err
          |FROM est e JOIN exact x USING (doc_a, doc_b)
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Minhash per doc is independent of other docs, so bucketing ALL
+    // documents once and splitting by side afterwards is identical to
+    // the Spark side's per-side bucketing.
+    "q3A_incremental_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |$duckMinhashMh,
+         |$duckLshBuckets,
+         |cand AS (
+         |  SELECT i.doc_id AS doc_new, c.doc_id AS doc_old
+         |  FROM buckets i
+         |  JOIN buckets c ON i.band = c.band AND i.bucket = c.bucket
+         |  WHERE i.doc_id >= 400 AND c.doc_id < 400
+         |  GROUP BY 1, 2),
+         |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT c.doc_new, c.doc_old, count(*) AS common
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_new
+         |  JOIN sh b ON b.doc_id = c.doc_old AND a.sh = b.sh
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT c.doc_new
+         |  FROM common c
+         |  JOIN sizes sn ON sn.doc = c.doc_new
+         |  JOIN sizes so ON so.doc = c.doc_old
+         |  WHERE round(CAST(common AS DOUBLE)
+         |              / CAST(sn.n_sh + so.n_sh - common AS DOUBLE), 6) >= 0.5)
+         |SELECT doc_id, source, n_chars
+         |FROM documents
+         |WHERE doc_id >= 400
+         |  AND NOT EXISTS (SELECT 1 FROM dup WHERE doc_new = doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Clustering oracle: same LSH candidate + jaccard-verify pipeline,
     // then component min-labels via a recursive transitive-closure CTE

@@ -69,6 +69,21 @@ class DedupSpec extends GraftSpec {
       Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")).contains(4L)))
   }
 
+  test("incremental dedup: incoming dups of the corpus drop, fresh docs survive") {
+    val corpus   = docs.filter(col("doc_id") === 1L)
+    val incoming = docs.filter(col("doc_id") =!= 1L)
+    val survivors = Dedup.newDocSurvivors(incoming, corpus, "doc_id", "text",
+        numHashes = 8, shingleN = 3, rowsPerBand = 2, minJaccard = 0.9)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // 2 (exact dup) and 5 (case-folded dup) match doc 1 at jaccard 1.0;
+    // 3 (one-word edit) and 4 (unrelated) are not >= 0.9 against it
+    assert(survivors == Set(3L, 4L))
+    // empty corpus: everything survives
+    val all = Dedup.newDocSurvivors(incoming, corpus.limit(0), "doc_id", "text",
+      8, 3, 2, 0.5).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(all == Set(2L, 3L, 4L, 5L))
+  }
+
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 32).collect()
     def dist(a: Long, b: Long): Int = pairs.find(r =>
