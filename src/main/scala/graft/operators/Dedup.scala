@@ -324,18 +324,25 @@ object Dedup {
     * Bit i is the majority vote across tokens of the top bit of hex
     * nibble i of md5(token) — i.e. 32 pseudo-random projections derived
     * from md5, so the DuckDB oracle can reproduce it exactly.
+    *
+    * One md5 per token: the digest is BOUND as a lambda variable (the
+    * inner `transform(array(md5(t)), h => ...)`) — a free `md5(t)`
+    * subexpression inside the 32-way bit expansion would be re-evaluated
+    * per bit (interpreted HOFs get no subexpression elimination), turning
+    * the hash cost x32. All 32 bit-counts then accumulate in a single
+    * pass over the per-token bit vectors.
     */
   def simhash32(text: Column): Column = {
     val toks = TextFunctions.tokens(text)
+    val tokenBits = flatten(transform(toks, t =>
+      transform(array(md5(t)), h =>
+        transform(sequence(lit(1), lit(32)), pos =>
+          when(h.substr(pos, lit(1)) >= "8", 1).otherwise(0)))))
+    val counts = aggregate(tokenBits, array_repeat(lit(0), 32),
+      (acc, tb) => zip_with(acc, tb, (a, b) => a + b))
     concat_ws("",
-      transform(sequence(lit(1), lit(32)), pos =>
-        when(
-          aggregate(toks, lit(0), (acc, t) =>
-            acc + when(md5(t).substr(pos, lit(1)) >= "8", 1).otherwise(0)
-          ) * 2 >= size(toks),
-          lit("1")
-        ).otherwise(lit("0"))
-      ))
+      transform(counts, c =>
+        when(c * 2 >= size(toks), lit("1")).otherwise(lit("0"))))
   }
 
   /** Hamming distance between two equal-length bitstrings. */
