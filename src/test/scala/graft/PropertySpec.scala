@@ -1,0 +1,110 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generated property tests (SURVEY §5): algebraic laws of the
+  * vector math, top-k monotonicity, and chunker invariants. Inputs are
+  * drawn from explicit-seed generators so every run sees the same cases
+  * (no flaky CI); the vector laws evaluate all samples in ONE Spark pass
+  * instead of a job per sample.
+  */
+class PropertySpec extends GraftSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+
+  private def samples[T](g: Gen[T], n: Int, seed0: Long): Seq[T] =
+    (0 until n).map(i => g.pureApply(params, Seed(seed0 + i)))
+
+  test("cosine laws on generated vectors: symmetry (bit-exact), range, " +
+    "self-similarity ~ 1, zero-vector -> null") {
+    val dim    = 16
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
+    val pairs  = samples(Gen.zip(vecGen, vecGen), 200, 7000L) :+
+      (Seq.fill(dim)(0.0f), samples(vecGen, 1, 99L).head) // planted zero vec
+    val rows = pairs.toDF("a", "b")
+      .select(
+        cosineSimilarity(col("a"), col("b")).as("ab"),
+        cosineSimilarity(col("b"), col("a")).as("ba"),
+        cosineSimilarity(col("a"), col("a")).as("aa"),
+        l2Norm(col("a")).as("na"))
+      .collect()
+    rows.foreach { r =>
+      if (r.isNullAt(3) || r.getDouble(3) == 0.0) {
+        assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+      } else {
+        // symmetry is BIT-exact: a_i*b_i and b_i*a_i are the same IEEE
+        // products in the same accumulation order
+        assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+        assert(r.getDouble(0) >= -1.0 - 1e-12 && r.getDouble(0) <= 1.0 + 1e-12)
+        assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+      }
+    }
+  }
+
+  test("dot/norm laws: dot(a,a) == norm(a)^2 within ulps; scaling a by " +
+    "t >= 0 preserves cosine within tolerance") {
+    val dim    = 12
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-3.0f, 3.0f)).map(_.toSeq)
+    val tGen   = Gen.chooseNum(0.5f, 4.0f)
+    val triples = samples(Gen.zip(vecGen, vecGen, tGen), 150, 8000L)
+    val rows = triples.toDF("a", "b", "t")
+      .select(
+        dotProduct(col("a"), col("a")).as("aa"),
+        l2Norm(col("a")).as("na"),
+        cosineSimilarity(col("a"), col("b")).as("cab"),
+        cosineSimilarity(transform(col("a"), x => x * col("t")), col("b")).as("cta"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1))
+        <= 1e-9 * math.max(1.0, r.getDouble(0).abs))
+      if (!r.isNullAt(2) && !r.isNullAt(3))
+        assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-6)
+    }
+  }
+
+  test("top-k monotonicity on the fixture: topK(k) is a prefix of topK(k+1)") {
+    val e    = Tables.embeddings(spark, sfDir)
+    val qvec = e.filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val byK: Map[Int, Seq[Long]] = (1 to 10).map { k =>
+      k -> Knn.topK(e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        qvec, k).collect().map(_.getAs[Long]("vec_id")).toSeq
+    }.toMap
+    (1 to 9).foreach { k =>
+      assert(byK(k) == byK(k + 1).take(k), s"k=$k not a prefix of k=${k + 1}")
+    }
+    assert(byK(10).distinct.size == 10)
+  }
+
+  test("chunker invariants on generated texts: bounded length, substring " +
+    "of source, full non-whitespace coverage") {
+    val word = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val sep  = Gen.frequency(5 -> Gen.const(" "), 2 -> Gen.const("\n"),
+      1 -> Gen.const("\n\n"), 1 -> Gen.const(""))
+    val text = Gen.chooseNum(0, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(word, sep)).map(_.map { case (w, s) => w + s }.mkString))
+    val chunker = new graft.ingest.Chunker(50, 10)
+    samples(text, 100, 9000L).foreach { t =>
+      val chunks = chunker.split(t)
+      chunks.foreach { c =>
+        assert(c.length <= 50, s"oversize chunk '${c.take(60)}' from '${t.take(80)}'")
+        assert(c.nonEmpty && t.contains(c), s"chunk not a substring: '$c'")
+      }
+      // every non-whitespace char of the text survives into >= 1 chunk
+      // (overlap can only add occurrences, never remove them)
+      val inText   = t.filterNot(_.isWhitespace).groupBy(identity).view.mapValues(_.length)
+      val inChunks = chunks.mkString.filterNot(_.isWhitespace)
+        .groupBy(identity).view.mapValues(_.length).toMap
+      inText.foreach { case (ch, n) =>
+        assert(inChunks.getOrElse(ch, 0) >= n,
+          s"character '$ch' lost: $n in text, ${inChunks.getOrElse(ch, 0)} in chunks")
+      }
+    }
+  }
+}
