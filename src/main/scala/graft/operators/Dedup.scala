@@ -195,6 +195,43 @@ object Dedup {
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6).as("jaccard"))
   }
 
+  /** Per-row LSH band buckets as a single Column — bit-identical to the
+    * [[minhashWide]]→[[lshBucketsWide]] pipeline but computed without any
+    * aggregation, so it works on a STREAMING DataFrame (no groupBy state)
+    * and as a plain derived column at ingest. NULL when the text has no
+    * shingles (shorter than `shingleN` words — such docs have no
+    * signature in the batch path either).
+    *
+    * One md5 per shingle: the base hash is bound as a lambda variable
+    * (see [[simhash32]] for why a free subexpression would re-hash per
+    * seed); the per-seed mins accumulate via one zip_with(least) pass.
+    */
+  def minhashBandsCol(
+      text: Column, numHashes: Int, shingleN: Int, rowsPerBand: Int
+  ): Column = {
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val shs = array_distinct(TextFunctions.wordShingles(text, shingleN))
+    // per shingle: the numHashes affine values, base hash bound once
+    val perShingle = flatten(transform(shs, sh =>
+      transform(array(conv(substring(md5(sh), 1, 8), 16, 10).cast("long")), h =>
+        transform(sequence(lit(0), lit(numHashes - 1)), s =>
+          (((lit(2654435761L) * (s + 1)) % lit(1073741789L) + 1) * h +
+            (lit(40503L) * (s + 1)) % lit(MinhashPrime)) % lit(MinhashPrime)))))
+    val mins = aggregate(perShingle,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, sv) => zip_with(acc, sv, (a, b) => least(a, b)))
+    // bind mins as a lambda variable as well — every band references it,
+    // and a free reference would re-run the whole signature aggregate
+    // once per band
+    val bandsFrom = (m: Column) => array((0 until nBands).map { b =>
+      val hi = math.min((b + 1) * rowsPerBand, numHashes)
+      md5(concat_ws("|",
+        (b * rowsPerBand until hi).map(r => element_at(m, r + 1).cast("string")): _*))
+    }: _*)
+    when(size(shs) > 0,
+      element_at(transform(array(mins), m => bandsFrom(m)), 1))
+  }
+
   /** Incremental dedup: drop incoming docs that are near-duplicates of
     * the EXISTING corpus — the daily-ingest pattern (new batch vs a
     * 100 TB corpus) where re-clustering everything is not an option.

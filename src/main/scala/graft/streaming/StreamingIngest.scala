@@ -83,6 +83,46 @@ object StreamingIngest {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(dedupCols)
 
+  /** Streaming near-dup dedup against a static corpus: incoming docs
+    * whose minhash-LSH band buckets collide with the corpus bucket table
+    * (any band) are dropped. Completely stateless on the stream side —
+    * the per-row band column ([[graft.operators.Dedup.minhashBandsCol]])
+    * needs no aggregation, and the check is `nBands` stream-static
+    * left_outer joins against per-band DISTINCT bucket sets (distinct ⇒
+    * at most one match ⇒ no row duplication), so it runs in append mode
+    * with no watermark. Docs too short to shingle pass through.
+    *
+    * This is the streaming twin of the batch incremental dedup
+    * (`Dedup.newDocSurvivors`): bucket collision is the (recall-biased)
+    * gate; at 100 TB the corpus bucket table is the precomputed,
+    * bucket-partitioned artifact the batch path also maintains. A
+    * jaccard-verify stage can follow in foreachBatch where exactness
+    * matters more than latency.
+    */
+  def lshDedupStream(
+      incoming: DataFrame, corpusBuckets: DataFrame, textCol: String,
+      numHashes: Int, shingleN: Int, rowsPerBand: Int
+  ): DataFrame = {
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    require(!incoming.columns.contains("_bands") &&
+      incoming.columns.forall(!_.startsWith("_hit")),
+      "incoming already has _bands/_hit* columns (would be clobbered)")
+    val withBands = incoming.withColumn("_bands",
+      graft.operators.Dedup.minhashBandsCol(
+        col(textCol), numHashes, shingleN, rowsPerBand))
+    val checked = (0 until nBands).foldLeft(withBands) { (df, b) =>
+      val side = corpusBuckets
+        .filter(col("band") === b)
+        .select(col("bucket").as(s"_hit$b"))
+        .distinct()
+      df.join(side, element_at(col("_bands"), b + 1) === col(s"_hit$b"),
+        "left_outer")
+    }
+    checked
+      .filter((0 until nBands).map(b => col(s"_hit$b").isNull).reduce(_ && _))
+      .drop("_bands" +: (0 until nBands).map(b => s"_hit$b"): _*)
+  }
+
   /** Watermarked stream-stream inner join with a time-interval
     * condition (the impressions-to-clicks attribution pattern): each
     * left row joins right rows of the same key whose timestamp falls in

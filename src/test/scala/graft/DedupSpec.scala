@@ -69,6 +69,28 @@ class DedupSpec extends GraftSpec {
       Set(r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")).contains(4L)))
   }
 
+  test("per-row band column matches the aggregated wide-path buckets") {
+    val wide = Dedup.lshBucketsWide(
+        Dedup.minhashWide(docs, "doc_id", "text", 8, 3), 8, 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc"), r.getAs[Int]("band")) -> r.getAs[String]("bucket"))
+      .toMap
+    val perRow = docs
+      .select(col("doc_id"), Dedup.minhashBandsCol(col("text"), 8, 3, 2).as("bands"))
+      .collect()
+      .flatMap { r =>
+        val id = r.getAs[Long]("doc_id")
+        r.getAs[scala.collection.Seq[String]]("bands").zipWithIndex
+          .map { case (bk, b) => (id, b) -> bk }
+      }.toMap
+    assert(perRow == wide)
+    // too short to shingle -> NULL band column (no signature, like batch)
+    val short = Seq((9L, "two words")).toDF("doc_id", "text")
+      .select(Dedup.minhashBandsCol(col("text"), 8, 3, 2).as("bands"))
+      .head()
+    assert(short.isNullAt(0))
+  }
+
   test("incremental dedup: incoming dups of the corpus drop, fresh docs survive") {
     val corpus   = docs.filter(col("doc_id") === 1L)
     val incoming = docs.filter(col("doc_id") =!= 1L)

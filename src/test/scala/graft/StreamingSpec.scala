@@ -225,6 +225,46 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming LSH dedup drops corpus near-dups, passes fresh and short docs") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val corpusBuckets = Dedup.lshBucketsWide(
+      Dedup.minhashWide(corpus, "doc_id", "text", 8, 3), 8, 2)
+    val incoming = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup -> drop
+      (3L, "the quick brown fox jumps over the sleepy dog"), // near
+      (4L, "completely different content about spark engines"), // fresh
+      (5L, "too short")                                     // no shingles -> pass
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft-lsh-dedup").toString
+    incoming.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(incoming.schema).parquet(dir)
+    val survivors = StreamingIngest.lshDedupStream(stream, corpusBuckets,
+      "text", numHashes = 8, shingleN = 3, rowsPerBand = 2)
+    val q = survivors.writeStream.outputMode("append")
+      .format("memory").queryName("lsh_survivors").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("lsh_survivors")
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+      // expected = exactly the docs whose BATCH pipeline buckets don't
+      // collide with doc 1 (streaming is the batch gate, row by row),
+      // plus the unshingleable doc
+      val all = corpus.unionByName(incoming)
+      val collide1 = Dedup.lshCandidatePairs(Dedup.lshBucketsWide(
+          Dedup.minhashWide(all, "doc_id", "text", 8, 3), 8, 2))
+        .collect()
+        .filter(r => r.getAs[Long]("doc_a") == 1L)
+        .map(_.getAs[Long]("doc_b")).toSet
+      val expected = Set(2L, 3L, 4L) -- collide1 + 5L
+      assert(got == expected, s"collide1=$collide1")
+      assert(collide1.contains(2L)) // the exact dup definitely drops
+      assert(spark.table("lsh_survivors").columns.toSet == Set("doc_id", "text"))
+    } finally q.stop()
+  }
+
   test("curation column ops compose on a stream: scrub + dedup in one plan") {
     import spark.implicits._
     import graft.functions.TextFunctions.{normalizeText, redactPii}
