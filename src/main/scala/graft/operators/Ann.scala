@@ -122,8 +122,15 @@ object AnnLsh {
       s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
     val nBands = nPlanes / bandBits
     val mask   = (1L << bandBits) - 1
-    val bands = withBuckets(corpus, vecCol, nPlanes, seed)
-      .select(col(idCol).as("id"),
+    // materialize the signature table once (one row per id): it feeds
+    // both sides of the self-join, and uncut the per-row hyperplane UDF
+    // would re-run per join subtree — the same cut simhashPairsBlocked
+    // makes for the same reason
+    val sigs = withBuckets(corpus, vecCol, nPlanes, seed)
+      .select(col(idCol).as("id"), col("bucket"))
+      .localCheckpoint()
+    val bands = sigs
+      .select(col("id"),
         posexplode(array((0 until nBands).map(b =>
           shiftright(col("bucket"), b * bandBits).bitwiseAND(mask)): _*))
           .as(Seq("band", "bkt")))

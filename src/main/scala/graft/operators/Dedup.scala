@@ -178,19 +178,33 @@ object Dedup {
   def verifyJaccard(
       df: DataFrame, candidates: DataFrame,
       idCol: String, textCol: String, shingleN: Int
+  ): DataFrame =
+    verifyJaccardSided(df, df, candidates, idCol, textCol, shingleN,
+      "doc_a", "doc_b")
+
+  /** [[verifyJaccard]] with the pair sides drawn from two different
+    * frames (e.g. incoming batch vs existing corpus): `candidates` must
+    * carry `leftKey`/`rightKey` columns of `left`/`right` ids. Returns
+    * `(leftKey, rightKey, jaccard)` — one shared jaccard formula for
+    * every verification path.
+    */
+  def verifyJaccardSided(
+      left: DataFrame, right: DataFrame, candidates: DataFrame,
+      idCol: String, textCol: String, shingleN: Int,
+      leftKey: String, rightKey: String
   ): DataFrame = {
-    val arrs = df.select(
-      col(idCol).as("doc"),
+    def arrs(df: DataFrame, keyAs: String, shsAs: String) = df.select(
+      col(idCol).as(keyAs),
       array_distinct(transform(
         TextFunctions.wordShingles(col(textCol), shingleN), s => xxhash64(s)
-      )).as("shs"))
+      )).as(shsAs))
     candidates
-      .join(arrs.select(col("doc").as("doc_a"), col("shs").as("shs_a")), "doc_a")
-      .join(arrs.select(col("doc").as("doc_b"), col("shs").as("shs_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("shs_a"), col("shs_b"))).as("common"),
-        size(col("shs_a")).as("n_a"), size(col("shs_b")).as("n_b"))
-      .select(col("doc_a"), col("doc_b"),
+      .join(arrs(left, leftKey, "_shs_l"), leftKey)
+      .join(arrs(right, rightKey, "_shs_r"), rightKey)
+      .select(col(leftKey), col(rightKey),
+        size(array_intersect(col("_shs_l"), col("_shs_r"))).as("common"),
+        size(col("_shs_l")).as("n_a"), size(col("_shs_r")).as("n_b"))
+      .select(col(leftKey), col(rightKey),
         round(col("common").cast("double") /
           (col("n_a") + col("n_b") - col("common")).cast("double"), 6).as("jaccard"))
   }
@@ -211,12 +225,13 @@ object Dedup {
   ): Column = {
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val shs = array_distinct(TextFunctions.wordShingles(text, shingleN))
-    // per shingle: the numHashes affine values, base hash bound once
+    // per shingle: the numHashes affine values, base hash bound once;
+    // constants come from minhashA/minhashB so the band values can never
+    // drift from the batch minhashWide path
     val perShingle = flatten(transform(shs, sh =>
       transform(array(conv(substring(md5(sh), 1, 8), 16, 10).cast("long")), h =>
-        transform(sequence(lit(0), lit(numHashes - 1)), s =>
-          (((lit(2654435761L) * (s + 1)) % lit(1073741789L) + 1) * h +
-            (lit(40503L) * (s + 1)) % lit(MinhashPrime)) % lit(MinhashPrime)))))
+        array((0 until numHashes).map(s =>
+          (lit(minhashA(s)) * h + lit(minhashB(s))) % lit(MinhashPrime)): _*))))
     val mins = aggregate(perShingle,
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, sv) => zip_with(acc, sv, (a, b) => least(a, b)))
@@ -254,21 +269,9 @@ object Dedup {
       .join(buckets(corpus).as("c"), Seq("band", "bucket"))
       .select(col("i.doc").as("doc_new"), col("c.doc").as("doc_old"))
       .distinct()
-    def arrs(df: DataFrame, docAs: String, shsAs: String) = df.select(
-      col(idCol).as(docAs),
-      array_distinct(transform(
-        TextFunctions.wordShingles(col(textCol), shingleN), s => xxhash64(s)
-      )).as(shsAs))
-    val dupNew = cands
-      .join(arrs(incoming, "doc_new", "shs_n"), "doc_new")
-      .join(arrs(corpus, "doc_old", "shs_o"), "doc_old")
-      .select(col("doc_new"),
-        size(array_intersect(col("shs_n"), col("shs_o"))).as("common"),
-        size(col("shs_n")).as("n_n"), size(col("shs_o")).as("n_o"))
-      .filter(
-        round(col("common").cast("double") /
-          (col("n_n") + col("n_o") - col("common")).cast("double"), 6)
-          >= minJaccard)
+    val dupNew = verifyJaccardSided(incoming, corpus, cands,
+        idCol, textCol, shingleN, "doc_new", "doc_old")
+      .filter(col("jaccard") >= minJaccard)
       .select("doc_new").distinct()
     incoming.join(dupNew, incoming(idCol) === dupNew("doc_new"), "left_anti")
   }
@@ -370,16 +373,22 @@ object Dedup {
     * pass over the per-token bit vectors.
     */
   def simhash32(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    val tokenBits = flatten(transform(toks, t =>
-      transform(array(md5(t)), h =>
-        transform(sequence(lit(1), lit(32)), pos =>
-          when(h.substr(pos, lit(1)) >= "8", 1).otherwise(0)))))
-    val counts = aggregate(tokenBits, array_repeat(lit(0), 32),
-      (acc, tb) => zip_with(acc, tb, (a, b) => a + b))
-    concat_ws("",
-      transform(counts, c =>
-        when(c * 2 >= size(toks), lit("1")).otherwise(lit("0"))))
+    def body(ts: Column): Column = {
+      val tokenBits = flatten(transform(ts, t =>
+        transform(array(md5(t)), h =>
+          transform(sequence(lit(1), lit(32)), pos =>
+            when(h.substr(pos, lit(1)) >= "8", 1).otherwise(0)))))
+      val counts = aggregate(tokenBits, array_repeat(lit(0), 32),
+        (acc, tb) => zip_with(acc, tb, (a, b) => a + b))
+      // the majority threshold (token count) is bound too — a free
+      // size(tokens(...)) in the 32-way bit lambda would re-tokenize
+      // the document once per bit
+      element_at(transform(array(size(ts)), n =>
+        concat_ws("", transform(counts, c =>
+          when(c * 2 >= n, lit("1")).otherwise(lit("0"))))), 1)
+    }
+    // tokens(text) itself is bound so the row is tokenized exactly once
+    element_at(transform(array(TextFunctions.tokens(text)), ts => body(ts)), 1)
   }
 
   /** Hamming distance between two equal-length bitstrings. */

@@ -33,7 +33,11 @@ object Fusion {
     // sort key can never order a 0.0 tie differently from the oracle
     val sortKey: Column =
       if (ascending) col(scoreCol) + lit(0.0) else -col(scoreCol) + lit(0.0)
-    df.orderBy(ord: _*)
+    // NULL scores never rank: orderBy puts nulls last but the struct
+    // array_sort would put a null key FIRST, handing an unscored row
+    // rank 1 whenever the pool underfills
+    df.filter(col(scoreCol).isNotNull)
+      .orderBy(ord: _*)
       .limit(pool)
       .agg(collect_list(struct(sortKey.as("k"), col(idCol).as("id"))).as("arr"))
       .select(posexplode(array_sort(col("arr"))).as(Seq("r0", "t")))

@@ -119,9 +119,13 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val e    = Tables.embeddings(s, d)
       val qv   = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      // doc 0 is the designated query row corpus-wide (as in q29): keep
+      // it out of BOTH pools, not just the cosine one — otherwise the
+      // query can self-retrieve through the lexical side
       val bmRanks = Fusion.rankedPool(
         Bm25.scores(docs, "doc_id", "text",
             Seq("vector", "query", "merge", "window", "stream"))
+          .filter(col("doc_id") =!= 0)
           .select(col("doc_id"), round(col("bm25"), 6).as("score")),
         "doc_id", "score", pool = 50)
       val cosRanks = Fusion.rankedPool(
@@ -255,7 +259,7 @@ object TextQueries {
          |  GROUP BY tf.doc_id),
          |bmr AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
-         |  FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+         |  FROM bm WHERE doc_id <> 0 ORDER BY score DESC, doc_id LIMIT 50),
          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
          |cs AS (
          |  SELECT vec_id AS doc_id,

@@ -128,7 +128,9 @@ object VectorQueries {
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(euclideanDistance(col("embedding"), col("qvec")), 6).as("dist"))
-        .orderBy(col("dist").asc, col("vec_id"))
+        // nulls-last pinned: Spark ASC defaults nulls FIRST but DuckDB
+        // defaults them LAST — a null distance must not take a top slot
+        .orderBy(col("dist").asc_nulls_last, col("vec_id"))
         .limit(10)
     },
 
@@ -356,7 +358,7 @@ object VectorQueries {
          |SELECT vec_id, round(${DuckSql.l2dist("embedding", "qvec")}, 6) AS dist
          |FROM embeddings, q
          |WHERE vec_id <> 0
-         |ORDER BY dist ASC, vec_id
+         |ORDER BY dist ASC NULLS LAST, vec_id
          |LIMIT 10""".stripMargin,
 
     "q27_retrieval_histogram" ->

@@ -117,8 +117,15 @@ class AnnSpec extends GraftSpec {
 
   test("banded LSH near-dup pairs: subset of brute force, decent recall") {
     val thresh = 0.4
-    val exact = graft.operators.Knn.nearestPairs(
-        emb, "vec_id", "embedding", topPairs = 500)
+    // uncapped ground truth: every pair at or above the threshold (a
+    // top-N cap would miscount LSH's verified-correct pairs as false
+    // positives if the fixture ever had more than N such pairs)
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosineSimilarity(col("va"), col("vb")), 6).as("score"))
       .filter(col("score") >= thresh).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val lsh = AnnLsh.nearDupPairsLsh(emb, "vec_id", "embedding",
