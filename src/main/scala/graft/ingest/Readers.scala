@@ -58,4 +58,28 @@ object Readers {
   /** S3: txt ∪ pdf (`scripts/ingest_documents.py:61-64`). */
   def documents(spark: SparkSession, dir: String): DataFrame =
     textDirectory(spark, dir).unionByName(pdfDirectory(spark, dir))
+
+  /** JSONL corpus scan (one JSON document per line — the interchange
+    * format of web-scale text pipelines; engine extension, the reference
+    * reads only txt/pdf). The schema is REQUIRED: inference at 100 TB
+    * reads the corpus twice before the job starts. Malformed lines land
+    * in `_corrupt` (PERMISSIVE mode) instead of failing the job, so one
+    * bad record in a day-long ingest surfaces as data, not a stack
+    * trace; `source` carries the originating file.
+    */
+  def jsonlDirectory(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "schema must not predeclare _corrupt")
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.jsonl")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(dir)
+      .withColumn("source", input_file_name())
+  }
 }

@@ -82,4 +82,34 @@ class PlanSpec extends GraftSpec {
     val plan = planOf(Knn.topKBatch(emb, "vec_id", "embedding", q, "query_id", "qvec", 3))
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("rankedPool reduces via TakeOrderedAndProject, no global sort or window") {
+    val emb  = Tables.embeddings(spark, sfDir)
+    val qvec = emb.filter(col("vec_id") === 0).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+    val scored = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineSimilarity(
+          col("embedding"), typedlit(qvec)), 6).as("score"))
+    val plan = planOf(graft.operators.Fusion.rankedPool(scored, "vec_id", "score", 50))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("WindowExec") && !plan.contains("Window"), plan)
+  }
+
+  test("banded LSH near-dup join is an equi-join, never a cartesian product") {
+    val plan = planOf(graft.operators.AnnLsh.nearDupPairsLsh(
+      Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+      nPlanes = 16, bandBits = 4, minScore = 0.4))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("incremental dedup plans a left_anti and no cartesian product") {
+    val docs = Tables.documents(spark, sfDir)
+    val plan = planOf(graft.operators.Dedup.newDocSurvivors(
+      docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
+      "doc_id", "text", 8, 3, 2, 0.5))
+    assert(plan.contains("LeftAnti"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -50,6 +50,27 @@ class RagSpec extends GraftSpec {
   private lazy val index       = Ingest.run(spark, catalog, dataDir, "docs", embedder)
   private lazy val rag         = new Rag(spark, index, embedder)
 
+  test("jsonl reader: explicit schema, corrupt lines captured not fatal") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("a.jsonl"),
+      """{"doc_id": 1, "text": "alpha"}
+        |{"doc_id": 2, "text": "beta"}
+        |{not valid json at all
+        |{"doc_id": 3, "text": "gamma"}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val got = graft.ingest.Readers.jsonlDirectory(spark, dir.toString, schema)
+      .collect()
+    assert(got.length == 4)
+    val good = got.filter(_.isNullAt(2))
+    assert(good.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    val bad = got.filterNot(_.isNullAt(2))
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt").startsWith("{not"))
+    assert(got.forall(_.getAs[String]("source").endsWith("a.jsonl")))
+  }
+
   test("ingest builds a populated index with chunk metadata") {
     val rows = index.read.collect()
     assert(rows.length >= 3)
