@@ -67,6 +67,31 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("normalize-at-ingest shortcut: dot on L2-normalized vectors ranks " +
+    "like cosine on raw vectors (SURVEY Q2)") {
+    val dim    = 16
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-5.0f, 5.0f)).map(_.toSeq)
+    val vecs   = samples(vecGen, 100, 6000L).zipWithIndex.map(_.swap)
+    val q      = samples(vecGen, 1, 42L).head
+    val df = vecs.toDF("id", "v")
+    val byCos = df.select(col("id"),
+        cosineSimilarity(col("v"), typedlit(q)).as("s"))
+      .filter(col("s").isNotNull)
+      .orderBy(col("s").desc, col("id")).limit(10)
+      .collect().map(_.getAs[Int]("id")).toSeq
+    // HOF dot: l2Normalize yields double arrays (the native expression
+    // is float-typed by design — normalized vectors persist as doubles)
+    val byDot = df.select(col("id"),
+        dotProductHof(l2Normalize(col("v")), l2Normalize(typedlit(q))).as("s"))
+      .filter(col("s").isNotNull)
+      .orderBy(col("s").desc, col("id")).limit(10)
+      .collect().map(_.getAs[Int]("id")).toSeq
+    // same ordering up to float noise at ties: require identical top-10
+    // sets and identical top-3 order (generated vectors don't tie there)
+    assert(byCos.toSet == byDot.toSet, s"cos=$byCos dot=$byDot")
+    assert(byCos.take(3) == byDot.take(3))
+  }
+
   test("top-k monotonicity on the fixture: topK(k) is a prefix of topK(k+1)") {
     val e    = Tables.embeddings(spark, sfDir)
     val qvec = e.filter(col("vec_id") === 0).head()
