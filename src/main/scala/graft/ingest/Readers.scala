@@ -73,6 +73,10 @@ object Readers {
   ): DataFrame = {
     require(!schema.fieldNames.contains("_corrupt"),
       "schema must not predeclare _corrupt")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("source")),
+      "schema must not declare a source field (withColumn would silently " +
+        "clobber the parsed data with the file path) — rename it, or drop " +
+        "this reader's provenance column")
     spark.read
       .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
       .option("recursiveFileLookup", "true")

@@ -93,7 +93,10 @@ class PlanSpec extends GraftSpec {
           col("embedding"), typedlit(qvec)), 6).as("score"))
     val plan = planOf(graft.operators.Fusion.rankedPool(scored, "vec_id", "score", 50))
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    assert(!plan.contains("WindowExec") && !plan.contains("Window"), plan)
+    assert(!plan.contains("Window"), plan)
+    // no global Sort exec over the corpus either ("Sort [" is the exec
+    // node rendering; expression-level array_sort prints lowercase)
+    assert(!plan.contains("Sort ["), plan)
   }
 
   test("banded LSH near-dup join is an equi-join, never a cartesian product") {
@@ -102,6 +105,8 @@ class PlanSpec extends GraftSpec {
       nPlanes = 16, bandBits = 4, minScore = 0.4))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // and positively: the candidate stage IS a hash/sort-merge equi-join
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
   test("incremental dedup plans a left_anti and no cartesian product") {

