@@ -247,6 +247,22 @@ object RelationalQueries {
         .orderBy("status", "month")
     },
 
+    // Table profiling (the data-quality pass a pipeline runs before
+    // training): row/distinct/null counts and numeric ranges in ONE
+    // aggregation pass over the table.
+    "q0J_table_profile" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct("l_orderkey").as("d_orderkeys"),
+        countDistinct("l_returnflag").as("d_flags"),
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        sum(when(col("l_shipdate").isNull, 1).otherwise(0)).as("null_shipdates"),
+        min("l_shipdate").as("first_ship"),
+        max("l_shipdate").as("last_ship"))
+    },
+
     // Set operations: nations having customers vs suppliers.
     "q0A_nation_setops" -> { (s, d) =>
       val cn = Tables.customer(s, d).select(col("c_nationkey").as("n")).distinct()
@@ -423,6 +439,19 @@ object RelationalQueries {
         |    AS cum_revenue
         |FROM monthly
         |ORDER BY status, month""".stripMargin,
+
+    "q0J_table_profile" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS d_orderkeys,
+        |  count(DISTINCT l_returnflag) AS d_flags,
+        |  round(min(l_extendedprice), 2) AS min_price,
+        |  round(max(l_extendedprice), 2) AS max_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_shipdates,
+        |  min(l_shipdate) AS first_ship,
+        |  max(l_shipdate) AS last_ship
+        |FROM lineitem""".stripMargin,
 
     "q0A_nation_setops" ->
       """SELECT 'both' AS tag, n FROM (

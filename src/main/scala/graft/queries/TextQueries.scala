@@ -141,6 +141,18 @@ object TextQueries {
         .limit(10)
     },
 
+    // Corpus vocabulary head: exact top-20 terms by frequency — the
+    // vocabulary/stopword audit a tokenizer-training pipeline starts
+    // with. Map-side combine bounds the shuffle to distinct terms.
+    "q2B_top_terms" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+        .groupBy("term")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(20)
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -275,6 +287,13 @@ object TextQueries {
          |FROM bmr a FULL OUTER JOIN csr b ON a.doc_id = b.doc_id
          |ORDER BY rrf DESC, doc_id
          |LIMIT 10""".stripMargin,
+
+    "q2B_top_terms" ->
+      s"""SELECT term, count(*) AS n
+         |FROM (SELECT unnest($duckToks) AS term FROM documents)
+         |GROUP BY term
+         |ORDER BY n DESC, term
+         |LIMIT 20""".stripMargin,
 
     "q24_source_stats" ->
       s"""SELECT source,
