@@ -123,6 +123,22 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // Bounded rolling frame: 4-hour moving average of hourly totals per
+    // event type (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW — the frame
+    // kind q0I's unbounded cumsum doesn't cover). Hourly values rounded
+    // BEFORE the frame average so both engines aggregate identical
+    // doubles in identical frame order.
+    "q4A_rolling_avg" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(round(sum("value"), 2).as("v"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-3, Window.currentRow)
+      hourly
+        .withColumn("avg4h", round(avg("v").over(w), 4))
+        .orderBy("event_type", "hour")
+    },
+
     // Lead/lag analytics: inter-event gap per user (lag over a per-user
     // ordered window), aggregated into per-type gap statistics. Gap math
     // stays in integer microseconds; the average divides an exact integer
@@ -341,6 +357,19 @@ object PipelineQueries {
         |FROM g
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q4A_rolling_avg" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |         round(sum(value), 2) AS v
+        |  FROM events
+        |  GROUP BY 1, 2)
+        |SELECT event_type, hour, v,
+        |  round(avg(v) OVER (PARTITION BY event_type ORDER BY hour
+        |                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4)
+        |    AS avg4h
+        |FROM hourly
+        |ORDER BY event_type, hour""".stripMargin,
 
     "q49_event_gaps" ->
       """WITH g AS (
