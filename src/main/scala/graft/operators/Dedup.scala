@@ -125,12 +125,44 @@ object Dedup {
         )).as("bucket")
       )
 
+  /** (band, bucket, sz) of LSH buckets whose membership exceeds
+    * `maxBucketSize` — the accounting side of the [[lshCandidatePairs]]
+    * cap: a pipeline logs/audits this table to see what the guard
+    * dropped (in web data these are boilerplate clusters).
+    */
+  def oversizedBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxBucketSize)
+
   /** Candidate near-dup pairs (a < b) from LSH buckets, with the number
     * of colliding bands as the signal strength.
+    *
+    * `maxBucketSize` caps the self-join's per-key blowup: a degenerate
+    * band bucket with m members yields m*(m-1)/2 candidate pairs — 100 K
+    * boilerplate near-identical pages (guaranteed in web data) would
+    * produce ~5e9 pairs from ONE bucket, and AQE skew-split only
+    * rebalances those pairs, it does not stop them from existing. Buckets
+    * larger than the cap are dropped wholesale BEFORE the join (pair cost
+    * becomes <= |buckets| * maxBucketSize instead of sum of sz^2);
+    * audit what was dropped with [[oversizedBuckets]]. Production
+    * pipelines combine this with exact-dup collapse (band one
+    * representative per identical-content group) so the cap only ever
+    * hits genuine boilerplate, not exact-dup mass.
     */
-  def lshCandidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.select(col("doc").as("doc_a"), col("band"), col("bucket"))
-    val b = buckets.select(col("doc").as("doc_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
+  def lshCandidatePairs(
+      buckets: DataFrame, maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    val kept =
+      if (maxBucketSize == Int.MaxValue) buckets
+      else
+        // the oversized list has one row per DROPPED bucket — tiny by
+        // construction, so AQE turns the anti-join into a broadcast
+        buckets.join(
+          oversizedBuckets(buckets, maxBucketSize).select("band", "bucket"),
+          Seq("band", "bucket"), "left_anti")
+    val a = kept.select(col("doc").as("doc_a"), col("band"), col("bucket"))
+    val b = kept.select(col("doc").as("doc_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
     a.join(b,
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
           col("doc_a") < col("doc_b"))
@@ -138,21 +170,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
+  /** (sh, df) of hashed shingles whose document frequency exceeds
+    * `maxShingleDf` — the accounting side of the [[jaccardPairs]] cap: a
+    * pipeline logs/audits this table to see which stop-shingles the
+    * guard removed from the similarity universe.
+    */
+  def hotShingles(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxShingleDf: Int
+  ): DataFrame =
+    shingles(df, idCol, textCol, shingleN)
+      .select(xxhash64(col("sh")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxShingleDf)
+
   /** Top near-dup pairs by word-n-gram Jaccard similarity. The shingle
-    * equi-join only materializes pairs that share at least one shingle;
-    * at scale, cap ubiquitous shingles (stop-shingles) before the join.
+    * equi-join only materializes pairs that share at least one shingle.
+    *
+    * `maxShingleDf` caps the join's per-key blowup: a stop-shingle
+    * appearing in m docs contributes m*(m-1)/2 pairs — one ubiquitous
+    * phrase in 1 M docs is ~5e11 pairs from a single key, and AQE
+    * skew-split only rebalances those pairs, it does not stop them from
+    * existing. Shingles with df > maxShingleDf are removed from the
+    * similarity universe entirely (numerator AND denominator — the
+    * stop-word-removal semantics), so jaccard is computed over the
+    * retained vocabulary; audit what was dropped with [[hotShingles]].
+    * Docs left with zero retained shingles drop out of the pair list,
+    * like docs shorter than the shingle width always have.
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, topPairs: Int
+      shingleN: Int, topPairs: Int, maxShingleDf: Int = Int.MaxValue
   ): DataFrame = {
     // Join on a 64-bit shingle hash, not the shingle string: the self-join
     // shuffles every (doc, shingle) row, and a fixed-width long key is
     // ~5x fewer shuffle bytes + long-compare sort-merge instead of string
     // compare. Distinct-shingle counts are hash-collision-exact in
     // expectation (~n^2/2^65); the oracle gate would catch a collision.
-    val sh    = shingles(df, idCol, textCol, shingleN)
+    val shAll = shingles(df, idCol, textCol, shingleN)
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
+    val sh =
+      if (maxShingleDf == Int.MaxValue) shAll
+      else {
+        // one row per DROPPED shingle — small by construction (hot keys
+        // are the tail of the df distribution), so AQE broadcasts it
+        val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf)
+          .select("sh")
+        shAll.join(hot, Seq("sh"), "left_anti")
+      }
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))

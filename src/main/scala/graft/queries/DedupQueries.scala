@@ -15,26 +15,37 @@ object DedupQueries {
   // word-3-gram shingles, distinct, as in TextFunctions.wordShingles(n=3)
   private val duckShingles = DuckSql.distinctGrams(3)
 
-  // Affine-minhash mirror of Dedup.minhashWide (constants = Dedup.minhashA/
-  // minhashB/MinhashPrime): h = first 8 md5 hex chars as a 32-bit int,
-  // mh_s = (a_s*h + b_s) mod P. Expects a CTE `sh(doc_id, sh)` in scope;
-  // seeds 0..7 as in every 8-hash registry query.
+  // ONE definition of the minhash/LSH shape shared by the Spark lambdas
+  // and the oracle CTEs below — a change to either constant reaches both
+  // engines, so they can never silently drift apart.
+  private val NumHashes   = 8
+  private val RowsPerBand = 2
+  // Cap parameters for the q3B/q3C capped variants, chosen so the guard
+  // actually drops something at sf0.01 (max shingle df there is 7, max
+  // bucket size 3).
+  private val MaxShingleDf  = 5
+  private val MaxBucketSize = 2
+
+  // Affine-minhash mirror of Dedup.minhashWide (a/b formulas inline the
+  // Dedup.minhashA/minhashB definitions; the modulus interpolates from
+  // Dedup.MinhashPrime): h = first 8 md5 hex chars as a 32-bit int,
+  // mh_s = (a_s*h + b_s) mod P. Expects a CTE `sh(doc_id, sh)` in scope.
   private val duckMinhashMh: String =
-    """mh AS (
+    s"""mh AS (
       |  SELECT doc_id, seed,
       |    min((((2654435761 * (seed + 1)) % 1073741789 + 1)
       |           * (('0x' || substr(md5(sh), 1, 8))::BIGINT)
-      |         + (40503 * (seed + 1)) % 4294967311) % 4294967311) AS mh
-      |  FROM sh, (SELECT unnest(range(0, 8)) AS seed) seeds
+      |         + (40503 * (seed + 1)) % ${Dedup.MinhashPrime}) % ${Dedup.MinhashPrime}) AS mh
+      |  FROM sh, (SELECT unnest(range(0, $NumHashes)) AS seed) seeds
       |  GROUP BY doc_id, seed)""".stripMargin
 
-  // LSH band buckets over [[duckMinhashMh]] (4 bands x 2 rows, decimal
-  // string join mirroring the Spark side's cast-to-string concat).
+  // LSH band buckets over [[duckMinhashMh]] (band = seed / rowsPerBand,
+  // decimal string join mirroring the Spark side's cast-to-string concat).
   private val duckLshBuckets: String =
-    """buckets AS (
-      |  SELECT doc_id, seed // 2 AS band,
+    s"""buckets AS (
+      |  SELECT doc_id, seed // $RowsPerBand AS band,
       |         md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bucket
-      |  FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
+      |  FROM mh GROUP BY doc_id, seed // $RowsPerBand)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: content-hash groups, min-id survivor.
@@ -51,7 +62,7 @@ object DedupQueries {
     // MinHash signatures (8 hash functions over 3-gram shingles).
     "q32_minhash_signatures" -> { (s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
-          numHashes = 8, shingleN = 3)
+          numHashes = NumHashes, shingleN = 3)
         .select(col("doc").as("doc_id"), col("seed"), col("mh"))
         .orderBy("doc_id", "seed")
     },
@@ -60,8 +71,32 @@ object DedupQueries {
     // path: one shuffle for the 8 mins, bands derived by column concat.
     "q33_lsh_candidates" -> { (s, d) =>
       val wide = Dedup.minhashWide(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 8, shingleN = 3)
-      Dedup.lshCandidatePairs(Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+        numHashes = NumHashes, shingleN = 3)
+      Dedup.lshCandidatePairs(Dedup.lshBucketsWide(wide, numHashes = NumHashes, rowsPerBand = RowsPerBand))
+        .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
+    },
+
+    // q31 with the hot-shingle cap exercised: shingles with df >
+    // MaxShingleDf are removed from the similarity universe BEFORE the
+    // pair self-join — the guard that stops one ubiquitous phrase from
+    // generating O(df^2) pairs at corpus scale (the 100 TB scale-killer;
+    // sf0.01 has 29 shingles over this threshold, so the cap is live).
+    "q3B_jaccard_capped" -> { (s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, topPairs = 20, maxShingleDf = MaxShingleDf)
+    },
+
+    // q33 with the bucket-size cap exercised: band buckets with more than
+    // MaxBucketSize members are dropped wholesale before the candidate
+    // self-join — the guard that stops a degenerate boilerplate bucket
+    // from generating O(size^2) candidate pairs (sf0.01 has 4 buckets
+    // over this threshold, so the cap is live: 29 → 25 candidates).
+    "q3C_lsh_capped" -> { (s, d) =>
+      val wide = Dedup.minhashWide(Tables.documents(s, d), "doc_id", "text",
+        numHashes = NumHashes, shingleN = 3)
+      Dedup.lshCandidatePairs(
+          Dedup.lshBucketsWide(wide, numHashes = NumHashes, rowsPerBand = RowsPerBand),
+          maxBucketSize = MaxBucketSize)
         .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
     },
 
@@ -102,21 +137,21 @@ object DedupQueries {
       // wide feeds the LSH banding AND both signature-join sides, and
       // cands feeds both est and the exact verify — cut each once
       val wide = Dedup.minhashWide(docs, "doc_id", "text",
-        numHashes = 8, shingleN = 3).localCheckpoint()
+        numHashes = NumHashes, shingleN = 3).localCheckpoint()
       val cands = Dedup.lshCandidatePairs(
-          Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+          Dedup.lshBucketsWide(wide, numHashes = NumHashes, rowsPerBand = RowsPerBand))
         .select("doc_a", "doc_b").localCheckpoint()
       val sideA = wide.select(col("doc").as("doc_a") +:
-        (0 until 8).map(i => col(s"mh$i").as(s"a$i")): _*)
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"a$i")): _*)
       val sideB = wide.select(col("doc").as("doc_b") +:
-        (0 until 8).map(i => col(s"mh$i").as(s"b$i")): _*)
+        (0 until NumHashes).map(i => col(s"mh$i").as(s"b$i")): _*)
       val est = cands
         .join(sideA, "doc_a")
         .join(sideB, "doc_b")
         .select(col("doc_a"), col("doc_b"),
-          ((0 until 8).map(i =>
+          ((0 until NumHashes).map(i =>
             when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-            .reduce(_ + _).cast("double") / 8.0).as("est"))
+            .reduce(_ + _).cast("double") / NumHashes.toDouble).as("est"))
       val exact = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
       est.join(exact, Seq("doc_a", "doc_b"))
         .select(col("doc_a"), col("doc_b"),
@@ -135,8 +170,8 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       Dedup.newDocSurvivors(
           docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
-          "doc_id", "text", numHashes = 8, shingleN = 3, rowsPerBand = 2,
-          minJaccard = 0.5)
+          "doc_id", "text", numHashes = NumHashes, shingleN = 3,
+          rowsPerBand = RowsPerBand, minJaccard = 0.5)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
@@ -162,9 +197,9 @@ object DedupQueries {
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val wide = Dedup.minhashWide(docs, "doc_id", "text",
-      numHashes = 8, shingleN = 3)
+      numHashes = NumHashes, shingleN = 3)
     val cands = Dedup.lshCandidatePairs(
-        Dedup.lshBucketsWide(wide, numHashes = 8, rowsPerBand = 2))
+        Dedup.lshBucketsWide(wide, numHashes = NumHashes, rowsPerBand = RowsPerBand))
       .select("doc_a", "doc_b")
     val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
       .filter(col("jaccard") >= 0.5)
@@ -194,6 +229,50 @@ object DedupQueries {
          |JOIN sizes sb ON sb.doc = doc_b
          |ORDER BY jaccard DESC, doc_a, doc_b
          |LIMIT 20""".stripMargin,
+
+    // Same pair pipeline as q31, over the df-capped shingle universe
+    // (sizes and common counts both computed AFTER the hot filter —
+    // stop-word-removal semantics, exactly as the Spark side).
+    "q3B_jaccard_capped" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),
+         |hot AS (
+         |  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+         |sh AS (
+         |  SELECT doc, sh FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(common AS DOUBLE)
+         |        / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |FROM common
+         |JOIN sizes sa ON sa.doc = doc_a
+         |JOIN sizes sb ON sb.doc = doc_b
+         |ORDER BY jaccard DESC, doc_a, doc_b
+         |LIMIT 20""".stripMargin,
+
+    // Same candidate join as q33, restricted to buckets at or under the
+    // size cap.
+    "q3C_lsh_capped" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |$duckMinhashMh,
+         |$duckLshBuckets,
+         |keep AS (
+         |  SELECT band, bucket FROM buckets
+         |  GROUP BY band, bucket HAVING count(*) <= $MaxBucketSize),
+         |kb AS (
+         |  SELECT b.doc_id, b.band, b.bucket
+         |  FROM buckets b JOIN keep USING (band, bucket))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+         |FROM kb a
+         |JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+         |         AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |ORDER BY n_bands DESC, doc_a, doc_b""".stripMargin,
 
     "q32_minhash_signatures" ->
       s"""WITH sh AS (
@@ -268,7 +347,7 @@ object DedupQueries {
          |  JOIN sizes sb ON sb.doc = c.doc_b),
          |est AS (
          |  SELECT c.doc_a, c.doc_b,
-         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 8.0 AS est
+         |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / $NumHashes.0 AS est
          |  FROM cand c
          |  JOIN mh a ON a.doc_id = c.doc_a
          |  JOIN mh b ON b.doc_id = c.doc_b AND b.seed = a.seed

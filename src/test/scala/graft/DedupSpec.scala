@@ -199,6 +199,57 @@ class DedupSpec extends GraftSpec {
     }
   }
 
+  test("maxShingleDf cap: one hot phrase cannot generate quadratic pairs") {
+    // 60 docs, unique except for one shared phrase: the two boilerplate
+    // shingles ("common shared phrase", "shared phrase here") have df=60
+    // and link every doc to every other — the 100 TB stop-shingle blowup
+    // in miniature (60*59/2 = 1770 pairs from two keys).
+    val boiler = (1 to 60).map(i =>
+      (i.toLong, s"u${i}a u${i}b u${i}c common shared phrase here"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(boiler, "doc_id", "text", 3, 5000)
+    assert(uncapped.count() == 1770L)
+    // capped: both hot shingles leave the similarity universe, no doc
+    // pair shares anything -> zero pairs materialized
+    val capped = Dedup.jaccardPairs(boiler, "doc_id", "text", 3, 5000,
+      maxShingleDf = 10)
+    assert(capped.count() == 0L)
+    // accounting: exactly the two boilerplate shingles, each df=60
+    val hot = Dedup.hotShingles(boiler, "doc_id", "text", 3, maxShingleDf = 10)
+      .collect()
+    assert(hot.length == 2 && hot.forall(_.getAs[Long]("df") == 60L))
+    // genuine near-dups NOT sharing the hot phrase still pair up under
+    // the cap
+    val mixed = boiler.unionByName(Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "alpha beta gamma delta zeta")).toDF("doc_id", "text"))
+    val pairs = Dedup.jaccardPairs(mixed, "doc_id", "text", 3, 5000,
+        maxShingleDf = 10).collect()
+    assert(pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSeq == Seq((100L, 101L)))
+  }
+
+  test("maxBucketSize cap: a degenerate identical-content bucket is dropped") {
+    // 1000 identical boilerplate docs: every band puts all 1000 in one
+    // bucket (999*1000/2 * 4 bands of candidate pairs uncapped); plus one
+    // clean exact pair that must survive the cap.
+    val df = ((1 to 1000).map(i =>
+        (i.toLong, "same boilerplate page content every time")) ++ Seq(
+        (2001L, "alpha beta gamma delta epsilon zeta"),
+        (2002L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val buckets = Dedup.lshBucketsWide(
+      Dedup.minhashWide(df, "doc_id", "text", 8, 3), 8, 2).localCheckpoint()
+    val capped = Dedup.lshCandidatePairs(buckets, maxBucketSize = 100).collect()
+    // boilerplate bucket dropped wholesale; the identical clean pair
+    // (all 4 bands agree) is the only candidate
+    assert(capped.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("n_bands"))).toSeq == Seq((2001L, 2002L, 4L)))
+    // accounting: the boilerplate bucket in each of the 4 bands, size 1000
+    val over = Dedup.oversizedBuckets(buckets, 100).collect()
+    assert(over.length == 4 && over.forall(_.getAs[Long]("sz") == 1000L))
+  }
+
   test("embedding near-dup pairs are symmetric-deduped and sorted") {
     val pairs = Knn.nearestPairs(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 10).collect()
