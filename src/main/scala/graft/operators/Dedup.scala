@@ -342,6 +342,52 @@ object Dedup {
     incoming.join(dupNew, incoming(idCol) === dupNew("doc_new"), "left_anti")
   }
 
+  /** The end-to-end near-dup clustering pipeline with exact-dup collapse:
+    * every doc's cluster label is the minimum id among its exact+near
+    * duplicates, or no row if it has neither.
+    *
+    * Stage order is the 100 TB-safe shape:
+    *  1. Exact-dup collapse — group by content hash, elect the min-id
+    *     representative. Identical docs have identical minhash signatures,
+    *     so banding all of them is pure per-bucket blowup; banding ONE rep
+    *     per group removes the most common degenerate bucket (exact-dup
+    *     mass) entirely, and is label-equivalent because an exact group is
+    *     already fully connected at jaccard 1.0.
+    *  2. MinHash → LSH bands → candidate pairs over representatives only
+    *     (`maxBucketSize` guards what boilerplate remains).
+    *  3. Exact shingle-Jaccard verify >= `minJaccard` (no pair re-blowup).
+    *  4. Connected components over rep-level edges.
+    *  5. Re-expand: each member takes its rep's component root; an exact
+    *     group of size >= 2 whose rep has no near-dup edge is a cluster by
+    *     itself (root = rep), exactly as its intra-group jaccard-1.0 edges
+    *     would have made it.
+    */
+  def dedupClusters(
+      df: DataFrame, idCol: String, textCol: String,
+      numHashes: Int, shingleN: Int, rowsPerBand: Int, minJaccard: Double,
+      maxBucketSize: Int = Int.MaxValue
+  ): DataFrame = {
+    val groups = df.groupBy(md5(col(textCol)).as("_h"))
+      .agg(min(col(idCol)).as("_rep"), count(lit(1)).as("_n"))
+    val members = df.select(col(idCol).as("_doc"), md5(col(textCol)).as("_h"))
+      .join(groups, "_h")
+    val reps = df.join(groups.select(col("_rep").as(idCol)), Seq(idCol),
+      "left_semi")
+    val cands = lshCandidatePairs(
+        lshBucketsWide(minhashWide(reps, idCol, textCol, numHashes, shingleN),
+          numHashes, rowsPerBand),
+        maxBucketSize)
+      .select("doc_a", "doc_b")
+    val edges = verifyJaccard(reps, cands, idCol, textCol, shingleN)
+      .filter(col("jaccard") >= minJaccard)
+    val repLabels = connectedComponents(edges, "doc_a", "doc_b")
+    members
+      .join(repLabels.withColumnRenamed("node", "_rep"), Seq("_rep"), "left")
+      .select(col("_doc").as("node"),
+        coalesce(col("root"), when(col("_n") >= 2, col("_rep"))).as("root"))
+      .filter(col("root").isNotNull)
+  }
+
   /** Connected components over an undirected edge list: every node's
     * label is the minimum id in its component.
     *
@@ -352,8 +398,12 @@ object Dedup {
     * driver. Above it, iterative min-label propagation: each round is
     * one join + one min-aggregate (shuffles sized by |edges| + |nodes|,
     * never by component count) with `localCheckpoint` truncating the
-    * lineage; rounds needed = component diameter. Both paths produce
-    * identical labels (asserted in DedupSpec).
+    * lineage; rounds needed = component diameter. Convergence is derived
+    * from the SAME aggregate that computes the next labels (each node's
+    * previous root rides along and the changed-label count is read off
+    * the materializing action), so every round is exactly ONE Spark
+    * action — no separate compare join. Both paths produce identical
+    * labels (asserted in DedupSpec).
     */
   def connectedComponents(
       edges: DataFrame, aCol: String, bCol: String, maxIter: Int = 20,
@@ -367,23 +417,30 @@ object Dedup {
     // und is symmetrized (both directions), so the undirected edge count
     // is half its row count
     if (und.count() <= 2L * driverMaxEdges) return ccDriver(und)
+    val idType = und.schema("src").dataType
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("root", col("node"))
       .localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // each node's single current-labels row carries its previous root
+      // in `_prev`; neighbor propagations carry NULL, so after the
+      // min/max aggregate every node has (new root, old root) in one row
       val prop = und
         .join(labels.withColumnRenamed("node", "dst"), "dst")
-        .select(col("src").as("node"), col("root"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("root").as("root"))
-        .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("root", "prev"), "node")
-        .filter(col("root") =!= col("prev"))
-        .isEmpty
-      labels = next
+        .select(col("src").as("node"), col("root"),
+          lit(null).cast(idType).as("_prev"))
+      val next = labels
+        .select(col("node"), col("root"), col("root").as("_prev"))
+        .unionByName(prop)
+        .groupBy("node")
+        .agg(min("root").as("root"), max("_prev").as("_prev"))
+        .localCheckpoint(eager = false)
+      // the count materializes the lazy checkpoint AND yields the
+      // changed-label total: one Spark action per round
+      converged = next.filter(col("root") =!= col("_prev")).count() == 0L
+      labels = next.select("node", "root")
       iter += 1
     }
     if (!converged)

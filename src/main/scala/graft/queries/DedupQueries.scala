@@ -191,20 +191,16 @@ object DedupQueries {
   )
 
   // Shared q36/q37 pipeline (ONE set of parameters — the survivor set
-  // must stay consistent with the cluster set): minhash(8 seeds,
-  // 3-shingles) → LSH bands(4x2) → candidates → jaccard >= 0.5 verify →
-  // connected components. Mirrored 1:1 by the shared oracle CTE prefix.
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val wide = Dedup.minhashWide(docs, "doc_id", "text",
-      numHashes = NumHashes, shingleN = 3)
-    val cands = Dedup.lshCandidatePairs(
-        Dedup.lshBucketsWide(wide, numHashes = NumHashes, rowsPerBand = RowsPerBand))
-      .select("doc_a", "doc_b")
-    val edges = Dedup.verifyJaccard(docs, cands, "doc_id", "text", shingleN = 3)
-      .filter(col("jaccard") >= 0.5)
-    Dedup.connectedComponents(edges, "doc_a", "doc_b")
-  }
+  // must stay consistent with the cluster set): exact-dup collapse →
+  // minhash(8 seeds, 3-shingles) over representatives → LSH bands(4x2) →
+  // candidates → jaccard >= 0.5 verify → connected components →
+  // re-expand. Label-equivalent to banding every member (exact groups
+  // are fully connected at jaccard 1.0 — see Dedup.dedupClusters), so
+  // the member-level oracle CTE prefix still mirrors it 1:1.
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
+      numHashes = NumHashes, shingleN = 3, rowsPerBand = RowsPerBand,
+      minJaccard = 0.5)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->

@@ -250,6 +250,39 @@ class DedupSpec extends GraftSpec {
     assert(over.length == 4 && over.forall(_.getAs[Long]("sz") == 1000L))
   }
 
+  test("dedupClusters matches the member-level pipeline on fixture docs") {
+    // reference pipeline WITHOUT exact-dup collapse: band every member
+    val fixture = Tables.documents(spark, sfDir)
+    val cands = Dedup.lshCandidatePairs(
+        Dedup.lshBucketsWide(Dedup.minhashWide(fixture, "doc_id", "text", 8, 3), 8, 2))
+      .select("doc_a", "doc_b")
+    val edges = Dedup.verifyJaccard(fixture, cands, "doc_id", "text", 3)
+      .filter(col("jaccard") >= 0.5)
+    val memberLevel = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    val collapsed = Dedup.dedupClusters(fixture, "doc_id", "text", 8, 3, 2, 0.5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    assert(collapsed == memberLevel)
+  }
+
+  test("dedupClusters: 1000 identical docs band one representative") {
+    // exact-dup collapse means LSH sees ONE rep for the boilerplate mass
+    // (no 999*1000/2-pair degenerate bucket), yet all 1000 members label
+    // into the rep's cluster; the isolated exact pair clusters on the
+    // n>=2 fallback without needing any near-dup edge.
+    val df = ((1 to 1000).map(i =>
+        (i.toLong, "same boilerplate page content every time")) ++ Seq(
+        (2001L, "alpha beta gamma delta epsilon zeta"),
+        (2002L, "alpha beta gamma delta epsilon zeta"),
+        (3001L, "totally unrelated singleton document here")))
+      .toDF("doc_id", "text")
+    val labels = Dedup.dedupClusters(df, "doc_id", "text", 8, 3, 2, 0.5)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+    assert(labels.size == 1002) // singleton 3001 has no row
+    assert((1 to 1000).forall(i => labels(i.toLong) == 1L))
+    assert(labels(2001L) == 2001L && labels(2002L) == 2001L)
+  }
+
   test("embedding near-dup pairs are symmetric-deduped and sorted") {
     val pairs = Knn.nearestPairs(
       Tables.embeddings(spark, sfDir), "vec_id", "embedding", 10).collect()
