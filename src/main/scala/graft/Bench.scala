@@ -44,24 +44,31 @@ object Bench {
         System.err.println(
           s"[bench] WARNING: SPARK_GRAFT_ONLY names match no query: ${unknown.mkString(", ")}")
     }
+    // median of `reps` runs per query: this box shows ±20-100 % ambient
+    // variance on single runs (PERF.md), and a median-of-3 is the
+    // cheapest estimator that stops a one-off GC/IO stall from reading
+    // as a 2x regression (or a lucky run as a speedup)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     // a failed query reports -1 (never a plausible elapsed time) so a
     // breakage can't masquerade as a speedup in the benchmark history
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              -1.0
+          }
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"median"}""")
     spark.stop()
   }
 }
