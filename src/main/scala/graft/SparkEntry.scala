@@ -39,12 +39,13 @@ object SparkEntry {
 
   /** Queries intentionally without a DuckDB oracle (driver records a
     * rows-only check): their operators aren't ANSI-SQL-expressible —
-    * hash-based ANN bucketing, the recursive chunker, murmur-hash
-    * embeddings — and are instead covered by dedicated ScalaTest specs
-    * (AnnSpec recall bounds, ChunkerSpec goldens, KnnSpec/RagSpec e2e).
+    * hash-based ANN bucketing, murmur-hash embeddings — and are instead
+    * covered by dedicated ScalaTest specs (AnnSpec recall bounds,
+    * KnnSpec/RagSpec e2e). q50 (recursive chunker) and q53 (MMR greedy)
+    * graduated to recursive-CTE oracles in round 3.
     */
   val rowsOnly: Set[String] =
     Set("q16_ann_lsh", "q17_ann_ivf", "q1B_pq_knn", "q1C_ivfpq_knn",
-      "q39_embed_near_dup_lsh", "q50_chunk_recursive", "q51_embed_documents",
-      "q52_rag_retrieve", "q53_mmr_rerank", "q54_media_features")
+      "q39_embed_near_dup_lsh", "q51_embed_documents",
+      "q52_rag_retrieve", "q54_media_features")
 }

@@ -298,6 +298,95 @@ object PipelineQueries {
         |FROM idx
         |ORDER BY doc_id, chunk_index""".stripMargin,
 
+    // Recursive-chunker mirror. On these fixtures (no newlines, single
+    // spaces, words far below chunkSize — asserted shape at every SF) the
+    // splitter reduces exactly to its " "-separator level: fragments are
+    // words with the separator attached as a prefix, greedily merged to
+    // <= 500 chars with a <= 50-char fragment-suffix carry. Chunk spans
+    // are therefore substrings of the original text, and the sequential
+    // merge becomes a recursive CTE over CHUNK boundaries on the word
+    // prefix-sum table: each chunk starts at the earliest word offset
+    // within `overlap` of the previous chunk's end and extends to the
+    // last word within `chunkSize` of that start. The general algorithm
+    // (separator recursion, long-fragment handling) is covered by
+    // ChunkerSpec goldens.
+    "q50_chunk_recursive" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, t.i AS i,
+        |         len(t.w) + CASE WHEN t.i = 1 THEN 0 ELSE 1 END AS l
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |               generate_subscripts(string_split(text, ' '), 1) AS i
+        |        FROM documents) t),
+        |words AS (
+        |  SELECT doc_id, i, sum(l) OVER (PARTITION BY doc_id ORDER BY i) AS s
+        |  FROM tok),
+        |ends AS (SELECT doc_id, max(i) AS n FROM words GROUP BY doc_id),
+        |walk(doc_id, ck, jstart_s, jend, jend_s) AS (
+        |  SELECT doc_id, 1, 0, max(i), max(s)
+        |  FROM words WHERE s <= 500 GROUP BY doc_id
+        |  UNION ALL
+        |  SELECT t.doc_id, t.ck + 1, t.ns, max(y.i), max(y.s)
+        |  FROM (
+        |    SELECT w.doc_id, w.ck, min(x.s) AS ns
+        |    FROM walk w
+        |    JOIN ends e ON e.doc_id = w.doc_id AND w.jend < e.n
+        |    JOIN words x ON x.doc_id = w.doc_id AND x.s >= w.jend_s - 50
+        |    GROUP BY w.doc_id, w.ck) t
+        |  JOIN words y ON y.doc_id = t.doc_id AND y.s - t.ns <= 500
+        |  GROUP BY t.doc_id, t.ck, t.ns)
+        |SELECT w.doc_id, CAST(w.ck - 1 AS INT) AS chunk_index,
+        |       trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
+        |                   CAST(w.jend_s - w.jstart_s AS INT))) AS chunk_text,
+        |       CAST(len(trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
+        |                   CAST(w.jend_s - w.jstart_s AS INT)))) AS INT) AS chunk_len
+        |FROM walk w JOIN documents d USING (doc_id)
+        |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // MMR greedy mirror: pool = exact top-50 by (rounded) query cosine;
+    // each recursive step picks the remaining candidate maximizing
+    // 0.5*score - 0.5*max(cosine to picked), ties resolving to the
+    // earlier pool entry via the lexicographic (mmr, -rank) max — the
+    // exact strict-> first-seen-wins semantics of Knn.mmrRerank.
+    "q53_mmr_rerank" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pool AS (
+         |  SELECT vec_id, embedding,
+         |         round(${duckCosine("embedding", "qv")}, 6) AS score,
+         |         row_number() OVER (
+         |           ORDER BY round(${duckCosine("embedding", "qv")}, 6) DESC,
+         |                    vec_id) AS rnk
+         |  FROM embeddings, q
+         |  WHERE vec_id <> 0 AND ${duckCosine("embedding", "qv")} IS NOT NULL
+         |  ORDER BY score DESC, vec_id
+         |  LIMIT 50),
+         |pc AS (
+         |  SELECT a.vec_id AS a, b.vec_id AS b,
+         |         ${duckCosine("a.embedding", "b.embedding")} AS c
+         |  FROM pool a, pool b),
+         |walk(iter, vec_id, score, mmr, picked) AS (
+         |  SELECT 1, vec_id, score, 0.5 * score, [vec_id]
+         |  FROM pool WHERE rnk = 1
+         |  UNION ALL
+         |  SELECT iter + 1,
+         |         struct_extract(ms, 3), struct_extract(ms, 4),
+         |         struct_extract(ms, 1), list_append(picked, struct_extract(ms, 3))
+         |  FROM (
+         |    SELECT w.iter AS iter, w.picked AS picked,
+         |           max(ROW(c.mmr, -c.rnk, c.vec_id, c.score)) AS ms
+         |    FROM walk w, (
+         |      SELECT w2.iter AS it2, p.vec_id, p.score, p.rnk,
+         |             0.5 * p.score - 0.5 * (
+         |               SELECT max(pc.c) FROM pc
+         |               WHERE pc.a = p.vec_id AND list_contains(w2.picked, pc.b)) AS mmr
+         |      FROM walk w2, pool p
+         |      WHERE NOT list_contains(w2.picked, p.vec_id) AND w2.iter < 5) c
+         |    WHERE c.it2 = w.iter AND NOT list_contains(w.picked, c.vec_id)
+         |      AND w.iter < 5
+         |    GROUP BY w.iter, w.picked))
+         |SELECT vec_id, score, round(mmr, 6) AS mmr, CAST(iter AS INT) AS rank
+         |FROM walk ORDER BY rank""".stripMargin,
+
     "q41_doc_ids" ->
       """SELECT doc_id,
         |  concat('doc_', doc_id, '_', substr(md5(text), 1, 8)) AS id
