@@ -84,6 +84,58 @@ class ChunkerSpec extends GraftSpec {
     ), out)
   }
 
+  test("LangChain-parity goldens: separator runs") {
+    // Derived from the published RecursiveCharacterTextSplitter semantics
+    // (keep_separator=True): `re.split(f"({sep})", text)` then each
+    // separator occurrence is re-attached as a PREFIX of the fragment
+    // that follows it, empties dropped.
+    //   "aaa\n\n\n\nbb cc\ndd" on "\n\n" ->
+    //     re.split groups: ["aaa", "\n\n", "", "\n\n", "bb cc\ndd"]
+    //     prefix-attach:   ["aaa", "\n\n"+"", "\n\n"+"bb cc\ndd"]
+    //     drop "":         ["aaa", "\n\n", "\n\nbb cc\ndd"]   (3, 2, 10)
+    // chunkSize=10: first two merge (total 5) -> join "" + strip = "aaa";
+    // the 10-char third is NOT < 10, so it recurses on ["\n", " ", ""]:
+    //     "\n" split -> ["\n", "\nbb cc", "\ndd"] (1, 6, 3) — all < 10,
+    //     one merge: 1+6+3 = 10 <= 10, join+strip = "bb cc\ndd".
+    val out = new Chunker(10, 3).split("aaa\n\n\n\nbb cc\ndd")
+    assert(out == Seq("aaa", "bb cc\ndd"), out)
+  }
+
+  test("LangChain-parity goldens: overlap re-stitching at a word boundary") {
+    // "aa bb cc dd ee", chunkSize=10, overlap=3. " "-level fragments with
+    // prefix-attached separators: ["aa", " bb", " cc", " dd", " ee"]
+    // (2, 3, 3, 3, 3). _merge_splits trace:
+    //   aa(2) bb(5) cc(8); " dd" would make 11 > 10 -> emit
+    //   strip("aa bb cc") = "aa bb cc";
+    //   pop-while total > 3: pop "aa"->6, pop " bb"->3, stop (3 !> 3,
+    //   3+3=6 <= 10). Window [" cc"] re-seeds the next chunk:
+    //   cc(3) dd(6) ee(9) <= 10 -> final strip(" cc dd ee") = "cc dd ee".
+    val out = new Chunker(10, 3).split("aa bb cc dd ee")
+    assert(out == Seq("aa bb cc", "cc dd ee"), out)
+  }
+
+  test("LangChain-parity goldens: separator-free text splits per char") {
+    // No "\n\n"/"\n"/" " present -> separator "" -> fragments are single
+    // chars. chunkSize=5, overlap=2, "abcdefghij":
+    //   a..e total 5; f -> 6 > 5: emit "abcde";
+    //   pop-while total > 2: a,b,c popped -> window [d,e] (2);
+    //   +f(3) +g(4) +h(5); i -> 6 > 5: emit "defgh";
+    //   pop d,e,f -> [g,h] (2); +i(3) +j(4); final emit "ghij".
+    val out = new Chunker(5, 2).split("abcdefghij")
+    assert(out == Seq("abcde", "defgh", "ghij"), out)
+  }
+
+  test("LangChain-parity goldens: oversize word recurses to chars mid-stream") {
+    // "aaaaaaa bb", chunkSize=5, overlap=2. " " split -> ["aaaaaaa", " bb"].
+    // "aaaaaaa" (7 >= 5) flushes the (empty) good-split buffer and
+    // recurses with [""] -> char merge: a1..a5 emit "aaaaa"; pop to
+    // [a4,a5]; +a6(3) +a7(4) -> final "aaaa". Then " bb" merges alone ->
+    // strip(" bb") = "bb". Chunk order: recursion output first, then the
+    // trailing good-split flush.
+    val out = new Chunker(5, 2).split("aaaaaaa bb")
+    assert(out == Seq("aaaaa", "aaaa", "bb"), out)
+  }
+
   test("reference sample corpus chunks within bounds at 500/50") {
     val refDir = java.nio.file.Paths.get("/root/reference/data/sample_docs")
     assume(java.nio.file.Files.isDirectory(refDir), "reference corpus not present")
