@@ -1,0 +1,195 @@
+package graft.api
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import scala.jdk.CollectionConverters._
+
+/** Thin HTTP layer over [[GraftApi]] — the reference's FastAPI surface
+  * (`app/main.py:76-89`, `app/api/routes.py:178-334`) re-expressed on the
+  * JDK's built-in `com.sun.net.httpserver` (zero extra dependencies; JSON
+  * via the Jackson that ships with Spark).
+  *
+  * Routes and response shapes mirror the reference:
+  *  - `GET  /api/v1/health` → `{status, service, version}`
+  *    (`routes.py:178-186`)
+  *  - `POST /api/v1/query`  → `{question, answer, sources,
+  *    retrieved_docs}` (`routes.py:189-221`); empty question or top_k
+  *    outside [1, 20] (`routes.py:29-31`) → 400 `{detail}`
+  *  - `POST /api/v1/chat`   → same shape, takes `chat_history` as
+  *    `[{question, answer}]` (`routes.py:224-263`)
+  *  - `GET  /api/v1/stats`  → `{total_vector_count, dimension,
+  *    index_fullness}` (`routes.py:266-311`)
+  *  - `POST /api/v1/upload` → `{success, files}` / `{success, error}`
+  *    with HTTP 200 either way, as the reference does
+  *    (`routes.py:314-334`). The body is JSON
+  *    `{files: [{name, content}]}` rather than multipart form-data —
+  *    same semantics (save to a landing dir, re-ingest), no multipart
+  *    parser dependency.
+  *
+  * Unknown paths → 404; wrong method on a known path → 405; handler
+  * exceptions → 500 `{detail}` (the reference's error contract).
+  *
+  * Serving is driver-side by design, like every query engine's
+  * coordinator endpoint: a request fans out to the cluster as a Spark
+  * job and only the ≤ top_k result rows pass through this process.
+  */
+final class GraftHttpServer(api: GraftApi, uploadDir: String, port: Int = 0) {
+
+  private val mapper = new ObjectMapper()
+  private var server: HttpServer = _
+
+  /** Start listening; returns the bound port (ephemeral when `port`=0). */
+  def start(): Int = synchronized {
+    require(server == null, "server already started")
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    route("/api/v1/health", "GET") { _ =>
+      ok(jmap("status" -> "healthy", "service" -> "graft", "version" -> "0.3"))
+    }
+    route("/api/v1/stats", "GET") { _ =>
+      val s = api.stats
+      ok(jmap(
+        "total_vector_count" -> Long.box(s.totalVectorCount),
+        "dimension" -> Int.box(s.dimension),
+        "index_fullness" -> Double.box(s.indexFullness)))
+    }
+    route("/api/v1/query", "POST") { body =>
+      val (question, topK) = questionAndTopK(body)
+      val filter = Option(body.get("filter")).map(f =>
+        toScala(f).asInstanceOf[Map[String, Any]])
+      answerJson(api.query(question, topK, filter))
+    }
+    route("/api/v1/chat", "POST") { body =>
+      val (question, topK) = questionAndTopK(body)
+      val history = Option(body.get("chat_history")).toSeq.flatMap {
+        case l: java.util.List[_] => l.asScala.toSeq.map {
+          case m: java.util.Map[_, _] =>
+            (String.valueOf(m.get("question")), String.valueOf(m.get("answer")))
+          case other => badRequest(s"malformed chat_history entry: $other")
+        }
+        case other => badRequest(s"chat_history must be a list, got: $other")
+      }
+      answerJson(api.chat(question, history, topK))
+    }
+    route("/api/v1/upload", "POST") { body =>
+      // the reference returns HTTP 200 with success=false on failure
+      try {
+        val files = body.get("files") match {
+          case l: java.util.List[_] => l.asScala.toSeq.map {
+            case m: java.util.Map[_, _] =>
+              (String.valueOf(m.get("name")), String.valueOf(m.get("content")))
+            case other => badRequest(s"malformed files entry: $other")
+          }
+          case _ => badRequest("files must be a list of {name, content}")
+        }
+        api.upload(files, uploadDir)
+        ok(jmap("success" -> Boolean.box(true),
+          "files" -> files.map(_._1).asJava))
+      } catch {
+        case e: HttpError => throw e // validation stays a 400
+        case e: Exception =>
+          ok(jmap("success" -> Boolean.box(false),
+            "error" -> String.valueOf(e.getMessage)))
+      }
+    }
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = synchronized {
+    if (server != null) { server.stop(0); server = null }
+  }
+
+  // ---- request plumbing ----------------------------------------------
+
+  private final case class HttpError(code: Int, detail: String)
+      extends RuntimeException(detail)
+  private def badRequest(detail: String): Nothing = throw HttpError(400, detail)
+
+  private type Response = (Int, String)
+  private def ok(payload: Object): Response =
+    (200, mapper.writeValueAsString(payload))
+
+  private def route(path: String, method: String)(
+      handler: java.util.Map[String, Object] => Response): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      val (code, json) =
+        try {
+          if (ex.getRequestMethod != method)
+            (405, errJson(s"method not allowed, use $method"))
+          else if (ex.getRequestURI.getPath != path)
+            (404, errJson("not found"))
+          else {
+            val raw = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val body: java.util.Map[String, Object] =
+              if (method == "GET" || raw.isEmpty)
+                new java.util.HashMap[String, Object]()
+              else
+                try mapper.readValue(raw,
+                  classOf[java.util.Map[String, Object]])
+                catch { case _: Exception => badRequest("invalid JSON body") }
+            handler(body)
+          }
+        } catch {
+          case HttpError(code, detail) => (code, errJson(detail))
+          case e: IllegalArgumentException =>
+            (400, errJson(String.valueOf(e.getMessage)))
+          case e: Exception => (500, errJson(String.valueOf(e.getMessage)))
+        }
+      val bytes = json.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+
+  private def errJson(detail: String): String =
+    mapper.writeValueAsString(jmap("detail" -> detail))
+
+  private def questionAndTopK(body: java.util.Map[String, Object]): (String, Int) = {
+    val question = body.get("question") match {
+      case s: String if s.trim.nonEmpty => s
+      case _ => badRequest("question must be a non-empty string")
+    }
+    val topK = body.get("top_k") match {
+      case null         => 5
+      case n: Number    => n.intValue()
+      case other        => badRequest(s"top_k must be an integer, got: $other")
+    }
+    if (topK < 1 || topK > 20)
+      badRequest("top_k must be between 1 and 20")
+    (question, topK)
+  }
+
+  private def answerJson(a: graft.rag.RagAnswer): Response =
+    ok(jmap(
+      "question" -> a.question,
+      "answer" -> a.answer,
+      "sources" -> a.sources.asJava,
+      "retrieved_docs" -> a.retrieved.map(d => jmap(
+        "id" -> d.id,
+        "score" -> Double.box(d.score),
+        "text" -> d.text,
+        "source" -> d.source)).asJava))
+
+  private def jmap(kvs: (String, Object)*): java.util.Map[String, Object] = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    kvs.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  /** Jackson's java containers → the scala shapes FilterDict expects. */
+  private def toScala(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => String.valueOf(k) -> toScala(x) }.toMap
+    case l: java.util.List[_] => l.asScala.toSeq.map(toScala)
+    case n: java.lang.Integer => n.intValue()
+    case n: java.lang.Long    => n.longValue()
+    case n: java.lang.Double  => n.doubleValue()
+    case other                => other
+  }
+}

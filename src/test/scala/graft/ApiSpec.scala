@@ -70,4 +70,88 @@ class ApiSpec extends GraftSpec {
     intercept[IllegalArgumentException](
       api.upload(Seq(("../evil.txt", "x")), landing))
   }
+
+  test("http server serves the five endpoints over a real socket") {
+    import graft.api.GraftHttpServer
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+    val docsDir = Files.createTempDirectory("graft-http-docs")
+    Files.writeString(docsDir.resolve("doc1.txt"),
+      "The quarterly revenue was $450 million in Q1 2024.")
+    val catalog  = new VectorCatalog(spark,
+      Files.createTempDirectory("graft-http-cat").toString)
+    val embedder = new DeterministicEmbedder(32)
+    val index    = Ingest.run(spark, catalog, docsDir.toString, "http-idx", embedder)
+    val landing  = Files.createTempDirectory("graft-http-landing").toString
+    val srv      = new GraftHttpServer(
+      new GraftApi(spark, catalog, index, embedder), landing)
+    val port     = srv.start()
+    val client   = HttpClient.newHttpClient()
+
+    def get(path: String): HttpResponse[String] =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+    def post(path: String, json: String): HttpResponse[String] =
+      client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .header("Content-Type", "application/json")
+          .POST(HttpRequest.BodyPublishers.ofString(json)).build(),
+        HttpResponse.BodyHandlers.ofString())
+
+    try {
+      // health (reference shape: status/service/version)
+      val h = get("/api/v1/health")
+      assert(h.statusCode() == 200 && h.body().contains("\"healthy\""))
+
+      // stats
+      val st = get("/api/v1/stats")
+      assert(st.statusCode() == 200)
+      assert(st.body().contains("\"dimension\":32"))
+      assert(st.body().contains("\"total_vector_count\""))
+
+      // query happy path: answer + retrieved_docs with the known fact
+      val q = post("/api/v1/query", """{"question":"what was the revenue?","top_k":3}""")
+      assert(q.statusCode() == 200)
+      assert(q.body().contains("\"retrieved_docs\""))
+      assert(q.body().contains("$450 million"))
+
+      // query with a Pinecone-style metadata filter still answers
+      // (source values are full file:// URIs, so filter on an operator)
+      val qf = post("/api/v1/query",
+        """{"question":"what was the revenue?","filter":{"source":{"$ne":"bogus"}}}""")
+      assert(qf.statusCode() == 200 && qf.body().contains("$450 million"))
+      val qf2 = post("/api/v1/query",
+        """{"question":"what was the revenue?","filter":{"source":{"$in":["bogus"]}}}""")
+      assert(qf2.statusCode() == 200 && qf2.body().contains("\"retrieved_docs\":[]"))
+
+      // validation: empty question and out-of-bounds top_k are 400s
+      assert(post("/api/v1/query", """{"question":"  "}""").statusCode() == 400)
+      assert(post("/api/v1/query", """{"question":"x","top_k":0}""").statusCode() == 400)
+      assert(post("/api/v1/query", """{"question":"x","top_k":21}""").statusCode() == 400)
+      assert(post("/api/v1/query", """not json""").statusCode() == 400)
+
+      // chat with history
+      val c = post("/api/v1/chat",
+        """{"question":"and the quarter?",
+          |"chat_history":[{"question":"what was revenue?","answer":"$450M"}]}""".stripMargin)
+      assert(c.statusCode() == 200 && c.body().contains("\"and the quarter?\""))
+
+      // upload → success + the new fact becomes retrievable
+      val up = post("/api/v1/upload",
+        """{"files":[{"name":"doc2.txt","content":"Headcount grew to 9,000 employees by December."}]}""")
+      assert(up.statusCode() == 200 && up.body().contains("\"success\":true"))
+      val q2 = post("/api/v1/query", """{"question":"how many employees?"}""")
+      assert(q2.body().contains("9,000"))
+      // reference contract: upload errors are HTTP 200 with success=false
+      val bad = post("/api/v1/upload",
+        """{"files":[{"name":"../evil.txt","content":"x"}]}""")
+      assert(bad.statusCode() == 200 && bad.body().contains("\"success\":false"))
+
+      // unknown route and wrong method
+      assert(get("/api/v1/nope").statusCode() == 404)
+      assert(get("/api/v1/query").statusCode() == 405)
+    } finally srv.stop()
+  }
 }
