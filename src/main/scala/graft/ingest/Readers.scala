@@ -66,6 +66,14 @@ object Readers {
     * in `_corrupt` (PERMISSIVE mode) instead of failing the job, so one
     * bad record in a day-long ingest surfaces as data, not a stack
     * trace; `source` carries the originating file.
+    *
+    * Spark restriction: a query that selects ONLY `_corrupt` (no data
+    * column) throws `AnalysisException` ("queries from raw JSON files are
+    * disallowed when the referenced columns only include the internal
+    * corrupt record column"). For a corrupt-rows-only audit, select at
+    * least one data column alongside it — e.g.
+    * `.select("_corrupt", schema.fieldNames.head).filter(col("_corrupt")
+    * .isNotNull)` — or `.cache()` the frame first.
     */
   def jsonlDirectory(
       spark: SparkSession, dir: String,

@@ -26,13 +26,17 @@ object Fusion {
       df: DataFrame, idCol: String, scoreCol: String,
       pool: Int, ascending: Boolean = false
   ): DataFrame = {
+    // + 0.0 normalizes -0.0 to +0.0 EVERYWHERE the score is compared:
+    // Spark's Double ordering puts 0.0 above -0.0 while DuckDB compares
+    // them equal and falls to the id tie-break, so a -0.0 produced by
+    // round() at the pool-size boundary could otherwise admit different
+    // docs on the two engines — membership and in-pool rank must use the
+    // same normalized key
+    val score: Column = col(scoreCol) + lit(0.0)
     val ord: Seq[Column] =
-      if (ascending) Seq(col(scoreCol).asc, col(idCol).asc)
-      else Seq(col(scoreCol).desc, col(idCol).asc)
-    // + 0.0 normalizes any -0.0 the negation can mint, so the struct
-    // sort key can never order a 0.0 tie differently from the oracle
-    val sortKey: Column =
-      if (ascending) col(scoreCol) + lit(0.0) else -col(scoreCol) + lit(0.0)
+      if (ascending) Seq(score.asc, col(idCol).asc)
+      else Seq(score.desc, col(idCol).asc)
+    val sortKey: Column = if (ascending) score else -score + lit(0.0)
     // NULL scores never rank: orderBy puts nulls last but the struct
     // array_sort would put a null key FIRST, handing an unscored row
     // rank 1 whenever the pool underfills

@@ -94,6 +94,15 @@ object Quantize {
       df: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iterations: Int = 10, sampleLimit: Int = 2048
   ): PqModel = {
+    // the one driver-side collect in the quantization path is bounded by
+    // sampleLimit ROWS, never by corpus size: orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition heaps), so training cost is
+    // independent of |df| — asserted in ScaleSpec
+    require(sampleLimit >= k,
+      s"sampleLimit=$sampleLimit must be >= k=$k (codebook needs k distinct seeds)")
+    require(sampleLimit <= (1 << 20),
+      s"sampleLimit=$sampleLimit exceeds the 1M-row driver-sample bound — " +
+        "PQ codebooks are fit on a sample by design; raise only with driver memory to match")
     val sample = df.orderBy(col(idCol)).limit(sampleLimit)
       .select(col(vecCol)).collect()
       .map(_.getAs[scala.collection.Seq[Float]](0).map(_.toDouble).toArray)

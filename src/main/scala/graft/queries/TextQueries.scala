@@ -271,7 +271,8 @@ object TextQueries {
          |  GROUP BY tf.doc_id),
          |bmr AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
-         |  FROM bm WHERE doc_id <> 0 ORDER BY score DESC, doc_id LIMIT 50),
+         |  FROM bm WHERE doc_id <> 0 AND score IS NOT NULL
+         |  ORDER BY score DESC, doc_id LIMIT 50),
          |q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
          |cs AS (
          |  SELECT vec_id AS doc_id,
@@ -279,7 +280,8 @@ object TextQueries {
          |  FROM embeddings, q WHERE vec_id <> 0),
          |csr AS (
          |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_b
-         |  FROM cs ORDER BY score DESC, doc_id LIMIT 50)
+         |  FROM cs WHERE score IS NOT NULL
+         |  ORDER BY score DESC, doc_id LIMIT 50)
          |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |  a.rank_a AS bm25_rank, b.rank_b AS cos_rank,
          |  round(coalesce(1.0 / (60.0 + a.rank_a), 0.0)

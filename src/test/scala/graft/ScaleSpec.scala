@@ -114,4 +114,31 @@ class ScaleSpec extends GraftSpec {
     // pruned read returns exactly the first day's rows
     assert(pruned.count() == events.filter(col("day") === lit(firstDay)).count())
   }
+
+  test("pq training cost is bounded by sampleLimit, not corpus size") {
+    import graft.operators.Quantize
+    val emb = Tables.embeddings(spark, sfDir)
+    // identical codebooks from the full corpus and from just its first
+    // sampleLimit rows by id: the driver-side collect in pqTrain reads
+    // exactly the sample, so training is corpus-size independent (the
+    // plan is TakeOrderedAndProject — per-partition heaps, no full sort)
+    val limit = 256
+    val full   = Quantize.pqTrain(emb, "vec_id", "embedding",
+      m = 8, k = 16, sampleLimit = limit)
+    val prefix = Quantize.pqTrain(
+      emb.orderBy(col("vec_id")).limit(limit), "vec_id", "embedding",
+      m = 8, k = 16, sampleLimit = limit)
+    assert(full.codebooks.map(_.toSeq.map(_.toSeq)).toSeq ==
+      prefix.codebooks.map(_.toSeq.map(_.toSeq)).toSeq)
+    val plan = emb.orderBy(col("vec_id")).limit(limit)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the documented driver-sample bounds hold
+    intercept[IllegalArgumentException](
+      Quantize.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16,
+        sampleLimit = 8))
+    intercept[IllegalArgumentException](
+      Quantize.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16,
+        sampleLimit = (1 << 20) + 1))
+  }
 }
