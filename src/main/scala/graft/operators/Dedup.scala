@@ -321,18 +321,36 @@ object Dedup {
     * partitioned table written once at ingest; the join prunes to the
     * incoming batch's buckets), verified with exact shingle Jaccard
     * >= `minJaccard`. Returns the surviving incoming rows unchanged.
+    *
+    * `maxBucketSize` is the same degenerate-bucket guard as
+    * [[lshCandidatePairs]]: the bucket population is counted over BOTH
+    * sides combined (a boilerplate bucket is degenerate regardless of
+    * which side its members arrive on; at scale the corpus side's counts
+    * are part of the precomputed bucket table and the incoming side's
+    * increment is one small aggregate), and oversized buckets drop out
+    * of the candidate join wholesale. Docs that only matched through a
+    * dropped bucket then SURVIVE — the conservative direction for a
+    * dedup filter (keep, never silently delete, on guard overflow).
     */
   def newDocSurvivors(
       incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String,
       numHashes: Int, shingleN: Int, rowsPerBand: Int,
-      minJaccard: Double
+      minJaccard: Double, maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
-    def buckets(df: DataFrame) = lshBucketsWide(
+    def rawBuckets(df: DataFrame) = lshBucketsWide(
       minhashWide(df, idCol, textCol, numHashes, shingleN),
       numHashes, rowsPerBand)
-    val cands = buckets(incoming).as("i")
-      .join(buckets(corpus).as("c"), Seq("band", "bucket"))
+    var bIn = rawBuckets(incoming)
+    var bCorp = rawBuckets(corpus)
+    if (maxBucketSize != Int.MaxValue) {
+      val over = oversizedBuckets(bIn.unionByName(bCorp), maxBucketSize)
+        .select("band", "bucket")
+      bIn = bIn.join(over, Seq("band", "bucket"), "left_anti")
+      bCorp = bCorp.join(over, Seq("band", "bucket"), "left_anti")
+    }
+    val cands = bIn.as("i")
+      .join(bCorp.as("c"), Seq("band", "bucket"))
       .select(col("i.doc").as("doc_new"), col("c.doc").as("doc_old"))
       .distinct()
     val dupNew = verifyJaccardSided(incoming, corpus, cands,

@@ -250,6 +250,28 @@ class DedupSpec extends GraftSpec {
     assert(over.length == 4 && over.forall(_.getAs[Long]("sz") == 1000L))
   }
 
+  test("incremental dedup bucket cap: boilerplate matches drop, exact ones stay") {
+    // corpus: 500 identical boilerplate docs; incoming: one more copy of
+    // the boilerplate plus one fresh doc. Uncapped, the boilerplate
+    // incoming doc matches the corpus (dropped). With a cap the
+    // 501-member bucket is dropped -> conservative direction: the
+    // incoming boilerplate SURVIVES rather than being silently deleted
+    // through an overflowing bucket.
+    val corpus = (1 to 500).map(i =>
+      (i.toLong, "same boilerplate page content every time")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (9001L, "same boilerplate page content every time"),
+      (9002L, "completely fresh document about other things")).toDF("doc_id", "text")
+    val uncapped = Dedup.newDocSurvivors(incoming, corpus, "doc_id", "text",
+        8, 3, 2, minJaccard = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(uncapped == Set(9002L))
+    val capped = Dedup.newDocSurvivors(incoming, corpus, "doc_id", "text",
+        8, 3, 2, minJaccard = 0.5, maxBucketSize = 100)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(capped == Set(9001L, 9002L))
+  }
+
   test("dedupClusters matches the member-level pipeline on fixture docs") {
     // reference pipeline WITHOUT exact-dup collapse: band every member
     val fixture = Tables.documents(spark, sfDir)
