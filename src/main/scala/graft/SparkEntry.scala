@@ -39,13 +39,14 @@ object SparkEntry {
 
   /** Queries intentionally without a DuckDB oracle (driver records a
     * rows-only check): their operators aren't ANSI-SQL-expressible —
-    * hash-based ANN bucketing, murmur-hash embeddings — and are instead
-    * covered by dedicated ScalaTest specs (AnnSpec recall bounds,
-    * KnnSpec/RagSpec e2e). q50 (recursive chunker) and q53 (MMR greedy)
-    * graduated to recursive-CTE oracles in round 3.
+    * IVF/PQ k-means models, murmur-hash embeddings, stubbed media
+    * kernels — and are instead covered by dedicated ScalaTest specs
+    * (AnnSpec recall bounds, QuantizeSpec, KnnSpec/RagSpec e2e,
+    * MultimodalSpec). Round-3 graduations to full oracles: q50
+    * (recursive chunker CTE), q53 (MMR greedy CTE), q16/q39 (sign-LSH
+    * via a murmur-arithmetic plane mirror).
     */
   val rowsOnly: Set[String] =
-    Set("q16_ann_lsh", "q17_ann_ivf", "q1B_pq_knn", "q1C_ivfpq_knn",
-      "q39_embed_near_dup_lsh", "q51_embed_documents",
-      "q52_rag_retrieve", "q54_media_features")
+    Set("q17_ann_ivf", "q1B_pq_knn", "q1C_ivfpq_knn",
+      "q51_embed_documents", "q52_rag_retrieve", "q54_media_features")
 }

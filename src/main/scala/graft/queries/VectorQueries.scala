@@ -15,6 +15,51 @@ object VectorQueries {
 
   private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
+  /** DuckDB mirror of `AnnLsh.hyperplanes` + `signatureOf` (seed 42):
+    * plane entry (p, d) is the sign of scala
+    * `MurmurHash3.finalizeHash(mix(mix(42, p), d), 2)`, spelled out as
+    * 32-bit murmur arithmetic (u32 wraparound via HUGEINT multiplies,
+    * rotl as shift-or), and `sigs.sig` sets bit p when the vector's dot
+    * with plane p is >= 0 — the dot accumulating left-to-right in double
+    * exactly like the Scala loop. Emits CTE fragments `planes(p, ws)`
+    * and `sigs(vec_id, sig)` over the `embeddings` table.
+    */
+  private def duckLshSigs(nPlanes: Int): String = {
+    val M = 4294967295L
+    def u32mul(x: String, c: Long) =
+      s"CAST(((CAST($x AS HUGEINT) * $c) % 4294967296) AS BIGINT)"
+    def rotl(x: String, r: Int) =
+      s"(((($x) << $r) | (($x) >> ${32 - r})) & $M)"
+    def mixLast(h: String, k: String) =
+      s"xor($h, ${u32mul(rotl(u32mul(k, 3432918353L), 15), 461845907L)})"
+    s"""dim AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
+       |grid AS (
+       |  SELECT p, unnest(range(0, (SELECT n FROM dim))) AS d
+       |  FROM range(0, $nPlanes) t1(p)),
+       |z1 AS (SELECT p, d, ${mixLast("42::BIGINT", "p")} AS h1 FROM grid),
+       |z2 AS (SELECT p, d, CAST((CAST(${rotl("h1", 13)} AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h3 FROM z1),
+       |z3 AS (SELECT p, d, ${mixLast("h3", "d")} AS g1 FROM z2),
+       |z4 AS (SELECT p, d, CAST((CAST(${rotl("g1", 13)} AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS g3 FROM z3),
+       |z5 AS (SELECT p, d, xor(g3, 2) AS a0 FROM z4),
+       |z6 AS (SELECT p, d, xor(a0, a0 >> 16) AS a1 FROM z5),
+       |z7 AS (SELECT p, d, ${u32mul("a1", 2246822507L)} AS a2 FROM z6),
+       |z8 AS (SELECT p, d, xor(a2, a2 >> 13) AS a3 FROM z7),
+       |z9 AS (SELECT p, d, ${u32mul("a3", 3266489909L)} AS a4 FROM z8),
+       |mm AS (SELECT p, d, xor(a4, a4 >> 16) AS fin FROM z9),
+       |planes AS (
+       |  SELECT p, list(CASE WHEN (fin & 1) = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS ws
+       |  FROM mm GROUP BY p),
+       |sigs AS (
+       |  SELECT vec_id,
+       |         sum(CASE WHEN dot >= 0 THEN (1::BIGINT << p) ELSE 0 END) AS sig
+       |  FROM (
+       |    SELECT e.vec_id, pl.p,
+       |           list_sum([CAST(e.embedding[i] AS DOUBLE) * pl.ws[i]
+       |                     for i in range(1, len(e.embedding)+1)]) AS dot
+       |    FROM embeddings e, planes pl)
+       |  GROUP BY vec_id)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q1: single-query exact KNN — query vector taken from vec_id=0,
     // broadcast against the corpus, TakeOrderedAndProject top-10.
@@ -71,10 +116,10 @@ object VectorQueries {
       Knn.nearestPairs(Tables.embeddings(s, d), "vec_id", "embedding", topPairs = 20)
     },
 
-    // Embedding near-dup at scale (rows-only: murmur-derived hyperplanes
-    // aren't SQL-expressible): banded sign-LSH candidates verified with
-    // exact cosine — the subquadratic twin of q14. AnnSpec asserts its
-    // recall against the brute-force pairs.
+    // Embedding near-dup at scale: banded sign-LSH candidates verified
+    // with exact cosine — the subquadratic twin of q14. AnnSpec asserts
+    // its recall against the brute-force pairs; the oracle replays the
+    // murmur-derived hyperplanes in SQL (see duckLshSigs).
     // minScore 0.4: the synthetic embeddings top out near cosine 0.48
     // (no planted duplicates), so 0.4 is the "near-dup" band this
     // fixture actually has.
@@ -84,8 +129,9 @@ object VectorQueries {
         .orderBy(col("score").desc, col("id_a"), col("id_b"))
     },
 
-    // ANN scale path (rows-only oracle: bucket hashes aren't
-    // SQL-expressible): LSH-bucketed approximate top-10 for query vec 0.
+    // ANN scale path: LSH-bucketed approximate top-10 for query vec 0.
+    // Radius-2 multi-probe == signature Hamming distance <= 2, which is
+    // how the oracle expresses the probe set.
     "q16_ann_lsh" -> { (s, d) =>
       val e    = Tables.embeddings(s, d)
       val qvec = e.filter(col("vec_id") === 0).head()
@@ -255,6 +301,39 @@ object VectorQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // Sign-LSH ANN: signature via the murmur-plane mirror, radius-2
+    // multi-probe expressed as Hamming(sig, qsig) <= 2, exact cosine
+    // rank within the probed candidates.
+    "q16_ann_lsh" ->
+      s"""WITH ${duckLshSigs(8)},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |qs AS (SELECT sig AS qsig FROM sigs WHERE vec_id = 0)
+         |SELECT e.vec_id, round(${duckCosine("e.embedding", "qv")}, 6) AS score
+         |FROM embeddings e JOIN sigs s ON s.vec_id = e.vec_id, q, qs
+         |WHERE bit_count(xor(s.sig, qs.qsig)) <= 2
+         |ORDER BY score DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
+
+    // Banded sign-LSH near-dup: 16-bit signatures in 4 bands of 4 bits,
+    // band equi-join candidates, exact rounded cosine >= 0.4 verify.
+    "q39_embed_near_dup_lsh" ->
+      s"""WITH ${duckLshSigs(16)},
+         |bands AS (
+         |  SELECT vec_id AS id, b.b AS band, (sig >> (b.b * 4)) & 15 AS bkt
+         |  FROM sigs, range(0, 4) b(b)),
+         |cand AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b, c.n_bands,
+         |       round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS score
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE round(${duckCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4
+         |ORDER BY score DESC, id_a, id_b""".stripMargin,
+
     "q10_knn_single" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, round(${duckCosine("embedding", "qvec")}, 6) AS score
