@@ -41,12 +41,12 @@ object SparkEntry {
     * rows-only check): their operators aren't ANSI-SQL-expressible —
     * IVF/PQ k-means models, murmur-hash embeddings, stubbed media
     * kernels — and are instead covered by dedicated ScalaTest specs
-    * (AnnSpec recall bounds, QuantizeSpec, KnnSpec/RagSpec e2e,
-    * MultimodalSpec). Round-3 graduations to full oracles: q50
-    * (recursive chunker CTE), q53 (MMR greedy CTE), q16/q39 (sign-LSH
-    * via a murmur-arithmetic plane mirror).
+    * (QuantizeSpec recall bounds, MultimodalSpec). Round-3 graduations
+    * to full oracles: q50 (recursive chunker CTE), q53 (MMR greedy CTE),
+    * q16/q39 (sign-LSH via a murmur-arithmetic plane mirror), q17
+    * (untrained-centroid IVF), q51/q52 (trigram-murmur embedder mirror,
+    * composed end-to-end through the RAG chain).
     */
   val rowsOnly: Set[String] =
-    Set("q17_ann_ivf", "q1B_pq_knn", "q1C_ivfpq_knn",
-      "q51_embed_documents", "q52_rag_retrieve", "q54_media_features")
+    Set("q1B_pq_knn", "q1C_ivfpq_knn", "q54_media_features")
 }

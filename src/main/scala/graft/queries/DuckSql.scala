@@ -49,4 +49,41 @@ private[queries] object DuckSql {
     * array_distinct(wordShingles(text, n))).
     */
   def distinctGrams(n: Int): String = s"list_distinct(${grams(n)})"
+
+  // ---- scala MurmurHash3 as 32-bit SQL arithmetic ---------------------
+  // The engine's hash-derived randomness (LSH hyperplanes, the trigram
+  // embedder) all bottoms out in scala.util.hashing.MurmurHash3, whose
+  // mix/avalanche steps are plain 32-bit integer math — so oracles can
+  // replay them exactly: u32 wraparound via HUGEINT multiplies, rotl as
+  // shift-or, xor/shift avalanche.
+
+  /** `(x * c) mod 2^32` without 64-bit overflow. */
+  def u32mul(x: String, c: Long): String =
+    s"CAST(((CAST($x AS HUGEINT) * $c) % 4294967296) AS BIGINT)"
+
+  /** 32-bit rotate-left in the unsigned domain. */
+  def rotl32(x: String, r: Int): String =
+    s"(((($x) << $r) | (($x) >> ${32 - r})) & 4294967295)"
+
+  /** MurmurHash3.mixLast(h, k): `h ^ (rotl(k * c1, 15) * c2)`. */
+  def murmurMixLast(h: String, k: String): String =
+    s"xor($h, ${u32mul(rotl32(u32mul(k, 3432918353L), 15), 461845907L)})"
+
+  /** MurmurHash3.mix(h, k): mixLast then `rotl(.,13) * 5 + 0xe6546b64`. */
+  def murmurMix(h: String, k: String): String =
+    s"CAST((CAST(${rotl32(murmurMixLast(h, k), 13)} AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT)"
+
+  /** MurmurHash3.finalizeHash(h, len) = avalanche(h ^ len), emitted as
+    * chained CTE column steps `<pfx>0..<pfx>4` ending in column `out`
+    * (one expression would nest too deep to read). `from` is the CTE
+    * holding column `h`; `keys` are carried through.
+    */
+  def murmurFinalizeCtes(pfx: String, from: String, h: String, len: Int,
+      keys: String, out: String): String =
+    s"""${pfx}0 AS (SELECT $keys, xor($h, $len) AS a0 FROM $from),
+       |${pfx}1 AS (SELECT $keys, xor(a0, a0 >> 16) AS a1 FROM ${pfx}0),
+       |${pfx}2 AS (SELECT $keys, ${u32mul("a1", 2246822507L)} AS a2 FROM ${pfx}1),
+       |${pfx}3 AS (SELECT $keys, xor(a2, a2 >> 13) AS a3 FROM ${pfx}2),
+       |${pfx}4 AS (SELECT $keys, ${u32mul("a3", 3266489909L)} AS a4 FROM ${pfx}3),
+       |$pfx AS (SELECT $keys, xor(a4, a4 >> 16) AS $out FROM ${pfx}4)""".stripMargin
 }

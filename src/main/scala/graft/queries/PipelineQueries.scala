@@ -15,6 +15,88 @@ object PipelineQueries {
 
   private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
+  /** Recursive-chunker CTE fragment shared by the q50 and q52 oracles:
+    * word prefix-sum offsets, then a recursion over CHUNK boundaries
+    * (see the q50 oracle comment for why this is exact on these
+    * fixtures). Emits `tok`, `words`, `ends`, `walk(doc_id, ck,
+    * jstart_s, jend, jend_s)`; wrap in WITH RECURSIVE.
+    */
+  private val duckChunkWalk: String =
+    """tok AS (
+      |  SELECT doc_id, t.i AS i,
+      |         len(t.w) + CASE WHEN t.i = 1 THEN 0 ELSE 1 END AS l
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |               generate_subscripts(string_split(text, ' '), 1) AS i
+      |        FROM documents) t),
+      |words AS (
+      |  SELECT doc_id, i, sum(l) OVER (PARTITION BY doc_id ORDER BY i) AS s
+      |  FROM tok),
+      |ends AS (SELECT doc_id, max(i) AS n FROM words GROUP BY doc_id),
+      |walk(doc_id, ck, jstart_s, jend, jend_s) AS (
+      |  SELECT doc_id, 1, 0, max(i), max(s)
+      |  FROM words WHERE s <= 500 GROUP BY doc_id
+      |  UNION ALL
+      |  SELECT t.doc_id, t.ck + 1, t.ns, max(y.i), max(y.s)
+      |  FROM (
+      |    SELECT w.doc_id, w.ck, min(x.s) AS ns
+      |    FROM walk w
+      |    JOIN ends e ON e.doc_id = w.doc_id AND w.jend < e.n
+      |    JOIN words x ON x.doc_id = w.doc_id AND x.s >= w.jend_s - 50
+      |    GROUP BY w.doc_id, w.ck) t
+      |  JOIN words y ON y.doc_id = t.doc_id AND y.s - t.ns <= 500
+      |  GROUP BY t.doc_id, t.ck, t.ns)""".stripMargin
+
+  /** DuckDB mirror of `DeterministicEmbedder(64, seed = 42)` (see
+    * `graft/embed/Embedder.scala:31`): for each trigram of the
+    * already-wrapped `etext` ('^'+lower(text)+'$'), the scala
+    * `MurmurHash3.stringHash` of a 3-char string is
+    * `finalizeHash(mixLast(mix(seed, (c0<<16)+c1), c2), 3)`; component
+    * bucket = `h & 63` (floorMod == unsigned mask because 64 divides
+    * 2^32), sign = top bit clear ? +1 : -1; bucket sums (exact small
+    * integers) are L2-normalized with float32 rounding at the end,
+    * exactly like the Scala loop. Emits `<pfx>vecs(keys..., vec)` from
+    * `src(keys..., etext)`.
+    */
+  private def duckTrigramEmbed(pfx: String, src: String, keys: Seq[String]): String = {
+    val k  = keys.mkString(", ")
+    val gk = keys.map("g." + _).mkString(", ")
+    val mj = keys.map(c => s"m.$c = g.$c").mkString(" AND ")
+    val xj = keys.map(c => s"x.$c = g.$c").mkString(" AND ")
+    s"""${pfx}tri AS (
+       |  SELECT $k, CAST(unnest(range(1, len(etext) - 1)) AS INT) AS i,
+       |         etext AS t
+       |  FROM $src),
+       |${pfx}ch AS (
+       |  SELECT $k, i, ascii(substr(t, i, 1)) AS c0,
+       |         ascii(substr(t, i + 1, 1)) AS c1,
+       |         ascii(substr(t, i + 2, 1)) AS c2
+       |  FROM ${pfx}tri),
+       |${pfx}mh AS (SELECT $k, i,
+       |  ${DuckSql.murmurMixLast(DuckSql.murmurMix("42::BIGINT", "((c0 << 16) + c1)"), "c2")} AS h
+       |  FROM ${pfx}ch),
+       |${DuckSql.murmurFinalizeCtes(s"${pfx}fin", s"${pfx}mh", "h", 3, s"$k, i", "f")},
+       |${pfx}sums AS (
+       |  SELECT $k, f & 63 AS b,
+       |         sum(CASE WHEN ((f >> 31) & 1) = 0 THEN 1 ELSE -1 END) AS s
+       |  FROM ${pfx}fin GROUP BY ALL),
+       |${pfx}ss AS (
+       |  SELECT $k, sum(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) AS ss
+       |  FROM ${pfx}sums GROUP BY ALL),
+       |${pfx}grid AS (
+       |  SELECT ${keys.map("x." + _).mkString(", ")}, b.b AS b
+       |  FROM (SELECT DISTINCT $k FROM $src) x, range(0, 64) b(b)),
+       |${pfx}vecs AS (
+       |  SELECT $gk,
+       |         list(CASE WHEN x.ss > 0
+       |              THEN CAST(CAST(coalesce(m.s, 0) AS DOUBLE)
+       |                        * (1.0 / sqrt(x.ss)) AS REAL)
+       |              ELSE CAST(0.0 AS REAL) END ORDER BY g.b) AS vec
+       |  FROM ${pfx}grid g
+       |  LEFT JOIN ${pfx}sums m ON $mj AND m.b = g.b
+       |  LEFT JOIN ${pfx}ss x ON $xj
+       |  GROUP BY ALL)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P1 (SQL-expressible form): fixed-size/stride chunking as a 1→N
     // generator — stride 80, window 100 (recursive-splitter parity lives
@@ -201,8 +283,11 @@ object PipelineQueries {
         Tables.documents(s, d).select("doc_id", "text")
           .repartition(s.sparkContext.defaultParallelism),
         "text", new graft.embed.DeterministicEmbedder(64))
+      // c0 (first component) pins the murmur-trigram hash math in the
+      // oracle — norm alone is ~1.0 for every non-empty doc
       embedded.select(col("doc_id"), size(col("embedding")).as("dim"),
-          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
+          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("c0"))
         .orderBy("doc_id")
     },
 
@@ -311,36 +396,53 @@ object PipelineQueries {
     // (separator recursion, long-fragment handling) is covered by
     // ChunkerSpec goldens.
     "q50_chunk_recursive" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, t.i AS i,
-        |         len(t.w) + CASE WHEN t.i = 1 THEN 0 ELSE 1 END AS l
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-        |               generate_subscripts(string_split(text, ' '), 1) AS i
-        |        FROM documents) t),
-        |words AS (
-        |  SELECT doc_id, i, sum(l) OVER (PARTITION BY doc_id ORDER BY i) AS s
-        |  FROM tok),
-        |ends AS (SELECT doc_id, max(i) AS n FROM words GROUP BY doc_id),
-        |walk(doc_id, ck, jstart_s, jend, jend_s) AS (
-        |  SELECT doc_id, 1, 0, max(i), max(s)
-        |  FROM words WHERE s <= 500 GROUP BY doc_id
-        |  UNION ALL
-        |  SELECT t.doc_id, t.ck + 1, t.ns, max(y.i), max(y.s)
-        |  FROM (
-        |    SELECT w.doc_id, w.ck, min(x.s) AS ns
-        |    FROM walk w
-        |    JOIN ends e ON e.doc_id = w.doc_id AND w.jend < e.n
-        |    JOIN words x ON x.doc_id = w.doc_id AND x.s >= w.jend_s - 50
-        |    GROUP BY w.doc_id, w.ck) t
-        |  JOIN words y ON y.doc_id = t.doc_id AND y.s - t.ns <= 500
-        |  GROUP BY t.doc_id, t.ck, t.ns)
-        |SELECT w.doc_id, CAST(w.ck - 1 AS INT) AS chunk_index,
-        |       trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
-        |                   CAST(w.jend_s - w.jstart_s AS INT))) AS chunk_text,
-        |       CAST(len(trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
-        |                   CAST(w.jend_s - w.jstart_s AS INT)))) AS INT) AS chunk_len
-        |FROM walk w JOIN documents d USING (doc_id)
-        |ORDER BY doc_id, chunk_index""".stripMargin,
+      s"""WITH RECURSIVE $duckChunkWalk
+         |SELECT w.doc_id, CAST(w.ck - 1 AS INT) AS chunk_index,
+         |       trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
+         |                   CAST(w.jend_s - w.jstart_s AS INT))) AS chunk_text,
+         |       CAST(len(trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
+         |                   CAST(w.jend_s - w.jstart_s AS INT)))) AS INT) AS chunk_len
+         |FROM walk w JOIN documents d USING (doc_id)
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // Trigram-murmur embedder mirror over whole documents; c0 (the first
+    // vector component) pins the hash math, norm the normalization.
+    "q51_embed_documents" ->
+      s"""WITH esrc AS (
+         |  SELECT doc_id, '^' || lower(text) || '$$' AS etext FROM documents),
+         |${duckTrigramEmbed("e", "esrc", Seq("doc_id"))}
+         |SELECT doc_id, 64 AS dim,
+         |       round(sqrt(list_sum([CAST(vec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)
+         |                            for i in range(1, len(vec)+1)])), 4) AS norm,
+         |       round(CAST(vec[1] AS DOUBLE), 6) AS c0
+         |FROM evecs ORDER BY doc_id""".stripMargin,
+
+    // The flagship RAG retrieval end-to-end in SQL: recursive chunker →
+    // per-chunk trigram-murmur embedding → question embedding from the
+    // same mirror over the literal → rounded cosine top-5. Every stage
+    // reuses the exact fragments verified by q50/q51.
+    "q52_rag_retrieve" ->
+      s"""WITH RECURSIVE $duckChunkWalk,
+         |chunks AS (
+         |  SELECT w.doc_id, d.source,
+         |         trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
+         |                     CAST(w.jend_s - w.jstart_s AS INT))) AS chunk_text
+         |  FROM walk w JOIN documents d USING (doc_id)),
+         |csrc AS (
+         |  SELECT doc_id, source, chunk_text,
+         |         '^' || lower(chunk_text) || '$$' AS etext
+         |  FROM chunks),
+         |qsrc AS (
+         |  SELECT 1 AS qk,
+         |         '^' || lower('${graft.rag.RagChain.DefaultQuestion}') || '$$' AS etext),
+         |${duckTrigramEmbed("e", "csrc", Seq("doc_id", "source", "chunk_text"))},
+         |${duckTrigramEmbed("q", "qsrc", Seq("qk"))}
+         |SELECT concat('doc_', c.doc_id, '_', substr(md5(c.chunk_text), 1, 8)) AS id,
+         |       c.source, c.chunk_text,
+         |       round(${duckCosine("c.vec", "qv.vec")}, 6) AS score
+         |FROM evecs c, qvecs qv
+         |ORDER BY score DESC, id
+         |LIMIT 5""".stripMargin,
 
     // MMR greedy mirror: pool = exact top-50 by (rounded) query cosine;
     // each recursive step picks the remaining candidate maximizing

@@ -25,27 +25,13 @@ object VectorQueries {
     * and `sigs(vec_id, sig)` over the `embeddings` table.
     */
   private def duckLshSigs(nPlanes: Int): String = {
-    val M = 4294967295L
-    def u32mul(x: String, c: Long) =
-      s"CAST(((CAST($x AS HUGEINT) * $c) % 4294967296) AS BIGINT)"
-    def rotl(x: String, r: Int) =
-      s"(((($x) << $r) | (($x) >> ${32 - r})) & $M)"
-    def mixLast(h: String, k: String) =
-      s"xor($h, ${u32mul(rotl(u32mul(k, 3432918353L), 15), 461845907L)})"
     s"""dim AS (SELECT len(embedding) AS n FROM embeddings LIMIT 1),
        |grid AS (
        |  SELECT p, unnest(range(0, (SELECT n FROM dim))) AS d
        |  FROM range(0, $nPlanes) t1(p)),
-       |z1 AS (SELECT p, d, ${mixLast("42::BIGINT", "p")} AS h1 FROM grid),
-       |z2 AS (SELECT p, d, CAST((CAST(${rotl("h1", 13)} AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS h3 FROM z1),
-       |z3 AS (SELECT p, d, ${mixLast("h3", "d")} AS g1 FROM z2),
-       |z4 AS (SELECT p, d, CAST((CAST(${rotl("g1", 13)} AS HUGEINT) * 5 + 3864292196) % 4294967296 AS BIGINT) AS g3 FROM z3),
-       |z5 AS (SELECT p, d, xor(g3, 2) AS a0 FROM z4),
-       |z6 AS (SELECT p, d, xor(a0, a0 >> 16) AS a1 FROM z5),
-       |z7 AS (SELECT p, d, ${u32mul("a1", 2246822507L)} AS a2 FROM z6),
-       |z8 AS (SELECT p, d, xor(a2, a2 >> 13) AS a3 FROM z7),
-       |z9 AS (SELECT p, d, ${u32mul("a3", 3266489909L)} AS a4 FROM z8),
-       |mm AS (SELECT p, d, xor(a4, a4 >> 16) AS fin FROM z9),
+       |z1 AS (SELECT p, d, ${DuckSql.murmurMix("42::BIGINT", "p")} AS hp FROM grid),
+       |z2 AS (SELECT p, d, ${DuckSql.murmurMix("hp", "d")} AS h FROM z1),
+       |${DuckSql.murmurFinalizeCtes("mm", "z2", "h", 2, "p, d", "fin")},
        |planes AS (
        |  SELECT p, list(CASE WHEN (fin & 1) = 0 THEN 1.0 ELSE -1.0 END ORDER BY d) AS ws
        |  FROM mm GROUP BY p),
@@ -333,6 +319,33 @@ object VectorQueries {
          |JOIN embeddings eb ON eb.vec_id = c.id_b
          |WHERE round(${duckCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4
          |ORDER BY score DESC, id_a, id_b""".stripMargin,
+
+    // IVF ANN: the 16 lowest-id vectors ARE the (untrained) centroids,
+    // assignment = argmax cosine with ties to the lower centroid id
+    // (Spark max_by on struct(cscore, -cid)), probe = 4 closest cells to
+    // the query, exact rounded cosine within the probed cells.
+    "q17_ann_ivf" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosine("e.embedding", "c.cvec")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e, cents c) t
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM cents, q
+         |  ORDER BY ${duckCosine("cvec", "qv")} DESC, cid
+         |  LIMIT 4)
+         |SELECT e.vec_id, round(${duckCosine("e.embedding", "qv")}, 6) AS score
+         |FROM embeddings e JOIN assigned a USING (vec_id), q
+         |WHERE a.cell IN (SELECT cid FROM probe)
+         |ORDER BY score DESC, e.vec_id
+         |LIMIT 10""".stripMargin,
 
     "q10_knn_single" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
