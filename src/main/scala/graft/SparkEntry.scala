@@ -41,12 +41,16 @@ object SparkEntry {
     * rows-only check): their operators aren't ANSI-SQL-expressible —
     * IVF/PQ k-means models, murmur-hash embeddings, stubbed media
     * kernels — and are instead covered by dedicated ScalaTest specs
-    * (QuantizeSpec recall bounds, MultimodalSpec). Round-3 graduations
-    * to full oracles: q50 (recursive chunker CTE), q53 (MMR greedy CTE),
+    * (QuantizeSpec recall bounds). The only remaining members are the
+    * two PQ queries: their Lloyd-k-means codebooks accumulate
+    * floating-point sums whose order a SQL mirror cannot pin, so a hash
+    * oracle would be flaky by construction. Round-3 graduations to full
+    * oracles: q50 (recursive chunker CTE), q53 (MMR greedy CTE),
     * q16/q39 (sign-LSH via a murmur-arithmetic plane mirror), q17
-    * (untrained-centroid IVF), q51/q52 (trigram-murmur embedder mirror,
-    * composed end-to-end through the RAG chain).
+    * (untrained-centroid IVF), q51/q52 (trigram-murmur embedder mirror
+    * composed end-to-end through the RAG chain), q54 (stub-codec byte
+    * math).
     */
   val rowsOnly: Set[String] =
-    Set("q1B_pq_knn", "q1C_ivfpq_knn", "q54_media_features")
+    Set("q1B_pq_knn", "q1C_ivfpq_knn")
 }

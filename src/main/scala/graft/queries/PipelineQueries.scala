@@ -318,8 +318,8 @@ object PipelineQueries {
         .orderBy("source")
     },
 
-    // MMR-diversified retrieval (rows-only oracle: greedy selection is
-    // not SQL-expressible): exact top-50 pool, lambda=0.5 rerank to 5.
+    // MMR-diversified retrieval: exact top-50 pool, lambda=0.5 rerank
+    // to 5 (oracle: recursive-CTE greedy).
     "q53_mmr_rerank" -> { (s, d) =>
       val e = Tables.embeddings(s, d)
       val qvec = e.filter(col("vec_id") === 0).head()
@@ -416,6 +416,27 @@ object PipelineQueries {
          |                            for i in range(1, len(vec)+1)])), 4) AS norm,
          |       round(CAST(vec[1] AS DOUBLE), 6) AS c0
          |FROM evecs ORDER BY doc_id""".stripMargin,
+
+    // Stub-decoder mirror: the deterministic fake codec is byte math —
+    // width = floor(sqrt(byte length)), feature 0 = fraction of bytes
+    // with code % 16 == 0 (float32 division like the Scala kernel). The
+    // fixture text is pure ASCII (asserted: 0 multi-byte docs), so char
+    // positions ARE byte positions.
+    "q54_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, source, len(text) AS n,
+        |    CASE WHEN len(text) > 0
+        |         THEN greatest(1, CAST(floor(sqrt(len(text))) AS INT)) END AS w,
+        |    CASE WHEN len(text) > 0 THEN
+        |      CAST(CAST(len(list_filter(range(1, len(text) + 1),
+        |                                i -> ascii(text[i]) % 16 = 0)) AS REAL)
+        |           / CAST(len(text) AS REAL) AS REAL) END AS f0
+        |  FROM documents)
+        |SELECT source, count(*) AS n_media,
+        |       CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_decoded,
+        |       round(avg(CAST(w AS DOUBLE)), 2) AS avg_width,
+        |       round(avg(CAST(f0 AS DOUBLE)), 6) AS avg_f0
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
     // The flagship RAG retrieval end-to-end in SQL: recursive chunker →
     // per-chunk trigram-murmur embedding → question embedding from the
