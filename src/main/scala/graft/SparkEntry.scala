@@ -37,20 +37,15 @@ object SparkEntry {
       PipelineQueries.oracles ++
       CurationQueries.oracles
 
-  /** Queries intentionally without a DuckDB oracle (driver records a
-    * rows-only check): their operators aren't ANSI-SQL-expressible —
-    * IVF/PQ k-means models, murmur-hash embeddings, stubbed media
-    * kernels — and are instead covered by dedicated ScalaTest specs
-    * (QuantizeSpec recall bounds). The only remaining members are the
-    * two PQ queries: their Lloyd-k-means codebooks accumulate
-    * floating-point sums whose order a SQL mirror cannot pin, so a hash
-    * oracle would be flaky by construction. Round-3 graduations to full
-    * oracles: q50 (recursive chunker CTE), q53 (MMR greedy CTE),
-    * q16/q39 (sign-LSH via a murmur-arithmetic plane mirror), q17
-    * (untrained-centroid IVF), q51/q52 (trigram-murmur embedder mirror
-    * composed end-to-end through the RAG chain), q54 (stub-codec byte
-    * math).
+  /** Queries without a DuckDB oracle (driver records a rows-only
+    * check). EMPTY since round 3: every registry query is now
+    * hash-checked. The last holdouts and their mirrors — q50 recursive
+    * chunker (recursive CTE over chunk boundaries), q53 MMR (greedy
+    * recursion with lexicographic tie max), q16/q39 sign-LSH (scala
+    * MurmurHash3 replayed as 32-bit SQL arithmetic), q17 IVF, q51/q52
+    * trigram-murmur embedder through the full RAG chain, q54 stub-codec
+    * byte math, q1B/q1C PQ (the 10-iteration Lloyd k-means itself as a
+    * recursive CTE with every float accumulation order-pinned).
     */
-  val rowsOnly: Set[String] =
-    Set("q1B_pq_knn", "q1C_ivfpq_knn")
+  val rowsOnly: Set[String] = Set.empty
 }

@@ -286,7 +286,118 @@ object VectorQueries {
     }
   )
 
+  /** DuckDB mirror of `Quantize.pqTrain` (m=8, k=16, 10 Lloyd
+    * iterations over the whole id-ordered corpus — sampleLimit 2048
+    * covers every fixture) + the query-side ADC table. The driver-side
+    * training loop is fully deterministic, and every float accumulation
+    * it performs is order-pinned here: init = first 16 distinct
+    * subvectors in sample order (min-id firsts, ranked), assignment
+    * ties go to the lowest centroid via the lexicographic
+    * min(ROW(dist, c)), and centroid means sum member values with
+    * `list_sum(list(val ORDER BY id))` — the same id-ascending order the
+    * Scala loop adds them in, so the doubles are bit-identical. Emits
+    * `subs`, `subd`, `codebook(s, c, vec)`, `qtab(s, c, d)`; wrap in
+    * WITH RECURSIVE.
+    */
+  private val duckPqCodebook: String = {
+    def l2(a: String, b: String) =
+      s"list_sum([($a[j] - $b[j]) * ($a[j] - $b[j]) for j in range(1, len($a)+1)])"
+    s"""subs AS (
+       |  SELECT vec_id AS id, s.s AS s,
+       |         [CAST(embedding[s.s * 8 + j] AS DOUBLE) for j in range(1, 9)] AS sub
+       |  FROM embeddings, range(0, 8) s(s)),
+       |subd AS (
+       |  SELECT id, s, j.j AS j, sub[j.j] AS val
+       |  FROM subs, range(1, 9) j(j)),
+       |firsts AS (
+       |  SELECT s, sub, min(id) AS fid FROM subs GROUP BY s, sub),
+       |init AS (
+       |  SELECT s, CAST(row_number() OVER (PARTITION BY s ORDER BY fid) - 1 AS INT) AS c,
+       |         sub AS vec, fid
+       |  FROM firsts
+       |  QUALIFY row_number() OVER (PARTITION BY s ORDER BY fid) <= 16),
+       |walk(iter, s, c, vec) AS (
+       |  SELECT 0, s, c, vec FROM init
+       |  UNION ALL
+       |  SELECT w.iter + 1, w.s, w.c, coalesce(nv.newvec, w.vec)
+       |  FROM walk w
+       |  LEFT JOIN (
+       |    SELECT g.s, g.c, list(g.mean ORDER BY g.j) AS newvec
+       |    FROM (
+       |      SELECT asg.s, asg.c, d.j,
+       |             list_sum(list(d.val ORDER BY d.id)) / count(*) AS mean
+       |      FROM (
+       |        SELECT t.id, t.s, struct_extract(t.ms, 2) AS c
+       |        FROM (
+       |          SELECT sub2.id, sub2.s, min(ROW(${l2("sub2.sub", "w2.vec")}, w2.c)) AS ms
+       |          FROM subs sub2 JOIN walk w2 ON w2.s = sub2.s
+       |          GROUP BY sub2.id, sub2.s) t) asg
+       |      JOIN subd d ON d.id = asg.id AND d.s = asg.s
+       |      GROUP BY asg.s, asg.c, d.j) g
+       |    GROUP BY g.s, g.c) nv
+       |    ON nv.s = w.s AND nv.c = w.c
+       |  WHERE w.iter < 10),
+       |codebook AS (SELECT s, c, vec FROM walk WHERE iter = 10),
+       |qtab AS (
+       |  SELECT cb.s, cb.c, ${l2("q.sub", "cb.vec")} AS d
+       |  FROM codebook cb JOIN (SELECT s, sub FROM subs WHERE id = 0) q ON q.s = cb.s)""".stripMargin
+  }
+
+  /** PQ encode + ADC scoring over `codebook`/`qtab` for the ids in CTE
+    * `cand(vec_id)`: nearest-centroid codes (same tie rule as training),
+    * distance = the m table lookups summed in subspace order.
+    */
+  private val duckPqAdcSelect: String = {
+    def l2(a: String, b: String) =
+      s"list_sum([($a[j] - $b[j]) * ($a[j] - $b[j]) for j in range(1, len($a)+1)])"
+    s"""codes AS (
+       |  SELECT t.id, t.s, struct_extract(t.ms, 2) AS code
+       |  FROM (
+       |    SELECT sub.id, sub.s, min(ROW(${l2("sub.sub", "cb.vec")}, cb.c)) AS ms
+       |    FROM subs sub JOIN codebook cb ON cb.s = sub.s
+       |    JOIN cand ON cand.vec_id = sub.id
+       |    GROUP BY sub.id, sub.s) t),
+       |adc AS (
+       |  SELECT c.id, list_sum(list(qt.d ORDER BY c.s)) AS dist
+       |  FROM codes c JOIN qtab qt ON qt.s = c.s AND qt.c = c.code
+       |  GROUP BY c.id)
+       |SELECT id AS vec_id, round(dist, 6) AS adc_dist
+       |FROM adc ORDER BY adc_dist ASC, vec_id LIMIT 10""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    // PQ ANN: train the codebooks in SQL (see duckPqCodebook), encode
+    // every non-query vector, rank by ADC distance.
+    "q1B_pq_knn" ->
+      s"""WITH RECURSIVE $duckPqCodebook,
+         |cand AS (SELECT vec_id FROM embeddings WHERE vec_id <> 0),
+         |$duckPqAdcSelect""".stripMargin,
+
+    // IVF-PQ composite: IVF cell assignment (argmax cosine, lower-id
+    // ties) restricts the candidate set to the 8 probed cells before the
+    // same PQ encode + ADC ranking.
+    "q1C_ivfpq_knn" ->
+      s"""WITH RECURSIVE $duckPqCodebook,
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.cid AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${duckCosine("e.embedding", "c.cvec")} DESC,
+         |                      c.cid ASC) AS rn
+         |    FROM embeddings e, cents c WHERE e.vec_id <> 0) t
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT cid FROM cents, qv
+         |  ORDER BY ${duckCosine("cvec", "qv.qv")} DESC, cid
+         |  LIMIT 8),
+         |cand AS (
+         |  SELECT vec_id FROM assigned
+         |  WHERE cell IN (SELECT cid FROM probe)),
+         |$duckPqAdcSelect""".stripMargin,
     // Sign-LSH ANN: signature via the murmur-plane mirror, radius-2
     // multi-probe expressed as Hamming(sig, qsig) <= 2, exact cosine
     // rank within the probed candidates.
