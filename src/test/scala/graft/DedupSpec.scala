@@ -159,6 +159,46 @@ class DedupSpec extends GraftSpec {
     assert(viaSpark == expected)
   }
 
+  test("distributed CC: one SQL action per propagation round") {
+    // 8-node chain: diameter 7 -> 7 changing rounds + 1 zero-change
+    // round = 8 rounds. Actions counted via QueryExecutionListener:
+    // 1 (und.count) + 8 (one changed-count per round, which also
+    // materializes the lazy checkpoint) + 1 (final collect) = 10. The
+    // pre-round-3 loop ran an EXTRA compare join + isEmpty action per
+    // round (18 total), so the bound below fails on that shape.
+    val edges = (1L to 7L).map(i => (i, i + 1)).toDF("a", "b")
+    // count JOB-RUNNING actions by name: lazy localCheckpoint calls also
+    // fire this listener but run no job, so they don't count against the
+    // one-action-per-round claim
+    val counted = Set("count", "isEmpty", "collect")
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (counted(funcName)) actions.add(funcName)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val labels = Dedup.connectedComponents(edges, "a", "b",
+          driverMaxEdges = -1L) // force the distributed path
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("root")).toMap
+      assert(labels == (1L to 8L).map(_ -> 1L).toMap)
+      // listener delivery is async; give the bus a moment to drain
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (actions.size() < 10 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val n = actions.size()
+      assert(n == 10,
+        s"expected 10 counted actions (1 und.count + 8 per-round counts " +
+          s"+ 1 collect), saw $n (${actions.toString}) — a second action " +
+          "per CC round has crept back in")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("connected components on an empty edge list is empty (both paths)") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     assert(Dedup.connectedComponents(empty, "a", "b").isEmpty)
