@@ -185,6 +185,102 @@ case class L2NormExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Executor-side cache of the deterministic ±1 hyperplane matrix used by
+  * [[LshSignatureExpr]]: entry (p, d) = sign of murmur3(seed, p, d) —
+  * exactly [[graft.operators.AnnLsh.hyperplanes]]. The matrix depends
+  * only on (nPlanes, seed, dim) and dim is read off each row, so the
+  * expression needs no driver-side dimension probe; rows of any
+  * dimension hash consistently. Tasks sharing the compiled plan share
+  * this object — the map is concurrent and the fill is idempotent.
+  */
+final class LshPlaneCache(val nPlanes: Int, val seed: Int) extends Serializable {
+  @transient private lazy val byDim =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Float]]]()
+  def planes(dim: Int): Array[Array[Float]] =
+    byDim.computeIfAbsent(dim, d =>
+      graft.operators.AnnLsh.hyperplanes(d, nPlanes, seed))
+}
+
+/** lsh_signature(vec): Long whose bit p = (vec · plane_p) >= 0, planes
+  * from [[LshPlaneCache]]. Bit-identical to
+  * [[graft.operators.AnnLsh.signatureOf]] (float-precision products,
+  * ascending-d double accumulation); NULL on a NULL element. This is the
+  * ingest-path signature — full whole-stage codegen, vs the Scala-UDF
+  * formulation it replaces (serialization boundary, no codegen).
+  */
+case class LshSignatureExpr(child: Expression, nPlanes: Int, seed: Int)
+    extends UnaryExpression {
+  import VectorExpressions._
+
+  require(nPlanes >= 1 && nPlanes <= 64,
+    s"nPlanes must be in [1, 64] (signature is a Long bitset), got $nPlanes")
+
+  override def dataType: DataType      = LongType
+  override def nullable: Boolean       = true
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(child)
+  override def prettyName: String      = "lsh_signature"
+
+  private lazy val cache = new LshPlaneCache(nPlanes, seed)
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val ps = cache.planes(n)
+    var sig = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val pl = ps(p)
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        if (x.isNullAt(d)) return null
+        dot += x.getFloat(d) * pl(d) // float product, double accumulate
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshPlanes", cache,
+      classOf[LshPlaneCache].getName)
+    val n   = ctx.freshName("n")
+    val ps  = ctx.freshName("ps")
+    val bad = ctx.freshName("bad")
+    val sig = ctx.freshName("sig")
+    val p   = ctx.freshName("p")
+    val pl  = ctx.freshName("pl")
+    val dot = ctx.freshName("dot")
+    val d   = ctx.freshName("d")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""int $n = $a.numElements();
+         |float[][] $ps = $ref.planes($n);
+         |boolean $bad = false;
+         |long $sig = 0L;
+         |for (int $d = 0; $d < $n; $d++) {
+         |  if ($a.isNullAt($d)) { $bad = true; break; }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else {
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    float[] $pl = $ps[$p];
+         |    double $dot = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += $a.getFloat($d) * $pl[$d];
+         |    }
+         |    if ($dot >= 0) $sig |= (1L << $p);
+         |  }
+         |  ${ev.value} = $sig;
+         |}
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column wrappers + SQL registration for the native expressions. */
 object VectorSql {
   private def expr(c: Column): Expression = GraftBridge.expression(c)
@@ -195,6 +291,8 @@ object VectorSql {
     GraftBridge.column(DotProductExpr(expr(a), expr(b)))
   def l2norm(a: Column): Column =
     GraftBridge.column(L2NormExpr(expr(a)))
+  def lshSignature(vec: Column, nPlanes: Int, seed: Int): Column =
+    GraftBridge.column(LshSignatureExpr(expr(vec), nPlanes, seed))
 
   /** Register `cosine_similarity`, `dot_product`, `l2_norm` for
     * `spark.sql(...)` use.

@@ -55,14 +55,17 @@ object AnnLsh {
     sig
   }
 
-  /** Append a `bucket` column with the LSH signature. */
+  /** Append a `bucket` column with the LSH signature — a codegen'd
+    * native expression ([[graft.functions.LshSignatureExpr]]), not a
+    * Scala UDF: the full-corpus ingest path stays inside whole-stage
+    * codegen with no serialization boundary, and no driver-side
+    * dimension probe is needed (the plane matrix is derived per-row-dim
+    * on the executors, cached per dimension).
+    */
   def withBuckets(corpus: DataFrame, vecCol: String,
-      nPlanes: Int, seed: Int = 42): DataFrame = {
-    val dim    = corpus.select(size(col(vecCol))).head().getInt(0)
-    val planes = hyperplanes(dim, nPlanes, seed)
-    val sigUdf = udf((v: Seq[Float]) => signatureOf(v, planes))
-    corpus.withColumn("bucket", sigUdf(col(vecCol)))
-  }
+      nPlanes: Int, seed: Int = 42): DataFrame =
+    corpus.withColumn("bucket",
+      graft.functions.VectorSql.lshSignature(col(vecCol), nPlanes, seed))
 
   /** Buckets to probe for a query signature: itself + all signatures
     * within Hamming distance `probeRadius` (radius 1 = flip each bit).

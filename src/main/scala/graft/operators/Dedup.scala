@@ -51,8 +51,13 @@ object Dedup {
     * a < 2^30, h < 2^32 ⇒ a*h + b < 2^62 + 2^33.
     */
   val MinhashPrime: Long = 4294967311L
-  def minhashA(seed: Int): Long = (2654435761L * (seed + 1)) % 1073741789L + 1
-  def minhashB(seed: Int): Long = (40503L * (seed + 1)) % MinhashPrime
+  // component constants exposed (not inlined) so oracle SQL interpolates
+  // the SAME values — see DedupQueries.duckMinhashMh
+  val MinhashAMul: Long  = 2654435761L
+  val MinhashAMod: Long  = 1073741789L
+  val MinhashBMul: Long  = 40503L
+  def minhashA(seed: Int): Long = (MinhashAMul * (seed + 1)) % MinhashAMod + 1
+  def minhashB(seed: Int): Long = (MinhashBMul * (seed + 1)) % MinhashPrime
 
   /** Wide MinHash: one row per doc with columns `mh0..mh{n-1}`, where
     * `mh_s = min over shingles of (a_s * h(shingle) + b_s) mod P`
@@ -170,18 +175,23 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** (sh, df) of hashed shingles whose document frequency exceeds
-    * `maxShingleDf` — the accounting side of the [[jaccardPairs]] cap: a
-    * pipeline logs/audits this table to see which stop-shingles the
-    * guard removed from the similarity universe.
+  /** (sh, shingle, df) of hashed shingles whose document frequency
+    * exceeds `maxShingleDf` — the accounting side of the [[jaccardPairs]]
+    * cap: a pipeline logs/audits this table to see which stop-shingles
+    * the guard removed from the similarity universe. `sh` is the 64-bit
+    * join key the cap actually operates on; `shingle` carries the minimum
+    * colliding shingle string so the audit names the actual dropped
+    * phrase (a hash alone is not human-auditable, and distinct shingles
+    * colliding into one hash would otherwise merge invisibly).
     */
   def hotShingles(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxShingleDf: Int
   ): DataFrame =
     shingles(df, idCol, textCol, shingleN)
-      .select(xxhash64(col("sh")).as("sh"))
-      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .select(col("sh").as("shingle"), xxhash64(col("sh")).as("sh"))
+      .groupBy("sh")
+      .agg(min(col("shingle")).as("shingle"), count(lit(1)).as("df"))
       .filter(col("df") > maxShingleDf)
 
   /** Top near-dup pairs by word-n-gram Jaccard similarity. The shingle
@@ -283,7 +293,7 @@ object Dedup {
     * signature in the batch path either).
     *
     * One md5 per shingle: the base hash is bound as a lambda variable
-    * (see [[simhash32]] for why a free subexpression would re-hash per
+    * (see [[simhash64]] for why a free subexpression would re-hash per
     * seed); the per-seed mins accumulate via one zip_with(least) pass.
     */
   def minhashBandsCol(
@@ -501,28 +511,43 @@ object Dedup {
         org.apache.spark.sql.types.StructField("root", idType))))
   }
 
-  /** 32-bit SimHash over whitespace tokens, as a '0'/'1' bitstring.
-    * Bit i is the majority vote across tokens of the top bit of hex
-    * nibble i of md5(token) — i.e. 32 pseudo-random projections derived
-    * from md5, so the DuckDB oracle can reproduce it exactly.
+  /** 64-bit SimHash over whitespace tokens, as a '0'/'1' bitstring.
+    * Bit i is the majority vote across tokens of a pseudo-random
+    * projection derived from md5(token)'s 32 hex nibbles: the top bit
+    * (value 8) of nibble i for i in 1..32, and the second bit (value 4)
+    * of nibble i-32 — the chars 4-7/c-f — for i in 33..64. Two
+    * independent bits per nibble = 64 projections from ONE digest, and
+    * both tests are plain hex-char comparisons the DuckDB oracle can
+    * replay exactly.
+    *
+    * 64 bits (vs the previous 32) is the web-scale requirement: with
+    * 4-block pigeonhole pairing ([[simhashPairsBlocked]]) the band key
+    * is 16 bits (65,536 values) instead of 8 (256), so the candidate
+    * space at n docs is Θ(n²/65536) rather than Θ(n²/256) — the
+    * difference between a usable and a degenerate blocking at 10⁹ docs.
     *
     * One md5 per token: the digest is BOUND as a lambda variable (the
     * inner `transform(array(md5(t)), h => ...)`) — a free `md5(t)`
-    * subexpression inside the 32-way bit expansion would be re-evaluated
+    * subexpression inside the 64-way bit expansion would be re-evaluated
     * per bit (interpreted HOFs get no subexpression elimination), turning
-    * the hash cost x32. All 32 bit-counts then accumulate in a single
+    * the hash cost x64. All 64 bit-counts then accumulate in a single
     * pass over the per-token bit vectors.
     */
-  def simhash32(text: Column): Column = {
+  def simhash64(text: Column): Column = {
     def body(ts: Column): Column = {
       val tokenBits = flatten(transform(ts, t =>
         transform(array(md5(t)), h =>
-          transform(sequence(lit(1), lit(32)), pos =>
-            when(h.substr(pos, lit(1)) >= "8", 1).otherwise(0)))))
-      val counts = aggregate(tokenBits, array_repeat(lit(0), 32),
+          transform(sequence(lit(1), lit(64)), pos =>
+            when(pos <= 32,
+              when(h.substr(pos, lit(1)) >= "8", 1).otherwise(0))
+            .otherwise(
+              when(h.substr(pos - 32, lit(1))
+                .isin("4", "5", "6", "7", "c", "d", "e", "f"), 1)
+                .otherwise(0))))))
+      val counts = aggregate(tokenBits, array_repeat(lit(0), 64),
         (acc, tb) => zip_with(acc, tb, (a, b) => a + b))
       // the majority threshold (token count) is bound too — a free
-      // size(tokens(...)) in the 32-way bit lambda would re-tokenize
+      // size(tokens(...)) in the 64-way bit lambda would re-tokenize
       // the document once per bit
       element_at(transform(array(size(ts)), n =>
         concat_ws("", transform(counts, c =>
@@ -540,37 +565,46 @@ object Dedup {
     ))
 
   /** SimHash near-dup pairs within hamming distance `maxDist`, blocked:
-    * the 32-bit signature splits into 4 byte blocks, and by pigeonhole a
-    * pair within distance 3 agrees exactly on at least one block — so the
-    * per-block equi-join is exhaustive for maxDist <= 3 with no quadratic
-    * scan. Distance itself is bit_count(xor) on the signature as a long
-    * (codegen'd integer ops, not per-character comparison).
+    * the 64-bit signature splits into 4 16-bit blocks, and by pigeonhole
+    * a pair within distance 3 agrees exactly on at least one block — so
+    * the per-block equi-join is exhaustive for maxDist <= 3 with no
+    * quadratic scan. 16-bit blocks give each band 65,536 distinct bucket
+    * values (vs 256 for byte blocks), keeping the candidate space
+    * Θ(n²/65536) at web scale. Distance itself is bit_count(xor) on the
+    * signature as two 32-bit half-longs (codegen'd integer ops, not
+    * per-character comparison).
     */
   def simhashPairsBlocked(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int
   ): DataFrame = {
     require(maxDist <= 3,
-      s"4x8-bit blocking is only exhaustive for maxDist <= 3, got $maxDist")
+      s"4x16-bit blocking is only exhaustive for maxDist <= 3, got $maxDist")
     // Materialize the signature table once: it feeds BOTH sides of the
     // self-join, and without the cut Spark re-evaluates the interpreted
     // simhash expression per join subtree (and project collapse can pull
     // it past the join — per OUTPUT row). One row per doc, so this is
     // exactly the signature table a production pipeline would persist.
-    val sigs = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sig"))
-      .withColumn("sigl", conv(col("sig"), 2, 10).cast("long"))
+    // The 64-bit signature travels as two 32-bit halves: conv(_,2,10) of
+    // the full 64-char string can exceed Long.MaxValue, while each half
+    // always fits, and bit_count(xor) distributes over the halves.
+    val sigs = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
+      .withColumn("sig_hi", conv(substring(col("sig"), 1, 32), 2, 10).cast("long"))
+      .withColumn("sig_lo", conv(substring(col("sig"), 33, 32), 2, 10).cast("long"))
       .localCheckpoint()
-    val blocks = sigs.select(col("doc"), col("sigl"),
+    val blocks = sigs.select(col("doc"), col("sig_hi"), col("sig_lo"),
       posexplode(array((0 until 4).map(b =>
-        substring(col("sig"), 8 * b + 1, 8)): _*)).as(Seq("b", "blk")))
+        substring(col("sig"), 16 * b + 1, 16)): _*)).as(Seq("b", "blk")))
     val a = blocks.select(
-      col("doc").as("doc_a"), col("sigl").as("sig_a"), col("b"), col("blk"))
+      col("doc").as("doc_a"), col("sig_hi").as("hi_a"), col("sig_lo").as("lo_a"),
+      col("b"), col("blk"))
     val bb = blocks.select(
-      col("doc").as("doc_b"), col("sigl").as("sig_b"),
+      col("doc").as("doc_b"), col("sig_hi").as("hi_b"), col("sig_lo").as("lo_b"),
       col("b").as("b_b"), col("blk").as("blk_b"))
     a.join(bb, col("b") === col("b_b") && col("blk") === col("blk_b") &&
         col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("dist"))
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("dist"))
       .filter(col("dist") <= maxDist)
       // a near pair can agree on several blocks; collapse the duplicates
       .groupBy("doc_a", "doc_b")
@@ -584,7 +618,7 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxDist: Int
   ): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc"), simhash32(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sig"))
     val a = sigs.select(col("doc").as("doc_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("doc").as("doc_b"), col("sig").as("sig_b"))
     a.crossJoin(b)

@@ -20,24 +20,44 @@ object DedupQueries {
   // engines, so they can never silently drift apart.
   private val NumHashes   = 8
   private val RowsPerBand = 2
-  // Cap parameters for the q3B/q3C capped variants, chosen so the guard
-  // actually drops something at sf0.01 (max shingle df there is 7, max
-  // bucket size 3).
+  // Cap parameters, chosen so the guards actually drop something at
+  // sf0.01 (max shingle df there is 7, max bucket size 3). MaxShingleDf
+  // feeds q3B; MaxBucketSize feeds q3C AND the flagship q36/q37 cluster
+  // pipeline (the production entry point exercises its own guard).
   private val MaxShingleDf  = 5
   private val MaxBucketSize = 2
 
-  // Affine-minhash mirror of Dedup.minhashWide (a/b formulas inline the
-  // Dedup.minhashA/minhashB definitions; the modulus interpolates from
-  // Dedup.MinhashPrime): h = first 8 md5 hex chars as a 32-bit int,
+  // Affine-minhash mirror of Dedup.minhashWide. EVERY constant
+  // interpolates from Dedup (multiplier/modulus components of
+  // minhashA/minhashB plus the prime), so the two engines can never
+  // silently drift apart: h = first 8 md5 hex chars as a 32-bit int,
   // mh_s = (a_s*h + b_s) mod P. Expects a CTE `sh(doc_id, sh)` in scope.
   private val duckMinhashMh: String =
     s"""mh AS (
       |  SELECT doc_id, seed,
-      |    min((((2654435761 * (seed + 1)) % 1073741789 + 1)
+      |    min((((${Dedup.MinhashAMul} * (seed + 1)) % ${Dedup.MinhashAMod} + 1)
       |           * (('0x' || substr(md5(sh), 1, 8))::BIGINT)
-      |         + (40503 * (seed + 1)) % ${Dedup.MinhashPrime}) % ${Dedup.MinhashPrime}) AS mh
+      |         + (${Dedup.MinhashBMul} * (seed + 1)) % ${Dedup.MinhashPrime}) % ${Dedup.MinhashPrime}) AS mh
       |  FROM sh, (SELECT unnest(range(0, $NumHashes)) AS seed) seeds
       |  GROUP BY doc_id, seed)""".stripMargin
+
+  // DuckDB mirror of one Dedup.simhash64 projection: bit `pos` (1..64)
+  // of a token's md5 — top bit (>= '8') of nibble pos for the first 32,
+  // second bit (chars 4-7/c-f) of nibble pos-32 for the rest. `t` and
+  // `pos` must be in scope at the splice site.
+  private val duckSimhashBit: String =
+    """CASE WHEN pos <= 32 THEN substr(md5(t), pos, 1) >= '8'
+      |         ELSE substr(md5(t), pos - 32, 1) IN ('4','5','6','7','c','d','e','f') END"""
+      .stripMargin
+
+  // The full 64-bit majority-vote signature as a select expression over
+  // a `documents`-shaped row (uses `$duckToks`).
+  private val duckSimhash: String =
+    s"""array_to_string([
+       |    CASE WHEN 2 * len(list_filter($duckToks, t -> $duckSimhashBit))
+       |              >= len($duckToks)
+       |         THEN '1' ELSE '0' END
+       |    for pos in range(1, 65)], '')""".stripMargin
 
   // LSH band buckets over [[duckMinhashMh]] (band = seed / rowsPerBand,
   // decimal string join mirroring the Spark side's cast-to-string concat).
@@ -100,16 +120,16 @@ object DedupQueries {
         .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
     },
 
-    // SimHash 32-bit signatures (repartition: 32 interpreted md5 votes
+    // SimHash 64-bit signatures (repartition: 64 interpreted md5 votes
     // per token on a 1-file scan would otherwise run on one core).
     "q34_simhash" -> { (s, d) =>
       Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy("doc_id")
     },
 
-    // SimHash near-dup pairs (hamming <= 2) via exhaustive 4-byte-block
+    // SimHash near-dup pairs (hamming <= 2) via exhaustive 4x16-bit-block
     // pigeonhole join — the scale path that avoids the quadratic scan.
     "q35_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairsBlocked(
@@ -192,15 +212,16 @@ object DedupQueries {
 
   // Shared q36/q37 pipeline (ONE set of parameters — the survivor set
   // must stay consistent with the cluster set): exact-dup collapse →
-  // minhash(8 seeds, 3-shingles) over representatives → LSH bands(4x2) →
-  // candidates → jaccard >= 0.5 verify → connected components →
-  // re-expand. Label-equivalent to banding every member (exact groups
-  // are fully connected at jaccard 1.0 — see Dedup.dedupClusters), so
-  // the member-level oracle CTE prefix still mirrors it 1:1.
+  // minhash(8 seeds, 3-shingles) over representatives → LSH bands(4x2)
+  // with the MaxBucketSize degenerate-bucket guard live → candidates →
+  // jaccard >= 0.5 verify → connected components → re-expand. The cap
+  // operates at REPRESENTATIVE level (a boilerplate bucket is counted
+  // after exact-dup mass collapses to one rep), so the oracle mirrors
+  // the collapse/cap/re-expand shape explicitly — see [[clusterWalkCte]].
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
       numHashes = NumHashes, shingleN = 3, rowsPerBand = RowsPerBand,
-      minJaccard = 0.5)
+      minJaccard = 0.5, maxBucketSize = MaxBucketSize)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
@@ -291,11 +312,7 @@ object DedupQueries {
 
     "q34_simhash" ->
       s"""SELECT doc_id,
-         |  array_to_string([
-         |    CASE WHEN 2 * len(list_filter($duckToks, t -> substr(md5(t), pos, 1) >= '8'))
-         |              >= len($duckToks)
-         |         THEN '1' ELSE '0' END
-         |    for pos in range(1, 33)], '') AS simhash
+         |  $duckSimhash AS simhash
          |FROM documents
          |ORDER BY doc_id""".stripMargin,
 
@@ -304,11 +321,7 @@ object DedupQueries {
     "q35_simhash_pairs" ->
       s"""WITH s AS (
          |  SELECT doc_id,
-         |    array_to_string([
-         |      CASE WHEN 2 * len(list_filter($duckToks, t -> substr(md5(t), pos, 1) >= '8'))
-         |                >= len($duckToks)
-         |           THEN '1' ELSE '0' END
-         |      for pos in range(1, 33)], '') AS simhash
+         |    $duckSimhash AS simhash
          |  FROM documents)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(CAST(a.simhash AS BIT), CAST(b.simhash AS BIT))) AS dist
@@ -387,21 +400,27 @@ object DedupQueries {
          |  AND NOT EXISTS (SELECT 1 FROM dup WHERE doc_new = doc_id)
          |ORDER BY doc_id""".stripMargin,
 
-    // Clustering oracle: same LSH candidate + jaccard-verify pipeline,
-    // then component min-labels via a recursive transitive-closure CTE
-    // (UNION dedups, so the walk terminates). Shared prefix: see
-    // [[clusterWalkCte]].
+    // Clustering oracle: exact-dup collapse → rep-level LSH candidates
+    // (bucket cap live) → jaccard verify → component min-labels via a
+    // recursive transitive-closure CTE (UNION dedups, so the walk
+    // terminates) → re-expand members. Shared prefix: [[clusterWalkCte]];
+    // a member's cluster is its rep's component root, falling back to the
+    // rep itself for edge-less exact groups of size >= 2.
     "q36_dedup_clusters" ->
       s"""$clusterWalkCte
-         |SELECT doc AS doc_id, min(reach) AS cluster
-         |FROM walk
-         |GROUP BY doc
+         |SELECT m.doc AS doc_id,
+         |  coalesce(r.root, CASE WHEN m.n >= 2 THEN m.rep END) AS cluster
+         |FROM member m LEFT JOIN replabel r ON r.doc = m.rep
+         |WHERE coalesce(r.root, CASE WHEN m.n >= 2 THEN m.rep END) IS NOT NULL
          |ORDER BY doc_id""".stripMargin,
 
     "q37_dedup_survivors" ->
       s"""$clusterWalkCte,
          |drop_ids AS (
-         |  SELECT doc FROM walk GROUP BY doc HAVING doc <> min(reach))
+         |  SELECT m.doc
+         |  FROM member m LEFT JOIN replabel r ON r.doc = m.rep
+         |  WHERE coalesce(r.root, CASE WHEN m.n >= 2 THEN m.rep END) IS NOT NULL
+         |    AND m.doc <> coalesce(r.root, CASE WHEN m.n >= 2 THEN m.rep END))
          |SELECT d.doc_id, d.source, d.n_chars
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc = d.doc_id)
@@ -409,18 +428,35 @@ object DedupQueries {
   )
 
   /** Oracle CTE prefix shared by q36/q37 — the DuckDB mirror of
-    * `clusterLabels` (parameters appear exactly once per engine).
+    * `clusterLabels` (parameters appear exactly once per engine),
+    * including the exact-dup collapse: shingling/banding/capping run
+    * over group REPRESENTATIVES only (`member` carries the re-expansion
+    * map), because the MaxBucketSize cap counts rep-level bucket
+    * membership — a member-level mirror would cap differently.
     */
   private lazy val clusterWalkCte: String =
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+    s"""WITH RECURSIVE grp AS (
+       |  SELECT md5(text) AS h, min(doc_id) AS rep, count(*) AS n
+       |  FROM documents GROUP BY 1),
+       |member AS (
+       |  SELECT d.doc_id AS doc, g.rep, g.n
+       |  FROM documents d JOIN grp g ON md5(d.text) = g.h),
+       |sh AS (
+       |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents
+       |  WHERE doc_id IN (SELECT rep FROM grp)),
        |$duckMinhashMh,
        |$duckLshBuckets,
+       |keep AS (
+       |  SELECT band, bucket FROM buckets
+       |  GROUP BY band, bucket HAVING count(*) <= $MaxBucketSize),
+       |kb AS (
+       |  SELECT b.doc_id, b.band, b.bucket
+       |  FROM buckets b JOIN keep USING (band, bucket)),
        |cand AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM buckets a
-       |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
-       |                AND a.doc_id < b.doc_id
+       |  FROM kb a
+       |  JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
+       |           AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |sizes AS (SELECT doc_id AS doc, count(*) AS n_sh FROM sh GROUP BY doc),
        |common AS (
@@ -443,5 +479,7 @@ object DedupQueries {
        |walk(doc, reach) AS (
        |  SELECT a, a FROM edges
        |  UNION
-       |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a)""".stripMargin
+       |  SELECT w.doc, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+       |replabel AS (
+       |  SELECT doc, min(reach) AS root FROM walk GROUP BY doc)""".stripMargin
 }

@@ -24,6 +24,25 @@ class AnnSpec extends GraftSpec {
     assert(nBuckets > 1 && nBuckets <= 256)
   }
 
+  test("LSH signature expression: codegen'd (no ScalaUDF) and bit-identical " +
+      "to the driver-side reference math") {
+    val bucketed = AnnLsh.withBuckets(emb, "embedding", 8)
+    // the ingest path must stay inside whole-stage codegen: no UDF node
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"LSH ingest path fell out of codegen:\n$plan")
+    // signatures match AnnLsh.signatureOf (the math the replaced UDF
+    // evaluated) exactly, for every row
+    val rows = bucketed.select("vec_id", "embedding", "bucket").collect()
+    val planes = AnnLsh.hyperplanes(
+      rows.head.getAs[scala.collection.Seq[Float]]("embedding").length, 8)
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Float]]("embedding").toSeq
+      assert(r.getAs[Long]("bucket") == AnnLsh.signatureOf(v, planes),
+        s"signature mismatch for vec_id=${r.getAs[Long]("vec_id")}")
+    }
+  }
+
   test("LSH approximate top-k: candidates shrink, recall stays useful") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
     try {

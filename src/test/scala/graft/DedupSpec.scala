@@ -107,7 +107,7 @@ class DedupSpec extends GraftSpec {
   }
 
   test("simhash: identical docs distance 0, near-dups close, unrelated far") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 32).collect()
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 64).collect()
     def dist(a: Long, b: Long): Int = pairs.find(r =>
       r.getAs[Long]("doc_a") == a && r.getAs[Long]("doc_b") == b)
       .get.getAs[Int]("dist")
