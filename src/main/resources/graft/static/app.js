@@ -1,0 +1,95 @@
+// graft console — drives the five API endpoints: health, stats, query,
+// chat, upload (multipart). Same-origin; no build step, no dependencies.
+"use strict";
+
+const $ = (id) => document.getElementById(id);
+const history = []; // [{question, answer}] — sent to /chat when enabled
+
+async function getJson(path, init) {
+  const res = await fetch(path, init);
+  const body = await res.json().catch(() => ({}));
+  if (!res.ok) throw new Error(body.detail || ("HTTP " + res.status));
+  return body;
+}
+
+async function refreshStatus() {
+  try {
+    const h = await getJson("/api/v1/health");
+    $("health").textContent = "health: " + h.status;
+  } catch (e) {
+    $("health").textContent = "health: " + e.message;
+  }
+  try {
+    const s = await getJson("/api/v1/stats");
+    $("stats").textContent =
+      "vectors: " + s.total_vector_count + " · dim: " + s.dimension;
+  } catch (e) {
+    $("stats").textContent = "stats: " + e.message;
+  }
+}
+
+function logTurn(text, cls) {
+  const el = document.createElement("div");
+  el.className = "turn " + cls;
+  el.textContent = text;
+  $("log").appendChild(el);
+  $("log").scrollTop = $("log").scrollHeight;
+}
+
+function renderAnswer(data) {
+  logTurn(data.answer, "a");
+  $("src-list").replaceChildren(...data.sources.map((s) => {
+    const li = document.createElement("li");
+    li.textContent = s;
+    return li;
+  }));
+  $("doc-list").replaceChildren(...data.retrieved_docs.map((d) => {
+    const li = document.createElement("li");
+    li.textContent = d.score.toFixed(3) + " — " + d.text;
+    return li;
+  }));
+}
+
+$("ask-form").addEventListener("submit", async (ev) => {
+  ev.preventDefault();
+  const question = $("q").value.trim();
+  if (!question) return;
+  $("q").value = "";
+  logTurn(question, "q");
+  const conversational = $("use-history").checked && history.length > 0;
+  const path = conversational ? "/api/v1/chat" : "/api/v1/query";
+  const payload = conversational
+    ? { question, top_k: 5, chat_history: history.slice(-3) }
+    : { question, top_k: 5 };
+  try {
+    const data = await getJson(path, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(payload),
+    });
+    renderAnswer(data);
+    history.push({ question, answer: data.answer });
+  } catch (e) {
+    logTurn(e.message, "err");
+  }
+});
+
+$("up-form").addEventListener("submit", async (ev) => {
+  ev.preventDefault();
+  const files = $("files").files;
+  if (!files.length) return;
+  const form = new FormData();
+  for (const f of files) form.append("files", f, f.name);
+  $("up-result").textContent = "uploading " + files.length + " file(s)…";
+  try {
+    // multipart/form-data — the browser sets the boundary header itself
+    const res = await fetch("/api/v1/upload", { method: "POST", body: form });
+    const data = await res.json();
+    $("up-result").textContent = JSON.stringify(data, null, 2);
+    refreshStatus();
+  } catch (e) {
+    $("up-result").textContent = "upload failed: " + e.message;
+  }
+});
+
+refreshStatus();

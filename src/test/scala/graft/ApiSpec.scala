@@ -126,11 +126,16 @@ class ApiSpec extends GraftSpec {
         """{"question":"what was the revenue?","filter":{"source":{"$in":["bogus"]}}}""")
       assert(qf2.statusCode() == 200 && qf2.body().contains("\"retrieved_docs\":[]"))
 
-      // validation: empty question and out-of-bounds top_k are 400s
-      assert(post("/api/v1/query", """{"question":"  "}""").statusCode() == 400)
-      assert(post("/api/v1/query", """{"question":"x","top_k":0}""").statusCode() == 400)
-      assert(post("/api/v1/query", """{"question":"x","top_k":21}""").statusCode() == 400)
-      assert(post("/api/v1/query", """not json""").statusCode() == 400)
+      // validation mirrors Pydantic: malformed bodies are 422s
+      // (FastAPI's RequestValidationError), including fractional top_k
+      assert(post("/api/v1/query", """{"question":"  "}""").statusCode() == 422)
+      assert(post("/api/v1/query", """{"question":"x","top_k":0}""").statusCode() == 422)
+      assert(post("/api/v1/query", """{"question":"x","top_k":21}""").statusCode() == 422)
+      assert(post("/api/v1/query", """{"question":"x","top_k":3.7}""").statusCode() == 422)
+      assert(post("/api/v1/query", """not json""").statusCode() == 422)
+      // integral double coerces like Pydantic's lenient int
+      assert(post("/api/v1/query",
+        """{"question":"what was the revenue?","top_k":3.0}""").statusCode() == 200)
 
       // chat with history
       val c = post("/api/v1/chat",
@@ -152,6 +157,52 @@ class ApiSpec extends GraftSpec {
       // unknown route and wrong method
       assert(get("/api/v1/nope").statusCode() == 404)
       assert(get("/api/v1/query").statusCode() == 405)
+
+      // root welcome JSON (reference app/main.py:76-83) and the UI
+      val root = get("/")
+      assert(root.statusCode() == 200 && root.body().contains("\"version\""))
+      val ui = get("/ui")
+      assert(ui.statusCode() == 200)
+      assert(ui.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      // the served page drives the five endpoints via its script
+      assert(ui.body().contains("/static/app.js"))
+      val js = get("/static/app.js")
+      assert(js.statusCode() == 200)
+      for (ep <- Seq("/api/v1/health", "/api/v1/stats", "/api/v1/query",
+          "/api/v1/chat", "/api/v1/upload"))
+        assert(js.body().contains(ep), s"UI script does not call $ep")
+      assert(get("/static/styles.css").statusCode() == 200)
+      assert(get("/static/nope.css").statusCode() == 404)
+      assert(get("/static/../app.js").statusCode() == 404)
+
+      // multipart/form-data upload (the reference's UploadFile contract):
+      // a real browser-shaped body round-trips through re-ingest
+      val boundary = "graftTestBoundary42"
+      val multipart =
+        s"""--$boundary\r
+           |Content-Disposition: form-data; name="files"; filename="doc3.txt"\r
+           |Content-Type: text/plain\r
+           |\r
+           |Gross margin improved to 61 percent in Q2.\r
+           |--$boundary\r
+           |Content-Disposition: form-data; name="files"; filename="doc4.txt"\r
+           |Content-Type: text/plain\r
+           |\r
+           |The dividend was suspended in March.\r
+           |--$boundary--\r
+           |""".stripMargin
+      val mp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/upload"))
+          .header("Content-Type", s"multipart/form-data; boundary=$boundary")
+          .POST(HttpRequest.BodyPublishers.ofString(multipart)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(mp.statusCode() == 200 && mp.body().contains("\"success\":true"),
+        mp.body())
+      assert(mp.body().contains("doc3.txt") && mp.body().contains("doc4.txt"))
+      val q3 = post("/api/v1/query", """{"question":"what happened to the gross margin?"}""")
+      assert(q3.body().contains("61 percent"))
+      val q4 = post("/api/v1/query", """{"question":"what about the dividend?"}""")
+      assert(q4.body().contains("suspended"))
     } finally srv.stop()
   }
 }
