@@ -63,7 +63,14 @@ object Bench {
               -1.0
           }
         }
-        name -> (if (times.contains(-1.0)) -1.0 else times.sorted.apply(reps / 2))
+        // true median: mean of the two middle elements for even reps
+        // (upper-middle alone would bias the "median" label upward)
+        val med = {
+          val s = times.sorted
+          if (reps % 2 == 1) s(reps / 2)
+          else (s(reps / 2 - 1) + s(reps / 2)) / 2.0
+        }
+        name -> (if (times.contains(-1.0)) -1.0 else med)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

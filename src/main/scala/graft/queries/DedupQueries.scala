@@ -18,8 +18,9 @@ object DedupQueries {
   // ONE definition of the minhash/LSH shape shared by the Spark lambdas
   // and the oracle CTEs below — a change to either constant reaches both
   // engines, so they can never silently drift apart.
-  private val NumHashes   = 8
-  private val RowsPerBand = 2
+  // shared with PipelineQueries' q69 composed-pipeline oracle
+  private[queries] val NumHashes   = 8
+  private[queries] val RowsPerBand = 2
   // Cap parameters, chosen so the guards actually drop something at
   // sf0.01 (max shingle df there is 7, max bucket size 3). MaxShingleDf
   // feeds q3B; MaxBucketSize feeds q3C AND the flagship q36/q37 cluster
@@ -32,7 +33,7 @@ object DedupQueries {
   // minhashA/minhashB plus the prime), so the two engines can never
   // silently drift apart: h = first 8 md5 hex chars as a 32-bit int,
   // mh_s = (a_s*h + b_s) mod P. Expects a CTE `sh(doc_id, sh)` in scope.
-  private val duckMinhashMh: String =
+  private[queries] val duckMinhashMh: String =
     s"""mh AS (
       |  SELECT doc_id, seed,
       |    min((((${Dedup.MinhashAMul} * (seed + 1)) % ${Dedup.MinhashAMod} + 1)
@@ -61,7 +62,7 @@ object DedupQueries {
 
   // LSH band buckets over [[duckMinhashMh]] (band = seed / rowsPerBand,
   // decimal string join mirroring the Spark side's cast-to-string concat).
-  private val duckLshBuckets: String =
+  private[queries] val duckLshBuckets: String =
     s"""buckets AS (
       |  SELECT doc_id, seed // $RowsPerBand AS band,
       |         md5(string_agg(mh::VARCHAR, '|' ORDER BY seed)) AS bucket

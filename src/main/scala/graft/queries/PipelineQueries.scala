@@ -367,6 +367,52 @@ object PipelineQueries {
         .agg(round(avg(col("k").cast("double")), 6).as("avg_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // The composed training-data pipeline end-to-end, every stage the
+    // SAME operator the per-stage queries verify: normalize + PII scrub
+    // (q60) → token/lang/quality filters (q20-q22) → exact dedup with
+    // min-id survivor (q30) → LSH near-dup prune, dropping the later doc
+    // of any pair agreeing on >= half the bands (q33) → fixed chunking
+    // (q40). The filters and the LSH prune are live at sf0.01
+    // (500 → 363 docs → 17 near-dup losers dropped → 346 → 1737 chunks);
+    // the fixture has no byte-identical docs, so the exact-dedup stage
+    // passes everything through here (its semantics are pinned by q30).
+    // Stage order is the 100 TB shape: narrow rewrites and codegen'd
+    // filters prune before the keyed dedup shuffles, dedup prunes before
+    // the row-expanding chunker.
+    "q69_training_pipeline" -> { (s, d) =>
+      import graft.functions.TextFunctions._
+      import graft.operators.Dedup
+      val curated = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), redactPii(normalizeText(col("text"))).as("text"))
+      val filtered = curated
+        .filter(trim(col("text")) =!= "")
+        .filter(tokenCount(col("text")) >= 20)
+        .filter(langId(col("text")) === "en")
+        .filter(qualityScore(col("text")) >= 0.45)
+      val exact = filtered.join(
+        Dedup.exactGroups(filtered, "doc_id", "text")
+          .select(col("keep_id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      val losers = Dedup.lshCandidatePairs(
+          Dedup.lshBucketsWide(
+            Dedup.minhashWide(exact, "doc_id", "text",
+              DedupQueries.NumHashes, shingleN = 3),
+            DedupQueries.NumHashes, DedupQueries.RowsPerBand))
+        .filter(col("n_bands") >= 2)
+        .select(col("doc_b").as("doc_id")).distinct()
+      val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
+      deduped
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0),
+            floor((length(col("text")) - 1) / lit(80)).cast("int"))).as("chunk_index"))
+        .select(col("doc_id"), col("chunk_index"),
+          col("text").substr(col("chunk_index") * 80 + 1, lit(100)).as("chunk_text"))
+        .withColumn("chunk_len", length(col("chunk_text")))
+        .orderBy("doc_id", "chunk_index")
     }
   )
 
@@ -646,6 +692,67 @@ object PipelineQueries {
         |  count(*) AS n
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    // Composed-pipeline mirror: each CTE is the verified fragment of the
+    // corresponding per-stage oracle (q60 scrub, q20-q22 filter formulas,
+    // q30 dedup, q33 minhash/banding via DedupQueries' shared CTEs, q40
+    // chunking). Quality/lang filters run UNROUNDED on both engines —
+    // identical double arithmetic, so the boundary can't flip.
+    "q69_training_pipeline" -> {
+      import graft.functions.TextFunctions.{EMAIL_RE, SSN_RE, PHONE_RE,
+        EN_STOP, DE_STOP, ES_STOP, FR_STOP}
+      val toks = DuckSql.toks
+      def hits(ws: Seq[String]) =
+        s"len(list_filter($toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      s"""WITH cur AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(
+         |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+         |      '$EMAIL_RE', '<EMAIL>', 'g'),
+         |      '$SSN_RE', '<SSN>', 'g'),
+         |      '$PHONE_RE', '<PHONE>', 'g') AS text
+         |  FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text,
+         |    len($toks) AS nt,
+         |    ${hits(EN_STOP)} AS en, ${hits(DE_STOP)} AS de,
+         |    ${hits(ES_STOP)} AS es, ${hits(FR_STOP)} AS fr,
+         |    0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+         |           / CAST(length(text) AS DOUBLE))
+         |    + 0.3 * least(1.0, CAST(len($toks) AS DOUBLE) / 100.0)
+         |    + 0.3 * (CAST(${hits(EN_STOP)} AS DOUBLE) / CAST(len($toks) AS DOUBLE)) AS q
+         |  FROM cur
+         |  WHERE trim(text) <> ''),
+         |filt AS (
+         |  SELECT doc_id, text FROM scored
+         |  WHERE nt >= 20
+         |    AND greatest(en, de, es, fr) > 0 AND en = greatest(en, de, es, fr)
+         |    AND q >= 0.45),
+         |grp AS (SELECT md5(text) AS h, min(doc_id) AS keep FROM filt GROUP BY 1),
+         |ex AS (SELECT f.doc_id, f.text FROM filt f JOIN grp g ON f.doc_id = g.keep),
+         |sh AS (SELECT doc_id, unnest(${DuckSql.distinctGrams(3)}) AS sh FROM ex),
+         |${DedupQueries.duckMinhashMh},
+         |${DedupQueries.duckLshBuckets},
+         |cand AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nb
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |               AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |losers AS (SELECT DISTINCT db AS doc_id FROM cand WHERE nb >= 2),
+         |ded AS (
+         |  SELECT e.doc_id, e.text FROM ex e
+         |  WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = e.doc_id)),
+         |idx AS (
+         |  SELECT doc_id, text,
+         |         unnest(range(0, (length(text) - 1) // 80 + 1)) AS chunk_index
+         |  FROM ded WHERE length(text) > 0)
+         |SELECT doc_id, chunk_index,
+         |  substr(text, 80 * chunk_index + 1, 100) AS chunk_text,
+         |  length(substr(text, 80 * chunk_index + 1, 100)) AS chunk_len
+         |FROM idx
+         |ORDER BY doc_id, chunk_index""".stripMargin
+    }
   )
 }

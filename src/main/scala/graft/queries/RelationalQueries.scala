@@ -282,6 +282,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_customers"),
           round(sum("c_acctbal"), 2).as("total_bal"))
         .orderBy("c_mktsegment")
+    },
+
+    // Skew-salted aggregation (operators/Scale.scala): sum/count of
+    // lineitem quantity by return flag — 3 distinct keys over 600 K rows
+    // at sf0.1, exactly the hot-key shape where a plain groupBy funnels
+    // every partial for one key onto one reducer. The two-phase
+    // (key, salt) → key plan spreads each key over 32 reducers; salting
+    // is result-invariant for decomposable aggregates, so the oracle is
+    // the plain GROUP BY. Quantities are integer-valued doubles, so the
+    // differently-ordered partial sums are exact (no float drift).
+    "q6A_salted_agg" -> { (s, d) =>
+      graft.operators.Scale.saltedSumCount(
+          Tables.lineitem(s, d), "l_returnflag", "l_quantity", saltBuckets = 32)
+        .select(col("l_returnflag"), round(col("total"), 2).as("total"), col("n"))
+        .orderBy("l_returnflag")
     }
   )
 
@@ -473,6 +488,14 @@ object RelationalQueries {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_totalprice > 300000.0)
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin
+        |ORDER BY c_mktsegment""".stripMargin,
+
+    // The plain GROUP BY — salting is result-invariant (see q6A comment).
+    "q6A_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS total,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -141,4 +141,16 @@ class ScaleSpec extends GraftSpec {
       Quantize.pqTrain(emb, "vec_id", "embedding", m = 8, k = 16,
         sampleLimit = (1 << 20) + 1))
   }
+
+  test("registry q6A plans the salted two-phase aggregate") {
+    val df = SparkEntry.queries("q6A_salted_agg")(spark, sfDir)
+    // phase 1 groups by (key, _salt), phase 2 by key — the salt key must
+    // survive into the optimized plan, or the query silently degraded to
+    // a plain single-phase groupBy
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("_salt"), plan)
+    val rows = df.collect()
+    assert(rows.length == 3 && rows.map(_.getAs[Long]("n")).sum ==
+      Tables.lineitem(spark, sfDir).count())
+  }
 }
