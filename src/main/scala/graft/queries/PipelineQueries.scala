@@ -387,15 +387,21 @@ object PipelineQueries {
       val curated = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), redactPii(normalizeText(col("text"))).as("text"))
+      // materialize the filter output once: the lang/quality stopword
+      // HOFs are interpreted, and `filtered` feeds BOTH the exact-dedup
+      // aggregate and the survivor semi-join (then `exact` feeds minhash
+      // AND the anti-join) — uncut, the filter chain re-runs per branch
       val filtered = curated
         .filter(trim(col("text")) =!= "")
         .filter(tokenCount(col("text")) >= 20)
         .filter(langId(col("text")) === "en")
         .filter(qualityScore(col("text")) >= 0.45)
+        .localCheckpoint()
       val exact = filtered.join(
         Dedup.exactGroups(filtered, "doc_id", "text")
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint()
       val losers = Dedup.lshCandidatePairs(
           Dedup.lshBucketsWide(
             Dedup.minhashWide(exact, "doc_id", "text",
