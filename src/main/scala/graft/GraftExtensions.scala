@@ -46,6 +46,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         WordShinglesExpr(es.head, n)
       }))
     e.injectFunction((
+      FunctionIdentifier("text_stats"),
+      info("text_stats", "_FUNC_(text) - fused per-document text-analysis counts (tokens, stopword hits, char classes)"),
+      (es: Seq[Expression]) => TextStatsExpr(es.head)))
+    e.injectFunction((
       FunctionIdentifier("vector_mean"),
       info("vector_mean", "_FUNC_(v) - element-wise mean of grouped float vectors"),
       (es: Seq[Expression]) => VectorMeanAgg(es.head).toAggregateExpression()))

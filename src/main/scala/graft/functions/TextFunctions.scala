@@ -17,19 +17,44 @@ object TextFunctions {
 
   /** Whitespace tokenizer (lowercased). The same regex is used by the
     * DuckDB oracle (`string_split_regex(trim(lower(text)), '\s+')`) so
-    * token counts hash-match.
+    * token counts hash-match. (This produces the array itself — for
+    * counts/ratios prefer the fused [[textStats]] fields, which never
+    * materialize the array.)
     */
   def tokens(text: Column): Column =
     split(trim(lower(text)), "\\s+")
 
+  /** The fused per-document stats struct ([[TextStatsExpr]]): one
+    * codegen'd pass computes every integer count below. Identical copies
+    * in one projection collapse via subexpression elimination.
+    */
+  def textStats(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      TextStatsExpr(org.apache.spark.sql.GraftBridge.expression(text)))
+
+  private def stat(text: Column, field: String): Column =
+    textStats(text).getField(field)
+
   /** Token count = |whitespace tokens|. */
-  def tokenCount(text: Column): Column = size(tokens(text))
+  def tokenCount(text: Column): Column = stat(text, "token_count")
+
+  /** HOF reference implementation of [[tokenCount]] (interpreted). */
+  def tokenCountHof(text: Column): Column = size(tokens(text))
 
   /** A BPE-ish subword proxy: counts alphanumeric runs and individual
     * punctuation marks as separate tokens (approximates byte-pair token
     * counts without a vocab — standard heuristic for data pipelines).
     */
   def approxBpeTokenCount(text: Column): Column =
+    stat(text, "alnum_runs") + stat(text, "punct_chars")
+
+  /** HOF reference implementation of [[approxBpeTokenCount]]: splitting
+    * before/after every non-alnum char fragments the text into alnum
+    * runs plus single non-alnum chars; the filter drops the whitespace
+    * fragments — so the count equals alnum runs + non-alnum non-ws
+    * chars, which is what the fused kernel counts directly.
+    */
+  def approxBpeTokenCountHof(text: Column): Column =
     // whitespace runs (space, tab, newline — trim() would only strip
     // spaces) are separators, not tokens
     size(filter(split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
@@ -37,11 +62,21 @@ object TextFunctions {
 
   /** Ratio of alphabetic characters to all characters (double in [0,1]). */
   def alphaRatio(text: Column): Column =
+    stat(text, "alpha_chars").cast("double") /
+      stat(text, "char_count").cast("double")
+
+  /** HOF reference implementation of [[alphaRatio]]. */
+  def alphaRatioHof(text: Column): Column =
     length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
       length(text).cast("double")
 
   /** Ratio of whitespace-free characters that are punctuation/symbols. */
   def punctRatio(text: Column): Column =
+    stat(text, "punct_chars").cast("double") /
+      stat(text, "nonws_chars").cast("double")
+
+  /** HOF reference implementation of [[punctRatio]]. */
+  def punctRatioHof(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double") /
       length(regexp_replace(text, "\\s", "")).cast("double")
 
@@ -57,7 +92,10 @@ object TextFunctions {
     size(filter(toks, t => t.isin(words: _*)))
 
   /** Count of English stopword tokens. */
-  def stopwordHits(text: Column): Column = hits(tokens(text), EN_STOP)
+  def stopwordHits(text: Column): Column = stat(text, "en_hits")
+
+  /** HOF reference implementation of [[stopwordHits]]. */
+  def stopwordHitsHof(text: Column): Column = hits(tokens(text), EN_STOP)
 
   /** Stopword ratio: EN stopword tokens / tokens. */
   def stopwordRatio(text: Column): Column =
@@ -66,9 +104,23 @@ object TextFunctions {
   /** N-gram-profile language ID (heuristic): score each language by its
     * stopword-hit count, pick the argmax; ties + all-zero resolve in the
     * fixed order en > de > es > fr > und. Deterministic and exactly
-    * SQL-mirrorable.
+    * SQL-mirrorable. One fused pass — the HOF reference below runs four
+    * interpreted ArrayFilters plus five splits per row.
     */
   def langId(text: Column): Column = {
+    val st = textStats(text)
+    val en = st.getField("en_hits"); val de = st.getField("de_hits")
+    val es = st.getField("es_hits"); val fr = st.getField("fr_hits")
+    val mx = greatest(en, de, es, fr)
+    when(mx === 0, lit("und"))
+      .when(en === mx, lit("en"))
+      .when(de === mx, lit("de"))
+      .when(es === mx, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** HOF reference implementation of [[langId]] (interpreted). */
+  def langIdHof(text: Column): Column = {
     val t  = tokens(text)
     val en = hits(t, EN_STOP); val de = hits(t, DE_STOP)
     val es = hits(t, ES_STOP); val fr = hits(t, FR_STOP)
@@ -82,12 +134,20 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]:
     * 0.4*alphaRatio + 0.3*min(1, tokens/100) + 0.3*stopwordRatio.
-    * Rounded by callers for oracle comparison.
+    * Rounded by callers for oracle comparison. Built from the fused-stats
+    * fields, in the exact Divide/Add shape of the HOF reference, so the
+    * doubles (and oracle hashes) are bit-identical.
     */
   def qualityScore(text: Column): Column =
     lit(0.4) * alphaRatio(text) +
       lit(0.3) * least(lit(1.0), tokenCount(text).cast("double") / 100.0) +
       lit(0.3) * stopwordRatio(text)
+
+  /** HOF reference implementation of [[qualityScore]] (interpreted). */
+  def qualityScoreHof(text: Column): Column =
+    lit(0.4) * alphaRatioHof(text) +
+      lit(0.3) * least(lit(1.0), tokenCountHof(text).cast("double") / 100.0) +
+      lit(0.3) * (stopwordHitsHof(text).cast("double") / tokenCountHof(text).cast("double"))
 
   /** Content-defined document fingerprint: md5 of the casefolded,
     * alnum-only text — invariant to whitespace/punctuation edits. First 16
@@ -169,14 +229,24 @@ object TextFunctions {
   }
 
   /** Mean token length (characters per whitespace token). */
-  def meanWordLen(text: Column): Column = {
+  def meanWordLen(text: Column): Column =
+    stat(text, "sum_token_len").cast("double") /
+      stat(text, "token_count").cast("double")
+
+  /** HOF reference implementation of [[meanWordLen]] (interpreted). */
+  def meanWordLenHof(text: Column): Column = {
     val t = tokens(text)
     aggregate(transform(t, x => length(x)), lit(0), (acc, x) => acc + x)
       .cast("double") / size(t).cast("double")
   }
 
   /** Type-token ratio (lexical diversity): |distinct tokens|/|tokens|. */
-  def typeTokenRatio(text: Column): Column = {
+  def typeTokenRatio(text: Column): Column =
+    stat(text, "distinct_tokens").cast("double") /
+      stat(text, "token_count").cast("double")
+
+  /** HOF reference implementation of [[typeTokenRatio]] (interpreted). */
+  def typeTokenRatioHof(text: Column): Column = {
     val t = tokens(text)
     size(array_distinct(t)).cast("double") / size(t).cast("double")
   }

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel behind [[TextStatsExpr]]: ONE pass over the document
+  * computes every integer count the text-analysis operators need. The
+  * HOF formulations it replaces ([[TextFunctions]] `*Hof`) are
+  * `CodegenFallback` — `langId` alone runs four interpreted
+  * `ArrayFilter` passes plus five `split`s per row — and the curation
+  * filter chain (tokenCount → langId → qualityScore) is the
+  * most-executed path in a 100 TB text pipeline.
+  *
+  * Parity contract (what lets every DuckDB oracle keep hash-matching):
+  *  - tokenization is byte-identical to [[TextFunctions.tokensHof]] =
+  *    `split(trim(lower(text)), "\s+")`: UTF8String `trim`/`toLowerCase`
+  *    (what Spark's `trim`/`lower` call) + Java-regex split semantics
+  *    with limit -1 (what Spark's `split` calls) — leading/trailing
+  *    empty tokens included, `split("") == [""]`;
+  *  - char classes are the Java-regex ASCII classes the original
+  *    `regexp_replace` formulas used (`\s` = space/tab/LF/VT/FF/CR);
+  *  - all counts are exact ints; every ratio/score stays a Catalyst
+  *    Divide/Add of the same ints in the same shape, so the doubles are
+  *    bit-identical to the HOF formulation.
+  */
+object TextStatsUtil {
+
+  val Schema: StructType = StructType(Seq(
+    StructField("token_count", IntegerType, nullable = false),
+    StructField("sum_token_len", IntegerType, nullable = false),
+    StructField("distinct_tokens", IntegerType, nullable = false),
+    StructField("en_hits", IntegerType, nullable = false),
+    StructField("de_hits", IntegerType, nullable = false),
+    StructField("es_hits", IntegerType, nullable = false),
+    StructField("fr_hits", IntegerType, nullable = false),
+    StructField("char_count", IntegerType, nullable = false),
+    StructField("alpha_chars", IntegerType, nullable = false),
+    StructField("nonws_chars", IntegerType, nullable = false),
+    StructField("punct_chars", IntegerType, nullable = false),
+    StructField("alnum_runs", IntegerType, nullable = false)))
+
+  private def set(words: Seq[String]): java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](words.size * 2)
+    words.foreach(s.add)
+    s
+  }
+  // Frozen profiles — the same Seqs the HOF path and the DuckDB oracles
+  // embed (TextFunctions.EN_STOP etc.).
+  private val En = set(TextFunctions.EN_STOP)
+  private val De = set(TextFunctions.DE_STOP)
+  private val Es = set(TextFunctions.ES_STOP)
+  private val Fr = set(TextFunctions.FR_STOP)
+
+  private def isWs(cp: Int): Boolean = // Java regex \s (no UNICODE flag)
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  /** Last-document memo. Catalyst's predicate pushdown substitutes
+    * projected aliases back into Filter conditions, and FilterExec (unlike
+    * ProjectExec) performs no subexpression elimination — so a filter
+    * chain like `tokenCount >= 20 && langId == "en" && qualityScore >=
+    * 0.45` evaluates ~30 textually-duplicated `text_stats(text)` calls
+    * per row. All 30 see the same document back-to-back; caching the last
+    * (content, row) pair turns 29 of them into one memcmp each.
+    *
+    * Correctness: the hit test is a full byte `equals` against a DEFENSIVE
+    * CLONE of the previous input (never base/offset identity — columnar
+    * readers recycle batch buffers, so same base+offset does not imply
+    * same bytes). The memoized row itself is never mutated after
+    * construction, so handing the same immutable row out twice is safe.
+    * Per-thread state only; no cross-task interference.
+    */
+  private final class Memo {
+    var prev: UTF8String  = _
+    var row: InternalRow  = _
+  }
+  private val memo = ThreadLocal.withInitial[Memo](() => new Memo)
+
+  def computeCached(s: UTF8String): InternalRow = {
+    val m = memo.get()
+    if (m.prev != null && m.prev.equals(s)) return m.row
+    val r = compute(s)
+    m.prev = s.clone()
+    m.row = r
+    r
+  }
+
+  def compute(s: UTF8String): InternalRow = {
+    // --- char scan over the ORIGINAL text (the regexp_replace-derived
+    // counts are all codepoint counts, like Spark's length()) ---
+    val str = s.toString
+    var chars = 0; var alpha = 0; var nonws = 0; var punct = 0; var runs = 0
+    var inRun = false
+    var i = 0
+    val len = str.length
+    while (i < len) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      chars += 1
+      val isAlpha = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z')
+      val isDigit = cp >= '0' && cp <= '9'
+      val ws      = isWs(cp)
+      if (isAlpha) alpha += 1
+      if (!ws) nonws += 1
+      if (!isAlpha && !isDigit && !ws) punct += 1
+      if (isAlpha || isDigit) {
+        if (!inRun) { runs += 1; inRun = true }
+      } else inRun = false
+    }
+
+    // --- token scan (same construction as ShingleUtil.compute) ---
+    val toks = s.trim().toLowerCase().toString.split("\\s+", -1)
+    var sumLen = 0; var en = 0; var de = 0; var es = 0; var fr = 0
+    val distinct = new java.util.HashSet[String](toks.length * 2)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      sumLen += tok.codePointCount(0, tok.length)
+      distinct.add(tok)
+      if (En.contains(tok)) en += 1
+      if (De.contains(tok)) de += 1
+      if (Es.contains(tok)) es += 1
+      if (Fr.contains(tok)) fr += 1
+      t += 1
+    }
+
+    new GenericInternalRow(Array[Any](
+      toks.length, sumLen, distinct.size, en, de, es, fr,
+      chars, alpha, nonws, punct, runs))
+  }
+}
+
+/** `text_stats(text)`: every per-document integer count of the
+  * text-analysis suite — token count, summed/distinct token stats,
+  * per-language stopword hits, char-class counts, alnum-run count — in
+  * one fused, whole-stage-codegen'd pass. [[TextFunctions]] builds
+  * `tokenCount`/`langId`/`qualityScore`/… as field accesses over this
+  * struct; identical copies of the expression in one projection collapse
+  * via Spark's subexpression elimination, so a `select` computing five
+  * scores still scans each document once.
+  */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType      = TextStatsUtil.Schema
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String      = "text_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_stats expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    TextStatsUtil.computeCached(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextStatsUtil.computeCached($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

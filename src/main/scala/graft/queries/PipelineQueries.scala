@@ -384,13 +384,22 @@ object PipelineQueries {
     "q69_training_pipeline" -> { (s, d) =>
       import graft.functions.TextFunctions._
       import graft.operators.Dedup
+      // Materialize the normalized/redacted text BEFORE the filter
+      // chain. Catalyst's predicate pushdown substitutes the projected
+      // alias into every filter, and each of tokenCount/langId/
+      // qualityScore expands to many text_stats refs — without the
+      // barrier, every one of the ~25 predicate refs re-runs the
+      // 4-regex redact+normalize chain per row (~100 regex passes/doc).
+      // Checkpointed, the predicates see a plain column: the fused
+      // kernel's last-document memo then collapses them to ONE stats
+      // pass + 24 memcmps per row.
       val curated = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), redactPii(normalizeText(col("text"))).as("text"))
-      // materialize the filter output once: the lang/quality stopword
-      // HOFs are interpreted, and `filtered` feeds BOTH the exact-dedup
-      // aggregate and the survivor semi-join (then `exact` feeds minhash
-      // AND the anti-join) — uncut, the filter chain re-runs per branch
+        .localCheckpoint()
+      // post-barrier the predicates are one memo'd kernel pass per row;
+      // the checkpoint here is for the two consumers (the exact-dedup
+      // aggregate and the survivor semi-join), not for the filter cost
       val filtered = curated
         .filter(trim(col("text")) =!= "")
         .filter(tokenCount(col("text")) >= 20)

@@ -1,0 +1,126 @@
+package graft
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Parity proof for the fused [[graft.functions.TextStatsExpr]] kernel:
+  * every public text-analysis function must be value-identical (nulls and
+  * doubles included, bit-for-bit) to its interpreted `*Hof` reference on
+  * adversarial and generated inputs — the same contract the vector
+  * expressions carry. Plus the plan-level point of the exercise: the
+  * curation projections run with NO interpreted lambda left in the plan.
+  */
+class TextStatsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  private def samples[T](g: Gen[T], n: Int, seed0: Long): Seq[T] =
+    (0 until n).map(i => g.pureApply(params, Seed(seed0 + i)))
+
+  // Hand-picked splitter/charset edge cases: empty string, pure
+  // whitespace (leading-empty + trailing-empty token rules), every Java
+  // \s char, unicode (multi-byte chars count 1), mixed-language
+  // stopwords, punctuation clusters, digits.
+  private val edges = Seq(
+    "", " ", "  ", "\n", "\t\t", "", "\f", "\r\n",
+    "a", " a", "a ", " a ", "a  b", "a\nb", "\na b\t",
+    "the the the", "der die das", "el la de", "le la les",
+    "the der el le", // 4-way stopword tie
+    "Hello, World!", "don't stop!!", "...", "a,b.c;d",
+    "123 456", "abc123def", "x1 1x --",
+    "café naïve – em—dash", "日本語 テスト", "ünïcödé tëst",
+    "MiXeD CaSe THE And", "  paddedmiddle\f end  ")
+
+  private val textGen: Gen[String] = {
+    val stop = Gen.oneOf(EN_STOP ++ DE_STOP ++ ES_STOP ++ FR_STOP)
+    val alnum = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(4 -> Gen.alphaChar, 1 -> Gen.numChar))
+        .map(_.mkString))
+    val punct = Gen.oneOf("!", "?!", ",", "...", "-", "@#", "'")
+    val uni   = Gen.oneOf("é", "日本", "ß", "–")
+    val word  = Gen.frequency(4 -> stop, 4 -> alnum, 2 -> punct, 1 -> uni)
+    val sep   = Gen.frequency(6 -> Gen.const(" "), 2 -> Gen.const("  "),
+      2 -> Gen.const("\n"), 1 -> Gen.const("\t"), 1 -> Gen.const("\r\n"),
+      1 -> Gen.const("\f"), 1 -> Gen.const(""), 1 -> Gen.const(""))
+    for {
+      lead  <- Gen.frequency(3 -> Gen.const(""), 1 -> sep)
+      n     <- Gen.chooseNum(0, 40)
+      body  <- Gen.listOfN(n, Gen.zip(word, sep))
+      trail <- Gen.frequency(3 -> Gen.const(""), 1 -> sep)
+    } yield lead + body.map { case (w, s) => w + s }.mkString + trail
+  }
+
+  test("fused kernel == HOF reference on every function, every input " +
+    "(edges + 300 generated texts, one Spark pass)") {
+    val texts = edges ++ samples(textGen, 300, 41000L)
+    val t     = col("t")
+    // ANSI mode (Spark 4 default) makes x/0 an error, so the ratio checks
+    // carry the same guard on BOTH sides (cond false -> null <=> null).
+    // token_count is never 0 (split("") == [""]), so token-denominated
+    // ratios need no guard.
+    val hasChars = length(t) > 0
+    val hasNonWs = length(regexp_replace(t, "\\s", "")) > 0
+    def guarded(cond: org.apache.spark.sql.Column,
+                a: org.apache.spark.sql.Column,
+                b: org.apache.spark.sql.Column) =
+      when(cond, a) <=> when(cond, b)
+    val checks = Seq(
+      "token_count" -> (tokenCount(t) <=> tokenCountHof(t)),
+      "bpe"         -> (approxBpeTokenCount(t) <=> approxBpeTokenCountHof(t)),
+      "alpha"       -> guarded(hasChars, alphaRatio(t), alphaRatioHof(t)),
+      "punct"       -> guarded(hasNonWs, punctRatio(t), punctRatioHof(t)),
+      "stop_hits"   -> (stopwordHits(t) <=> stopwordHitsHof(t)),
+      "lang"        -> (langId(t) <=> langIdHof(t)),
+      "quality"     -> guarded(hasChars, qualityScore(t), qualityScoreHof(t)),
+      "mean_len"    -> (meanWordLen(t) <=> meanWordLenHof(t)),
+      "ttr"         -> (typeTokenRatio(t) <=> typeTokenRatioHof(t)))
+    val rows = texts.toDF("t")
+      .select(t +: checks.map { case (n, c) => c.as(n) }: _*)
+      .collect()
+    rows.foreach { r =>
+      checks.map(_._1).zipWithIndex.foreach { case (name, i) =>
+        assert(r.getBoolean(i + 1),
+          s"$name mismatch on ${r.getString(0).take(60).replace("\n", "\\n")}")
+      }
+    }
+  }
+
+  test("fused kernel matches HOF on the real documents fixture") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val bad = docs.select(
+        (langId(col("text")) <=> langIdHof(col("text"))) &&
+        (qualityScore(col("text")) <=> qualityScoreHof(col("text"))) &&
+        (tokenCount(col("text")) <=> tokenCountHof(col("text"))) &&
+        (typeTokenRatio(col("text")) <=> typeTokenRatioHof(col("text")))
+          as "ok")
+      .filter(!col("ok")).count()
+    assert(bad == 0)
+  }
+
+  test("curation projections carry no interpreted lambda; text_stats is " +
+    "fused into a codegen'd stage") {
+    // registry queries: no interpreted HOF anywhere in the plan
+    Seq("q21_quality_scores", "q22_lang_id").foreach { q =>
+      val plan = graft.queries.TextQueries.queries(q)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("lambdafunction"),
+        s"$q still has an interpreted HOF:\n$plan")
+      assert(plan.contains("text_stats"), s"$q lost the fused kernel")
+    }
+    // the bare curation projection (no exchange, so no AQE wrapper hiding
+    // the stage): text_stats sits inside a WholeStageCodegen stage
+    val df = graft.Tables.documents(spark, sfDir).select(
+      tokenCount(col("text")).as("n"), langId(col("text")).as("lang"),
+      qualityScore(col("text")).as("q"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]),
+      plan.toString)
+    val statsLine = plan.toString.linesIterator
+      .find(_.contains("text_stats")).getOrElse("")
+    assert(statsLine.trim.matches("""^\+?-?\s*\*\(\d+\).*"""),
+      s"text_stats projection not codegen'd:\n$plan")
+  }
+}
