@@ -69,14 +69,18 @@ object AnnLsh {
 
   /** Buckets to probe for a query signature: itself + all signatures
     * within Hamming distance `probeRadius` (radius 1 = flip each bit).
+    * Distinct as a SET — the recursion regenerates `sig` by flipping a
+    * bit back, and a duplicate mask would double-count candidates in
+    * the exploded batch probe ([[topKApproxBatch]]), where each mask
+    * becomes a join row rather than an `isin` set member.
     */
   def probeBuckets(sig: Long, nPlanes: Int, probeRadius: Int): Seq[Long] =
-    if (probeRadius <= 0) Seq(sig)
-    else Seq(sig) ++ (0 until nPlanes).flatMap { b =>
-      val flipped = sig ^ (1L << b)
-      if (probeRadius == 1) Seq(flipped)
-      else probeBuckets(flipped, nPlanes, probeRadius - 1)
-    }.distinct
+    (if (probeRadius <= 0) Seq(sig)
+     else Seq(sig) ++ (0 until nPlanes).flatMap { b =>
+       val flipped = sig ^ (1L << b)
+       if (probeRadius == 1) Seq(flipped)
+       else probeBuckets(flipped, nPlanes, probeRadius - 1)
+     }).distinct
 
   /** Persist a corpus partitioned by LSH bucket. At 100 TB this is the
     * point of the operator: each bucket is a parquet partition
@@ -170,6 +174,78 @@ object AnnLsh {
         round(cosineSimilarity(col(vecCol), typedlit(queryVec)), 6).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Batched multi-probe ANN: the whole query batch resolves in ONE
+    * bucket equi-join instead of one filtered scan per query. The probe
+    * set is expressed data-side — radius-`probeRadius` probing is
+    * "signature XOR each ≤`probeRadius`-bit mask", and the mask set
+    * depends only on (nPlanes, probeRadius), so each query row explodes
+    * into its probe buckets (37 rows at 8 planes radius 2) and the
+    * exploded probes broadcast-join the corpus on `bucket`. Against a
+    * `bucket`-partitioned store the join keys prune partitions; the
+    * corpus never shuffles. A corpus row matches a query on at most one
+    * mask (the mask is determined by sig XOR qsig), so no dedup step is
+    * needed. Ranking mirrors [[graft.operators.Knn.topKBatch]]: bounded
+    * per-partition heaps ([[graft.plans.TopK]]) then a rank window over
+    * the ≤ queries × k survivors. Returns `(queryIdCol, idCol, score, rn)`.
+    */
+  def topKApproxBatch(
+      bucketed: DataFrame, idCol: String, vecCol: String,
+      queriesDf: DataFrame, queryIdCol: String, queryVecCol: String,
+      k: Int, nPlanes: Int, probeRadius: Int = 1, seed: Int = 42,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    val masks = probeBuckets(0L, nPlanes, probeRadius)
+    val probes = queriesDf
+      .select(col(queryIdCol), col(queryVecCol),
+        graft.functions.VectorSql.lshSignature(col(queryVecCol), nPlanes, seed)
+          .as("_qsig"))
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(typedlit(masks)).as("_mask"), col("_qsig"))
+      .withColumn("bucket", col("_qsig").bitwiseXOR(col("_mask")))
+    val joined = bucketed.join(broadcast(probes), "bucket")
+    val kept =
+      if (excludeSelf) joined.filter(col(idCol) =!= col(queryIdCol)) else joined
+    val scored = kept.select(
+      col(queryIdCol), col(idCol),
+      round(cosineSimilarity(col(vecCol), col(queryVecCol)), 6).as("score"))
+    val reduced = graft.plans.TopK.perKey(scored, Seq(queryIdCol),
+      Seq(("score", false), (idCol, true)), k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(queryIdCol).orderBy(col("score").desc, col(idCol))
+    reduced.withColumn("rn", row_number().over(w))
+  }
+}
+
+/** Offline quality evaluation for the ANN operators: recall@k of an
+  * approximate result set against the exact one, per query. The eval
+  * pattern at 100 TB: ground truth is inherently a full scan per query,
+  * so it runs over a SAMPLED query set (tens to thousands), while the
+  * approximate side exercises the production probe path — the metric
+  * tells you what nPlanes/probeRadius/nProbe buy before you commit the
+  * index layout.
+  */
+object AnnEval {
+
+  /** Per-query recall@k: both inputs are `(queryIdCol, idCol, …)` result
+    * sets (e.g. [[graft.operators.Knn.topKBatch]] vs
+    * [[AnnLsh.topKApproxBatch]] at the same k). Queries come from the
+    * exact side, so an approximate miss (empty probe set) still reports
+    * as recall 0 rather than disappearing. Intersection is an id-keyed
+    * join of two ≤ queries × k tables — driver never materializes rows.
+    */
+  def recallAtK(
+      exact: DataFrame, approx: DataFrame,
+      queryIdCol: String, idCol: String, k: Int
+  ): DataFrame = {
+    val hits = approx.select(col(queryIdCol), col(idCol))
+      .join(exact.select(col(queryIdCol), col(idCol)), Seq(queryIdCol, idCol))
+      .groupBy(queryIdCol).agg(count(lit(1)).as("n_hits"))
+    exact.select(col(queryIdCol)).distinct()
+      .join(hits, Seq(queryIdCol), "left_outer")
+      .select(col(queryIdCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits") / k.toDouble, 6))
   }
 }
 

@@ -77,4 +77,31 @@ object Scale {
     */
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Deterministic shuffle-and-shard for training-data serving: every
+    * row gets a content-independent pseudo-random `shuffle_key`
+    * (md5 of "id:seed"), a `shard` from the key's leading 32 bits, and
+    * a dense `pos_in_shard` rank within its shard. Changing `seed`
+    * reshuffles the whole corpus; the same seed reproduces the exact
+    * order on any cluster — the property a resumable training run needs.
+    *
+    * Scale: no global sort. The only shuffle is the `nShards`-way hash
+    * partition, and the rank window runs per shard in parallel (a
+    * single global row_number would serialize on one reducer). Shard
+    * sizes are balanced by construction (md5 is uniform), so the data
+    * loader reads `nShards` like-sized, internally-shuffled partitions.
+    */
+  def deterministicShards(
+      df: DataFrame, idCol: String, nShards: Int, seed: Int
+  ): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.withColumn("shuffle_key",
+        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
+          % nShards).cast("int"))
+      .withColumn("pos_in_shard", row_number().over(w))
+  }
 }

@@ -428,6 +428,17 @@ object PipelineQueries {
           col("text").substr(col("chunk_index") * 80 + 1, lit(100)).as("chunk_text"))
         .withColumn("chunk_len", length(col("chunk_text")))
         .orderBy("doc_id", "chunk_index")
+    },
+
+    // Deterministic shuffle-and-shard (Scale.deterministicShards): the
+    // last step before a training run — reproducible pseudo-random
+    // order, balanced shards, per-shard parallel rank (no global sort).
+    "q6C_train_shards" -> { (s, d) =>
+      graft.operators.Scale.deterministicShards(
+          Tables.documents(s, d).select("doc_id"),
+          "doc_id", nShards = 8, seed = 7)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .orderBy("shard", "pos_in_shard")
     }
   )
 
@@ -768,6 +779,24 @@ object PipelineQueries {
          |  length(substr(text, 80 * chunk_index + 1, 100)) AS chunk_len
          |FROM idx
          |ORDER BY doc_id, chunk_index""".stripMargin
-    }
+    },
+
+    // Deterministic shards: md5("id:seed") is the shuffle key on both
+    // engines; the shard is the key's leading 32 bits mod nShards
+    // (DuckDB hex-parse, Spark conv(…,16,10)); rank is per-shard.
+    "q6C_train_shards" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |         md5(CAST(doc_id AS VARCHAR) || ':7') AS k
+        |  FROM documents),
+        |sharded AS (
+        |  SELECT doc_id, k,
+        |         CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER) AS shard
+        |  FROM keyed)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard
+        |              ORDER BY k, doc_id) AS INTEGER) AS pos_in_shard
+        |FROM sharded
+        |ORDER BY shard, pos_in_shard""".stripMargin
   )
 }

@@ -138,6 +138,24 @@ object VectorQueries {
         qvec, k = 10, nProbe = 4)
     },
 
+    // ANN quality evaluation: per-query recall@10 of the batched
+    // multi-probe LSH path (q16's production shape, 20 queries in ONE
+    // bucket equi-join) against exact batch KNN ground truth. The
+    // number that justifies an index layout before committing to it.
+    "q6B_ann_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = graft.operators.Knn.topKBatch(
+        e, "vec_id", "embedding", queries, "query_id", "qvec", k = 10)
+      val bucketed = graft.operators.AnnLsh.withBuckets(e, "embedding", nPlanes = 8)
+      val approx = graft.operators.AnnLsh.topKApproxBatch(
+        bucketed, "vec_id", "embedding", queries, "query_id", "qvec",
+        k = 10, nPlanes = 8, probeRadius = 2)
+      graft.operators.AnnEval.recallAtK(exact, approx, "query_id", "vec_id", k = 10)
+        .orderBy("query_id")
+    },
+
     // Q1 metric variants: the reference accepts metric = dotproduct /
     // euclidean at index creation (`pinecone_service.py:33`); same scan +
     // TakeOrderedAndProject shape, only the scoring expression changes.
@@ -457,6 +475,46 @@ object VectorQueries {
          |WHERE a.cell IN (SELECT cid FROM probe)
          |ORDER BY score DESC, e.vec_id
          |LIMIT 10""".stripMargin,
+
+    // Recall@10 of batched LSH ANN vs exact: the approximate side's
+    // probe set (radius-2 multi-probe over 8 planes, the bucket
+    // equi-join on signature XOR masks) is exactly Hamming(sig, qsig)
+    // <= 2 — the same equivalence the q16 oracle uses; both sides rank
+    // by (rounded score DESC, vec_id) with self excluded.
+    "q6B_ann_recall" ->
+      s"""WITH ${duckLshSigs(8)},
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |      FROM embeddings WHERE vec_id < 20),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckCosine("e.embedding", "q.qvec")}, 6) DESC,
+         |                      e.vec_id) AS rn
+         |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) t
+         |  WHERE rn <= 10),
+         |approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckCosine("e.embedding", "q.qvec")}, 6) DESC,
+         |                      e.vec_id) AS rn
+         |    FROM q
+         |    JOIN sigs qs ON qs.vec_id = q.query_id
+         |    JOIN sigs s ON bit_count(xor(s.sig, qs.sig)) <= 2
+         |    JOIN embeddings e ON e.vec_id = s.vec_id
+         |    WHERE e.vec_id <> q.query_id) t
+         |  WHERE rn <= 10),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS n
+         |  FROM approx a JOIN exact x
+         |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(coalesce(h.n, 0) / 10.0, 6) AS recall
+         |FROM (SELECT DISTINCT query_id FROM exact) qq
+         |LEFT JOIN hits h ON h.query_id = qq.query_id
+         |ORDER BY qq.query_id""".stripMargin,
 
     "q10_knn_single" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

@@ -158,6 +158,59 @@ class AnnSpec extends GraftSpec {
       s"recall ${lsh.size}/${exact.size}")
   }
 
+  test("probe mask set is duplicate-free and exactly the Hamming ball") {
+    // a duplicated mask would double-count candidates in the exploded
+    // batch probe (each mask is a join row there, not an isin member)
+    for (r <- 0 to 3) {
+      val masks = AnnLsh.probeBuckets(0L, 8, r)
+      assert(masks.size == masks.distinct.size, s"dup masks at radius $r")
+      val expect = (0 until 256).count(m => java.lang.Long.bitCount(m.toLong) <= r)
+      assert(masks.size == expect, s"radius $r: ${masks.size} != $expect")
+      assert(masks.forall(m => java.lang.Long.bitCount(m) <= r))
+    }
+  }
+
+  test("batched multi-probe ANN matches the single-query probe per query") {
+    val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
+    try {
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val batch = AnnLsh.topKApproxBatch(bucketed, "vec_id", "embedding",
+          queries, "query_id", "qvec", k = 10, nPlanes = 8, probeRadius = 2)
+        .collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .map { case (q, rs) =>
+          q -> rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Long]("vec_id")).toSeq
+        }
+      queries.collect().foreach { qr =>
+        val qid  = qr.getAs[Long]("query_id")
+        val qv   = qr.getAs[scala.collection.Seq[Float]]("qvec").toSeq
+        // the solo probe keeps the self-match (q16 semantics); the batch
+        // path excludes it, so solo-minus-self must be a prefix of batch
+        val solo = AnnLsh.topKApprox(bucketed, "vec_id", "embedding",
+            qv, 10, 8, 2).collect().map(_.getAs[Long]("vec_id")).toSeq
+          .filter(_ != qid)
+        assert(batch(qid).take(solo.size) == solo,
+          s"query $qid: batch=${batch(qid)} solo=$solo")
+      }
+    } finally { bucketed.unpersist(); () }
+  }
+
+  test("recallAtK: hand-traced counts, and misses report 0 not absent") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L), (3L, 31L))
+      .toDF("query_id", "vec_id")
+    // query 1: both hit; query 2: one hit one stray; query 3: absent
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    val r = graft.operators.AnnEval
+      .recallAtK(exact, approx, "query_id", "vec_id", k = 2)
+      .orderBy("query_id").collect()
+      .map(x => (x.getAs[Long]("query_id"), x.getAs[Long]("n_hits"),
+        x.getAs[Double]("recall")))
+    assert(r.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
+  }
+
   test("higher probe budget improves or preserves LSH recall") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
     try {

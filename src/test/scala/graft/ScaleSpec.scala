@@ -142,6 +142,33 @@ class ScaleSpec extends GraftSpec {
         sampleLimit = (1 << 20) + 1))
   }
 
+  test("deterministic shards: reproducible, balanced, densely ranked") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id")
+    val n    = docs.count()
+    val s1 = Scale.deterministicShards(docs, "doc_id", nShards = 4, seed = 7)
+      .select("doc_id", "shard", "pos_in_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val s2 = Scale.deterministicShards(docs, "doc_id", nShards = 4, seed = 7)
+      .select("doc_id", "shard", "pos_in_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(s1 == s2, "same seed must reproduce the exact order")
+    assert(s1.size == n)
+    // every shard's positions are dense 1..size (the data-loader contract)
+    s1.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted == (1 to rows.size),
+        s"shard $shard positions not dense")
+    }
+    // md5 keys balance shards: no shard dominates (within 2x of even)
+    val sizes = s1.groupBy(_._2).view.mapValues(_.size).values.toSeq
+    assert(sizes.size == 4 && sizes.max <= 2 * (n / 4),
+      s"unbalanced shards: $sizes")
+    // a different seed is a genuinely different permutation
+    val s3 = Scale.deterministicShards(docs, "doc_id", nShards = 4, seed = 8)
+      .select("doc_id", "shard", "pos_in_shard").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(s1 != s3, "different seed must reshuffle")
+  }
+
   test("registry q6A plans the salted two-phase aggregate") {
     val df = SparkEntry.queries("q6A_salted_agg")(spark, sfDir)
     // phase 1 groups by (key, _salt), phase 2 by key — the salt key must
