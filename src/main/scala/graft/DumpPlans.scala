@@ -1,0 +1,63 @@
+package graft
+
+import graft.queries._
+import java.io.PrintWriter
+import org.apache.spark.sql.SparkSession
+
+/** Regenerates PLANS.md: formatted physical plans of the headline
+  * queries, annotated with what to look for in each. Plans are
+  * scale-independent; sf0.01 keeps the run fast.
+  * Run: `sbt "runMain graft.DumpPlans"`.
+  */
+object DumpPlans {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val targets = Seq(
+      ("q01_pricing_summary", "TPC-H Q1-style scan+agg: whole-stage codegen, partial aggregation", RelationalQueries.queries("q01_pricing_summary")),
+      ("q10_knn_single", "exact KNN: broadcast query, codegen'd cosine, TakeOrderedAndProject (per-partition heaps)", VectorQueries.queries("q10_knn_single")),
+      ("q11_knn_batch", "batched KNN through the custom TopKPerKey physical operator (two-phase heaps)", VectorQueries.queries("q11_knn_batch")),
+      ("q12_knn_filtered", "metadata filter pushed below scoring into the parquet scan (PushedFilters)", VectorQueries.queries("q12_knn_filtered")),
+      ("q31_jaccard_pairs", "inverted-index shingle join on xxhash64 long keys; only shingle-sharing pairs materialize", DedupQueries.queries("q31_jaccard_pairs")),
+      ("q46_asof_last_order", "as-of join as union+window: one shuffle, no row fanout", PipelineQueries.queries("q46_asof_last_order")),
+      ("q65_contamination", "contamination check: benchmark shingles aggregated then BroadcastHashJoin -- train side streams, no pair blowup", CurationQueries.queries("q65_contamination")),
+      ("q66_sequence_packing", "sequence packing: windowed cumsum partitioned by shard (no global single-partition Window)", CurationQueries.queries("q66_sequence_packing")),
+      ("q2A_hybrid_rrf", "reciprocal rank fusion: two TakeOrderedAndProject pools, ranks from sorted-array index (no WindowExec), full-outer fuse", TextQueries.queries("q2A_hybrid_rrf")),
+      ("q3A_incremental_dedup", "incremental dedup: incoming-vs-corpus LSH bucket join, jaccard verify, left_anti -- corpus only touched via its bucket table", DedupQueries.queries("q3A_incremental_dedup")),
+      ("q0I_cumulative_revenue", "running totals: ordered window over pre-aggregated months, partitioned by status (parallel, no single-partition window)", RelationalQueries.queries("q0I_cumulative_revenue")),
+      ("q16_ann_lsh", "sign-LSH probe: codegen'd lsh_signature expression (no ScalaUDF), bucket isin filter, TakeOrderedAndProject", VectorQueries.queries("q16_ann_lsh")),
+      ("q35_simhash_pairs", "64-bit simhash blocked pairs: 4x16-bit pigeonhole equi-join, bit_count(xor) distance on half-longs", DedupQueries.queries("q35_simhash_pairs")),
+      ("q6A_salted_agg", "skew-salted aggregation: (key, salt) partial phase then key combine -- one hot key spreads over 32 reducers", RelationalQueries.queries("q6A_salted_agg")),
+      ("q69_training_pipeline", "composed pipeline: codegen'd filters -> exact-dedup semi-join -> LSH-prune anti-join -> chunk generator, filters before every shuffle", PipelineQueries.queries("q69_training_pipeline")),
+      ("q6B_ann_recall", "batched multi-probe ANN + recall eval: query batch explodes into XOR probe masks, ONE broadcast bucket equi-join (corpus never shuffles), TopKPerKey both sides", VectorQueries.queries("q6B_ann_recall")),
+      ("q6C_train_shards", "deterministic training shards: md5 shuffle key, hash shard, per-shard rank window -- no global sort, shards rank in parallel", PipelineQueries.queries("q6C_train_shards"))
+    )
+    val out = new PrintWriter("/root/repo/PLANS.md")
+    out.println("# PLANS - formatted physical plans of headline queries")
+    out.println()
+    out.println("Generated at sf0.01 (plans are scale-independent);")
+    out.println("regenerate with `sbt \"runMain graft.DumpPlans\"`. Annotations: what to look for.")
+    targets.foreach { case (name, note, fn) =>
+      out.println()
+      out.println(s"## $name")
+      out.println()
+      out.println(s"_${note}_")
+      out.println()
+      out.println("```")
+      out.println(fn(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(7000))
+      out.println("```")
+    }
+    out.close()
+    println("WROTE PLANS.md")
+    spark.stop()
+  }
+}

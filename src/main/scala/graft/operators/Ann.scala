@@ -232,19 +232,22 @@ object AnnEval {
     * sets (e.g. [[graft.operators.Knn.topKBatch]] vs
     * [[AnnLsh.topKApproxBatch]] at the same k). Queries come from the
     * exact side, so an approximate miss (empty probe set) still reports
-    * as recall 0 rather than disappearing. Intersection is an id-keyed
-    * join of two ≤ queries × k tables — driver never materializes rows.
+    * as recall 0 rather than disappearing. The exact plan is referenced
+    * exactly ONCE — ground truth is the expensive side (a full scan per
+    * sampled query); a separate distinct-queries pass would compute it
+    * twice. One left-outer join of two ≤ queries × k tables, hit rows
+    * flagged and summed per query — driver never materializes rows.
     */
   def recallAtK(
       exact: DataFrame, approx: DataFrame,
       queryIdCol: String, idCol: String, k: Int
   ): DataFrame = {
-    val hits = approx.select(col(queryIdCol), col(idCol))
-      .join(exact.select(col(queryIdCol), col(idCol)), Seq(queryIdCol, idCol))
-      .groupBy(queryIdCol).agg(count(lit(1)).as("n_hits"))
-    exact.select(col(queryIdCol)).distinct()
-      .join(hits, Seq(queryIdCol), "left_outer")
-      .select(col(queryIdCol), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+    val flagged = approx.select(col(queryIdCol), col(idCol))
+      .withColumn("_hit", lit(1))
+    exact.select(col(queryIdCol), col(idCol))
+      .join(flagged, Seq(queryIdCol, idCol), "left_outer")
+      .groupBy(queryIdCol)
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("long").as("n_hits"))
       .withColumn("recall", round(col("n_hits") / k.toDouble, 6))
   }
 }
