@@ -105,6 +105,27 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Deterministic uniform sample of exactly `k` rows: order by a salted
+    * md5 of the id and take the first `k`. The hash order is a seeded
+    * uniform permutation independent of ingestion/storage order, and
+    * `orderBy(...).limit(k)` plans `TakeOrderedAndProject` — each
+    * partition keeps a k-bounded heap and only partitions × k rows ever
+    * reach the driver-side merge; there is NO global sort of the
+    * corpus. The standard way to draw an eval/inspection subset from a
+    * 100 TB table: same seed = same sample, any cluster, any file
+    * layout.
+    */
+  def uniformSample(df: DataFrame, idCol: String, k: Int,
+                    salt: String = "sample"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    require(!df.columns.contains("_rank"),
+      "input already has a _rank column (would be clobbered)")
+    df.withColumn("_rank", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .orderBy(col("_rank"), col(idCol))
+      .limit(k)
+      .drop("_rank")
+  }
+
   /** Length-outlier pruning: keep documents whose token count lies within
     * the corpus [pLo, pHi] percentile band. The two bounds are a single
     * tiny aggregate broadcast to the filter — the corpus never shuffles.

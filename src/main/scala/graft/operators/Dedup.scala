@@ -627,4 +627,56 @@ object Dedup {
         hammingDistance(col("sig_a"), col("sig_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  // ---- semantic (embedding-space) dedup --------------------------------
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding space into `nCells` cells
+    * (deterministic IVF assignment, [[AnnIvf.assign]]), then score
+    * cosine similarity ONLY within a cell. The cell equi-join bounds
+    * the pair space to Σ cell² instead of n² — the same
+    * candidates-then-verify shape as the LSH text path, but driven by
+    * the embedding geometry, so it catches paraphrase-level duplicates
+    * that share no shingles. Returns `(cell, id_a, id_b, score)` with
+    * `id_a < id_b` and rounded `score >= minScore`.
+    *
+    * At 100 TB: cells are the storage partition key (the IVF layout
+    * already materialized for ANN serves double duty), each cell's
+    * self-join runs cell-local, and a skewed mega-cell is handled the
+    * same way as an LSH mega-bucket — raise `nCells` or cap the cell.
+    */
+  def semanticPairs(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minScore: Double, scale: Int = 6
+  ): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val cents    = AnnIvf.centroids(emb, idCol, vecCol, nCells)
+    val assigned = AnnIvf.assign(emb, idCol, vecCol, cents)
+    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(cosineSimilarity(col("_va"), col("_vb")), scale).as("score"))
+      .filter(col("score") >= minScore)
+  }
+
+  /** Semantic-dedup survivors: a row is dropped iff some SAME-CELL row
+    * with a smaller id is at least `minScore` cosine-similar to it
+    * (the deterministic "keep the lowest-id exemplar" rule; one
+    * left_anti against the [[semanticPairs]] `id_b` side). Dropping is
+    * deterministic and the smallest id of every similar group always
+    * survives. (Re-running on the survivor set is NOT guaranteed to be
+    * a fixed point: the deterministic centroid pick shifts with the
+    * id set, which can re-cell borderline pairs.)
+    */
+  def semanticSurvivors(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, minScore: Double
+  ): DataFrame = {
+    val dropIds = semanticPairs(emb, idCol, vecCol, nCells, minScore)
+      .select(col("id_b").as(idCol)).distinct()
+    emb.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

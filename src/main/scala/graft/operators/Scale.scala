@@ -78,6 +78,58 @@ object Scale {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Small-file compaction: rewrite a parquet directory into files of
+    * roughly `targetBytesPerFile`. Streaming sinks and per-partition
+    * task writes accrete thousands of KB-sized files at 100 TB; every
+    * later scan then pays a task + open + footer-parse per file, and
+    * the NameNode/listing layer pays for all of them forever.
+    * Compaction restores the ~128 MB-file world the scan planner
+    * assumes.
+    *
+    * With `sortCols`, rows are range-partitioned and sorted within each
+    * output file — clustering by the common filter key makes parquet
+    * row-group min/max statistics selective, so later filtered scans
+    * skip whole row groups (the poor man's Z-order, exact for a single
+    * key). Output file count is computed from the CURRENT compressed
+    * size, so re-compaction is stable.
+    *
+    * The directory swap (write tmp → rename over) is not atomic for
+    * concurrent readers; at scale this primitive runs under a table
+    * format's transaction (or on a quiesced partition). Returns the
+    * output file count.
+    */
+  def compact(
+      spark: SparkSession, path: String, targetBytesPerFile: Long,
+      sortCols: Seq[String] = Nil
+  ): Int = {
+    require(targetBytesPerFile > 0, "targetBytesPerFile must be positive")
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(path)
+    val fs  = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nFiles = math.max(1L,
+      (totalBytes + targetBytesPerFile - 1) / targetBytesPerFile).toInt
+    val df = spark.read.parquet(path)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    val tmp = new Path(path.stripSuffix("/") + ".compact-tmp")
+    val old = new Path(path.stripSuffix("/") + ".compact-old")
+    shaped.write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(dir, old))
+      throw new java.io.IOException(s"compaction swap failed: $dir -> $old")
+    if (!fs.rename(tmp, dir)) {
+      fs.rename(old, dir) // roll back; original data untouched
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $dir")
+    }
+    fs.delete(old, true)
+    nFiles
+  }
+
   /** Deterministic shuffle-and-shard for training-data serving: every
     * row gets a content-independent pseudo-random `shuffle_key`
     * (md5 of "id:seed"), a `shard` from the key's leading 32 bits, and

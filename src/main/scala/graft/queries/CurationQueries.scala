@@ -127,6 +127,15 @@ object CurationQueries {
       Curation.lengthBand(Tables.documents(s, d), "text", 0.10, 0.90)
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
+    },
+
+    // Deterministic uniform sample: exactly 50 docs by salted-hash order
+    // — TakeOrderedAndProject (per-partition k-heaps), no global sort.
+    // Same seed draws the same eval subset on any cluster/layout.
+    "q6F_uniform_sample" -> { (s, d) =>
+      Curation.uniformSample(Tables.documents(s, d), "doc_id", k = 50)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }
   )
 
@@ -245,6 +254,16 @@ object CurationQueries {
          |SELECT doc_id, n_tokens
          |FROM t CROSS JOIN b
          |WHERE n_tokens >= lo AND n_tokens <= hi
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Uniform sample: identical salted-md5 permutation on both engines;
+    // the id tiebreak makes the cut at k deterministic even under
+    // (impossible for md5, but cheap to pin) rank collisions.
+    "q6F_uniform_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sample'), doc_id
+        |  LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin
   )
 }

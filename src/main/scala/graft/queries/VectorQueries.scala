@@ -15,6 +15,27 @@ object VectorQueries {
 
   private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
+  /** Deterministic IVF cell assignment, the SQL mirror of
+    * `AnnIvf.centroids` + `AnnIvf.assign`: centroids are the `nCells`
+    * smallest-id corpus vectors; each row goes to its max-cosine
+    * centroid with ties to the smallest centroid id (the max_by
+    * ordering `(cscore, -centroid_id)`). Emits CTE fragments
+    * `cents(cid, cvec)` and `assigned(vec_id, cell)` over `embeddings`.
+    * Shared by the q17 / q6D / q6E oracles.
+    */
+  private def duckIvfCells(nCells: Int): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckCosine("e.embedding", "c.cvec")} DESC,
+       |                      c.cid ASC) AS rn
+       |    FROM embeddings e, cents c) t
+       |  WHERE rn = 1)""".stripMargin
+
   /** DuckDB mirror of `AnnLsh.hyperplanes` + `signatureOf` (seed 42):
     * plane entry (p, d) is the sign of scala
     * `MurmurHash3.finalizeHash(mix(mix(42, p), d), 2)`, spelled out as
@@ -154,6 +175,27 @@ object VectorQueries {
         k = 10, nPlanes = 8, probeRadius = 2)
       graft.operators.AnnEval.recallAtK(exact, approx, "query_id", "vec_id", k = 10)
         .orderBy("query_id")
+    },
+
+    // SemDeDup-style semantic near-dup pairs: deterministic IVF cells
+    // bound the pair space (cell equi-join, never n²), exact rounded
+    // cosine >= 0.35 verifies within the cell — catches paraphrase
+    // duplicates that share no shingles with the text-dedup path.
+    "q6D_semantic_pairs" -> { (s, d) =>
+      graft.operators.Dedup.semanticPairs(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 16, minScore = 0.35)
+        .orderBy("cell", "id_a", "id_b")
+    },
+
+    // Semantic-dedup survivors: drop any vector with a same-cell,
+    // smaller-id neighbor at >= 0.35 cosine (lowest-id exemplar rule).
+    "q6E_semantic_survivors" -> { (s, d) =>
+      graft.operators.Dedup.semanticSurvivors(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nCells = 16, minScore = 0.35)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
     },
 
     // Q1 metric variants: the reference accepts metric = dotproduct /
@@ -455,17 +497,7 @@ object VectorQueries {
     // the query, exact rounded cosine within the probed cells.
     "q17_ann_ivf" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |cents AS (
-         |  SELECT vec_id AS cid, embedding AS cvec
-         |  FROM embeddings ORDER BY vec_id LIMIT 16),
-         |assigned AS (
-         |  SELECT vec_id, cell FROM (
-         |    SELECT e.vec_id, c.cid AS cell,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${duckCosine("e.embedding", "c.cvec")} DESC,
-         |                      c.cid ASC) AS rn
-         |    FROM embeddings e, cents c) t
-         |  WHERE rn = 1),
+         |${duckIvfCells(16)},
          |probe AS (
          |  SELECT cid FROM cents, q
          |  ORDER BY ${duckCosine("cvec", "qv")} DESC, cid
@@ -475,6 +507,35 @@ object VectorQueries {
          |WHERE a.cell IN (SELECT cid FROM probe)
          |ORDER BY score DESC, e.vec_id
          |LIMIT 10""".stripMargin,
+
+    // SemDeDup pairs: the same deterministic IVF assignment as q17's
+    // oracle (first-16-ids centroids, cosine argmax with min-cid ties),
+    // then within-cell pairs at rounded cosine >= 0.35.
+    "q6D_semantic_pairs" ->
+      s"""WITH ${duckIvfCells(16)}
+         |SELECT a1.cell, a1.vec_id AS id_a, a2.vec_id AS id_b,
+         |       round(${duckCosine("e1.embedding", "e2.embedding")}, 6) AS score
+         |FROM assigned a1
+         |JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+         |JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+         |JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+         |WHERE round(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.35
+         |ORDER BY a1.cell, id_a, id_b""".stripMargin,
+
+    // Semantic survivors: everything not named as the larger id of a
+    // within-cell pair at >= 0.35 (lowest-id exemplar survives).
+    "q6E_semantic_survivors" ->
+      s"""WITH ${duckIvfCells(16)},
+         |drops AS (
+         |  SELECT DISTINCT a2.vec_id AS d
+         |  FROM assigned a1
+         |  JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+         |  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+         |  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+         |  WHERE round(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.35)
+         |SELECT e.vec_id, e.label FROM embeddings e
+         |WHERE e.vec_id NOT IN (SELECT d FROM drops)
+         |ORDER BY e.vec_id""".stripMargin,
 
     // Recall@10 of batched LSH ANN vs exact: the approximate side's
     // probe set (radius-2 multi-probe over 8 planes, the bucket

@@ -161,4 +161,20 @@ class CurationSpec extends GraftSpec {
     assert(Curation.topNgramFraction(
       Seq((1L, "solo")).toDF("doc_id", "text"), "doc_id", "text", 2).isEmpty)
   }
+
+  test("uniformSample: exact k, seed-stable, seed-sensitive, no global sort") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Curation.uniformSample(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val s2 = Curation.uniformSample(docs, "doc_id", 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1.size == 10 && s1 == s2, "same salt must redraw the same sample")
+    val s3 = Curation.uniformSample(docs, "doc_id", 10, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(s1 != s3, "different salt must draw a different sample")
+    // bounded top-k reduction, not a full sort of the corpus
+    val plan = Curation.uniformSample(docs, "doc_id", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

@@ -353,4 +353,48 @@ class DedupSpec extends GraftSpec {
     val scores = pairs.map(_.getAs[Double]("score")).toSeq
     assert(scores == scores.sorted.reverse)
   }
+
+  test("semantic dedup: cell-bounded pairs match brute force; survivors " +
+      "drop exactly the larger ids") {
+    val emb   = Tables.embeddings(spark, sfDir)
+    val cells = graft.operators.AnnIvf
+      .assign(emb, "vec_id", "embedding",
+        graft.operators.AnnIvf.centroids(emb, "vec_id", "embedding", 8))
+      .select("vec_id", "cell").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq).toMap
+    // driver-side reference: double accumulation left-to-right, the
+    // engine's documented cosine semantics
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = vecs.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids; j <- ids if i < j && cells(i) == cells(j)
+      s = BigDecimal(cos(vecs(i), vecs(j)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.3
+    } yield (i, j)).toSet
+    val got = Dedup.semanticPairs(emb, "vec_id", "embedding", 8, 0.3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == expected,
+      s"extra=${got -- expected} missing=${expected -- got}")
+    assert(expected.nonEmpty, "fixture should produce at least one pair")
+
+    val survivors = Dedup.semanticSurvivors(emb, "vec_id", "embedding", 8, 0.3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == ids.toSet -- expected.map(_._2),
+      "survivors must be exactly the non-larger-id set")
+    // the smallest id of every pair always survives
+    assert(expected.map(_._1).forall(a =>
+      survivors.contains(a) || expected.exists(_._2 == a)))
+  }
 }

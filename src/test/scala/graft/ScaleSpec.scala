@@ -142,6 +142,38 @@ class ScaleSpec extends GraftSpec {
         sampleLimit = (1 << 20) + 1))
   }
 
+  test("compaction collapses a small-file explosion and preserves the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val li  = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    li.repartition(64).write.parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before >= 32, s"fixture should start fragmented, got $before files")
+    val expected = li.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy(identity).toSeq
+
+    val n = Scale.compact(spark, dir, targetBytesPerFile = 512L * 1024,
+      sortCols = Seq("l_orderkey"))
+    val after = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(after == n && after < before / 4,
+      s"compaction left $after files (was $before)")
+    val got = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Double]("l_quantity")))
+      .sortBy(identity).toSeq
+    assert(got == expected, "compaction must not change the data")
+
+    // sortCols clustering: within every output file rows are ordered by
+    // the key, so row-group min/max stats are selective for later scans
+    import org.apache.spark.sql.functions.input_file_name
+    spark.read.parquet(dir)
+      .select(col("l_orderkey"), input_file_name().as("f")).collect()
+      .groupBy(_.getAs[String]("f")).foreach { case (f, rows) =>
+        val keys = rows.map(_.getAs[Long]("l_orderkey")).toSeq
+        assert(keys == keys.sorted, s"file $f not sorted")
+      }
+  }
+
   test("deterministic shards: reproducible, balanced, densely ranked") {
     val docs = Tables.documents(spark, sfDir).select("doc_id")
     val n    = docs.count()
