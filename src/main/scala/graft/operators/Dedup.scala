@@ -648,18 +648,54 @@ object Dedup {
     */
   def semanticPairs(
       emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, minScore: Double, scale: Int = 6
+      nCells: Int, minScore: Double, scale: Int = 6,
+      maxCellSize: Int = Int.MaxValue
   ): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
-    val cents    = AnnIvf.centroids(emb, idCol, vecCol, nCells)
-    val assigned = AnnIvf.assign(emb, idCol, vecCol, cents)
-    val a = assigned.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("_va"))
-    val b = assigned.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("_vb"))
-    a.join(b, "cell")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("cell"), col("id_a"), col("id_b"),
-        round(cosineSimilarity(col("_va"), col("_vb")), scale).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val cents = AnnIvf.centroids(emb, idCol, vecCol, nCells)
+    val base  = AnnIvf.assign(emb, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol), col(vecCol))
+    // skew guard, same conservative stance as the LSH bucket caps: an
+    // over-dense cell (web boilerplate collapsing to one centroid) is
+    // excluded from the PAIR universe — its docs are all kept, never
+    // silently deleted; audit with [[oversizedCells]], mitigate by
+    // raising nCells. The size is a count window INSIDE the cell
+    // exchange, not a separate counts-join — no extra pass over the
+    // corpus.
+    val assigned =
+      if (maxCellSize == Int.MaxValue) base
+      else base
+        .withColumn("_csz", count(lit(1)).over(Window.partitionBy("cell")))
+        .filter(col("_csz") <= maxCellSize)
+        .drop("_csz")
+    // self-join via aliases of the SAME plan: both sides canonicalize
+    // identically, so the cell exchange (and everything under it — the
+    // broadcast argmax assignment) is planned ONCE and reused
+    // (ReusedExchange), instead of computing the assignment twice as a
+    // per-side projection rename would
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col("a.cell").as("cell"),
+        col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+        round(cosineSimilarity(col(s"a.$vecCol"), col(s"b.$vecCol")), scale)
+          .as("score"))
       .filter(col("score") >= minScore)
+  }
+
+  /** Audit for [[semanticPairs]]'s `maxCellSize` guard: the cells the
+    * cap excluded from the pair universe, with their populations.
+    */
+  def oversizedCells(
+      emb: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, maxCellSize: Int
+  ): DataFrame = {
+    val cents = AnnIvf.centroids(emb, idCol, vecCol, nCells)
+    AnnIvf.assign(emb, idCol, vecCol, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_rows"))
+      .filter(col("n_rows") > maxCellSize)
   }
 
   /** Semantic-dedup survivors: a row is dropped iff some SAME-CELL row
@@ -673,9 +709,11 @@ object Dedup {
     */
   def semanticSurvivors(
       emb: DataFrame, idCol: String, vecCol: String,
-      nCells: Int, minScore: Double
+      nCells: Int, minScore: Double,
+      maxCellSize: Int = Int.MaxValue
   ): DataFrame = {
-    val dropIds = semanticPairs(emb, idCol, vecCol, nCells, minScore)
+    val dropIds = semanticPairs(emb, idCol, vecCol, nCells, minScore,
+        maxCellSize = maxCellSize)
       .select(col("id_b").as(idCol)).distinct()
     emb.join(dropIds, Seq(idCol), "left_anti")
   }

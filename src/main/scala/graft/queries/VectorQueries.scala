@@ -181,19 +181,23 @@ object VectorQueries {
     // bound the pair space (cell equi-join, never n²), exact rounded
     // cosine >= 0.35 verifies within the cell — catches paraphrase
     // duplicates that share no shingles with the text-dedup path.
+    // maxCellSize = 40 is LIVE on the fixture (one 42-row cell is
+    // excluded from the pair universe — its docs are kept, audited by
+    // Dedup.oversizedCells).
     "q6D_semantic_pairs" -> { (s, d) =>
       graft.operators.Dedup.semanticPairs(
           Tables.embeddings(s, d), "vec_id", "embedding",
-          nCells = 16, minScore = 0.35)
+          nCells = 16, minScore = 0.35, maxCellSize = 40)
         .orderBy("cell", "id_a", "id_b")
     },
 
     // Semantic-dedup survivors: drop any vector with a same-cell,
-    // smaller-id neighbor at >= 0.35 cosine (lowest-id exemplar rule).
+    // smaller-id neighbor at >= 0.35 cosine (lowest-id exemplar rule),
+    // under the same live cell cap as q6D.
     "q6E_semantic_survivors" -> { (s, d) =>
       graft.operators.Dedup.semanticSurvivors(
           Tables.embeddings(s, d), "vec_id", "embedding",
-          nCells = 16, minScore = 0.35)
+          nCells = 16, minScore = 0.35, maxCellSize = 40)
         .select(col("vec_id"), col("label"))
         .orderBy("vec_id")
     },
@@ -510,26 +514,37 @@ object VectorQueries {
 
     // SemDeDup pairs: the same deterministic IVF assignment as q17's
     // oracle (first-16-ids centroids, cosine argmax with min-cid ties),
-    // then within-cell pairs at rounded cosine >= 0.35.
+    // cells over the 40-row cap excluded (count window, mirroring the
+    // Spark side), then within-cell pairs at rounded cosine >= 0.35.
     "q6D_semantic_pairs" ->
-      s"""WITH ${duckIvfCells(16)}
+      s"""WITH ${duckIvfCells(16)},
+         |capped AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
+         |    FROM assigned) t
+         |  WHERE csz <= 40)
          |SELECT a1.cell, a1.vec_id AS id_a, a2.vec_id AS id_b,
          |       round(${duckCosine("e1.embedding", "e2.embedding")}, 6) AS score
-         |FROM assigned a1
-         |JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+         |FROM capped a1
+         |JOIN capped a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
          |JOIN embeddings e1 ON e1.vec_id = a1.vec_id
          |JOIN embeddings e2 ON e2.vec_id = a2.vec_id
          |WHERE round(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.35
          |ORDER BY a1.cell, id_a, id_b""".stripMargin,
 
     // Semantic survivors: everything not named as the larger id of a
-    // within-cell pair at >= 0.35 (lowest-id exemplar survives).
+    // capped within-cell pair at >= 0.35 (lowest-id exemplar survives).
     "q6E_semantic_survivors" ->
       s"""WITH ${duckIvfCells(16)},
+         |capped AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell, count(*) OVER (PARTITION BY cell) AS csz
+         |    FROM assigned) t
+         |  WHERE csz <= 40),
          |drops AS (
          |  SELECT DISTINCT a2.vec_id AS d
-         |  FROM assigned a1
-         |  JOIN assigned a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
+         |  FROM capped a1
+         |  JOIN capped a2 ON a1.cell = a2.cell AND a1.vec_id < a2.vec_id
          |  JOIN embeddings e1 ON e1.vec_id = a1.vec_id
          |  JOIN embeddings e2 ON e2.vec_id = a2.vec_id
          |  WHERE round(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.35)

@@ -396,5 +396,34 @@ class DedupSpec extends GraftSpec {
     // the smallest id of every pair always survives
     assert(expected.map(_._1).forall(a =>
       survivors.contains(a) || expected.exists(_._2 == a)))
+
+    // cell cap: capping just below the largest cell removes exactly that
+    // cell's pairs from the universe (docs kept, never deleted), and the
+    // audit table names it
+    val sizes  = cells.groupBy(_._2).view.mapValues(_.size).toMap
+    val maxSz  = sizes.values.max
+    val bigCells = sizes.filter(_._2 == maxSz).keySet
+    val capped = Dedup.semanticPairs(emb, "vec_id", "embedding", 8, 0.3,
+        maxCellSize = maxSz - 1)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val expectedCapped = expected.filterNot { case (a, _) => bigCells(cells(a)) }
+    assert(capped == expectedCapped,
+      s"extra=${capped -- expectedCapped} missing=${expectedCapped -- capped}")
+    val audited = Dedup.oversizedCells(emb, "vec_id", "embedding", 8, maxSz - 1)
+      .collect().map(r => r.getAs[Long]("cell") -> r.getAs[Long]("n_rows")).toMap
+    assert(audited.keySet == bigCells && audited.values.forall(_ == maxSz))
+  }
+
+  test("semantic pairs self-join reuses the assignment exchange at runtime") {
+    // the alias-based self-join canonicalizes both sides identically, so
+    // AQE materializes the cell shuffle (and the whole broadcast-argmax
+    // assignment under it) ONCE — a per-side projection rename would
+    // compute the assignment twice
+    val emb = Tables.embeddings(spark, sfDir)
+    val df  = Dedup.semanticPairs(emb, "vec_id", "embedding", 8, 0.3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"assignment computed twice — no ReusedExchange in:\n$plan")
   }
 }
