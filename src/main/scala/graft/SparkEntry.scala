@@ -27,7 +27,8 @@ object SparkEntry {
       TextQueries.queries ++
       DedupQueries.queries ++
       PipelineQueries.queries ++
-      CurationQueries.queries
+      CurationQueries.queries ++
+      StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++
@@ -35,7 +36,8 @@ object SparkEntry {
       TextQueries.oracles ++
       DedupQueries.oracles ++
       PipelineQueries.oracles ++
-      CurationQueries.oracles
+      CurationQueries.oracles ++
+      StreamingQueries.oracles
 
   /** Queries without a DuckDB oracle (driver records a rows-only
     * check). EMPTY since round 3: every registry query is now

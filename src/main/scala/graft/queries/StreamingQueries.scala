@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.streaming.{StreamRunner, StreamingIngest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.LongType
+
+/** Batch-parity gates for the Structured Streaming operator family
+  * (SURVEY §2.9): each query REALLY runs as a stream — file source over
+  * the events fixture, state-store aggregation / `flatMapGroupsWithState`
+  * sessions / `dropDuplicatesWithinWatermark` / stream-stream interval
+  * join, `Trigger.AvailableNow`, memory sink — and the materialized
+  * result is hash-compared against the batch SQL twin in DuckDB. This
+  * graduates streaming from spec-only to the same oracle gate as every
+  * batch operator: the claim is "the streaming form computes the SAME
+  * answer as the batch form", which is exactly what an incremental
+  * 100 TB pipeline needs from its streaming twin.
+  *
+  * Determinism notes (why these are byte-stable under the harness):
+  * the fixture is one parquet file, so `AvailableNow` runs exactly one
+  * micro-batch; the first batch's watermark is epoch 0, so no row is
+  * dropped as late and no dedup state is evicted mid-run; sessions only
+  * CLOSE when a strictly-later event arrives (the event-time flush
+  * horizon sits beyond the fixture's range), so the emitted set is
+  * exactly "every session except each user's last" — a set the batch
+  * oracle reproduces.
+  */
+object StreamingQueries {
+
+  /** Streaming twin of [[graft.Tables.events]]: same nanos→micros
+    * conversion, but as a `readStream` file source.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val path   = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // the fixture is a single FILE, and the file stream source insists
+    // on a directory — stream the parent dir with a name filter instead
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private val SessionGapUs  = 86400L * 1000000L // 24 h inactivity closes a session
+  private val AttribIvalSec = 21600L            // view→click attribution window, 6 h
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Watermarked tumbling-window aggregation through the streaming
+    // state store (q06's streaming twin, running as an actual stream).
+    "q70_stream_hourly" -> { (s, d) =>
+      StreamRunner
+        .runToBatch(StreamingIngest.eventCounts(eventsStream(s, d)),
+          OutputMode.Complete)
+        .select(col("window.start").as("win_start"),
+          col("window.end").as("win_end"),
+          col("event_type"), col("n"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("win_start", "event_type")
+    },
+
+    // Custom cross-batch state: per-user sessions with a 24 h gap via
+    // flatMapGroupsWithState, flushed on EVENT-time timers (deterministic
+    // on replay, and the reason the stream terminates under AvailableNow
+    // — wall-clock timers would re-batch forever). The flush horizon sits
+    // beyond the fixture's time range, so the emitted set is CLOSED
+    // sessions only and the oracle is the batch sessionization minus
+    // each user's final session.
+    "q71_stream_sessions" -> { (s, d) =>
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .as[StreamingIngest.UserEvent]
+      StreamRunner
+        .runToBatch(
+          StreamingIngest.statefulSessions(ev, gapUs = SessionGapUs,
+            StreamingIngest.SessionFlush.WatermarkHorizon(
+              365L * 86400L * 1000000L)).toDF(),
+          OutputMode.Append)
+        .select(col("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "start_us")
+    },
+
+    // Streaming exact dedup: dropDuplicatesWithinWatermark on
+    // (user_id, event_type). Projected to the key columns, the emitted
+    // set is exactly the batch DISTINCT.
+    "q72_stream_dedup" -> { (s, d) =>
+      StreamRunner
+        .runToBatch(
+          StreamingIngest.dedupStream(eventsStream(s, d), "ts", "1 hour",
+            Seq("user_id", "event_type")),
+          OutputMode.Append)
+        .select("user_id", "event_type")
+        .orderBy("user_id", "event_type")
+    },
+
+    // Watermarked stream-stream interval join: each view joins the same
+    // user's clicks within the next 6 h (the attribution pattern whose
+    // state the engine bounds by delay + interval per key).
+    "q73_stream_attribution" -> { (s, d) =>
+      val ev = eventsStream(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      StreamRunner
+        .runToBatch(
+          StreamingIngest.joinWithinInterval(views, clicks,
+            keyCol = "user_id", leftTsCol = "view_ts",
+            rightTsCol = "click_ts", delay = "1 hour",
+            intervalSeconds = AttribIvalSec),
+          OutputMode.Append)
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+            .as("lag_us"))
+        .orderBy("user_id", "view_id", "click_id")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q70_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS win_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    // Batch sessionization (24 h gap), drop each user's last session —
+    // the one the stream leaves open.
+    "q71_stream_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |         > 86400 * 1000000::BIGINT THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, us, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM g),
+        |agg AS (
+        |  SELECT user_id, sid, min(us) AS start_us, max(us) AS end_us,
+        |         count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  FROM s GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sid) AS msid FROM agg GROUP BY 1)
+        |SELECT a.user_id, a.start_us, a.end_us, a.n_events, a.total_value
+        |FROM agg a
+        |JOIN last l ON a.user_id = l.user_id AND a.sid < l.msid
+        |ORDER BY a.user_id, a.start_us""".stripMargin,
+
+    "q72_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type
+        |FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q73_stream_attribution" ->
+      """SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events v
+        |JOIN events c
+        |  ON v.user_id = c.user_id
+        | AND v.event_type = 'view' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) >= epoch_us(v.ts)
+        | AND epoch_us(c.ts) <= epoch_us(v.ts) + 21600 * 1000000::BIGINT
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin
+  )
+}

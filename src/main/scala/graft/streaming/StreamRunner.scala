@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Batch-parity harness for streaming operators: run a streaming
+  * DataFrame over its bounded file source to completion with
+  * `Trigger.AvailableNow` into an in-memory sink, and hand back the
+  * result as a batch DataFrame.
+  *
+  * This is how the streaming operator family earns the SAME DuckDB
+  * oracle gate as every batch operator — the stream really executes
+  * (file source → state store → sink), and the materialized result is
+  * hash-compared against the batch SQL twin. The memory sink is bounded
+  * by the RESULT size (windowed aggregates, closed sessions, matched
+  * pairs — never the corpus), which is what makes it safe as a test
+  * harness; production streams write to a real sink via
+  * [[StreamingIngest.start]]'s foreachBatch shape instead.
+  *
+  * Each run gets a fresh sink name and checkpoint dir so a bench
+  * repetition (3 runs of the same query builder in one session) replays
+  * the stream from scratch instead of resuming offsets and emitting
+  * nothing.
+  */
+object StreamRunner {
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def runToBatch(df: DataFrame, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    val name  = s"graft_stream_sink_${runSeq.incrementAndGet()}"
+    val ckpt  = java.nio.file.Files
+      .createTempDirectory("graft-stream-ckpt-").toString
+    val query = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(name)
+  }
+}

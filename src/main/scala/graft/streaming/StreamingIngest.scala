@@ -159,10 +159,46 @@ object StreamingIngest {
         col(rightTsCol) <= col(leftTsCol) + expr(s"interval $intervalSeconds seconds"))
   }
 
-  final case class UserEvent(user_id: Long, ts_us: Long, value: Double)
+  /** `ts` carries the event time (and, in event-time flush mode, the
+    * watermark metadata — Spark requires the watermarked COLUMN to reach
+    * the stateful operator's input, so projecting it away to `ts_us`
+    * alone fails analysis); `ts_us` is the micros the session arithmetic
+    * uses.
+    */
+  final case class UserEvent(
+      user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class ClosedSession(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
+
+  /** How an IDLE user's final open session gets flushed out of state. */
+  sealed trait SessionFlush
+  object SessionFlush {
+    /** Wall-clock idle flush: the session closes `ms` of processing time
+      * after the user's last batch. Lowest latency, but wall-clock-
+      * dependent (a replay of the same data can emit at different
+      * batches), and under `Trigger.AvailableNow` the engine keeps
+      * scheduling empty micro-batches forever to evaluate the pending
+      * wall-clock timers (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch`
+      * is unconditionally true for ProcessingTimeTimeout) — so this mode
+      * never terminates under a bounded-replay harness.
+      */
+    final case class IdleWallClock(ms: Long) extends SessionFlush
+    /** Event-time flush: the session closes when the watermark passes
+      * `last event + horizonUs`. Deterministic on replay (timers are data,
+      * not wall clock) and terminates under `Trigger.AvailableNow` (the
+      * engine only re-batches while the watermark advances). Requires a
+      * `withWatermark` upstream of the sessionizer. The mode to use for
+      * incremental 100 TB pipelines: state stays O(open sessions) and a
+      * backfill replay emits byte-identical sessions.
+      */
+    final case class WatermarkHorizon(horizonUs: Long) extends SessionFlush
+    /** No flush: only a strictly-later event past the gap closes a
+      * session; each user's final session stays in state. For tests and
+      * bounded corpora.
+      */
+    case object NoFlush extends SessionFlush
+  }
 
   /** Custom cross-batch state (SURVEY §2.9 / KeyValueGroupedDataset):
     * per-user session accumulation with a gap timeout —
@@ -170,8 +206,7 @@ object StreamingIngest {
     * emits a session row when the inactivity gap closes it. This is the
     * streaming twin of the batch q44_sessionize window query; state is
     * O(users with an open session): an idle user's final session is
-    * flushed (and their state removed) by a processing-time timeout of
-    * `idleTimeoutMs`, so state does not grow with users-ever-seen.
+    * flushed (and their state removed) per the [[SessionFlush]] mode.
     *
     * Late events: an event older than the session's high-water mark is
     * folded into the current session without moving the mark backwards —
@@ -180,13 +215,18 @@ object StreamingIngest {
     */
   def statefulSessions(
       events: Dataset[UserEvent], gapUs: Long,
-      idleTimeoutMs: Long = 60000L
+      flush: SessionFlush = SessionFlush.IdleWallClock(60000L)
   ): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
+    val timeoutConf = flush match {
+      case SessionFlush.IdleWallClock(_)    => GroupStateTimeout.ProcessingTimeTimeout
+      case SessionFlush.WatermarkHorizon(_) => GroupStateTimeout.EventTimeTimeout
+      case SessionFlush.NoFlush             => GroupStateTimeout.NoTimeout
+    }
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, ClosedSession](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val st = state.get
@@ -208,7 +248,16 @@ object StreamingIngest {
             }
             if (st != null) {
               state.update(st)
-              state.setTimeoutDuration(idleTimeoutMs)
+              flush match {
+                case SessionFlush.IdleWallClock(ms) => state.setTimeoutDuration(ms)
+                case SessionFlush.WatermarkHorizon(h) =>
+                  // the engine rejects a timeout at-or-before the current
+                  // watermark; a very-late straggler session flushes at the
+                  // next possible instant instead
+                  state.setTimeoutTimestamp(math.max(
+                    (st.lastUs + h) / 1000L, state.getCurrentWatermarkMs() + 1))
+                case SessionFlush.NoFlush =>
+              }
             }
             closed.result().iterator
           }

@@ -89,13 +89,15 @@ class StreamingSpec extends GraftSpec {
     // two users; user 1 has two sessions split by a >10min gap that
     // spans the two input files (forces cross-batch state)
     val m = 60L * 1000000L
+    def ev(uid: Long, us: Long, v: Double) =
+      UserEvent(uid, new java.sql.Timestamp(us / 1000L), us, v)
     Seq(
-      UserEvent(1L, 0 * m, 1.0), UserEvent(1L, 2 * m, 2.0),
-      UserEvent(2L, 1 * m, 5.0)
+      ev(1L, 0 * m, 1.0), ev(1L, 2 * m, 2.0),
+      ev(2L, 1 * m, 5.0)
     ).toDS().coalesce(1).write.parquet(s"$dir/batch1")
     Seq(
-      UserEvent(1L, 30 * m, 3.0), UserEvent(1L, 32 * m, 4.0),
-      UserEvent(2L, 3 * m, 6.0)
+      ev(1L, 30 * m, 3.0), ev(1L, 32 * m, 4.0),
+      ev(2L, 3 * m, 6.0)
     ).toDS().coalesce(1).write.parquet(s"$dir/batch2")
 
     val schema = spark.read.parquet(s"$dir/batch1").schema
@@ -105,7 +107,8 @@ class StreamingSpec extends GraftSpec {
     // long idle timeout: only the in-data gap closes a session here;
     // the idle flush is exercised separately below
     val sessions = graft.streaming.StreamingIngest
-      .statefulSessions(stream, gapUs = 10 * m, idleTimeoutMs = 3600000L)
+      .statefulSessions(stream, gapUs = 10 * m,
+        StreamingIngest.SessionFlush.IdleWallClock(3600000L))
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("closed_sessions").start()
     try {
@@ -130,14 +133,17 @@ class StreamingSpec extends GraftSpec {
     import spark.implicits._
     import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
     val dir = Files.createTempDirectory("graft-sess-idle").toString
-    val m   = 60L * 1000000L
-    Seq(UserEvent(7L, 0 * m, 1.0), UserEvent(7L, 1 * m, 2.0))
+    val m = 60L * 1000000L
+    def ev(uid: Long, us: Long, v: Double) =
+      UserEvent(uid, new java.sql.Timestamp(us / 1000L), us, v)
+    Seq(ev(7L, 0 * m, 1.0), ev(7L, 1 * m, 2.0))
       .toDS().coalesce(1).write.parquet(s"$dir/batch1")
     val schema = spark.read.parquet(s"$dir/batch1").schema
     val stream = spark.readStream.schema(schema).parquet(s"$dir/batch*")
       .as[UserEvent]
     val sessions = graft.streaming.StreamingIngest
-      .statefulSessions(stream, gapUs = 10 * m, idleTimeoutMs = 2000L)
+      .statefulSessions(stream, gapUs = 10 * m,
+        StreamingIngest.SessionFlush.IdleWallClock(2000L))
     val q = sessions.writeStream.outputMode("append")
       .format("memory").queryName("idle_sessions").start()
     try {
@@ -148,6 +154,40 @@ class StreamingSpec extends GraftSpec {
       assert(closed.length == 1, "idle session should flush on timeout")
       assert(closed.head.user_id == 7L && closed.head.n_events == 2)
     } finally q.stop()
+  }
+
+  test("event-time flush closes an idle session when the watermark passes the horizon") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest.{ClosedSession, SessionFlush, UserEvent}
+    val dir = Files.createTempDirectory("graft-sess-evt").toString
+    val m    = 60L * 1000000L
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def row(uid: Long, minute: Long, v: Double) =
+      (uid, new java.sql.Timestamp(base.getTime + minute * 60000L), v)
+    // user 7's session ends at t=1m; a later user-8 event at t=120m
+    // advances the watermark past 1m + 30m horizon, so user 7's FINAL
+    // session flushes — deterministically, with no wall-clock sleeps
+    Seq(row(7L, 0, 1.0), row(7L, 1, 2.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/batch1")
+    Seq(row(8L, 120, 9.0))
+      .toDF("user_id", "ts", "value").coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+      .as[UserEvent]
+    val sessions = graft.streaming.StreamingIngest
+      .statefulSessions(stream, gapUs = 10 * m, SessionFlush.WatermarkHorizon(30 * m))
+    val closed = graft.streaming.StreamRunner
+      .runToBatch(sessions.toDF(), org.apache.spark.sql.streaming.OutputMode.Append)
+      .as[ClosedSession].collect()
+    // user 7 flushed by the event-time timer; user 8's session is still
+    // open (nothing ever passes ITS horizon) and stays in state
+    val baseUs = base.getTime * 1000L
+    assert(closed.toSeq == Seq(ClosedSession(7L, baseUs, baseUs + 1 * m, 2, 3.0)),
+      s"got ${closed.toSeq}")
   }
 
   test("watermarked streaming dedup drops re-delivered events") {
