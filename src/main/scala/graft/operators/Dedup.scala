@@ -717,4 +717,104 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     emb.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  // ---- exact substring-span dedup (ExactSubstr, Spark-native) ---------
+
+  /** Every k-token window of every doc with its 1-based start position:
+    * `(doc, s, wh)`, `wh` = md5 of the space-joined window. The string
+    * itself is dropped BEFORE any shuffle — md5 is a fixed 32-char key
+    * (collision-free in practice), so the window-frequency exchange moves
+    * bounded-width keys instead of arbitrary-length text. Windows keep
+    * duplicates and positions (unlike [[shingles]], which is a distinct
+    * SET per doc): position is what span reconstruction needs.
+    */
+  def tokenWindows(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"window width must be >= 2 tokens, got $k")
+    val toks = TextFunctions.tokens(col(textCol))
+    // sequence(1, n) is DESCENDING for n < 1 — guard short docs to an
+    // empty window list instead
+    val wins = when(size(toks) < k, array().cast("array<struct<s:int,w:string>>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - k + 1),
+        i => struct(i.as("s"), array_join(slice(toks, i, lit(k)), " ").as("w"))))
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("doc"), explode(wins).as("win"))
+      .select(col("doc"), col("win.s").cast("long").as("s"),
+        md5(col("win.w")).as("wh"))
+  }
+
+  /** Window hashes appearing in at least `minDocs` DISTINCT docs:
+    * `(wh, n_docs)`. Map-side-combinable two-phase distinct-count on the
+    * window key; the output is the (small) duplicated-window dictionary,
+    * never the corpus.
+    */
+  def duplicatedWindows(wins: DataFrame, minDocs: Int): DataFrame =
+    wins.groupBy("wh")
+      .agg(countDistinct(col("doc")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
+  /** Maximal duplicated token spans per doc — the exact-substring dedup
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499), re-expressed for Spark. Their suffix
+    * array is a single-machine structure; the Spark-native equivalent is
+    * windowed hashing: a k-token window shared by >= `minDocs` docs marks
+    * its tokens duplicated, and overlapping-or-adjacent duplicated
+    * windows (start gap <= k) merge into one maximal span via
+    * gaps-and-islands. Returns `(doc, span_start, span_end, n_windows)`,
+    * token positions 1-based inclusive.
+    *
+    * Scale shape: three keyed exchanges and NO pair join — window-hash
+    * groupBy (partial-agg combinable), hash-dictionary equi-join back
+    * (output <= window count: each window matches at most one dictionary
+    * row — a boilerplate window in 10^8 docs is ONE dictionary row, so
+    * there is no hot-key pair blowup to cap, unlike [[jaccardPairs]]),
+    * then a per-doc sort window already co-partitioned with the island
+    * aggregation. Every stage is linear in corpus size.
+    */
+  def duplicatedSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = tokenWindows(df, idCol, textCol, k)
+    val dup  = duplicatedWindows(wins, minDocs).select("wh")
+    val hits = wins.join(dup, "wh").select("doc", "s")
+    val byDoc = Window.partitionBy("doc").orderBy("s")
+    hits
+      .withColumn("new_span",
+        when(col("s") - lag("s", 1).over(byDoc) <= k, lit(0)).otherwise(lit(1)))
+      .withColumn("span_id", sum("new_span").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc"), col("span_id"))
+      .agg(min(col("s")).as("span_start"),
+        (max(col("s")) + (k - 1)).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc", "span_start", "span_end", "n_windows")
+  }
+
+  /** Per-doc scrub accounting over [[duplicatedSpans]]: how much of each
+    * doc is corpus-duplicated text. `(doc, total_tokens, dup_tokens,
+    * n_spans, dup_frac)`; docs with no duplicated span report zeros, docs
+    * shorter than k tokens can never have one. The downstream decision —
+    * cut the spans out vs drop high-`dup_frac` docs wholesale — is the
+    * pipeline's policy choice; this is the measurement.
+    */
+  def spanScrubStats(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2
+  ): DataFrame = {
+    val per = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val totals = df.select(col(idCol).as("doc"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("total_tokens"))
+    totals.join(per, Seq("doc"), "left")
+      .select(col("doc"), col("total_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double")
+          / col("total_tokens"), 6).as("dup_frac"))
+  }
 }

@@ -208,8 +208,68 @@ object DedupQueries {
       Tables.documents(s, d).join(drop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    },
+
+    // Exact substring-span dedup (Lee et al. ExactSubstr, Spark-native):
+    // maximal spans of >= SpanK consecutive tokens shared verbatim with
+    // another doc. No pair join anywhere — linear window hashing.
+    "q74_dup_spans" -> { (s, d) =>
+      Dedup.duplicatedSpans(Tables.documents(s, d), "doc_id", "text",
+          k = SpanK, minDocs = 2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "span_start")
+    },
+
+    // The scrub accounting over the same spans: what fraction of each
+    // doc is corpus-duplicated text (the cut-or-drop policy input).
+    "q75_span_scrub" -> { (s, d) =>
+      Dedup.spanScrubStats(Tables.documents(s, d), "doc_id", "text",
+          k = SpanK, minDocs = 2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
     }
   )
+
+  // Window width for the q74/q75 substring-span family — small enough
+  // that the sf0.01 fixture's near-dup docs share windows, large enough
+  // that stop-phrases alone don't mark spans.
+  private val SpanK = 6
+
+  /** DuckDB mirror of [[Dedup.tokenWindows]]' per-doc window list:
+    * md5 of each k-token window, zipped with `range` for the 1-based
+    * start positions (both comprehensions are empty for docs shorter
+    * than k, so the zipped unnests always align).
+    */
+  private def duckWindowMd5(k: Int): String = {
+    val parts = (0 until k)
+      .map(j => if (j == 0) "toks[i]" else s"toks[i+$j]").mkString(", ")
+    s"[md5(concat_ws(' ', $parts)) for i in range(1, len(toks) - ${k - 2})]"
+  }
+
+  /** Shared q74/q75 CTE chain: tokens → zipped (position, window-md5)
+    * unnest → duplicated-window dictionary (distinct-doc df >= 2) →
+    * gaps-and-islands span merge (new island when the start gap
+    * exceeds k).
+    */
+  private def duckSpanIslands(k: Int): String =
+    s"""tok AS (SELECT doc_id, ${DuckSql.toks} AS toks FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(toks) - ${k - 2})) AS s,
+       |    unnest(${duckWindowMd5(k)}) AS wh
+       |  FROM tok),
+       |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT doc_id, s FROM wins JOIN dup USING (wh)),
+       |flagged AS (
+       |  SELECT doc_id, s,
+       |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= $k
+       |         THEN 0 ELSE 1 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, s,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY s
+       |                        ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM flagged)""".stripMargin
 
   // Shared q36/q37 pipeline (ONE set of parameters — the survivor set
   // must stay consistent with the cluster set): exact-dup collapse →
@@ -425,7 +485,31 @@ object DedupQueries {
          |SELECT d.doc_id, d.source, d.n_chars
          |FROM documents d
          |WHERE NOT EXISTS (SELECT 1 FROM drop_ids x WHERE x.doc = d.doc_id)
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q74_dup_spans" ->
+      s"""WITH ${duckSpanIslands(SpanK)}
+         |SELECT doc_id, min(s) AS span_start,
+         |  max(s) + ${SpanK - 1} AS span_end,
+         |  count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q75_span_scrub" ->
+      s"""WITH ${duckSpanIslands(SpanK)},
+         |spans AS (
+         |  SELECT doc_id, min(s) AS ss, max(s) + ${SpanK - 1} AS se
+         |  FROM isl GROUP BY doc_id, span_id),
+         |per AS (
+         |  SELECT doc_id, count(*) AS n_spans,
+         |    CAST(sum(se - ss + 1) AS BIGINT) AS dup_tokens
+         |  FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS total_tokens,
+         |  coalesce(dup_tokens, 0) AS dup_tokens,
+         |  coalesce(n_spans, 0) AS n_spans,
+         |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(toks), 6) AS dup_frac
+         |FROM tok t LEFT JOIN per USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
   )
 
   /** Oracle CTE prefix shared by q36/q37 — the DuckDB mirror of

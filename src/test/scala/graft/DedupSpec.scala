@@ -426,4 +426,57 @@ class DedupSpec extends GraftSpec {
     assert(plan.contains("ReusedExchange"),
       s"assignment computed twice — no ReusedExchange in:\n$plan")
   }
+
+  test("duplicated spans: shared windows merge into maximal spans, " +
+      "overlap and adjacency both merge, short/unique docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      // d1/d2 share "one two three" and "two three four" (overlapping
+      // k=3 windows -> ONE span each)
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four seven"),
+      // d5/d6 share "p q r" and "s t u"; in d5 the hits are ADJACENT
+      // (starts 1 and 4, gap == k) -> one merged span; in d6 a gap of
+      // 4 > k splits them into two spans
+      (5L, "p q r s t u"),
+      (6L, "m p q r n s t u"),
+      (3L, "one two"),                              // shorter than k
+      (4L, "totally unique content nothing shared") // no duplicated window
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set(
+      (1L, 1L, 4L, 2L),  // windows at s=1,2 -> tokens 1..4
+      (2L, 2L, 5L, 2L),
+      (5L, 1L, 6L, 2L),  // adjacent windows at s=1,4 merge -> whole doc
+      (6L, 2L, 4L, 1L), (6L, 6L, 8L, 1L)
+    ), s"got $spans")
+
+    val stats = Dedup.spanScrubStats(docs, "doc_id", "text", k = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+      .toSet
+    assert(stats == Set(
+      (1L, 6L, 4L, 1L, 0.666667),
+      (2L, 6L, 4L, 1L, 0.666667),
+      (5L, 6L, 6L, 1L, 1.0),
+      (6L, 8L, 6L, 2L, 0.75),
+      (3L, 2L, 0L, 0L, 0.0),
+      (4L, 5L, 0L, 0L, 0.0)
+    ), s"got $stats")
+  }
+
+  test("duplicated spans plan: no pair join — output is linear in windows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val plan = Dedup.duplicatedSpans(docs, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    // the dictionary join is an equi-join on the window hash; a
+    // CartesianProduct or a theta-join would mean the shape regressed
+    // to pairwise
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }
