@@ -25,19 +25,35 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object StreamRunner {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  def runToBatch(df: DataFrame, mode: OutputMode): DataFrame = {
+  /** `statePartitions` sizes the streaming state store (the stream
+    * captures `spark.sql.shuffle.partitions` at start and fixes it in
+    * the checkpoint forever). It is the first-class streaming deployment
+    * knob: every micro-batch pays a per-partition state-store
+    * open/commit, so a bounded replay over a fixture wants FEW partitions
+    * (the default 8 — 32 turns tiny-batch commit overhead into the
+    * dominant cost), while a 100 TB/day stream raises it to spread state
+    * across executors. Results are partition-count-invariant either way.
+    * The session's shuffle-partition setting is restored after the run.
+    */
+  def runToBatch(df: DataFrame, mode: OutputMode,
+      statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name  = s"graft_stream_sink_${runSeq.incrementAndGet()}"
     val ckpt  = java.nio.file.Files
       .createTempDirectory("graft-stream-ckpt-").toString
-    val query = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val key   = "spark.sql.shuffle.partitions"
+    val prev  = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try {
+      val query = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }
