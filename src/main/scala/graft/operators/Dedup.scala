@@ -800,6 +800,39 @@ object Dedup {
     * cut the spans out vs drop high-`dup_frac` docs wholesale — is the
     * pipeline's policy choice; this is the measurement.
     */
+  /** The scrubbed corpus: each doc's text with every duplicated span cut
+    * out (tokens re-joined on single spaces — the tokenizer's whitespace
+    * normalization is already lossy, and the k>=minDocs window guarantee
+    * means nothing under k tokens is ever removed). Removes ALL
+    * occurrences of a duplicated span, not all-but-one: keeping exactly
+    * one copy would need a global "who keeps it" election across docs,
+    * while remove-everywhere is per-doc-local (embarrassingly parallel)
+    * and deterministic — the doc-level survivor operators (q37) are the
+    * path that preserves one canonical copy of shared content.
+    *
+    * Shape: [[duplicatedSpans]] collapsed to one small span array per
+    * doc, one doc-keyed join back, then a codegen'd index-aware HOF
+    * filter over the token array — no token-level explode.
+    */
+  def scrubSpans(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2
+  ): DataFrame = {
+    val perDoc = duplicatedSpans(df, idCol, textCol, k, minDocs)
+      .groupBy("doc")
+      .agg(collect_list(struct(col("span_start").as("ss"),
+        col("span_end").as("se"))).as("sps"))
+    val toks = TextFunctions.tokens(col(textCol))
+    val sps  = coalesce(col("sps"), array().cast("array<struct<ss:long,se:long>>"))
+    df.select(col(idCol).as("doc"), col(textCol))
+      .join(perDoc, Seq("doc"), "left")
+      .select(col("doc"),
+        array_join(
+          filter(toks, (t, i) => !exists(sps, sp =>
+            (i + 1) >= sp.getField("ss") && (i + 1) <= sp.getField("se"))),
+          " ").as("clean_text"))
+  }
+
   def spanScrubStats(
       df: DataFrame, idCol: String, textCol: String,
       k: Int, minDocs: Int = 2

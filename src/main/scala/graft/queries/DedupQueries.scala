@@ -227,6 +227,15 @@ object DedupQueries {
           k = SpanK, minDocs = 2)
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // The materialized scrub: corpus text with every duplicated span cut
+    // (index-aware HOF filter over the token array — no token explode).
+    "q76_span_clean" -> { (s, d) =>
+      Dedup.scrubSpans(Tables.documents(s, d), "doc_id", "text",
+          k = SpanK, minDocs = 2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -509,6 +518,26 @@ object DedupQueries {
          |  coalesce(n_spans, 0) AS n_spans,
          |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) / len(toks), 6) AS dup_frac
          |FROM tok t LEFT JOIN per USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // the comprehension's `i` is captured inside the list_filter lambda —
+    // a span covers position i iff ss <= i <= se
+    "q76_span_clean" ->
+      s"""WITH ${duckSpanIslands(SpanK)},
+         |spans AS (
+         |  SELECT doc_id, min(s) AS ss, max(s) + ${SpanK - 1} AS se
+         |  FROM isl GROUP BY doc_id, span_id),
+         |sps AS (SELECT doc_id, list({'ss': ss, 'se': se}) AS sps
+         |        FROM spans GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  -- array_to_string([]) is NULL in DuckDB; Spark's array_join
+         |  -- of an empty array is '' (a fully-scrubbed doc)
+         |  coalesce(array_to_string(
+         |    [toks[i] for i in range(1, len(toks) + 1)
+         |     if len(list_filter(coalesce(sps, []),
+         |            sp -> i >= sp.ss AND i <= sp.se)) = 0],
+         |    ' '), '') AS clean_text
+         |FROM tok t LEFT JOIN sps USING (doc_id)
          |ORDER BY t.doc_id""".stripMargin
   )
 

@@ -469,6 +469,28 @@ class DedupSpec extends GraftSpec {
     ), s"got $stats")
   }
 
+  test("scrubSpans cuts every duplicated span, leaves clean docs intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "zero one two three four seven"),
+      (5L, "p q r s t u"),
+      (6L, "m p q r n s t u"),
+      (3L, "one two"),
+      (4L, "totally unique content nothing shared")
+    ).toDF("doc_id", "text")
+    val got = Dedup.scrubSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(
+      1L -> "five six",
+      2L -> "zero seven",
+      5L -> "",           // the whole doc was one duplicated span
+      6L -> "m n",
+      3L -> "one two",    // shorter than k: untouchable by construction
+      4L -> "totally unique content nothing shared"
+    ), s"got $got")
+  }
+
   test("duplicated spans plan: no pair join — output is linear in windows") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
