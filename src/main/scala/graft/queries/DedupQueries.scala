@@ -2,8 +2,10 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.Dedup
+import graft.streaming.{StreamRunner, StreamingIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 /** Deduplication coverage on the `documents` fixture: exact hash groups,
   * n-gram Jaccard pairs, MinHash signatures, LSH candidate pairs, SimHash
@@ -235,6 +237,30 @@ object DedupQueries {
       Dedup.scrubSpans(Tables.documents(s, d), "doc_id", "text",
           k = SpanK, minDocs = 2)
         .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Streaming near-dup gate as a REAL stream: incoming docs (id >= 400)
+    // flow through the stateless per-row band column and are dropped on
+    // any bucket collision with the precomputed corpus (< 400) bucket
+    // table — the stream-side of q3A's incremental dedup, recall-biased
+    // (collision drops without a jaccard verify). Short docs pass.
+    "q77_stream_lsh_dedup" -> { (s, d) =>
+      val docs   = Tables.documents(s, d)
+      val corpus = docs.filter(col("doc_id") < 400)
+      val corpusBuckets = Dedup.lshBucketsWide(
+        Dedup.minhashWide(corpus, "doc_id", "text",
+          numHashes = NumHashes, shingleN = 3),
+        numHashes = NumHashes, rowsPerBand = RowsPerBand)
+      val incoming = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") >= 400)
+      StreamRunner
+        .runToBatch(
+          StreamingIngest.lshDedupStream(incoming, corpusBuckets, "text",
+            numHashes = NumHashes, shingleN = 3, rowsPerBand = RowsPerBand),
+          OutputMode.Append)
+        .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     }
   )
@@ -538,7 +564,25 @@ object DedupQueries {
          |            sp -> i >= sp.ss AND i <= sp.se)) = 0],
          |    ' '), '') AS clean_text
          |FROM tok t LEFT JOIN sps USING (doc_id)
-         |ORDER BY t.doc_id""".stripMargin
+         |ORDER BY t.doc_id""".stripMargin,
+
+    // batch mirror of the streaming gate: an incoming doc survives iff
+    // none of its band buckets appears among the corpus docs' buckets
+    "q77_stream_lsh_dedup" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |$duckMinhashMh,
+         |$duckLshBuckets,
+         |coll AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |   AND a.doc_id >= 400 AND b.doc_id < 400)
+         |SELECT doc_id, source, n_chars
+         |FROM documents
+         |WHERE doc_id >= 400
+         |  AND doc_id NOT IN (SELECT doc_id FROM coll)
+         |ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle CTE prefix shared by q36/q37 — the DuckDB mirror of
