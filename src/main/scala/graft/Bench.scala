@@ -63,7 +63,12 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          // count at the RDD level, NOT df.count(): count() plans an
+          // Aggregate over the query and the optimizer then prunes every
+          // unreferenced column — a left join with a unique key (q75/q76)
+          // gets ELIMINATED outright and the bench measures a husk.
+          // toRdd executes the query with its full output schema.
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); (System.nanoTime() - t0) / 1e9 }
           catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name failed: ${e.getMessage}")

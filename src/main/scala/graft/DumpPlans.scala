@@ -39,7 +39,8 @@ object DumpPlans {
       ("q69_training_pipeline", "composed pipeline: codegen'd filters -> exact-dedup semi-join -> LSH-prune anti-join -> chunk generator, filters before every shuffle", PipelineQueries.queries("q69_training_pipeline")),
       ("q6B_ann_recall", "batched multi-probe ANN + recall eval: query batch explodes into XOR probe masks, ONE broadcast bucket equi-join (corpus never shuffles), TopKPerKey both sides", VectorQueries.queries("q6B_ann_recall")),
       ("q6C_train_shards", "deterministic training shards: md5 shuffle key, hash shard, per-shard rank window -- no global sort, shards rank in parallel", PipelineQueries.queries("q6C_train_shards")),
-      ("q6D_semantic_pairs", "SemDeDup semantic near-dup: broadcast centroid argmax (max_by partial agg -- the nList expansion never shuffles), cell-size cap as a count window inside the cell exchange, cell equi-join bounds pairs to sum(cell^2). The static plan prints the assignment subtree twice; at RUNTIME AQE folds the second into a ReusedExchange of the first (asserted in DedupSpec) -- the assignment computes once", VectorQueries.queries("q6D_semantic_pairs"))
+      ("q6D_semantic_pairs", "SemDeDup semantic near-dup: broadcast centroid argmax (max_by partial agg -- the nList expansion never shuffles), cell-size cap as a count window inside the cell exchange, cell equi-join bounds pairs to sum(cell^2). The static plan prints the assignment subtree twice; at RUNTIME AQE folds the second into a ReusedExchange of the first (asserted in DedupSpec) -- the assignment computes once", VectorQueries.queries("q6D_semantic_pairs")),
+      ("q74_dup_spans", "exact substring-span dedup (ExactSubstr): window-hash groupBy with partial aggregation, duplicated-window dictionary equi-join back (output bounded by window count -- NO pair join anywhere), then a doc-local sort window + island aggregation already co-partitioned. Three keyed exchanges, each linear in corpus size", DedupQueries.queries("q74_dup_spans"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
