@@ -18,6 +18,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     // ERROR, not WARN: the bench contract is one bare JSON line on
     // stdout, and stray WARNs in the captured output make the run

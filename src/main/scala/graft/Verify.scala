@@ -16,6 +16,10 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // to a us timestamp in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Naive (no-tz) parquet timestamps read as TIMESTAMP, not NTZ —
+      // the session is pinned to UTC so instants are unchanged, and
+      // event-time streaming / unix_micros require TIMESTAMP.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
