@@ -146,6 +146,109 @@ object Curation {
       .drop("lo", "hi")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each raw-pool document by how much more likely its hashed word-n-gram
+    * features are under a small target corpus than under the raw pool
+    * itself. `log_weight = Σ_f [ln p_target(f) − ln p_raw(f)]` over the
+    * doc's feature occurrences, with add-one smoothing over `nBuckets`
+    * hashed buckets; selecting the top-k by weight is the deterministic
+    * (noise-free) variant of DSIR's resampling stage.
+    *
+    * Scale shape: both distributions are `nBuckets`-row aggregates with
+    * map-side combine; the per-bucket log-ratio table is tiny and
+    * BROADCAST, so the raw corpus streams through one narrow join — no
+    * corpus-sized shuffle beyond the per-doc feature aggregation. The
+    * per-doc sum folds left-to-right over bucket-sorted terms so the
+    * float accumulation order is reproducible on any partitioning (and
+    * mirrorable in an oracle); each log-ratio is rounded to 6 dp first.
+    * Docs with fewer than `gramN` tokens have no features and drop out,
+    * like everywhere else the shingle unit is used.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, gramN: Int = 2,
+                        nBuckets: Int = 4096): DataFrame = {
+    require(gramN >= 2, "gram size must be >= 2")
+    require(nBuckets > 0, "nBuckets must be positive")
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(wordShingles(col(textCol), gramN)).as("gram"))
+        .select(col(idCol), hashBucket(col("gram"), nBuckets).as("b"))
+
+    val rawFeats = feats(raw)
+    val tgtCnt = feats(target).groupBy("b").agg(count(lit(1)).as("c_tgt"))
+    val rawCnt = rawFeats.groupBy("b").agg(count(lit(1)).as("c_raw"))
+    val tgtTot = tgtCnt.agg(sum("c_tgt").as("t_tgt"))
+    val rawTot = rawCnt.agg(sum("c_raw").as("t_raw"))
+    // Only buckets seen in the raw pool matter: every scored doc's
+    // features have c_raw >= 1 by construction.
+    val ratio = rawCnt
+      .join(tgtCnt, Seq("b"), "left")
+      .crossJoin(broadcast(tgtTot))
+      .crossJoin(broadcast(rawTot))
+      .select(col("b"),
+        round(
+          log((coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast("double") /
+              (col("t_tgt") + lit(nBuckets.toLong)).cast("double")) -
+          log((col("c_raw") + lit(1L)).cast("double") /
+              (col("t_raw") + lit(nBuckets.toLong)).cast("double")),
+          6).as("lr"))
+    rawFeats.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(ratio), "b")
+      .select(col(idCol), col("b"),
+        col("c"), (col("c").cast("double") * col("lr")).as("term"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_feats"),
+        round(aggregate(
+          sort_array(collect_list(struct(col("b"), col("term")))),
+          lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("log_weight"))
+  }
+
+  /** Bigram language-model quality scoring (the CCNet/KenLM perplexity
+    * filter, Wenzek et al. 2020): train add-one-smoothed bigram counts on
+    * a reference slice, then score every document by the average negative
+    * log-likelihood of its bigrams, `nll(w1 w2) = −ln((c(w1,w2)+1) /
+    * (c(w1)+V))`, and the corresponding perplexity. Low ppl ≈ looks like
+    * the reference corpus; the standard quality gate before pretraining.
+    *
+    * Scale shape: the unigram/bigram count tables are corpus-vocabulary-
+    * sized — NOT broadcast; docs explode to bigram rows and hash-join the
+    * LM tables on their keys (both joins partition cleanly at any scale).
+    * The vocab size is a one-row broadcast. Per-doc sums fold
+    * left-to-right in position order for reproducible float accumulation;
+    * each bigram's nll is rounded to 6 dp first. Docs with fewer than two
+    * tokens have no bigrams and drop out.
+    */
+  def lmScore(docs: DataFrame, train: DataFrame,
+              idCol: String, textCol: String): DataFrame = {
+    def bigrams(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        posexplode(wordShingles(col(textCol), 2)).as(Seq("pos", "gram")))
+    val uni = train
+      .select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = bigrams(train).groupBy("gram").agg(count(lit(1)).as("c2"))
+    bigrams(docs)
+      .withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .join(bi, Seq("gram"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"),
+        (-round(log(
+          (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6))
+          .as("nll"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(aggregate(
+          sort_array(collect_list(struct(col("pos"), col("nll")))),
+          lit(0.0), (acc, x) => acc + x.getField("nll"))
+          / count(lit(1)).cast("double"), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 6))
+  }
+
   /** Sequence packing for pretraining: concatenate each shard's documents in
     * id order and cut the token stream into fixed `windowTokens` context
     * windows. Emits, per document, its token offset within the shard and the

@@ -136,6 +136,32 @@ object CurationQueries {
       Curation.uniformSample(Tables.documents(s, d), "doc_id", k = 50)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // DSIR importance resampling: weight each raw-pool doc (id % 20 != 0)
+    // by hashed-2-gram likelihood under the target slice (id % 20 == 0)
+    // vs the pool, keep the top 100. The log-ratio table is a broadcast
+    // 4096-bucket aggregate; the pool streams through one narrow join.
+    "q6G_importance_weights" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.importanceWeights(
+          raw = docs.filter(col("doc_id") % 20 =!= 0),
+          target = docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", gramN = 2, nBuckets = 4096)
+        .orderBy(col("log_weight").desc, col("doc_id"))
+        .limit(100)
+    },
+
+    // CCNet-style LM quality gate: add-one-smoothed bigram LM trained on
+    // the id % 10 == 0 slice scores EVERY doc by average bigram negative
+    // log-likelihood + perplexity (low = looks like the reference slice).
+    "q6H_lm_perplexity" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      Curation.lmScore(docs, docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
     }
   )
 
@@ -264,6 +290,72 @@ object CurationQueries {
         |  SELECT doc_id, source FROM documents
         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sample'), doc_id
         |  LIMIT 50) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // DSIR mirror: same md5 bucket arithmetic, ln ratios rounded to 6 dp
+    // BEFORE the per-doc fold, fold is list_reduce over bucket-ascending
+    // terms with an explicit 0.0 init — bit-identical to Spark's
+    // aggregate(sort_array(collect_list(...)), 0.0, _+_) accumulation.
+    "q6G_importance_weights" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id, ${duckBucket("gram", 4096)} AS b
+         |  FROM (SELECT doc_id, unnest(${duckGrams(2)}) AS gram FROM documents)),
+         |tgt AS (SELECT b, count(*) AS c_tgt FROM feats WHERE doc_id % 20 = 0 GROUP BY b),
+         |rawc AS (SELECT b, count(*) AS c_raw FROM feats WHERE doc_id % 20 <> 0 GROUP BY b),
+         |tot AS (SELECT (SELECT sum(c_tgt) FROM tgt) AS t_tgt,
+         |               (SELECT sum(c_raw) FROM rawc) AS t_raw),
+         |ratio AS (
+         |  SELECT b,
+         |    round(ln(CAST(coalesce(c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + 4096 AS DOUBLE))
+         |        - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 4096 AS DOUBLE)), 6) AS lr
+         |  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot),
+         |per AS (
+         |  SELECT doc_id, b, count(*) AS c FROM feats
+         |  WHERE doc_id % 20 <> 0 GROUP BY doc_id, b),
+         |terms AS (
+         |  SELECT doc_id, b, c, CAST(c AS DOUBLE) * lr AS term
+         |  FROM per JOIN ratio USING (b))
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |  round(list_reduce(
+         |    list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+         |    (x, y) -> x + y), 6) AS log_weight
+         |FROM terms
+         |GROUP BY doc_id
+         |ORDER BY log_weight DESC, doc_id
+         |LIMIT 100""".stripMargin,
+
+    // Bigram-LM mirror: grams zipped with their position via parallel
+    // unnest (pos is 1-based here, 0-based in Spark — only the ORDER
+    // matters and both ascend); nll rounded to 6 dp per bigram, per-doc
+    // fold in position order with a 0.0 init, average then exp.
+    "q6H_lm_perplexity" ->
+      s"""WITH uni AS (
+         |  SELECT w1, count(*) AS c1 FROM (
+         |    SELECT unnest($duckToks) AS w1 FROM documents WHERE doc_id % 10 = 0)
+         |  GROUP BY w1),
+         |vocab AS (SELECT count(*) AS v FROM uni),
+         |bg AS (
+         |  SELECT doc_id,
+         |    unnest(range(1, len($duckToks))) AS pos,
+         |    unnest(${duckGrams(2)}) AS gram
+         |  FROM documents),
+         |bi AS (SELECT gram, count(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY gram),
+         |terms AS (
+         |  SELECT b.doc_id, b.pos,
+         |    -round(ln(CAST(coalesce(bi.c2, 0) + 1 AS DOUBLE)
+         |            / CAST(coalesce(uni.c1, 0) + vocab.v AS DOUBLE)), 6) AS nll
+         |  FROM bg b
+         |  LEFT JOIN bi USING (gram)
+         |  LEFT JOIN uni ON string_split(b.gram, ' ')[1] = uni.w1
+         |  CROSS JOIN vocab),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    round(list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE), list(nll ORDER BY pos)),
+         |      (x, y) -> x + y) / count(*), 6) AS avg_nll
+         |  FROM terms GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
+         |FROM agg
+         |ORDER BY doc_id""".stripMargin
   )
 }

@@ -177,4 +177,54 @@ class CurationSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("importanceWeights: target-like docs outrank off-target, order-stable") {
+    val target = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "the quick brown fox jumps again"),   // shares target grams
+      (2L, "stock ticker closes sharply lower"), // disjoint from target
+      (3L, "the quick brown fox jumps over the lazy dog") // verbatim target
+    ).toDF("doc_id", "text")
+    val w = Curation.importanceWeights(raw, target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n_feats = bigram count per doc
+    assert(w(1L)._1 == 5 && w(2L)._1 == 4 && w(3L)._1 == 8)
+    // the verbatim-target doc scores highest, the disjoint doc lowest
+    assert(w(3L)._2 > w(1L)._2 && w(1L)._2 > w(2L)._2, w.toString)
+    // float fold is partition-independent: repartition must not move a bit
+    val w2 = Curation.importanceWeights(raw.repartition(7), target, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.view.mapValues(_._2).toMap == w2)
+    // the per-bucket log-ratio table joins broadcast: the pool must
+    // stream through without a corpus-sized shuffle on the join
+    val plan = Curation.importanceWeights(raw, target, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("lmScore: in-domain text scores lower nll than unseen text") {
+    val train = Seq(
+      (10L, "the cat sat on the mat"),
+      (20L, "the dog sat on the rug")
+    ).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // seen bigrams -> low nll
+      (2L, "zx qy vw unseen tokens"), // all-unseen -> max smoothing nll
+      (3L, "solo")                    // < 2 tokens -> no bigrams, drops out
+    ).toDF("doc_id", "text")
+    val out = Curation.lmScore(docs, train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(!out.contains(3L), "bigram-less doc must drop out")
+    assert(out(1L)._1 == 5 && out(2L)._1 == 4)
+    assert(out(1L)._2 < out(2L)._2, s"in-domain must score lower nll: $out")
+    // all-unseen bigrams hit pure smoothing: every nll = ln(V)
+    // (c2=0, c1=0 -> -ln(1/(0+V))), V = 7 distinct train tokens
+    assert(math.abs(out(2L)._2 - math.log(7.0)) < 1e-5, out.toString)
+    assert(math.abs(out(2L)._3 - 7.0) < 1e-4, "ppl of pure smoothing ~= V")
+    // fold order pinned: repartition-stable to the bit
+    val out2 = Curation.lmScore(docs.repartition(5), train, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.view.mapValues(_._2).toMap == out2)
+  }
 }
