@@ -127,8 +127,11 @@ object Curation {
   }
 
   /** Length-outlier pruning: keep documents whose token count lies within
-    * the corpus [pLo, pHi] percentile band. The two bounds are a single
-    * tiny aggregate broadcast to the filter — the corpus never shuffles.
+    * the corpus [pLo, pHi] percentile band. The two bounds come from
+    * [[Quantiles.globalQuantiles]] — a distributed exact interpolated
+    * quantile (range-partition rank; no whole-corpus aggregation buffer,
+    * which the old `percentile(...)` aggregate would have built in ONE
+    * task here since the band is global) — and broadcast to the filter.
     * Bounds are rounded (6 dp) so the comparison is reproducible across
     * engines computing the same interpolated percentile.
     */
@@ -138,9 +141,9 @@ object Curation {
     require(!df.columns.exists(Set("n_tokens", "lo", "hi")),
       "input already has an n_tokens/lo/hi column (would be clobbered)")
     val withTok = df.withColumn("n_tokens", tokenCount(col(textCol)))
-    val bounds = withTok.agg(
-      round(expr(s"percentile(n_tokens, $pLo)"), 6).as("lo"),
-      round(expr(s"percentile(n_tokens, $pHi)"), 6).as("hi"))
+    val bounds = Quantiles
+      .globalQuantiles(withTok, Seq(("n_tokens", pLo, "lo"), ("n_tokens", pHi, "hi")))
+      .select(round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
     withTok.crossJoin(broadcast(bounds))
       .filter(col("n_tokens") >= col("lo") && col("n_tokens") <= col("hi"))
       .drop("lo", "hi")
@@ -181,7 +184,10 @@ object Curation {
     val tgtTot = tgtCnt.agg(sum("c_tgt").as("t_tgt"))
     val rawTot = rawCnt.agg(sum("c_raw").as("t_raw"))
     // Only buckets seen in the raw pool matter: every scored doc's
-    // features have c_raw >= 1 by construction.
+    // features have c_raw >= 1 by construction. The totals coalesce to 0
+    // so an empty / feature-less target degrades to the uniform smoothed
+    // distribution (1/nBuckets per bucket) instead of silently NULLing
+    // every log_weight — sum() over zero rows is NULL, not 0.
     val ratio = rawCnt
       .join(tgtCnt, Seq("b"), "left")
       .crossJoin(broadcast(tgtTot))
@@ -189,9 +195,9 @@ object Curation {
       .select(col("b"),
         round(
           log((coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast("double") /
-              (col("t_tgt") + lit(nBuckets.toLong)).cast("double")) -
+              (coalesce(col("t_tgt"), lit(0L)) + lit(nBuckets.toLong)).cast("double")) -
           log((col("c_raw") + lit(1L)).cast("double") /
-              (col("t_raw") + lit(nBuckets.toLong)).cast("double")),
+              (coalesce(col("t_raw"), lit(0L)) + lit(nBuckets.toLong)).cast("double")),
           6).as("lr"))
     rawFeats.groupBy(col(idCol), col("b"))
       .agg(count(lit(1)).as("c"))
@@ -215,16 +221,19 @@ object Curation {
     * Scale shape: the unigram/bigram count tables are corpus-vocabulary-
     * sized — NOT broadcast; docs explode to bigram rows and hash-join the
     * LM tables on their keys (both joins partition cleanly at any scale).
-    * The vocab size is a one-row broadcast. Per-doc sums fold
-    * left-to-right in position order for reproducible float accumulation;
-    * each bigram's nll is rounded to 6 dp first. Docs with fewer than two
+    * The vocab size is a one-row broadcast. Per-doc accumulation is
+    * ORDER-INDEPENDENT fixed-point: each bigram's nll is rounded to 6 dp,
+    * scaled to an exact integer (×10⁶, round, cast long) and summed —
+    * long addition is associative/commutative, so the result is exact
+    * under any partitioning with NO per-doc array (the previous
+    * collect_list fold held O(doc tokens) structs in the aggregation
+    * buffer — unbounded for long documents). Docs with fewer than two
     * tokens have no bigrams and drop out.
     */
   def lmScore(docs: DataFrame, train: DataFrame,
               idCol: String, textCol: String): DataFrame = {
     def bigrams(df: DataFrame): DataFrame =
-      df.select(col(idCol),
-        posexplode(wordShingles(col(textCol), 2)).as(Seq("pos", "gram")))
+      df.select(col(idCol), explode(wordShingles(col(textCol), 2)).as("gram"))
     val uni = train
       .select(explode(tokens(col(textCol))).as("w1"))
       .groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -235,17 +244,17 @@ object Curation {
       .join(bi, Seq("gram"), "left")
       .join(uni, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col(idCol), col("pos"),
+      .select(col(idCol),
         (-round(log(
           (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
           (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")), 6))
           .as("nll"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(aggregate(
-          sort_array(collect_list(struct(col("pos"), col("nll")))),
-          lit(0.0), (acc, x) => acc + x.getField("nll"))
-          / count(lit(1)).cast("double"), 6).as("avg_nll"))
+        sum(round(col("nll") * lit(1e6)).cast("long")).as("_nll_fx"))
+      .select(col(idCol), col("n_bigrams"),
+        round((col("_nll_fx").cast("double") / lit(1e6)) /
+          col("n_bigrams").cast("double"), 6).as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 6))
   }
 

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT interpolated quantiles (`quantile_cont` semantics,
+  * bit-compatible with Spark's `percentile` formula) with no per-group
+  * in-memory value buffer and no single-task whole-group sort.
+  *
+  * Why not `percentile(...)`: Spark's exact `Percentile` aggregate holds
+  * EVERY value of a group in one `OpenHashMap` aggregation buffer. At
+  * 100 TB a single group's values OOM one task — it is the canonical
+  * scale-killer aggregate (and `PlanAuditSpec` now rejects it
+  * registry-wide).
+  *
+  * How this works instead (the TeraSort-rank construction):
+  *
+  *  1. `repartitionByRange(n, group, value)` — every partition holds a
+  *     contiguous slice of the (group, value) order, ~|data|/n rows.
+  *     The assignment is frozen with `localCheckpoint` so the three
+  *     consumers below see one consistent partitioning (range sampling
+  *     is not re-run per subtree).
+  *  2. A tiny `(partition, group) → count` aggregate (n × |groups| rows)
+  *     gives, per group, each partition's rank OFFSET via a running sum
+  *     over partition ids — valid because range partitioning guarantees
+  *     partition i's values ≤ partition j's for i < j.
+  *  3. `row_number` windowed by (partition, group) ranks each ~1/n-sized
+  *     slice locally; global rank = offset + local rank. No task ever
+  *     sorts more than one partition's slice, regardless of group skew.
+  *  4. Only the ≤2 order statistics per (group, quantile) survive the
+  *     rank filter; the final aggregate sums their interpolation-
+  *     weighted values: `lower·(⌈pos⌉−pos) + upper·(pos−⌊pos⌋)` with
+  *     `pos = p·(count−1)` — exactly Spark's `Percentile.getPercentile`
+  *     arithmetic (IEEE add/multiply are commutative, so the two-term
+  *     sum is bit-identical in any accumulation order).
+  *
+  * Cost: two shuffles of a two-column (group, value) projection plus
+  * two broadcast-sized aggregates — linear, fully parallel, spill-free.
+  */
+object Quantiles {
+
+  /** Per-group exact quantiles. `specs` lists (valueColumn, p, outName);
+    * the result has one row per group with one column per spec (doubles,
+    * unrounded — callers round to their oracle's precision). One rank
+    * pass per DISTINCT value column; multiple quantiles of the same
+    * column share a pass.
+    */
+  def groupQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      specs: Seq[(String, Double, String)],
+      numPartitions: Int = 0): DataFrame = {
+    require(specs.nonEmpty, "need at least one quantile spec")
+    require(specs.forall { case (_, p, _) => p >= 0.0 && p <= 1.0 },
+      "quantile fractions must be in [0, 1]")
+    val outNames = specs.map(_._3)
+    require(outNames.distinct.size == outNames.size,
+      s"duplicate output names in $outNames")
+    // keep the caller's spec order in the output columns
+    val perCol = specs.groupBy(_._1).toSeq.map { case (valueCol, ss) =>
+      quantilesForColumn(df, groupCol, valueCol,
+        ss.map { case (_, p, name) => (p, name) }, numPartitions)
+    }
+    val joined = perCol.reduce((a, b) => a.join(b, Seq(groupCol)))
+    joined.select(col(groupCol) +: specs.map(s => col(s._3)): _*)
+  }
+
+  /** Whole-table exact quantiles: one output row, one column per spec.
+    * Same construction with a constant group key, so the rank pass still
+    * spreads the corpus across all partitions by value range.
+    */
+  def globalQuantiles(
+      df: DataFrame,
+      specs: Seq[(String, Double, String)],
+      numPartitions: Int = 0): DataFrame = {
+    require(!df.columns.contains("_qg"),
+      "input already has a _qg column (would be clobbered)")
+    groupQuantiles(df.withColumn("_qg", lit(1)), "_qg", specs, numPartitions)
+      .drop("_qg")
+  }
+
+  private def quantilesForColumn(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[(Double, String)],
+      numPartitions: Int): DataFrame = {
+    val n =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val base = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("double").as("_v"))
+      .where(col("_v").isNotNull)
+    // (1) range-partition on (group, value); freeze the assignment so the
+    // count pass and the rank pass see the same partitioning
+    val parts = base
+      .repartitionByRange(n, col("_g"), col("_v"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // (2) tiny per-(partition, group) counts → per-partition rank offsets
+    val counts = parts.groupBy("_pid", "_g").agg(count(lit(1)).as("_c"))
+    val wOff = Window.partitionBy("_g").orderBy("_pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_c").over(wOff), lit(0L)))
+      .select("_pid", "_g", "_off")
+    val totals = counts.groupBy("_g").agg(sum("_c").as("_cnt"))
+    // (3) local rank within each ~1/n-sized slice; global rank = off + lrn
+    val ranked = parts
+      .join(broadcast(offsets), Seq("_pid", "_g"))
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid", "_g").orderBy("_v")))
+      .select(col("_g"), col("_v"), (col("_off") + col("_lrn")).as("_rn"))
+      .join(broadcast(totals), Seq("_g"))
+    // (4) keep only candidate order statistics; interpolate via weights
+    def posOf(p: Double): Column = lit(p) * (col("_cnt") - 1).cast("double")
+    val keep = ps.map { case (p, _) =>
+      val pos = posOf(p)
+      col("_rn") === floor(pos) + 1 || col("_rn") === ceil(pos) + 1
+    }.reduce(_ || _)
+    val aggs = ps.map { case (p, name) =>
+      val pos = posOf(p)
+      val lo  = floor(pos)
+      val hi  = ceil(pos)
+      val w = when(col("_rn") === lo + 1,
+          when(hi === lo, lit(1.0)).otherwise(hi.cast("double") - pos))
+        .when(col("_rn") === hi + 1, pos - lo.cast("double"))
+      // w is null on rows kept only for another spec; sum ignores them
+      sum(col("_v") * w).as(name)
+    }
+    ranked.where(keep)
+      .groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumnRenamed("_g", groupCol)
+  }
+}

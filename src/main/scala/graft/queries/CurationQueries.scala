@@ -324,10 +324,10 @@ object CurationQueries {
          |ORDER BY log_weight DESC, doc_id
          |LIMIT 100""".stripMargin,
 
-    // Bigram-LM mirror: grams zipped with their position via parallel
-    // unnest (pos is 1-based here, 0-based in Spark — only the ORDER
-    // matters and both ascend); nll rounded to 6 dp per bigram, per-doc
-    // fold in position order with a 0.0 init, average then exp.
+    // Bigram-LM mirror: nll rounded to 6 dp per bigram, then summed as
+    // EXACT fixed-point integers (×10⁶, round, BIGINT) — long addition is
+    // order-independent, so both engines agree under any partitioning /
+    // join order with no per-doc list. Average then exp, both post-sum.
     "q6H_lm_perplexity" ->
       s"""WITH uni AS (
          |  SELECT w1, count(*) AS c1 FROM (
@@ -335,13 +335,11 @@ object CurationQueries {
          |  GROUP BY w1),
          |vocab AS (SELECT count(*) AS v FROM uni),
          |bg AS (
-         |  SELECT doc_id,
-         |    unnest(range(1, len($duckToks))) AS pos,
-         |    unnest(${duckGrams(2)}) AS gram
+         |  SELECT doc_id, unnest(${duckGrams(2)}) AS gram
          |  FROM documents),
          |bi AS (SELECT gram, count(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY gram),
          |terms AS (
-         |  SELECT b.doc_id, b.pos,
+         |  SELECT b.doc_id,
          |    -round(ln(CAST(coalesce(bi.c2, 0) + 1 AS DOUBLE)
          |            / CAST(coalesce(uni.c1, 0) + vocab.v AS DOUBLE)), 6) AS nll
          |  FROM bg b
@@ -350,12 +348,14 @@ object CurationQueries {
          |  CROSS JOIN vocab),
          |agg AS (
          |  SELECT doc_id, count(*) AS n_bigrams,
-         |    round(list_reduce(
-         |      list_prepend(CAST(0.0 AS DOUBLE), list(nll ORDER BY pos)),
-         |      (x, y) -> x + y) / count(*), 6) AS avg_nll
-         |  FROM terms GROUP BY doc_id)
+         |    sum(CAST(round(nll * 1000000) AS BIGINT)) AS nll_fx
+         |  FROM terms GROUP BY doc_id),
+         |avgd AS (
+         |  SELECT doc_id, n_bigrams,
+         |    round((CAST(nll_fx AS DOUBLE) / 1000000) / n_bigrams, 6) AS avg_nll
+         |  FROM agg)
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
-         |FROM agg
+         |FROM avgd
          |ORDER BY doc_id""".stripMargin
   )
 }

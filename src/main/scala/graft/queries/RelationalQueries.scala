@@ -85,15 +85,20 @@ object RelationalQueries {
         .orderBy("r_name")
     },
 
-    // Exact percentiles (interpolated, same formula as quantile_cont).
+    // Exact percentiles (interpolated, same formula as quantile_cont) —
+    // computed DISTRIBUTED via graft.operators.Quantiles: range-partition
+    // rank + order-statistic selection, not the `percentile` aggregate
+    // whose buffer holds a whole group's values in one task.
     "q0D_quantiles" -> { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty")
-        )
+      graft.operators.Quantiles.groupQuantiles(
+          Tables.lineitem(s, d), "l_returnflag",
+          Seq(("l_extendedprice", 0.5, "median_price"),
+              ("l_extendedprice", 0.9, "p90_price"),
+              ("l_quantity", 0.5, "median_qty")))
+        .select(col("l_returnflag"),
+          round(col("median_price"), 4).as("median_price"),
+          round(col("p90_price"), 4).as("p90_price"),
+          round(col("median_qty"), 4).as("median_qty"))
         .orderBy("l_returnflag")
     },
 

@@ -197,10 +197,36 @@ class CurationSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(w.view.mapValues(_._2).toMap == w2)
     // the per-bucket log-ratio table joins broadcast: the pool must
-    // stream through without a corpus-sized shuffle on the join
-    val plan = Curation.importanceWeights(raw, target, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // stream through without a corpus-sized shuffle on the join. Pinned
+    // to the RATIO join specifically (the only join whose output carries
+    // the lr column), with the lr side as the BUILD side — a plan that
+    // regresses to SortMergeJoin/ShuffledHashJoin there, or that
+    // broadcasts the pool side instead, fails even if some other tiny
+    // join happens to broadcast. AQE off so the physical tree is
+    // traversable (AdaptiveSparkPlanExec hides its subtree from collect).
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastHashJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Curation.importanceWeights(raw, target, "doc_id", "text")
+        .queryExecution.executedPlan
+      val ratioJoins = exec.collect {
+        case j: BaseJoinExec if j.output.exists(_.name == "lr") => j
+      }
+      assert(ratioJoins.nonEmpty, s"no join carries lr:\n$exec")
+      ratioJoins.foreach {
+        case j: BroadcastHashJoinExec =>
+          val build = j.buildSide match {
+            case BuildLeft  => j.left
+            case BuildRight => j.right
+          }
+          assert(build.output.exists(_.name == "lr"),
+            s"ratio join broadcasts the POOL side, not the lr table:\n$j")
+        case j =>
+          fail(s"ratio join is not a broadcast join: ${j.nodeName}\n$j")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("lmScore: in-domain text scores lower nll than unseen text") {

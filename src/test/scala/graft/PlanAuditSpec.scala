@@ -38,6 +38,44 @@ class PlanAuditSpec extends GraftSpec {
       s"ScalaUDF nodes in: ${offenders.toSeq.sorted.mkString(", ")}")
   }
 
+  /** Queries whose collect_list/collect_set buffers are structurally
+    * CAPPED (each reason names the bound) — the only acceptable form of
+    * a per-group array buffer. Everything else with a collect_* in its
+    * plan fails the audit below.
+    */
+  private val boundedCollectByDesign: Map[String, String] = Map(
+    "q28_bm25_search" -> "per-QUERY term list; bounded by the query string's term count",
+    "q2A_hybrid_rrf" -> "rank pools are top-k-bounded candidate lists (k<=20) per query",
+    "q43_context_format" -> "collects the top-k retrieved contexts, k<=20 (F2 validation)",
+    "q55_chat_contextualize" -> "last-3 history window (O2): buffer capped at 3 turns",
+    "q6G_importance_weights" -> "per-doc DISTINCT hash buckets, capped at nBuckets=4096",
+    "q76_span_clean" -> ("merged duplicate spans per doc: disjoint islands each >= " +
+      "window tokens, so <= len/window entries — a 1/window fraction of the text " +
+      "column the same row already carries"))
+
+  test("no registry query aggregates with an unbounded per-group value buffer") {
+    // Exact percentile/median/mode hold EVERY value of a group in one
+    // ObjectHashAggregate buffer — one task OOMs at 100 TB group sizes
+    // (the round-4 q0D finding). Banned outright: the distributed
+    // alternative is graft.operators.Quantiles.
+    val unboundedFns = Seq("percentile(", "median(", "mode(")
+    val offenders = plans.collect {
+      case (name, plan) if unboundedFns.exists(plan.contains) => name
+    }
+    assert(offenders.isEmpty,
+      s"unbounded-buffer aggregates (percentile/median/mode) in: " +
+        s"${offenders.toSeq.sorted.mkString(", ")}")
+    val collectOffenders = plans.collect {
+      case (name, plan)
+          if (plan.contains("collect_list(") || plan.contains("collect_set(")) &&
+            !boundedCollectByDesign.contains(name) =>
+        name
+    }
+    assert(collectOffenders.isEmpty,
+      "collect_list/collect_set without a documented structural cap in: " +
+        s"${collectOffenders.toSeq.sorted.mkString(", ")}")
+  }
+
   test("every broadcast in the KNN family builds the query side, not the corpus") {
     // corpus scans are the unbounded side at 100 TB; a plan that
     // broadcasts the corpus inverts at scale. Heuristic: in KNN/ANN
