@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel behind [[SimHash64Expr]]: the 64-bit SimHash of
+  * [[graft.operators.Dedup.simhash64]] in one compiled pass — one MD5
+  * per token, two projection bits per digest nibble, majority vote —
+  * replacing the interpreted HOF stack (64 `when` branches per token via
+  * `transform(sequence(1, 64))`, which Catalyst cannot codegen) that
+  * round-4 profiling measured at ~0.2 ms/doc, ~10× a compiled pass.
+  *
+  * Parity contract (bit-for-bit with the HOF form and the DuckDB
+  * oracle's hex-char replay):
+  *  - tokenization is [[TextFunctions.tokens]] byte-identical:
+  *    `split(trim(lower(text)), "\s+")` with Java-regex limit -1
+  *    semantics (`split("") == [""]` — an empty document still votes
+  *    with md5("")'s bits);
+  *  - bit i ∈ 1..32 is nibble i of the token's md5 hex digest tested
+  *    `>= '8'` — the nibble's top bit (8);
+  *  - bit i ∈ 33..64 is nibble i−32 tested ∈ {4,5,6,7,c,d,e,f} — the
+  *    nibble's second bit (4);
+  *  - bit b of the signature is '1' iff 2·count(b) >= tokenCount.
+  */
+object SimHashUtil {
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  def simhash64(s: UTF8String): UTF8String = {
+    val toks = s.trim().toLowerCase().toString.split("\\s+", -1)
+    val counts = new Array[Int](64)
+    val md = md5.get()
+    var t = 0
+    while (t < toks.length) {
+      md.reset()
+      val digest = md.digest(
+        toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // 32 nibbles, hex-digit order: nibble 2k = high half of byte k
+      var i = 0
+      while (i < 32) {
+        val b   = digest(i >> 1) & 0xff
+        val nib = if ((i & 1) == 0) b >>> 4 else b & 0xf
+        if ((nib & 8) != 0) counts(i) += 1
+        if ((nib & 4) != 0) counts(32 + i) += 1
+        i += 1
+      }
+      t += 1
+    }
+    val n   = toks.length
+    val out = new Array[Byte](64)
+    var j = 0
+    while (j < 64) {
+      out(j) = if (counts(j) * 2 >= n) '1' else '0'
+      j += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
+/** `simhash64(text)`: the engine's 64-bit SimHash signature as a
+  * '0'/'1' bitstring, whole-stage-codegen'd. See [[SimHashUtil]] for the
+  * bit-derivation and parity contract; `DedupSpec` asserts bit equality
+  * against the interpreted HOF reference form on fixture documents.
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType      = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String      = "simhash64"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    SimHashUtil.simhash64(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashUtil.simhash64($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

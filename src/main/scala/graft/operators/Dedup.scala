@@ -526,6 +526,20 @@ object Dedup {
     * space at n docs is Θ(n²/65536) rather than Θ(n²/256) — the
     * difference between a usable and a degenerate blocking at 10⁹ docs.
     *
+    * Computed by the codegen'd [[graft.functions.SimHash64Expr]] — one
+    * compiled MD5-and-count pass per document. [[simhash64Hof]] keeps
+    * the original interpreted HOF formulation as the independently-
+    * derived reference; DedupSpec asserts bit equality between the two
+    * on fixture documents.
+    */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.SimHash64Expr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Interpreted HOF reference form of [[simhash64]] (pre-round-5 hot
+    * path; ~10× the compiled cost — kept ONLY as the parity oracle).
+    *
     * One md5 per token: the digest is BOUND as a lambda variable (the
     * inner `transform(array(md5(t)), h => ...)`) — a free `md5(t)`
     * subexpression inside the 64-way bit expansion would be re-evaluated
@@ -533,7 +547,7 @@ object Dedup {
     * the hash cost x64. All 64 bit-counts then accumulate in a single
     * pass over the per-token bit vectors.
     */
-  def simhash64(text: Column): Column = {
+  def simhash64Hof(text: Column): Column = {
     def body(ts: Column): Column = {
       val tokenBits = flatten(transform(ts, t =>
         transform(array(md5(t)), h =>

@@ -116,6 +116,26 @@ class DedupSpec extends GraftSpec {
     assert(dist(1L, 3L) < dist(1L, 4L))
   }
 
+  test("codegen'd simhash64 is bit-identical to the interpreted HOF form") {
+    // fixture docs + adversarial edges: empty doc (split("") == [""] —
+    // md5("") still votes), whitespace-only, single token, non-ASCII
+    val edge = Seq((9001L, ""), (9002L, "   "), (9003L, "x"),
+      (9004L, "Ümlaut STRASSE 你好 mixed CASE")).toDF("doc_id", "text")
+    val fixture = Tables.documents(spark, sfDir).limit(300)
+      .select(col("doc_id"), col("text")).union(edge)
+    val bad = fixture.select(col("doc_id"),
+        Dedup.simhash64(col("text")).as("native"),
+        Dedup.simhash64Hof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof") || length(col("native")) =!= 64)
+      .collect()
+    assert(bad.isEmpty, s"simhash parity broken on ${bad.take(3).mkString("; ")}")
+    // and the production path actually plans the native expression
+    val plan = fixture.select(Dedup.simhash64(col("text")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("simhash64"), plan)
+    assert(!plan.contains("ArrayTransform"), s"HOF leaked into the hot path:\n$plan")
+  }
+
   test("blocked simhash pairs match the quadratic reference form") {
     // real fixture docs: enough near-pairs to exercise multi-block
     // collisions and the pair-dedup groupBy
