@@ -790,10 +790,18 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int, minDocs: Int = 2
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val wins = tokenWindows(df, idCol, textCol, k)
     val dup  = duplicatedWindows(wins, minDocs).select("wh")
-    val hits = wins.join(dup, "wh").select("doc", "s")
+    spanIslands(wins.join(dup, "wh").select("doc", "s"), k)
+  }
+
+  /** Gaps-and-islands merge of duplicated-window hits `(doc, s)` into
+    * maximal spans: overlapping-or-adjacent starts (gap <= k) fuse. The
+    * per-doc sort window is co-partitioned with the island aggregation
+    * (both keyed on doc) — one exchange serves both.
+    */
+  private def spanIslands(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc").orderBy("s")
     hits
       .withColumn("new_span",
@@ -805,6 +813,42 @@ object Dedup {
         (max(col("s")) + (k - 1)).as("span_end"),
         count(lit(1)).as("n_windows"))
       .select("doc", "span_start", "span_end", "n_windows")
+  }
+
+  /** Keep-ONE-copy variant of [[duplicatedSpans]] — Lee et al.'s actual
+    * dedup policy (arXiv:2107.06499 §4: of each duplicated substring,
+    * one occurrence is kept). Every duplicated window ELECTS its
+    * canonical occurrence — the lexicographic min (doc, s) pair, one
+    * tiny aggregate on the window-hash key — and only the NON-canonical
+    * occurrences feed the span merge, so cutting the returned spans
+    * leaves exactly one copy of each duplicated window in the corpus.
+    *
+    * The remove-all form ([[duplicatedSpans]]) needs no election and
+    * stays fully per-doc-local after the dictionary join; this form adds
+    * ONE column (the canonical occurrence) to the same dictionary — the
+    * join shape, and therefore the scale story, is unchanged: no pair
+    * join, dictionary rows <= distinct duplicated windows.
+    *
+    * Overlap caveat (documented on the oracle too): the canonical
+    * occurrence of window W is never itself a cut trigger, but a
+    * DIFFERENT duplicated window overlapping W in the same doc can still
+    * cut tokens the two share — the same interaction byte-range cutting
+    * has in the reference implementation.
+    */
+  def duplicatedSpansKeepOne(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int, minDocs: Int = 2
+  ): DataFrame = {
+    val wins = tokenWindows(df, idCol, textCol, k)
+    val dupCanon = wins.groupBy("wh")
+      .agg(countDistinct(col("doc")).as("n_docs"),
+        min(struct(col("doc"), col("s"))).as("canon"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("wh"), col("canon.doc").as("c_doc"), col("canon.s").as("c_s"))
+    val hits = wins.join(dupCanon, "wh")
+      .filter(!(col("doc") === col("c_doc") && col("s") === col("c_s")))
+      .select("doc", "s")
+    spanIslands(hits, k)
   }
 
   /** Per-doc scrub accounting over [[duplicatedSpans]]: how much of each

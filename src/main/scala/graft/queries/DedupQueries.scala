@@ -262,6 +262,19 @@ object DedupQueries {
           OutputMode.Append)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
+    },
+
+    // Keep-ONE-copy span dedup (Lee et al.'s actual cut policy, vs
+    // q74's remove-all form — the choice is documented on both): each
+    // duplicated window elects its canonical min-(doc_id, s) occurrence
+    // via one aggregate on the window-hash dictionary; only NON-canonical
+    // occurrences merge into cut spans, so exactly one copy of every
+    // duplicated window survives the cut.
+    "q78_span_keep_one" -> { (s, d) =>
+      Dedup.duplicatedSpansKeepOne(Tables.documents(s, d), "doc_id", "text",
+          k = SpanK, minDocs = 2)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "span_start")
     }
   )
 
@@ -295,6 +308,39 @@ object DedupQueries {
        |  FROM tok),
        |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
        |hits AS (SELECT doc_id, s FROM wins JOIN dup USING (wh)),
+       |flagged AS (
+       |  SELECT doc_id, s,
+       |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= $k
+       |         THEN 0 ELSE 1 END AS new_span
+       |  FROM hits),
+       |isl AS (
+       |  SELECT doc_id, s,
+       |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY s
+       |                        ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM flagged)""".stripMargin
+
+  /** q78 CTE chain: same windows/dictionary as [[duckSpanIslands]], but
+    * each duplicated window's canonical occurrence — rank 1 by (doc_id,
+    * s), the mirror of Spark's min(struct(doc, s)) election — is
+    * EXCLUDED from the hits before the island merge: keep-one-copy
+    * semantics. Remove-all (q74) vs keep-one (q78) is the documented
+    * policy fork; see Dedup.duplicatedSpansKeepOne for the overlap
+    * caveat shared by both engines.
+    */
+  private def duckSpanIslandsKeepOne(k: Int): String =
+    s"""tok AS (SELECT doc_id, ${DuckSql.toks} AS toks FROM documents),
+       |wins AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(toks) - ${k - 2})) AS s,
+       |    unnest(${duckWindowMd5(k)}) AS wh
+       |  FROM tok),
+       |dup AS (SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (
+       |  SELECT doc_id, s FROM (
+       |    SELECT w.doc_id, w.s,
+       |      row_number() OVER (PARTITION BY w.wh ORDER BY w.doc_id, w.s) AS rn
+       |    FROM wins w JOIN dup USING (wh)) ranked
+       |  WHERE rn > 1),
        |flagged AS (
        |  SELECT doc_id, s,
        |    CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= $k
@@ -582,7 +628,15 @@ object DedupQueries {
          |FROM documents
          |WHERE doc_id >= 400
          |  AND doc_id NOT IN (SELECT doc_id FROM coll)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q78_span_keep_one" ->
+      s"""WITH ${duckSpanIslandsKeepOne(SpanK)}
+         |SELECT doc_id, min(s) AS span_start,
+         |  max(s) + ${SpanK - 1} AS span_end,
+         |  count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_start""".stripMargin
   )
 
   /** Oracle CTE prefix shared by q36/q37 — the DuckDB mirror of

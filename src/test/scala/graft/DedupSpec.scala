@@ -116,6 +116,24 @@ class DedupSpec extends GraftSpec {
     assert(dist(1L, 3L) < dist(1L, 4L))
   }
 
+  test("keep-one span dedup spares exactly the canonical occurrence") {
+    val boiler = "alpha bravo charlie delta echo foxtrot golf"
+    val spanDocs = Seq(
+      (1L, s"intro one two $boiler tail words here"),
+      (2L, s"different opening text $boiler other ending"),
+      (3L, s"third copy here $boiler closing remark now"),
+      (4L, "nothing shared with anything else at all")
+    ).toDF("doc_id", "text")
+    val removeAll = Dedup.duplicatedSpans(spanDocs, "doc_id", "text", k = 6)
+      .collect().map(_.getAs[Long]("doc")).toSet
+    val keepOne = Dedup.duplicatedSpansKeepOne(spanDocs, "doc_id", "text", k = 6)
+      .collect().map(_.getAs[Long]("doc")).toSet
+    // remove-all marks every doc carrying the shared span; keep-one
+    // spares doc 1, the lexicographic-min canonical occurrence
+    assert(removeAll == Set(1L, 2L, 3L))
+    assert(keepOne == Set(2L, 3L))
+  }
+
   test("codegen'd simhash64 is bit-identical to the interpreted HOF form") {
     // fixture docs + adversarial edges: empty doc (split("") == [""] —
     // md5("") still votes), whitespace-only, single token, non-ASCII
