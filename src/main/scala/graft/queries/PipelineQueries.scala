@@ -21,7 +21,7 @@ object PipelineQueries {
     * fixtures). Emits `tok`, `words`, `ends`, `walk(doc_id, ck,
     * jstart_s, jend, jend_s)`; wrap in WITH RECURSIVE.
     */
-  private val duckChunkWalk: String =
+  private[queries] val duckChunkWalk: String =
     """tok AS (
       |  SELECT doc_id, t.i AS i,
       |         len(t.w) + CASE WHEN t.i = 1 THEN 0 ELSE 1 END AS l
@@ -57,7 +57,7 @@ object PipelineQueries {
     * exactly like the Scala loop. Emits `<pfx>vecs(keys..., vec)` from
     * `src(keys..., etext)`.
     */
-  private def duckTrigramEmbed(pfx: String, src: String, keys: Seq[String]): String = {
+  private[queries] def duckTrigramEmbed(pfx: String, src: String, keys: Seq[String]): String = {
     val k  = keys.mkString(", ")
     val gk = keys.map("g." + _).mkString(", ")
     val mj = keys.map(c => s"m.$c = g.$c").mkString(" AND ")

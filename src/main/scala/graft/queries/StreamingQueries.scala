@@ -1,5 +1,8 @@
 package graft.queries
 
+import graft.Tables
+import graft.catalog.{IndexMeta, VectorCatalog, VectorIndex}
+import graft.embed.DeterministicEmbedder
 import graft.streaming.{StreamRunner, StreamingIngest}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -121,6 +124,50 @@ object StreamingQueries {
           (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
             .as("lag_us"))
         .orderBy("user_id", "view_id", "click_id")
+    },
+
+    // The upload→ingest path (S4) as an oracle-gated stream: every
+    // fixture doc lands as a .txt upload, a REAL file-source stream
+    // drains the landing dir in maxFilesPerTrigger-bounded micro-batches
+    // through the SAME chunk→embed→id→upsert foreachBatch body as the
+    // continuous ingest, and the resulting merge-on-read index view is
+    // hash-compared against the batch chunk/embed oracle (the q50
+    // recursive walk + q51 trigram-embed mirrors composed).
+    // sourceBasename pins ids to landing FILE NAMES so the oracle can
+    // derive them from doc_id alone.
+    "q79_stream_ingest" -> { (s, d) =>
+      import java.nio.file.Files
+      val landing = Files.createTempDirectory("graft-landing-").toString
+      val ckpt    = Files.createTempDirectory("graft-ingest-ckpt-").toString
+      val idxRoot = Files.createTempDirectory("graft-ingest-idx-").toString
+      // materialize the landing dir executor-side through the Hadoop FS
+      // API (the shape that lands on an object store in production; the
+      // driver never holds the corpus)
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val dirPath = new org.apache.hadoop.fs.Path(landing)
+          val fs = dirPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          rows.foreach { r =>
+            val out = fs.create(
+              new org.apache.hadoop.fs.Path(dirPath, s"${r.getLong(0)}.txt"), true)
+            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally out.close()
+          }
+        }
+      val catalog = new VectorCatalog(s, idxRoot)
+      val index = VectorIndex.createOrConnect(s, catalog,
+        IndexMeta("stream-ingest", 64))
+      StreamingIngest.runLandingDirOnce(s, landing, index,
+        new DeterministicEmbedder(64), ckpt,
+        maxFilesPerTrigger = 400, sourceBasename = true)
+      index.read
+        .select(col("id"), col("source"), col("chunk_index"),
+          length(col("text")).as("chunk_len"),
+          size(col("embedding")).as("dim"),
+          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("c0"))
+        .orderBy("id")
     }
   )
 
@@ -172,6 +219,36 @@ object StreamingQueries {
         | AND v.event_type = 'view' AND c.event_type = 'click'
         | AND epoch_us(c.ts) >= epoch_us(v.ts)
         | AND epoch_us(c.ts) <= epoch_us(v.ts) + 21600 * 1000000::BIGINT
-        |ORDER BY v.user_id, view_id, click_id""".stripMargin
+        |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    // Batch mirror of the streamed ingest: q50's recursive chunk walk +
+    // q51's trigram-murmur embed, with source/id derived from the
+    // landing file name (<doc_id>.txt) exactly as Ingest.chunkId mints
+    // them: doc_<chunk_index>_<md5(md5(source)||md5(chunk_text))[:16]>.
+    "q79_stream_ingest" ->
+      s"""WITH RECURSIVE ${PipelineQueries.duckChunkWalk},
+         |chunks AS (
+         |  SELECT w.doc_id, CAST(w.ck - 1 AS INT) AS chunk_index,
+         |         trim(substr(d.text, CAST(w.jstart_s AS INT) + 1,
+         |                     CAST(w.jend_s - w.jstart_s AS INT))) AS chunk_text
+         |  FROM walk w JOIN documents d USING (doc_id)),
+         |csrc AS (
+         |  SELECT doc_id, chunk_index, chunk_text,
+         |         '^' || lower(chunk_text) || '$$' AS etext
+         |  FROM chunks),
+         |${PipelineQueries.duckTrigramEmbed("e", "csrc",
+             Seq("doc_id", "chunk_index", "chunk_text"))}
+         |SELECT concat('doc_', chunk_index, '_',
+         |         substr(md5(concat(md5(concat(doc_id, '.txt')),
+         |                           md5(chunk_text))), 1, 16)) AS id,
+         |       concat(doc_id, '.txt') AS source,
+         |       chunk_index,
+         |       CAST(len(chunk_text) AS INT) AS chunk_len,
+         |       64 AS dim,
+         |       round(sqrt(list_sum([CAST(vec[i] AS DOUBLE) * CAST(vec[i] AS DOUBLE)
+         |                            for i in range(1, len(vec)+1)])), 4) AS norm,
+         |       round(CAST(vec[1] AS DOUBLE), 6) AS c0
+         |FROM evecs
+         |ORDER BY id""".stripMargin
   )
 }

@@ -17,6 +17,46 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** The landing-dir file stream: one row per *.txt file.
+    * `sourceBasename` keeps only the file NAME as the source — ids then
+    * survive relocations of the landing volume (re-reading the same
+    * files from a different mount must not mint a fresh id space), at
+    * the cost of requiring globally-unique landing file names.
+    */
+  private def landingStream(
+      spark: SparkSession, landingDir: String,
+      maxFilesPerTrigger: Int, sourceBasename: Boolean): DataFrame = {
+    val path = input_file_name()
+    spark.readStream
+      .option("wholetext", "true")
+      .option("pathGlobFilter", "*.txt")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+      .select(col("value").as("text"),
+        (if (sourceBasename) regexp_extract(path, "[^/]+$", 0) else path)
+          .as("source"))
+  }
+
+  /** One micro-batch of the upload→ingest path: the SAME chunk → embed →
+    * id pipeline as the batch `Ingest.ingestDf`, plus per-batch id dedup,
+    * upserted into the index. Shared by the continuous ([[start]]) and
+    * bounded ([[runLandingDirOnce]]) forms so their semantics can't fork.
+    */
+  private def ingestBatch(
+      batch: DataFrame, index: VectorIndex, embedder: Embedder,
+      chunker: Chunker): Unit =
+    if (!batch.isEmpty) {
+      val chunked = chunker.chunk(batch, "text")
+        .withColumnRenamed("chunk_text", "text")
+      val embedded = EmbedOps.embedText(chunked, "text", embedder)
+      val withIds = embedded
+        .withColumn("id", graft.rag.Ingest.chunkId(
+          col("source"), col("chunk_index"), col("text")))
+        .dropDuplicates("id")
+      index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
+      ()
+    }
+
   /** Start a file-source stream over `landingDir` (*.txt) into `index`.
     * `maxFilesPerTrigger` bounds micro-batch size — the streaming analog
     * of the reference's upsert batching (100/request,
@@ -30,34 +70,47 @@ object StreamingIngest {
       checkpointDir: String,
       chunkSize: Int = 500,
       chunkOverlap: Int = 50,
-      maxFilesPerTrigger: Int = 100
+      maxFilesPerTrigger: Int = 100,
+      sourceBasename: Boolean = false
   ): StreamingQuery = {
-    val raw = spark.readStream
-      .option("wholetext", "true")
-      .option("pathGlobFilter", "*.txt")
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(landingDir)
-      .select(col("value").as("text"), input_file_name().as("source"))
-
     val chunker = new Chunker(chunkSize, chunkOverlap)
-
-    raw.writeStream
+    landingStream(spark, landingDir, maxFilesPerTrigger, sourceBasename)
+      .writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime("1 second"))
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val chunked = chunker.chunk(batch, "text")
-            .withColumnRenamed("chunk_text", "text")
-          val embedded = EmbedOps.embedText(chunked, "text", embedder)
-          val withIds = embedded
-            .withColumn("id", graft.rag.Ingest.chunkId(
-              col("source"), col("chunk_index"), col("text")))
-            .dropDuplicates("id")
-          index.upsert(withIds.select("id", "embedding", "text", "source", "chunk_index"))
-          ()
-        }
+        ingestBatch(batch, index, embedder, chunker)
       }
       .start()
+  }
+
+  /** Bounded form of [[start]]: drain everything currently in the
+    * landing dir (`Trigger.AvailableNow`) through the same per-batch
+    * pipeline and return when the stream terminates — the shape a
+    * backfill or an oracle-gated replay uses. Offsets checkpoint exactly
+    * like the continuous form, so alternating runs never double-ingest.
+    */
+  def runLandingDirOnce(
+      spark: SparkSession,
+      landingDir: String,
+      index: VectorIndex,
+      embedder: Embedder,
+      checkpointDir: String,
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50,
+      maxFilesPerTrigger: Int = 100,
+      sourceBasename: Boolean = false
+  ): Unit = {
+    val chunker = new Chunker(chunkSize, chunkOverlap)
+    val q = landingStream(spark, landingDir, maxFilesPerTrigger, sourceBasename)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, index, embedder, chunker)
+      }
+      .start()
+    q.awaitTermination()
   }
 
   /** Streaming analytics over the events shape (batch q06's streaming
