@@ -31,6 +31,63 @@ class StreamingParitySpec extends GraftSpec {
     }
   }
 
+  test("state partitioning freezes at stream start: checkpoint replays at a different shuffle.partitions bit-identically") {
+    // The documented streaming deployment knob (PERF.md round-4 close):
+    // a stream captures spark.sql.shuffle.partitions at FIRST start and
+    // fixes its state-store layout in the checkpoint forever; later runs
+    // under any session setting must resume that layout and produce the
+    // same answer. Proven here end-to-end: phase 1 ingests half the
+    // events at 3 partitions, phase 2 resumes the SAME checkpoint at 17
+    // with the other half, the final answer equals the batch aggregate,
+    // and the checkpoint's state directory still holds exactly 3
+    // partition dirs.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.streaming.StreamingIngest
+    val dir  = java.nio.file.Files.createTempDirectory("graft-partfreeze-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-partfreeze-ckpt-").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("ts"), col("event_type"), col("value"), col("event_id"))
+    ev.filter(col("event_id") % 2 === 0).write.parquet(s"$dir/data")
+    val schema = spark.read.parquet(s"$dir/data").schema
+    def runOnce(sinkName: String, parts: Int) = {
+      val key  = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, parts.toString)
+      try {
+        val q = StreamingIngest
+          .eventCounts(spark.readStream.schema(schema).parquet(s"$dir/data"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set(key, prev)
+      spark.table(sinkName)
+    }
+    runOnce("pf_run1", 3)
+    ev.filter(col("event_id") % 2 === 1).write.mode("append").parquet(s"$dir/data")
+    val resumed = runOnce("pf_run2", 17)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("tv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("tv"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(resumed == batch,
+      s"extra=${(resumed -- batch).take(3)} missing=${(batch -- resumed).take(3)}")
+    // the physical state layout stayed at the FIRST run's 3 partitions
+    val stateDirs = new java.io.File(s"$ckpt/state/0").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.forall(_.isDigit))
+    assert(stateDirs.length == 3,
+      s"state partition dirs: ${stateDirs.sorted.mkString(", ")} (expected 3 — " +
+        "frozen from the first run, regardless of the session's 17)")
+  }
+
   test("q71: closed sessions are exactly batch sessions minus each user's last") {
     val w = Window.partitionBy("user_id").orderBy("ts_us")
     val gapUs = 86400L * 1000000L
