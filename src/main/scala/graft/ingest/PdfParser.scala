@@ -1,0 +1,343 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import scala.util.control.NonFatal
+
+/** Minimal dependency-free PDF text extraction (closes SURVEY §2 S2 —
+  * the reference ingests PDFs per page via PyPDFLoader,
+  * `scripts/ingest_documents.py:52-59`; no PDF library ships in this
+  * offline environment, but none is needed for the common case: the JDK
+  * carries the one true dependency, `java.util.zip.Inflater` for
+  * FlateDecode).
+  *
+  * Scope (PDF 32000-1 subset — the shape virtually every text-bearing
+  * generator emits):
+  *  - object scan: `N G obj … endobj` found lexically, so a corrupt or
+  *    absent xref table doesn't kill extraction (the xref is only a
+  *    lookup accelerator; the objects carry their own labels);
+  *  - page tree: `/Root → /Pages → /Kids` walked recursively for true
+  *    page order, falling back to document-order `/Type /Page` objects
+  *    when the tree is missing or cyclic;
+  *  - content streams: `/FlateDecode` inflated (zlib), unfiltered
+  *    streams taken raw, any other filter skipped; `/Length` honored
+  *    when it is a direct integer or a reference to one, else the
+  *    stream is delimited by its `endstream` keyword;
+  *  - text operators: `Tj`, `'`, `"` and `TJ` strings are emitted
+  *    (literal strings with full escape handling — octal, specials,
+  *    nested balanced parens, line continuations — and hex strings);
+  *    the line-positioning operators `Td`/`TD`/`T*` plus `'`/`"` break
+  *    lines, so extracted text keeps its layout line structure;
+  *  - simple-font byte strings decode as Latin-1 (≈ PDFDocEncoding for
+  *    the printable range). CID/Type0 composite fonts need ToUnicode
+  *    CMap handling — out of scope; their bytes decode to mojibake
+  *    rather than crashing the scan.
+  *
+  * [[PdfParser]] is the production entry: real extraction first, and on
+  * ANY failure (encrypted, exotic filters, not actually a PDF) the
+  * deterministic stub pseudo-page the pipeline shipped with before —
+  * ingestion of a 10⁶-file corpus must degrade per-file, not fail
+  * per-job.
+  */
+object PdfText {
+
+  private final case class PdfObj(num: Int, dict: String, raw: Array[Byte],
+      streamAt: Int)
+
+  private val latin1 = StandardCharsets.ISO_8859_1
+
+  /** Extract one string per page. Empty result ⇒ caller should treat the
+    * file as unparseable (a valid PDF has ≥1 page).
+    */
+  def extractPages(bytes: Array[Byte]): Seq[String] = {
+    val text = new String(bytes, latin1)
+    val objs = scanObjects(text, bytes)
+    if (objs.isEmpty) return Seq.empty
+    val byNum = objs.map(o => o.num -> o).toMap
+    val pages = pageOrder(text, objs, byNum)
+    pages.map { p =>
+      val content = contentRefs(p.dict)
+        .flatMap(byNum.get)
+        .flatMap(o => decodeStream(o, byNum))
+      // separate streams with a newline: a page may split its content
+      // across streams at token boundaries
+      extractText(content.map(new String(_, latin1)).mkString("\n"))
+    }
+  }
+
+  // ---- object scan ----------------------------------------------------
+
+  private val ObjRe = """(?s)(\d+)\s+\d+\s+obj\b""".r
+
+  private def scanObjects(text: String, bytes: Array[Byte]): Seq[PdfObj] =
+    ObjRe.findAllMatchIn(text).map { m =>
+      var i = m.end
+      while (i < text.length && text.charAt(i).isWhitespace) i += 1
+      val dict =
+        if (i + 1 < text.length && text.charAt(i) == '<' && text.charAt(i + 1) == '<')
+          balancedDict(text, i)
+        else {
+          // bare object (e.g. an integer /Length target): body to endobj
+          val end = text.indexOf("endobj", i)
+          text.substring(i, if (end < 0) i else end)
+        }
+      val afterDict = i + dict.length
+      val sIdx = text.indexOf("stream", afterDict)
+      val objEnd = text.indexOf("endobj", afterDict)
+      val streamAt =
+        if (sIdx >= 0 && (objEnd < 0 || sIdx < objEnd)) {
+          var j = sIdx + "stream".length
+          if (j < text.length && text.charAt(j) == '\r') j += 1
+          if (j < text.length && text.charAt(j) == '\n') j += 1
+          j
+        } else -1
+      PdfObj(m.group(1).toInt, dict, bytes, streamAt)
+    }.toSeq
+
+  /** Balanced `<< … >>` slice starting at `start`; lexical bracket count
+    * (dictionary tokens never hide `<<`/`>>` inside strings in
+    * generator-emitted PDFs).
+    */
+  private def balancedDict(text: String, start: Int): String = {
+    var depth = 0
+    var i = start
+    while (i + 1 < text.length) {
+      if (text.charAt(i) == '<' && text.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (text.charAt(i) == '>' && text.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return text.substring(start, i)
+      } else i += 1
+    }
+    text.substring(start)
+  }
+
+  // ---- page tree ------------------------------------------------------
+
+  private val RefRe      = """(\d+)\s+\d+\s+R""".r
+  private val RootRe     = """/Root\s+(\d+)\s+\d+\s+R""".r
+  private val PagesRe    = """/Pages\s+(\d+)\s+\d+\s+R""".r
+  private val KidsRe     = """(?s)/Kids\s*\[(.*?)\]""".r
+  private val PageTypeRe = """/Type\s*/Page\b(?!s)""".r
+
+  private def pageOrder(text: String, objs: Seq[PdfObj],
+      byNum: Map[Int, PdfObj]): Seq[PdfObj] = {
+    val walked =
+      for {
+        root    <- RootRe.findFirstMatchIn(text)
+        catObj  <- byNum.get(root.group(1).toInt)
+        pagesM  <- PagesRe.findFirstMatchIn(catObj.dict)
+      } yield {
+        val out     = Seq.newBuilder[PdfObj]
+        val visited = scala.collection.mutable.HashSet.empty[Int]
+        def walk(num: Int): Unit =
+          if (visited.add(num)) byNum.get(num).foreach { o =>
+            if (PageTypeRe.findFirstIn(o.dict).isDefined) out += o
+            else KidsRe.findFirstMatchIn(o.dict).foreach { kids =>
+              RefRe.findAllMatchIn(kids.group(1))
+                .foreach(k => walk(k.group(1).toInt))
+            }
+          }
+        walk(pagesM.group(1).toInt)
+        out.result()
+      }
+    walked.filter(_.nonEmpty).getOrElse(
+      objs.filter(o => PageTypeRe.findFirstIn(o.dict).isDefined))
+  }
+
+  private val ContentsRefRe = """/Contents\s+(\d+)\s+\d+\s+R""".r
+  private val ContentsArrRe = """(?s)/Contents\s*\[(.*?)\]""".r
+
+  private def contentRefs(dict: String): Seq[Int] =
+    ContentsArrRe.findFirstMatchIn(dict) match {
+      case Some(arr) =>
+        RefRe.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toSeq
+      case None =>
+        ContentsRefRe.findFirstMatchIn(dict).map(_.group(1).toInt).toSeq
+    }
+
+  // ---- stream decode --------------------------------------------------
+
+  private val LengthIntRe = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  private val LengthRefRe = """/Length\s+(\d+)\s+\d+\s+R""".r
+  private val IntRe       = """\d+""".r
+
+  private def decodeStream(o: PdfObj, byNum: Map[Int, PdfObj]): Option[Array[Byte]] = {
+    if (o.streamAt < 0) return None
+    val text = new String(o.raw, latin1)
+    val len: Option[Int] =
+      LengthIntRe.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+        .orElse(for {
+          ref    <- LengthRefRe.findFirstMatchIn(o.dict)
+          target <- byNum.get(ref.group(1).toInt)
+          n      <- IntRe.findFirstIn(target.dict)
+        } yield n.toInt)
+    val end = len
+      .map(o.streamAt + _)
+      .filter(e => e <= o.raw.length &&
+        text.indexOf("endstream", e) >= 0 &&
+        // the declared length must land AT the delimiter (tolerate EOL)
+        text.substring(e, text.indexOf("endstream", e)).forall(_.isWhitespace))
+      .getOrElse {
+        val i = text.indexOf("endstream", o.streamAt)
+        if (i < 0) o.raw.length else i
+      }
+    val data = java.util.Arrays.copyOfRange(o.raw, o.streamAt, math.max(o.streamAt, end))
+    if (o.dict.contains("/FlateDecode")) inflate(data)
+    else if (!o.dict.contains("/Filter")) Some(data)
+    else None // unsupported filter: skip this stream, keep the page
+  }
+
+  private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && inf.needsDictionary()) return None
+      }
+      Some(out.toByteArray)
+    } catch { case NonFatal(_) => None }
+    finally inf.end()
+  }
+
+  // ---- content-stream text operators ----------------------------------
+
+  /** One lexical pass over a page's content: literal/hex strings are
+    * buffered, `Tj`/`'`/`"`/`TJ` emit them, `Td`/`TD`/`T*`/`'`/`"`
+    * break lines. Inline dictionaries, comments and inline-image data
+    * are skipped.
+    */
+  private[graft] def extractText(s: String): String = {
+    val out             = new StringBuilder
+    var pending: String = null   // last string operand seen
+    val arrayBuf        = new StringBuilder
+    var inArray         = false
+    var i               = 0
+
+    def newline(): Unit =
+      if (out.nonEmpty && out.last != '\n') out.append('\n')
+    def emit(t: String): Unit = if (t != null) out.append(t)
+
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') { // comment to EOL
+        while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '(') {
+        val (str, next) = literalString(s, i)
+        if (inArray) arrayBuf.append(str) else pending = str
+        i = next
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        i += balancedDict(s, i).length // inline dict (e.g. BDC properties)
+      } else if (c == '<') {
+        val (str, next) = hexString(s, i)
+        if (inArray) arrayBuf.append(str) else pending = str
+        i = next
+      } else if (c == '[') { inArray = true; arrayBuf.clear(); i += 1 }
+      else if (c == ']') { inArray = false; pending = arrayBuf.toString; i += 1 }
+      else if (c == '/') { // name object: skip token
+        i += 1
+        while (i < s.length && !delim(s.charAt(i))) i += 1
+      } else if (!delim(c)) { // operator or numeric operand
+        val start = i
+        while (i < s.length && !delim(s.charAt(i))) i += 1
+        s.substring(start, i) match {
+          case "Tj"        => emit(pending); pending = null
+          case "TJ"        => emit(pending); pending = null
+          case "'"         => newline(); emit(pending); pending = null
+          case "\""        => newline(); emit(pending); pending = null
+          case "Td" | "TD" | "T*" => newline()
+          case "BI" => // inline image: skip to EI
+            val ei = s.indexOf("EI", i)
+            i = if (ei < 0) s.length else ei + 2
+          case _ => // numbers and other operators: no text effect
+        }
+      } else i += 1
+    }
+    out.toString.trim
+  }
+
+  private def delim(c: Char): Boolean =
+    c.isWhitespace || c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** Literal `(...)` string: escapes, octal codes, nested balanced
+    * parens, line continuations. Returns (decoded, index-after).
+    */
+  private def literalString(s: String, start: Int): (String, Int) = {
+    val out   = new StringBuilder
+    var depth = 1
+    var i     = start + 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => out.append('\n'); i += 2
+          case 'r' => out.append('\r'); i += 2
+          case 't' => out.append('\t'); i += 2
+          case 'b' => out.append('\b'); i += 2
+          case 'f' => out.append('\f'); i += 2
+          case '(' => out.append('('); i += 2
+          case ')' => out.append(')'); i += 2
+          case '\\' => out.append('\\'); i += 2
+          case '\r' => i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1; var v = 0
+            while (j < s.length && j < i + 4 &&
+                s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+              v = v * 8 + (s.charAt(j) - '0'); j += 1
+            }
+            out.append((v & 0xff).toChar); i = j
+          case other => out.append(other); i += 2
+        }
+      } else if (c == '(') { depth += 1; out.append(c); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) out.append(c)
+        i += 1
+      } else { out.append(c); i += 1 }
+    }
+    (out.toString, i)
+  }
+
+  /** Hex `<...>` string: pairs of hex digits, odd final digit padded
+    * with 0, whitespace ignored. Returns (decoded, index-after).
+    */
+  private def hexString(s: String, start: Int): (String, Int) = {
+    var i = start + 1
+    val hex = new StringBuilder
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!c.isWhitespace) hex.append(c)
+      i += 1
+    }
+    if (hex.length % 2 == 1) hex.append('0')
+    val out = new StringBuilder
+    var j = 0
+    while (j + 1 < hex.length) {
+      val hi = Character.digit(hex.charAt(j), 16)
+      val lo = Character.digit(hex.charAt(j + 1), 16)
+      if (hi >= 0 && lo >= 0) out.append(((hi << 4) | lo).toChar)
+      j += 2
+    }
+    (out.toString, math.min(i + 1, s.length))
+  }
+}
+
+/** Production PDF page extractor: real parsing ([[PdfText]]) with the
+  * deterministic stub pseudo-page as the per-file fallback for anything
+  * outside the supported subset (encrypted files, exotic filters,
+  * non-PDF bytes) — a 100 TB ingest degrades per-file, never per-job.
+  */
+final class PdfParser extends Readers.BinaryDocParser {
+  override def pages(bytes: Array[Byte]): Seq[String] =
+    try {
+      val ps = PdfText.extractPages(bytes)
+      if (ps.nonEmpty) ps
+      else Seq(s"[pdf-stub ${bytes.length} bytes]")
+    } catch {
+      case NonFatal(_) => Seq(s"[pdf-stub ${bytes.length} bytes]")
+    }
+}

@@ -30,20 +30,24 @@ object Readers {
     def pages(bytes: Array[Byte]): Seq[String]
   }
 
-  /** STUB: no PDF library is available offline. Deterministic fake that
-    * "extracts" a single pseudo-page naming the payload size — the
-    * Spark-side plumbing (binaryFile scan, glob filter, page explode) is
-    * real and tested; swap in a pdfbox-backed parser on a cluster.
+  /** Deterministic pseudo-page fallback, kept for tests and as the
+    * degraded-mode output [[PdfParser]] emits for files outside the
+    * supported subset (encrypted, exotic filters, non-PDF bytes).
     */
   final class StubPdfParser extends BinaryDocParser {
     override def pages(bytes: Array[Byte]): Seq[String] =
       Seq(s"[pdf-stub ${bytes.length} bytes]")
   }
 
-  /** S2: recursive `*.pdf` scan via the binaryFile source + page explode. */
+  /** S2: recursive `*.pdf` scan via the binaryFile source + page
+    * explode. Default parser is the dependency-free [[PdfParser]]
+    * (object scan → page-tree walk → FlateDecode via the JDK Inflater →
+    * Tj/TJ/'/" text operators; see [[PdfText]]), degrading per-file to
+    * the stub pseudo-page outside its subset.
+    */
   def pdfDirectory(
       spark: SparkSession, dir: String,
-      parser: BinaryDocParser = new StubPdfParser
+      parser: BinaryDocParser = new PdfParser
   ): DataFrame = {
     val pagesUdf = udf((bytes: Array[Byte]) =>
       if (bytes == null) Seq.empty[String] else parser.pages(bytes))

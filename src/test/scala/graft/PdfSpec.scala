@@ -1,0 +1,144 @@
+package graft
+
+import graft.catalog.VectorCatalog
+import graft.embed.DeterministicEmbedder
+import graft.ingest.{PdfParser, PdfText, Readers}
+import graft.rag.Ingest
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.nio.file.Files
+
+/** The dependency-free PDF extractor (SURVEY §2 S2): fixture PDFs are
+  * built IN-TEST (correct xref, FlateDecode streams via the JDK
+  * Deflater) and driven through every layer — PdfText directly, the
+  * binaryFile page-explode reader, and the full Ingest.run round-trip.
+  */
+class PdfSpec extends GraftSpec {
+
+  private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val df = new java.util.zip.Deflater()
+    df.setInput(raw); df.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+    df.end()
+    out.toByteArray
+  }
+
+  /** A complete single-font PDF: catalog → pages → one page + one
+    * content stream per entry, correct xref offsets, optional
+    * FlateDecode. `contents` are raw content-stream bodies so tests can
+    * exercise arbitrary operators.
+    */
+  private def buildPdf(contents: Seq[String], compress: Boolean): Array[Byte] = {
+    val n    = contents.size
+    val font = 3 + 2 * n
+    val objs = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    objs += 1 -> b("<< /Type /Catalog /Pages 2 0 R >>")
+    objs += 2 -> b(s"<< /Type /Pages /Kids [${
+      (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $n >>")
+    for (i <- 0 until n)
+      objs += (3 + i) -> b(s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $font 0 R >> >> " +
+        s"/Contents ${3 + n + i} 0 R >>")
+    for (i <- 0 until n) {
+      val raw    = b(contents(i))
+      val data   = if (compress) deflate(raw) else raw
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      objs += (3 + n + i) ->
+        (b(s"<< /Length ${data.length}$filter >>\nstream\n") ++
+          data ++ b("\nendstream"))
+    }
+    objs += font -> b("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val out     = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](objs.size + 1)
+    out.write(b("%PDF-1.4\n"))
+    objs.sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size()
+      out.write(b(s"$num 0 obj\n")); out.write(body); out.write(b("\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    out.write(b(s"xref\n0 ${objs.size + 1}\n0000000000 65535 f \n"))
+    (1 to objs.size).foreach(i => out.write(b(f"${offsets(i)}%010d 00000 n \n")))
+    out.write(b(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  private def pageContent(text: String): String =
+    s"BT /F1 12 Tf 72 720 Td ($text) Tj ET"
+
+  test("two-page FlateDecode PDF extracts one string per page, in order") {
+    val pdf = buildPdf(Seq(
+      pageContent("Hello PDF page one"),
+      pageContent("Second page content here")), compress = true)
+    assert(PdfText.extractPages(pdf) ==
+      Seq("Hello PDF page one", "Second page content here"))
+    // uncompressed variant extracts identically
+    val plain = buildPdf(Seq(
+      pageContent("Hello PDF page one"),
+      pageContent("Second page content here")), compress = false)
+    assert(PdfText.extractPages(plain) == PdfText.extractPages(pdf))
+  }
+
+  test("text operators: TJ kerning arrays, hex strings, escapes, line breaks") {
+    val content =
+      """BT /F1 12 Tf
+        |(A\(b\)\\c) Tj
+        |[ (ker) -120 (ned) ] TJ
+        |<48 69> Tj
+        |T* (line two) Tj
+        |0 -14 Td
+        |(line three) '
+        |(\101\102) Tj
+        |ET""".stripMargin
+    val pdf = buildPdf(Seq(content), compress = true)
+    assert(PdfText.extractPages(pdf) ==
+      Seq("A(b)\\ckernedHi\nline two\nline threeAB"))
+  }
+
+  test("garbage and unsupported inputs degrade to the stub pseudo-page per file") {
+    val junk = b("this is not a pdf at all")
+    assert(new PdfParser().pages(junk) == Seq(s"[pdf-stub ${junk.length} bytes]"))
+  }
+
+  test("binaryFile reader explodes PDF pages as rows (S2)") {
+    val dir = Files.createTempDirectory("graft-pdf-dir")
+    Files.write(dir.resolve("report.pdf"), buildPdf(Seq(
+      pageContent("Revenue grew forty percent in the third quarter"),
+      pageContent("Gross margin expanded to sixty eight percent")),
+      compress = true))
+    val rows = Readers.pdfDirectory(spark, dir.toString).collect()
+    assert(rows.length == 2)
+    assert(rows.map(_.getAs[String]("text")).toSet ==
+      Set("Revenue grew forty percent in the third quarter",
+        "Gross margin expanded to sixty eight percent"))
+    assert(rows.forall(_.getAs[String]("source").endsWith("report.pdf")))
+  }
+
+  test("Ingest.run round-trips a mixed txt+pdf corpus into the index") {
+    val dir = Files.createTempDirectory("graft-pdf-ingest")
+    Files.writeString(dir.resolve("notes.txt"),
+      "Plain text document about vector databases and retrieval")
+    Files.write(dir.resolve("filing.pdf"), buildPdf(Seq(
+      pageContent("The annual filing reports strong cash flow"),
+      pageContent("Liquidity remains robust across segments")),
+      compress = true))
+    val catalog = new VectorCatalog(spark,
+      Files.createTempDirectory("graft-pdf-cat").toString)
+    val index = Ingest.run(spark, catalog, dir.toString, "pdfmix",
+      new DeterministicEmbedder(64))
+    val rows = index.read.select("text", "source").collect()
+    val pdfTexts = rows.filter(_.getAs[String]("source").endsWith(".pdf"))
+      .map(_.getAs[String]("text"))
+    assert(pdfTexts.toSet ==
+      Set("The annual filing reports strong cash flow",
+        "Liquidity remains robust across segments"),
+      s"pdf chunks: ${pdfTexts.mkString(" | ")}")
+    assert(rows.exists(r => r.getAs[String]("source").endsWith(".txt") &&
+      r.getAs[String]("text").contains("vector databases")))
+  }
+}
