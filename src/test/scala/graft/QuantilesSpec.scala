@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Quantiles
+import org.apache.spark.sql.functions._
+
+/** Unit coverage for the distributed exact quantile operator: value
+  * parity against Spark's own exact `percentile` aggregate (the
+  * single-buffer formulation it replaces — fine as a TEST oracle, banned
+  * in registry plans), edge shapes, and the runtime plan property.
+  */
+class QuantilesSpec extends GraftSpec {
+  import spark.implicits._
+
+  private lazy val li = Tables.lineitem(spark, sfDir)
+
+  test("matches Spark's exact percentile bit-for-bit after 9-dp rounding") {
+    val mine = Quantiles.groupQuantiles(li, "l_returnflag",
+        Seq(("l_extendedprice", 0.5, "p50"), ("l_extendedprice", 0.9, "p90"),
+            ("l_extendedprice", 0.01, "p01"), ("l_quantity", 0.25, "q25")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val ref = li.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)"),
+        expr("percentile(l_extendedprice, 0.9)"),
+        expr("percentile(l_extendedprice, 0.01)"),
+        expr("percentile(l_quantity, 0.25)"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(mine.keySet == ref.keySet)
+    def r9(d: Double): Double = math.rint(d * 1e9) / 1e9
+    for (k <- ref.keySet) {
+      assert(r9(mine(k)._1) == r9(ref(k)._1), s"$k p50: ${mine(k)} vs ${ref(k)}")
+      assert(r9(mine(k)._2) == r9(ref(k)._2), s"$k p90: ${mine(k)} vs ${ref(k)}")
+      assert(r9(mine(k)._3) == r9(ref(k)._3), s"$k p01: ${mine(k)} vs ${ref(k)}")
+      assert(r9(mine(k)._4) == r9(ref(k)._4), s"$k q25: ${mine(k)} vs ${ref(k)}")
+    }
+  }
+
+  test("edges: single row, all-equal run, p=0/1, interpolation between ties") {
+    val df = Seq(
+      ("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 9.0), // tie run covers both ranks
+      ("b", 3.0),                                     // single row
+      ("c", 1.0), ("c", 2.0)                          // plain interpolation
+    ).toDF("g", "v")
+    val got = Quantiles.groupQuantiles(df,
+        "g", Seq(("v", 0.0, "p0"), ("v", 0.5, "p50"), ("v", 1.0, "p100")))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got("a") == ((5.0, 5.0, 9.0)))  // median falls inside the 5.0 run
+    assert(got("b") == ((3.0, 3.0, 3.0)))
+    assert(got("c") == ((1.0, 1.5, 2.0)))  // 0.5·(2−1) interpolates halfway
+  }
+
+  test("globalQuantiles: one row, constant-group machinery still spreads by value") {
+    val got = Quantiles.globalQuantiles(li,
+        Seq(("l_quantity", 0.5, "med_qty"))).head()
+    val ref = li.agg(expr("percentile(l_quantity, 0.5)")).head().getDouble(0)
+    assert(got.getDouble(0) == ref)
+  }
+
+  test("runtime plan: the frequency exchange computes once (ReusedExchange), no percentile buffer") {
+    val df = Quantiles.groupQuantiles(li, "l_returnflag",
+      Seq(("l_extendedprice", 0.5, "m")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the static plan prints the frequency subtree under both the main
+    // side and the broadcast totals side; at runtime AQE must fold the
+    // second into a ReusedExchange of the first
+    assert(plan.contains("ReusedExchange"),
+      s"frequency table computed twice — no ReusedExchange in:\n$plan")
+    assert(!plan.contains("percentile("), "the buffer aggregate leaked back in")
+  }
+}
