@@ -59,12 +59,23 @@ final class VectorIndex(
     * only tie within the same millisecond — a far narrower window than
     * a pure read-max-then-increment. True multi-writer isolation needs
     * an external lock or a table format with a commit protocol.
+    *
+    * The on-disk max is read ONCE per VectorIndex instance and bumped
+    * in memory after each write: a streaming ingest upserting hundreds
+    * of micro-batches must not re-scan every prior version's footer per
+    * batch (that read was O(batches²) across a stream's lifetime).
+    * Cross-instance writers still order correctly through the
+    * wall-clock component.
     */
-  private def nextVersion(): Long = {
-    val existing =
-      if (!hasData) -1L
-      else spark.read.parquet(path).agg(max("_version")).head().getLong(0)
-    math.max(existing + 1L, System.currentTimeMillis())
+  private var lastVersion: Long = Long.MinValue
+
+  private def nextVersion(): Long = synchronized {
+    if (lastVersion == Long.MinValue)
+      lastVersion =
+        if (!hasData) -1L
+        else spark.read.parquet(path).agg(max("_version")).head().getLong(0)
+    lastVersion = math.max(lastVersion + 1L, System.currentTimeMillis())
+    lastVersion
   }
 
   private def hasData: Boolean = {

@@ -126,41 +126,48 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     },
 
-    // The upload→ingest path (S4) as an oracle-gated stream: every
-    // fixture doc lands as a .txt upload, a REAL file-source stream
-    // drains the landing dir in maxFilesPerTrigger-bounded micro-batches
-    // through the SAME chunk→embed→id→upsert foreachBatch body as the
-    // continuous ingest, and the resulting merge-on-read index view is
+    // The upload→ingest path (S4) as an oracle-gated stream: uploads
+    // land as JSONL BATCH files (one file per 100-doc upload batch —
+    // the reference's own upsert batching, pinecone_service.py:135-140;
+    // one record per uploaded doc carries its name), a REAL file-source
+    // stream drains the landing dir in two micro-batches through the
+    // SAME chunk→embed→id→upsert foreachBatch body as the continuous
+    // ingest, and the resulting merge-on-read index view is
     // hash-compared against the batch chunk/embed oracle (the q50
-    // recursive walk + q51 trigram-embed mirrors composed).
-    // sourceBasename pins ids to landing FILE NAMES so the oracle can
-    // derive them from doc_id alone.
+    // recursive walk + q51 trigram-embed mirrors composed). Ids derive
+    // from the per-record upload NAME (<doc_id>.txt), not landing file
+    // paths, so the oracle can mint them from doc_id alone. Batched
+    // landing files are also the measured scale answer: the file stream
+    // source costs ~ms PER FILE driver-side (PERF.md round 5), so
+    // per-doc files bottleneck at 10⁶ uploads while per-batch files
+    // don't.
     "q79_stream_ingest" -> { (s, d) =>
       import java.nio.file.Files
       val landing = Files.createTempDirectory("graft-landing-").toString
       val ckpt    = Files.createTempDirectory("graft-ingest-ckpt-").toString
       val idxRoot = Files.createTempDirectory("graft-ingest-idx-").toString
-      // materialize the landing dir executor-side through the Hadoop FS
-      // API (the shape that lands on an object store in production; the
-      // driver never holds the corpus)
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val dirPath = new org.apache.hadoop.fs.Path(landing)
-          val fs = dirPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          rows.foreach { r =>
-            val out = fs.create(
-              new org.apache.hadoop.fs.Path(dirPath, s"${r.getLong(0)}.txt"), true)
-            try out.write(r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-            finally out.close()
-          }
-        }
+      val docs    = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val nDocs   = docs.count()
+      val nFiles  = math.max(1L, (nDocs + 99) / 100).toInt
+      // overwrite: createTempDirectory pre-made the (empty) landing dir
+      docs.repartition(nFiles).write.mode("overwrite").json(landing)
       val catalog = new VectorCatalog(s, idxRoot)
       val index = VectorIndex.createOrConnect(s, catalog,
         IndexMeta("stream-ingest", 64))
-      StreamingIngest.runLandingDirOnce(s, landing, index,
-        new DeterministicEmbedder(64), ckpt,
-        maxFilesPerTrigger = 400, sourceBasename = true)
+      // two micro-batches at any fixture scale: incremental multi-batch
+      // semantics stay exercised (batch 2 upserts against batch 1's
+      // index state) with the replay cost bounded
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val uploads = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", math.max(1, (nFiles + 1) / 2))
+        .json(landing)
+        .select(col("text"), concat(col("doc_id"), lit(".txt")).as("source"))
+      StreamingIngest.runIngestStreamOnce(uploads, index,
+        new DeterministicEmbedder(64), ckpt)
       index.read
         .select(col("id"), col("source"), col("chunk_index"),
           length(col("text")).as("chunk_len"),

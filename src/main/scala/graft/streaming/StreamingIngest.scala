@@ -84,11 +84,40 @@ object StreamingIngest {
       .start()
   }
 
-  /** Bounded form of [[start]]: drain everything currently in the
-    * landing dir (`Trigger.AvailableNow`) through the same per-batch
-    * pipeline and return when the stream terminates — the shape a
-    * backfill or an oracle-gated replay uses. Offsets checkpoint exactly
-    * like the continuous form, so alternating runs never double-ingest.
+  /** Bounded ingest of ANY streaming `(text, source)` DataFrame: drain
+    * everything currently available (`Trigger.AvailableNow`) through the
+    * same per-batch pipeline as the continuous form and return when the
+    * stream terminates — the shape a backfill or an oracle-gated replay
+    * uses. Offsets checkpoint exactly like the continuous form, so
+    * alternating runs never double-ingest.
+    */
+  def runIngestStreamOnce(
+      docs: DataFrame,
+      index: VectorIndex,
+      embedder: Embedder,
+      checkpointDir: String,
+      chunkSize: Int = 500,
+      chunkOverlap: Int = 50
+  ): Unit = {
+    val chunker = new Chunker(chunkSize, chunkOverlap)
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ingestBatch(batch, index, embedder, chunker)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Bounded form of [[start]] over a one-file-per-doc *.txt landing
+    * dir. NOTE the scale trap measured in PERF.md round 5: Spark's file
+    * stream source costs ~ms PER FILE (driver-side listing + source
+    * log), so a million tiny per-doc files bottleneck the driver — batch
+    * uploads into JSONL landing files ([[runLandingDirOnce]]'s caller
+    * can stream `spark.readStream.json` instead, one upload BATCH per
+    * file, the reference's own 100-per-request upsert batching) when
+    * ingest volume is more than a trickle.
     */
   def runLandingDirOnce(
       spark: SparkSession,
@@ -100,18 +129,10 @@ object StreamingIngest {
       chunkOverlap: Int = 50,
       maxFilesPerTrigger: Int = 100,
       sourceBasename: Boolean = false
-  ): Unit = {
-    val chunker = new Chunker(chunkSize, chunkOverlap)
-    val q = landingStream(spark, landingDir, maxFilesPerTrigger, sourceBasename)
-      .writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, index, embedder, chunker)
-      }
-      .start()
-    q.awaitTermination()
-  }
+  ): Unit =
+    runIngestStreamOnce(
+      landingStream(spark, landingDir, maxFilesPerTrigger, sourceBasename),
+      index, embedder, checkpointDir, chunkSize, chunkOverlap)
 
   /** Streaming analytics over the events shape (batch q06's streaming
     * twin): watermarked tumbling-window counts per event type.
