@@ -270,4 +270,22 @@ object TextFunctions {
       .reduce((acc, d) => acc * 16 + d)
     v % buckets
   }
+
+  /** `slice`-th disjoint 4-hex-char window of an md5 ALREADY computed as
+    * `digest` → int in [0, buckets). Eight independent-enough 16-bit
+    * hashes from ONE digest (the Kirsch–Mitzenmacher construction the
+    * CMS uses) — d hash rows cost one md5 per row-INPUT instead of d.
+    * `slice` is a COLUMN so callers can explode a literal index array
+    * and derive every slice after the generate from the bound digest —
+    * keeping the md5 out of generator/filter expressions, where Catalyst
+    * re-evaluates it per element with no subexpression elimination.
+    */
+  def hashBucketSlice(digest: Column, slice: Column, buckets: Int): Column = {
+    require(buckets >= 2 && buckets <= 65536,
+      s"buckets must be in [2, 65536], got $buckets")
+    val v = (0 until 4)
+      .map(i => hexDigit(digest.substr(lit(4) * slice + (i + 1), lit(1))))
+      .reduce((acc, d) => acc * 16 + d)
+    v % buckets
+  }
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch frequency estimation (Cormode & Muthukrishnan 2005,
+  * "An improved data stream summary: the count-min sketch and its
+  * applications"). The 100 TB story: exact term counting carries
+  * vocabulary-sized state through the shuffle (web-scale corpora have
+  * billions of distinct tokens/shingles/URLs); the CMS is a FIXED d×w
+  * cell grid — each occurrence increments one bucket per hash row, the
+  * grid partial-aggregates with map-side combine into ≤ d·w rows, and
+  * point estimates (min over the d cells a term maps to) overestimate by
+  * at most ε·N with probability 1−δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉. The
+  * sketch is mergeable (cell-wise sum), so shards/days combine by union
+  * + re-aggregate — the standard frequency primitive for stop-shingle
+  * detection and heavy-hitter screens in corpus curation.
+  *
+  * Hashing is deterministic md5-hex arithmetic, bit-replayable in the
+  * DuckDB oracle like every other hash in the registry — and the d hash
+  * rows are DISJOINT 4-hex-char slices of ONE digest per occurrence
+  * ([[TextFunctions.hashBucketSlice]], the Kirsch–Mitzenmacher
+  * construction): d rows cost one md5, not d, in the per-occurrence hot
+  * path.
+  */
+object Sketch {
+
+  private def probeCols(terms: DataFrame, termCol: String, depth: Int,
+      width: Int, salt: String, carry: Seq[String] = Nil): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    require(width >= 2 && width <= 65536,
+      s"width must be in [2, 65536], got $width")
+    require(!terms.columns.contains("_cms_h"),
+      "input already has a _cms_h column (would be clobbered)")
+    val keep = col(termCol) +: carry.map(col)
+    // Expression-placement discipline (measured, PERF.md r5): the md5
+    // lives in a PROJECT below the generate; the generator explodes a
+    // LITERAL index array (foldable — the inferred size(...)>0 filter
+    // constant-folds away); each slice derives AFTER the generate from
+    // the bound digest column. Putting the hash stack inside the
+    // generator array instead made Catalyst inline it into an inferred
+    // Filter — 32 md5 evaluations per row, no subexpression elimination,
+    // ~15× the runtime.
+    terms
+      .withColumn("_cms_h", md5(concat(col(termCol), lit(s":$salt"))))
+      .select((keep :+ col("_cms_h")) :+
+        posexplode(array((0 until depth).map(j => lit(j)): _*)).as(Seq("j", "_jv")): _*)
+      .select(keep ++ Seq(col("j"),
+        TextFunctions.hashBucketSlice(col("_cms_h"), col("j"), width).as("b")): _*)
+  }
+
+  /** Build the d×w cell grid from one row per term OCCURRENCE:
+    * `(j, b, c)` — hash row, bucket, count. ≤ depth·width rows
+    * regardless of corpus size; map-side combinable.
+    */
+  def cmsTable(terms: DataFrame, termCol: String, depth: Int, width: Int,
+      salt: String = "cms"): DataFrame =
+    probeCols(terms, termCol, depth, width, salt)
+      .groupBy("j", "b").agg(count(lit(1)).as("c"))
+
+  /** Point estimates for the terms in `queries`: min over the d cells.
+    * The SKETCH side broadcasts (it is ≤ d·w rows by construction — the
+    * whole point); the query side can be any size and never shuffles.
+    * Every OTHER column of `queries` is carried through the estimate
+    * (grouped alongside the term), so callers comparing estimate vs an
+    * exact count don't re-join — and therefore don't recompute — the
+    * query subtree. Estimates never undercount: `cms_count >= true
+    * count`, with the (ε, δ) overcount bound above.
+    */
+  def cmsEstimate(cms: DataFrame, queries: DataFrame, termCol: String,
+      depth: Int, width: Int, salt: String = "cms"): DataFrame = {
+    require(!queries.columns.contains("cms_count"),
+      "queries already has a cms_count column (would be clobbered)")
+    val carried = queries.columns.toSeq
+    val probes = probeCols(
+      queries, termCol, depth, width, salt, carried.filterNot(_ == termCol))
+    probes.join(broadcast(cms), Seq("j", "b"), "left")
+      .groupBy(carried.map(col): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
+  }
+}

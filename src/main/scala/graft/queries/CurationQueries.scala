@@ -25,11 +25,8 @@ object CurationQueries {
   private def duckGrams(n: Int): String = DuckSql.grams(n)
 
   // hashBucket mirror: first 4 hex chars of md5(expr) via ascii arithmetic.
-  private def duckBucket(idExpr: String, buckets: Int): String = {
-    def hv(i: Int) =
-      s"(ascii(substr(md5($idExpr), $i, 1)) - CASE WHEN ascii(substr(md5($idExpr), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
-    s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
-  }
+  private def duckBucket(idExpr: String, buckets: Int): String =
+    DuckSql.bucket(idExpr, buckets)
 
   // Mixture percentages per lang (see q64).
   private val MIX: Map[String, Int] =

@@ -32,6 +32,27 @@ private[queries] object DuckSql {
     */
   val toks: String = """string_split_regex(trim(lower(text)), '\s+')"""
 
+  /** [[graft.functions.TextFunctions.hashBucket]] mirror: first 4 hex
+    * chars of md5(expr) via ascii arithmetic, mod `buckets`.
+    */
+  def bucket(idExpr: String, buckets: Int): String = {
+    def hv(i: Int) =
+      s"(ascii(substr(md5($idExpr), $i, 1)) - CASE WHEN ascii(substr(md5($idExpr), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
+  }
+
+  /** [[graft.functions.TextFunctions.hashBucketSlice]] mirror: the
+    * `slice`-th disjoint 4-hex-char window of an md5 DIGEST expression
+    * (already hex text) → int mod `buckets`.
+    */
+  def bucketSlice(digestExpr: String, sliceExpr: String, buckets: Int): String = {
+    def hv(i: Int) = {
+      val pos = s"(4 * ($sliceExpr) + $i)"
+      s"(ascii(substr($digestExpr, $pos, 1)) - CASE WHEN ascii(substr($digestExpr, $pos, 1)) >= 97 THEN 87 ELSE 48 END)"
+    }
+    s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
+  }
+
   /** Non-distinct word n-grams over [[toks]] — mirrors
     * WordShinglesExpr / TextFunctions.wordShingles(n) (which keeps
     * duplicates; dedup callers wrap with list_distinct).

@@ -153,6 +153,27 @@ object TextQueries {
         .limit(20)
     },
 
+    // Count-Min-Sketch term frequencies vs exact: the fixed-state
+    // frequency primitive for web-scale vocabularies (exact counting
+    // shuffles vocabulary-sized state; the 4×1024 cell grid is ~4 KB
+    // and mergeable). Estimates for the exact top-20 head terms — CMS
+    // never undercounts, so `overestimate >= 0` row by row, and head
+    // terms (count >> εN) estimate near-exactly.
+    "q2C_cms_term_freq" -> { (s, d) =>
+      import graft.operators.Sketch
+      val terms = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("term"))
+      val cms = Sketch.cmsTable(terms, "term", depth = 4, width = 1024)
+      val exact = terms.groupBy("term").agg(count(lit(1)).as("exact_count"))
+        .orderBy(col("exact_count").desc, col("term")).limit(20)
+      // exact_count rides THROUGH the estimate (carried group column) —
+      // a re-join here would recompute the whole exact subtree
+      Sketch.cmsEstimate(cms, exact, "term", depth = 4, width = 1024)
+        .select(col("term"), col("exact_count"), col("cms_count"),
+          (col("cms_count") - col("exact_count")).as("overestimate"))
+        .orderBy(col("exact_count").desc, col("term"))
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -296,6 +317,34 @@ object TextQueries {
          |GROUP BY term
          |ORDER BY n DESC, term
          |LIMIT 20""".stripMargin,
+
+    // CMS mirror: same one-digest-per-occurrence sliced hashing (row j =
+    // j-th 4-hex-char window of md5(term || ':cms')), same d x w grid,
+    // same min-over-rows estimate.
+    "q2C_cms_term_freq" ->
+      s"""WITH t AS (SELECT unnest($duckToks) AS term FROM documents),
+         |exact AS (
+         |  SELECT term, count(*) AS exact_count FROM t
+         |  GROUP BY term ORDER BY exact_count DESC, term LIMIT 20),
+         |occ AS (SELECT term, md5(term || ':cms') AS h,
+         |               unnest(range(0, 4)) AS j FROM t),
+         |cells AS (
+         |  SELECT j, ${DuckSql.bucketSlice("h", "j", 1024)} AS b,
+         |         count(*) AS c
+         |  FROM occ GROUP BY 1, 2),
+         |qp AS (
+         |  SELECT term, exact_count, j, ${DuckSql.bucketSlice("h", "j", 1024)} AS b
+         |  FROM (SELECT term, exact_count, md5(term || ':cms') AS h,
+         |               unnest(range(0, 4)) AS j FROM exact)),
+         |est AS (
+         |  SELECT qp.term, qp.exact_count,
+         |         min(coalesce(cells.c, 0)) AS cms_count
+         |  FROM qp LEFT JOIN cells ON qp.j = cells.j AND qp.b = cells.b
+         |  GROUP BY 1, 2)
+         |SELECT term, exact_count, cms_count,
+         |       cms_count - exact_count AS overestimate
+         |FROM est
+         |ORDER BY exact_count DESC, term""".stripMargin,
 
     "q24_source_stats" ->
       s"""SELECT source,

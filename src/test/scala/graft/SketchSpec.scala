@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.TextFunctions
+import graft.operators.Sketch
+import org.apache.spark.sql.functions._
+
+/** Count-Min Sketch properties on real fixture text: the structural
+  * no-undercount guarantee for EVERY distinct term (not just the head),
+  * the bounded-state claim, and cell-wise mergeability.
+  */
+class SketchSpec extends GraftSpec {
+
+  private val D = 4
+  private val W = 256 // small width: collisions guaranteed, bound still holds
+
+  private lazy val terms = Tables.documents(spark, sfDir)
+    .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+
+  test("estimates never undercount, for every distinct term") {
+    val cms   = Sketch.cmsTable(terms, "term", D, W)
+    val exact = terms.groupBy("term").agg(count(lit(1)).as("n"))
+    // the exact count rides through the estimate as a carried column
+    val under = Sketch.cmsEstimate(cms, exact, "term", D, W)
+      .filter(col("cms_count") < col("n"))
+      .count()
+    assert(under == 0, s"$under terms undercounted — CMS invariant broken")
+  }
+
+  test("sketch state is bounded by d x w regardless of corpus size") {
+    val cms = Sketch.cmsTable(terms, "term", D, W)
+    assert(cms.count() <= D.toLong * W)
+    // total mass per hash row equals the number of term occurrences
+    val n = terms.count()
+    val perRow = cms.groupBy("j").agg(sum("c").as("mass")).collect()
+    assert(perRow.length == D)
+    assert(perRow.forall(_.getAs[Long]("mass") == n))
+  }
+
+  test("sketches merge cell-wise: union of halves equals the whole") {
+    val docs = Tables.documents(spark, sfDir)
+    def termsOf(f: org.apache.spark.sql.Column) = docs.filter(f)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+    val whole = Sketch.cmsTable(terms, "term", D, W)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = Sketch.cmsTable(termsOf(col("doc_id") % 2 === 0), "term", D, W)
+      .unionByName(Sketch.cmsTable(termsOf(col("doc_id") % 2 === 1), "term", D, W))
+      .groupBy("j", "b").agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+}
