@@ -211,6 +211,27 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, topPairs: Int, maxShingleDf: Int = Int.MaxValue
+  ): DataFrame =
+    jaccardAll(df, idCol, textCol, shingleN, maxShingleDf)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(topPairs)
+
+  /** Every pair at or above `minJaccard` — the THRESHOLD form of
+    * [[jaccardPairs]] (no global sort, no top-k cut): the ground-truth
+    * side of recall evaluation, and the "give me all real near-dups"
+    * query a dedup policy actually executes. Same shingle universe,
+    * same capping semantics.
+    */
+  def jaccardPairsAbove(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minJaccard: Double, maxShingleDf: Int = Int.MaxValue
+  ): DataFrame =
+    jaccardAll(df, idCol, textCol, shingleN, maxShingleDf)
+      .filter(col("jaccard") >= minJaccard)
+
+  private def jaccardAll(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxShingleDf: Int
   ): DataFrame = {
     // Join on a 64-bit shingle hash, not the shingle string: the self-join
     // shuffles every (doc, shingle) row, and a fixed-width long key is
@@ -242,8 +263,6 @@ object Dedup {
         round(col("common").cast("double") /
           (col("sh_a") + col("sh_b") - col("common")).cast("double"), 6).as("jaccard")
       )
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(topPairs)
   }
 
   /** Exact Jaccard for an explicit candidate-pair list: each doc's

@@ -123,6 +123,33 @@ object DedupQueries {
         .orderBy(col("n_bands").desc, col("doc_a"), col("doc_b"))
     },
 
+    // LSH RECALL evaluation — "measure, don't guess" for the banding
+    // parameters: every TRUE near-dup pair (exact jaccard >= 0.35 over
+    // the uncapped shingle universe) flagged with whether the 4x2
+    // banding surfaced it as a candidate. The hit rate with 4 bands of
+    // 2 rows is 1-(1-j^2)^4 — ~0.99 at j=0.9, only ~0.44 at j=0.36 —
+    // and the flag column is what tells an operator to add bands before
+    // trusting the dedup. (This fixture's pair distribution is bimodal —
+    // dups sit at j~1.0 where the hit rate is ~1 — so `found` is
+    // expectedly all-true here; the oracle still pins the full
+    // truth-vs-candidate join logic, and borderline-j corpora are where
+    // the false rows appear.)
+    "q3D_lsh_recall" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val truth = Dedup.jaccardPairsAbove(docs, "doc_id", "text",
+        shingleN = 3, minJaccard = 0.35)
+      val wide = Dedup.minhashWide(docs, "doc_id", "text",
+        numHashes = NumHashes, shingleN = 3)
+      val cand = Dedup
+        .lshCandidatePairs(Dedup.lshBucketsWide(wide,
+          numHashes = NumHashes, rowsPerBand = RowsPerBand))
+        .select(col("doc_a"), col("doc_b"), lit(true).as("found"))
+      truth.join(cand, Seq("doc_a", "doc_b"), "left")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          coalesce(col("found"), lit(false)).as("found"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // SimHash 64-bit signatures (repartition: 64 interpreted md5 votes
     // per token on a 1-file scan would otherwise run on one core).
     "q34_simhash" -> { (s, d) =>
@@ -452,6 +479,40 @@ object DedupQueries {
          |GROUP BY 1, 2
          |ORDER BY n_bands DESC, doc_a, doc_b""".stripMargin,
 
+    // Ground truth = q31's uncapped exact-jaccard pipeline thresholded;
+    // candidates = q33's band-bucket join, distinct pairs.
+    "q3D_lsh_recall" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh0 GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |  FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT doc_a, doc_b,
+         |    round(CAST(common AS DOUBLE)
+         |          / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS jaccard
+         |  FROM common
+         |  JOIN sizes sa ON sa.doc = doc_a
+         |  JOIN sizes sb ON sb.doc = doc_b
+         |  WHERE round(CAST(common AS DOUBLE)
+         |          / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.35),
+         |sh AS (
+         |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
+         |$duckMinhashMh,
+         |$duckLshBuckets,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM buckets a
+         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |                AND a.doc_id < b.doc_id)
+         |SELECT t.doc_a, t.doc_b, t.jaccard,
+         |       (c.doc_a IS NOT NULL) AS found
+         |FROM truth t
+         |LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+         |ORDER BY t.doc_a, t.doc_b""".stripMargin,
+
     "q34_simhash" ->
       s"""SELECT doc_id,
          |  $duckSimhash AS simhash
@@ -683,7 +744,7 @@ object DedupQueries {
        |  JOIN sizes sa ON sa.doc = c.doc_a
        |  JOIN sizes sb ON sb.doc = c.doc_b
        |  WHERE round(CAST(common AS DOUBLE)
-       |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.5),
+       |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.35),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  UNION ALL
