@@ -66,9 +66,16 @@ object Bench {
     // flag when ambient load or residual spread crosses thresholds.
     val SpreadLimit = 3.0
     val CooldownMs  = 3000L
+    // a spread only counts when it is material in ABSOLUTE terms too: a
+    // 0.5 s GC/JIT blip on a 0.2 s query is a 3.5x ratio but says
+    // nothing about contention, while real load inflates multi-second
+    // queries by seconds
+    val MinSpreadDeltaSec = 0.5
     def spreadOf(ts: Seq[Double]): Double = {
       val ok = ts.filter(_ > 0)
-      if (ok.size < 2) Double.PositiveInfinity else ok.max / ok.min
+      if (ok.size < 2) Double.PositiveInfinity
+      else if (ok.max - ok.min < MinSpreadDeltaSec) 1.0
+      else ok.max / ok.min
     }
     def medianOf(ts: Seq[Double]): Double =
       // true median: mean of the two middle elements for even reps
