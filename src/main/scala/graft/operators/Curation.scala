@@ -178,9 +178,15 @@ object Curation {
           explode(wordShingles(col(textCol), gramN)).as("gram"))
         .select(col(idCol), hashBucket(col("gram"), nBuckets).as("b"))
 
-    val rawFeats = feats(raw)
     val tgtCnt = feats(target).groupBy("b").agg(count(lit(1)).as("c_tgt"))
-    val rawCnt = rawFeats.groupBy("b").agg(count(lit(1)).as("c_raw"))
+    // ONE heavy pass over the raw pool: the per-(doc, bucket) counts.
+    // The pool's bucket distribution derives from this (≤ docs×buckets,
+    // already aggregated) table rather than re-exploding the corpus —
+    // its subtree feeds both the ratio broadcast and the scoring join,
+    // and AQE folds the shared shuffle into one stage.
+    val perDoc = feats(raw).groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val rawCnt = perDoc.groupBy("b").agg(sum("c").as("c_raw"))
     val tgtTot = tgtCnt.agg(sum("c_tgt").as("t_tgt"))
     val rawTot = rawCnt.agg(sum("c_raw").as("t_raw"))
     // Only buckets seen in the raw pool matter: every scored doc's
@@ -199,8 +205,7 @@ object Curation {
           log((col("c_raw") + lit(1L)).cast("double") /
               (coalesce(col("t_raw"), lit(0L)) + lit(nBuckets.toLong)).cast("double")),
           6).as("lr"))
-    rawFeats.groupBy(col(idCol), col("b"))
-      .agg(count(lit(1)).as("c"))
+    perDoc
       .join(broadcast(ratio), "b")
       .select(col(idCol), col("b"),
         col("c"), (col("c").cast("double") * col("lr")).as("term"))
