@@ -108,6 +108,53 @@ class PropertySpec extends GraftSpec {
     assert(byK(10).distinct.size == 10)
   }
 
+  test("span-dedup containment on generated corpora: keep-one cuts are a " +
+    "subset of remove-all cuts, and every duplicated window keeps its " +
+    "canonical occurrence un-triggered") {
+    import graft.operators.Dedup
+    // small vocab so cross-doc window collisions are common
+    val word = Gen.oneOf("alpha", "bravo", "carol", "delta", "echo", "fox")
+    val doc  = Gen.chooseNum(4, 24).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    for (trial <- 0 until 5) {
+      val docs = samples(doc, 12, 11000L + trial * 100).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val k = 3
+      def spanTokens(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.collect().flatMap { r =>
+          val d = r.getAs[Long]("doc")
+          (r.getAs[Long]("span_start") to r.getAs[Long]("span_end")).map(d -> _)
+        }.toSet
+      val all  = spanTokens(Dedup.duplicatedSpans(docs, "doc_id", "text", k))
+      val one  = spanTokens(Dedup.duplicatedSpansKeepOne(docs, "doc_id", "text", k))
+      assert(one.subsetOf(all),
+        s"trial $trial: keep-one cut tokens outside remove-all: ${(one -- all).take(5)}")
+      // the canonical (min (doc, s)) occurrence of every duplicated
+      // window never appears as a keep-one HIT — reconstruct the
+      // election independently and check no canonical start is the
+      // start of a keep-one island unless a LATER non-canonical hit
+      // also lands there (cannot happen at the same (doc, s))
+      val wins = Dedup.tokenWindows(docs, "doc_id", "text", k)
+        .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("s"),
+          r.getAs[String]("wh")))
+      val dupWh = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val canon = wins.filter(w => dupWh(w._3)).groupBy(_._3)
+        .map { case (_, occ) => occ.map(w => (w._1, w._2)).min }.toSet
+      val soloCanon = canon.filter { case (d, s) =>
+        // canonical occurrences whose token range no OTHER duplicated
+        // window occurrence in the same doc overlaps
+        !wins.exists(w => dupWh(w._3) && w._1 == d && (w._1, w._2) != ((d, s)) &&
+          !canon((w._1, w._2)) && math.abs(w._2 - s) < k)
+      }
+      soloCanon.foreach { case (d, s) =>
+        (s until s + k).foreach { t =>
+          assert(!one((d, t)),
+            s"trial $trial: canonical window at ($d, $s) lost token $t to keep-one")
+        }
+      }
+    }
+  }
+
   test("chunker invariants on generated texts: bounded length, substring " +
     "of source, full non-whitespace coverage") {
     val word = Gen.chooseNum(1, 8).flatMap(n =>
