@@ -175,6 +175,26 @@ object StreamingQueries {
           round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"),
           round(element_at(col("embedding"), 1).cast("double"), 6).as("c0"))
         .orderBy("id")
+    },
+
+    // Count-Min Sketch as a STREAMING aggregate: the d×w cell grid is
+    // the canonical bounded-state stream summary — the state store holds
+    // ≤ 4096 cells FOREVER while a streaming exact term count's state
+    // grows with the vocabulary (unbounded on a 100 TB/day feed). The
+    // stream really runs (Complete-mode stateful aggregation) and the
+    // final grid hash-matches the batch q2C grid oracle cell by cell.
+    "q7A_stream_cms" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Sketch
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val terms = docs.select(
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      StreamRunner
+        .runToBatch(Sketch.cmsTable(terms, "term", depth = 4, width = 1024),
+          OutputMode.Complete)
+        .orderBy("j", "b")
     }
   )
 
@@ -256,6 +276,17 @@ object StreamingQueries {
          |                            for i in range(1, len(vec)+1)])), 4) AS norm,
          |       round(CAST(vec[1] AS DOUBLE), 6) AS c0
          |FROM evecs
-         |ORDER BY id""".stripMargin
+         |ORDER BY id""".stripMargin,
+
+    // Batch mirror of the streamed CMS grid — identical sliced-md5
+    // hashing (see q2C), identical cells.
+    "q7A_stream_cms" ->
+      s"""WITH t AS (SELECT unnest(${DuckSql.toks}) AS term FROM documents),
+         |occ AS (SELECT term, md5(term || ':cms') AS h,
+         |               unnest(range(0, 4)) AS j FROM t)
+         |SELECT j, ${DuckSql.bucketSlice("h", "j", 1024)} AS b,
+         |       count(*) AS c
+         |FROM occ GROUP BY 1, 2
+         |ORDER BY j, b""".stripMargin
   )
 }
