@@ -257,9 +257,16 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(round(col("nll") * lit(1e6)).cast("long")).as("_nll_fx"))
+      // average in INTEGER micro-nll units: round(fx/n) rounds the SAME
+      // IEEE double to an integer on both engines (half-up == half-away
+      // for positives), then /1e6 lands on an exact 6-dp value. A
+      // round(fx/1e6/n, 6) here instead is a cross-engine trap: fx/n is
+      // an exact rational, so its 7th decimal hits .5 ties at corpus
+      // scale and Spark's decimal-expansion HALF_UP disagrees with
+      // DuckDB's scaled-double rounding (2 of 5,000 docs at sf0.1).
       .select(col(idCol), col("n_bigrams"),
-        round((col("_nll_fx").cast("double") / lit(1e6)) /
-          col("n_bigrams").cast("double"), 6).as("avg_nll"))
+        (round(col("_nll_fx").cast("double") / col("n_bigrams").cast("double"))
+          / lit(1e6)).as("avg_nll"))
       .withColumn("ppl", round(exp(col("avg_nll")), 6))
   }
 

@@ -347,9 +347,12 @@ object CurationQueries {
          |  SELECT doc_id, count(*) AS n_bigrams,
          |    sum(CAST(round(nll * 1000000) AS BIGINT)) AS nll_fx
          |  FROM terms GROUP BY doc_id),
+         |-- integer micro-nll average: round the SAME double to an
+         |-- integer on both engines, then /1e6 (see Curation.lmScore —
+         |-- rounding the rational at 6 dp instead hits .5 ties)
          |avgd AS (
          |  SELECT doc_id, n_bigrams,
-         |    round((CAST(nll_fx AS DOUBLE) / 1000000) / n_bigrams, 6) AS avg_nll
+         |    round(CAST(nll_fx AS DOUBLE) / n_bigrams) / 1000000 AS avg_nll
          |  FROM agg)
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          |FROM avgd
