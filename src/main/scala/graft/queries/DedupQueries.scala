@@ -29,6 +29,13 @@ object DedupQueries {
   // pipeline (the production entry point exercises its own guard).
   private val MaxShingleDf  = 5
   private val MaxBucketSize = 2
+  // Verify thresholds, interpolated into BOTH the Spark call and the
+  // oracle SQL so the two engines cannot silently fork: VerifyMinJaccard
+  // gates the q36/q37 cluster verify and the q3A incremental verify;
+  // RecallMinJaccard is q3D's deliberately-lower ground-truth cut (it
+  // must sit BELOW the banding's reliable-hit region to measure recall).
+  private val VerifyMinJaccard = 0.5
+  private val RecallMinJaccard = 0.35
 
   // Affine-minhash mirror of Dedup.minhashWide. EVERY constant
   // interpolates from Dedup (multiplier/modulus components of
@@ -137,7 +144,7 @@ object DedupQueries {
     "q3D_lsh_recall" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val truth = Dedup.jaccardPairsAbove(docs, "doc_id", "text",
-        shingleN = 3, minJaccard = 0.35)
+        shingleN = 3, minJaccard = RecallMinJaccard)
       val wide = Dedup.minhashWide(docs, "doc_id", "text",
         numHashes = NumHashes, shingleN = 3)
       val cand = Dedup
@@ -221,7 +228,7 @@ object DedupQueries {
       Dedup.newDocSurvivors(
           docs.filter(col("doc_id") >= 400), docs.filter(col("doc_id") < 400),
           "doc_id", "text", numHashes = NumHashes, shingleN = 3,
-          rowsPerBand = RowsPerBand, minJaccard = 0.5)
+          rowsPerBand = RowsPerBand, minJaccard = VerifyMinJaccard)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
@@ -390,7 +397,7 @@ object DedupQueries {
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     Dedup.dedupClusters(Tables.documents(s, d), "doc_id", "text",
       numHashes = NumHashes, shingleN = 3, rowsPerBand = RowsPerBand,
-      minJaccard = 0.5, maxBucketSize = MaxBucketSize)
+      minJaccard = VerifyMinJaccard, maxBucketSize = MaxBucketSize)
 
   val oracles: Map[String, String] = Map(
     "q30_exact_dedup" ->
@@ -497,7 +504,7 @@ object DedupQueries {
          |  JOIN sizes sa ON sa.doc = doc_a
          |  JOIN sizes sb ON sb.doc = doc_b
          |  WHERE round(CAST(common AS DOUBLE)
-         |          / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.35),
+         |          / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= $RecallMinJaccard),
          |sh AS (
          |  SELECT doc_id, unnest($duckShingles) AS sh FROM documents),
          |$duckMinhashMh,
@@ -596,7 +603,7 @@ object DedupQueries {
          |  JOIN sizes sn ON sn.doc = c.doc_new
          |  JOIN sizes so ON so.doc = c.doc_old
          |  WHERE round(CAST(common AS DOUBLE)
-         |              / CAST(sn.n_sh + so.n_sh - common AS DOUBLE), 6) >= 0.5)
+         |              / CAST(sn.n_sh + so.n_sh - common AS DOUBLE), 6) >= $VerifyMinJaccard)
          |SELECT doc_id, source, n_chars
          |FROM documents
          |WHERE doc_id >= 400
@@ -744,7 +751,7 @@ object DedupQueries {
        |  JOIN sizes sa ON sa.doc = c.doc_a
        |  JOIN sizes sb ON sb.doc = c.doc_b
        |  WHERE round(CAST(common AS DOUBLE)
-       |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= 0.35),
+       |              / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) >= $VerifyMinJaccard),
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM verified
        |  UNION ALL
