@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.ingest.Chunker
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `chunk_split(text)`: the recursive character splitter
+  * (`Chunker.split`, LangChain 500/50 parity — reference
+  * `scripts/ingest_documents.py:67-90`) as a whole-stage-codegen'd
+  * Catalyst expression returning `array<string>` — SURVEY §2 P1's stated
+  * mapping, replacing the interpreted ScalaUDF that previously carried
+  * every `posexplode(chunks)` in the ingest/chunk query paths.
+  *
+  * The split parameters (size/overlap/separator priority) live in the
+  * embedded [[Chunker]], shipped into generated code as a codegen
+  * reference object (the `RegExpReplace`-pattern idiom) so arbitrary
+  * separator sets stay codegen-compatible. Null text yields null, which
+  * `explode`/`posexplode` drops — row-equivalent to the old UDF's
+  * empty-array-on-null.
+  */
+case class ChunkSplitExpr(
+    child: Expression,
+    chunkSize: Int,
+    chunkOverlap: Int,
+    separators: Seq[String]
+) extends UnaryExpression {
+
+  @transient private lazy val chunker =
+    new Chunker(chunkSize, chunkOverlap, separators)
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String      = "chunk_split"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"chunk_split expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    chunker.splitToArrayData(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("chunker", chunker, classOf[Chunker].getName)
+    defineCodeGen(ctx, ev, c => s"(${classOf[ArrayData].getName}) $ref.splitToArrayData($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -1,7 +1,9 @@
 package graft.ingest
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -114,11 +116,20 @@ final class Chunker(
     docs.toSeq
   }
 
-  /** Column form: array<string> of chunks. */
-  def chunksCol(text: Column): Column = {
-    val f = udf((t: String) => if (t == null) Seq.empty[String] else split(t))
-    f(text)
-  }
+  /** [[graft.functions.ChunkSplitExpr]]'s eval/codegen kernel: split to
+    * Catalyst array form. Called from generated code — keep the
+    * signature JVM-stable.
+    */
+  def splitToArrayData(s: UTF8String): ArrayData =
+    new GenericArrayData(split(s.toString).map(UTF8String.fromString(_): Any).toArray)
+
+  /** Column form: array<string> of chunks, as a codegen'd Catalyst
+    * expression (no ScalaUDF — PlanAuditSpec enforces this structurally
+    * across the registry).
+    */
+  def chunksCol(text: Column): Column =
+    GraftBridge.column(graft.functions.ChunkSplitExpr(
+      GraftBridge.expression(text), chunkSize, chunkOverlap, separators))
 
   /** DataFrame form: one row per chunk, with `chunk_index` (the
     * reference's per-chunk metadata, `scripts/ingest_documents.py:206-215`).

@@ -1,7 +1,7 @@
 package graft.rag
 
 import graft.Tables
-import graft.embed.{DeterministicEmbedder, Embedder}
+import graft.embed.{DeterministicEmbedder, EmbedOps, Embedder}
 import graft.functions.VectorFunctions._
 import graft.ingest.Chunker
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -27,9 +27,9 @@ object RagChain {
       .repartition(spark.sparkContext.defaultParallelism)
     val chunked = new Chunker(500, 50).chunk(docs, "text")
     val embedder = new DeterministicEmbedder(64)
-    val embedUdf = udf((t: String) => embedder.embedOne(t))
-    val indexed = chunked
-      .withColumn("embedding", embedUdf(col("chunk_text")))
+    // Batch embed via the canonical mapPartitions path (E1) — the same
+    // plumbing an HTTP provider uses, and no per-row ScalaUDF in the plan.
+    val indexed = EmbedOps.embedText(chunked, "chunk_text", embedder)
       .withColumn("id",
         concat(lit("doc_"), col("doc_id"), lit("_"),
           substring(md5(col("chunk_text")), 1, 8)))

@@ -28,9 +28,12 @@ class AnnSpec extends GraftSpec {
       "to the driver-side reference math") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8)
     // the ingest path must stay inside whole-stage codegen: no UDF node
-    val plan = bucketed.queryExecution.executedPlan.toString
-    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
-      s"LSH ingest path fell out of codegen:\n$plan")
+    val executed = bucketed.queryExecution.executedPlan
+    val udfCount = executed.collectWithSubqueries {
+      case node => node.expressions.count(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    }.sum
+    assert(udfCount == 0, s"LSH ingest path fell out of codegen:\n$executed")
     // signatures match AnnLsh.signatureOf (the math the replaced UDF
     // evaluated) exactly, for every row
     val rows = bucketed.select("vec_id", "embedding", "bucket").collect()
