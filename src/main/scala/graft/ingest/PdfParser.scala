@@ -186,6 +186,14 @@ object PdfText {
     else None // unsupported filter: skip this stream, keep the page
   }
 
+  /** Decompression-bomb guard: a crafted stream in an untrusted corpus
+    * can inflate to gigabytes from a few KB and OOM the executor —
+    * defeating the degrade-PER-FILE design. Past this cap the stream
+    * (hence usually the file) degrades to the stub pseudo-page; 64 MB of
+    * decompressed content is far beyond any real single PDF stream.
+    */
+  private val MaxInflatedBytes = 64 << 20
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
@@ -194,7 +202,10 @@ object PdfText {
       val buf = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(buf)
-        if (n > 0) out.write(buf, 0, n)
+        if (n > 0) {
+          if (out.size().toLong + n > MaxInflatedBytes) return None
+          out.write(buf, 0, n)
+        }
         else if (n == 0 && inf.needsDictionary()) return None
       }
       Some(out.toByteArray)

@@ -33,6 +33,11 @@ object Sketch {
       s"width must be in [2, 65536], got $width")
     require(!terms.columns.contains("_cms_h"),
       "input already has a _cms_h column (would be clobbered)")
+    // "j"/"b" are the probe OUTPUT columns (hash row, bucket) — a
+    // carried input column with either name would collide: ambiguous
+    // resolution in the join/groupBy, or silently wrong grouping.
+    require(!terms.columns.contains("j") && !terms.columns.contains("b"),
+      "input carries a column named 'j' or 'b' (collides with the probe output)")
     val keep = col(termCol) +: carry.map(col)
     // Expression-placement discipline (measured, PERF.md r5): the md5
     // lives in a PROJECT below the generate; the generator explodes a
