@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample as `mapPartitions`
   * stages over batched rows.
   *
-  * The media codecs themselves are STUBBED (no image/audio libraries ship
-  * in this container): each `Decoder` below is a deterministic fake
-  * clearly marked as such. Everything Spark-side — the binaryFile scan,
-  * schema contracts, partition-batched UDF shape, column pruning — is
-  * real and tested, so swapping in a JavaCV/ImageIO-backed decoder on a
-  * cluster changes one class, not the pipeline.
+  * Image decoding is REAL ([[ImageIoDecoder]]: the JDK's `javax.imageio`
+  * PNG/JPEG/BMP/GIF/TIFF readers — no external dependency); audio/video
+  * codecs remain STUBBED (no such libraries ship in the JVM), each
+  * deterministic fake clearly marked. Everything Spark-side — the
+  * binaryFile scan, schema contracts, partition-batched UDF shape,
+  * column pruning — is real and tested, so swapping in a JavaCV-backed
+  * A/V decoder on a cluster changes one class, not the pipeline.
   *
   * Scale notes: binary payloads never shuffle (all stages are narrow
   * maps); metadata-only queries prune the `content` column at the
@@ -58,6 +59,110 @@ object Multimodal {
       while (j < featureDim) { feat(j) /= bytes.length.toFloat; j += 1 }
       Some((meta, feat))
     }
+  }
+
+  /** REAL image decoder over the JDK's `javax.imageio` (PNG/JPEG/BMP/
+    * GIF/TIFF readers ship with the JVM — no external dependency).
+    * Meta is the actual decoded geometry: `(width, height,
+    * color-component count, reader format name)`. Features are exact
+    * integer channel statistics carried as floats —
+    * `[sum_r, sum_g, sum_b, pixel_count]` — chosen over means because
+    * integer sums are float32-EXACT up to 2^24 (a 2 MP 8-bit channel
+    * sums to < 2^29; for larger images the query should aggregate the
+    * per-image sums in wider types), which lets an oracle replay them
+    * bit-for-bit from a generation formula; channel means are
+    * `features[i] / features[3]`. Undecodable bytes → None (`decode_ok
+    * = false` downstream); pair with [[FallbackDecoder]] to degrade to
+    * the stub instead of flagging.
+    */
+  final class ImageIoDecoder extends MediaDecoder {
+    override val featureDim: Int = 4
+    override def decode(bytes: Array[Byte]): Option[(Row, Array[Float])] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+            val img    = reader.read(0)
+            val w      = img.getWidth
+            val h      = img.getHeight
+            val channels = img.getColorModel.getNumColorComponents
+            var sumR = 0L; var sumG = 0L; var sumB = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sumR += (rgb >>> 16) & 0xff
+                sumG += (rgb >>> 8) & 0xff
+                sumB += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some((Row(w, h, channels, format),
+              Array(sumR.toFloat, sumG.toFloat, sumB.toFloat, (w.toLong * h).toFloat)))
+          } finally reader.dispose()
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Degrade-don't-flag composition: try `primary`, fall back to
+    * `fallback` (typically the stub) on undecodable bytes, so a corrupt
+    * file in a 100 TB corpus yields a flagged-but-present row instead of
+    * a hole. Feature dimensions must agree or downstream vector columns
+    * would be ragged.
+    */
+  final class FallbackDecoder(primary: MediaDecoder, fallback: MediaDecoder)
+      extends MediaDecoder {
+    require(primary.featureDim == fallback.featureDim,
+      "primary/fallback feature dimensions differ")
+    override val featureDim: Int = primary.featureDim
+    override def decode(bytes: Array[Byte]): Option[(Row, Array[Float])] =
+      primary.decode(bytes).orElse(fallback.decode(bytes))
+  }
+
+  /** Deterministic PNG test-pattern generator: appends `content BINARY`
+    * holding a real PNG whose geometry and pixels are closed-form in the
+    * id — `width = 8 + id % 9`, `height = 8 + 3·id % 9`, gray pixel
+    * `v(x, y) = (id + x + y) % 256` in all three RGB channels. An oracle
+    * (or a cluster smoke test) replays the formula without decoding;
+    * the decode path proves itself against it. Encoding runs
+    * partition-batched like every media kernel; PNG is lossless, so the
+    * round-trip is bit-exact.
+    */
+  def syntheticPngs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idx)
+        val w  = (8 + id % 9).toInt
+        val h  = (8 + (3 * id) % 9).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id + x + y) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(row.toSeq :+ out.toByteArray)
+      }
+    }(Encoders.row(schema))
   }
 
   /** Scan a directory of media files: `(path, length, content BINARY)`. */

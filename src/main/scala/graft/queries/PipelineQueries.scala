@@ -318,6 +318,35 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // REAL image decode, oracle-gated: deterministic PNG test patterns
+    // (geometry and pixels closed-form in doc_id — see
+    // Multimodal.syntheticPngs) are ENCODED with ImageIO, then DECODED
+    // back by the real ImageIoDecoder; the oracle replays the formula
+    // without ever touching a codec. PNG is lossless, so decoded channel
+    // sums are integer-exact — any decoder regression (geometry, channel
+    // order, color management) breaks the hash. 50 images cover all 9x9
+    // (width, height) classes.
+    "q56_image_decode" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val decoded = Multimodal.decodeAndFeaturize(
+        Multimodal.syntheticPngs(ids, "doc_id"), new Multimodal.ImageIoDecoder)
+      decoded.select(
+          col("doc_id"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.channels").as("channels"),
+          col("meta.format").as("format"),
+          col("decode_ok"),
+          element_at(col("features"), 1).cast("long").as("sum_r"),
+          element_at(col("features"), 2).cast("long").as("sum_g"),
+          element_at(col("features"), 3).cast("long").as("sum_b"),
+          element_at(col("features"), 4).cast("long").as("n_px"))
+        .orderBy("doc_id")
+    },
+
     // MMR-diversified retrieval: exact top-50 pool, lambda=0.5 rerank
     // to 5 (oracle: recursive-CTE greedy).
     "q53_mmr_rerank" -> { (s, d) =>
@@ -509,6 +538,27 @@ object PipelineQueries {
         |       round(avg(CAST(w AS DOUBLE)), 2) AS avg_width,
         |       round(avg(CAST(f0 AS DOUBLE)), 6) AS avg_f0
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // Real-codec mirror WITHOUT a codec: the PNG test patterns are
+    // closed-form (syntheticPngs' formula), so the oracle replays
+    // geometry and exact integer channel sums arithmetically — if
+    // ImageIO's decode disagrees anywhere (size, channel order, color
+    // management, lossy round-trip), the hash breaks.
+    "q56_image_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS width, 8 + (3*doc_id) % 9 AS height
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id, d.width, d.height, (d.doc_id + x.x + y.y) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, d.width)) AS x) x,
+        |       LATERAL (SELECT unnest(range(0, d.height)) AS y) y)
+        |SELECT doc_id, width, height, 3 AS channels, 'png' AS format,
+        |       true AS decode_ok,
+        |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
+        |       CAST(sum(v) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS n_px
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     // The flagship RAG retrieval end-to-end in SQL: recursive chunker →
     // per-chunk trigram-murmur embedding → question embedding from the

@@ -73,6 +73,62 @@ class MultimodalSpec extends GraftSpec {
     assert(topIds.forall(p => p.contains("x.img") || p.contains("y.img")))
   }
 
+  test("ImageIoDecoder decodes real PNG bytes: exact geometry + channel sums") {
+    // 3x2 RGB PNG with distinct per-channel values — catches channel
+    // swaps, not just geometry
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, (10 + x) << 16 | (20 + y) << 8 | 30)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val dec = new Multimodal.ImageIoDecoder
+    val Some((meta, feats)) = dec.decode(baos.toByteArray)
+    assert(meta.getAs[Int](0) == 3 && meta.getAs[Int](1) == 2)
+    assert(meta.getAs[Int](2) == 3 && meta.getAs[String](3) == "png")
+    // sum_r = 2*(10+11+12)=66, sum_g = 3*(20+21)=123, sum_b = 6*30=180
+    assert(feats.toSeq == Seq(66f, 123f, 180f, 6f))
+  }
+
+  test("ImageIoDecoder fails gracefully on garbage; FallbackDecoder degrades to stub") {
+    val dec = new Multimodal.ImageIoDecoder
+    assert(dec.decode(Array[Byte](1, 2, 3, 4, 5)).isEmpty)
+    assert(dec.decode(Array.emptyByteArray).isEmpty)
+    assert(dec.decode(null).isEmpty)
+    // truncated PNG: valid magic, unreadable body → None, not a throw
+    val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a, 0, 0)
+    assert(dec.decode(magic).isEmpty)
+    val fb = new Multimodal.FallbackDecoder(
+      new NarrowImageIo, new Multimodal.StubImageDecoder(4))
+    val Some((meta, _)) = fb.decode(Array[Byte](1, 2, 3, 4, 5))
+    assert(meta.getAs[String](3) == "stub") // positional: schemaless Row
+  }
+
+  /** ImageIoDecoder restricted to featureDim parity with a 4-dim stub. */
+  private class NarrowImageIo extends Multimodal.MediaDecoder {
+    private val inner = new Multimodal.ImageIoDecoder
+    override val featureDim = 4
+    override def decode(b: Array[Byte]) = inner.decode(b)
+  }
+
+  test("decode+featurize with the real decoder flags garbage rows, keeps good ones") {
+    val mixDir = Files.createTempDirectory("graft-media-mix")
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    Files.write(mixDir.resolve("good.png"), baos.toByteArray)
+    Files.write(mixDir.resolve("junk.png"), Array[Byte](9, 9, 9))
+    val out = Multimodal.decodeAndFeaturize(
+      Multimodal.scanMedia(spark, mixDir.toString, "*.png"),
+      new Multimodal.ImageIoDecoder)
+      .select("path", "decode_ok").collect()
+    assert(out.length == 2)
+    assert(out.count(_.getAs[Boolean]("decode_ok")) == 1)
+    assert(out.find(!_.getAs[Boolean]("decode_ok")).get
+      .getAs[String]("path").contains("junk"))
+  }
+
   test("frame sampling explodes video payloads into bounded frame rows") {
     val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
     val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
