@@ -814,6 +814,25 @@ object Dedup {
     spanIslands(wins.join(dup, "wh").select("doc", "s"), k)
   }
 
+  /** Span flagging against a PRECOMPUTED duplicated-window dictionary
+    * (`wh` column): the incremental form of [[duplicatedSpans]] — the
+    * dictionary is the batch-maintained corpus artifact (exactly
+    * [[duplicatedWindows]]' output), and the docs in `df` are checked
+    * against it without re-deriving it. Per-doc-LOCAL given the
+    * dictionary: one doc's spans depend only on its own windows plus the
+    * static dictionary, which is what makes this the streaming-safe
+    * shape ([[graft.streaming.StreamingIngest.runSpanFlagStreamOnce]]
+    * runs it per micro-batch with exact, not approximate, semantics).
+    * Returns the same `(doc, span_start, span_end, n_windows)` schema.
+    */
+  def spansAgainstDictionary(
+      df: DataFrame, idCol: String, textCol: String,
+      dictionary: DataFrame, k: Int
+  ): DataFrame = {
+    val wins = tokenWindows(df, idCol, textCol, k)
+    spanIslands(wins.join(dictionary.select("wh"), "wh").select("doc", "s"), k)
+  }
+
   /** Gaps-and-islands merge of duplicated-window hits `(doc, s)` into
     * maximal spans: overlapping-or-adjacent starts (gap <= k) fuse. The
     * per-doc sort window is co-partitioned with the island aggregation

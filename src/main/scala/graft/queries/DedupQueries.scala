@@ -309,6 +309,34 @@ object DedupQueries {
           k = SpanK, minDocs = 2)
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id", "span_start")
+    },
+
+    // Streaming span-dedup twin (the last dedup capability without a
+    // streaming gate): incoming docs (id >= 400) arrive on a REAL file
+    // stream and their duplicated spans vs the batch-maintained
+    // duplicated-window dictionary are flagged per micro-batch — the
+    // q77 stream-static shape applied to the q74 ExactSubstr family.
+    // The dictionary covers the WHOLE corpus view (as the incremental
+    // batch path maintains it — including windows two stream docs
+    // share), so the flagged spans are hash-equal to batch q74
+    // restricted to the incoming half: exactness per arrival, not an
+    // approximation (docs are single rows, spans are per-doc-local
+    // given the dictionary; see StreamingIngest.runSpanFlagStreamOnce).
+    "q7B_stream_span_flag" -> { (s, d) =>
+      import java.nio.file.Files
+      val docs = Tables.documents(s, d)
+      val dict = Dedup.duplicatedWindows(
+        Dedup.tokenWindows(docs, "doc_id", "text", SpanK), minDocs = 2)
+      val outDir = Files.createTempDirectory("graft-span-out-").toString
+      val ckpt   = Files.createTempDirectory("graft-span-ckpt-").toString
+      val incoming = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") >= 400)
+      StreamingIngest.runSpanFlagStreamOnce(incoming, dict,
+        "doc_id", "text", k = SpanK, outDir = outDir, checkpointDir = ckpt)
+      s.read.parquet(outDir)
+        .withColumnRenamed("doc", "doc_id")
+        .orderBy("doc_id", "span_start")
     }
   )
 
@@ -704,6 +732,20 @@ object DedupQueries {
          |  max(s) + ${SpanK - 1} AS span_end,
          |  count(*) AS n_windows
          |FROM isl GROUP BY doc_id, span_id
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // batch mirror of the streaming span flagger: exactly q74's spans
+    // restricted to the incoming (doc_id >= 400) half — the dictionary
+    // the stream joins is the full-corpus one, so the isl CTE is shared
+    // verbatim and only the final filter differs
+    "q7B_stream_span_flag" ->
+      s"""WITH ${duckSpanIslands(SpanK)}
+         |SELECT doc_id, min(s) AS span_start,
+         |  max(s) + ${SpanK - 1} AS span_end,
+         |  count(*) AS n_windows
+         |FROM isl
+         |WHERE doc_id >= 400
+         |GROUP BY doc_id, span_id
          |ORDER BY doc_id, span_start""".stripMargin
   )
 

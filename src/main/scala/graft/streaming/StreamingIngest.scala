@@ -197,6 +197,45 @@ object StreamingIngest {
       .drop("_bands" +: (0 until nBands).map(b => s"_hit$b"): _*)
   }
 
+  /** Streaming exact-substring span flagging: each arriving doc's
+    * duplicated spans vs the PRECOMPUTED duplicated-window dictionary
+    * (the batch-maintained artifact of
+    * [[graft.operators.Dedup.duplicatedWindows]]) are computed per
+    * micro-batch and appended to `outDir` — the streaming twin of the
+    * batch span family ([[graft.operators.Dedup.duplicatedSpans]]).
+    *
+    * Exactness, not approximation: a doc is ONE source row (file sources
+    * never split a file's rows across micro-batches), and span semantics
+    * against a static dictionary are per-doc-local — so the micro-batch
+    * body ([[graft.operators.Dedup.spansAgainstDictionary]]) computes
+    * exactly what the batch operator computes for those docs. No
+    * cross-batch state is needed, which is why this runs in foreachBatch
+    * with zero streaming state: the gaps-and-islands window sort Spark
+    * refuses on an unbounded stream is legal inside each (bounded)
+    * micro-batch. At 100 TB the dictionary is the bucket-partitioned
+    * artifact the batch path maintains; the per-batch cost is linear in
+    * arriving tokens (one dictionary equi-join, no pair join — the same
+    * scale shape as the batch family).
+    */
+  def runSpanFlagStreamOnce(
+      incoming: DataFrame,
+      dictionary: DataFrame,
+      idCol: String, textCol: String, k: Int,
+      outDir: String,
+      checkpointDir: String
+  ): Unit = {
+    val q = incoming.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup
+          .spansAgainstDictionary(batch, idCol, textCol, dictionary, k)
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Watermarked stream-stream inner join with a time-interval
     * condition (the impressions-to-clicks attribution pattern): each
     * left row joins right rows of the same key whose timestamp falls in

@@ -335,4 +335,50 @@ class StreamingSpec extends GraftSpec {
       assert(rows(1)._2 == "clean text here")
     } finally q.stop()
   }
+
+  test("streaming span flagger equals batch spans per arrival, across micro-batches") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val corpus = Seq(
+      (1L, s"intro words then $shared and a tail"),
+      (2L, s"other leading text $shared closing words here")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, s"stream doc one containing $shared inside it"),
+      (11L, "a completely fresh document with no shared windows at all"),
+      // shares a span with doc 10 ONLY — proves the dictionary covers
+      // stream-stream sharing (it is the full-corpus batch artifact)
+      (12L, "stream doc pair unique run one two three four five six seven"),
+      (13L, "another pair text unique run one two three four five six seven end")
+    ).toDF("doc_id", "text")
+    val k = 4
+    val all = corpus.unionByName(incoming)
+    val dict = Dedup.duplicatedWindows(
+      Dedup.tokenWindows(all, "doc_id", "text", k), minDocs = 2)
+
+    // two landing files + maxFilesPerTrigger=1 → two real micro-batches:
+    // per-arrival exactness must hold batch by batch, not only in total
+    val dir = Files.createTempDirectory("graft-span-stream").toString
+    incoming.filter(col("doc_id") <= 11).coalesce(1).write.parquet(s"$dir/in/f1")
+    incoming.filter(col("doc_id") >= 12).coalesce(1).write.parquet(s"$dir/in/f2")
+    val stream = spark.readStream.schema(incoming.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true")
+      .parquet(s"$dir/in")
+    val outDir = s"$dir/out"
+    StreamingIngest.runSpanFlagStreamOnce(stream, dict, "doc_id", "text",
+      k = k, outDir = outDir, checkpointDir = s"$dir/ckpt")
+
+    val got = spark.read.parquet(outDir)
+      .select("doc", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val expected = Dedup.duplicatedSpans(all, "doc_id", "text", k, minDocs = 2)
+      .filter(col("doc") >= 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expected, s"got=$got expected=$expected")
+    // the fresh doc is unflagged; the stream-stream pair IS flagged
+    assert(!got.exists(_._1 == 11L))
+    assert(got.exists(_._1 == 12L) && got.exists(_._1 == 13L))
+  }
 }
