@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * task OOMs at 100 TB group sizes. It is the canonical scale-killer
   * aggregate, and `PlanAuditSpec` now rejects it registry-wide.
   *
-  * Construction — value-frequency selection, ONE scan for all requested
-  * columns and quantiles:
+  * Two constructions share one interpolation stage; a cheap
+  * `approx_count_distinct` probe routes between them automatically:
+  *
+  * FREQUENCY SELECTION (the default — discrete/rounded columns, where
+  * distinct values collapse far below row count):
   *
   *  1. All value columns explode into (group, column, value) rows and
   *     partial-aggregate into the VALUE-FREQUENCY table
@@ -22,15 +25,32 @@ import org.apache.spark.sql.functions._
   *     shuffle carries the distinct-value cardinality, not the corpus.
   *  2. A running sum over each (group, column)'s frequency rows in value
   *     order gives every distinct value its covered rank range
-  *     `(below, below + count]`. This is the judge-sanctioned
-  *     sort-selection: the per-group walk sorts DISTINCT values with
-  *     Spark's spillable external sort — there is no aggregation buffer,
-  *     and for the discrete/rounded columns real pipelines take
-  *     percentiles of (token counts, 2-dp prices, quantities, lengths)
-  *     the distinct set is orders of magnitude below the row count. For
-  *     a pathological continuous column (distinct ≈ rows in ONE group),
-  *     pre-round/bucket the column or fall back to histogram refinement;
-  *     the interpolation stage below is agnostic to either.
+  *     `(below, below + count]`. The per-group walk sorts DISTINCT
+  *     values with Spark's spillable external sort — but the window
+  *     partition key is (group, column), so ONE task owns a group's
+  *     whole distinct set: the distinct cardinality, not the row count,
+  *     is the single-task bound this path lives under.
+  *
+  * HISTOGRAM REFINEMENT (the fallback — pathological continuous columns
+  * where distinct ≈ rows concentrated in few groups, so the frequency
+  * table would not collapse and its single-task running sum would sort
+  * ~all values):
+  *
+  *  1. One aggregate gives per-(group, column) `count/min/max`.
+  *  2. Values bucket into B equal-width bins (monotone in the value, so
+  *     bin rank ranges are contiguous); the bin histogram — at most
+  *     groups × B rows — gets the same running-sum treatment, which is
+  *     now bounded by B per task.
+  *  3. Each target rank `k` names its covering BIN; a second scan keeps
+  *     only rows landing in covering bins (≈ distinct/B per bin) and
+  *     runs frequency selection inside them, with the bin's cumulative
+  *     row count as the rank offset: `below(v) = bin_below +
+  *     rows-in-bin below v`, exactly the global rank. Every shuffle and
+  *     every single-task sort is bounded by `groups × B + distinct/B ×
+  *     targets` — no stage carries the full distinct set.
+  *
+  * Both paths feed identical `(value, count, below, total)` rows to the
+  * interpolation stage, so they are bit-identical by construction:
   *  3. The target ranks `kLo = ⌊pos⌋+1, kHi = ⌈pos⌉+1` with
   *     `pos = p·(count−1)` pick the ≤2 covering frequency rows per
   *     (group, quantile); the final tiny aggregate applies exactly
@@ -42,44 +62,173 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Above this probed per-(group, column) distinct-value estimate the
+    * histogram path takes over. Sized for the frequency path's real
+    * constraint — ONE task sorts a (group, column)'s whole distinct set
+    * in the running-sum window — which a few million doubles handle
+    * comfortably and a few billion do not.
+    */
+  val DefaultHistogramFallbackDistinct: Long = 4L << 20
+
+  /** Equal-width bins for the histogram path. 4096 keeps the bin
+    * histogram (groups × B) broadcast-small while cutting the candidate
+    * scan to ~distinct/4096 rows per target rank.
+    */
+  val DefaultHistogramBuckets: Int = 4096
+
   /** Per-group exact quantiles. `specs` lists (valueColumn, p, outName);
     * the result has one row per group with one column per spec (doubles,
     * unrounded — callers round to their oracle's precision). All specs
     * share one scan regardless of how many columns they touch.
+    *
+    * Routing is automatic: a low-rsd `approx_count_distinct` probe (an
+    * HLL sketch merge — map-side bounded, far cheaper than the exact
+    * distinct aggregation it guards) estimates the worst
+    * per-(group, column) distinct cardinality; past
+    * `histogramFallbackDistinct` the histogram-refinement path runs
+    * instead of frequency selection. Pass `Long.MaxValue` to pin the
+    * frequency path (skips the probe), or `0L` to pin the histogram
+    * path.
     */
   def groupQuantiles(
       df: DataFrame,
       groupCol: String,
-      specs: Seq[(String, Double, String)]): DataFrame = {
+      specs: Seq[(String, Double, String)],
+      histogramFallbackDistinct: Long = DefaultHistogramFallbackDistinct,
+      histogramBuckets: Int = DefaultHistogramBuckets): DataFrame = {
     require(specs.nonEmpty, "need at least one quantile spec")
     require(specs.forall { case (_, p, _) => p >= 0.0 && p <= 1.0 },
       "quantile fractions must be in [0, 1]")
     val outNames = specs.map(_._3)
     require(outNames.distinct.size == outNames.size,
       s"duplicate output names in $outNames")
+    require(histogramBuckets >= 2, s"need >= 2 buckets, got $histogramBuckets")
     val cols = specs.map(_._1).distinct
     val ci   = cols.zipWithIndex.toMap
 
-    // (1) one scan: explode requested columns, build the frequency table
+    // one shared scan shape: explode requested columns to (group, column
+    // index, value) — both paths and the probe prune to exactly these
+    // columns at the source
     val vals = df.select(col(groupCol).as("_g"),
         explode(array(cols.map(c =>
           struct(lit(ci(c)).as("_ci"), col(c).cast("double").as("_v"))): _*)).as("_x"))
       .select(col("_g"), col("_x._ci").as("_ci"), col("_x._v").as("_v"))
       .where(col("_v").isNotNull)
-    val freq = vals.groupBy("_g", "_ci", "_v").agg(count(lit(1)).as("_c"))
 
-    // (2) rank ranges per distinct value; totals broadcast back
+    val useHistogram =
+      if (histogramFallbackDistinct == Long.MaxValue) false
+      else if (histogramFallbackDistinct <= 0L) true
+      // distinct-per-(group, column) can never exceed total row count, so
+      // a row count under the threshold proves the frequency path safe
+      // WITHOUT the probe scan — and count() is near-free (Catalyst
+      // prunes every column; on parquet it reads row-group metadata), so
+      // small-to-medium inputs pay nothing for the adaptive routing
+      else if (df.count() <= histogramFallbackDistinct) false
+      else {
+        val probe = vals.groupBy("_g", "_ci")
+          .agg(approx_count_distinct(col("_v"), rsd = 0.1).as("_d"))
+          .agg(max(col("_d")).as("_maxd"))
+          .head()
+        !probe.isNullAt(0) && probe.getLong(0) > histogramFallbackDistinct
+      }
+
+    val ranked =
+      if (useHistogram) histogramRanked(vals, specs, ci, histogramBuckets)
+      else frequencyRanked(vals)
+    interpolate(ranked, specs, ci, groupCol)
+  }
+
+  /** Frequency-selection rank ranges: the full distinct-value table with
+    * a per-(group, column) running sum. Output rows carry
+    * `(_g, _ci, _v, _c, _below, _cnt)`.
+    */
+  private def frequencyRanked(vals: DataFrame): DataFrame = {
+    val freq = vals.groupBy("_g", "_ci", "_v").agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy("_g", "_ci").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
     val cum = freq.withColumn("_below", coalesce(sum("_c").over(wCum), lit(0L)))
     val totals = freq.groupBy("_g", "_ci").agg(sum("_c").as("_cnt"))
-    val ranked = cum.join(broadcast(totals), Seq("_g", "_ci"))
+    cum.join(broadcast(totals), Seq("_g", "_ci"))
+  }
 
-    // (3) select covering rows, interpolate
+  /** Histogram-refinement rank ranges: same output contract as
+    * [[frequencyRanked]] but restricted to the values inside the bins
+    * that cover some target rank — which is all the interpolation stage
+    * ever reads. Two scans of `vals`, every shuffle and single-task sort
+    * bounded by `groups × B` (bin histogram) or `distinct/B × targets`
+    * (covering-bin candidates).
+    */
+  private def histogramRanked(
+      vals: DataFrame,
+      specs: Seq[(String, Double, String)],
+      ci: Map[String, Int],
+      nBuckets: Int): DataFrame = {
+    // (1) per-(group, column) count/min/max — one map-side-combinable agg
+    val stats = vals.groupBy("_g", "_ci").agg(
+      count(lit(1)).as("_cnt"), min("_v").as("_mn"), max("_v").as("_mx"))
+
+    // deterministic, monotone bin id (FP subtraction/division/multiply by
+    // positive constants preserve order, so bin rank ranges are contiguous
+    // in value order); a single-valued (min = max) pair degenerates to bin 0
+    def binOf(v: Column): Column =
+      when(col("_mx") === col("_mn"), lit(0L)).otherwise(
+        least(lit(nBuckets - 1L),
+          floor((v - col("_mn")) / (col("_mx") - col("_mn")) * nBuckets)))
+
+    // (2) bin histogram + running sum: ≤ groups × B rows end to end
+    val binned = vals.join(broadcast(stats), Seq("_g", "_ci"))
+      .withColumn("_hb", binOf(col("_v")))
+    val hist = binned.groupBy("_g", "_ci", "_hb").agg(count(lit(1)).as("_hc"))
+    val wBin = Window.partitionBy("_g", "_ci").orderBy("_hb")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val histCum = hist
+      .withColumn("_hbelow", coalesce(sum("_hc").over(wBin), lit(0L)))
+      .join(broadcast(stats.select("_g", "_ci", "_cnt")), Seq("_g", "_ci"))
+
+    // bins covering any spec's kLo/kHi rank for their column
+    val coverAny = specs.map { case (c, p, _) =>
+      val pos  = lit(p) * (col("_cnt") - 1).cast("double")
+      val mine = col("_ci") === ci(c)
+      def cov(k: Column): Column =
+        k > col("_hbelow") && k <= col("_hbelow") + col("_hc")
+      mine && (cov(floor(pos) + 1) || cov(ceil(pos) + 1))
+    }.reduce(_ || _)
+    val candBins = histCum.where(coverAny)
+      .select("_g", "_ci", "_hb", "_hbelow").distinct()
+
+    // (3) second scan: frequency selection INSIDE covering bins only;
+    // global rank-below(v) = the bin's cumulative offset + rows below v
+    // within the bin (a distinct value maps to exactly one bin, and the
+    // running-sum window partition now includes the bin — its task is
+    // bounded by the bin's distinct count, not the column's)
+    val cand = binned
+      .join(broadcast(candBins), Seq("_g", "_ci", "_hb"))
+    val freq = cand.groupBy("_g", "_ci", "_hb", "_hbelow", "_v")
+      .agg(count(lit(1)).as("_c"))
+    val wCum = Window.partitionBy("_g", "_ci", "_hb").orderBy("_v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    freq
+      .withColumn("_below",
+        col("_hbelow") + coalesce(sum("_c").over(wCum), lit(0L)))
+      .join(broadcast(stats.select("_g", "_ci", "_cnt")), Seq("_g", "_ci"))
+      .select("_g", "_ci", "_v", "_c", "_below", "_cnt")
+  }
+
+  /** Shared final stage: pick the ≤2 covering rows per (group, spec)
+    * from `(_g, _ci, _v, _c, _below, _cnt)` rank ranges and apply
+    * Spark's exact `Percentile` interpolation. Identical inputs ⇒
+    * identical outputs — what makes the two rank-range constructions
+    * interchangeable bit for bit.
+    */
+  private def interpolate(
+      ranked: DataFrame,
+      specs: Seq[(String, Double, String)],
+      ci: Map[String, Int],
+      groupCol: String): DataFrame = {
     def covers(k: Column): Column =
       k > col("_below") && k <= col("_below") + col("_c")
-    case class SpecCols(si: Int, name: String, w: Column, hit: Column)
-    val specCols = specs.zipWithIndex.map { case ((c, p, name), si) =>
+    case class SpecCols(name: String, w: Column, hit: Column)
+    val specCols = specs.map { case (c, p, name) =>
       val pos = lit(p) * (col("_cnt") - 1).cast("double")
       val klo = floor(pos) + 1
       val khi = ceil(pos) + 1
@@ -90,7 +239,7 @@ object Quantiles {
         when(covers(klo) && covers(khi), lit(1.0))
           .when(covers(klo), ceil(pos).cast("double") - pos)
           .when(covers(khi), pos - floor(pos).cast("double")))
-      SpecCols(si, name, w, mine && (covers(klo) || covers(khi)))
+      SpecCols(name, w, mine && (covers(klo) || covers(khi)))
     }
     val picked = ranked.where(specCols.map(_.hit).reduce(_ || _))
     val aggs = specCols.map(s => sum(col("_v") * s.w).as(s.name))
@@ -107,10 +256,13 @@ object Quantiles {
     */
   def globalQuantiles(
       df: DataFrame,
-      specs: Seq[(String, Double, String)]): DataFrame = {
+      specs: Seq[(String, Double, String)],
+      histogramFallbackDistinct: Long = DefaultHistogramFallbackDistinct,
+      histogramBuckets: Int = DefaultHistogramBuckets): DataFrame = {
     require(!df.columns.contains("_qg"),
       "input already has a _qg column (would be clobbered)")
-    groupQuantiles(df.withColumn("_qg", lit(1)), "_qg", specs)
+    groupQuantiles(df.withColumn("_qg", lit(1)), "_qg", specs,
+      histogramFallbackDistinct, histogramBuckets)
       .drop("_qg")
   }
 }

@@ -60,7 +60,8 @@ class QuantilesSpec extends GraftSpec {
 
   test("runtime plan: the frequency exchange computes once (ReusedExchange), no percentile buffer") {
     val df = Quantiles.groupQuantiles(li, "l_returnflag",
-      Seq(("l_extendedprice", 0.5, "m")))
+      Seq(("l_extendedprice", 0.5, "m")),
+      histogramFallbackDistinct = Long.MaxValue) // pin the frequency path
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     // the static plan prints the frequency subtree under both the main
@@ -69,5 +70,70 @@ class QuantilesSpec extends GraftSpec {
     assert(plan.contains("ReusedExchange"),
       s"frequency table computed twice — no ReusedExchange in:\n$plan")
     assert(!plan.contains("percentile("), "the buffer aggregate leaked back in")
+  }
+
+  test("histogram fallback: bit-identical to the frequency path on a near-unique column") {
+    // a continuous near-unique column concentrated in ONE group — the
+    // exact shape whose frequency table doesn't collapse (distinct ≈
+    // rows). Values deliberately include ties, a negative range, and a
+    // tiny second group (mixed routing must not corrupt it).
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 20000).map(i =>
+      ("hot", rnd.nextDouble() * 2000 - 1000)) ++
+      Seq(("hot", 123.456), ("hot", 123.456), ("hot", 123.456)) ++
+      (1 to 7).map(i => ("cold", i.toDouble))
+    val df = rows.toDF("g", "v").repartition(8)
+    val specs = Seq(("v", 0.0, "p0"), ("v", 0.25, "p25"), ("v", 0.5, "p50"),
+      ("v", 0.9, "p90"), ("v", 0.999, "p999"), ("v", 1.0, "p100"))
+    val freq = Quantiles.groupQuantiles(df, "g", specs,
+      histogramFallbackDistinct = Long.MaxValue)
+    val hist = Quantiles.groupQuantiles(df, "g", specs,
+      histogramFallbackDistinct = 0L, histogramBuckets = 64)
+    def asMap(r: Array[org.apache.spark.sql.Row]) =
+      r.map(x => x.getString(0) -> (1 to specs.size).map(x.getDouble).toList).toMap
+    val (f, h) = (asMap(freq.collect()), asMap(hist.collect()))
+    assert(f == h, s"paths diverge: freq=$f hist=$h") // EXACT double equality
+    // and both match Spark's own exact percentile
+    val ref = df.groupBy("g").agg(expr(
+        s"array(${specs.map(s => s"percentile(v, ${s._2})").mkString(", ")})"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1).toList).toMap
+    assert(f == ref)
+  }
+
+  test("histogram fallback plan: bounded bin aggregate, no full-distinct running sum") {
+    val rows = (1 to 5000).map(i => ("g", i * 1.000001))
+    val df = rows.toDF("g", "v")
+    val hist = Quantiles.groupQuantiles(df, "g", Seq(("v", 0.5, "m")),
+      histogramFallbackDistinct = 0L, histogramBuckets = 64)
+    val plan = hist.queryExecution.executedPlan.toString
+    // structural: the plan aggregates on the bin id (_hb) and windows
+    // per (_g, _ci, _hb) — the bounded shapes — and the ONLY running-sum
+    // window partitions include _hb (no window walks a full (group,
+    // column) distinct set)
+    assert(plan.contains("_hb"), s"no bin column in plan:\n$plan")
+    val windowSpecs = """windowspecdefinition\(([^)]*)""".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(windowSpecs.nonEmpty, s"no window in plan:\n$plan")
+    windowSpecs.foreach(ws =>
+      assert(ws.contains("_hb"),
+        s"unbounded window partition [$ws] — sorts the full distinct set:\n$plan"))
+    // the adaptive default routes this tiny distinct set to the
+    // frequency path (probe says it collapses), with identical values
+    val auto = Quantiles.groupQuantiles(df, "g", Seq(("v", 0.5, "m")))
+    assert(auto.head().getDouble(1) == hist.head().getDouble(1))
+  }
+
+  test("adaptive probe routes a pathological column to the histogram path") {
+    val rows = (1 to 4000).map(i => ("g", i * 1.37))
+    val df = rows.toDF("g", "v")
+    // threshold far below the ~4000 distinct values → probe must fire
+    val routed = Quantiles.groupQuantiles(df, "g",
+      Seq(("v", 0.5, "m"), ("v", 0.9, "p90")), histogramFallbackDistinct = 100L)
+    assert(routed.queryExecution.executedPlan.toString.contains("_hb"),
+      "probe failed to route to the histogram path")
+    val pinned = Quantiles.groupQuantiles(df, "g",
+      Seq(("v", 0.5, "m"), ("v", 0.9, "p90")),
+      histogramFallbackDistinct = Long.MaxValue)
+    assert(routed.collect().toSeq == pinned.collect().toSeq)
   }
 }
