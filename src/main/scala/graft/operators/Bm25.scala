@@ -22,6 +22,26 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
+  /** The matched-term postings `(id, term, tf)` — one row per (doc,
+    * matched query term). The query-term filter runs INSIDE the token
+    * array BEFORE the explode, so row expansion is bounded by the query
+    * length per doc; this is the structural cap behind the downstream
+    * per-doc `collect_list` (each doc collects at most |terms| structs).
+    * Exposed so LexicalSpec can assert the pre-explode filter on the
+    * plan — [[scores]] eagerly `localCheckpoint`s this frame (it feeds
+    * two aggregates), which truncates lineage and hides the filter from
+    * the registry queries' executed plans.
+    */
+  private[graft] def termPostings(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(filter(TextFunctions.tokens(col(textCol)),
+          t => t.isin(terms: _*))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
   /** Per-document BM25 score (unrounded) for a bag of query terms:
     * `(id, bm25)`, docs with no matching term absent.
     * Uses the standard Lucene-style formulation with the +1 idf floor:
@@ -41,13 +61,7 @@ object Bm25 {
       .localCheckpoint()
     val stats = dl.agg(
       count(lit(1)).cast("double").as("n_docs"), avg("dl").as("avgdl"))
-    val tf = docs
-      .select(col(idCol),
-        explode(filter(TextFunctions.tokens(col(textCol)),
-          t => t.isin(terms: _*))).as("term"))
-      .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .localCheckpoint()
+    val tf = termPostings(docs, idCol, textCol, terms).localCheckpoint()
     // tf is unique per (id, term), so document frequency is a plain count
     val df_ = tf.groupBy("term")
       .agg(count(lit(1)).cast("double").as("df"))

@@ -244,15 +244,26 @@ object PipelineQueries {
     // histories synthesized per source from the documents table (turn
     // order pinned by doc_id), last-3 turns flattened and prefixed to the
     // current question exactly like the reference (chain.py:144-151).
+    // The last-3 cut happens BEFORE the collect (row_number window, one
+    // exchange shared with the groupBy): the per-source buffer really
+    // holds <= 3 turns, so a 10M-turn conversation costs 3 structs, not
+    // a post-collect slice over 10M — the cap PlanAuditSpec asserts
+    // structurally (the _rn <= 3 filter must sit under the collect).
     "q55_chat_contextualize" -> { (s, d) =>
       import graft.rag.ChatHistory
+      import org.apache.spark.sql.expressions.Window
       val turns = Tables.documents(s, d)
         .filter(col("doc_id") < 100)
         .select(col("source"), col("doc_id"),
           concat(lit("What is in doc "), col("doc_id").cast("string"), lit("?"))
             .as("question"),
           substring(col("text"), 1, 30).as("answer"))
-      val hist = turns.groupBy("source")
+      val wLast = Window.partitionBy("source").orderBy(col("doc_id").desc)
+      val last3 = turns
+        .withColumn("_rn", row_number().over(wLast))
+        .filter(col("_rn") <= 3)
+        .drop("_rn")
+      val hist = last3.groupBy("source")
         .agg(transform(
           array_sort(collect_list(struct(col("doc_id"), col("question"), col("answer")))),
           t => struct(t.getField("question").as("question"),

@@ -83,6 +83,21 @@ class LexicalSpec extends GraftSpec {
       Map(30L -> 1L, 20L -> 2L, 10L -> 3L))
   }
 
+  test("bm25 postings cap: the query-term filter sits INSIDE the explode's input") {
+    // the structural cap behind q28/q2A's per-doc collect_list — bounded
+    // by the query's term count because only matching tokens ever
+    // explode. scores() checkpoints this frame (hiding the filter from
+    // downstream plans), so the cap is asserted here on the uncut
+    // lineage: the Generate node must explode a filter(...) of the token
+    // array, not the raw tokens with a post-explode Filter.
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val plan = graft.operators.Bm25
+      .termPostings(docs, "doc_id", "text", Seq("data", "model"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("explode(filter("),
+      s"term filter not inside the explode input:\n$plan")
+  }
+
   test("mmr determinism: same input, same output across runs") {
     val e = Tables.embeddings(spark, sfDir)
     val qvec = e.filter(col("vec_id") === 0).head()

@@ -59,20 +59,60 @@ class PlanAuditSpec extends GraftSpec {
       s"ScalaUDF nodes in: ${offenders.toSeq.sorted.mkString(", ")}")
   }
 
-  /** Queries whose collect_list/collect_set buffers are structurally
-    * CAPPED (each reason names the bound) — the only acceptable form of
-    * a per-group array buffer. Everything else with a collect_* in its
-    * plan fails the audit below.
+  /** Queries whose collect_list/collect_set buffers are CAPPED, each
+    * with a structural WITNESS: a predicate that must hold on every
+    * final collect node's plan SUBTREE, chosen so that removing the cap
+    * removes the witness and turns this audit red (the round-5 lesson:
+    * a free-text allowlist lets a regression ride an old justification).
+    * Everything else with a collect_* in its plan fails outright.
     */
-  private val boundedCollectByDesign: Map[String, String] = Map(
-    "q28_bm25_search" -> "per-QUERY term list; bounded by the query string's term count",
-    "q2A_hybrid_rrf" -> "rank pools are top-k-bounded candidate lists (k<=20) per query",
-    "q43_context_format" -> "collects the top-k retrieved contexts, k<=20 (F2 validation)",
-    "q55_chat_contextualize" -> "last-3 history window (O2): buffer capped at 3 turns",
-    "q6G_importance_weights" -> "per-doc DISTINCT hash buckets, capped at nBuckets=4096",
-    "q76_span_clean" -> ("merged duplicate spans per doc: disjoint islands each >= " +
-      "window tokens, so <= len/window entries — a 1/window fraction of the text " +
-      "column the same row already carries"))
+  private val boundedCollectWitness: Map[String, (String, String => Boolean)] = Map(
+    // per-QUERY term list: the postings feeding the collect are the
+    // eagerly-checkpointed matched-term frame (Scan ExistingRDD) joined
+    // per term — the pre-explode isin cap itself is lineage-truncated by
+    // the checkpoint, so LexicalSpec asserts it on Bm25.termPostings
+    "q28_bm25_search" -> (("checkpointed matched-term postings (cap asserted in LexicalSpec)",
+      sub => sub.contains("Scan ExistingRDD") && sub.contains("BroadcastHashJoin [term"))),
+    // rank pools collect directly above a top-k TakeOrderedAndProject;
+    // the inner bm25 collects carry the q28 witness
+    "q2A_hybrid_rrf" -> (("pool collects sit on TakeOrderedAndProject(limit=k)",
+      sub => sub.contains("TakeOrderedAndProject(limit=") ||
+        (sub.contains("Scan ExistingRDD") && sub.contains("BroadcastHashJoin [term")))),
+    "q43_context_format" -> (("context collect sits on TakeOrderedAndProject(limit=k<=20)",
+      sub => sub.contains("TakeOrderedAndProject(limit="))),
+    // last-3 history (O2): the row_number <= 3 filter must sit UNDER the
+    // collect — the buffer itself holds <= 3 turns, not a post-collect slice
+    "q55_chat_contextualize" -> (("_rn <= 3 rank filter below the collect",
+      sub => """_rn#\d+ <= 3""".r.findFirstIn(sub).isDefined)),
+    // per-doc DISTINCT hash buckets: the collect's input is the
+    // (doc, bucket)-keyed pre-aggregate, so <= nBuckets structs per doc
+    "q6G_importance_weights" -> (("(doc_id, b) bucket-keyed aggregate below the collect",
+      sub => """HashAggregate\(keys=\[doc_id#\d+L?, b#\d+""".r.findFirstIn(sub).isDefined)),
+    // merged span islands per doc (disjoint, >= k tokens each, so
+    // <= len/k entries): the island aggregate's span_id key is the witness
+    "q76_span_clean" -> (("span_id island aggregate below the collect",
+      sub => sub.contains("span_id"))))
+
+  /** Each final (non-partial) collect_list/collect_set node with its
+    * full plan subtree, extracted from the plan TEXT — AQE's
+    * AdaptiveSparkPlanExec hides children from `SparkPlan.collect`, but
+    * the tree string prints them, and indentation (the `+-`/`:-` marker
+    * column) recovers the subtree span.
+    */
+  private def collectSubtrees(plan: String): Seq[String] = {
+    val lines = plan.split("\n")
+    def depth(l: String): Int = {
+      val i = l.indexOf("+- "); val j = l.indexOf(":- ")
+      if (i < 0) j else if (j < 0) i else math.min(i, j)
+    }
+    lines.zipWithIndex.toSeq.collect {
+      case (l, i)
+          if (l.contains("collect_list(") || l.contains("collect_set(")) &&
+            !l.contains("partial_") =>
+        val d = depth(l)
+        (l +: lines.drop(i + 1).takeWhile(x => depth(x) > d)).mkString("\n")
+    }
+  }
 
   test("no registry query aggregates with an unbounded per-group value buffer") {
     // Exact percentile/median/mode hold EVERY value of a group in one
@@ -89,12 +129,30 @@ class PlanAuditSpec extends GraftSpec {
     val collectOffenders = plans.collect {
       case (name, plan)
           if (plan.contains("collect_list(") || plan.contains("collect_set(")) &&
-            !boundedCollectByDesign.contains(name) =>
+            !boundedCollectWitness.contains(name) =>
         name
     }
     assert(collectOffenders.isEmpty,
-      "collect_list/collect_set without a documented structural cap in: " +
+      "collect_list/collect_set without a structural cap witness in: " +
         s"${collectOffenders.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every allowlisted collect node carries its cap witness in-plan") {
+    // negative control first: the extractor must actually find collect
+    // nodes, or a Spark plan-text format change would green-wash the sweep
+    val found = boundedCollectWitness.keys.toSeq.sorted.map(n =>
+      n -> collectSubtrees(plans(n)))
+    assert(found.exists(_._2.nonEmpty),
+      "subtree extractor found no collect nodes anywhere — plan format changed?")
+    for ((name, subs) <- found) {
+      val (why, ok) = boundedCollectWitness(name)
+      assert(subs.nonEmpty,
+        s"$name is allowlisted but plans no collect node — stale allowlist entry")
+      subs.zipWithIndex.foreach { case (sub, i) =>
+        assert(ok(sub),
+          s"$name collect node $i lost its cap witness ($why):\n$sub")
+      }
+    }
   }
 
   test("every broadcast in the KNN family builds the query side, not the corpus") {
