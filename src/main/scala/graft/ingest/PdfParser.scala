@@ -27,10 +27,20 @@ import scala.util.control.NonFatal
   *    nested balanced parens, line continuations — and hex strings);
   *    the line-positioning operators `Td`/`TD`/`T*` plus `'`/`"` break
   *    lines, so extracted text keeps its layout line structure;
-  *  - simple-font byte strings decode as Latin-1 (≈ PDFDocEncoding for
-  *    the printable range). CID/Type0 composite fonts need ToUnicode
-  *    CMap handling — out of scope; their bytes decode to mojibake
-  *    rather than crashing the scan.
+  *  - fonts: each page's `/Resources → /Font` entries are resolved and
+  *    any `/ToUnicode` CMap stream is parsed (`begincodespacerange` for
+  *    the code byte width, `beginbfchar` singles, `beginbfrange` with
+  *    either an incremented base or an explicit array). The content
+  *    scanner tracks the current font through `Tf` and maps string
+  *    bytes through its CMap — so CID/Type0 composite fonts (2-byte
+  *    codes, e.g. Identity-H) extract real Unicode, matching
+  *    PyPDFLoader's handling (`scripts/ingest_documents.py:52-59`).
+  *    Simple-font strings without a ToUnicode map decode as Latin-1
+  *    (≈ PDFDocEncoding for the printable range); unmapped composite
+  *    codes are dropped rather than emitted as mojibake. bfranges are
+  *    kept UNEXPANDED (lo, hi, base) — a crafted
+  *    `<00000000> <FFFFFFFF>` range in an untrusted corpus would
+  *    otherwise materialize billions of map entries per file.
   *
   * [[PdfParser]] is the production entry: real extraction first, and on
   * ANY failure (encrypted, exotic filters, not actually a PDF) the
@@ -60,8 +70,182 @@ object PdfText {
         .flatMap(o => decodeStream(o, byNum))
       // separate streams with a newline: a page may split its content
       // across streams at token boundaries
-      extractText(content.map(new String(_, latin1)).mkString("\n"))
+      extractText(content.map(new String(_, latin1)).mkString("\n"),
+        pageFonts(p, byNum))
     }
+  }
+
+  // ---- fonts / ToUnicode CMaps ---------------------------------------
+
+  /** A parsed `/ToUnicode` CMap. `codeBytes` is the source code width
+    * (from the codespacerange; Type0 defaults to 2, simple fonts to 1).
+    * `chars` holds bfchar singles plus expanded array-dst bfranges;
+    * `ranges` holds increment-dst bfranges UNEXPANDED as
+    * (lo, hi, baseUnicode) so an adversarial full-codespace range costs
+    * O(1) memory instead of 2^32 map entries.
+    */
+  private[graft] final case class ToUnicode(
+      codeBytes: Int, chars: Map[Int, String],
+      ranges: IndexedSeq[(Int, Int, String)]) {
+
+    /** Map a raw byte string (one Latin-1 char per byte, as produced by
+      * the literal/hex string lexers) through the CMap.
+      */
+    def decode(raw: String): String = {
+      val sb = new StringBuilder
+      var i  = 0
+      while (i < raw.length) {
+        var code = 0
+        var j    = 0
+        while (j < codeBytes && i < raw.length) {
+          code = (code << 8) | (raw.charAt(i) & 0xff); i += 1; j += 1
+        }
+        chars.get(code) match {
+          case Some(u) => sb.append(u)
+          case None =>
+            var k     = 0
+            var found = false
+            while (k < ranges.length && !found) {
+              val (lo, hi, base) = ranges(k)
+              if (code >= lo && code <= hi) {
+                found = true
+                // per spec only the last UTF-16 code unit increments
+                if (base.nonEmpty)
+                  sb.append(base.substring(0, base.length - 1))
+                    .append((base.last + (code - lo)).toChar)
+              }
+              k += 1
+            }
+            // simple-font identity fallback ≈ Latin-1; composite codes
+            // with no mapping carry no recoverable text — drop them
+            if (!found && codeBytes == 1) sb.append(code.toChar)
+        }
+      }
+      sb.toString
+    }
+  }
+
+  /** Locate the value position for `key` in a dict string (key followed
+    * by a delimiter, so `/Font` doesn't match `/FontFile`).
+    */
+  private def dictValueAt(dict: String, key: String): Option[Int] = {
+    var from = 0
+    while (from >= 0) {
+      val idx = dict.indexOf(key, from)
+      if (idx < 0) return None
+      val after = idx + key.length
+      if (after >= dict.length || delim(dict.charAt(after))) {
+        var i = after
+        while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+        return Some(i)
+      }
+      from = after
+    }
+    None
+  }
+
+  /** Resolve `key`'s value to a dict string: inline `<< … >>` taken
+    * directly, `N G R` references chased through the object table.
+    */
+  private def resolveDict(dict: String, key: String,
+      byNum: Map[Int, PdfObj]): Option[String] =
+    dictValueAt(dict, key).flatMap { i =>
+      if (i + 1 < dict.length && dict.charAt(i) == '<' && dict.charAt(i + 1) == '<')
+        Some(balancedDict(dict, i))
+      else
+        RefRe.findPrefixMatchOf(
+            dict.subSequence(i, math.min(dict.length, i + 24)))
+          .flatMap(m => byNum.get(m.group(1).toInt)).map(_.dict)
+    }
+
+  private val FontEntryRe = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+  private val ToUniRe     = """/ToUnicode\s+(\d+)\s+\d+\s+R""".r
+
+  /** Font-name → ToUnicode map for one page; fonts without a ToUnicode
+    * stream are absent (their strings keep the Latin-1 default).
+    */
+  private def pageFonts(p: PdfObj,
+      byNum: Map[Int, PdfObj]): Map[String, ToUnicode] =
+    (for {
+      res   <- resolveDict(p.dict, "/Resources", byNum).toSeq
+      fdict <- resolveDict(res, "/Font", byNum).toSeq
+      m     <- FontEntryRe.findAllMatchIn(fdict)
+      fobj  <- byNum.get(m.group(2).toInt)
+      tu    <- toUnicodeOf(fobj, byNum)
+    } yield m.group(1) -> tu).toMap
+
+  private def toUnicodeOf(font: PdfObj,
+      byNum: Map[Int, PdfObj]): Option[ToUnicode] =
+    for {
+      m    <- ToUniRe.findFirstMatchIn(font.dict)
+      obj  <- byNum.get(m.group(1).toInt)
+      data <- decodeStream(obj, byNum)
+    } yield parseCMap(new String(data, latin1),
+      isType0 = font.dict.contains("/Type0"))
+
+  private val CodeSpaceRe = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+  private val BfCharRe    = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeRe   = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val CMapTokRe   = """<([0-9A-Fa-f]+)>|(\[)|(\])""".r
+
+  /** Hex token → UTF-16BE string (destination side of bfchar/bfrange). */
+  private def hexUnicode(h: String): String = {
+    val padded = if (h.length % 2 == 1) h + "0" else h
+    val bytes  = new Array[Byte](padded.length / 2)
+    var i = 0
+    while (i < bytes.length) {
+      bytes(i) = Integer.parseInt(padded.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    if (bytes.length == 1) String.valueOf((bytes(0) & 0xff).toChar)
+    else new String(bytes, StandardCharsets.UTF_16BE)
+  }
+
+  /** Source-code hex token → int (codes are ≤ 4 bytes). */
+  private def hexCode(h: String): Int =
+    java.lang.Long.parseLong(h.takeRight(8), 16).toInt
+
+  private[graft] def parseCMap(cmap: String, isType0: Boolean): ToUnicode = {
+    val codeBytes = CodeSpaceRe.findFirstMatchIn(cmap)
+      .flatMap(m => CMapTokRe.findFirstMatchIn(m.group(1)))
+      .flatMap(m => Option(m.group(1)))
+      .map(h => math.max(1, math.min(4, (h.length + 1) / 2)))
+      .getOrElse(if (isType0) 2 else 1)
+    val chars  = Map.newBuilder[Int, String]
+    val ranges = IndexedSeq.newBuilder[(Int, Int, String)]
+    for (block <- BfCharRe.findAllMatchIn(cmap)) {
+      val hexes = CMapTokRe.findAllMatchIn(block.group(1))
+        .flatMap(m => Option(m.group(1))).toSeq
+      hexes.grouped(2).foreach {
+        case Seq(src, dst) => chars += hexCode(src) -> hexUnicode(dst)
+        case _             => // trailing odd token: malformed entry, skip
+      }
+    }
+    for (block <- BfRangeRe.findAllMatchIn(cmap)) {
+      val toks = CMapTokRe.findAllMatchIn(block.group(1)).toIndexedSeq
+      var i = 0
+      def hexAt(j: Int): Option[String] =
+        if (j < toks.length) Option(toks(j).group(1)) else None
+      while (i + 1 < toks.length && hexAt(i).isDefined && hexAt(i + 1).isDefined) {
+        val lo = hexCode(hexAt(i).get)
+        val hi = hexCode(hexAt(i + 1).get)
+        if (i + 2 < toks.length && toks(i + 2).group(2) != null) {
+          // array form: [ <dst> <dst> … ] — one dst per code, inherently
+          // bounded by the tokens physically present in the stream
+          var j = i + 3
+          var c = lo
+          while (j < toks.length && toks(j).group(3) == null) {
+            hexAt(j).foreach { d => chars += c -> hexUnicode(d); c += 1 }
+            j += 1
+          }
+          i = j + 1
+        } else if (hexAt(i + 2).isDefined) {
+          ranges += ((lo, hi, hexUnicode(hexAt(i + 2).get)))
+          i += 3
+        } else i = toks.length // malformed tail: stop this block
+      }
+    }
+    ToUnicode(codeBytes, chars.result(), ranges.result())
   }
 
   // ---- object scan ----------------------------------------------------
@@ -216,20 +400,26 @@ object PdfText {
   // ---- content-stream text operators ----------------------------------
 
   /** One lexical pass over a page's content: literal/hex strings are
-    * buffered, `Tj`/`'`/`"`/`TJ` emit them, `Td`/`TD`/`T*`/`'`/`"`
-    * break lines. Inline dictionaries, comments and inline-image data
-    * are skipped.
+    * buffered (mapped through the current font's ToUnicode CMap when it
+    * has one — set by `Tf`), `Tj`/`'`/`"`/`TJ` emit them,
+    * `Td`/`TD`/`T*`/`'`/`"` break lines. Inline dictionaries, comments
+    * and inline-image data are skipped.
     */
-  private[graft] def extractText(s: String): String = {
-    val out             = new StringBuilder
-    var pending: String = null   // last string operand seen
-    val arrayBuf        = new StringBuilder
-    var inArray         = false
-    var i               = 0
+  private[graft] def extractText(
+      s: String, fonts: Map[String, ToUnicode] = Map.empty): String = {
+    val out               = new StringBuilder
+    var pending: String   = null   // last string operand seen
+    val arrayBuf          = new StringBuilder
+    var inArray           = false
+    var lastName: String  = null   // last /Name operand (for Tf)
+    var font: ToUnicode   = null   // current font's CMap, if any
+    var i                 = 0
 
     def newline(): Unit =
       if (out.nonEmpty && out.last != '\n') out.append('\n')
     def emit(t: String): Unit = if (t != null) out.append(t)
+    def mapped(raw: String): String =
+      if (font != null) font.decode(raw) else raw
 
     while (i < s.length) {
       val c = s.charAt(i)
@@ -237,19 +427,23 @@ object PdfText {
         while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
       } else if (c == '(') {
         val (str, next) = literalString(s, i)
-        if (inArray) arrayBuf.append(str) else pending = str
+        val dec = mapped(str)
+        if (inArray) arrayBuf.append(dec) else pending = dec
         i = next
       } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
         i += balancedDict(s, i).length // inline dict (e.g. BDC properties)
       } else if (c == '<') {
         val (str, next) = hexString(s, i)
-        if (inArray) arrayBuf.append(str) else pending = str
+        val dec = mapped(str)
+        if (inArray) arrayBuf.append(dec) else pending = dec
         i = next
       } else if (c == '[') { inArray = true; arrayBuf.clear(); i += 1 }
       else if (c == ']') { inArray = false; pending = arrayBuf.toString; i += 1 }
-      else if (c == '/') { // name object: skip token
+      else if (c == '/') { // name object: record token (Tf operand)
         i += 1
+        val start = i
         while (i < s.length && !delim(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
       } else if (!delim(c)) { // operator or numeric operand
         val start = i
         while (i < s.length && !delim(s.charAt(i))) i += 1
@@ -259,6 +453,8 @@ object PdfText {
           case "'"         => newline(); emit(pending); pending = null
           case "\""        => newline(); emit(pending); pending = null
           case "Td" | "TD" | "T*" => newline()
+          case "Tf" =>
+            font = if (lastName == null) null else fonts.getOrElse(lastName, null)
           case "BI" => // inline image: skip to EI
             val ei = s.indexOf("EI", i)
             i = if (ei < 0) s.length else ei + 2

@@ -1,0 +1,118 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Deterministic minimal PDF generator — the sink-side twin of
+  * [[PdfText]]. One page per input string, text carried as UTF-16BE hex
+  * strings under a Type0/Identity-H font whose `/ToUnicode` CMap is the
+  * identity bfrange, so ANY BMP text (and surrogate pairs, which map
+  * code-unit-wise) round-trips byte-exactly through the extractor's CID
+  * path. Content streams are FlateDecode-compressed.
+  *
+  * Used by the PDF ingest registry gate (q57): render a corpus to real
+  * PDF files, read it back through `Readers.pdfDirectory`, and
+  * hash-compare against the source text — which makes the full
+  * object-scan → page-tree → Inflater → CMap → Tj pipeline
+  * oracle-checked rather than spec-only. The writer has no randomness
+  * and no timestamps: identical input bytes ⇒ identical output bytes.
+  */
+object PdfWriter {
+
+  private def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val df = new java.util.zip.Deflater()
+    df.setInput(raw); df.finish()
+    val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!df.finished()) out.write(buf, 0, df.deflate(buf))
+    df.end()
+    out.toByteArray
+  }
+
+  /** UTF-16BE hex encoding of `text` (4 uppercase hex digits per code
+    * unit) — the PDF hex-string payload under Identity-H.
+    */
+  private def utf16Hex(text: String): String = {
+    val sb = new StringBuilder(text.length * 4)
+    var i = 0
+    while (i < text.length) {
+      sb.append(f"${text.charAt(i).toInt}%04X")
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** The identity ToUnicode CMap: every 2-byte code maps to the same
+    * BMP code point. Kept as ONE unexpanded bfrange — [[PdfText]] stores
+    * it in O(1) memory.
+    */
+  private val identityCMap: String =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |/CMapName /Graft-Identity-UCS def
+      |/CMapType 2 def
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |1 beginbfrange
+      |<0000> <FFFF> <0000>
+      |endbfrange
+      |endcmap
+      |CMap currentdict /CMap defineresource pop
+      |end
+      |end""".stripMargin
+
+  /** Build a complete PDF: one page per element of `pages`, each a
+    * single `Tf`+`Td`+`Tj` under the Type0 font. Object layout:
+    * 1 catalog, 2 pages, 3..3+n-1 page dicts, 3+n..3+2n-1 content
+    * streams, then the font and its ToUnicode stream.
+    */
+  def typ0Pdf(pages: Seq[String]): Array[Byte] = {
+    val n      = pages.size
+    val fontNo = 3 + 2 * n
+    val cmapNo = fontNo + 1
+    val objs   = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+    objs += 1 -> b("<< /Type /Catalog /Pages 2 0 R >>")
+    objs += 2 -> b(s"<< /Type /Pages /Kids [${
+      (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $n >>")
+    for (i <- 0 until n)
+      objs += (3 + i) -> b(s"<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNo 0 R >> >> " +
+        s"/Contents ${3 + n + i} 0 R >>")
+    for (i <- 0 until n) {
+      val content = s"BT /F1 12 Tf 72 720 Td <${utf16Hex(pages(i))}> Tj ET"
+      objs += (3 + n + i) -> stream(deflate(b(content)), flate = true)
+    }
+    objs += fontNo -> b(s"<< /Type /Font /Subtype /Type0 " +
+      s"/BaseFont /GraftIdentity /Encoding /Identity-H " +
+      s"/ToUnicode $cmapNo 0 R >>")
+    objs += cmapNo -> stream(deflate(b(identityCMap)), flate = true)
+    assemble(objs.toSeq)
+  }
+
+  private def stream(data: Array[Byte], flate: Boolean): Array[Byte] = {
+    val filter = if (flate) " /Filter /FlateDecode" else ""
+    b(s"<< /Length ${data.length}$filter >>\nstream\n") ++ data ++
+      b("\nendstream")
+  }
+
+  /** Serialize numbered objects with a correct xref table and trailer. */
+  private def assemble(objs: Seq[(Int, Array[Byte])]): Array[Byte] = {
+    val out     = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](objs.size + 1)
+    out.write(b("%PDF-1.4\n"))
+    objs.sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size()
+      out.write(b(s"$num 0 obj\n")); out.write(body); out.write(b("\nendobj\n"))
+    }
+    val xrefAt = out.size()
+    out.write(b(s"xref\n0 ${objs.size + 1}\n0000000000 65535 f \n"))
+    (1 to objs.size).foreach(i => out.write(b(f"${offsets(i)}%010d 00000 n \n")))
+    out.write(b(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n"))
+    out.toByteArray
+  }
+}

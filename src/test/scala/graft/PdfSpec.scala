@@ -100,6 +100,93 @@ class PdfSpec extends GraftSpec {
       Seq("A(b)\\ckernedHi\nline two\nline threeAB"))
   }
 
+  /** A PDF with BOTH a simple font (/F1) and a Type0/CID font (/F2)
+    * whose explicit ToUnicode CMap exercises bfchar singles, an
+    * increment-dst bfrange, and an array-dst bfrange.
+    */
+  private def buildType0Pdf(content: String): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0013> <006C>
+        |<0020> <0021> [<0057> <0064>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val cmapData = deflate(b(cmap))
+    val raw      = b(content)
+    val objs = Seq(
+      1 -> b("<< /Type /Catalog /Pages 2 0 R >>"),
+      2 -> b("<< /Type /Pages /Kids [3 0 R] /Count 1 >>"),
+      3 -> b("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"),
+      4 -> (b(s"<< /Length ${raw.length} >>\nstream\n") ++ raw ++ b("\nendstream")),
+      5 -> b("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+      6 -> b("<< /Type /Font /Subtype /Type0 /BaseFont /Fake " +
+        "/Encoding /Identity-H /ToUnicode 7 0 R >>"),
+      7 -> (b(s"<< /Length ${cmapData.length} /Filter /FlateDecode >>\nstream\n") ++
+        cmapData ++ b("\nendstream")))
+    val out     = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](objs.size + 1)
+    out.write(b("%PDF-1.4\n"))
+    objs.foreach { case (num, body) =>
+      offsets(num) = out.size()
+      out.write(b(s"$num 0 obj\n")); out.write(body); out.write(b("\nendobj\n"))
+    }
+    out.write(b(s"trailer\n<< /Size ${objs.size + 1} /Root 1 0 R >>\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  test("Type0/CID font: bfchar, bfrange increment + array dst, hex strings decode") {
+    // H e l l o  = 0001 0002 0010 0010 0013 through the CMap
+    val pdf = buildType0Pdf(
+      "BT /F2 12 Tf 72 720 Td <00010002001000100013> Tj ET")
+    assert(PdfText.extractPages(pdf) == Seq("Hello"))
+    // array-dst range: 0020 -> W, 0021 -> d
+    val pdf2 = buildType0Pdf("BT /F2 12 Tf <00200021> Tj ET")
+    assert(PdfText.extractPages(pdf2) == Seq("Wd"))
+  }
+
+  test("Tf switches between simple and composite fonts mid-page") {
+    val pdf = buildType0Pdf(
+      "BT /F1 12 Tf (plain ) Tj /F2 12 Tf <00010002001000100013> Tj " +
+        "/F1 12 Tf ( tail) Tj ET")
+    assert(PdfText.extractPages(pdf) == Seq("plain Hello tail"))
+  }
+
+  test("Type0 literal strings also map through the CMap; unmapped CIDs drop") {
+    // literal string bytes \x00\x01 \x00\x02 = He; \x0E\x0E unmapped -> dropped
+    val pdf = buildType0Pdf(
+      "BT /F2 12 Tf (\\000\\001\\000\\002\\016\\016) Tj ET")
+    assert(PdfText.extractPages(pdf) == Seq("He"))
+  }
+
+  test("identity CMap parses to one UNEXPANDED range (no 65536-entry map)") {
+    val cm = PdfText.parseCMap(
+      "1 begincodespacerange <0000> <FFFF> endcodespacerange " +
+        "1 beginbfrange <0000> <FFFF> <0000> endbfrange", isType0 = true)
+    assert(cm.codeBytes == 2)
+    assert(cm.chars.isEmpty)
+    assert(cm.ranges == IndexedSeq((0, 0xFFFF, "\u0000")))
+    assert(cm.decode("\u0000H\u0000i") == "Hi")
+  }
+
+  test("PdfWriter round-trips arbitrary unicode text through the CID path") {
+    val texts = Seq(
+      "ASCII with (parens) and \\backslash and <angles>",
+      "Unicode: café 日本語 — naïve αβγ",
+      "emoji via surrogate pair: 😀 end")
+    val pdf = graft.ingest.PdfWriter.typ0Pdf(texts)
+    assert(PdfText.extractPages(pdf) == texts)
+  }
+
   test("garbage and unsupported inputs degrade to the stub pseudo-page per file") {
     val junk = b("this is not a pdf at all")
     assert(new PdfParser().pages(junk) == Seq(s"[pdf-stub ${junk.length} bytes]"))
