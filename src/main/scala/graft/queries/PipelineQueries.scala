@@ -358,6 +358,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // PDF ingest round-trip, oracle-gated (SURVEY S2 — the one row that
+    // was spec-only): render every document to a REAL PDF file
+    // (PdfWriter: Type0/Identity-H font, UTF-16BE hex strings, identity
+    // ToUnicode CMap, FlateDecode streams), then read the directory back
+    // through the production `Readers.pdfDirectory` scan. The extracted
+    // text must hash-match the source table — which gates the whole
+    // object-scan → page-tree → Inflater → CID/CMap decode → Tj
+    // pipeline against an oracle that never touches a PDF. Rendering is
+    // DISTRIBUTED (foreachPartition writes each task's files; local[*]
+    // shares one filesystem — on a cluster the landing dir would be
+    // shared storage), so no driver-side collect of the corpus.
+    "q57_pdf_ingest" -> { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      val dir = Files.createTempDirectory("graft-pdfcorpus-").toString
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            Files.write(
+              Paths.get(dir, f"doc_${r.getLong(0)}%07d.pdf"),
+              graft.ingest.PdfWriter.typ0Pdf(Seq(r.getString(1))))
+          }
+        }
+      graft.ingest.Readers.pdfDirectory(s, dir)
+        .select(
+          regexp_extract(col("source"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("text").as("page_text"))
+        .withColumn("page_len", length(col("page_text")))
+        .orderBy("doc_id")
+    },
+
     // MMR-diversified retrieval: exact top-50 pool, lambda=0.5 rerank
     // to 5 (oracle: recursive-CTE greedy).
     "q53_mmr_rerank" -> { (s, d) =>
@@ -570,6 +602,17 @@ object PipelineQueries {
         |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
         |       CAST(sum(v) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS n_px
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // PDF round-trip mirror WITHOUT a PDF: the writer/extractor pair is
+    // lossless (Identity-H + identity ToUnicode), so the oracle is just
+    // the source text — any divergence anywhere in the PDF pipeline
+    // (xref, page tree, Flate, CMap, hex strings, Tj) breaks the hash.
+    // trim() mirrors the extractor's final trim (identity on this
+    // fixture: no doc has leading/trailing whitespace).
+    "q57_pdf_ingest" ->
+      """SELECT doc_id, trim(text) AS page_text,
+        |       CAST(len(trim(text)) AS INT) AS page_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // The flagship RAG retrieval end-to-end in SQL: recursive chunker →
     // per-chunk trigram-murmur embedding → question embedding from the
