@@ -10,12 +10,16 @@ import org.apache.spark.sql.types._
   * stages over batched rows.
   *
   * Image decoding is REAL ([[ImageIoDecoder]]: the JDK's `javax.imageio`
-  * PNG/JPEG/BMP/GIF/TIFF readers — no external dependency); audio/video
-  * codecs remain STUBBED (no such libraries ship in the JVM), each
-  * deterministic fake clearly marked. Everything Spark-side — the
-  * binaryFile scan, schema contracts, partition-batched UDF shape,
-  * column pruning — is real and tested, so swapping in a JavaCV-backed
-  * A/V decoder on a cluster changes one class, not the pipeline.
+  * PNG/JPEG/BMP/GIF/TIFF readers — no external dependency). Audio
+  * decoding is REAL for the dominant uncompressed container
+  * ([[WavPcmDecoder]]: a from-scratch RIFF/WAVE chunk walk + PCM 16/8-bit
+  * sample scan — the format needs no codec library at all). Video
+  * decoding remains STUBBED, and genuinely so: MP4/H.264 demux+decode
+  * ships in no JDK API; the deterministic fake is clearly marked.
+  * Everything Spark-side — the binaryFile scan, schema contracts,
+  * partition-batched UDF shape, column pruning — is real and tested, so
+  * swapping in a JavaCV-backed video decoder on a cluster changes one
+  * class, not the pipeline.
   *
   * Scale notes: binary payloads never shuffle (all stages are narrow
   * maps); metadata-only queries prune the `content` column at the
@@ -112,6 +116,113 @@ object Multimodal {
         } finally if (iis != null) iis.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
+  }
+
+  /** REAL audio decoder for RIFF/WAVE PCM — from scratch, zero
+    * dependencies (WAV is a chunked container around raw little-endian
+    * samples; "no audio library ships offline" is no excuse for this
+    * format). Chunk walk skips unknown chunks with word-alignment
+    * padding, requires a PCM (`audioFormat == 1`) `fmt ` chunk with 16-
+    * or 8-bit samples, and scans the `data` chunk once.
+    *
+    * The image-shaped meta struct is reused with documented semantics:
+    * `width = sample rate (Hz)`, `height = frame count (samples per
+    * channel)`, `channels = channel count`, `format = "wav"`. Features
+    * are EXACT integer statistics carried as floats —
+    * `[sum_abs, sum_signed, peak_abs, n_samples]` over all interleaved
+    * samples (16-bit values, 8-bit rescaled to signed −128..127) —
+    * float32-exact while the sums stay under 2^24, which lets an oracle
+    * replay them from a generation formula bit-for-bit (the q58 gate
+    * keeps clips under 1K samples; production aggregates would widen to
+    * doubles downstream).
+    */
+  final class WavPcmDecoder extends MediaDecoder {
+    override val featureDim: Int = 4
+    override def decode(bytes: Array[Byte]): Option[(Row, Array[Float])] = {
+      if (bytes == null || bytes.length < 44) return None
+      def u32(i: Int): Long =
+        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
+          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
+      def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+      def tag(i: Int, t: String): Boolean =
+        bytes(i) == t.charAt(0) && bytes(i + 1) == t.charAt(1) &&
+          bytes(i + 2) == t.charAt(2) && bytes(i + 3) == t.charAt(3)
+      try {
+        if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+        var pos     = 12
+        var pcmOk   = false
+        var chans   = 0; var rate = 0; var bits = 0
+        var dataAt  = -1; var dataLen = 0
+        while (pos + 8 <= bytes.length) {
+          val sz   = u32(pos + 4).toInt
+          val body = pos + 8
+          if (sz < 0) return None // corrupt size: bail to fallback
+          if (tag(pos, "fmt ") && body + 16 <= bytes.length) {
+            chans = u16(body + 2); rate = u32(body + 4).toInt
+            bits  = u16(body + 14)
+            pcmOk = u16(body) == 1 && (bits == 16 || bits == 8) && chans > 0
+          } else if (tag(pos, "data")) {
+            dataAt = body; dataLen = math.min(sz, bytes.length - body)
+          }
+          pos = body + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+        if (!pcmOk || dataAt < 0 || dataLen <= 0) return None
+        val bytesPer = bits / 8
+        val n        = dataLen / bytesPer
+        var sumAbs = 0L; var sumSigned = 0L; var peak = 0L
+        var k = 0
+        while (k < n) {
+          val v: Int =
+            if (bits == 16) u16(dataAt + 2 * k).toShort.toInt
+            else (bytes(dataAt + k) & 0xff) - 128 // 8-bit WAV is unsigned
+          sumAbs += math.abs(v); sumSigned += v
+          if (math.abs(v) > peak) peak = math.abs(v)
+          k += 1
+        }
+        Some((Row(rate, n / chans, chans, "wav"),
+          Array(sumAbs.toFloat, sumSigned.toFloat, peak.toFloat, n.toFloat)))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
+  /** Deterministic WAV test-clip generator — the audio twin of
+    * [[syntheticPngs]]: appends `content BINARY` holding a real PCM16
+    * WAV whose geometry and samples are closed-form in the id —
+    * `frames = 256 + (id % 16)·16`, `rate = 8000 + (id % 4)·4000`,
+    * `channels = 1 + id % 2`, interleaved sample
+    * `s(k) = (id·31 + k·7919) mod 4001 − 2000` for k in
+    * [0, frames·channels). Sums stay < 2^21 so the decoder's float32
+    * features are integer-exact; an oracle replays the formula without
+    * parsing a byte of RIFF.
+    */
+  def syntheticWavs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id     = row.getLong(idx)
+        val frames = (256 + (id % 16) * 16).toInt
+        val rate   = (8000 + (id % 4) * 4000).toInt
+        val chans  = (1 + id % 2).toInt
+        val n      = frames * chans
+        val dataSz = n * 2
+        val out    = java.nio.ByteBuffer.allocate(44 + dataSz)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort).putShort(chans.toShort).putInt(rate)
+          .putInt(rate * chans * 2).putShort((chans * 2).toShort)
+          .putShort(16.toShort)
+        out.put("data".getBytes("US-ASCII")).putInt(dataSz)
+        var k = 0
+        while (k < n) {
+          out.putShort((((id * 31 + k.toLong * 7919) % 4001) - 2000).toShort)
+          k += 1
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(Encoders.row(schema))
   }
 
   /** Degrade-don't-flag composition: try `primary`, fall back to

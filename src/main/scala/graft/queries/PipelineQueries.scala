@@ -358,6 +358,36 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL audio decode, oracle-gated — the q56 playbook for sound:
+    // deterministic PCM16 WAV clips (geometry and every sample
+    // closed-form in doc_id — see Multimodal.syntheticWavs) are built as
+    // real RIFF containers, then decoded back by the from-scratch
+    // WavPcmDecoder (chunk walk, fmt validation, one sample scan). PCM
+    // is lossless and the sums are < 2^24, so the float-carried integer
+    // features are exact — the oracle replays the formula without
+    // parsing a byte of RIFF; any decoder regression (endianness, chunk
+    // alignment, channel interleave, sign handling) breaks the hash.
+    "q58_audio_decode" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val decoded = Multimodal.decodeAndFeaturize(
+        Multimodal.syntheticWavs(ids, "doc_id"), new Multimodal.WavPcmDecoder)
+      decoded.select(
+          col("doc_id"),
+          col("meta.width").as("sample_rate"),
+          col("meta.height").as("n_frames"),
+          col("meta.channels").as("channels"),
+          col("meta.format").as("format"),
+          col("decode_ok"),
+          element_at(col("features"), 1).cast("long").as("sum_abs"),
+          element_at(col("features"), 2).cast("long").as("sum_signed"),
+          element_at(col("features"), 3).cast("long").as("peak_abs"),
+          element_at(col("features"), 4).cast("long").as("n_samples"))
+        .orderBy("doc_id")
+    },
+
     // PDF ingest round-trip, oracle-gated (SURVEY S2 — the one row that
     // was spec-only): render every document to a REAL PDF file
     // (PdfWriter: Type0/Identity-H font, UTF-16BE hex strings, identity
@@ -602,6 +632,34 @@ object PipelineQueries {
         |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
         |       CAST(sum(v) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS n_px
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // WAV mirror WITHOUT a decoder: replays syntheticWavs' closed-form
+    // sample formula s(k) = (id*31 + k*7919) % 4001 - 2000 over the
+    // interleaved sample index range in exact BIGINT arithmetic.
+    "q58_audio_decode" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |geo AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id % 4) * 4000 AS sample_rate,
+        |         256 + (doc_id % 16) * 16 AS n_frames,
+        |         1 + doc_id % 2 AS channels
+        |  FROM ids),
+        |smp AS (
+        |  SELECT g.doc_id,
+        |         (g.doc_id * 31 + k.k * 7919) % 4001 - 2000 AS s
+        |  FROM geo g,
+        |       LATERAL (SELECT unnest(range(0, g.n_frames * g.channels)) AS k) k)
+        |SELECT g.doc_id,
+        |       CAST(g.sample_rate AS INT) AS sample_rate,
+        |       CAST(g.n_frames AS INT) AS n_frames,
+        |       CAST(g.channels AS INT) AS channels,
+        |       'wav' AS format, true AS decode_ok,
+        |       CAST(sum(abs(t.s)) AS BIGINT) AS sum_abs,
+        |       CAST(sum(t.s) AS BIGINT) AS sum_signed,
+        |       CAST(max(abs(t.s)) AS BIGINT) AS peak_abs,
+        |       CAST(count(*) AS BIGINT) AS n_samples
+        |FROM geo g JOIN smp t USING (doc_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
 
     // PDF round-trip mirror WITHOUT a PDF: the writer/extractor pair is
     // lossless (Identity-H + identity ToUnicode), so the oracle is just

@@ -129,6 +129,64 @@ class MultimodalSpec extends GraftSpec {
       .getAs[String]("path").contains("junk"))
   }
 
+  test("WavPcmDecoder round-trips synthetic PCM16 clips with exact stats") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 8).toDF("doc_id")
+    val out = Multimodal.decodeAndFeaturize(
+      Multimodal.syntheticWavs(ids, "doc_id"), new Multimodal.WavPcmDecoder)
+      .collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("decode_ok"), s"doc $id failed to decode")
+      val meta = r.getAs[org.apache.spark.sql.Row]("meta")
+      assert(meta.getAs[Int]("width") == (8000 + (id % 4) * 4000).toInt)
+      assert(meta.getAs[Int]("height") == (256 + (id % 16) * 16).toInt)
+      assert(meta.getAs[Int]("channels") == (1 + id % 2).toInt)
+      assert(meta.getAs[String]("format") == "wav")
+      // replay the closed-form samples and compare exact integer stats
+      val n = (256 + (id % 16) * 16).toInt * (1 + id % 2).toInt
+      val samples = (0 until n).map(k => ((id * 31 + k.toLong * 7919) % 4001 - 2000).toInt)
+      val feats = r.getAs[scala.collection.Seq[Float]]("features")
+      assert(feats(0).toLong == samples.map(v => math.abs(v).toLong).sum)
+      assert(feats(1).toLong == samples.map(_.toLong).sum)
+      assert(feats(2).toLong == samples.map(v => math.abs(v)).max.toLong)
+      assert(feats(3).toLong == n.toLong)
+    }
+  }
+
+  test("WavPcmDecoder: 8-bit PCM, junk-chunk skipping, graceful failures") {
+    val dec = new Multimodal.WavPcmDecoder
+    // hand-build an 8-bit mono WAV with an ODD-size junk chunk before fmt
+    def wav8(samples: Array[Int], junkOdd: Boolean): Array[Byte] = {
+      val junk = if (junkOdd) 8 + 3 + 1 else 0 // header + 3 bytes + pad
+      val bb = java.nio.ByteBuffer.allocate(12 + junk + 24 + 8 + samples.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(4 + junk + 24 + 8 + samples.length)
+        .put("WAVE".getBytes)
+      if (junkOdd) { bb.put("LIST".getBytes).putInt(3).put(Array[Byte](1, 2, 3, 0)) }
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(11025).putInt(11025).putShort(1).putShort(8)
+      bb.put("data".getBytes).putInt(samples.length)
+      samples.foreach(v => bb.put((v + 128).toByte)) // 8-bit WAV is unsigned
+      bb.array()
+    }
+    val samples = Array(-128, -1, 0, 1, 127, 64)
+    for (odd <- Seq(false, true)) {
+      val Some((meta, f)) = dec.decode(wav8(samples, junkOdd = odd))
+      assert(meta.getAs[Int](0) == 11025 && meta.getAs[Int](2) == 1)
+      assert(f(0).toInt == samples.map(math.abs).sum)
+      assert(f(1).toInt == samples.sum)
+      assert(f(2).toInt == 128 && f(3).toInt == samples.length)
+    }
+    // failures: garbage, truncated, non-PCM format code
+    assert(dec.decode(Array[Byte](1, 2, 3)).isEmpty)
+    assert(dec.decode("RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)).isEmpty)
+    val float32 = wav8(samples, junkOdd = false)
+    float32(12 + 8) = 3 // audioFormat = 3 (IEEE float): unsupported
+    assert(dec.decode(float32).isEmpty)
+  }
+
   test("frame sampling explodes video payloads into bounded frame rows") {
     val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
     val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
