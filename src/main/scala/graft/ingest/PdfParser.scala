@@ -64,6 +64,10 @@ object PdfText {
     if (objs.isEmpty) return Seq.empty
     val byNum = objs.map(o => o.num -> o).toMap
     val pages = pageOrder(text, objs, byNum)
+    // fonts are usually shared across a document's pages — parse each
+    // font object's ToUnicode CMap ONCE per file, not once per page (a
+    // 1000-page PDF would otherwise re-parse the same CMap 1000 times)
+    val fontCache = scala.collection.mutable.HashMap.empty[Int, Option[ToUnicode]]
     pages.map { p =>
       val content = contentRefs(p.dict)
         .flatMap(byNum.get)
@@ -71,7 +75,7 @@ object PdfText {
       // separate streams with a newline: a page may split its content
       // across streams at token boundaries
       extractText(content.map(new String(_, latin1)).mkString("\n"),
-        pageFonts(p, byNum))
+        pageFonts(p, byNum, fontCache))
     }
   }
 
@@ -163,15 +167,19 @@ object PdfText {
 
   /** Font-name → ToUnicode map for one page; fonts without a ToUnicode
     * stream are absent (their strings keep the Latin-1 default).
+    * `cache` memoizes parsed CMaps by font object number across a
+    * document's pages.
     */
-  private def pageFonts(p: PdfObj,
-      byNum: Map[Int, PdfObj]): Map[String, ToUnicode] =
+  private def pageFonts(p: PdfObj, byNum: Map[Int, PdfObj],
+      cache: scala.collection.mutable.HashMap[Int, Option[ToUnicode]])
+      : Map[String, ToUnicode] =
     (for {
       res   <- resolveDict(p.dict, "/Resources", byNum).toSeq
       fdict <- resolveDict(res, "/Font", byNum).toSeq
       m     <- FontEntryRe.findAllMatchIn(fdict)
-      fobj  <- byNum.get(m.group(2).toInt)
-      tu    <- toUnicodeOf(fobj, byNum)
+      num    = m.group(2).toInt
+      tu    <- cache.getOrElseUpdate(num,
+                 byNum.get(num).flatMap(toUnicodeOf(_, byNum)))
     } yield m.group(1) -> tu).toMap
 
   private def toUnicodeOf(font: PdfObj,
