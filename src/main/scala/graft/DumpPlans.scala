@@ -43,7 +43,8 @@ object DumpPlans {
       ("q6D_semantic_pairs", "SemDeDup semantic near-dup: broadcast centroid argmax (max_by partial agg -- the nList expansion never shuffles), cell-size cap as a count window inside the cell exchange, cell equi-join bounds pairs to sum(cell^2). The static plan prints the assignment subtree twice; at RUNTIME AQE folds the second into a ReusedExchange of the first (asserted in DedupSpec) -- the assignment computes once", VectorQueries.queries("q6D_semantic_pairs")),
       ("q74_dup_spans", "exact substring-span dedup (ExactSubstr): window-hash groupBy with partial aggregation, duplicated-window dictionary equi-join back (output bounded by window count -- NO pair join anywhere), then a doc-local sort window + island aggregation already co-partitioned. Three keyed exchanges, each linear in corpus size", DedupQueries.queries("q74_dup_spans")),
       ("q0D_quantiles", "distributed exact quantiles (round-5 rewrite): value-frequency selection -- one scan explodes the requested columns into a partial-aggregated (group, column, value) -> count table (shuffle carries distinct-value cardinality, not rows), running sum in value order assigns rank ranges, <=2 covering rows per quantile interpolate. NO exact-percentile ObjectHashAggregate buffer anywhere (PlanAuditSpec bans it registry-wide)", RelationalQueries.queries("q0D_quantiles")),
-      ("q78_span_keep_one", "keep-one-copy span dedup: the window-hash dictionary aggregate also elects each duplicated window's canonical min-(doc, s) occurrence; non-canonical hits alone feed the island merge. Same three linear keyed exchanges as q74 -- the election adds one column to the dictionary, not a join", DedupQueries.queries("q78_span_keep_one"))
+      ("q78_span_keep_one", "keep-one-copy span dedup: the window-hash dictionary aggregate also elects each duplicated window's canonical min-(doc, s) occurrence; non-canonical hits alone feed the island merge. Same three linear keyed exchanges as q74 -- the election adds one column to the dictionary, not a join", DedupQueries.queries("q78_span_keep_one")),
+      ("q57_pdf_ingest", "PDF ingest round-trip: binaryFile scan -> typed flatMap page explode (object path, NOT a ScalaUDF -- per-file parsing is imperative by nature and parallelizes across files), then pure codegen'd projection. One narrow map, zero shuffles before the final sort", PipelineQueries.queries("q57_pdf_ingest"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")

@@ -15,6 +15,11 @@ import scala.util.control.NonFatal
   *  - object scan: `N G obj … endobj` found lexically, so a corrupt or
   *    absent xref table doesn't kill extraction (the xref is only a
   *    lookup accelerator; the objects carry their own labels);
+  *  - compressed object streams (PDF 1.5 `/Type /ObjStm` — where modern
+  *    generators put the catalog/page/font dicts): each is inflated and
+  *    its `N` header pairs expose the contained objects, which join the
+  *    object table (direct objects win on number collision, matching
+  *    incremental-update precedence);
   *  - page tree: `/Root → /Pages → /Kids` walked recursively for true
   *    page order, falling back to document-order `/Type /Page` objects
   *    when the tree is missing or cyclic;
@@ -62,7 +67,11 @@ object PdfText {
     val text = new String(bytes, latin1)
     val objs = scanObjects(text, bytes)
     if (objs.isEmpty) return Seq.empty
-    val byNum = objs.map(o => o.num -> o).toMap
+    val direct = objs.map(o => o.num -> o).toMap
+    // objects hidden inside compressed ObjStm containers join the table;
+    // direct objects take precedence (incremental updates append direct
+    // objects that supersede earlier compressed ones)
+    val byNum = objStmObjects(objs, direct) ++ direct
     val pages = pageOrder(text, objs, byNum)
     // fonts are usually shared across a document's pages — parse each
     // font object's ToUnicode CMap ONCE per file, not once per page (a
@@ -284,6 +293,54 @@ object PdfText {
         } else -1
       PdfObj(m.group(1).toInt, dict, bytes, streamAt)
     }.toSeq
+
+  private val ObjStmNRe     = """/N\s+(\d+)""".r
+  private val ObjStmFirstRe = """/First\s+(\d+)""".r
+
+  /** Expand `/Type /ObjStm` containers (PDF 1.5 compressed object
+    * streams): inflate, read the `N` (objnum, offset) header pairs, and
+    * slice each contained object out of the data section. Streams are
+    * forbidden inside ObjStm (PDF 32000-1 §7.5.7), so every contained
+    * object is a dict/value body with `streamAt = -1`. A malformed
+    * container contributes nothing rather than failing the file.
+    */
+  private def objStmObjects(objs: Seq[PdfObj],
+      byNum: Map[Int, PdfObj]): Map[Int, PdfObj] =
+    objs.filter(_.dict.contains("/ObjStm")).flatMap { stm =>
+      val parsed = for {
+        n     <- ObjStmNRe.findFirstMatchIn(stm.dict).map(_.group(1).toInt)
+        first <- ObjStmFirstRe.findFirstMatchIn(stm.dict).map(_.group(1).toInt)
+        data  <- decodeStream(stm, byNum)
+      } yield {
+        val body   = new String(data, latin1)
+        val header = body.take(math.min(first, body.length))
+        val nums   = IntRe.findAllIn(header).map(_.toLong).toSeq
+        // header = N (objnum, byte-offset-from-First) pairs
+        val pairs = nums.grouped(2).collect {
+          case Seq(num, off) => (num.toInt, first + off.toInt)
+        }.toSeq.take(math.max(0, n))
+        pairs.flatMap { case (num, at) =>
+          if (at < 0 || at >= body.length) None
+          else {
+            var i = at
+            while (i < body.length && body.charAt(i).isWhitespace) i += 1
+            val objBody =
+              if (i + 1 < body.length && body.charAt(i) == '<' &&
+                  body.charAt(i + 1) == '<') balancedDict(body, i)
+              else {
+                // non-dict value (e.g. an int /Length target): slice to
+                // the next object's offset, or the section end
+                val nextAt = pairs.collectFirst {
+                  case (_, a) if a > at => a
+                }.getOrElse(body.length)
+                body.substring(i, math.max(i, math.min(nextAt, body.length)))
+              }
+            Some(num -> PdfObj(num, objBody, Array.emptyByteArray, -1))
+          }
+        }
+      }
+      parsed.getOrElse(Seq.empty)
+    }.toMap
 
   /** Balanced `<< … >>` slice starting at `start`; lexical bracket count
     * (dictionary tokens never hide `<<`/`>>` inside strings in

@@ -187,6 +187,37 @@ class PdfSpec extends GraftSpec {
     assert(PdfText.extractPages(pdf) == texts)
   }
 
+  test("PDF 1.5 compressed object streams (ObjStm) expose catalog/page/font dicts") {
+    // the modern-generator layout: every document dict lives INSIDE one
+    // FlateDecode ObjStm; only the content stream is a direct object
+    val bodies = Seq(
+      10 -> "<< /Type /Catalog /Pages 11 0 R >>",
+      11 -> "<< /Type /Pages /Kids [12 0 R] /Count 1 >>",
+      12 -> ("<< /Type /Page /Parent 11 0 R /MediaBox [0 0 612 792] " +
+        "/Resources << /Font << /F1 13 0 R >> >> /Contents 2 0 R >>"),
+      13 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val texts   = bodies.map(_._2)
+    val offs    = texts.scanLeft(0)((a, t) => a + t.length + 1).init
+    val header  = bodies.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ")
+    val first   = header.length + 1
+    val stmData = deflate(b(header + "\n" + texts.mkString("\n")))
+    val content = b("BT /F1 12 Tf (Inside objstm) Tj ET")
+    val objs = Seq(
+      1 -> (b(s"<< /Type /ObjStm /N ${bodies.size} /First $first " +
+        s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n") ++
+        stmData ++ b("\nendstream")),
+      2 -> (b(s"<< /Length ${content.length} >>\nstream\n") ++ content ++
+        b("\nendstream")))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(b("%PDF-1.5\n"))
+    objs.foreach { case (num, body) =>
+      out.write(b(s"$num 0 obj\n")); out.write(body); out.write(b("\nendobj\n"))
+    }
+    out.write(b("trailer\n<< /Size 3 /Root 10 0 R >>\n%%EOF\n"))
+    assert(PdfText.extractPages(out.toByteArray) == Seq("Inside objstm"))
+  }
+
   test("garbage and unsupported inputs degrade to the stub pseudo-page per file") {
     val junk = b("this is not a pdf at all")
     assert(new PdfParser().pages(junk) == Seq(s"[pdf-stub ${junk.length} bytes]"))

@@ -181,4 +181,24 @@ class PropertySpec extends GraftSpec {
       }
     }
   }
+
+  test("PDF writer/extractor round-trip on generated unicode pages") {
+    // arbitrary BMP + surrogate-pair text survives the full
+    // serialize → object-scan → inflate → CMap-decode → Tj pipeline;
+    // the extractor trims, so compare against the trimmed source
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf(' ', '(', ')', '\\', '<', '>', '[', ']', '/', '%'),
+      2 -> Gen.oneOf('é', '日', 'α', '—', 'ÿ', ''),
+      1 -> Gen.oneOf("😀🚀".toSeq))
+    val textGen = Gen.chooseNum(0, 300)
+      .flatMap(n => Gen.listOfN(n, charGen).map(_.mkString))
+    for (seed <- 0 until 40) {
+      val pages = samples(textGen, 1 + seed % 3, 9000L + seed * 31)
+      val got   = graft.ingest.PdfText.extractPages(
+        graft.ingest.PdfWriter.typ0Pdf(pages))
+      assert(got == pages.map(_.trim),
+        s"seed $seed: ${pages.map(_.length)} chars round-trip mismatch")
+    }
+  }
 }
