@@ -71,8 +71,14 @@ object PdfText {
     // objects hidden inside compressed ObjStm containers join the table;
     // direct objects take precedence (incremental updates append direct
     // objects that supersede earlier compressed ones)
-    val byNum = objStmObjects(objs, direct) ++ direct
-    val pages = pageOrder(text, objs, byNum)
+    val stmObjs = objStmObjects(objs, direct)
+    val byNum   = stmObjs ++ direct
+    // ObjStm-contained objects must be visible to the page-tree FALLBACK
+    // too (a modern file with a damaged tree keeps its /Type /Page dicts
+    // inside the container); number order approximates document order
+    val allObjs = objs ++ stmObjs.values.toSeq.sortBy(_.num)
+      .filterNot(o => direct.contains(o.num))
+    val pages = pageOrder(text, allObjs, byNum)
     // fonts are usually shared across a document's pages — parse each
     // font object's ToUnicode CMap ONCE per file, not once per page (a
     // 1000-page PDF would otherwise re-parse the same CMap 1000 times)

@@ -95,7 +95,8 @@ object Quantiles {
       groupCol: String,
       specs: Seq[(String, Double, String)],
       histogramFallbackDistinct: Long = DefaultHistogramFallbackDistinct,
-      histogramBuckets: Int = DefaultHistogramBuckets): DataFrame = {
+      histogramBuckets: Int = DefaultHistogramBuckets,
+      rowCountHint: Option[Long] = None): DataFrame = {
     require(specs.nonEmpty, "need at least one quantile spec")
     require(specs.forall { case (_, p, _) => p >= 0.0 && p <= 1.0 },
       "quantile fractions must be in [0, 1]")
@@ -120,10 +121,15 @@ object Quantiles {
       else if (histogramFallbackDistinct <= 0L) true
       // distinct-per-(group, column) can never exceed total row count, so
       // a row count under the threshold proves the frequency path safe
-      // WITHOUT the probe scan — and count() is near-free (Catalyst
-      // prunes every column; on parquet it reads row-group metadata), so
-      // small-to-medium inputs pay nothing for the adaptive routing
-      else if (df.count() <= histogramFallbackDistinct) false
+      // WITHOUT the probe scan. NOTE the adaptive routing runs Spark
+      // JOBS at DataFrame-construction time: count() is near-free only
+      // over (near-)bare scans (Catalyst prunes every column; parquet
+      // answers from row-group metadata) — a caller holding a DERIVED
+      // frame (joins/aggregations upstream) should pass `rowCountHint`
+      // or pin a path via `histogramFallbackDistinct` rather than pay a
+      // full lineage execution for plan routing
+      else if (rowCountHint.getOrElse(df.count()) <= histogramFallbackDistinct)
+        false
       else {
         val probe = vals.groupBy("_g", "_ci")
           .agg(approx_count_distinct(col("_v"), rsd = 0.1).as("_d"))

@@ -323,18 +323,24 @@ object DedupQueries {
     // approximation (docs are single rows, spans are per-doc-local
     // given the dictionary; see StreamingIngest.runSpanFlagStreamOnce).
     "q7B_stream_span_flag" -> { (s, d) =>
-      import java.nio.file.Files
       val docs = Tables.documents(s, d)
       val dict = Dedup.duplicatedWindows(
         Dedup.tokenWindows(docs, "doc_id", "text", SpanK), minDocs = 2)
-      val outDir = Files.createTempDirectory("graft-span-out-").toString
-      val ckpt   = Files.createTempDirectory("graft-span-ckpt-").toString
+      val outDir = graft.util.TempDirs.scratch("graft-span-out-")
+      val ckpt   = graft.util.TempDirs.scratch("graft-span-ckpt-")
       val incoming = s.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .filter(col("doc_id") >= 400)
       StreamingIngest.runSpanFlagStreamOnce(incoming, dict,
         "doc_id", "text", k = SpanK, outDir = outDir, checkpointDir = ckpt)
-      s.read.parquet(outDir)
+      // read back with the operator's OWN schema (derived from a
+      // zero-row plan — no action): a corpus whose incoming half shares
+      // no window writes no parquet data files, and a schema-inferring
+      // read would throw instead of returning the correct empty result
+      val outSchema = graft.operators.Dedup
+        .spansAgainstDictionary(docs.limit(0), "doc_id", "text",
+          dict.limit(0), SpanK).schema
+      s.read.schema(outSchema).parquet(outDir)
         .withColumnRenamed("doc", "doc_id")
         .orderBy("doc_id", "span_start")
     }

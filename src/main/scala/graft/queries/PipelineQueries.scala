@@ -401,7 +401,7 @@ object PipelineQueries {
     // shared storage), so no driver-side collect of the corpus.
     "q57_pdf_ingest" -> { (s, d) =>
       import java.nio.file.{Files, Paths}
-      val dir = Files.createTempDirectory("graft-pdfcorpus-").toString
+      val dir = graft.util.TempDirs.scratch("graft-pdfcorpus-")
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

@@ -143,9 +143,9 @@ object StreamingQueries {
     // don't.
     "q79_stream_ingest" -> { (s, d) =>
       import java.nio.file.Files
-      val landing = Files.createTempDirectory("graft-landing-").toString
-      val ckpt    = Files.createTempDirectory("graft-ingest-ckpt-").toString
-      val idxRoot = Files.createTempDirectory("graft-ingest-idx-").toString
+      val landing = graft.util.TempDirs.scratch("graft-landing-")
+      val ckpt    = graft.util.TempDirs.scratch("graft-ingest-ckpt-")
+      val idxRoot = graft.util.TempDirs.scratch("graft-ingest-idx-")
       val docs    = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val nDocs   = docs.count()
       val nFiles  = math.max(1L, (nDocs + 99) / 100).toInt

@@ -39,8 +39,7 @@ object StreamRunner {
       statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name  = s"graft_stream_sink_${runSeq.incrementAndGet()}"
-    val ckpt  = java.nio.file.Files
-      .createTempDirectory("graft-stream-ckpt-").toString
+    val ckpt  = graft.util.TempDirs.scratch("graft-stream-ckpt-")
     val key   = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)

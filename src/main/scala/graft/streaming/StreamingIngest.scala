@@ -224,16 +224,23 @@ object StreamingIngest {
       outDir: String,
       checkpointDir: String
   ): Unit = {
-    val q = incoming.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Dedup
-          .spansAgainstDictionary(batch, idCol, textCol, dictionary, k)
-          .write.mode("append").parquet(outDir)
-      }
-      .start()
-    q.awaitTermination()
+    // the dictionary joins into EVERY micro-batch — persist it once or
+    // each batch re-executes the corpus-wide window aggregation lineage
+    // (N batches = N full corpus scans without this)
+    dictionary.persist()
+    try {
+      dictionary.count() // materialize before the stream starts
+      val q = incoming.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Dedup
+            .spansAgainstDictionary(batch, idCol, textCol, dictionary, k)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+    } finally dictionary.unpersist()
   }
 
   /** Watermarked stream-stream inner join with a time-interval

@@ -1,0 +1,37 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** JVM-lifetime scratch directories. Registry queries and stream
+  * runners materialize landing files, checkpoints and rendered corpora
+  * under java.io.tmpdir; a bench run constructs each query up to seven
+  * times (warm-up + reps + retry), so bare `createTempDirectory` leaks
+  * a full corpus copy per construction until the disk fills. Every dir
+  * handed out here is deleted (recursively, best-effort) by ONE
+  * shutdown hook — scratch space lives exactly as long as the process
+  * that needed it.
+  */
+object TempDirs {
+
+  private val registry = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+
+  private lazy val hookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      registry.forEach(deleteRecursively(_))
+    }, "graft-tempdir-cleanup"))
+
+  /** Create a scratch dir that dies with the JVM. */
+  def scratch(prefix: String): String = {
+    hookInstalled
+    val dir = Files.createTempDirectory(prefix)
+    registry.add(dir)
+    dir.toString
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    try {
+      if (Files.isDirectory(p))
+        Files.list(p).forEach(deleteRecursively(_))
+      Files.deleteIfExists(p)
+    } catch { case _: Throwable => () } // best-effort: never fail the exit
+}

@@ -28,12 +28,18 @@ class AnnSpec extends GraftSpec {
       "to the driver-side reference math") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8)
     // the ingest path must stay inside whole-stage codegen: no UDF node
+    // (descend through AdaptiveSparkPlanExec — it is a leaf, so a bare
+    // walk would go blind the day this path gains a shuffle)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def udfCount(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => udfCount(a.executedPlan)
+        case node => node.expressions.count(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+      }.sum
     val executed = bucketed.queryExecution.executedPlan
-    val udfCount = executed.collectWithSubqueries {
-      case node => node.expressions.count(_.exists(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
-    }.sum
-    assert(udfCount == 0, s"LSH ingest path fell out of codegen:\n$executed")
+    assert(udfCount(executed) == 0,
+      s"LSH ingest path fell out of codegen:\n$executed")
     // signatures match AnnLsh.signatureOf (the math the replaced UDF
     // evaluated) exactly, for every row
     val rows = bucketed.select("vec_id", "embedding", "bucket").collect()

@@ -216,6 +216,11 @@ class PdfSpec extends GraftSpec {
     }
     out.write(b("trailer\n<< /Size 3 /Root 10 0 R >>\n%%EOF\n"))
     assert(PdfText.extractPages(out.toByteArray) == Seq("Inside objstm"))
+    // damaged trailer (no findable /Root): the document-order fallback
+    // must still see the /Type /Page dict INSIDE the container
+    val noRoot = new String(out.toByteArray, ISO_8859_1)
+      .replace("/Root 10 0 R", "").getBytes(ISO_8859_1)
+    assert(PdfText.extractPages(noRoot) == Seq("Inside objstm"))
   }
 
   test("garbage and unsupported inputs degrade to the stub pseudo-page per file") {

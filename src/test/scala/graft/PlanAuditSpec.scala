@@ -38,20 +38,41 @@ class PlanAuditSpec extends GraftSpec {
     // "UDF(...)" (its udfName, default "UDF"), never the literal token
     // "ScalaUDF" — a string grep here is toothless (the round-5 judge
     // proved it by finding live UDFs under a passing sweep). Walk every
-    // physical node's expression trees, including subquery plans.
+    // physical node's expression trees, including subquery plans — AND
+    // descend through AdaptiveSparkPlanExec: it is a LeafExecNode, so a
+    // bare collectWithSubqueries never visits the real plan of any
+    // AQE-wrapped query (every registry query ends in a shuffle), which
+    // made the round-6 first cut of this sweep vacuous for exactly the
+    // queries it guards.
     import org.apache.spark.sql.catalyst.expressions.ScalaUDF
-    def udfCount(plan: org.apache.spark.sql.execution.SparkPlan): Int =
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def udfCount(plan: SparkPlan): Int =
       plan.collectWithSubqueries {
+        case adaptive: AdaptiveSparkPlanExec => udfCount(adaptive.executedPlan)
+        // materialized AQE stages are ALSO leaf wrappers around the real
+        // stage plan — a finalized adaptive plan is QueryStageExec all
+        // the way down
+        case stage: QueryStageExec => udfCount(stage.plan)
         case node => node.expressions.count(_.exists(_.isInstanceOf[ScalaUDF]))
       }.sum
-    // Negative control: the detector must actually fire on a plan that
-    // IS built from a udf() — a sweep that can't catch its quarry proves
-    // nothing (the exact round-5 failure mode of the string grep).
-    import org.apache.spark.sql.functions.{col, udf}
-    val control = spark.range(3)
-      .select(udf((x: Long) => x + 1).apply(col("id")).as("y"))
+    // Negative controls: the detector must fire on a plan built from a
+    // udf() BOTH bare and behind an AQE-wrapped shuffle — a sweep that
+    // can't catch its quarry proves nothing (round-5's string grep, and
+    // round-6's AQE-blind walk, each failed exactly this way).
+    import org.apache.spark.sql.functions.{col, sum, udf}
+    val plusOne = udf((x: Long) => x + 1)
+    val bare = spark.range(3).select(plusOne(col("id")).as("y"))
       .queryExecution.executedPlan
-    assert(udfCount(control) > 0, "UDF detector failed its negative control")
+    assert(udfCount(bare) > 0, "UDF detector failed its bare negative control")
+    val shuffled = spark.range(64).select(plusOne(col("id")).as("y"))
+      .groupBy(col("y") % 4).agg(sum("y")).orderBy("sum(y)")
+    shuffled.collect() // finalize the adaptive plan
+    assert(
+      shuffled.queryExecution.executedPlan.isInstanceOf[AdaptiveSparkPlanExec],
+      "control is not AQE-wrapped — it no longer guards the adaptive path")
+    assert(udfCount(shuffled.queryExecution.executedPlan) > 0,
+      "UDF detector failed its AQE-wrapped negative control")
     val offenders = executedPlans.collect {
       case (name, plan) if udfCount(plan) > 0 => name
     }
