@@ -388,6 +388,49 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // JSONL corpus ingest, oracle-gated (graduates the one spec-only
+    // source row with an oracle shape): the corpus is rendered to
+    // real *.jsonl landing files DISTRIBUTED (one JSON doc per line,
+    // minimal escaping — mirrors what an upstream crawler emits), with
+    // every doc_id % 97 == 0 line deliberately CORRUPTED (truncated
+    // JSON). `Readers.jsonlDirectory` reads it back under an explicit
+    // schema (no inference double-scan — the 100 TB contract) in
+    // PERMISSIVE mode: good lines parse, corrupt lines land in
+    // `_corrupt` as DATA with null fields instead of failing the job.
+    // The oracle replays both populations from the documents table.
+    "q59_jsonl_ingest" -> { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val dir = graft.util.TempDirs.scratch("graft-jsonl-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(8)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val lines = rows.map { r =>
+            val id = r.getLong(0)
+            val t  = r.getString(1)
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+            if (id % 97 == 0) s"""{"doc_id": $id, "text": "$t"""  // truncated
+            else s"""{"doc_id": $id, "text": "$t"}"""
+          }.toSeq
+          if (lines.nonEmpty) {
+            Files.write(
+              Paths.get(dir, s"part-${lines.hashCode.toHexString}-${
+                java.util.UUID.randomUUID}.jsonl"),
+              lines.mkString("\n").getBytes(UTF_8))
+            ()
+          }
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.ingest.Readers.jsonlDirectory(s, dir, schema)
+        .select(col("doc_id"), length(col("text")).as("text_len"),
+          col("_corrupt").isNotNull.as("corrupt"))
+        .orderBy(col("corrupt"), col("doc_id"))
+    },
+
     // PDF ingest round-trip, oracle-gated (SURVEY S2 — the one row that
     // was spec-only): render every document to a REAL PDF file
     // (PdfWriter: Type0/Identity-H font, UTF-16BE hex strings, identity
@@ -632,6 +675,20 @@ object PipelineQueries {
         |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
         |       CAST(sum(v) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS n_px
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // JSONL mirror WITHOUT parsing a line: the corruption rule is
+    // closed-form (doc_id % 97 == 0 → truncated line → null fields +
+    // corrupt flag), so both populations replay from the table.
+    "q59_jsonl_ingest" ->
+      """WITH good AS (
+        |  SELECT doc_id, CAST(len(text) AS INT) AS text_len, false AS corrupt
+        |  FROM documents WHERE doc_id % 97 <> 0),
+        |bad AS (
+        |  SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INT) AS text_len,
+        |         true AS corrupt
+        |  FROM documents WHERE doc_id % 97 = 0)
+        |SELECT * FROM good UNION ALL SELECT * FROM bad
+        |ORDER BY corrupt, doc_id""".stripMargin,
 
     // WAV mirror WITHOUT a decoder: replays syntheticWavs' closed-form
     // sample formula s(k) = (id*31 + k*7919) % 4001 - 2000 over the
