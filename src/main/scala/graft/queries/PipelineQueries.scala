@@ -388,6 +388,37 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Mixed-corpus directory scan, oracle-gated (graduates SURVEY S1
+    // text-scan AND S3 union — previously spec-only): even doc_ids land
+    // as *.txt files, odd ones as real PDFs, written DISTRIBUTED into
+    // one directory; `Readers.documents` (the S3 production union of the
+    // S1 wholetext scan and the S2 binaryFile+parse scan) reads the
+    // whole corpus back, and every byte must hash-match the table.
+    "q5A_dir_scan_union" -> { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val dir = graft.util.TempDirs.scratch("graft-mixed-corpus-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val id = r.getLong(0); val t = r.getString(1)
+            if (id % 2 == 0)
+              Files.write(Paths.get(dir, f"doc_$id%07d.txt"), t.getBytes(UTF_8))
+            else
+              Files.write(Paths.get(dir, f"doc_$id%07d.pdf"),
+                graft.ingest.PdfWriter.typ0Pdf(Seq(t)))
+          }
+        }
+      graft.ingest.Readers.documents(s, dir)
+        .select(
+          regexp_extract(col("source"), "doc_(\\d+)\\.(txt|pdf)$", 1)
+            .cast("long").as("doc_id"),
+          regexp_extract(col("source"), "doc_(\\d+)\\.(txt|pdf)$", 2).as("fmt"),
+          trim(col("text")).as("page_text"))
+        .orderBy("doc_id")
+    },
+
     // JSONL corpus ingest, oracle-gated (graduates the one spec-only
     // source row with an oracle shape): the corpus is rendered to
     // real *.jsonl landing files DISTRIBUTED (one JSON doc per line,
@@ -675,6 +706,15 @@ object PipelineQueries {
         |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
         |       CAST(sum(v) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS n_px
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // Mixed-corpus mirror: the txt half is byte-identity, the pdf half
+    // is the lossless q57 round-trip — so the whole scan reduces to the
+    // table plus the closed-form fmt rule.
+    "q5A_dir_scan_union" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'txt' ELSE 'pdf' END AS fmt,
+        |       trim(text) AS page_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // JSONL mirror WITHOUT parsing a line: the corruption rule is
     // closed-form (doc_id % 97 == 0 → truncated line → null fields +
