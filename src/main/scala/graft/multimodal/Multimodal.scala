@@ -312,6 +312,59 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** REAL image resize: decode (ImageIO), NEAREST-NEIGHBOR sample to
+    * `outW × outH`, re-encode as PNG into a `resized BINARY` column
+    * (+ `resize_ok BOOLEAN`). Nearest-neighbor over an explicit pixel
+    * loop — not `Graphics2D` interpolation — because the mapping
+    * `src(x) = floor(x · srcW / outW)` is exact integer arithmetic an
+    * oracle can replay pixel-for-pixel, and PNG re-encode is lossless,
+    * so the whole resize round-trips bit-exactly (the q5B gate).
+    * Undecodable bytes keep their row with `resized = null`. A narrow
+    * map like every media kernel: payloads never shuffle.
+    */
+  def resizeNearest(
+      df: DataFrame, outW: Int, outH: Int,
+      contentCol: String = "content"
+  ): DataFrame = {
+    require(outW > 0 && outH > 0, s"bad target geometry ${outW}x$outH")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("resized", BinaryType),
+      StructField("resize_ok", BooleanType, nullable = false)
+    ))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val out: Option[Array[Byte]] =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))).map { img =>
+                val w = img.getWidth; val h = img.getHeight
+                val dst = new java.awt.image.BufferedImage(
+                  outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+                var y = 0
+                while (y < outH) {
+                  val sy = (y.toLong * h / outH).toInt
+                  var x = 0
+                  while (x < outW) {
+                    dst.setRGB(x, y,
+                      img.getRGB((x.toLong * w / outW).toInt, sy))
+                    x += 1
+                  }
+                  y += 1
+                }
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(dst, "png", bos)
+                bos.toByteArray
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        Row.fromSeq(row.toSeq ++ Seq(out.orNull, out.isDefined))
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Frame sampling contract for video payloads: emit every `stride`-th
     * frame index up to `maxFrames` as its own row `(frame_index, frame
     * BINARY)`. The stub "frame" is a deterministic byte slice; a real

@@ -358,6 +358,33 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL image resize, oracle-gated: the q56 PNG test patterns are
+    // nearest-neighbor-resized to 8x8 by the real kernel (decode →
+    // explicit integer-mapped pixel loop → lossless PNG re-encode),
+    // the resized bytes are decoded BACK by the real decoder, and the
+    // channel sums must equal the oracle's arithmetic replay of
+    // v(floor(x·w/8), floor(y·h/8)) — any drift in the decode, the
+    // sampling map, or the re-encode breaks the hash.
+    "q5B_image_resize" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val resized = Multimodal.resizeNearest(
+        Multimodal.syntheticPngs(ids, "doc_id"), outW = 8, outH = 8)
+      val decoded = Multimodal.decodeAndFeaturize(
+        resized.drop("content").withColumnRenamed("resized", "content"),
+        new Multimodal.ImageIoDecoder)
+      decoded.select(
+          col("doc_id"),
+          col("resize_ok"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          element_at(col("features"), 1).cast("long").as("sum_r"),
+          element_at(col("features"), 4).cast("long").as("n_px"))
+        .orderBy("doc_id")
+    },
+
     // REAL audio decode, oracle-gated — the q56 playbook for sound:
     // deterministic PCM16 WAV clips (geometry and every sample
     // closed-form in doc_id — see Multimodal.syntheticWavs) are built as
@@ -729,6 +756,25 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 97 = 0)
         |SELECT * FROM good UNION ALL SELECT * FROM bad
         |ORDER BY corrupt, doc_id""".stripMargin,
+
+    // Resize mirror WITHOUT a pixel: replay the synthetic pattern
+    // v(x,y) = (id + x + y) % 256 through the nearest-neighbor map
+    // src = floor(out · srcDim / 8) in exact integer arithmetic.
+    "q5B_image_resize" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3*doc_id) % 9 AS h
+        |  FROM ids),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         (d.doc_id + (x.x * d.w) // 8 + (y.y * d.h) // 8) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) y)
+        |SELECT doc_id, true AS resize_ok, 8 AS width, 8 AS height,
+        |       CAST(sum(v) AS BIGINT) AS sum_r,
+        |       CAST(count(*) AS BIGINT) AS n_px
+        |FROM px GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     // WAV mirror WITHOUT a decoder: replays syntheticWavs' closed-form
     // sample formula s(k) = (id*31 + k*7919) % 4001 - 2000 over the

@@ -187,6 +187,38 @@ class MultimodalSpec extends GraftSpec {
     assert(dec.decode(float32).isEmpty)
   }
 
+  test("resizeNearest: exact nearest-neighbor pixels, garbage flags resize_ok=false") {
+    import org.apache.spark.sql.functions.col
+    val ids = spark.range(0, 6).toDF("doc_id")
+    val res = Multimodal.resizeNearest(
+      Multimodal.syntheticPngs(ids, "doc_id"), outW = 4, outH = 4)
+    val rows = res.select("doc_id", "resized", "resize_ok").collect()
+    assert(rows.forall(_.getAs[Boolean]("resize_ok")))
+    rows.foreach { r =>
+      val id  = r.getAs[Long]("doc_id")
+      val w   = (8 + id % 9).toInt
+      val h   = (8 + (3 * id) % 9).toInt
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("resized")))
+      assert(img.getWidth == 4 && img.getHeight == 4)
+      for (y <- 0 until 4; x <- 0 until 4) {
+        val v = ((id + (x * w / 4) + (y * h / 4)) % 256).toInt
+        assert((img.getRGB(x, y) & 0xff) == v,
+          s"doc $id pixel ($x,$y): got ${img.getRGB(x, y) & 0xff}, want $v")
+      }
+    }
+    // garbage bytes keep the row, flagged
+    val junk = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Array[Byte](1, 2, 3))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val out = Multimodal.resizeNearest(junk, 4, 4).collect()
+    assert(out.length == 1 && !out.head.getAs[Boolean]("resize_ok"))
+    assert(out.head.getAs[Array[Byte]]("resized") == null)
+  }
+
   test("frame sampling explodes video payloads into bounded frame rows") {
     val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
     val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
