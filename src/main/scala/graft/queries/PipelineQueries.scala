@@ -385,6 +385,32 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // REAL video frame sampling, oracle-gated: closed-form RIFF/AVI
+    // containers of uncompressed DIB frames (Avi.syntheticAvis) are
+    // demuxed by the real chunk-tree walker, every 2nd frame (max 3)
+    // decoded from its bottom-up padded BGR bitmap into a lossless PNG,
+    // and THAT is decoded back by the real ImageIO path — demux, bitmap
+    // math, row padding, channel order, re-encode and decode all gated
+    // by an oracle that replays the pixel formula arithmetically.
+    "q5C_video_frames" -> { (s, d) =>
+      import graft.multimodal.{Avi, Multimodal}
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val frames = Avi.sampleFrames(
+        Avi.syntheticAvis(ids, "doc_id"), stride = 2, maxFrames = 3)
+      val decoded = Multimodal.decodeAndFeaturize(
+        frames, new Multimodal.ImageIoDecoder, contentCol = "frame")
+      decoded.select(
+          col("doc_id"), col("frame_index"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("decode_ok"),
+          element_at(col("features"), 1).cast("long").as("sum_r"),
+          element_at(col("features"), 4).cast("long").as("n_px"))
+        .orderBy("doc_id", "frame_index")
+    },
+
     // REAL audio decode, oracle-gated — the q56 playbook for sound:
     // deterministic PCM16 WAV clips (geometry and every sample
     // closed-form in doc_id — see Multimodal.syntheticWavs) are built as
@@ -756,6 +782,32 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 97 = 0)
         |SELECT * FROM good UNION ALL SELECT * FROM bad
         |ORDER BY corrupt, doc_id""".stripMargin,
+
+    // Video mirror WITHOUT a container: geometry, sampled frame indices
+    // (0, 2, 4 capped by the frame count) and every pixel replay from
+    // the closed-form v(f, x, y) = (id + 3f + x + y) % 256.
+    "q5C_video_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |geo AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (2*doc_id) % 5 AS h,
+        |         4 + doc_id % 3 AS n
+        |  FROM ids),
+        |fr AS (
+        |  SELECT g.*, f.f AS frame_index
+        |  FROM geo g, LATERAL (SELECT unnest([0, 2, 4]) AS f) f
+        |  WHERE f.f < g.n),
+        |px AS (
+        |  SELECT r.doc_id, r.frame_index, r.w, r.h,
+        |         (r.doc_id + 3*r.frame_index + x.x + y.y) % 256 AS v
+        |  FROM fr r,
+        |       LATERAL (SELECT unnest(range(0, r.w)) AS x) x,
+        |       LATERAL (SELECT unnest(range(0, r.h)) AS y) y)
+        |SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       true AS decode_ok,
+        |       CAST(sum(v) AS BIGINT) AS sum_r,
+        |       CAST(count(*) AS BIGINT) AS n_px
+        |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_index""".stripMargin,
 
     // Resize mirror WITHOUT a pixel: replay the synthetic pattern
     // v(x,y) = (id + x + y) % 256 through the nearest-neighbor map

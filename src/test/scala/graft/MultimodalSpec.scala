@@ -219,6 +219,47 @@ class MultimodalSpec extends GraftSpec {
     assert(out.head.getAs[Array[Byte]]("resized") == null)
   }
 
+  test("AVI demux: real frames round-trip; garbage/compressed degrade to zero rows") {
+    import graft.multimodal.Avi
+    val ids = spark.range(0, 5).toDF("doc_id")
+    val out = Avi.sampleFrames(Avi.syntheticAvis(ids, "doc_id"),
+      stride = 2, maxFrames = 3).collect()
+    // per-id expected sampled indices: {0,2} for n=4, {0,2,4} for n in {5,6}
+    val expected = (0L until 5L).map(id => id -> Seq(0, 2, 4)
+      .filter(_ < (4 + id % 3).toInt)).toMap
+    assert(out.groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(_.getAs[Int]("frame_index")).sorted.toSeq).toMap
+      == expected)
+    // decode one frame and check an exact pixel against the formula
+    val r   = out.find(r => r.getAs[Long]("doc_id") == 3L &&
+      r.getAs[Int]("frame_index") == 2).get
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+    assert(img.getWidth == (8 + 3 % 5) && img.getHeight == (8 + 6 % 5))
+    for (x <- 0 until img.getWidth; y <- 0 until img.getHeight)
+      assert((img.getRGB(x, y) & 0xff) == ((3 + 3 * 2 + x + y) % 256),
+        s"pixel ($x,$y)")
+    // degradation: non-AVI bytes and a compressed-codec strf emit nothing
+    def one(content: Array[Byte]) = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(content)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType))))
+      Avi.sampleFrames(df, 1, 10).count()
+    }
+    assert(one(Array[Byte](1, 2, 3)) == 0)
+    val avi = Avi.syntheticAvis(spark.range(1).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("content")
+    // corrupt the strf biCompression field (offset: find 'strf' tag)
+    val strfAt = avi.indices.find(i => i + 4 <= avi.length &&
+      avi(i) == 's' && avi(i + 1) == 't' && avi(i + 2) == 'r' &&
+      avi(i + 3) == 'f').get
+    val compressed = avi.clone()
+    compressed(strfAt + 8 + 16) = 1 // biCompression = BI_RLE8
+    assert(one(compressed) == 0)
+  }
+
   test("frame sampling explodes video payloads into bounded frame rows") {
     val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
     val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
