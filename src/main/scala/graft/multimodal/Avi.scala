@@ -20,47 +20,54 @@ import org.apache.spark.sql.types._
   */
 object Avi {
 
-  private def u32(b: Array[Byte], i: Int): Long =
-    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
-      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
-  private def u16(b: Array[Byte], i: Int): Int =
-    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
-  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
-    i + 4 <= b.length && b(i) == t.charAt(0) && b(i + 1) == t.charAt(1) &&
-      b(i + 2) == t.charAt(2) && b(i + 3) == t.charAt(3)
+  import Riff.{next, tag, u16, u32}
 
   private[multimodal] final case class VideoFormat(
       width: Int, height: Int, bitCount: Int)
 
+  /** A decoded frame can't exceed this many pixels — a crafted strf
+    * declaring a 2^29-wide bitmap must not allocate a multi-GB
+    * BufferedImage (same class of cap as PdfParser's 64 MB inflate
+    * bound).
+    */
+  private val MaxFramePixels = 1L << 26 // 64 Mpx ≈ 256 MB ARGB
+
   /** Parse one AVI: (format, frame-chunk (offset, size) list in stream
-    * order). None when not a RIFF/AVI or the video stream is compressed.
+    * order). None when not a RIFF/AVI, the video stream is compressed,
+    * or the container is malformed/truncated — degrade per-file, never
+    * per-job. All offset arithmetic is Long ([[Riff]]): declared chunk
+    * sizes near Int.MaxValue cannot wrap into negative indices.
     */
   private[multimodal] def parse(
       b: Array[Byte]): Option[(VideoFormat, Seq[(Int, Int)])] = {
-    if (b.length < 12 || !tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+    if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
     var fmt: Option[VideoFormat] = None
     val frames = Seq.newBuilder[(Int, Int)]
-    def walk(from: Int, to: Int): Unit = {
+    def walk(from: Long, to: Long): Unit = {
       var pos = from
-      while (pos + 8 <= to) {
-        val sz   = u32(b, pos + 4).toInt
+      while (pos >= 0 && pos + 8 <= to) {
+        val sz   = u32(b, pos + 4)
         val body = pos + 8
-        if (sz < 0 || body > to) return
+        if (sz < 0 || body > to) return // truncated read or header past end
         val end = math.min(to, body + sz)
         if (tag(b, pos, "LIST")) walk(body + 4, end) // skip the list type tag
-        else if (tag(b, pos, "strf") && sz >= 40 && fmt.isEmpty) {
+        else if (tag(b, pos, "strf") && sz >= 40 && body + 40 <= to &&
+            fmt.isEmpty) {
           val compression = u32(b, body + 16)
           val bits        = u16(b, body + 14)
           if (compression == 0L && (bits == 24 || bits == 32))
             fmt = Some(VideoFormat(u32(b, body + 4).toInt,
               u32(b, body + 8).toInt, bits))
         } else if ((tag(b, pos, "00db") || tag(b, pos, "00dc")) && sz > 0)
-          frames += ((body, math.min(sz, b.length - body)))
-        pos = body + sz + (sz & 1) // RIFF chunks are word-aligned
+          frames += ((body.toInt, math.min(sz, b.length - body).toInt))
+        pos = next(body, sz)
       }
     }
-    walk(12, b.length)
-    fmt.filter(f => f.width > 0 && f.height > 0).map(f => (f, frames.result()))
+    try walk(12L, b.length.toLong)
+    catch { case scala.util.control.NonFatal(_) => return None }
+    fmt.filter(f => f.width > 0 && f.height > 0 &&
+        f.width.toLong * f.height <= MaxFramePixels)
+      .map(f => (f, frames.result()))
   }
 
   /** Decode one uncompressed DIB frame chunk to a PNG byte array.
@@ -72,7 +79,9 @@ object Avi {
       b: Array[Byte], off: Int, len: Int, f: VideoFormat): Option[Array[Byte]] = {
     val bpp    = f.bitCount / 8
     val stride = ((f.width * bpp + 3) / 4) * 4
-    if (len < stride * f.height) return None
+    // Long-space need: stride·height on a crafted geometry wraps Int to
+    // a small/zero value and would defeat this truncation guard
+    if (len.toLong < stride.toLong * f.height) return None
     val img = new java.awt.image.BufferedImage(
       f.width, f.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -111,15 +120,19 @@ object Avi {
     val idx = df.schema.fieldIndex(contentCol)
     df.mapPartitions { rows =>
       rows.flatMap { row =>
-        val bytes = row.getAs[Array[Byte]](idx)
-        val parsed = if (bytes == null) None else parse(bytes)
-        parsed.toSeq.flatMap { case (fmt, chunks) =>
-          Iterator.range(0, chunks.length, stride).take(maxFrames).flatMap { fi =>
-            val (off, len) = chunks(fi)
-            dibToPng(bytes, off, len, fmt).map(png =>
-              Row.fromSeq(row.toSeq ++ Seq(fi, png)))
+        // per-FILE degradation end to end: any surprise in a malformed
+        // container yields zero frames for that file, never a dead task
+        try {
+          val bytes = row.getAs[Array[Byte]](idx)
+          val parsed = if (bytes == null) None else parse(bytes)
+          parsed.toSeq.flatMap { case (fmt, chunks) =>
+            Iterator.range(0, chunks.length, stride).take(maxFrames).flatMap { fi =>
+              val (off, len) = chunks(fi)
+              dibToPng(bytes, off, len, fmt).map(png =>
+                Row.fromSeq(row.toSeq ++ Seq(fi, png)))
+            }
           }
-        }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
       }
     }(Encoders.row(schema))
   }

@@ -140,31 +140,27 @@ object Multimodal {
     override val featureDim: Int = 4
     override def decode(bytes: Array[Byte]): Option[(Row, Array[Float])] = {
       if (bytes == null || bytes.length < 44) return None
-      def u32(i: Int): Long =
-        (bytes(i) & 0xffL) | ((bytes(i + 1) & 0xffL) << 8) |
-          ((bytes(i + 2) & 0xffL) << 16) | ((bytes(i + 3) & 0xffL) << 24)
-      def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
-      def tag(i: Int, t: String): Boolean =
-        bytes(i) == t.charAt(0) && bytes(i + 1) == t.charAt(1) &&
-          bytes(i + 2) == t.charAt(2) && bytes(i + 3) == t.charAt(3)
+      import Riff.{next, tag, u16, u32}
+      def b = bytes
       try {
-        if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
-        var pos     = 12
+        if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+        var pos: Long = 12
         var pcmOk   = false
         var chans   = 0; var rate = 0; var bits = 0
         var dataAt  = -1; var dataLen = 0
-        while (pos + 8 <= bytes.length) {
-          val sz   = u32(pos + 4).toInt
+        while (pos >= 0 && pos + 8 <= b.length) {
+          val sz   = u32(b, pos + 4)
           val body = pos + 8
-          if (sz < 0) return None // corrupt size: bail to fallback
-          if (tag(pos, "fmt ") && body + 16 <= bytes.length) {
-            chans = u16(body + 2); rate = u32(body + 4).toInt
-            bits  = u16(body + 14)
-            pcmOk = u16(body) == 1 && (bits == 16 || bits == 8) && chans > 0
-          } else if (tag(pos, "data")) {
-            dataAt = body; dataLen = math.min(sz, bytes.length - body)
+          if (sz < 0) return None // corrupt/truncated size: bail to fallback
+          if (tag(b, pos, "fmt ") && body + 16 <= b.length) {
+            chans = u16(b, body + 2); rate = u32(b, body + 4).toInt
+            bits  = u16(b, body + 14)
+            pcmOk = u16(b, body) == 1 && (bits == 16 || bits == 8) && chans > 0
+          } else if (tag(b, pos, "data")) {
+            dataAt = body.toInt
+            dataLen = math.min(sz, b.length - body).toInt
           }
-          pos = body + sz + (sz & 1) // RIFF chunks are word-aligned
+          pos = next(body, sz) // Long-space advance: sizes can't wrap
         }
         if (!pcmOk || dataAt < 0 || dataLen <= 0) return None
         val bytesPer = bits / 8
@@ -173,7 +169,7 @@ object Multimodal {
         var k = 0
         while (k < n) {
           val v: Int =
-            if (bits == 16) u16(dataAt + 2 * k).toShort.toInt
+            if (bits == 16) u16(b, dataAt + 2L * k).toShort.toInt
             else (bytes(dataAt + k) & 0xff) - 128 // 8-bit WAV is unsigned
           sumAbs += math.abs(v); sumSigned += v
           if (math.abs(v) > peak) peak = math.abs(v)

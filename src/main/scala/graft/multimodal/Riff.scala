@@ -1,0 +1,37 @@
+package graft.multimodal
+
+/** Shared RIFF primitives for the WAV and AVI walkers — one place for
+  * the little-endian readers, the FourCC comparator, and the
+  * word-aligned advance, all OVERFLOW- and BOUNDS-SAFE: offsets are
+  * Longs (a crafted 0x7ffffff0 chunk size must not wrap an Int into a
+  * negative array index) and every read is range-checked (a truncated
+  * file must degrade per-file, never kill the task). The first cut of
+  * the AVI walker copied the WAV code and silently dropped its
+  * defensive checks — sharing the primitives fixes the crash class once.
+  */
+private[multimodal] object Riff {
+
+  def u32(b: Array[Byte], i: Long): Long =
+    if (i < 0 || i + 4 > b.length) -1L
+    else {
+      val j = i.toInt
+      (b(j) & 0xffL) | ((b(j + 1) & 0xffL) << 8) |
+        ((b(j + 2) & 0xffL) << 16) | ((b(j + 3) & 0xffL) << 24)
+    }
+
+  def u16(b: Array[Byte], i: Long): Int =
+    if (i < 0 || i + 2 > b.length) -1
+    else (b(i.toInt) & 0xff) | ((b(i.toInt + 1) & 0xff) << 8)
+
+  def tag(b: Array[Byte], i: Long, t: String): Boolean =
+    i >= 0 && i + 4 <= b.length && {
+      val j = i.toInt
+      b(j) == t.charAt(0) && b(j + 1) == t.charAt(1) &&
+        b(j + 2) == t.charAt(2) && b(j + 3) == t.charAt(3)
+    }
+
+  /** Position after a chunk whose body starts at `body` with declared
+    * size `sz`: word-aligned, in Long space so it can never wrap.
+    */
+  def next(body: Long, sz: Long): Long = body + sz + (sz & 1L)
+}

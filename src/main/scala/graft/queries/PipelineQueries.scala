@@ -399,8 +399,11 @@ object PipelineQueries {
         .repartition(s.sparkContext.defaultParallelism)
       val frames = Avi.sampleFrames(
         Avi.syntheticAvis(ids, "doc_id"), stride = 2, maxFrames = 3)
+      // drop the full container payload before the frame decode: every
+      // exploded frame row would otherwise carry the whole AVI binary
       val decoded = Multimodal.decodeAndFeaturize(
-        frames, new Multimodal.ImageIoDecoder, contentCol = "frame")
+        frames.drop("content"), new Multimodal.ImageIoDecoder,
+        contentCol = "frame")
       decoded.select(
           col("doc_id"), col("frame_index"),
           col("meta.width").as("width"),
@@ -489,17 +492,28 @@ object PipelineQueries {
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(8)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          // full JSON string escaping (specials + ALL control chars):
+          // a raw newline in a doc would split one JSON line in two and
+          // silently fork the engine from the oracle's closed-form
+          // corruption rule
+          def esc(s: String): String = s.flatMap {
+            case '\\'           => "\\\\"
+            case '"'            => "\\\""
+            case c if c < ' '   => f"\\u${c.toInt}%04x"
+            case c              => c.toString
+          }
           val lines = rows.map { r =>
             val id = r.getLong(0)
-            val t  = r.getString(1)
-              .replace("\\", "\\\\").replace("\"", "\\\"")
+            val t  = esc(r.getString(1))
             if (id % 97 == 0) s"""{"doc_id": $id, "text": "$t"""  // truncated
             else s"""{"doc_id": $id, "text": "$t"}"""
           }.toSeq
           if (lines.nonEmpty) {
-            Files.write(
-              Paths.get(dir, s"part-${lines.hashCode.toHexString}-${
-                java.util.UUID.randomUUID}.jsonl"),
+            // DETERMINISTIC per-partition name: a task retry or
+            // speculative duplicate overwrites its own file instead of
+            // adding a second copy of the partition's docs
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            Files.write(Paths.get(dir, f"part-$pid%05d.jsonl"),
               lines.mkString("\n").getBytes(UTF_8))
             ()
           }

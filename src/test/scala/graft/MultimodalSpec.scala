@@ -258,6 +258,20 @@ class MultimodalSpec extends GraftSpec {
     val compressed = avi.clone()
     compressed(strfAt + 8 + 16) = 1 // biCompression = BI_RLE8
     assert(one(compressed) == 0)
+    // review-derived crashers, all must degrade to zero rows not a dead task:
+    def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    // (a) truncated strf: declared size 40 but only 10 body bytes exist
+    assert(one("RIFF".getBytes ++ le32(100) ++ "AVI ".getBytes ++
+      "strf".getBytes ++ le32(40) ++ Array.fill[Byte](10)(0)) == 0)
+    // (b) chunk size near Int.MaxValue: Int advance would wrap negative
+    assert(one("RIFF".getBytes ++ le32(100) ++ "AVI ".getBytes ++
+      "junk".getBytes ++ le32(0x7ffffff0) ++ Array.fill[Byte](8)(0)) == 0)
+    // (c) crafted giant geometry: stride*height wraps Int; must not
+    // attempt a multi-GB BufferedImage
+    val giant = avi.clone()
+    System.arraycopy(le32(0x20000000), 0, giant, strfAt + 8 + 4, 4) // biWidth
+    assert(one(giant) == 0)
   }
 
   test("frame sampling explodes video payloads into bounded frame rows") {
