@@ -72,6 +72,22 @@ object Readers {
   def documents(spark: SparkSession, dir: String): DataFrame =
     textDirectory(spark, dir).unionByName(pdfDirectory(spark, dir))
 
+  /** Compressed text-corpus scan: `*.txt.gz`, one document per file.
+    * Hadoop's codec factory decompresses by extension inside the SAME
+    * wholetext source — a 100 TB corpus ships gzipped, and the scan
+    * shape (parallel across files, one row per file, pruned columns)
+    * is identical to [[textDirectory]]. The one scale caveat: gzip is
+    * unsplittable, so parallelism = file count here too — which the
+    * one-doc-per-file layout already implies.
+    */
+  def textGzDirectory(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.txt.gz")
+      .text(dir)
+      .select(col("value").as("text"), input_file_name().as("source"))
+
   /** JSONL corpus scan (one JSON document per line — the interchange
     * format of web-scale text pipelines; engine extension, the reference
     * reads only txt/pdf). The schema is REQUIRED: inference at 100 TB

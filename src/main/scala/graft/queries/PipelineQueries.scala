@@ -475,6 +475,35 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Compression-transparent text ingest, oracle-gated: the corpus is
+    // written DISTRIBUTED as real gzipped one-doc-per-file *.txt.gz
+    // (JDK GZIPOutputStream), read back through Readers.textGzDirectory
+    // (Hadoop codec-by-extension inside the wholetext source), and
+    // every byte must hash-match the table — gzipped corpora are the
+    // 100 TB shipping format for raw text.
+    "q5D_gzip_ingest" -> { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val dir = graft.util.TempDirs.scratch("graft-gz-corpus-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          rows.foreach { r =>
+            val out = new java.util.zip.GZIPOutputStream(
+              Files.newOutputStream(
+                Paths.get(dir, f"doc_${r.getLong(0)}%07d.txt.gz")))
+            try out.write(r.getString(1).getBytes(UTF_8))
+            finally out.close()
+          }
+        }
+      graft.ingest.Readers.textGzDirectory(s, dir)
+        .select(
+          regexp_extract(col("source"), "doc_(\\d+)\\.txt\\.gz$", 1)
+            .cast("long").as("doc_id"),
+          col("text").as("doc_text"))
+        .orderBy("doc_id")
+    },
+
     // JSONL corpus ingest, oracle-gated (graduates the one spec-only
     // source row with an oracle shape): the corpus is rendered to
     // real *.jsonl landing files DISTRIBUTED (one JSON doc per line,
@@ -781,6 +810,12 @@ object PipelineQueries {
       """SELECT doc_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'txt' ELSE 'pdf' END AS fmt,
         |       trim(text) AS page_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Gzip mirror: the codec round-trip is byte-lossless, so the scan
+    // reduces to the table.
+    "q5D_gzip_ingest" ->
+      """SELECT doc_id, text AS doc_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // JSONL mirror WITHOUT parsing a line: the corruption rule is
