@@ -23,6 +23,35 @@ object Curation {
     * "test". Stable under reruns, repartitioning, and incremental appends —
     * a row's split never depends on what other rows are present.
     */
+  /** HTML boilerplate removal — the first curation pass of every
+    * web-crawl pipeline, as a PURE codegen'd column chain (built-in
+    * `regexp_replace`/`replace`, no UDF, stays inside whole-stage
+    * codegen): script/style blocks go first (their CONTENT is
+    * boilerplate, not text), then tags become single spaces (block
+    * boundaries must separate words: `</h1><p>` glueing headline to
+    * body corrupts the corpus), then the common entities decode, then
+    * whitespace collapses. Order matters and is part of the q5E gate,
+    * whose oracle states the expected clean text CLOSED-FORM — ground
+    * truth, not a regex replayed in another dialect.
+    */
+  def stripHtml(c: Column): Column = {
+    // the whole <head> is chrome (title/meta/links are not document
+    // text — the convention of every boilerplate extractor); script and
+    // style are additionally stripped standalone for body-embedded ones
+    val noHead = regexp_replace(c, "(?is)<head[^>]*>.*?</head>", " ")
+    val noBlocks = regexp_replace(
+      regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (col0, (ent, ch)) =>
+      regexp_replace(col0, java.util.regex.Pattern.quote(ent), ch)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def assignSplit(df: DataFrame, idCol: String,
                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,

@@ -475,6 +475,30 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // HTML boilerplate removal, oracle-gated with GROUND TRUTH: each
+    // doc is wrapped in deterministic crawl-shaped HTML (head with
+    // style+script blocks whose content must vanish, attributes,
+    // entities in the chrome, the text inside <p>), stripped by the
+    // pure-codegen Curation.stripHtml chain, and compared against the
+    // CLOSED-FORM expected string — the oracle never runs a regex, so
+    // regex-dialect parity is not what's being tested; correct
+    // boilerplate removal is.
+    "q5E_html_strip" -> { (s, d) =>
+      val wrapped = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(
+            lit("<html><head><title>t</title><style>p{color:red}</style>" +
+              "<script>if(1&lt;2){alert(\"x\")}</script></head>" +
+              "<body class=\"main\"><h1>Doc "),
+            col("doc_id"),
+            lit("</h1><p>"), col("text"),
+            lit("</p><div>&amp;&nbsp;footer</div></body></html>")
+          ).as("html"))
+      wrapped.select(col("doc_id"),
+          graft.operators.Curation.stripHtml(col("html")).as("clean_text"))
+        .orderBy("doc_id")
+    },
+
     // Compression-transparent text ingest, oracle-gated: the corpus is
     // written DISTRIBUTED as real gzipped one-doc-per-file *.txt.gz
     // (JDK GZIPOutputStream), read back through Readers.textGzDirectory
@@ -810,6 +834,15 @@ object PipelineQueries {
       """SELECT doc_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'txt' ELSE 'pdf' END AS fmt,
         |       trim(text) AS page_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // HTML-strip mirror: the correct output of stripping the known
+    // wrapper is stated literally — headline text survives, script/
+    // style content vanishes, the footer entities decode.
+    "q5E_html_strip" ->
+      """SELECT doc_id,
+        |       'Doc ' || doc_id || ' ' || trim(text) || ' & footer'
+        |         AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Gzip mirror: the codec round-trip is byte-lossless, so the scan

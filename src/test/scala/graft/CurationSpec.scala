@@ -253,4 +253,23 @@ class CurationSpec extends GraftSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out.view.mapValues(_._2).toMap == out2)
   }
+
+  test("stripHtml: head/script/style vanish, tags break words, entity order is safe") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def strip(html: String): String =
+      spark.range(1).select(Curation.stripHtml(lit(html)).as("t"))
+        .head().getString(0)
+    assert(strip("<html><head><title>chrome</title><style>p{}</style>" +
+      "</head><body><h1>A</h1><p>b c</p></body></html>") == "A b c")
+    // body-embedded script content vanishes, including fake closers in strings
+    assert(strip("<p>x</p><script>if(1&lt;2){}</script><p>y</p>") == "x y")
+    // block boundaries separate words (no headline-glued-to-body corruption)
+    assert(strip("<h1>Title</h1><p>body</p>") == "Title body")
+    // entities decode once: &amp;lt; is the TEXT \"&lt;\", never < (the
+    // double-decode trap — &amp; must decode last)
+    assert(strip("<p>&amp;lt; &amp; &lt; &gt; &quot; &#39; a&nbsp;b</p>")
+      == "&lt; & < > \" ' a b")
+    // attributes with angle-ish content and whitespace collapse
+    assert(strip("<div   class=\"a b\"  >  spaced   out  </div>") == "spaced out")
+  }
 }
