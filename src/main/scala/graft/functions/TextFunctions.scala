@@ -271,6 +271,21 @@ object TextFunctions {
     v % buckets
   }
 
+  /** Deterministic uniform draw in (0, 1): leading 8 hex chars of
+    * md5(id as string) → v ∈ [0, 2^32), then u = (v + 1) / (2^32 + 1) —
+    * strictly inside the open interval so ln(u) and ln(−ln(u)) are both
+    * finite. The seeded-randomness primitive under Gumbel-top-k weighted
+    * sampling ([[graft.operators.Curation.weightedSample]]); same ascii
+    * arithmetic as [[hashBucket]], so the oracle replays it exactly.
+    */
+  def hashUniform(id: Column): Column = {
+    val h = md5(id.cast("string"))
+    val v = (0 until 8)
+      .map(i => hexDigit(substring(h, i + 1, 1)))
+      .foldLeft(lit(0L).cast("long"))((acc, d) => acc * 16 + d)
+    (v.cast("double") + lit(1.0)) / lit(4294967297.0)
+  }
+
   /** `slice`-th disjoint 4-hex-char window of an md5 ALREADY computed as
     * `digest` → int in [0, buckets). Eight independent-enough 16-bit
     * hashes from ONE digest (the Kirsch–Mitzenmacher construction the

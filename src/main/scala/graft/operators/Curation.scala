@@ -245,6 +245,36 @@ object Curation {
           lit(0.0), (acc, x) => acc + x.getField("term")), 6).as("log_weight"))
   }
 
+  /** Gumbel-top-k weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006 / the Gumbel-max trick): draw `k` rows with
+    * probability proportional to `exp(logWeightCol)` by ranking on
+    * `key = log_weight + Gumbel(u)` where `Gumbel(u) = −ln(−ln(u))` and
+    * `u` is the seeded [[hashUniform]] draw per id — the actual
+    * RESAMPLING stage of DSIR (Xie et al. 2023 §2: sample ∝ importance
+    * weight; [[importanceWeights]] computes the weights, this draws the
+    * corpus). Fully deterministic: same seed → the same sample on any
+    * cluster, partitioning, or file layout, and append-stable per row
+    * (a row's key never depends on other rows).
+    *
+    * Scale shape: one narrow map computes the key, then
+    * `orderBy(desc).limit(k)` plans `TakeOrderedAndProject` — per-
+    * partition k-heaps, partitions × k rows to the driver-side merge,
+    * NO global sort (the [[uniformSample]] shape with a weight-shifted
+    * key). Keys are rounded to 6 dp with id tie-breaks so the cut at
+    * `k` is reproducible cross-engine.
+    */
+  def weightedSample(df: DataFrame, idCol: String, logWeightCol: String,
+                     k: Int, salt: String = "wsample"): DataFrame = {
+    require(k > 0, "sample size must be positive")
+    require(!df.columns.contains("gumbel_key"),
+      "input already has a gumbel_key column (would be clobbered)")
+    val u = hashUniform(concat(col(idCol).cast("string"), lit(salt)))
+    df.withColumn("gumbel_key",
+        round(col(logWeightCol) + -log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Bigram language-model quality scoring (the CCNet/KenLM perplexity
     * filter, Wenzek et al. 2020): train add-one-smoothed bigram counts on
     * a reference slice, then score every document by the average negative

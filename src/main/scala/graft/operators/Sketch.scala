@@ -64,6 +64,45 @@ object Sketch {
     probeCols(terms, termCol, depth, width, salt)
       .groupBy("j", "b").agg(count(lit(1)).as("c"))
 
+  /** Bloom-filter membership sketch (Bloom 1970, CACM 13(7)): the
+    * bounded-bits twin of the CMS for SET MEMBERSHIP. Where exact
+    * contamination screens ([[Curation.contamination]]) must ship the
+    * benchmark side's full distinct-shingle set, the Bloom filter is a
+    * fixed d×w bit grid — `bloomBits` returns only the SET bits (≤ d·w
+    * rows, usually far fewer), built with one distinct-aggregate pass
+    * and mergeable across shards by plain union+distinct. This is the
+    * partitioned-Bloom variant (each of the d hash rows owns its own
+    * w-bit array), with the d probes carved as disjoint 4-hex slices of
+    * ONE md5 per term (Kirsch–Mitzenmacher, identical to the CMS).
+    *
+    * Guarantee: NO false negatives — every inserted term probes all-set
+    * forever. False-positive rate ≈ (1 − e^(−n/w))^d for n distinct
+    * insertions, so the caller sizes w from the expected benchmark
+    * cardinality. Probing never shuffles the query side: the set-bit
+    * table broadcasts.
+    */
+  def bloomBits(terms: DataFrame, termCol: String, depth: Int, width: Int,
+      salt: String = "bloom"): DataFrame =
+    probeCols(terms, termCol, depth, width, salt)
+      .select("j", "b").distinct()
+
+  /** Membership probe: `bloom_hit` is true iff ALL d probed bits are
+    * set. Every other column of `queries` is carried through (grouped
+    * alongside the term), mirroring [[cmsEstimate]]'s carry contract.
+    */
+  def bloomProbe(bloom: DataFrame, queries: DataFrame, termCol: String,
+      depth: Int, width: Int, salt: String = "bloom"): DataFrame = {
+    require(!queries.columns.contains("bloom_hit"),
+      "queries already has a bloom_hit column (would be clobbered)")
+    val carried = queries.columns.toSeq
+    val probes = probeCols(
+      queries, termCol, depth, width, salt, carried.filterNot(_ == termCol))
+    probes
+      .join(broadcast(bloom.withColumn("_set", lit(1))), Seq("j", "b"), "left")
+      .groupBy(carried.map(col): _*)
+      .agg((min(coalesce(col("_set"), lit(0))) === 1).as("bloom_hit"))
+  }
+
   /** Point estimates for the terms in `queries`: min over the d cells.
     * The SKETCH side broadcasts (it is ≤ d·w rows by construction — the
     * whole point); the query side can be any size and never shuffles.

@@ -150,6 +150,22 @@ object CurationQueries {
         .limit(100)
     },
 
+    // DSIR's actual RESAMPLING stage (q6G computes the weights, this
+    // draws the corpus): Gumbel-top-k sampling ∝ exp(log_weight) — 80
+    // docs without replacement, deterministic under any partitioning.
+    // TakeOrderedAndProject: per-partition k-heaps, no global sort.
+    "q6I_weighted_sample" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val weights = Curation.importanceWeights(
+        raw = docs.filter(col("doc_id") % 20 =!= 0),
+        target = docs.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", gramN = 2, nBuckets = 4096)
+      Curation.weightedSample(weights, "doc_id", "log_weight", k = 80)
+        .select("doc_id", "n_feats", "log_weight", "gumbel_key")
+        .orderBy("doc_id")
+    },
+
     // CCNet-style LM quality gate: add-one-smoothed bigram LM trained on
     // the id % 10 == 0 slice scores EVERY doc by average bigram negative
     // log-likelihood + perplexity (low = looks like the reference slice).
@@ -320,6 +336,47 @@ object CurationQueries {
          |GROUP BY doc_id
          |ORDER BY log_weight DESC, doc_id
          |LIMIT 100""".stripMargin,
+
+    // Gumbel-top-k mirror: the q6G weight CTEs UNLIMITED, then the same
+    // seeded key — u from md5 ascii arithmetic, key = log_weight +
+    // (−ln(−ln u)) rounded 6 dp, id tie-break, cut at 80.
+    "q6I_weighted_sample" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id, ${duckBucket("gram", 4096)} AS b
+         |  FROM (SELECT doc_id, unnest(${duckGrams(2)}) AS gram FROM documents)),
+         |tgt AS (SELECT b, count(*) AS c_tgt FROM feats WHERE doc_id % 20 = 0 GROUP BY b),
+         |rawc AS (SELECT b, count(*) AS c_raw FROM feats WHERE doc_id % 20 <> 0 GROUP BY b),
+         |tot AS (SELECT (SELECT sum(c_tgt) FROM tgt) AS t_tgt,
+         |               (SELECT sum(c_raw) FROM rawc) AS t_raw),
+         |ratio AS (
+         |  SELECT b,
+         |    round(ln(CAST(coalesce(c_tgt, 0) + 1 AS DOUBLE) / CAST(t_tgt + 4096 AS DOUBLE))
+         |        - ln(CAST(c_raw + 1 AS DOUBLE) / CAST(t_raw + 4096 AS DOUBLE)), 6) AS lr
+         |  FROM rawc LEFT JOIN tgt USING (b) CROSS JOIN tot),
+         |per AS (
+         |  SELECT doc_id, b, count(*) AS c FROM feats
+         |  WHERE doc_id % 20 <> 0 GROUP BY doc_id, b),
+         |terms AS (
+         |  SELECT doc_id, b, c, CAST(c AS DOUBLE) * lr AS term
+         |  FROM per JOIN ratio USING (b)),
+         |w AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_feats,
+         |    round(list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY b)),
+         |      (x, y) -> x + y), 6) AS log_weight
+         |  FROM terms
+         |  GROUP BY doc_id),
+         |keyed AS (
+         |  SELECT doc_id, n_feats, log_weight,
+         |    round(log_weight
+         |      + -ln(-ln(${DuckSql.uniform("CAST(doc_id AS VARCHAR) || 'wsample'")})), 6)
+         |      AS gumbel_key
+         |  FROM w),
+         |cut AS (
+         |  SELECT * FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 80)
+         |SELECT doc_id, n_feats, log_weight, gumbel_key
+         |FROM cut
+         |ORDER BY doc_id""".stripMargin,
 
     // Bigram-LM mirror: nll rounded to 6 dp per bigram, then summed as
     // EXACT fixed-point integers (×10⁶, round, BIGINT) — long addition is

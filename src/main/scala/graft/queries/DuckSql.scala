@@ -53,6 +53,18 @@ private[queries] object DuckSql {
     s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
   }
 
+  /** [[graft.functions.TextFunctions.hashUniform]] mirror: leading 8 hex
+    * chars of md5(expr) → v ∈ [0, 2^32) via ascii arithmetic (first term
+    * cast BIGINT so the chain never overflows 32-bit INTEGER), then
+    * u = (v + 1) / (2^32 + 1) ∈ (0, 1).
+    */
+  def uniform(idExpr: String): String = {
+    def hv(i: Int) =
+      s"(ascii(substr(md5($idExpr), $i, 1)) - CASE WHEN ascii(substr(md5($idExpr), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
+    val v = (2 to 8).foldLeft(s"CAST(${hv(1)} AS BIGINT)")((acc, i) => s"($acc * 16 + ${hv(i)})")
+    s"((CAST($v AS DOUBLE) + 1.0) / 4294967297.0)"
+  }
+
   /** Non-distinct word n-grams over [[toks]] — mirrors
     * WordShinglesExpr / TextFunctions.wordShingles(n) (which keeps
     * duplicates; dedup callers wrap with list_distinct).

@@ -174,6 +174,59 @@ object TextQueries {
         .orderBy(col("exact_count").desc, col("term"))
     },
 
+    // Bloom-filter contamination screen vs exact: the bounded-bits twin
+    // of q65. The benchmark slice's distinct 4-gram shingles populate a
+    // 4×32768-bit partitioned Bloom filter (set-bit table ≤ a few
+    // thousand rows, broadcast); every training doc's shingles probe it.
+    // No false negatives — n_flagged >= n_exact row by row — and the
+    // false-positive surplus is priced explicitly against the exact
+    // join, which at 100 TB would ship the full benchmark shingle set.
+    "q2D_bloom_screen" -> { (s, d) =>
+      import graft.operators.Sketch
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val benchSh = docs.filter(col("doc_id") % 50 === 0)
+        .select(explode(wordShingles(col("text"), 4)).as("sh")).distinct()
+      val bloom = Sketch.bloomBits(benchSh, "sh", depth = 4, width = 32768)
+      val trainSh = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id"), explode(wordShingles(col("text"), 4)).as("sh"))
+        .distinct()
+      val probed =
+        Sketch.bloomProbe(bloom, trainSh, "sh", depth = 4, width = 32768)
+      probed
+        .join(broadcast(benchSh.withColumn("_exact", lit(1L))), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("bloom_hit"), lit(1L)).otherwise(lit(0L))).as("n_flagged"),
+          sum(coalesce(col("_exact"), lit(0L))).as("n_exact"))
+        .withColumn("n_false_pos", col("n_flagged") - col("n_exact"))
+        .orderBy(col("n_flagged").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // BPE tokenizer training, the scale-critical step: adjacent-symbol
+    // pair statistics for the FIRST merge decision, computed on the
+    // distinct-word table weighted by word frequency (vocabulary-sized,
+    // not corpus-sized — "the" explodes its pairs once, carrying its
+    // count) exactly like real BPE trainers batch. Shuffles bounded by
+    // |vocab| + |distinct pairs|; the argmax-and-merge loop above this
+    // is a driver-side broadcast of one winning pair per round.
+    "q2E_bpe_pairs" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("w"), col("freq"),
+          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
+        .select(col("w"), col("freq"),
+          concat(col("w").substr(col("i"), lit(1)), lit(" "),
+            col("w").substr(col("i") + 1, lit(1))).as("pair"))
+        .groupBy("pair")
+        .agg(sum("freq").as("pair_count"), countDistinct("w").as("n_words"))
+        .orderBy(col("pair_count").desc, col("pair"))
+        .limit(20)
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -345,6 +398,62 @@ object TextQueries {
          |       cms_count - exact_count AS overestimate
          |FROM est
          |ORDER BY exact_count DESC, term""".stripMargin,
+
+    // Bloom mirror: same one-digest sliced hashing (row j = j-th
+    // 4-hex-char window of md5(sh || ':bloom') mod 32768), same
+    // all-d-bits-set membership rule, same exact-join comparison.
+    "q2D_bloom_screen" ->
+      s"""WITH be AS (
+         |  SELECT DISTINCT sh FROM (
+         |    SELECT unnest(${DuckSql.grams(4)}) AS sh
+         |    FROM documents WHERE doc_id % 50 = 0)),
+         |bloom AS (
+         |  SELECT DISTINCT j, ${DuckSql.bucketSlice("h", "j", 32768)} AS b
+         |  FROM (SELECT md5(sh || ':bloom') AS h, unnest(range(0, 4)) AS j FROM be)),
+         |tr AS (
+         |  SELECT DISTINCT doc_id, sh FROM (
+         |    SELECT doc_id, unnest(${DuckSql.grams(4)}) AS sh
+         |    FROM documents WHERE doc_id % 50 <> 0)),
+         |probe AS (
+         |  SELECT doc_id, sh, j, ${DuckSql.bucketSlice("h", "j", 32768)} AS b
+         |  FROM (SELECT doc_id, sh, md5(sh || ':bloom') AS h,
+         |               unnest(range(0, 4)) AS j FROM tr)),
+         |hit AS (
+         |  SELECT probe.doc_id, probe.sh,
+         |         min(CASE WHEN bloom.b IS NOT NULL THEN 1 ELSE 0 END) = 1 AS bloom_hit
+         |  FROM probe LEFT JOIN bloom ON probe.j = bloom.j AND probe.b = bloom.b
+         |  GROUP BY probe.doc_id, probe.sh)
+         |SELECT doc_id,
+         |  count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+         |  CAST(sum(CASE WHEN be.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+         |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+         |     - sum(CASE WHEN be.sh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |FROM hit LEFT JOIN be ON hit.sh = be.sh
+         |GROUP BY doc_id
+         |ORDER BY n_flagged DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    // BPE pair mirror: same distinct-word frequency table, same
+    // character-pair explode (substr is character-based in both
+    // engines), same frequency-weighted counts.
+    "q2E_bpe_pairs" ->
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($duckToks) AS w FROM documents)
+         |  GROUP BY w),
+         |p AS (
+         |  SELECT w, freq,
+         |         substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair
+         |  FROM (SELECT w, freq, unnest(range(1, length(w))) AS i
+         |        FROM wf WHERE length(w) >= 2))
+         |SELECT pair,
+         |  CAST(sum(freq) AS BIGINT) AS pair_count,
+         |  count(DISTINCT w) AS n_words
+         |FROM p
+         |GROUP BY pair
+         |ORDER BY pair_count DESC, pair
+         |LIMIT 20""".stripMargin,
 
     "q24_source_stats" ->
       s"""SELECT source,

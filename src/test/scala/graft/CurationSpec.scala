@@ -254,6 +254,40 @@ class CurationSpec extends GraftSpec {
     assert(out.view.mapValues(_._2).toMap == out2)
   }
 
+  test("weightedSample: deterministic, append-stable keys, weight-dominant, exact formula") {
+    val df = spark.range(0, 500).toDF("doc_id")
+      .withColumn("log_weight", ($"doc_id" % 7).cast("double") / 10.0)
+    val s1 = Curation.weightedSample(df, "doc_id", "log_weight", k = 50)
+    val s2 = Curation.weightedSample(df, "doc_id", "log_weight", k = 50)
+    assert(s1.count() == 50)
+    assert(s1.select("doc_id").except(s2.select("doc_id")).isEmpty)
+    // append-stability: a row's key is independent of the other rows
+    val sub = Curation.weightedSample(df.filter($"doc_id" < 100), "doc_id",
+      "log_weight", k = 100)
+    val joined = sub.select($"doc_id", $"gumbel_key".as("k_sub"))
+      .join(Curation.weightedSample(df, "doc_id", "log_weight", k = 500)
+        .select($"doc_id", $"gumbel_key".as("k_full")), "doc_id")
+    assert(joined.filter($"k_sub" =!= $"k_full").count() == 0)
+    // a +1000 log-weight row always wins
+    val skew = df.withColumn("log_weight",
+      when($"doc_id" === 123, lit(1000.0)).otherwise($"log_weight"))
+    val top = Curation.weightedSample(skew, "doc_id", "log_weight", k = 1)
+      .select("doc_id").as[Long].head()
+    assert(top == 123L)
+    // exact key formula, hand-computed off-Spark: u from the leading 8
+    // hex chars of md5("42wsample"), key = w + (-ln(-ln u)) rounded 6 dp
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("42wsample".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val u = (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967297.0
+    val expected = BigDecimal(0.0 - math.log(-math.log(u)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.weightedSample(
+        Seq((42L, 0.0)).toDF("doc_id", "log_weight"), "doc_id", "log_weight", 1)
+      .select("gumbel_key").as[Double].head()
+    assert(got == expected, s"gumbel key $got != hand-computed $expected")
+  }
+
   test("stripHtml: head/script/style vanish, tags break words, entity order is safe") {
     import org.apache.spark.sql.functions.{col, lit}
     def strip(html: String): String =

@@ -36,6 +36,35 @@ class SketchSpec extends GraftSpec {
     assert(perRow.forall(_.getAs[Long]("mass") == n))
   }
 
+  test("bloom filter: no false negatives, bounded bits, union-mergeable") {
+    val docs = Tables.documents(spark, sfDir)
+    val inserted = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term")).distinct()
+    val bloom = Sketch.bloomBits(inserted, "term", D, W)
+    // bounded bits: at most d rows of at most w set bits each
+    assert(bloom.count() <= D.toLong * W)
+    // NO false negatives: every inserted term probes all-set
+    val misses = Sketch.bloomProbe(bloom, inserted, "term", D, W)
+      .filter(!col("bloom_hit")).count()
+    assert(misses == 0, s"$misses inserted terms missed — Bloom invariant broken")
+    // at W=256 the filter saturates on fixture vocab — rebuild wider to
+    // see discrimination. The fixture's odd/even docs share their whole
+    // vocabulary, so probe synthetic definitely-not-inserted terms.
+    val wide = Sketch.bloomBits(inserted, "term", D, 65536)
+    val novel = spark.range(0, 500)
+      .select(concat(lit("never-inserted-"), col("id")).as("term"))
+    val fp = Sketch.bloomProbe(wide, novel, "term", D, 65536)
+      .filter(col("bloom_hit")).count()
+    assert(fp < 500, s"all 500 novel terms flagged — no discrimination")
+    // mergeable: bits of (half A) ∪ bits of (half B) == bits of (A ∪ B)
+    val a = Sketch.bloomBits(inserted.filter(length(col("term")) % 2 === 0), "term", D, W)
+    val b = Sketch.bloomBits(inserted.filter(length(col("term")) % 2 === 1), "term", D, W)
+    val mergedBits = a.unionByName(b).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val wholeBits = bloom.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(mergedBits == wholeBits)
+  }
+
   test("sketches merge cell-wise: union of halves equals the whole") {
     val docs = Tables.documents(spark, sfDir)
     def termsOf(f: org.apache.spark.sql.Column) = docs.filter(f)
