@@ -177,6 +177,37 @@ object StreamingQueries {
         .orderBy("id")
     },
 
+    // The serving path as a stream (q11's streaming twin): every 10th
+    // vector arrives as a query REQUEST over two micro-batches (two
+    // parquet landing files, one per trigger) and is answered against
+    // the static corpus by the same broadcast-batch + per-partition-heap
+    // reduction as the batch path — zero streaming state, corpus pinned
+    // across batches, appended top-5 rows hash-equal to batch KNN.
+    "q7C_stream_knn" -> { (s, d) =>
+      import graft.operators.Knn
+      val e       = Tables.embeddings(s, d)
+      val landing = graft.util.TempDirs.scratch("graft-knnq-landing-")
+      val ckpt    = graft.util.TempDirs.scratch("graft-knnq-ckpt-")
+      val outDir  = graft.util.TempDirs.scratch("graft-knnq-out-")
+      val qBatch  = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      // overwrite: scratch() pre-made the (empty) landing dir; parquet
+      // landing keeps the float vectors bit-exact across the round-trip
+      qBatch.repartition(2).write.mode("overwrite").parquet(landing)
+      val queries = s.readStream.schema(qBatch.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      StreamingIngest.runKnnStreamOnce(queries, e, "vec_id", "embedding",
+        "query_id", "qvec", k = 5, outDir = outDir, checkpointDir = ckpt)
+      // read back under the operator's own schema (zero-row plan, no
+      // action) — an empty query stream writes no parquet data files
+      val outSchema = Knn.topKBatch(e.limit(0), "vec_id", "embedding",
+        qBatch.limit(0), "query_id", "qvec", k = 5).schema
+      s.read.schema(outSchema).parquet(outDir)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("score"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
     // Count-Min Sketch as a STREAMING aggregate: the d×w cell grid is
     // the canonical bounded-state stream summary — the state store holds
     // ≤ 4096 cells FOREVER while a streaming exact term count's state
@@ -277,6 +308,24 @@ object StreamingQueries {
          |       round(CAST(vec[1] AS DOUBLE), 6) AS c0
          |FROM evecs
          |ORDER BY id""".stripMargin,
+
+    // Batch mirror of the streamed KNN serving: q11's oracle shape over
+    // the vec_id % 10 = 0 query set.
+    "q7C_stream_knn" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |           FROM embeddings WHERE vec_id % 10 = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         round(${DuckSql.cosine("e.embedding", "q.qvec")}, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.query_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |                               ORDER BY score DESC, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, score, rn FROM ranked
+         |WHERE rn <= 5
+         |ORDER BY query_id, rn""".stripMargin,
 
     // Batch mirror of the streamed CMS grid — identical sliced-md5
     // hashing (see q2C), identical cells.

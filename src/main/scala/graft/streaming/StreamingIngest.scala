@@ -243,6 +243,45 @@ object StreamingIngest {
     } finally dictionary.unpersist()
   }
 
+  /** Streaming KNN serving: each arriving query micro-batch scores
+    * against the STATIC corpus through the same batched-KNN reduction as
+    * the batch path ([[graft.operators.Knn.topKBatch]]: broadcast query
+    * batch × corpus scan → per-partition top-k heaps → k-bounded merge)
+    * and appends its top-k rows to `outDir` — the reference's
+    * request-at-a-time serving loop (`app/api/routes.py:189-212`) as a
+    * stream-static pipeline. Zero streaming state: every query is
+    * answered entirely within its micro-batch, so this runs in append
+    * mode at any arrival rate, and the ONLY per-batch cost beyond the
+    * scoring scan is the broadcast of that batch's queries. The corpus
+    * is persisted across micro-batches — without the pin each batch
+    * would re-execute the corpus lineage (N batches = N corpus loads).
+    */
+  def runKnnStreamOnce(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      queryIdCol: String, queryVecCol: String, k: Int,
+      outDir: String, checkpointDir: String
+  ): Unit = {
+    corpus.persist()
+    try {
+      corpus.count() // materialize before the stream starts
+      val q = queries.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            graft.operators.Knn
+              .topKBatch(corpus, idCol, vecCol, batch, queryIdCol,
+                queryVecCol, k)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+        }
+        .start()
+      q.awaitTermination()
+    } finally corpus.unpersist()
+  }
+
   /** Watermarked stream-stream inner join with a time-interval
     * condition (the impressions-to-clicks attribution pattern): each
     * left row joins right rows of the same key whose timestamp falls in

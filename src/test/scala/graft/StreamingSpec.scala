@@ -381,4 +381,38 @@ class StreamingSpec extends GraftSpec {
     assert(!got.exists(_._1 == 11L))
     assert(got.exists(_._1 == 12L) && got.exists(_._1 == 13L))
   }
+
+  test("streaming KNN serving equals batch top-k, across real micro-batches") {
+    import graft.operators.Knn
+    import spark.implicits._
+    val corpus = Tables.embeddings(spark, sfDir)
+    val qBatch = corpus.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val dir = Files.createTempDirectory("graft-knn-stream").toString
+    qBatch.repartition(3).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(qBatch.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    StreamingIngest.runKnnStreamOnce(stream, corpus, "vec_id", "embedding",
+      "query_id", "qvec", k = 3, outDir = s"$dir/out",
+      checkpointDir = s"$dir/ckpt")
+    // three landing files, one per trigger → three REAL micro-batches
+    // (offsets log has one entry per batch)
+    val nBatches = new java.io.File(s"$dir/ckpt/offsets")
+      .listFiles().count(f => f.getName.forall(_.isDigit))
+    assert(nBatches == 3, s"expected 3 micro-batches, got $nBatches")
+    // the appended union equals the batch twin exactly
+    val got = spark.read.parquet(s"$dir/out")
+      .select("query_id", "vec_id", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val expected = Knn.topKBatch(corpus, "vec_id", "embedding", qBatch,
+        "query_id", "qvec", k = 3)
+      .select("query_id", "vec_id", "score", "rn")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got == expected)
+    // every query answered, nothing over k
+    val perQ = spark.read.parquet(s"$dir/out").groupBy("query_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perQ.size == qBatch.count())
+    assert(perQ.values.forall(_ <= 3))
+  }
 }
