@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-Pair Encoding tokenizer training (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units",
+  * arXiv:1508.07909) — the tokenizer-fitting stage of an LLM data
+  * pipeline, distributed the way production trainers batch it:
+  *
+  *   - The heavy structure is the DISTINCT-WORD frequency table
+  *     (vocabulary-sized, not corpus-sized — "the" explodes its symbol
+  *     pairs once, carrying its count), built with one map-side-
+  *     combinable aggregation over the corpus and never touched again.
+  *   - Each merge round is ONE distributed pair-count aggregation
+  *     (shuffle bounded by distinct pairs), a single-row argmax collect
+  *     (ties broken lexicographically so training is deterministic),
+  *     and a narrow per-row regexp rewrite of the symbol sequences.
+  *     R rounds = R bounded driver actions — the loop is inherently
+  *     sequential (each merge depends on the last), which is why the
+  *     per-round work, not the round count, must be the distributed
+  *     part.
+  *   - Symbol sequences are localCheckpointed per round so round R
+  *     costs O(vocab), not O(R · vocab) lineage re-execution.
+  *
+  * Merge application is the standard greedy left-to-right
+  * non-overlapping pass: `"l l l"` under merge `(l, l)` becomes
+  * `"ll l"`, exactly like the reference BPE implementations (a regex
+  * scan over the source string — replacements never re-match).
+  * `q2E_bpe_pairs` oracle-gates the pair-statistics kernel; BpeSpec
+  * pins the multi-round trainer to the hand-computed classic example.
+  */
+object Bpe {
+
+  /** Distinct-word frequency table with each word as a space-joined
+    * symbol sequence (initial symbols = single characters).
+    */
+  def wordTable(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("syms", concat_ws(" ", split(col("w"), "")))
+
+  /** Frequency-weighted adjacent-symbol pair counts over the CURRENT
+    * symbol sequences. Map-side combine bounds the shuffle to distinct
+    * pairs.
+    */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.withColumn("_s", split(col("syms"), " "))
+      .filter(size(col("_s")) >= 2)
+      .select(col("freq"),
+        col("_s"), explode(sequence(lit(1), size(col("_s")) - 1)).as("i"))
+      .select(col("freq"),
+        concat_ws(" ", element_at(col("_s"), col("i")),
+          element_at(col("_s"), col("i") + 1)).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+
+  /** Apply one merge: rewrite symbol bigram `"a b"` → `"ab"` in every
+    * sequence, greedy left-to-right non-overlapping, whole-symbol
+    * boundaries only (the lookarounds stop `"x ab"` from matching a
+    * merge of `(a, b)` — `ab` there is already one symbol).
+    */
+  def applyMerge(words: DataFrame, pair: String): DataFrame = {
+    val pat = "(?<!\\S)" + java.util.regex.Pattern.quote(pair) + "(?!\\S)"
+    val rep = java.util.regex.Matcher.quoteReplacement(pair.replace(" ", ""))
+    words.withColumn("syms", regexp_replace(col("syms"), pat, rep))
+  }
+
+  /** Train `rounds` merges over the corpus. Returns the ordered merge
+    * list `(pair, weighted count at selection time)` — the tokenizer
+    * artifact — and the final symbol-sequence table. Stops early if no
+    * pair remains (fully merged vocabulary).
+    */
+  def train(df: DataFrame, textCol: String,
+            rounds: Int): (Seq[(String, Long)], DataFrame) = {
+    require(rounds >= 1, "rounds must be positive")
+    var words  = wordTable(df, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[(String, Long)]
+    var done   = false
+    for (_ <- 0 until rounds if !done) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        merges += ((pair, top(0).getLong(1)))
+        words = applyMerge(words, pair).localCheckpoint()
+      }
+    }
+    (merges.result(), words)
+  }
+}

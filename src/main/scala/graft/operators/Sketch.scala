@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.TextFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Count-Min Sketch frequency estimation (Cormode & Muthukrishnan 2005,
@@ -101,6 +102,72 @@ object Sketch {
       .join(broadcast(bloom.withColumn("_set", lit(1))), Seq("j", "b"), "left")
       .groupBy(carried.map(col): _*)
       .agg((min(coalesce(col("_set"), lit(0))) === 1).as("bloom_hit"))
+  }
+
+  /** Fixed-bucket histogram over a numeric column: `(b, c)` rows with
+    * `b = clamp(floor((v − lo) / width), 0, nBuckets−1)` — the
+    * bounded-state QUANTILE summary. Exact quantiles carry
+    * distinct-value-sized state ([[Quantiles]]); the histogram is ≤
+    * `nBuckets` mergeable rows forever, which also makes it the
+    * canonical streaming length-drift monitor (Complete-mode aggregate,
+    * state ≤ nBuckets rows — the CMS argument applied to quantiles).
+    * Out-of-domain values clamp into the edge buckets, so the row count
+    * is never silently wrong (estimates there degrade, totals don't).
+    */
+  def histogramTable(df: DataFrame, valueCol: String, nBuckets: Int,
+      lo: Double, hi: Double): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536], got $nBuckets")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    val width = (hi - lo) / nBuckets
+    val b = greatest(lit(0), least(lit(nBuckets - 1),
+      floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
+    df.select(b.as("b")).groupBy("b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Interpolated quantile ESTIMATES from a histogram grid: for each
+    * requested `p`, the continuous rank `t = p·(N−1) + 1` is located in
+    * the cumulative-count walk and positioned uniformly within its
+    * bucket — `v(k) = lo + width·(b + (k − cum_before)/c)` — then the
+    * two integer ranks around `t` interpolate linearly, mirroring the
+    * exact-selection arithmetic's shape on bucket-resolution data.
+    * Deterministic closed-form double math, so an oracle replays it
+    * bit-for-bit. The cumulative walk windows over ≤ nBuckets rows
+    * (bounded by construction — the single-partition sort is the point
+    * of a sketch, not a scale hazard).
+    */
+  def histogramQuantiles(hist: DataFrame, nBuckets: Int, lo: Double,
+      hi: Double, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      "quantiles must be in [0, 1]")
+    val width = (hi - lo) / nBuckets
+    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_before", coalesce(sum("c").over(w), lit(0L)))
+    val n = hist.agg(sum("c").as("n_rows"))
+    val pdf = hist.sparkSession.range(1).select(
+        explode(array(ps.map(lit): _*)).as("p"))
+      .crossJoin(broadcast(n))
+      .withColumn("t", col("p") * (col("n_rows") - 1).cast("double") + lit(1.0))
+      .withColumn("k_lo", floor(col("t")).cast("long"))
+      .withColumn("k_hi", ceil(col("t")).cast("long"))
+    def valueAt(k: Column, cumBefore: Column, b: Column, c: Column): Column =
+      lit(lo) + lit(width) * (b.cast("double") +
+        (k - cumBefore).cast("double") / c.cast("double"))
+    def side(k: String, out: String) = {
+      val cc = cum.select(col("b").as(s"_b$out"), col("c").as(s"_c$out"),
+        col("cum_before").as(s"_cb$out"))
+      (df: DataFrame) => df.join(broadcast(cc),
+          col(k) > col(s"_cb$out") &&
+            col(k) <= col(s"_cb$out") + col(s"_c$out"))
+        .withColumn(out,
+          valueAt(col(k), col(s"_cb$out"), col(s"_b$out"), col(s"_c$out")))
+        .drop(s"_b$out", s"_c$out", s"_cb$out")
+    }
+    side("k_lo", "_v_lo")(side("k_hi", "_v_hi")(pdf))
+      .select(col("p"), col("n_rows"),
+        round(col("_v_lo") + (col("t") - col("k_lo").cast("double")) *
+          (col("_v_hi") - col("_v_lo")), 6).as("estimate"))
   }
 
   /** Point estimates for the terms in `queries`: min over the d cells.

@@ -208,6 +208,31 @@ object StreamingQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Quantile estimation as a STREAMING aggregate: the 128-bucket
+    // token-count histogram is the bounded-state quantile summary (the
+    // CMS argument applied to quantiles — exact selection carries
+    // distinct-value-sized state, the grid holds ≤128 state rows
+    // forever; the streaming length-drift monitor every ingest pipeline
+    // wants). The stream really runs (Complete-mode aggregation); the
+    // p50/p90/p99 interpolation is closed-form double math the oracle
+    // replays bit-for-bit.
+    "q7D_stream_quantiles" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Sketch
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val toks = docs.select(
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      val hist = StreamRunner.runToBatch(
+        Sketch.histogramTable(toks, "n_tokens", nBuckets = 128,
+          lo = 0.0, hi = 1024.0),
+        OutputMode.Complete)
+      Sketch.histogramQuantiles(hist, nBuckets = 128, lo = 0.0, hi = 1024.0,
+          ps = Seq(0.5, 0.9, 0.99))
+        .orderBy("p")
+    },
+
     // Count-Min Sketch as a STREAMING aggregate: the d×w cell grid is
     // the canonical bounded-state stream summary — the state store holds
     // ≤ 4096 cells FOREVER while a streaming exact term count's state
@@ -326,6 +351,45 @@ object StreamingQueries {
          |SELECT query_id, neighbor_id, score, rn FROM ranked
          |WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
+
+    // Batch mirror of the streamed histogram quantiles: same clamp
+    // bucketing, same cumulative walk, same uniform-within-bucket
+    // interpolation in the same double order.
+    "q7D_stream_quantiles" ->
+      s"""WITH v AS (
+         |  SELECT CAST(len(${DuckSql.toks}) AS DOUBLE) AS nt FROM documents),
+         |hist AS (
+         |  SELECT greatest(0, least(127,
+         |           CAST(floor((nt - 0.0) / 8.0) AS INT))) AS b,
+         |         count(*) AS c
+         |  FROM v GROUP BY 1),
+         |cum AS (
+         |  SELECT b, c,
+         |    CAST(coalesce(sum(c) OVER (ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cb
+         |  FROM hist),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows FROM hist),
+         |pq AS (
+         |  SELECT p, n_rows,
+         |    p * CAST(n_rows - 1 AS DOUBLE) + 1.0 AS t
+         |  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS p) CROSS JOIN n),
+         |ks AS (
+         |  SELECT p, n_rows, t,
+         |    CAST(floor(t) AS BIGINT) AS k_lo, CAST(ceil(t) AS BIGINT) AS k_hi
+         |  FROM pq),
+         |vlo AS (
+         |  SELECT ks.*, 0.0 + 8.0 * (CAST(cum.b AS DOUBLE)
+         |    + CAST(ks.k_lo - cum.cb AS DOUBLE) / CAST(cum.c AS DOUBLE)) AS v_lo
+         |  FROM ks JOIN cum ON ks.k_lo > cum.cb AND ks.k_lo <= cum.cb + cum.c),
+         |vhi AS (
+         |  SELECT vlo.*, 0.0 + 8.0 * (CAST(cum.b AS DOUBLE)
+         |    + CAST(vlo.k_hi - cum.cb AS DOUBLE) / CAST(cum.c AS DOUBLE)) AS v_hi
+         |  FROM vlo JOIN cum ON vlo.k_hi > cum.cb AND vlo.k_hi <= cum.cb + cum.c)
+         |SELECT p, n_rows,
+         |  round(v_lo + (t - CAST(k_lo AS DOUBLE)) * (v_hi - v_lo), 6) AS estimate
+         |FROM vhi
+         |ORDER BY p""".stripMargin,
 
     // Batch mirror of the streamed CMS grid — identical sliced-md5
     // hashing (see q2C), identical cells.

@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE trainer pinned to the classic hand-computed example (the
+  * hug/pug/pun/bun/hugs corpus every BPE walkthrough uses) plus the
+  * merge-application edge cases (overlap, whole-symbol boundaries).
+  */
+class BpeSpec extends GraftSpec {
+
+  import spark.implicits._
+
+  private def corpus(pairs: (String, Int)*): org.apache.spark.sql.DataFrame =
+    Seq(pairs.flatMap { case (w, n) => Seq.fill(n)(w) }.mkString(" "))
+      .toDF("text")
+
+  test("trainer reproduces the classic merge sequence deterministically") {
+    val df = corpus("hug" -> 10, "pug" -> 5, "pun" -> 12, "bun" -> 4,
+      "hugs" -> 5)
+    val (merges, words) = Bpe.train(df, "text", rounds = 3)
+    // pair counts: (u,g) 10+5+5=20; (u,n) 12+4=16; then (h,ug) 10+5=15
+    assert(merges == Seq(("u g", 20L), ("u n", 16L), ("h ug", 15L)))
+    val syms = words.select("w", "syms").as[(String, String)].collect().toMap
+    assert(syms("hug") == "hug")
+    assert(syms("hugs") == "hug s")
+    assert(syms("pug") == "p ug")
+    assert(syms("pun") == "p un")
+    assert(syms("bun") == "b un")
+    // same data, same merges, any partitioning
+    val (merges2, _) = Bpe.train(df.repartition(7), "text", rounds = 3)
+    assert(merges2 == merges)
+  }
+
+  test("merge application is greedy left-to-right, whole-symbol only") {
+    val words = Seq(("lll", 1L, "l l l"), ("xab", 1L, "x ab"),
+      ("abab", 1L, "a b a b")).toDF("w", "freq", "syms")
+    val out = Bpe.applyMerge(words, "l l")
+      .select("w", "syms").as[(String, String)].collect().toMap
+    assert(out("lll") == "ll l")   // non-overlapping left-to-right
+    assert(out("xab") == "x ab")   // "ab" is one symbol, not a pair site
+    val ab = Bpe.applyMerge(words, "a b")
+      .select("w", "syms").as[(String, String)].collect().toMap
+    assert(ab("abab") == "ab ab")  // both disjoint occurrences merge
+  }
+
+  test("trainer stops early when the vocabulary is fully merged") {
+    val df = corpus("ab" -> 3)
+    val (merges, words) = Bpe.train(df, "text", rounds = 10)
+    assert(merges == Seq(("a b", 3L)))
+    assert(words.select("syms").as[String].collect().toSeq == Seq("ab"))
+  }
+
+  test("pair counts weight by word frequency on real fixture text") {
+    val docs  = Tables.documents(spark, sfDir)
+    val words = Bpe.wordTable(docs, "text")
+    val pairs = Bpe.pairCounts(words)
+    // total pair mass = sum over words of freq * (len-1)
+    val expected = words.filter(length(col("w")) >= 2)
+      .select(sum(col("freq") * (length(col("w")) - 1))).as[Long].head()
+    val got = pairs.select(sum("n")).as[Long].head()
+    assert(got == expected)
+  }
+}

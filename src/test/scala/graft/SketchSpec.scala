@@ -65,6 +65,31 @@ class SketchSpec extends GraftSpec {
     assert(mergedBits == wholeBits)
   }
 
+  test("histogram quantiles: bounded state, clamped domain, within a bucket of exact") {
+    import spark.implicits._
+    val vals = (1 to 1000).map(_.toDouble) ++ Seq(-50.0, 5000.0) // clamp both edges
+    val df = vals.toDF("v")
+    val hist = Sketch.histogramTable(df, "v", nBuckets = 100, lo = 0.0, hi = 1000.0)
+    assert(hist.count() <= 100)
+    // all rows accounted for, including the out-of-domain clamps
+    assert(hist.agg(sum("c")).as[Long].head() == vals.length.toLong)
+    val est = Sketch.histogramQuantiles(hist, 100, 0.0, 1000.0,
+        Seq(0.1, 0.5, 0.9))
+      .select("p", "estimate").as[(Double, Double)].collect().toMap
+    // exact p-quantile of 1..1000 (+2 clamped outliers) ≈ 1000p; the
+    // histogram answer must land within one bucket width (10.0)
+    assert(math.abs(est(0.1) - 100.0) <= 10.0, s"p10 ${est(0.1)}")
+    assert(math.abs(est(0.5) - 500.0) <= 10.0, s"p50 ${est(0.5)}")
+    assert(math.abs(est(0.9) - 900.0) <= 10.0, s"p90 ${est(0.9)}")
+    // merged halves give the identical grid (same argument as the CMS)
+    val h1 = Sketch.histogramTable(df.filter($"v" < 500), "v", 100, 0.0, 1000.0)
+    val h2 = Sketch.histogramTable(df.filter($"v" >= 500), "v", 100, 0.0, 1000.0)
+    val merged = h1.unionByName(h2).groupBy("b").agg(sum("c").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val whole = hist.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(merged == whole)
+  }
+
   test("sketches merge cell-wise: union of halves equals the whole") {
     val docs = Tables.documents(spark, sfDir)
     def termsOf(f: org.apache.spark.sql.Column) = docs.filter(f)
