@@ -57,13 +57,28 @@ object Bpe {
 
   /** Apply one merge: rewrite symbol bigram `"a b"` → `"ab"` in every
     * sequence, greedy left-to-right non-overlapping, whole-symbol
-    * boundaries only (the lookarounds stop `"x ab"` from matching a
-    * merge of `(a, b)` — `ab` there is already one symbol).
+    * boundaries only (`"x ab"` never matches a merge of `(a, b)` —
+    * `ab` there is already one symbol).
+    *
+    * Implementation is the pad-and-double literal-replace trick rather
+    * than regex lookarounds: every separator space doubles (so adjacent
+    * pair sites stop sharing their boundary character), the padded
+    * bigram `" a  b "` rewrites to `" ab "`, then separators collapse
+    * back. Three literal string replaces — pure codegen'd column ops
+    * with scan semantics every engine shares, which is what lets the
+    * q2F oracle replay training cross-engine (DuckDB's RE2 has no
+    * lookarounds). Symbols never contain spaces by construction, so the
+    * doubled form is unambiguous and triples can't occur.
     */
   def applyMerge(words: DataFrame, pair: String): DataFrame = {
-    val pat = "(?<!\\S)" + java.util.regex.Pattern.quote(pair) + "(?!\\S)"
-    val rep = java.util.regex.Matcher.quoteReplacement(pair.replace(" ", ""))
-    words.withColumn("syms", regexp_replace(col("syms"), pat, rep))
+    def lr(c: org.apache.spark.sql.Column, from: String, to: String) =
+      regexp_replace(c, java.util.regex.Pattern.quote(from),
+        java.util.regex.Matcher.quoteReplacement(to))
+    val doubled = concat(lit(" "), lr(col("syms"), " ", "  "), lit(" "))
+    val merged = lr(doubled,
+      " " + pair.replace(" ", "  ") + " ",
+      " " + pair.replace(" ", "") + " ")
+    words.withColumn("syms", trim(lr(merged, "  ", " ")))
   }
 
   /** Train `rounds` merges over the corpus. Returns the ordered merge

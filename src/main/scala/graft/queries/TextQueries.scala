@@ -227,6 +227,28 @@ object TextQueries {
         .limit(20)
     },
 
+    // BPE training END-TO-END, oracle-gated: learn 3 merges on the
+    // corpus (per round: one distributed pair-count aggregation + a
+    // single-row argmax collect, lexicographic ties), then encode every
+    // document under the learned vocabulary — per-doc subword counts
+    // via one vocab-table join (the corpus explodes to tokens exactly
+    // once; merges applied to DISTINCT words only). The oracle replays
+    // the whole trainer — both engines share the literal-replace merge
+    // semantics, which is why applyMerge avoids regex lookarounds.
+    "q2F_bpe_encode" -> { (s, d) =>
+      import graft.operators.Bpe
+      val docs = Tables.documents(s, d)
+      val (merges, words) = Bpe.train(docs, "text", rounds = 3)
+      require(merges.size == 3, s"expected 3 merges, got ${merges.size}")
+      val enc = words.withColumn("n_syms", size(split(col("syms"), " ")))
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .join(enc.select("w", "n_syms"), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum("n_syms").cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -454,6 +476,48 @@ object TextQueries {
          |GROUP BY pair
          |ORDER BY pair_count DESC, pair
          |LIMIT 20""".stripMargin,
+
+    // BPE trainer mirror: the full 3-round loop unrolled — per round a
+    // weighted pair count over the current symbol table, the argmax
+    // (n DESC, pair — UTF-8 byte order on both engines), and the SAME
+    // pad-and-double literal-replace merge application; then the encode
+    // join. Lookaround-free by design: RE2 (DuckDB) has none, so the
+    // engine's merge semantics are plain string replaces both sides.
+    "q2F_bpe_encode" -> {
+      def round(i: Int, src: String): String =
+        s"""pc$i AS (
+           |  SELECT s[i] || ' ' || s[i+1] AS pair, sum(freq) AS n
+           |  FROM (SELECT freq, unnest(range(1, len(s))) AS i, s
+           |        FROM (SELECT freq, string_split(syms, ' ') AS s FROM $src))
+           |  GROUP BY 1),
+           |m$i AS (SELECT pair FROM pc$i ORDER BY n DESC, pair LIMIT 1),
+           |a$i AS (
+           |  SELECT w, freq,
+           |    trim(replace(replace(
+           |      ' ' || replace(syms, ' ', '  ') || ' ',
+           |      ' ' || replace(m$i.pair, ' ', '  ') || ' ',
+           |      ' ' || replace(m$i.pair, ' ', '') || ' '),
+           |      '  ', ' ')) AS syms
+           |  FROM $src CROSS JOIN m$i)""".stripMargin
+      s"""WITH wf AS (
+         |  SELECT w, count(*) AS freq
+         |  FROM (SELECT unnest($duckToks) AS w FROM documents)
+         |  GROUP BY w),
+         |s0 AS (
+         |  SELECT w, freq,
+         |    array_to_string([w[i] for i in range(1, length(w)+1)], ' ') AS syms
+         |  FROM wf),
+         |${round(1, "s0")},
+         |${round(2, "a1")},
+         |${round(3, "a2")},
+         |enc AS (SELECT w, len(string_split(syms, ' ')) AS n_syms FROM a3),
+         |tok AS (SELECT doc_id, unnest($duckToks) AS w FROM documents)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |       CAST(sum(n_syms) AS BIGINT) AS n_subwords
+         |FROM tok JOIN enc USING (w)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q24_source_stats" ->
       s"""SELECT source,

@@ -109,6 +109,10 @@ class PlanAuditSpec extends GraftSpec {
     // (doc, bucket)-keyed pre-aggregate, so <= nBuckets structs per doc
     "q6G_importance_weights" -> (("(doc_id, b) bucket-keyed aggregate below the collect",
       sub => """HashAggregate\(keys=\[doc_id#\d+L?, b#\d+""".r.findFirstIn(sub).isDefined)),
+    // q6I reuses q6G's weight pipeline verbatim — same bucket-keyed
+    // pre-aggregate bounds the fold's buffer to <= nBuckets structs
+    "q6I_weighted_sample" -> (("(doc_id, b) bucket-keyed aggregate below the collect (q6G pipeline reused)",
+      sub => """HashAggregate\(keys=\[doc_id#\d+L?, b#\d+""".r.findFirstIn(sub).isDefined)),
     // merged span islands per doc (disjoint, >= k tokens each, so
     // <= len/k entries): the island aggregate's span_id key is the witness
     "q76_span_clean" -> (("span_id island aggregate below the collect",
