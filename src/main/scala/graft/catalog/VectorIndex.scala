@@ -87,15 +87,35 @@ final class VectorIndex(
   }
 
   /** Live view: newest version per id. */
-  def read: DataFrame =
+  def read: DataFrame = readAt(Long.MaxValue)
+
+  /** Point-in-time view: newest version per id among upsert batches with
+    * `_version <= asOf` — the merge-on-read log IS a history, so time
+    * travel is one filter pushed below the same dedup window (parquet
+    * row groups whose `_version` min exceeds `asOf` are skipped by their
+    * footer stats). [[versions]] lists the valid as-of points. NOTE
+    * [[compact]] rewrites the log to a single version 0 and therefore
+    * TRUNCATES history — the standard retention trade (Delta/Iceberg
+    * vacuum semantics): compact when the audit window has passed.
+    */
+  def readAt(asOf: Long): DataFrame =
     if (!hasData) emptyLike()
     else {
       val w = Window.partitionBy("id").orderBy(col("_version").desc)
       spark.read.parquet(path)
+        .filter(col("_version") <= asOf)
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
         .drop("_rn", "_version")
     }
+
+  /** The distinct upsert-batch versions present in the log, ascending —
+    * the valid [[readAt]] points. Bounded by batch count, not rows.
+    */
+  def versions: Seq[Long] =
+    if (!hasData) Seq.empty
+    else spark.read.parquet(path).select("_version").distinct()
+      .orderBy("_version").collect().map(_.getLong(0)).toSeq
 
   private def emptyLike(): DataFrame = {
     import org.apache.spark.sql.types._

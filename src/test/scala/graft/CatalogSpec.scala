@@ -64,6 +64,31 @@ class CatalogSpec extends GraftSpec {
     assert(idx.knn(Seq(0f, 1f, 0f), 1).collect().head.getAs[String]("id") == "b")
   }
 
+  test("readAt time-travels the merge-on-read log; compact truncates history") {
+    val idx = VectorIndex.createOrConnect(spark, cat, IndexMeta("idx-tt", 2))
+    idx.upsert(Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f))).toDF("id", "embedding"))
+    idx.upsert(Seq(("b", Seq(1f, 1f)), ("c", Seq(2f, 0f))).toDF("id", "embedding"))
+    val vs = idx.versions
+    assert(vs.size == 2 && vs == vs.sorted)
+    def snap(v: Long) = idx.readAt(v)
+      .select("id", "embedding").as[(String, Seq[Float])].collect().toMap
+    // as of batch 1: b is still its first value, c absent
+    val s1 = snap(vs.head)
+    assert(s1.keySet == Set("a", "b") && s1("b") == Seq(0f, 1f))
+    // as of batch 2 == live view: b replaced, c present
+    val s2 = snap(vs.last)
+    assert(s2.keySet == Set("a", "b", "c") && s2("b") == Seq(1f, 1f))
+    assert(idx.read.select("id", "embedding").as[(String, Seq[Float])]
+      .collect().toMap == s2)
+    // an as-of BEFORE the first batch is an empty index, not an error
+    assert(idx.readAt(vs.head - 1).isEmpty)
+    // compact rewrites to one version: live view unchanged, history gone
+    idx.compact()
+    assert(idx.versions == Seq(0L))
+    assert(idx.read.select("id", "embedding").as[(String, Seq[Float])]
+      .collect().toMap == s2)
+  }
+
   test("dimension probe falls back to measuring the stored data") {
     val idx = VectorIndex.createOrConnect(spark, cat, IndexMeta("probe-data", 3))
     assert(cat.dimensionFromData("probe-data").isEmpty) // no data yet
