@@ -731,6 +731,42 @@ object Dedup {
       .filter(col("n_rows") > maxCellSize)
   }
 
+  /** Cross-set SEMANTIC contamination (the embedding-space
+    * decontamination pass: q65 checks exact n-gram overlap, this
+    * catches paraphrased benchmark leakage sharing no shingles): each
+    * TRAIN vector's near matches among BENCH vectors at `minScore`
+    * cosine, with the train×bench pair space bounded by the shared IVF
+    * cell structure — only same-cell cross-set pairs score, exactly
+    * [[semanticPairs]]' SemDeDup argument applied across two sets.
+    *
+    * Scale shape: the cell assignment is a narrow broadcast-centroid
+    * argmax (no shuffle), so evaluating it once per side costs less
+    * than materializing the assignment table; the bench side is the
+    * small one at 100 TB (a benchmark suite, not a corpus) and
+    * broadcast-joins by cell into the streaming train side. Returns one
+    * row per contaminated train id: `(train_id, n_bench_hits,
+    * max_score)`.
+    */
+  def semanticContamination(
+      emb: DataFrame, idCol: String, vecCol: String, isBench: Column,
+      nCells: Int, minScore: Double, scale: Int = 6
+  ): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSimilarity
+    val cents = AnnIvf.centroids(emb, idCol, vecCol, nCells)
+    val assigned = AnnIvf.assign(emb, idCol, vecCol, cents)
+      .select(col("cell"), col(idCol), col(vecCol), isBench.as("_bench"))
+    val t = assigned.filter(!col("_bench"))
+    val b = assigned.filter(col("_bench"))
+    t.as("t").join(broadcast(b.as("b")), col("t.cell") === col("b.cell"))
+      .select(col(s"t.$idCol").as("train_id"),
+        col(s"b.$idCol").as("bench_id"),
+        round(cosineSimilarity(col(s"t.$vecCol"), col(s"b.$vecCol")), scale)
+          .as("score"))
+      .filter(col("score") >= minScore)
+      .groupBy("train_id")
+      .agg(count(lit(1)).as("n_bench_hits"), max("score").as("max_score"))
+  }
+
   /** Semantic-dedup survivors: a row is dropped iff some SAME-CELL row
     * with a smaller id is at least `minScore` cosine-similar to it
     * (the deterministic "keep the lowest-id exemplar" rule; one

@@ -202,6 +202,19 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // Cross-set semantic contamination: q65's decontamination pass in
+    // EMBEDDING space (catches paraphrased benchmark leakage that
+    // shares no n-grams). Bench = every 25th vector; train×bench pairs
+    // bounded to shared IVF cells; bench side broadcast. One row per
+    // contaminated train vector with its hit count and worst score.
+    "q6J_semantic_contamination" -> { (s, d) =>
+      graft.operators.Dedup.semanticContamination(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          isBench = col("vec_id") % 25 === 0,
+          nCells = 16, minScore = 0.35)
+        .orderBy("train_id")
+    },
+
     // Q1 metric variants: the reference accepts metric = dotproduct /
     // euclidean at index creation (`pinecone_service.py:33`); same scan +
     // TakeOrderedAndProject shape, only the scoring expression changes.
@@ -551,6 +564,23 @@ object VectorQueries {
          |SELECT e.vec_id, e.label FROM embeddings e
          |WHERE e.vec_id NOT IN (SELECT d FROM drops)
          |ORDER BY e.vec_id""".stripMargin,
+
+    // Cross-set mirror: the shared IVF-assignment CTE labeled bench /
+    // train, same-cell cross joins only, rounded-cosine threshold.
+    "q6J_semantic_contamination" ->
+      s"""WITH ${duckIvfCells(16)},
+         |lab AS (
+         |  SELECT vec_id, cell, (vec_id % 25 = 0) AS bench FROM assigned)
+         |SELECT t.vec_id AS train_id,
+         |  CAST(count(*) AS BIGINT) AS n_bench_hits,
+         |  max(round(${duckCosine("e1.embedding", "e2.embedding")}, 6)) AS max_score
+         |FROM lab t
+         |JOIN lab b ON t.cell = b.cell AND NOT t.bench AND b.bench
+         |JOIN embeddings e1 ON e1.vec_id = t.vec_id
+         |JOIN embeddings e2 ON e2.vec_id = b.vec_id
+         |WHERE round(${duckCosine("e1.embedding", "e2.embedding")}, 6) >= 0.35
+         |GROUP BY train_id
+         |ORDER BY train_id""".stripMargin,
 
     // Recall@10 of batched LSH ANN vs exact: the approximate side's
     // probe set (radius-2 multi-probe over 8 planes, the bucket
