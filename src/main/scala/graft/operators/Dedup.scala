@@ -752,6 +752,8 @@ object Dedup {
       nCells: Int, minScore: Double, scale: Int = 6
   ): DataFrame = {
     import graft.functions.VectorFunctions.cosineSimilarity
+    require(!emb.columns.exists(Set("_bench", "cell")),
+      "input already has a _bench/cell column (would be clobbered)")
     val cents = AnnIvf.centroids(emb, idCol, vecCol, nCells)
     val assigned = AnnIvf.assign(emb, idCol, vecCol, cents)
       .select(col("cell"), col(idCol), col(vecCol), isBench.as("_bench"))

@@ -95,6 +95,8 @@ object Sketch {
       depth: Int, width: Int, salt: String = "bloom"): DataFrame = {
     require(!queries.columns.contains("bloom_hit"),
       "queries already has a bloom_hit column (would be clobbered)")
+    require(!queries.columns.contains("_set"),
+      "queries already has a _set column (collides with the probe join)")
     val carried = queries.columns.toSeq
     val probes = probeCols(
       queries, termCol, depth, width, salt, carried.filterNot(_ == termCol))

@@ -155,6 +155,57 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("bloom filter property on generated sets: zero false negatives at " +
+    "any width; histogram estimates within one bucket of exact") {
+    import graft.operators.Sketch
+    val term = Gen.chooseNum(3, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    for (trial <- 0 until 3) {
+      val inserted = samples(term, 150, 13000L + trial * 100).distinct
+        .toDF("term")
+      val w = Seq(64, 1024, 16384)(trial) // saturated → roomy
+      val bloom = Sketch.bloomBits(inserted, "term", depth = 3, width = w)
+      val misses = Sketch.bloomProbe(bloom, inserted, "term", 3, w)
+        .filter(!col("bloom_hit")).count()
+      assert(misses == 0, s"trial $trial (w=$w): $misses false negatives")
+    }
+    // histogram-quantile accuracy on generated skewed data
+    val vGen = Gen.chooseNum(0.0, 100.0).map(x => x * x / 100.0) // right-skew
+    for (trial <- 0 until 3) {
+      val vals = samples(vGen, 400, 17000L + trial * 100)
+      val df = vals.toDF("v")
+      val hist = Sketch.histogramTable(df, "v", nBuckets = 50, lo = 0.0, hi = 100.0)
+      val est = Sketch.histogramQuantiles(hist, 50, 0.0, 100.0, Seq(0.25, 0.5, 0.9))
+        .select("p", "estimate").as[(Double, Double)].collect().toMap
+      val sorted = vals.sorted
+      def exact(p: Double): Double = {
+        val t = p * (sorted.size - 1)
+        val lo = sorted(t.toInt); val hi = sorted(math.ceil(t).toInt)
+        lo + (t - t.toInt) * (hi - lo)
+      }
+      Seq(0.25, 0.5, 0.9).foreach { p =>
+        assert(math.abs(est(p) - exact(p)) <= 2.0,
+          s"trial $trial p=$p: histogram ${est(p)} vs exact ${exact(p)}")
+      }
+    }
+  }
+
+  test("weighted-sample property: frequencies track weights on generated pools") {
+    import graft.operators.Curation
+    // two strata with weight gap ln(9): heavy rows should dominate the
+    // sample; the draw is deterministic so this is a fixed assertion,
+    // not a flaky statistical one
+    val pool = (0L until 400L).toDF("doc_id")
+      .withColumn("log_weight",
+        when(col("doc_id") % 2 === 0, math.log(9.0)).otherwise(0.0))
+    val kept = Curation.weightedSample(pool, "doc_id", "log_weight", k = 100)
+      .select("doc_id").as[Long].collect()
+    val heavy = kept.count(_ % 2 == 0)
+    // E[heavy] ≈ 90 under p=0.9 sampling; the seeded draw lands well
+    // above parity and below certainty
+    assert(heavy > 75 && heavy < 100, s"heavy-stratum share $heavy/100")
+  }
+
   test("chunker invariants on generated texts: bounded length, substring " +
     "of source, full non-whitespace coverage") {
     val word = Gen.chooseNum(1, 8).flatMap(n =>
