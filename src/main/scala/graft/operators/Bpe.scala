@@ -41,19 +41,27 @@ object Bpe {
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("syms", concat_ws(" ", split(col("w"), "")))
 
+  /** One row per adjacent-symbol pair SITE in the current symbol
+    * sequences: `(w, freq, pair)` — the shared kernel under
+    * [[pairCounts]] (the trainer's per-round aggregate) and the
+    * q2E_bpe_pairs statistics query (which also counts distinct words
+    * per pair). Vocabulary-sized, never corpus-sized.
+    */
+  def pairSites(words: DataFrame): DataFrame =
+    words.withColumn("_s", split(col("syms"), " "))
+      .filter(size(col("_s")) >= 2)
+      .select(col("w"), col("freq"),
+        col("_s"), explode(sequence(lit(1), size(col("_s")) - 1)).as("i"))
+      .select(col("w"), col("freq"),
+        concat_ws(" ", element_at(col("_s"), col("i")),
+          element_at(col("_s"), col("i") + 1)).as("pair"))
+
   /** Frequency-weighted adjacent-symbol pair counts over the CURRENT
     * symbol sequences. Map-side combine bounds the shuffle to distinct
     * pairs.
     */
   def pairCounts(words: DataFrame): DataFrame =
-    words.withColumn("_s", split(col("syms"), " "))
-      .filter(size(col("_s")) >= 2)
-      .select(col("freq"),
-        col("_s"), explode(sequence(lit(1), size(col("_s")) - 1)).as("i"))
-      .select(col("freq"),
-        concat_ws(" ", element_at(col("_s"), col("i")),
-          element_at(col("_s"), col("i") + 1)).as("pair"))
-      .groupBy("pair").agg(sum("freq").as("n"))
+    pairSites(words).groupBy("pair").agg(sum("freq").as("n"))
 
   /** Apply one merge: rewrite symbol bigram `"a b"` → `"ab"` in every
     * sequence, greedy left-to-right non-overlapping, whole-symbol

@@ -115,6 +115,10 @@ object Sketch {
     * state ≤ nBuckets rows — the CMS argument applied to quantiles).
     * Out-of-domain values clamp into the edge buckets, so the row count
     * is never silently wrong (estimates there degrade, totals don't).
+    * NULL and NaN values are EXCLUDED outright — Spark's `least`/
+    * `greatest` skip nulls, so without the filter a missing value would
+    * silently clamp into the TOP bucket and masquerade as a max-domain
+    * observation, inflating every high quantile.
     */
   def histogramTable(df: DataFrame, valueCol: String, nBuckets: Int,
       lo: Double, hi: Double): DataFrame = {
@@ -122,9 +126,12 @@ object Sketch {
       s"nBuckets must be in [2, 65536], got $nBuckets")
     require(lo < hi, s"empty domain [$lo, $hi)")
     val width = (hi - lo) / nBuckets
+    val v = col(valueCol).cast("double")
     val b = greatest(lit(0), least(lit(nBuckets - 1),
-      floor((col(valueCol).cast("double") - lit(lo)) / lit(width)).cast("int")))
-    df.select(b.as("b")).groupBy("b").agg(count(lit(1)).as("c"))
+      floor((col("_v") - lit(lo)) / lit(width)).cast("int")))
+    df.select(v.as("_v"))
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .select(b.as("b")).groupBy("b").agg(count(lit(1)).as("c"))
   }
 
   /** Interpolated quantile ESTIMATES from a histogram grid: for each

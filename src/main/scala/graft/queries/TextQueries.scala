@@ -212,15 +212,10 @@ object TextQueries {
     // |vocab| + |distinct pairs|; the argmax-and-merge loop above this
     // is a driver-side broadcast of one winning pair per round.
     "q2E_bpe_pairs" -> { (s, d) =>
-      val words = Tables.documents(s, d)
-        .select(explode(tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-      words.filter(length(col("w")) >= 2)
-        .select(col("w"), col("freq"),
-          explode(sequence(lit(1), length(col("w")) - 1)).as("i"))
-        .select(col("w"), col("freq"),
-          concat(col("w").substr(col("i"), lit(1)), lit(" "),
-            col("w").substr(col("i") + 1, lit(1))).as("pair"))
+      import graft.operators.Bpe
+      // the ACTUAL trainer kernel (Bpe.wordTable → pairSites), not a
+      // re-derivation — a regression in the operator turns this gate red
+      Bpe.pairSites(Bpe.wordTable(Tables.documents(s, d), "text"))
         .groupBy("pair")
         .agg(sum("freq").as("pair_count"), countDistinct("w").as("n_words"))
         .orderBy(col("pair_count").desc, col("pair"))

@@ -73,6 +73,13 @@ class SketchSpec extends GraftSpec {
     assert(hist.count() <= 100)
     // all rows accounted for, including the out-of-domain clamps
     assert(hist.agg(sum("c")).as[Long].head() == vals.length.toLong)
+    // NULL and NaN are EXCLUDED, never clamped into an edge bucket (a
+    // null run through least/greatest would silently count as a
+    // max-domain observation and inflate every high quantile)
+    val withBad = df.select($"v")
+      .union(Seq[Option[Double]](None, Some(Double.NaN)).toDF("v"))
+    val histBad = Sketch.histogramTable(withBad, "v", 100, 0.0, 1000.0)
+    assert(histBad.agg(sum("c")).as[Long].head() == vals.length.toLong)
     val est = Sketch.histogramQuantiles(hist, 100, 0.0, 1000.0,
         Seq(0.1, 0.5, 0.9))
       .select("p", "estimate").as[(Double, Double)].collect().toMap
