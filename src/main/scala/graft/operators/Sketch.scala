@@ -146,17 +146,50 @@ object Sketch {
     * of a sketch, not a scale hazard).
     */
   def histogramQuantiles(hist: DataFrame, nBuckets: Int, lo: Double,
-      hi: Double, ps: Seq[Double]): DataFrame = {
+      hi: Double, ps: Seq[Double]): DataFrame =
+    histogramQuantilesBy(hist, Nil, nBuckets, lo, hi, ps)
+
+  /** Per-GROUP grouped histogram: `(groupCols..., b, c)` — state ≤
+    * groups × nBuckets, the per-domain drift monitor shape.
+    */
+  def groupedHistogramTable(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, nBuckets: Int, lo: Double, hi: Double): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536], got $nBuckets")
+    require(lo < hi, s"empty domain [$lo, $hi)")
+    require(groupCols.nonEmpty, "use histogramTable for the ungrouped form")
+    val width = (hi - lo) / nBuckets
+    val v = col(valueCol).cast("double")
+    val b = greatest(lit(0), least(lit(nBuckets - 1),
+      floor((col("_v") - lit(lo)) / lit(width)).cast("int")))
+    df.select(groupCols.map(col) :+ v.as("_v"): _*)
+      .filter(col("_v").isNotNull && !isnan(col("_v")))
+      .select(groupCols.map(col) :+ b.as("b"): _*)
+      .groupBy((groupCols :+ "b").map(col): _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** [[histogramQuantiles]] generalized over group columns: the
+    * cumulative walk windows PER GROUP (parallel across groups — no
+    * single-partition window in the grouped form), the covering-rank
+    * joins are equi-joins on the group key plus the rank-range
+    * predicate, and every group answers all `ps`. With `groupCols`
+    * empty this is the global form (the cum table is ≤ nBuckets rows
+    * and broadcasts).
+    */
+  def histogramQuantilesBy(hist: DataFrame, groupCols: Seq[String],
+      nBuckets: Int, lo: Double, hi: Double, ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
       "quantiles must be in [0, 1]")
     val width = (hi - lo) / nBuckets
-    val w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val cum = hist
       .withColumn("cum_before", coalesce(sum("c").over(w), lit(0L)))
-    val n = hist.agg(sum("c").as("n_rows"))
-    val pdf = hist.sparkSession.range(1).select(
-        explode(array(ps.map(lit): _*)).as("p"))
-      .crossJoin(broadcast(n))
+    val n = hist.groupBy(gcols: _*).agg(sum("c").as("n_rows"))
+    val pdf = n
+      .select(gcols :+ col("n_rows") :+
+        explode(array(ps.map(lit): _*)).as("p"): _*)
       .withColumn("t", col("p") * (col("n_rows") - 1).cast("double") + lit(1.0))
       .withColumn("k_lo", floor(col("t")).cast("long"))
       .withColumn("k_hi", ceil(col("t")).cast("long"))
@@ -164,19 +197,23 @@ object Sketch {
       lit(lo) + lit(width) * (b.cast("double") +
         (k - cumBefore).cast("double") / c.cast("double"))
     def side(k: String, out: String) = {
-      val cc = cum.select(col("b").as(s"_b$out"), col("c").as(s"_c$out"),
-        col("cum_before").as(s"_cb$out"))
-      (df: DataFrame) => df.join(broadcast(cc),
-          col(k) > col(s"_cb$out") &&
-            col(k) <= col(s"_cb$out") + col(s"_c$out"))
+      val cc0 = cum.select(groupCols.map(g => col(g).as(s"_g$out$g")) ++
+        Seq(col("b").as(s"_b$out"), col("c").as(s"_c$out"),
+          col("cum_before").as(s"_cb$out")): _*)
+      val cc = if (groupCols.isEmpty) broadcast(cc0) else cc0
+      (df: DataFrame) => df.join(cc,
+          groupCols.map(g => col(g) === col(s"_g$out$g"))
+            .foldLeft(col(k) > col(s"_cb$out") &&
+              col(k) <= col(s"_cb$out") + col(s"_c$out"))(_ && _))
         .withColumn(out,
           valueAt(col(k), col(s"_cb$out"), col(s"_b$out"), col(s"_c$out")))
-        .drop(s"_b$out", s"_c$out", s"_cb$out")
+        .drop(groupCols.map(g => s"_g$out$g") ++
+          Seq(s"_b$out", s"_c$out", s"_cb$out"): _*)
     }
     side("k_lo", "_v_lo")(side("k_hi", "_v_hi")(pdf))
-      .select(col("p"), col("n_rows"),
+      .select(gcols ++ Seq(col("p"), col("n_rows"),
         round(col("_v_lo") + (col("t") - col("k_lo").cast("double")) *
-          (col("_v_hi") - col("_v_lo")), 6).as("estimate"))
+          (col("_v_hi") - col("_v_lo")), 6).as("estimate")): _*)
   }
 
   /** Point estimates for the terms in `queries`: min over the d cells.

@@ -244,6 +244,23 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Per-GROUP bounded-state quantiles: the per-domain length-drift
+    // monitor — a 64-bucket token-count histogram PER SOURCE (state ≤
+    // sources × 64 mergeable rows; the cumulative walk windows per
+    // group, parallel across groups, no single-partition window) with
+    // p50/p90 interpolated per source by the same closed-form double
+    // math as q7D's global form.
+    "q2G_grouped_quantiles" -> { (s, d) =>
+      import graft.operators.Sketch
+      val toks = Tables.documents(s, d)
+        .select(col("source"), tokenCount(col("text")).as("n_tokens"))
+      val hist = Sketch.groupedHistogramTable(toks, Seq("source"),
+        "n_tokens", nBuckets = 64, lo = 0.0, hi = 1024.0)
+      Sketch.histogramQuantilesBy(hist, Seq("source"), nBuckets = 64,
+          lo = 0.0, hi = 1024.0, ps = Seq(0.5, 0.9))
+        .orderBy("source", "p")
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -513,6 +530,47 @@ object TextQueries {
          |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Grouped-histogram mirror: q7D's bucket walk and interpolation,
+    // partitioned by source.
+    "q2G_grouped_quantiles" ->
+      s"""WITH v AS (
+         |  SELECT source, CAST(len($duckToks) AS DOUBLE) AS nt FROM documents),
+         |hist AS (
+         |  SELECT source, greatest(0, least(63,
+         |           CAST(floor((nt - 0.0) / 16.0) AS INT))) AS b,
+         |         count(*) AS c
+         |  FROM v GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, b, c,
+         |    CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY b
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS cb
+         |  FROM hist),
+         |n AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_rows
+         |      FROM hist GROUP BY source),
+         |pq AS (
+         |  SELECT source, n_rows, p,
+         |    p * CAST(n_rows - 1 AS DOUBLE) + 1.0 AS t
+         |  FROM n CROSS JOIN (SELECT unnest([0.5, 0.9]) AS p)),
+         |ks AS (
+         |  SELECT source, n_rows, p, t,
+         |    CAST(floor(t) AS BIGINT) AS k_lo, CAST(ceil(t) AS BIGINT) AS k_hi
+         |  FROM pq),
+         |vlo AS (
+         |  SELECT ks.*, 0.0 + 16.0 * (CAST(cum.b AS DOUBLE)
+         |    + CAST(ks.k_lo - cum.cb AS DOUBLE) / CAST(cum.c AS DOUBLE)) AS v_lo
+         |  FROM ks JOIN cum ON ks.source = cum.source
+         |    AND ks.k_lo > cum.cb AND ks.k_lo <= cum.cb + cum.c),
+         |vhi AS (
+         |  SELECT vlo.*, 0.0 + 16.0 * (CAST(cum.b AS DOUBLE)
+         |    + CAST(vlo.k_hi - cum.cb AS DOUBLE) / CAST(cum.c AS DOUBLE)) AS v_hi
+         |  FROM vlo JOIN cum ON vlo.source = cum.source
+         |    AND vlo.k_hi > cum.cb AND vlo.k_hi <= cum.cb + cum.c)
+         |SELECT source, p, n_rows,
+         |  round(v_lo + (t - CAST(k_lo AS DOUBLE)) * (v_hi - v_lo), 6) AS estimate
+         |FROM vhi
+         |ORDER BY source, p""".stripMargin,
 
     "q24_source_stats" ->
       s"""SELECT source,
