@@ -271,6 +271,18 @@ object TextFunctions {
     v % buckets
   }
 
+  /** Integer value of `len` hex chars of an md5 digest starting at
+    * 1-based char `start` (≤ 15 chars — the value must fit a signed
+    * long). The generic window under [[hashUniform]] and the HLL rank
+    * bits; same ascii arithmetic as [[hashBucket]], oracle-replayable.
+    */
+  def hexValue(digest: Column, start: Int, len: Int): Column = {
+    require(len >= 1 && len <= 15, s"len must be in [1, 15], got $len")
+    (0 until len)
+      .map(i => hexDigit(substring(digest, start + i, 1)))
+      .foldLeft(lit(0L).cast("long"))((acc, d) => acc * 16 + d)
+  }
+
   /** Deterministic uniform draw in (0, 1): leading 8 hex chars of
     * md5(id as string) → v ∈ [0, 2^32), then u = (v + 1) / (2^32 + 1) —
     * strictly inside the open interval so ln(u) and ln(−ln(u)) are both

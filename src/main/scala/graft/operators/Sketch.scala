@@ -106,6 +106,70 @@ object Sketch {
       .agg((min(coalesce(col("_set"), lit(0))) === 1).as("bloom_hit"))
   }
 
+  /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier
+    * 2007): THE distinct-count sketch — exact `countDistinct` shuffles
+    * every distinct value, the HLL is ≤ `m` register rows per group
+    * with ~1.04/√m relative error, mergeable by element-wise MAX (so
+    * shards/days combine losslessly, and it runs as a streaming
+    * aggregate with bounded state). Register `j` = a 16-bit md5 slice
+    * mod m; rank = leading-zero count + 1 of the NEXT 32 hash bits,
+    * computed by an integer comparison chain (no float log2 — the
+    * boundary cases must agree bit-for-bit with the oracle's replay).
+    * Unlike Spark's own `approx_count_distinct` (whose HLL++ registers
+    * are an opaque binary), every register here is a plain row built
+    * from md5 arithmetic, so the DuckDB oracle reproduces the sketch
+    * exactly.
+    */
+  def hllTable(df: DataFrame, groupCols: Seq[String], termCol: String,
+      m: Int = 1024, salt: String = "hll"): DataFrame = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 65536], got $m")
+    require(!df.columns.exists(Set("j", "r", "_hll_h")),
+      "input carries a j/r/_hll_h column (collides with the register output)")
+    val keep = groupCols.map(col)
+    val withH = df
+      .withColumn("_hll_h", md5(concat(col(termCol), lit(s":$salt"))))
+      .select(keep :+
+        TextFunctions.hashBucketSlice(col("_hll_h"), lit(0), m).as("j") :+
+        TextFunctions.hexValue(col("_hll_h"), 5, 8).as("_v"): _*)
+    // rank = (# leading zeros of the 32-bit value) + 1, in [1, 33]:
+    // ascending-bit fold nests the checks so v >= 2^31 wins outermost
+    val rank = (0 to 31).foldLeft(lit(33)) { (acc, bit) =>
+      when(col("_v") >= lit(1L << bit), lit(32 - bit)).otherwise(acc)
+    }
+    withH.select(keep :+ col("j") :+ rank.as("_r"): _*)
+      .groupBy((groupCols :+ "j").map(col): _*).agg(max("_r").as("r"))
+  }
+
+  /** Distinct-count estimates from an HLL register table: the harmonic
+    * mean over all `m` registers (absent rows count as rank 0) with the
+    * standard small-range correction `m·ln(m/zeros)`. The register sum
+    * is INTEGER-exact — each register contributes `2^(33−r)` (an exact
+    * long, since r ≤ 33), so the sum is order-independent under any
+    * partitioning and the oracle's replay is bit-identical; doubles
+    * enter only in the final closed-form division. (No large-range
+    * correction: 32 hash bits bound cardinalities well below its
+    * threshold at these register counts.)
+    */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+      m: Int = 1024): DataFrame = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 65536], got $m")
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val num   = alpha * m * m * 8589934592.0 // α·m²·2^33, one exact literal
+    val agg = regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("_nz"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")).as("_ps"))
+      .withColumn("_zeros", lit(m.toLong) - col("_nz"))
+      .withColumn("_sum", col("_ps") + col("_zeros") * lit(8589934592L))
+      .withColumn("_raw", lit(num) / col("_sum").cast("double"))
+    agg.select(groupCols.map(col) :+
+      round(
+        when(col("_zeros") > 0 && col("_raw") <= lit(2.5 * m),
+          lit(m.toDouble) * log(lit(m.toDouble) / col("_zeros").cast("double")))
+          .otherwise(col("_raw")), 6).as("hll_distinct"): _*)
+  }
+
   /** Fixed-bucket histogram over a numeric column: `(b, c)` rows with
     * `b = clamp(floor((v − lo) / width), 0, nBuckets−1)` — the
     * bounded-state QUANTILE summary. Exact quantiles carry

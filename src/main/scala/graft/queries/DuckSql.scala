@@ -65,6 +65,17 @@ private[queries] object DuckSql {
     s"((CAST($v AS DOUBLE) + 1.0) / 4294967297.0)"
   }
 
+  /** [[graft.functions.TextFunctions.hexValue]] mirror: integer value
+    * of `len` hex chars of digest expression `digestExpr` starting at
+    * 1-based char `start` (first term cast BIGINT against 32-bit
+    * overflow).
+    */
+  def hexValue(digestExpr: String, start: Int, len: Int): String = {
+    def hv(i: Int) =
+      s"(ascii(substr($digestExpr, ${start + i}, 1)) - CASE WHEN ascii(substr($digestExpr, ${start + i}, 1)) >= 97 THEN 87 ELSE 48 END)"
+    (1 until len).foldLeft(s"CAST(${hv(0)} AS BIGINT)")((acc, i) => s"($acc * 16 + ${hv(i)})")
+  }
+
   /** Non-distinct word n-grams over [[toks]] — mirrors
     * WordShinglesExpr / TextFunctions.wordShingles(n) (which keeps
     * duplicates; dedup callers wrap with list_distinct).

@@ -261,6 +261,29 @@ object TextQueries {
         .orderBy("source", "p")
     },
 
+    // HyperLogLog distinct counting vs exact: THE cardinality sketch —
+    // exact countDistinct shuffles every distinct value (unbounded at
+    // web-scale vocabularies), the HLL is ≤1024 register rows per
+    // source, mergeable by MAX, ~3.2% error at m=1024. Unlike Spark's
+    // approx_count_distinct (opaque HLL++ binary), every register here
+    // is a plain md5-arithmetic row the oracle reproduces exactly —
+    // the register sum is integer-exact, so the estimate is
+    // bit-identical cross-engine, not merely close.
+    "q2H_hll_distinct" -> { (s, d) =>
+      import graft.operators.Sketch
+      val terms = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("term"))
+      val est = Sketch.hllEstimate(
+        Sketch.hllTable(terms, Seq("source"), "term", m = 1024),
+        Seq("source"), m = 1024)
+      terms.groupBy("source").agg(countDistinct("term").as("exact_distinct"))
+        .join(est, "source")
+        .withColumn("rel_err",
+          round(abs(col("hll_distinct") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"), 6))
+        .orderBy("source")
+    },
+
     // Corpus stats per source (A3/A4-style aggregation).
     "q24_source_stats" -> { (s, d) =>
       Tables.documents(s, d)
@@ -571,6 +594,45 @@ object TextQueries {
          |  round(v_lo + (t - CAST(k_lo AS DOUBLE)) * (v_hi - v_lo), 6) AS estimate
          |FROM vhi
          |ORDER BY source, p""".stripMargin,
+
+    // HLL mirror: same 16-bit bucket slice, same 32-bit rank window
+    // with an integer CASE chain for leading zeros (no float log2),
+    // same integer-exact register sum and closed-form estimate with the
+    // identical α·m²·2^33 literal.
+    "q2H_hll_distinct" -> {
+      val m = 1024
+      val num = 0.7213 / (1.0 + 1.079 / m) * m * m * 8589934592.0
+      val rankCase = (31 to 0 by -1)
+        .map(bit => s"WHEN v >= ${1L << bit} THEN ${32 - bit}")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      s"""WITH t AS (SELECT source, unnest($duckToks) AS term FROM documents),
+         |h AS (SELECT source, md5(term || ':hll') AS hh FROM t),
+         |jv AS (SELECT source, ${DuckSql.bucketSlice("hh", "0", m)} AS j,
+         |               ${DuckSql.hexValue("hh", 5, 8)} AS v FROM h),
+         |regs AS (
+         |  SELECT source, j, max($rankCase) AS r
+         |  FROM jv GROUP BY source, j),
+         |agg AS (
+         |  SELECT source, count(*) AS nz,
+         |         sum(CAST(1 AS BIGINT) << (33 - r)) AS ps
+         |  FROM regs GROUP BY source),
+         |est AS (
+         |  SELECT source,
+         |    round(CASE WHEN ($m - nz) > 0 AND raw <= ${2.5 * m}
+         |               THEN $m.0 * ln($m.0 / CAST($m - nz AS DOUBLE))
+         |               ELSE raw END, 6) AS hll_distinct
+         |  FROM (SELECT source, nz,
+         |          $num / CAST(ps + ($m - nz) * 8589934592 AS DOUBLE) AS raw
+         |        FROM agg)),
+         |exact AS (
+         |  SELECT source, count(DISTINCT term) AS exact_distinct FROM t
+         |  GROUP BY source)
+         |SELECT source, exact_distinct, hll_distinct,
+         |  round(abs(hll_distinct - CAST(exact_distinct AS DOUBLE))
+         |        / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+         |FROM exact JOIN est USING (source)
+         |ORDER BY source""".stripMargin
+    },
 
     "q24_source_stats" ->
       s"""SELECT source,

@@ -97,6 +97,36 @@ class SketchSpec extends GraftSpec {
     assert(merged == whole)
   }
 
+  test("HLL: harmonic-path accuracy at large cardinality, register max-merge") {
+    import spark.implicits._
+    val n = 200000L
+    val ids = spark.range(n)
+      .select(col("id"), concat(lit("item-"), col("id")).as("term"))
+    // large cardinality >> 2.5m drives the RAW harmonic estimate (the
+    // fixture's tiny per-source vocabularies only reach the
+    // linear-counting branch); bound is ~3·(1.04/√m)
+    val m = 4096
+    val est = Sketch.hllEstimate(
+        Sketch.hllTable(ids, Nil, "term", m), Nil, m)
+      .select("hll_distinct").as[Double].head()
+    assert(math.abs(est - n) / n < 0.05, s"HLL estimated $est for $n distinct")
+    // duplicates change nothing: the sketch sees values, not rows
+    val est2 = Sketch.hllEstimate(
+        Sketch.hllTable(ids.union(ids), Nil, "term", m), Nil, m)
+      .select("hll_distinct").as[Double].head()
+    assert(est2 == est)
+    // register tables of halves merge by MAX into exactly the whole
+    def regs(df: org.apache.spark.sql.DataFrame) =
+      Sketch.hllTable(df, Nil, "term", 1024)
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val whole = regs(ids)
+    val merged = Sketch.hllTable(ids.filter($"id" < n / 2), Nil, "term", 1024)
+      .unionByName(Sketch.hllTable(ids.filter($"id" >= n / 2), Nil, "term", 1024))
+      .groupBy("j").agg(max("r").as("r"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == whole)
+  }
+
   test("sketches merge cell-wise: union of halves equals the whole") {
     val docs = Tables.documents(spark, sfDir)
     def termsOf(f: org.apache.spark.sql.Column) = docs.filter(f)
