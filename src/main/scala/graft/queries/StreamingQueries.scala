@@ -208,6 +208,33 @@ object StreamingQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Distinct counting as a STREAMING aggregate: the HLL register
+    // table is a Complete-mode groupBy(j).max(r) — ≤1024 state rows
+    // FOREVER, vs a streaming exact distinct whose state grows with the
+    // vocabulary. The stream really runs; the register table feeding
+    // the estimate is bit-identical to the batch sketch (max-merge is
+    // what the state store does between micro-batches), and the
+    // estimate is compared against the batch exact count in-query.
+    "q7E_stream_hll" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Sketch
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val terms = docs.select(
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      val regs = StreamRunner.runToBatch(
+        Sketch.hllTable(terms, Nil, "term", m = 1024), OutputMode.Complete)
+      val est = Sketch.hllEstimate(regs, Nil, m = 1024)
+      val exact = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .agg(countDistinct("term").as("exact_distinct"))
+      est.crossJoin(exact)
+        .withColumn("rel_err",
+          round(abs(col("hll_distinct") - col("exact_distinct").cast("double"))
+            / col("exact_distinct").cast("double"), 6))
+    },
+
     // Quantile estimation as a STREAMING aggregate: the 128-bucket
     // token-count histogram is the bounded-state quantile summary (the
     // CMS argument applied to quantiles — exact selection carries
@@ -351,6 +378,37 @@ object StreamingQueries {
          |SELECT query_id, neighbor_id, score, rn FROM ranked
          |WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
+
+    // Batch mirror of the streamed HLL: q2H's global form (same bucket
+    // slice, rank chain, integer-exact register sum, same literals).
+    "q7E_stream_hll" -> {
+      val m = 1024
+      val num = 0.7213 / (1.0 + 1.079 / m) * m * m * 8589934592.0
+      val rankCase = (31 to 0 by -1)
+        .map(bit => s"WHEN v >= ${1L << bit} THEN ${32 - bit}")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      s"""WITH t AS (SELECT unnest(${DuckSql.toks}) AS term FROM documents),
+         |h AS (SELECT md5(term || ':hll') AS hh FROM t),
+         |jv AS (SELECT ${DuckSql.bucketSlice("hh", "0", m)} AS j,
+         |               ${DuckSql.hexValue("hh", 5, 8)} AS v FROM h),
+         |regs AS (SELECT j, max($rankCase) AS r FROM jv GROUP BY j),
+         |agg AS (
+         |  SELECT count(*) AS nz,
+         |         sum(CAST(1 AS BIGINT) << (33 - r)) AS ps
+         |  FROM regs),
+         |est AS (
+         |  SELECT round(CASE WHEN ($m - nz) > 0 AND raw <= ${2.5 * m}
+         |               THEN $m.0 * ln($m.0 / CAST($m - nz AS DOUBLE))
+         |               ELSE raw END, 6) AS hll_distinct
+         |  FROM (SELECT nz,
+         |          $num / CAST(ps + ($m - nz) * 8589934592 AS DOUBLE) AS raw
+         |        FROM agg)),
+         |exact AS (SELECT count(DISTINCT term) AS exact_distinct FROM t)
+         |SELECT hll_distinct, exact_distinct,
+         |  round(abs(hll_distinct - CAST(exact_distinct AS DOUBLE))
+         |        / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+         |FROM est CROSS JOIN exact""".stripMargin
+    },
 
     // Batch mirror of the streamed histogram quantiles: same clamp
     // bucketing, same cumulative walk, same uniform-within-bucket
