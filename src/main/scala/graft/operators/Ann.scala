@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import scala.util.hashing.MurmurHash3
@@ -319,6 +319,27 @@ object AnnIvf {
     */
   def writeCellPartitioned(assigned: DataFrame, path: String): Unit =
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Per-ROW cell assignment as a pure column expression over DRIVER-
+    * collected centroids — the streaming-legal form of [[assign]]
+    * (which is a `max_by` AGGREGATION and therefore stateful on a
+    * stream). Same cosine arithmetic, same tie rule (max score, ties to
+    * the smallest centroid id) via an `array_max` over
+    * `struct(score, −cid)` entries, so cells agree bit-for-bit with the
+    * batch path; a zero-norm vector's NULL cosine coalesces to −2
+    * (below any real cosine) instead of poisoning the struct compare.
+    * Centroid count is small by construction (nList entries inline in
+    * the expression, broadcast with the plan).
+    */
+  def assignCellCol(vec: Column, cents: Seq[(Long, Seq[Float])]): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val entries = cents.map { case (cid, cvec) =>
+      struct(
+        coalesce(cosineSimilarity(vec, typedLit(cvec)), lit(-2.0)).as("s"),
+        lit(-cid).as("negcid"))
+    }
+    -array_max(array(entries: _*)).getField("negcid")
+  }
 
   /** Approximate top-k against a cell-partitioned store (partition
     * pruning on the cell predicate). Note: partition-column inference

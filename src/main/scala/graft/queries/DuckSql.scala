@@ -53,6 +53,25 @@ private[queries] object DuckSql {
     s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
   }
 
+  /** DuckDB mirror of `AnnIvf.centroids` + `assign`: centroids are the
+    * `nCells` smallest-id corpus vectors; each row goes to its
+    * max-cosine centroid with ties to the smallest centroid id. Emits
+    * CTE fragments `cents(cid, cvec)` and `assigned(vec_id, cell)` over
+    * `embeddings`. Shared by the q17 / q6D / q6E / q6J / q7F oracles.
+    */
+  def ivfCells(nCells: Int): String =
+    s"""cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec
+       |  FROM embeddings ORDER BY vec_id LIMIT $nCells),
+       |assigned AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${cosine("e.embedding", "c.cvec")} DESC,
+       |                      c.cid ASC) AS rn
+       |    FROM embeddings e, cents c) t
+       |  WHERE rn = 1)""".stripMargin
+
   /** [[graft.functions.TextFunctions.hashUniform]] mirror: leading 8 hex
     * chars of md5(expr) → v ∈ [0, 2^32) via ascii arithmetic (first term
     * cast BIGINT so the chain never overflows 32-bit INTEGER), then

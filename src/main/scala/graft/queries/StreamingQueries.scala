@@ -208,6 +208,39 @@ object StreamingQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Streaming SEMANTIC contamination gate (q6J's streaming twin, and
+    // the embedding-space sibling of q77's minhash gate): arriving
+    // train vectors are cell-assigned by a PURE column expression over
+    // the driver-collected centroids (AnnIvf.assignCellCol — the batch
+    // assign is a max_by aggregation, stateful on a stream) and
+    // stream-static joined against the precomputed bench cell table.
+    // Stateless append mode; per-arrival pairs hash-equal to the batch
+    // cross-set pairs restricted to the train side.
+    "q7F_stream_semantic_flag" -> { (s, d) =>
+      import graft.functions.VectorFunctions.cosineSimilarity
+      import graft.operators.AnnIvf
+      val e       = Tables.embeddings(s, d)
+      val centsDf = AnnIvf.centroids(e, "vec_id", "embedding", 16)
+      val cents   = centsDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+      val bench = AnnIvf.assign(e.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", centsDf)
+        .select(col("cell"), col("vec_id").as("bench_id"),
+          col("embedding").as("bvec"))
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val incoming = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+        .filter(col("vec_id") % 25 =!= 0)
+      val flagged = incoming
+        .withColumn("cell", AnnIvf.assignCellCol(col("embedding"), cents))
+        .join(bench, Seq("cell"))
+        .select(col("vec_id").as("train_id"), col("bench_id"),
+          round(cosineSimilarity(col("embedding"), col("bvec")), 6).as("score"))
+        .filter(col("score") >= 0.35)
+      StreamRunner.runToBatch(flagged, OutputMode.Append)
+        .orderBy("train_id", "bench_id")
+    },
+
     // Distinct counting as a STREAMING aggregate: the HLL register
     // table is a Complete-mode groupBy(j).max(r) — ≤1024 state rows
     // FOREVER, vs a streaming exact distinct whose state grows with the
@@ -378,6 +411,21 @@ object StreamingQueries {
          |SELECT query_id, neighbor_id, score, rn FROM ranked
          |WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
+
+    // Batch mirror of the streamed semantic flag: the shared IVF
+    // assignment labeled bench/train, same-cell cross pairs as rows.
+    "q7F_stream_semantic_flag" ->
+      s"""WITH ${DuckSql.ivfCells(16)},
+         |lab AS (
+         |  SELECT vec_id, cell, (vec_id % 25 = 0) AS bench FROM assigned)
+         |SELECT t.vec_id AS train_id, b.vec_id AS bench_id,
+         |  round(${DuckSql.cosine("e1.embedding", "e2.embedding")}, 6) AS score
+         |FROM lab t
+         |JOIN lab b ON t.cell = b.cell AND NOT t.bench AND b.bench
+         |JOIN embeddings e1 ON e1.vec_id = t.vec_id
+         |JOIN embeddings e2 ON e2.vec_id = b.vec_id
+         |WHERE round(${DuckSql.cosine("e1.embedding", "e2.embedding")}, 6) >= 0.35
+         |ORDER BY train_id, bench_id""".stripMargin,
 
     // Batch mirror of the streamed HLL: q2H's global form (same bucket
     // slice, rank chain, integer-exact register sum, same literals).

@@ -23,18 +23,7 @@ object VectorQueries {
     * `cents(cid, cvec)` and `assigned(vec_id, cell)` over `embeddings`.
     * Shared by the q17 / q6D / q6E oracles.
     */
-  private def duckIvfCells(nCells: Int): String =
-    s"""cents AS (
-       |  SELECT vec_id AS cid, embedding AS cvec
-       |  FROM embeddings ORDER BY vec_id LIMIT $nCells),
-       |assigned AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT e.vec_id, c.cid AS cell,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${duckCosine("e.embedding", "c.cvec")} DESC,
-       |                      c.cid ASC) AS rn
-       |    FROM embeddings e, cents c) t
-       |  WHERE rn = 1)""".stripMargin
+  private def duckIvfCells(nCells: Int): String = DuckSql.ivfCells(nCells)
 
   /** DuckDB mirror of `AnnLsh.hyperplanes` + `signatureOf` (seed 42):
     * plane entry (p, d) is the sign of scala
