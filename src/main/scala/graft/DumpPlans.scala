@@ -47,7 +47,10 @@ object DumpPlans {
       ("q57_pdf_ingest", "PDF ingest round-trip: binaryFile scan -> typed flatMap page explode (object path, NOT a ScalaUDF -- per-file parsing is imperative by nature and parallelizes across files), then pure codegen'd projection. One narrow map, zero shuffles before the final sort", PipelineQueries.queries("q57_pdf_ingest")),
       ("q2D_bloom_screen", "Bloom contamination screen: the set-bit table (<= d*w rows by construction) BROADCASTS into the probe join -- the training side never shuffles for membership; the exact-join comparison broadcasts the benchmark shingle set the same way. One keyed exchange total (the per-doc aggregate)", TextQueries.queries("q2D_bloom_screen")),
       ("q2E_bpe_pairs", "BPE pair statistics: corpus explodes ONCE into the distinct-word frequency table (map-side combine bounds that shuffle to vocab), pairs explode from the word table (vocabulary-sized, not corpus-sized), pair aggregate partial-combines again. TakeOrderedAndProject cuts the top-20", TextQueries.queries("q2E_bpe_pairs")),
-      ("q6I_weighted_sample", "DSIR Gumbel-top-k resample: q6G's weight pipeline (broadcast log-ratio table, pool streams through one narrow join) + a narrow key map, then TakeOrderedAndProject -- per-partition k-heaps, partitions*k rows to the merge, NO global sort of the weighted pool", CurationQueries.queries("q6I_weighted_sample"))
+      ("q6I_weighted_sample", "DSIR Gumbel-top-k resample: q6G's weight pipeline (broadcast log-ratio table, pool streams through one narrow join) + a narrow key map, then TakeOrderedAndProject -- per-partition k-heaps, partitions*k rows to the merge, NO global sort of the weighted pool", CurationQueries.queries("q6I_weighted_sample")),
+      ("q2H_hll_distinct", "from-scratch HyperLogLog: one narrow md5 map per occurrence, register table via (source, j) groupBy MAX (partial-aggregated -- the shuffle carries <= groups*m register rows, never occurrences), integer-exact 2^(33-r) register sum, one closed-form division. The exact countDistinct side it is priced against carries distinct-value state; the sketch side is the 100 TB path", TextQueries.queries("q2H_hll_distinct")),
+      ("q2G_grouped_quantiles", "per-group histogram quantiles: grouped bucket aggregate (state <= groups*nBuckets), cumulative walk windowed PER GROUP (parallel across groups -- no single-partition window), covering-rank equi-joins on the group key with the rank range residual", TextQueries.queries("q2G_grouped_quantiles")),
+      ("q6J_semantic_contamination", "cross-set semantic contamination: broadcast-centroid argmax assignment per side (narrow, no shuffle), bench side BROADCAST into the cell equi-join -- the train corpus streams; per-train-doc aggregate", VectorQueries.queries("q6J_semantic_contamination"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")

@@ -220,6 +220,26 @@ class AnnSpec extends GraftSpec {
     assert(r.toSeq == Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
   }
 
+  test("assignCellCol (streaming form) matches the batch max_by assignment cell-for-cell") {
+    import spark.implicits._
+    val centsDf = AnnIvf.centroids(emb, "vec_id", "embedding", 16)
+    val cents = centsDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val batch = AnnIvf.assign(emb, "vec_id", "embedding", centsDf)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val colForm = emb
+      .select($"vec_id", AnnIvf.assignCellCol($"embedding", cents).as("cell"))
+      .as[(Long, Long)].collect().toMap
+    assert(colForm == batch)
+    // zero-norm vector: the coalesced −2 score still yields a cell
+    // (the smallest centroid id wins every tie) instead of a NULL
+    val z = Seq((99999L, Seq.fill(cents.head._2.size)(0f)))
+      .toDF("vec_id", "embedding")
+      .select(AnnIvf.assignCellCol($"embedding", cents).as("cell"))
+      .as[Long].head()
+    assert(z == cents.map(_._1).min)
+  }
+
   test("higher probe budget improves or preserves LSH recall") {
     val bucketed = AnnLsh.withBuckets(emb, "embedding", 8).cache()
     try {
