@@ -290,13 +290,9 @@ object TextFunctions {
     * sampling ([[graft.operators.Curation.weightedSample]]); same ascii
     * arithmetic as [[hashBucket]], so the oracle replays it exactly.
     */
-  def hashUniform(id: Column): Column = {
-    val h = md5(id.cast("string"))
-    val v = (0 until 8)
-      .map(i => hexDigit(substring(h, i + 1, 1)))
-      .foldLeft(lit(0L).cast("long"))((acc, d) => acc * 16 + d)
-    (v.cast("double") + lit(1.0)) / lit(4294967297.0)
-  }
+  def hashUniform(id: Column): Column =
+    (hexValue(md5(id.cast("string")), 1, 8).cast("double") + lit(1.0)) /
+      lit(4294967297.0)
 
   /** `slice`-th disjoint 4-hex-char window of an md5 ALREADY computed as
     * `digest` → int in [0, buckets). Eight independent-enough 16-bit

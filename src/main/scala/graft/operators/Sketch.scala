@@ -124,8 +124,10 @@ object Sketch {
       m: Int = 1024, salt: String = "hll"): DataFrame = {
     require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
       s"m must be a power of two in [16, 65536], got $m")
-    require(!df.columns.exists(Set("j", "r", "_hll_h")),
-      "input carries a j/r/_hll_h column (collides with the register output)")
+    require(!df.columns.exists(Set("j", "r", "_hll_h", "_v", "_r")),
+      "input carries a j/r/_hll_h/_v/_r column (collides with the register build)")
+    require(!groupCols.exists(Set("j", "r", "_hll_h", "_v", "_r")),
+      "group columns collide with the register build (j/r/_hll_h/_v/_r)")
     val keep = groupCols.map(col)
     val withH = df
       .withColumn("_hll_h", md5(concat(col(termCol), lit(s":$salt"))))
@@ -222,6 +224,8 @@ object Sketch {
       s"nBuckets must be in [2, 65536], got $nBuckets")
     require(lo < hi, s"empty domain [$lo, $hi)")
     require(groupCols.nonEmpty, "use histogramTable for the ungrouped form")
+    require(!groupCols.exists(Set("b", "c", "_v")),
+      "group columns collide with the histogram build (b/c/_v)")
     val width = (hi - lo) / nBuckets
     val v = col(valueCol).cast("double")
     val b = greatest(lit(0), least(lit(nBuckets - 1),

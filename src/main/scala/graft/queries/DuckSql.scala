@@ -53,6 +53,40 @@ private[queries] object DuckSql {
     s"((((${hv(1)} * 16 + ${hv(2)}) * 16 + ${hv(3)}) * 16 + ${hv(4)}) % $buckets)"
   }
 
+  /** [[graft.operators.Sketch.hllTable]]+[[graft.operators.Sketch.hllEstimate]]
+    * mirror: the full register + estimate CTE chain over a source CTE
+    * exposing `(groupCols..., term)`. Emits fragments `h, jv, regs,
+    * agg, est` where `est` has `(groupCols..., hll_distinct)`. ONE
+    * definition shared by the q2H (grouped) and q7E (global) oracles so
+    * the estimator can never fork between them.
+    */
+  def hll(m: Int, srcCte: String, groupCols: Seq[String]): String = {
+    require(m >= 16 && m <= 65536 && (m & (m - 1)) == 0,
+      s"m must be a power of two in [16, 65536], got $m")
+    val num = 0.7213 / (1.0 + 1.079 / m) * m * m * 8589934592.0
+    val rankCase = (31 to 0 by -1)
+      .map(bit => s"WHEN v >= ${1L << bit} THEN ${32 - bit}")
+      .mkString("CASE ", " ", " ELSE 33 END")
+    val gSel = if (groupCols.isEmpty) "" else groupCols.mkString("", ", ", ", ")
+    val aggBy = if (groupCols.isEmpty) "" else " GROUP BY " + groupCols.mkString(", ")
+    s"""h AS (SELECT ${gSel}md5(term || ':hll') AS hh FROM $srcCte),
+       |jv AS (SELECT ${gSel}${bucketSlice("hh", "0", m)} AS j,
+       |               ${hexValue("hh", 5, 8)} AS v FROM h),
+       |regs AS (SELECT ${gSel}j, max($rankCase) AS r
+       |         FROM jv GROUP BY ${(groupCols :+ "j").mkString(", ")}),
+       |agg AS (
+       |  SELECT ${gSel}count(*) AS nz,
+       |         sum(CAST(1 AS BIGINT) << (33 - r)) AS ps
+       |  FROM regs$aggBy),
+       |est AS (
+       |  SELECT ${gSel}round(CASE WHEN ($m - nz) > 0 AND raw <= ${2.5 * m}
+       |               THEN $m.0 * ln($m.0 / CAST($m - nz AS DOUBLE))
+       |               ELSE raw END, 6) AS hll_distinct
+       |  FROM (SELECT ${gSel}nz,
+       |          $num / CAST(ps + ($m - nz) * 8589934592 AS DOUBLE) AS raw
+       |        FROM agg))""".stripMargin
+  }
+
   /** DuckDB mirror of `AnnIvf.centroids` + `assign`: centroids are the
     * `nCells` smallest-id corpus vectors; each row goes to its
     * max-cosine centroid with ties to the smallest centroid id. Emits
@@ -77,12 +111,8 @@ private[queries] object DuckSql {
     * cast BIGINT so the chain never overflows 32-bit INTEGER), then
     * u = (v + 1) / (2^32 + 1) ∈ (0, 1).
     */
-  def uniform(idExpr: String): String = {
-    def hv(i: Int) =
-      s"(ascii(substr(md5($idExpr), $i, 1)) - CASE WHEN ascii(substr(md5($idExpr), $i, 1)) >= 97 THEN 87 ELSE 48 END)"
-    val v = (2 to 8).foldLeft(s"CAST(${hv(1)} AS BIGINT)")((acc, i) => s"($acc * 16 + ${hv(i)})")
-    s"((CAST($v AS DOUBLE) + 1.0) / 4294967297.0)"
-  }
+  def uniform(idExpr: String): String =
+    s"((CAST(${hexValue(s"md5($idExpr)", 1, 8)} AS DOUBLE) + 1.0) / 4294967297.0)"
 
   /** [[graft.functions.TextFunctions.hexValue]] mirror: integer value
     * of `len` hex chars of digest expression `digestExpr` starting at

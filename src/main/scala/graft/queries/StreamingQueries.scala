@@ -429,34 +429,14 @@ object StreamingQueries {
 
     // Batch mirror of the streamed HLL: q2H's global form (same bucket
     // slice, rank chain, integer-exact register sum, same literals).
-    "q7E_stream_hll" -> {
-      val m = 1024
-      val num = 0.7213 / (1.0 + 1.079 / m) * m * m * 8589934592.0
-      val rankCase = (31 to 0 by -1)
-        .map(bit => s"WHEN v >= ${1L << bit} THEN ${32 - bit}")
-        .mkString("CASE ", " ", " ELSE 33 END")
+    "q7E_stream_hll" ->
       s"""WITH t AS (SELECT unnest(${DuckSql.toks}) AS term FROM documents),
-         |h AS (SELECT md5(term || ':hll') AS hh FROM t),
-         |jv AS (SELECT ${DuckSql.bucketSlice("hh", "0", m)} AS j,
-         |               ${DuckSql.hexValue("hh", 5, 8)} AS v FROM h),
-         |regs AS (SELECT j, max($rankCase) AS r FROM jv GROUP BY j),
-         |agg AS (
-         |  SELECT count(*) AS nz,
-         |         sum(CAST(1 AS BIGINT) << (33 - r)) AS ps
-         |  FROM regs),
-         |est AS (
-         |  SELECT round(CASE WHEN ($m - nz) > 0 AND raw <= ${2.5 * m}
-         |               THEN $m.0 * ln($m.0 / CAST($m - nz AS DOUBLE))
-         |               ELSE raw END, 6) AS hll_distinct
-         |  FROM (SELECT nz,
-         |          $num / CAST(ps + ($m - nz) * 8589934592 AS DOUBLE) AS raw
-         |        FROM agg)),
+         |${DuckSql.hll(1024, "t", Nil)},
          |exact AS (SELECT count(DISTINCT term) AS exact_distinct FROM t)
          |SELECT hll_distinct, exact_distinct,
          |  round(abs(hll_distinct - CAST(exact_distinct AS DOUBLE))
          |        / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
-         |FROM est CROSS JOIN exact""".stripMargin
-    },
+         |FROM est CROSS JOIN exact""".stripMargin,
 
     // Batch mirror of the streamed histogram quantiles: same clamp
     // bucketing, same cumulative walk, same uniform-within-bucket
@@ -468,7 +448,9 @@ object StreamingQueries {
          |  SELECT greatest(0, least(127,
          |           CAST(floor((nt - 0.0) / 8.0) AS INT))) AS b,
          |         count(*) AS c
-         |  FROM v GROUP BY 1),
+         |  FROM v
+         |  WHERE nt IS NOT NULL AND NOT isnan(nt)
+         |  GROUP BY 1),
          |cum AS (
          |  SELECT b, c,
          |    CAST(coalesce(sum(c) OVER (ORDER BY b

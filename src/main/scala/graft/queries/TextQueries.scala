@@ -563,7 +563,9 @@ object TextQueries {
          |  SELECT source, greatest(0, least(63,
          |           CAST(floor((nt - 0.0) / 16.0) AS INT))) AS b,
          |         count(*) AS c
-         |  FROM v GROUP BY 1, 2),
+         |  FROM v
+         |  WHERE nt IS NOT NULL AND NOT isnan(nt)
+         |  GROUP BY 1, 2),
          |cum AS (
          |  SELECT source, b, c,
          |    CAST(coalesce(sum(c) OVER (PARTITION BY source ORDER BY b
@@ -599,31 +601,9 @@ object TextQueries {
     // with an integer CASE chain for leading zeros (no float log2),
     // same integer-exact register sum and closed-form estimate with the
     // identical α·m²·2^33 literal.
-    "q2H_hll_distinct" -> {
-      val m = 1024
-      val num = 0.7213 / (1.0 + 1.079 / m) * m * m * 8589934592.0
-      val rankCase = (31 to 0 by -1)
-        .map(bit => s"WHEN v >= ${1L << bit} THEN ${32 - bit}")
-        .mkString("CASE ", " ", " ELSE 33 END")
+    "q2H_hll_distinct" ->
       s"""WITH t AS (SELECT source, unnest($duckToks) AS term FROM documents),
-         |h AS (SELECT source, md5(term || ':hll') AS hh FROM t),
-         |jv AS (SELECT source, ${DuckSql.bucketSlice("hh", "0", m)} AS j,
-         |               ${DuckSql.hexValue("hh", 5, 8)} AS v FROM h),
-         |regs AS (
-         |  SELECT source, j, max($rankCase) AS r
-         |  FROM jv GROUP BY source, j),
-         |agg AS (
-         |  SELECT source, count(*) AS nz,
-         |         sum(CAST(1 AS BIGINT) << (33 - r)) AS ps
-         |  FROM regs GROUP BY source),
-         |est AS (
-         |  SELECT source,
-         |    round(CASE WHEN ($m - nz) > 0 AND raw <= ${2.5 * m}
-         |               THEN $m.0 * ln($m.0 / CAST($m - nz AS DOUBLE))
-         |               ELSE raw END, 6) AS hll_distinct
-         |  FROM (SELECT source, nz,
-         |          $num / CAST(ps + ($m - nz) * 8589934592 AS DOUBLE) AS raw
-         |        FROM agg)),
+         |${DuckSql.hll(1024, "t", Seq("source"))},
          |exact AS (
          |  SELECT source, count(DISTINCT term) AS exact_distinct FROM t
          |  GROUP BY source)
@@ -631,8 +611,7 @@ object TextQueries {
          |  round(abs(hll_distinct - CAST(exact_distinct AS DOUBLE))
          |        / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
          |FROM exact JOIN est USING (source)
-         |ORDER BY source""".stripMargin
-    },
+         |ORDER BY source""".stripMargin,
 
     "q24_source_stats" ->
       s"""SELECT source,
