@@ -294,6 +294,93 @@ object Curation {
     * buffer — unbounded for long documents). Docs with fewer than two
     * tokens have no bigrams and drop out.
     */
+  /** Hashed-token Naive Bayes classifier — the fastText-style linear
+    * gate (Joulin et al. 2016; the GPT-3/CCNet "quality classifier"
+    * shape: a bag-of-hashed-features linear scorer trained on a labeled
+    * slice, applied to the whole corpus). Multinomial NB with add-one
+    * smoothing over `nBuckets` hashed token features:
+    * `score(doc, y) = ln P(y) + Σ_tok ln P(bucket(tok) | y)`, predicting
+    * the argmax label per doc. NB is the count-based member of the
+    * linear-classifier family, which is exactly what makes it
+    * oracle-replayable: training IS two exact count aggregations — no
+    * gradient order, no float accumulation in the model.
+    *
+    * Scale shape: the model is a `labels × nBuckets` count table (tiny,
+    * BROADCAST) plus per-label totals; the corpus makes ONE heavy pass
+    * (per-(doc, bucket) counts, map-side combinable), then streams
+    * through a broadcast join against the model crossed with the label
+    * list. Scoring accumulates ORDER-INDEPENDENT fixed-point longs (each
+    * `ln P` rounded to 6 dp, ×10⁶, cast long — the [[lmScore]] idiom):
+    * bit-identical on any partitioning and in the DuckDB mirror. The
+    * argmax is two aggregations (per-doc max score, then min label at
+    * that score) — deterministic under ties, no window over the corpus.
+    *
+    * Buckets a doc lacks contribute nothing (the shared `Σ ln P(b|y)`
+    * over absent features is constant per label ONLY for equal doc
+    * lengths — NB's standard occurrence formulation sums over the doc's
+    * token occurrences, which is what this computes: per-doc features
+    * join against every label, so absent-in-label buckets still score
+    * `ln(1/(tot_y + nBuckets))` through the smoothing).
+    *
+    * Returns one row per test doc: id, `pred` label, `score_micro` (the
+    * winning fixed-point score), `n_labels` scored.
+    */
+  def nbClassify(train: DataFrame, test: DataFrame, idCol: String,
+                 textCol: String, labelCol: String,
+                 nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    def feats(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(tokens(col(textCol))).as("tok"))
+        .select(col(idCol), hashBucket(col("tok"), nBuckets).as("b"))
+
+    // the model: per-label doc priors + per-(label, bucket) token counts
+    val priors = train.groupBy(col(labelCol).as("y"))
+      .agg(count(lit(1)).as("n_docs"))
+    val nTrain = priors.agg(sum("n_docs").as("n")) // one row
+    val tokCnt = train
+      .select(col(labelCol).as("y"), explode(tokens(col(textCol))).as("tok"))
+      .select(col("y"), hashBucket(col("tok"), nBuckets).as("b"))
+      .groupBy("y", "b").agg(count(lit(1)).as("c"))
+    val labTot = tokCnt.groupBy("y").agg(sum("c").as("tot"))
+    // per-(label, bucket) log-likelihood, fixed-point micro-units;
+    // labels × nBuckets rows — broadcast-sized at any corpus scale
+    val model = priors
+      .crossJoin(broadcast(nTrain))
+      .join(labTot, "y")
+      .select(col("y"), col("tot"),
+        round(log(col("n_docs").cast("double") / col("n").cast("double")) * lit(1e6))
+          .cast("long").as("prior_micro"))
+
+    // ONE heavy corpus pass: per-(doc, bucket) occurrence counts
+    val perDoc = feats(test).groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("cb"))
+    // every doc scores every label: features × labels, left-joined
+    // against the count table so absent buckets smooth to c = 0
+    val scored = perDoc
+      .crossJoin(broadcast(model))
+      .join(broadcast(tokCnt), Seq("y", "b"), "left")
+      .select(col(idCol), col("y"), col("prior_micro"),
+        (col("cb") *
+          round(log((coalesce(col("c"), lit(0L)) + lit(1L)).cast("double") /
+                    (col("tot") + lit(nBuckets.toLong)).cast("double")) * lit(1e6))
+            .cast("long")).as("term_micro"))
+      .groupBy(col(idCol), col("y"))
+      .agg((min("prior_micro") + sum("term_micro")).as("score_micro"))
+    // deterministic argmax without a corpus window: max score per doc,
+    // then min label among exact-score ties
+    val best = scored.groupBy(col(idCol))
+      .agg(max("score_micro").as("score_micro"),
+        count(lit(1)).as("n_labels"))
+    val winners = scored.select(col(idCol).as("_sid"), col("y"),
+      col("score_micro").as("_s"))
+    best.join(winners,
+        best(idCol) === col("_sid") && col("score_micro") === col("_s"))
+      .groupBy(col(idCol), col("score_micro"), col("n_labels"))
+      .agg(min("y").as("pred"))
+      .select(col(idCol), col("pred"), col("score_micro"), col("n_labels"))
+  }
+
   def lmScore(docs: DataFrame, train: DataFrame,
               idCol: String, textCol: String): DataFrame = {
     def bigrams(df: DataFrame): DataFrame =

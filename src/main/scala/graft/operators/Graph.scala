@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph ranking over an edge table.
+  *
+  * The engine's graph family: [[Dedup.connectedComponents]] labels
+  * components (the dedup-cluster shape); `pageRank` here scores nodes by
+  * link structure — the classic web-corpus quality prior (Page et al.
+  * 1999; Common-Crawl-era pipelines rank hosts/pages this way to weight
+  * or threshold training data, e.g. the CCNet/RefinedWeb host-level
+  * quality signals).
+  *
+  * Scale shape: every round is ONE hash join of the rank table (node-
+  * sized, partitioned by node id — never collected, never broadcast)
+  * against the edge table on `src`, followed by a map-side-combinable
+  * `groupBy(dst).sum`, and a left join back onto the node set for the
+  * teleport floor. Rounds are fixed-count (`iters`), so the whole
+  * computation is a static plan chain; `localCheckpoint(eager = false)`
+  * truncates lineage each round exactly like `connectedComponents`.
+  * Nothing in the plan depends on node count beyond the joins — the
+  * standard billion-node formulation.
+  *
+  * Determinism / oracle-replayability: ranks are EXACT fixed-point longs
+  * in pico-units (1.0 total mass = 10^12). Each round computes, per edge,
+  * `contrib = (((r_src * d) div 100) * w) div outW_src` in long integer
+  * arithmetic (truncating division on non-negative operands — identical
+  * to DuckDB's `//` floor division since every quantity is >= 0), then
+  * sums longs (associative/commutative: partition-order-independent),
+  * then adds the teleport floor `t = (10^12 div N) * (100-d) div 100`.
+  * No float enters the recurrence, so the final register of ranks is
+  * bit-identical on any cluster, any partitioning, and in any engine
+  * replaying the same integer recurrence — which is what lets a DuckDB
+  * oracle check it hash-for-hash.
+  *
+  * Dangling nodes (no out-edges) keep receiving teleport + in-link mass
+  * but redistribute nothing — the standard simplification (total mass
+  * decays slightly instead of being re-spread); documented rather than
+  * hidden because the oracle mirrors it exactly.
+  *
+  * Reference scope: the reference app has no graph operator (its only
+  * ranking is Pinecone's service-side cosine top-k); this is an engine
+  * extension for the 100 TB curation story.
+  */
+object Graph {
+
+  /** Total fixed-point mass: 1.0 == 10^12 pico-units. */
+  val PicoMass: Long = 1000000000000L
+
+  /** PageRank over weighted directed edges.
+    *
+    * @param edges       one row per (src, dst) pair; multi-edges must be
+    *                    pre-aggregated into `weightCol`
+    * @param dampingPct  damping factor d as an integer percentage
+    *                    (85 = the canonical 0.85) so the recurrence
+    *                    stays in exact integer arithmetic
+    * @return one row per node: `node`, `rank_pico` (long; 10^12 = all
+    *         mass), `rank` (double, rounded 6 dp, for human eyes)
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               weightCol: String, iters: Int = 5,
+               dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
+    val e = edges.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      col(weightCol).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .localCheckpoint(eager = false)
+
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+
+    // out-weight per source; node-sized, joins by key at any scale
+    val outW = e.groupBy(col("src").as("node"))
+      .agg(sum("w").as("outw"))
+
+    // one-row broadcast: node count -> integer base + teleport floor.
+    // (10^12 div N) truncates; the teleport floor reuses the truncated
+    // base so both engines compute the identical long.
+    val consts = nodes.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        expr(s"$PicoMass div n").as("base"),
+        expr(s"(($PicoMass div n) * ${100 - dampingPct}) div 100").as("t"))
+
+    var rank = nodes.crossJoin(broadcast(consts))
+      .select(col("node"), col("base").as("r"))
+      .localCheckpoint(eager = false)
+
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.withColumnRenamed("node", "src"), "src")
+        .join(outW.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          expr(s"(((r * $dampingPct) div 100) * w) div outw").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("contrib"))
+      rank = nodes.crossJoin(broadcast(consts))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (col("t") + coalesce(col("contrib"), lit(0L))).as("r"))
+        .localCheckpoint(eager = false)
+    }
+    rank.select(col("node"), col("r").as("rank_pico"),
+      round(col("r").cast("double") / lit(PicoMass.toDouble), 6).as("rank"))
+  }
+}

@@ -175,8 +175,49 @@ object CurationQueries {
       Curation.lmScore(docs, docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text")
         .orderBy("doc_id")
+    },
+
+    // Hashed-token Naive Bayes language classifier (the fastText-style
+    // linear gate): train on the doc_id % 5 != 0 slice with `lang` as
+    // the label, predict the held-out slice, report accuracy per doc.
+    // The fixture's text is label-independent (every doc draws the same
+    // vocabulary), so — like q60's PII injection — the query first
+    // AUGMENTS each doc deterministically with its language's stopword
+    // profile; the doc_id % 7 == 0 slice stays unaugmented
+    // (signal-free noise the classifier must fall back to the prior
+    // on, which caps accuracy below 100% and keeps the task honest). The model is a labels × 4096 broadcast count
+    // table; the corpus makes one per-(doc, bucket) pass; scores
+    // accumulate fixed-point longs so the argmax is bit-stable
+    // cross-engine.
+    "q6K_nb_classifier" -> { (s, d) =>
+      val markerCol = langMarkers.tail.foldLeft(
+          when(col("lang") === langMarkers.head._1,
+            lit(langMarkers.head._2.mkString(" ")))) {
+        case (acc, (lang, ws)) =>
+          acc.when(col("lang") === lang, lit(ws.mkString(" ")))
+      }
+      val docs = Tables.documents(s, d)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" "), markerCol)))
+      val res = Curation.nbClassify(
+        train = docs.filter(col("doc_id") % 5 =!= 0),
+        test = docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang", nBuckets = 4096)
+      res.join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+          "doc_id")
+        .withColumn("correct", (col("pred") === col("true_lang")).cast("int"))
+        .orderBy("doc_id")
     }
   )
+
+  /** Per-language marker vocabularies for q6K's deterministic signal
+    * injection: the four langId stopword profiles plus a CJK set for
+    * zh. Shared by the Spark query and its generated DuckDB mirror.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> EN_STOP, "de" -> DE_STOP, "es" -> ES_STOP, "fr" -> FR_STOP,
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
 
   val oracles: Map[String, String] = Map(
     "q60_pii_scrub" ->
@@ -413,6 +454,68 @@ object CurationQueries {
          |  FROM agg)
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          |FROM avgd
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    // Naive Bayes mirror: identical marker augmentation (same profile
+    // arrays, same index arithmetic), identical md5 bucket arithmetic,
+    // identical fixed-point micro-unit log terms (round the SAME IEEE
+    // double, cast BIGINT, sum longs), identical two-step tie-safe
+    // argmax. Integer sums CAST back to BIGINT (DuckDB widens to
+    // HUGEINT).
+    "q6K_nb_classifier" -> {
+      val markCase = langMarkers.map { case (lang, ws) =>
+        s"WHEN lang = '$lang' THEN text || ' ${ws.mkString(" ")}'"
+      }.mkString("\n         ")
+      s"""WITH aug AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 7 = 0 THEN text
+         |         ELSE CASE $markCase ELSE text END
+         |    END AS text
+         |  FROM documents),
+         |tr AS (SELECT * FROM aug WHERE doc_id % 5 <> 0),
+         |te AS (SELECT * FROM aug WHERE doc_id % 5 = 0),
+         |priors AS (SELECT lang AS y, count(*) AS n_docs FROM tr GROUP BY 1),
+         |n AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM priors),
+         |cnt AS (
+         |  SELECT y, b, count(*) AS c FROM (
+         |    SELECT lang AS y, ${duckBucket("tok", 4096)} AS b
+         |    FROM (SELECT lang, unnest(${DuckSql.toks}) AS tok FROM tr))
+         |  GROUP BY 1, 2),
+         |labtot AS (SELECT y, CAST(sum(c) AS BIGINT) AS tot FROM cnt GROUP BY 1),
+         |model AS (
+         |  SELECT p.y, l.tot,
+         |    CAST(round(ln(CAST(p.n_docs AS DOUBLE) / CAST(n.n AS DOUBLE))
+         |         * 1000000) AS BIGINT) AS prior_micro
+         |  FROM priors p CROSS JOIN n JOIN labtot l ON l.y = p.y),
+         |perdoc AS (
+         |  SELECT doc_id, b, count(*) AS cb FROM (
+         |    SELECT doc_id, ${duckBucket("tok", 4096)} AS b
+         |    FROM (SELECT doc_id, unnest(${DuckSql.toks}) AS tok FROM te))
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT doc_id, m.y,
+         |    CAST(min(m.prior_micro) + sum(cb *
+         |      CAST(round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+         |                  / CAST(m.tot + 4096 AS DOUBLE))
+         |           * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+         |  FROM perdoc p
+         |  CROSS JOIN model m
+         |  LEFT JOIN cnt c ON c.y = m.y AND c.b = p.b
+         |  GROUP BY 1, 2),
+         |best AS (
+         |  SELECT doc_id, max(score_micro) AS score_micro,
+         |    count(*) AS n_labels
+         |  FROM scored GROUP BY 1),
+         |pred AS (
+         |  SELECT b.doc_id, b.score_micro, b.n_labels, min(s.y) AS pred
+         |  FROM best b
+         |  JOIN scored s ON s.doc_id = b.doc_id
+         |    AND s.score_micro = b.score_micro
+         |  GROUP BY 1, 2, 3)
+         |SELECT p.doc_id, p.pred, p.score_micro, p.n_labels,
+         |  d.lang AS true_lang, CAST(p.pred = d.lang AS INT) AS correct
+         |FROM pred p JOIN te d ON d.doc_id = p.doc_id
+         |ORDER BY p.doc_id""".stripMargin
+    }
   )
 }

@@ -665,6 +665,27 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // PageRank over the session-transition graph (the web-corpus quality
+    // prior): nodes are `props.k` page ids, edges the per-user
+    // consecutive-event transitions, 5 fixed rounds of the exact
+    // integer-fixed-point recurrence in Graph.pageRank — rank table
+    // node-sized and never collected, each round one hash join + one
+    // map-side-combinable sum. Bit-identical cross-engine because no
+    // float enters the recurrence.
+    "q4B_pagerank" -> { (s, d) =>
+      import graft.operators.Graph
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev.withColumn("dst_k", lead("k", 1).over(w))
+        .filter(col("dst_k").isNotNull)
+        .groupBy(col("k").as("src"), col("dst_k").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      Graph.pageRank(edges, "src", "dst", "w", iters = 5)
+        .orderBy("node")
+    },
+
     // The composed training-data pipeline end-to-end, every stage the
     // SAME operator the per-stage queries verify: normalize + PII scrub
     // (q60) → token/lang/quality filters (q20-q22) → exact dedup with
@@ -1158,6 +1179,51 @@ object PipelineQueries {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    // PageRank mirror: the identical integer fixed-point recurrence,
+    // unrolled 5 rounds. `//` is DuckDB floor division == Scala long
+    // `div` truncation on the all-non-negative operands here; sums CAST
+    // back to BIGINT (DuckDB integer sums widen to HUGEINT) so schema
+    // and values match Spark's longs exactly.
+    "q4B_pagerank" -> {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    CAST((SELECT t FROM consts) + coalesce(s.contrib, 0) AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((((r.r * 85) // 100) * e.w) // o.outw) AS BIGINT) AS contrib
+           |    FROM edges e
+           |    JOIN $prev r ON r.node = e.src
+           |    JOIN outw o ON o.node = e.src
+           |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+      val iters = List("r0" -> "it1", "it1" -> "it2", "it2" -> "it3",
+        "it3" -> "it4", "it4" -> "it5")
+        .map { case (p, c) => iterCte(p, c) }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |tr AS (
+         |  SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq),
+         |edges AS (
+         |  SELECT src, dst, count(*) AS w FROM tr
+         |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |outw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS outw
+         |         FROM edges GROUP BY 1),
+         |consts AS (SELECT count(*) AS n,
+         |    1000000000000 // count(*) AS base,
+         |    ((1000000000000 // count(*)) * 15) // 100 AS t FROM nodes),
+         |r0 AS (SELECT node, (SELECT base FROM consts) AS r FROM nodes),
+         |$iters
+         |SELECT node, r AS rank_pico,
+         |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+         |FROM it5 ORDER BY node""".stripMargin
+    },
 
     // Composed-pipeline mirror: each CTE is the verified fragment of the
     // corresponding per-stage oracle (q60 scrub, q20-q22 filter formulas,

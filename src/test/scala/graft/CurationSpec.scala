@@ -306,4 +306,44 @@ class CurationSpec extends GraftSpec {
     // attributes with angle-ish content and whitespace collapse
     assert(strip("<div   class=\"a b\"  >  spaced   out  </div>") == "spaced out")
   }
+
+  test("nbClassify learns a separable vocabulary and ties break to min label") {
+    import spark.implicits._
+    // two cleanly separated vocabularies: class a uses apple/ant,
+    // class b uses bear/bee — held-out docs must classify correctly
+    val train = Seq(
+      (1L, "apple ant apple", "a"), (2L, "ant apple ant", "a"),
+      (3L, "bear bee bear", "b"), (4L, "bee bear bee", "b"))
+      .toDF("id", "text", "y")
+    val test = Seq((10L, "apple ant"), (11L, "bear bear bee"))
+      .toDF("id", "text")
+    val out = graft.operators.Curation
+      .nbClassify(train, test, "id", "text", "y", nBuckets = 256)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "a"), (11L, "b")))
+    assert(out.forall(_.getAs[Long]("n_labels") == 2L))
+
+    // perfectly symmetric classes + an unseen-vocabulary doc: every
+    // label scores identically, so the argmax must fall to min(label)
+    val sym = Seq((1L, "x", "a"), (2L, "x", "b")).toDF("id", "text", "y")
+    val unseen = Seq((20L, "zzz")).toDF("id", "text")
+    val tied = graft.operators.Curation
+      .nbClassify(sym, unseen, "id", "text", "y", nBuckets = 256)
+      .collect()
+    assert(tied.length == 1 && tied.head.getAs[String]("pred") == "a")
+  }
+
+  test("nbClassify scores are partitioning-invariant (fixed-point longs)") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.Curation
+      .nbClassify(df.filter(col("doc_id") % 5 =!= 0),
+        df.filter(col("doc_id") % 5 === 0), "doc_id", "text", "lang",
+        nBuckets = 512)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val a = run(docs)
+    val b = run(docs.repartition(13))
+    assert(a.nonEmpty && a.sameElements(b))
+  }
 }
