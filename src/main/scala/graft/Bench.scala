@@ -162,5 +162,8 @@ object Bench {
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}""")
     spark.stop()
+    // the JSON line is flushed; force JVM exit so a leftover streaming
+    // non-daemon thread can never hang the driver's bench harness
+    sys.exit(0)
   }
 }

@@ -54,5 +54,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // all outputs are on disk; force JVM exit — a streaming query's
+    // leftover non-daemon thread (observed once after a full-registry
+    // run) must not hang the driver's correctness harness
+    sys.exit(0)
   }
 }

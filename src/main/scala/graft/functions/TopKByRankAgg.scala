@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** Bounded top-k selection by a rank string — the aggregate form of the
+  * deterministic uniform sample ([[graft.operators.Curation.uniformSample]]
+  * orders by a salted md5 and takes k; this keeps the k smallest
+  * (rank, id) pairs in a fixed-size buffer instead, which is what a
+  * STREAMING sample needs: `orderBy().limit()` cannot run on an
+  * unbounded stream, but a mergeable k-bounded aggregate is the
+  * canonical reservoir — state is ≤ k entries FOREVER while the stream
+  * grows without bound).
+  *
+  * Scale shape: partial aggregation keeps one ≤ k buffer per partition,
+  * so the shuffle ships partitions × k entries, never the corpus; the
+  * streaming state store holds ONE serialized buffer per group between
+  * micro-batches, merged with the same bounded merge. Determinism: the
+  * hash-rank order with the id tiebreak is a total order, so the kept
+  * set is independent of arrival and partition order — the streamed
+  * sample is bit-identical to the batch `TakeOrderedAndProject` form,
+  * which is what lets q7G share q6F's DuckDB oracle.
+  *
+  * Output: `array<struct<rank: string, id: bigint>>` sorted ascending
+  * (empty input → empty array).
+  */
+case class TopKByRankAgg(
+    rank: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[ArrayBuffer[(String, Long)]] {
+
+  override def children: Seq[Expression] = Seq(rank, id)
+  override def nullable: Boolean         = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("rank", StringType, nullable = false),
+      StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_k_by_rank"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure("k must be >= 1")
+    else (rank.dataType, id.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (r, i) => TypeCheckResult.TypeCheckFailure(
+        s"top_k_by_rank expects (string, bigint), got (${r.simpleString}, ${i.simpleString})")
+    }
+
+  override def createAggregationBuffer(): ArrayBuffer[(String, Long)] =
+    ArrayBuffer.empty
+
+  // keep the buffer small: append, and compact to the k smallest
+  // whenever it doubles — amortized O(log k) per row, ≤ 2k entries held
+  private def compact(buf: ArrayBuffer[(String, Long)]): Unit =
+    if (buf.length > k) {
+      val kept = buf.sorted.take(k)
+      buf.clear()
+      buf ++= kept
+    }
+
+  override def update(buf: ArrayBuffer[(String, Long)],
+                      input: InternalRow): ArrayBuffer[(String, Long)] = {
+    val r = rank.eval(input)
+    val i = id.eval(input)
+    if (r == null || i == null) return buf
+    buf += ((r.asInstanceOf[UTF8String].toString, i.asInstanceOf[Long]))
+    if (buf.length >= 2 * k) compact(buf)
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[(String, Long)],
+                     b2: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] = {
+    b1 ++= b2
+    compact(b1)
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[(String, Long)]): Any = {
+    compact(buf)
+    val rows = buf.sorted.map { case (r, i) =>
+      InternalRow(UTF8String.fromString(r), i)
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(String, Long)]): Array[Byte] = {
+    compact(buf)
+    val entries = buf.map { case (r, i) => (r.getBytes(StandardCharsets.UTF_8), i) }
+    val size    = 4 + entries.map(e => 4 + e._1.length + 8).sum
+    val bb      = ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.foreach { case (rb, i) =>
+      bb.putInt(rb.length); bb.put(rb); bb.putLong(i)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, Long)] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val n   = bb.getInt()
+    val out = new ArrayBuffer[(String, Long)](n)
+    var j   = 0
+    while (j < n) {
+      val len = bb.getInt()
+      val rb  = new Array[Byte](len)
+      bb.get(rb)
+      out += ((new String(rb, StandardCharsets.UTF_8), bb.getLong()))
+      j += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): TopKByRankAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): TopKByRankAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(rank = c(0), id = c(1))
+}
+
+object TopKByRankAgg {
+  /** Column form: `topKByRank($"rank", $"id", 50)` inside `agg(...)`. */
+  def topKByRank(rank: Column, id: Column, k: Int): Column =
+    GraftBridge.column(
+      TopKByRankAgg(GraftBridge.expression(rank), GraftBridge.expression(id), k)
+        .toAggregateExpression())
+}

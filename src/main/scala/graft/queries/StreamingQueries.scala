@@ -311,6 +311,33 @@ object StreamingQueries {
         .runToBatch(Sketch.cmsTable(terms, "term", depth = 4, width = 1024),
           OutputMode.Complete)
         .orderBy("j", "b")
+    },
+
+    // Deterministic uniform sampling as a STREAMING aggregate (the
+    // reservoir): q6F's salted-md5-rank sample, but the k smallest
+    // ranks are kept by the bounded TopKByRankAgg — ≤ k state entries
+    // FOREVER (orderBy().limit() cannot run on an unbounded stream),
+    // partial aggregation ships partitions × k entries per micro-batch.
+    // The hash-rank total order makes the kept set arrival- and
+    // partition-order-independent, so the streamed sample is
+    // bit-identical to the batch TakeOrderedAndProject form and SHARES
+    // q6F's oracle (same salt, same k, same tiebreak).
+    "q7G_stream_sample" -> { (s, d) =>
+      import graft.functions.TopKByRankAgg
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val ranked = docs.select(
+        md5(concat(col("doc_id").cast("string"), lit("sample"))).as("rk"),
+        col("doc_id"))
+      val top = StreamRunner.runToBatch(
+        ranked.agg(TopKByRankAgg.topKByRank(col("rk"), col("doc_id"), 50)
+          .as("top")),
+        OutputMode.Complete)
+      top.select(explode(col("top")).as("e"))
+        .select(col("e.id").as("doc_id"))
+        .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
+        .orderBy("doc_id")
     }
   )
 
@@ -488,6 +515,15 @@ object StreamingQueries {
          |SELECT j, ${DuckSql.bucketSlice("h", "j", 1024)} AS b,
          |       count(*) AS c
          |FROM occ GROUP BY 1, 2
-         |ORDER BY j, b""".stripMargin
+         |ORDER BY j, b""".stripMargin,
+
+    // The streamed reservoir must equal the batch q6F draw exactly:
+    // identical salted-md5 permutation, identical k and id tiebreak.
+    "q7G_stream_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sample'), doc_id
+        |  LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin
   )
 }

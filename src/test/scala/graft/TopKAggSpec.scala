@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.TopKByRankAgg.topKByRank
+import graft.operators.Curation
+import graft.streaming.StreamRunner
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** TopKByRankAgg: the bounded reservoir behind q7G. Batch parity with
+  * uniformSample, compaction exactness past the 2k buffer bound,
+  * partitioning invariance, and a REAL multi-micro-batch stream whose
+  * state-store merge must reproduce the batch draw bit-for-bit.
+  */
+class TopKAggSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def rk = md5(concat(col("doc_id").cast("string"), lit("sample")))
+
+  test("batch agg equals uniformSample's TakeOrderedAndProject draw") {
+    val docs = Tables.documents(spark, sfDir)
+    val viaAgg = docs.select(rk.as("r"), col("doc_id"))
+      .agg(topKByRank(col("r"), col("doc_id"), 50).as("top"))
+      .select(explode(col("top.id")).as("doc_id"))
+      .orderBy("doc_id").as[Long].collect()
+    val viaSort = Curation.uniformSample(docs, "doc_id", k = 50)
+      .select("doc_id").orderBy("doc_id").as[Long].collect()
+    assert(viaAgg.length == 50 && viaAgg.sameElements(viaSort))
+  }
+
+  test("compaction keeps the exact k smallest past the 2k buffer bound") {
+    // 1,000 rows through k = 3: exercises many compact() cycles
+    val df = (1L to 1000L).toDF("id")
+      .select(md5(col("id").cast("string")).as("r"), col("id"))
+    val got = df.agg(topKByRank(col("r"), col("id"), 3).as("top"))
+      .select(col("top")).head().getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getString(0), r.getLong(1)))
+    val want = (1L to 1000L)
+      .map(i => (java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString, i))
+      .sorted.take(3)
+    assert(got == want)
+  }
+
+  test("result is partitioning-invariant") {
+    val docs = Tables.documents(spark, sfDir)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.select(rk.as("r"), col("doc_id"))
+        .agg(topKByRank(col("r"), col("doc_id"), 20).as("top"))
+        .select(explode(col("top.id")).as("id")).orderBy("id")
+        .as[Long].collect()
+    assert(run(docs).sameElements(run(docs.repartition(17))))
+  }
+
+  test("multi-micro-batch stream merges state to the exact batch draw") {
+    val dir = graft.util.TempDirs.scratch("graft-topk-stream-")
+    // two files -> maxFilesPerTrigger=1 forces TWO micro-batches: the
+    // second batch's partial top-k must merge against the state store's
+    val all = (1L to 200L).toDF("id")
+    all.filter(col("id") <= 100).coalesce(1).write.parquet(s"$dir/batch1")
+    all.filter(col("id") > 100).coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .select(md5(concat(col("id").cast("string"), lit("s"))).as("r"), col("id"))
+      .agg(topKByRank(col("r"), col("id"), 10).as("top"))
+    val got = StreamRunner.runToBatch(stream, OutputMode.Complete)
+      .select(explode(col("top.id")).as("id")).orderBy("id")
+      .as[Long].collect()
+    val want = all
+      .select(md5(concat(col("id").cast("string"), lit("s"))).as("r"), col("id"))
+      .orderBy("r", "id").limit(10)
+      .select("id").orderBy("id").as[Long].collect()
+    assert(got.length == 10 && got.sameElements(want))
+  }
+}
