@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-hardening helpers: skew-salted aggregation and bucketed
@@ -143,6 +143,54 @@ object Scale {
     * sizes are balanced by construction (md5 is uniform), so the data
     * loader reads `nShards` like-sized, internally-shuffled partitions.
     */
+  /** Z-order (Morton) value of two non-negative integer columns: bit i
+    * of `x` lands at z-bit 2i, bit i of `y` at 2i+1, so sorting by `z`
+    * interleaves both dimensions — nearby (x, y) points land in nearby
+    * z ranges. The multi-dimensional clustering key behind
+    * Delta/Databricks `OPTIMIZE ZORDER BY` and the classic UB-tree:
+    * one-dimensional range clustering ([[compact]]'s `sortCols`) gives
+    * parquet row-group min/max pruning on ONE column only; z-ordering
+    * gives useful min/max bounds on BOTH columns at once, so selective
+    * filters on either (or both) dimensions skip most files of a
+    * 100 TB table.
+    *
+    * Exactness: pure integer arithmetic — each bit is
+    * `(clamped >> i) % 2`, the weights are long literals — so the value
+    * is bit-identical cross-engine (DuckDB mirrors with `>>`/`%`).
+    * Inputs clamp into `[0, 2^bits)` (out-of-range data degrades to the
+    * range edge rather than corrupting the interleave). `bits <= 31`
+    * keeps z inside a long.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val max = (1L << bits) - 1
+    val cx  = least(greatest(x.cast("long"), lit(0L)), lit(max))
+    val cy  = least(greatest(y.cast("long"), lit(0L)), lit(max))
+    (0 until bits).map { i =>
+      (shiftright(cx, i) % 2) * lit(1L << (2 * i)) +
+        (shiftright(cy, i) % 2) * lit(1L << (2 * i + 1))
+    }.reduce(_ + _)
+  }
+
+  /** Rewrite a parquet directory clustered by the z-order of two
+    * columns: range-partition on `z` into `nFiles` files, sort within
+    * each, so every file's (x, y) bounding box is small and parquet
+    * min/max stats prune scans filtered on EITHER dimension. The
+    * two-dimensional sibling of [[compact]] with `sortCols`; same
+    * narrow-map + one range exchange shape, no collect.
+    */
+  def zOrderWrite(df: DataFrame, path: String, xCol: String, yCol: String,
+                  bits: Int = 16, nFiles: Int = 8): Unit = {
+    require(nFiles >= 1, "nFiles must be positive")
+    require(!df.columns.contains("_z"),
+      "input already has a _z column (would be clobbered)")
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def deterministicShards(
       df: DataFrame, idCol: String, nShards: Int, seed: Int
   ): DataFrame = {

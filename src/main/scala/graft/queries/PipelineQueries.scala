@@ -686,6 +686,26 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // Z-order (Morton) clustering key — the multi-dimensional layout
+    // behind OPTIMIZE ZORDER: interleave (user_id % 1024, props.k) bits
+    // and bucket by z ranges; each bucket's (x, y) bounding box is the
+    // locality that makes parquet min/max stats prune scans on EITHER
+    // column (ScaleSpec measures the actual per-file pruning win). Pure
+    // integer bit arithmetic, bit-identical cross-engine.
+    "q4C_zorder" -> { (s, d) =>
+      import graft.operators.Scale
+      Tables.events(s, d)
+        .select((col("user_id") % 1024).as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+        .withColumn("z", Scale.zValue(col("x"), col("y"), bits = 10))
+        .withColumn("zbucket", expr("z div 4096"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("zbucket")
+    },
+
     // The composed training-data pipeline end-to-end, every stage the
     // SAME operator the per-stage queries verify: normalize + PII scrub
     // (q60) → token/lang/quality filters (q20-q22) → exact dedup with
@@ -1223,6 +1243,28 @@ object PipelineQueries {
          |SELECT node, r AS rank_pico,
          |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
          |FROM it5 ORDER BY node""".stripMargin
+    },
+
+    // Z-order mirror: identical clamp + bit-interleave integer
+    // arithmetic ((v >> i) % 2 with long power-of-two weights), same
+    // bucket floor-division.
+    "q4C_zorder" -> {
+      val terms = (0 until 10).map { i =>
+        s"((cx >> $i) % 2) * ${1L << (2 * i)} + ((cy >> $i) % 2) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT user_id % 1024 AS x,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS y
+         |  FROM events),
+         |cl AS (
+         |  SELECT x, y, least(greatest(x, 0), 1023) AS cx,
+         |         least(greatest(y, 0), 1023) AS cy
+         |  FROM base),
+         |z AS (SELECT x, y, ($terms) // 4096 AS zbucket FROM cl)
+         |SELECT zbucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // Composed-pipeline mirror: each CTE is the verified fragment of the

@@ -212,4 +212,53 @@ class ScaleSpec extends GraftSpec {
     assert(rows.length == 3 && rows.map(_.getAs[Long]("n")).sum ==
       Tables.lineitem(spark, sfDir).count())
   }
+
+  test("zValue hand-trace and range") {
+    import spark.implicits._
+    // x=3 (011), y=5 (101), bits=3: z-bits x0..x2 at 0,2,4 and y0..y2 at
+    // 1,3,5 -> 1 + 2 + 4 + 0 + 0 + 32 = 39
+    val z = Seq((3L, 5L)).toDF("x", "y")
+      .select(Scale.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .head().getLong(0)
+    assert(z == 39L)
+    // clamp: negatives floor to 0, overflow caps at 2^bits - 1
+    val edge = Seq((-7L, 9999L)).toDF("x", "y")
+      .select(Scale.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .head().getLong(0)
+    assert(edge == Seq((0L, 7L)).toDF("x", "y")
+      .select(Scale.zValue(col("x"), col("y"), bits = 3).as("z"))
+      .head().getLong(0))
+    // z is a bijection on the grid: 16x16 at bits=4 -> 256 distinct z
+    val grid = (0L until 16L).flatMap(x => (0L until 16L).map(y => (x, y)))
+      .toDF("x", "y")
+      .select(Scale.zValue(col("x"), col("y"), bits = 4).as("z"))
+    assert(grid.distinct().count() == 256)
+    assert(grid.agg(min("z"), max("z")).head() ==
+      org.apache.spark.sql.Row(0L, 255L))
+  }
+
+  test("zOrderWrite shrinks per-file bounding boxes vs row-order layout") {
+    import org.apache.spark.sql.functions.input_file_name
+    val dir = graft.util.TempDirs.scratch("graft-zorder-")
+    val ev = Tables.events(spark, sfDir)
+      .select((col("user_id") % 256).as("x"),
+        get_json_object(col("props"), "$.k").cast("long").as("y"))
+    ev.repartition(8).write.mode("overwrite").parquet(s"$dir/plain")
+    Scale.zOrderWrite(ev, s"$dir/zorder", "x", "y", bits = 8, nFiles = 8)
+
+    // per-file (x, y) bounding-box area = what parquet min/max stats
+    // can prune against; z-ordering must shrink the average box
+    def avgArea(path: String): Double = {
+      val rows = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(((max("x") - min("x") + 1) * (max("y") - min("y") + 1))
+          .as("area"))
+        .agg(avg("area")).head()
+      rows.getDouble(0)
+    }
+    val plain = avgArea(s"$dir/plain")
+    val z     = avgArea(s"$dir/zorder")
+    assert(z < plain / 2.0,
+      s"z-order avg bounding box $z not < half of row-order $plain")
+  }
 }
