@@ -50,7 +50,10 @@ object DumpPlans {
       ("q6I_weighted_sample", "DSIR Gumbel-top-k resample: q6G's weight pipeline (broadcast log-ratio table, pool streams through one narrow join) + a narrow key map, then TakeOrderedAndProject -- per-partition k-heaps, partitions*k rows to the merge, NO global sort of the weighted pool", CurationQueries.queries("q6I_weighted_sample")),
       ("q2H_hll_distinct", "from-scratch HyperLogLog: one narrow md5 map per occurrence, register table via (source, j) groupBy MAX (partial-aggregated -- the shuffle carries <= groups*m register rows, never occurrences), integer-exact 2^(33-r) register sum, one closed-form division. The exact countDistinct side it is priced against carries distinct-value state; the sketch side is the 100 TB path", TextQueries.queries("q2H_hll_distinct")),
       ("q2G_grouped_quantiles", "per-group histogram quantiles: grouped bucket aggregate (state <= groups*nBuckets), cumulative walk windowed PER GROUP (parallel across groups -- no single-partition window), covering-rank equi-joins on the group key with the rank range residual", TextQueries.queries("q2G_grouped_quantiles")),
-      ("q6J_semantic_contamination", "cross-set semantic contamination: broadcast-centroid argmax assignment per side (narrow, no shuffle), bench side BROADCAST into the cell equi-join -- the train corpus streams; per-train-doc aggregate", VectorQueries.queries("q6J_semantic_contamination"))
+      ("q6J_semantic_contamination", "cross-set semantic contamination: broadcast-centroid argmax assignment per side (narrow, no shuffle), bench side BROADCAST into the cell equi-join -- the train corpus streams; per-train-doc aggregate", VectorQueries.queries("q6J_semantic_contamination")),
+      ("q4B_pagerank", "PageRank: per-round ONE hash join of the node-sized rank table against edges + a map-side-combinable sum; integer fixed-point recurrence (no float), localCheckpoint truncates lineage per round -- nothing collects, nothing broadcasts the corpus", PipelineQueries.queries("q4B_pagerank")),
+      ("q4C_zorder", "Z-order key: pure codegen'd integer bit-interleave (no UDF, no shuffle before the bucket aggregate) -- the clustering key a 100 TB OPTIMIZE ZORDER layout job computes per row", PipelineQueries.queries("q4C_zorder")),
+      ("q6K_nb_classifier", "Naive Bayes: model = labels x nBuckets broadcast count table; ONE heavy per-(doc, bucket) corpus pass, then broadcast joins -- the corpus never shuffles on anything but (doc, bucket); fixed-point argmax via two aggregations, no corpus window", CurationQueries.queries("q6K_nb_classifier"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
