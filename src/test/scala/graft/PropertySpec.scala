@@ -252,4 +252,54 @@ class PropertySpec extends GraftSpec {
         s"seed $seed: ${pages.map(_.length)} chars round-trip mismatch")
     }
   }
+
+  test("zValue properties on generated points: JVM-replayable interleave, " +
+    "locality containment, quadrant ordering") {
+    import graft.operators.Scale
+    val bits  = 8
+    val ptGen = Gen.zip(Gen.chooseNum(0L, 255L), Gen.chooseNum(0L, 255L))
+    val pts   = samples(ptGen, 300, 4200L)
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Scale.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) =>
+      // reference interleave computed independently on the JVM
+      val want = (0 until bits).map(i =>
+        ((x >> i) & 1L) << (2 * i) | ((y >> i) & 1L) << (2 * i + 1)).sum
+      assert(z == want, s"($x, $y) -> $z, want $want")
+      // de-interleave recovers the inputs: z is injective on the grid
+      val rx = (0 until bits).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val ry = (0 until bits).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(rx == x && ry == y)
+      // quadrant ordering: the high interleaved bits ARE the quadrant
+      // id, so z div 2^(2b-2) identifies the (x-half, y-half) quadrant
+      val quad = (if (y >= 128) 2L else 0L) + (if (x >= 128) 1L else 0L)
+      assert(z >> (2 * bits - 2) == quad)
+    }
+  }
+
+  test("pageRank properties on generated graphs: mass bound, teleport " +
+    "floor, bit-exact partitioning invariance") {
+    import graft.operators.Graph
+    val edgeGen = Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L),
+      Gen.chooseNum(1L, 5L))
+    for (seed <- 0 until 3) {
+      val edges = samples(edgeGen, 25, 5100L + seed * 97).distinct
+      val df    = edges.toDF("src", "dst", "w")
+      val r = Graph.pageRank(df, "src", "dst", "w", iters = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      val n    = r.length.toLong
+      val base = Graph.PicoMass / n
+      val t    = base * 15L / 100L
+      // every node holds at least the teleport floor, and total mass
+      // never exceeds the full pico budget (truncation only loses mass)
+      assert(r.forall(_._2 >= t), s"seed $seed: below teleport floor")
+      assert(r.map(_._2).sum <= Graph.PicoMass, s"seed $seed: mass created")
+      val r2 = Graph.pageRank(df.repartition(7), "src", "dst", "w", iters = 4)
+        .collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(r.sortBy(_._1).sameElements(r2.sortBy(_._1)),
+        s"seed $seed: partitioning changed ranks")
+    }
+  }
 }
