@@ -157,6 +157,20 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Fuzzy entity matching: distinct part names within 3 Levenshtein
+    // edits, blocked by shared character trigrams (q-gram blocking) so
+    // candidate generation is an inverted-index join, never n² — the
+    // entity-resolution pass a metadata-dedup pipeline runs on
+    // titles/names. Levenshtein is exact integer arithmetic in both
+    // engines; the oracle mirrors the same blocking.
+    "q3E_fuzzy_pairs" -> { (s, d) =>
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      Dedup.fuzzyPairs(names, "name", "name", maxDist = 3)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist"))
+        .orderBy("name_a", "name_b")
+    },
+
     // SimHash 64-bit signatures (repartition: 64 interpreted md5 votes
     // per token on a 1-file scan would otherwise run on one core).
     "q34_simhash" -> { (s, d) =>
@@ -553,6 +567,27 @@ object DedupQueries {
          |FROM truth t
          |LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
          |ORDER BY t.doc_a, t.doc_b""".stripMargin,
+
+    // Fuzzy-pairs mirror: identical trigram blocking (shared char
+    // 3-gram, short strings use the whole string), identical length
+    // prune + exact levenshtein verify. dist CAST to INT to match
+    // Spark's levenshtein type.
+    "q3E_fuzzy_pairs" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS s FROM part),
+        |gd AS (
+        |  SELECT DISTINCT s, g FROM (
+        |    SELECT s, unnest(CASE WHEN len(s) < 3 THEN [s]
+        |      ELSE [substr(s, i, 3) for i in range(1, len(s) - 1)] END) AS g
+        |    FROM nm)),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS s_a, b.s AS s_b
+        |  FROM gd a JOIN gd b ON a.g = b.g AND a.s < b.s)
+        |SELECT s_a AS name_a, s_b AS name_b,
+        |  CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM cand
+        |WHERE abs(len(s_a) - len(s_b)) <= 3
+        |  AND levenshtein(s_a, s_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "q34_simhash" ->
       s"""SELECT doc_id,

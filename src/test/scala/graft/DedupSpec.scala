@@ -539,4 +539,55 @@ class DedupSpec extends GraftSpec {
     // to pairwise
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("fuzzyPairs: hand distances, blocking recall vs brute force, stop-gram cap") {
+    import spark.implicits._
+    val rows = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitchen"),
+      (4L, "mitten"), (5L, "zzzqqq")).toDF("id", "s")
+    val got = graft.operators.Dedup.fuzzyPairs(rows, "id", "s", maxDist = 3)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // kitten-sitting = 3 (classic), kitten-kitchen = 2, kitten-mitten = 1,
+    // sitting-mitten share "itt" -> dist 3 kept
+    assert(got.contains((1L, 2L, 3)) && got.contains((1L, 3L, 2)) &&
+      got.contains((1L, 4L, 1)) && got.contains((2L, 4L, 3)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L),
+      "no shared trigram with zzzqqq")
+    assert(!got.contains((2L, 3L, 4)), "dist 4 must be filtered")
+    // the documented q-gram trade: kitchen/mitten are within dist 3 but
+    // share NO trigram (every gram broken by the edits) -> not a candidate
+    assert(levenshteinDist("kitchen", "mitten") == 3 &&
+      !got.exists(p => p._1 == 3L && p._2 == 4L))
+
+    // blocking recall on the fixture's part names: every brute-force
+    // pair within dist 3 must be found by the trigram blocking
+    val names = Tables.part(spark, sfDir)
+      .select(col("p_name").as("name")).distinct()
+    val blocked = graft.operators.Dedup
+      .fuzzyPairs(names, "name", "name", maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val all = names.as[String].collect()
+    val brute = (for {
+      a <- all; b <- all if a < b
+      if levenshteinDist(a, b) <= 3
+    } yield (a, b)).toSet
+    assert(blocked == brute,
+      s"missed ${brute -- blocked}, extra ${blocked -- brute}")
+
+    // the stop-gram cap drops candidates blocked ONLY by a hot gram
+    val capped = graft.operators.Dedup
+      .fuzzyPairs(rows, "id", "s", maxDist = 3, maxGramDf = 1)
+      .collect()
+    assert(capped.isEmpty, "every shared gram has df >= 2, so cap=1 drops all")
+  }
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
