@@ -706,6 +706,26 @@ object PipelineQueries {
         .orderBy("zbucket")
     },
 
+    // Content-defined chunking (the CDC/rolling-hash family): chunk
+    // boundaries fall after tokens whose md5 gear value ≡ 0 mod 16, so
+    // an edit re-chunks only the span it touches and every downstream
+    // chunk stays byte-identical — the shift resistance fixed-stride
+    // chunking lacks, and the basis of chunk-store dedup
+    // (ChunkerSpec measures it against q40's fixed stride). One narrow
+    // array-HOF map per doc: no explode before the chunk array exists,
+    // no window, no UDF.
+    "q4D_cdc_chunks" -> { (s, d) =>
+      import graft.ingest.Chunker
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(Chunker.cdcChunksCol(col("text"), divisor = 16))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(split(col("chunk_text"), " ")).as("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // The composed training-data pipeline end-to-end, every stage the
     // SAME operator the per-stage queries verify: normalize + PII scrub
     // (q60) → token/lang/quality filters (q20-q22) → exact dedup with
@@ -1266,6 +1286,33 @@ object PipelineQueries {
          |  min(y) AS y_min, max(y) AS y_max
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    // CDC mirror: identical gear predicate (leading-8-hex md5 value mod
+    // 16 over the shared hexValue arithmetic), identical final-token
+    // close, identical slice-and-join chunk assembly via list
+    // comprehensions.
+    "q4D_cdc_chunks" ->
+      s"""WITH base AS (SELECT doc_id, ${DuckSql.toks} AS t FROM documents),
+         |b AS (SELECT doc_id, t,
+         |  [i for i in range(1, len(t)+1)
+         |   if (${DuckSql.hexValue("md5(t[i])", 1, 8)}) % 16 = 0] AS bp
+         |  FROM base),
+         |e AS (SELECT doc_id, t,
+         |  CASE WHEN len(bp) > 0 AND bp[-1] = len(t) THEN bp
+         |       ELSE list_append(bp, len(t)) END AS ends
+         |  FROM b),
+         |ch AS (SELECT doc_id,
+         |  [array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1]+1 END):ends[j]], ' ')
+         |   for j in range(1, len(ends)+1)] AS chunks
+         |  FROM e),
+         |x AS (SELECT doc_id,
+         |  CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+         |  unnest(chunks) AS chunk_text
+         |  FROM ch)
+         |SELECT doc_id, chunk_idx,
+         |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens,
+         |  md5(chunk_text) AS chunk_md5
+         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // Composed-pipeline mirror: each CTE is the verified fragment of the
     // corresponding per-stage oracle (q60 scrub, q20-q22 filter formulas,

@@ -168,4 +168,70 @@ class ChunkerSpec extends GraftSpec {
     assert(!out.columns.contains("text"))
     assert(out.count() >= 20)
   }
+
+  test("cdcChunksCol: full coverage, boundary rule, empty/tiny docs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val rows = docs
+      .select(col("text"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"),
+        Chunker.cdcChunksCol(col("text"), 16).as("chunks"))
+      .select(array_join(col("toks"), " ").as("joined"),
+        array_join(col("chunks"), " ").as("rejoined"),
+        col("chunks"))
+      .collect()
+    // chunks cover every token in order
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // every chunk's last token is a gear boundary, except the doc's last
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gearZero(tok: String): Boolean = {
+      val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      hex.charAt(7) == '0'
+    }
+    rows.foreach { r =>
+      val chunks = r.getSeq[String](2)
+      chunks.dropRight(1).foreach { c =>
+        assert(gearZero(c.split(" ").last), s"non-boundary chunk end in '$c'")
+      }
+    }
+    // tiny docs: every token a boundary / no boundary
+    val tiny = Seq("one", "").toDF("text")
+      .select(Chunker.cdcChunksCol(col("text"), 16).as("c")).collect()
+    assert(tiny(0).getSeq[String](0) == Seq("one"))
+    assert(tiny(1).getSeq[String](0) == Seq(""))
+  }
+
+  test("cdc chunks are shift-resistant where fixed-stride chunks are not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir)
+      .orderBy(col("n_chars").desc).select("text").as[String].head()
+    assert(base.split("\\s+").length > 60, "need a long doc")
+    val shifted = "inserted preamble tokens " + base
+    val df = Seq(("a", base), ("b", shifted)).toDF("id", "text")
+
+    def chunkSet(c: org.apache.spark.sql.Column) = df
+      .select(col("id"), explode(c).as("chunk"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+
+    // CDC: boundaries are content-local, so past the first boundary the
+    // shifted doc re-produces the original's chunks byte-for-byte
+    val cdc = chunkSet(Chunker.cdcChunksCol(col("text"), 16))
+    val cdcShared = (cdc("a") intersect cdc("b")).size
+    assert(cdcShared >= cdc("a").size - 2,
+      s"cdc shared only $cdcShared of ${cdc("a").size}")
+
+    // fixed stride: one insertion shifts every later chunk
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val fixedCol = transform(
+      sequence(lit(0L), ((size(toks) - 1) / 16).cast("long")),
+      j => array_join(slice(toks, j * 16 + 1, lit(16)), " "))
+    val fixed = chunkSet(fixedCol)
+    val fixedShared = (fixed("a") intersect fixed("b")).size
+    assert(fixedShared <= 1,
+      s"fixed-stride unexpectedly shared $fixedShared chunks")
+    assert(cdcShared > fixedShared)
+  }
 }
