@@ -338,6 +338,31 @@ object StreamingQueries {
         .select(col("e.id").as("doc_id"))
         .join(Tables.documents(s, d).select("doc_id", "source"), "doc_id")
         .orderBy("doc_id")
+    },
+
+    // STRATIFIED streaming sampling: the per-group form of the q7G
+    // reservoir — groupBy(source).agg(topKByRank) holds ≤ k state
+    // entries PER STRATUM forever, the streaming twin of q67's
+    // per-domain cap (same salted-hash order, same k, same tiebreak,
+    // so it SHARES q67's oracle). The per-domain eval-sampling /
+    // cap-on-arrival every multi-source ingest stream needs; state is
+    // strata × k no matter how much flows through.
+    "q7H_stream_stratified_sample" -> { (s, d) =>
+      import graft.functions.TopKByRankAgg
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val ranked = docs.select(col("source"),
+        md5(concat(col("doc_id").cast("string"), lit("cap"))).as("rk"),
+        col("doc_id"))
+      val top = StreamRunner.runToBatch(
+        ranked.groupBy("source")
+          .agg(TopKByRankAgg.topKByRank(col("rk"), col("doc_id"), 15)
+            .as("top")),
+        OutputMode.Complete)
+      top.select(col("source"), explode(col("top.id")).as("doc_id"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
     }
   )
 
@@ -524,6 +549,17 @@ object StreamingQueries {
         |  SELECT doc_id, source FROM documents
         |  ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sample'), doc_id
         |  LIMIT 50) t
+        |ORDER BY doc_id""".stripMargin,
+
+    // The streamed per-stratum reservoir must equal q67's batch cap
+    // exactly: identical per-source salted-hash order, k, tiebreak.
+    "q7H_stream_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15
         |ORDER BY doc_id""".stripMargin
   )
 }

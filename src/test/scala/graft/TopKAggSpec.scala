@@ -52,6 +52,22 @@ class TopKAggSpec extends GraftSpec {
     assert(run(docs).sameElements(run(docs.repartition(17))))
   }
 
+  test("grouped form equals perStratumCap (per-stratum reservoir)") {
+    val docs = Tables.documents(spark, sfDir)
+    val rk = md5(concat(col("doc_id").cast("string"), lit("cap")))
+    val viaAgg = docs.select(col("source"), rk.as("r"), col("doc_id"))
+      .groupBy("source")
+      .agg(topKByRank(col("r"), col("doc_id"), 15).as("top"))
+      .select(col("source"), explode(col("top.id")).as("doc_id"))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val viaCap = Curation
+      .perStratumCap(docs, "doc_id", "source", k = 15, salt = "cap")
+      .select("source", "doc_id").orderBy("doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(viaAgg.nonEmpty && viaAgg.sameElements(viaCap))
+  }
+
   test("multi-micro-batch stream merges state to the exact batch draw") {
     val dir = graft.util.TempDirs.scratch("graft-topk-stream-")
     // two files -> maxFilesPerTrigger=1 forces TWO micro-batches: the
