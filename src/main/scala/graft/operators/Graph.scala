@@ -61,37 +61,78 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                weightCol: String, iters: Int = 5,
                dampingPct: Int = 85): DataFrame = {
-    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
-    require(dampingPct >= 1 && dampingPct <= 99,
-      s"dampingPct must be in [1, 99], got $dampingPct")
-    val e = edges.select(
+    val e     = normEdges(edges, srcCol, dstCol, weightCol)
+    val nodes = edgeNodes(e)
+    // one-row broadcast: node count -> integer base + teleport floor.
+    // (10^12 div N) truncates; the teleport floor reuses the truncated
+    // base so both engines compute the identical long.
+    val consts = nodes.agg(count(lit(1)).as("n"))
+      .select(
+        expr(s"$PicoMass div n").as("base"),
+        expr(s"(($PicoMass div n) * ${100 - dampingPct}) div 100").as("t"))
+    val init = nodes.crossJoin(broadcast(consts))
+      .select(col("node"), col("base").as("init"), col("t").as("tp"))
+    prLoop(e, init, iters, dampingPct)
+  }
+
+  /** Personalized (topic-sensitive) PageRank: teleport mass lands ONLY
+    * on the `seeds` set, so rank measures link-proximity to the trusted
+    * seeds (Haveliwala 2002; the TrustRank-style host scoring a curation
+    * pipeline runs from a hand-vetted whitelist). Identical integer
+    * recurrence, identical scale shape — seeds are a node-sized join,
+    * never collected. Seed ids absent from the edge set still rank
+    * (teleport only); total mass still decays only by truncation and
+    * dangling loss, never grows.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame,
+                           seedCol: String, iters: Int = 5,
+                           dampingPct: Int = 85): DataFrame = {
+    val e = normEdges(edges, srcCol, dstCol, weightCol)
+    val seedNodes = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nodes = edgeNodes(e).unionByName(seedNodes).distinct()
+      .join(seedNodes.withColumn("seed", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
+    val consts = seedNodes.agg(count(lit(1)).as("s"))
+      .select(
+        expr(s"$PicoMass div s").as("base"),
+        expr(s"(($PicoMass div s) * ${100 - dampingPct}) div 100").as("t"))
+    val init = nodes.crossJoin(broadcast(consts))
+      .select(col("node"),
+        when(col("seed"), col("base")).otherwise(lit(0L)).as("init"),
+        when(col("seed"), col("t")).otherwise(lit(0L)).as("tp"))
+    prLoop(e, init, iters, dampingPct)
+  }
+
+  private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                        weightCol: String): DataFrame =
+    edges.select(
       col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"),
       col(weightCol).cast("long").as("w"))
       .filter(col("w") > 0)
       .localCheckpoint(eager = false)
 
-    val nodes = e.select(col("src").as("node"))
+  private def edgeNodes(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(eager = false)
 
+  /** The shared fixed-point iteration: `init` carries one row per node
+    * with its starting rank (`init`) and per-round teleport (`tp`).
+    */
+  private def prLoop(e: DataFrame, init: DataFrame, iters: Int,
+                     dampingPct: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    require(dampingPct >= 1 && dampingPct <= 99,
+      s"dampingPct must be in [1, 99], got $dampingPct")
     // out-weight per source; node-sized, joins by key at any scale
     val outW = e.groupBy(col("src").as("node"))
       .agg(sum("w").as("outw"))
-
-    // one-row broadcast: node count -> integer base + teleport floor.
-    // (10^12 div N) truncates; the teleport floor reuses the truncated
-    // base so both engines compute the identical long.
-    val consts = nodes.agg(count(lit(1)).as("n"))
-      .select(col("n"),
-        expr(s"$PicoMass div n").as("base"),
-        expr(s"(($PicoMass div n) * ${100 - dampingPct}) div 100").as("t"))
-
-    var rank = nodes.crossJoin(broadcast(consts))
-      .select(col("node"), col("base").as("r"))
+    val base = init.localCheckpoint(eager = false)
+    var rank = base.select(col("node"), col("init").as("r"))
       .localCheckpoint(eager = false)
-
     for (_ <- 1 to iters) {
       val contrib = e
         .join(rank.withColumnRenamed("node", "src"), "src")
@@ -100,10 +141,10 @@ object Graph {
           expr(s"(((r * $dampingPct) div 100) * w) div outw").as("c"))
         .groupBy("node")
         .agg(sum("c").as("contrib"))
-      rank = nodes.crossJoin(broadcast(consts))
+      rank = base
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (col("t") + coalesce(col("contrib"), lit(0L))).as("r"))
+          (col("tp") + coalesce(col("contrib"), lit(0L))).as("r"))
         .localCheckpoint(eager = false)
     }
     rank.select(col("node"), col("r").as("rank_pico"),

@@ -15,6 +15,29 @@ object PipelineQueries {
 
   private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
+  /** CDC chunk CTEs shared by the q4D and q4E oracles: boundary
+    * positions by the gear predicate, final-token close, chunk
+    * assembly; emits `x(doc_id, chunk_idx, chunk_text)`.
+    */
+  private val duckCdcChunkCtes: String =
+    s"""base AS (SELECT doc_id, ${DuckSql.toks} AS t FROM documents),
+       |b AS (SELECT doc_id, t,
+       |  [i for i in range(1, len(t)+1)
+       |   if (${DuckSql.hexValue("md5(t[i])", 1, 8)}) % 16 = 0] AS bp
+       |  FROM base),
+       |e AS (SELECT doc_id, t,
+       |  CASE WHEN len(bp) > 0 AND bp[-1] = len(t) THEN bp
+       |       ELSE list_append(bp, len(t)) END AS ends
+       |  FROM b),
+       |ch AS (SELECT doc_id,
+       |  [array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1]+1 END):ends[j]], ' ')
+       |   for j in range(1, len(ends)+1)] AS chunks
+       |  FROM e),
+       |x AS (SELECT doc_id,
+       |  CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
+       |  unnest(chunks) AS chunk_text
+       |  FROM ch)""".stripMargin
+
   /** Recursive-chunker CTE fragment shared by the q50 and q52 oracles:
     * word prefix-sum offsets, then a recursion over CHUNK boundaries
     * (see the q50 oracle comment for why this is exact on these
@@ -686,6 +709,26 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // Personalized PageRank from a trusted seed set (TrustRank-style
+    // whitelist scoring): teleport mass lands only on pages 0-9, so
+    // rank measures link-proximity to the seeds. Same integer
+    // fixed-point recurrence as q4B.
+    "q4F_personalized_pagerank" -> { (s, d) =>
+      import graft.operators.Graph
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev.withColumn("dst_k", lead("k", 1).over(w))
+        .filter(col("dst_k").isNotNull)
+        .groupBy(col("k").as("src"), col("dst_k").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val seeds = s.range(0, 10).select(col("id").as("k"))
+      Graph.personalizedPageRank(edges, "src", "dst", "w", seeds, "k",
+          iters = 5)
+        .orderBy("node")
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // behind OPTIMIZE ZORDER: interleave (user_id % 1024, props.k) bits
     // and bucket by z ranges; each bucket's (x, y) bounding box is the
@@ -724,6 +767,31 @@ object PipelineQueries {
           size(split(col("chunk_text"), " ")).as("n_tokens"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // The point of CDC made measurable: chunk-store dedup accounting.
+    // The md5 chunk dictionary (distinct-chunk-sized, map-side
+    // combinable) prices exactly how many tokens a content-addressed
+    // store would NOT re-store — the cross-document savings that
+    // fixed-stride chunking forfeits under shifts. Exact integer mass
+    // arithmetic end to end.
+    "q4E_cdc_dedup" -> { (s, d) =>
+      import graft.ingest.Chunker
+      val sized = Tables.documents(s, d)
+        .select(explode(Chunker.cdcChunksCol(col("text"), 16)).as("chunk"))
+        .select(md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("nt"))
+      val dict = sized.groupBy("h")
+        .agg(count(lit(1)).as("n"), min("nt").as("nt"))
+      dict.agg(
+          sum("n").as("total_chunks"),
+          count(lit(1)).as("distinct_chunks"),
+          sum(when(col("n") > 1, lit(1L)).otherwise(lit(0L))).as("dup_chunks"),
+          sum(col("n") * col("nt")).as("total_tokens"),
+          sum((col("n") - 1) * col("nt")).as("dup_token_mass"))
+        .withColumn("savings",
+          round(col("dup_token_mass").cast("double") /
+            col("total_tokens").cast("double"), 6))
     },
 
     // The composed training-data pipeline end-to-end, every stage the
@@ -1265,6 +1333,56 @@ object PipelineQueries {
          |FROM it5 ORDER BY node""".stripMargin
     },
 
+    // Personalized-PageRank mirror: q4B's recurrence with the teleport
+    // restricted to the seed flag; consts derive from the SEED count.
+    "q4F_personalized_pagerank" -> {
+      def iterCte(prev: String, cur: String): String =
+        s"""$cur AS (
+           |  SELECT n.node,
+           |    CAST((CASE WHEN n.seed THEN (SELECT t FROM consts) ELSE 0 END)
+           |         + coalesce(s.contrib, 0) AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((((r.r * 85) // 100) * e.w) // o.outw) AS BIGINT) AS contrib
+           |    FROM edges e
+           |    JOIN $prev r ON r.node = e.src
+           |    JOIN outw o ON o.node = e.src
+           |    GROUP BY e.dst) s ON s.node = n.node)""".stripMargin
+      val iters = List("r0" -> "it1", "it1" -> "it2", "it2" -> "it3",
+        "it3" -> "it4", "it4" -> "it5")
+        .map { case (p, c) => iterCte(p, c) }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |tr AS (
+         |  SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq),
+         |edges AS (
+         |  SELECT src, dst, count(*) AS w FROM tr
+         |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+         |seeds AS (SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS node),
+         |n0 AS (SELECT src AS node FROM edges
+         |       UNION SELECT dst FROM edges
+         |       UNION SELECT node FROM seeds),
+         |nodes AS (
+         |  SELECT n0.node, (s.node IS NOT NULL) AS seed
+         |  FROM n0 LEFT JOIN seeds s ON s.node = n0.node),
+         |outw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS outw
+         |         FROM edges GROUP BY 1),
+         |consts AS (SELECT count(*) AS s,
+         |    1000000000000 // count(*) AS base,
+         |    ((1000000000000 // count(*)) * 15) // 100 AS t FROM seeds),
+         |r0 AS (SELECT node,
+         |  CASE WHEN seed THEN (SELECT base FROM consts) ELSE 0 END AS r
+         |  FROM nodes),
+         |$iters
+         |SELECT node, r AS rank_pico,
+         |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
+         |FROM it5 ORDER BY node""".stripMargin
+    },
+
     // Z-order mirror: identical clamp + bit-interleave integer
     // arithmetic ((v >> i) % 2 with long power-of-two weights), same
     // bucket floor-division.
@@ -1290,29 +1408,30 @@ object PipelineQueries {
     // CDC mirror: identical gear predicate (leading-8-hex md5 value mod
     // 16 over the shared hexValue arithmetic), identical final-token
     // close, identical slice-and-join chunk assembly via list
-    // comprehensions.
+    // comprehensions. The chunk CTEs are shared with q4E.
     "q4D_cdc_chunks" ->
-      s"""WITH base AS (SELECT doc_id, ${DuckSql.toks} AS t FROM documents),
-         |b AS (SELECT doc_id, t,
-         |  [i for i in range(1, len(t)+1)
-         |   if (${DuckSql.hexValue("md5(t[i])", 1, 8)}) % 16 = 0] AS bp
-         |  FROM base),
-         |e AS (SELECT doc_id, t,
-         |  CASE WHEN len(bp) > 0 AND bp[-1] = len(t) THEN bp
-         |       ELSE list_append(bp, len(t)) END AS ends
-         |  FROM b),
-         |ch AS (SELECT doc_id,
-         |  [array_to_string(t[(CASE WHEN j = 1 THEN 1 ELSE ends[j-1]+1 END):ends[j]], ' ')
-         |   for j in range(1, len(ends)+1)] AS chunks
-         |  FROM e),
-         |x AS (SELECT doc_id,
-         |  CAST(generate_subscripts(chunks, 1) - 1 AS INT) AS chunk_idx,
-         |  unnest(chunks) AS chunk_text
-         |  FROM ch)
+      s"""WITH $duckCdcChunkCtes
          |SELECT doc_id, chunk_idx,
          |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens,
          |  md5(chunk_text) AS chunk_md5
          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // CDC dedup-ratio mirror: same chunk CTEs, then exact integer
+    // chunk/token accounting over the md5 chunk dictionary.
+    "q4E_cdc_dedup" ->
+      s"""WITH $duckCdcChunkCtes,
+         |sized AS (SELECT md5(chunk_text) AS h,
+         |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS nt FROM x),
+         |dict AS (SELECT h, CAST(count(*) AS BIGINT) AS n, min(nt) AS nt
+         |         FROM sized GROUP BY h)
+         |SELECT CAST(sum(n) AS BIGINT) AS total_chunks,
+         |  CAST(count(*) AS BIGINT) AS distinct_chunks,
+         |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+         |  CAST(sum(n * nt) AS BIGINT) AS total_tokens,
+         |  CAST(sum((n - 1) * nt) AS BIGINT) AS dup_token_mass,
+         |  round(CAST(sum((n - 1) * nt) AS DOUBLE)
+         |        / CAST(sum(n * nt) AS DOUBLE), 6) AS savings
+         |FROM dict""".stripMargin,
 
     // Composed-pipeline mirror: each CTE is the verified fragment of the
     // corresponding per-stage oracle (q60 scrub, q20-q22 filter formulas,

@@ -61,6 +61,35 @@ class GraphSpec extends GraftSpec {
     assert(r(2L) > r(3L))
   }
 
+  test("personalized PageRank concentrates mass near the seed set") {
+    // chain 1 -> 2 -> 3 -> 4, plus isolated 5 <-> 6; seed = {1}
+    val e = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (5L, 6L, 1L), (6L, 5L, 1L))
+    val seeds = Seq(1L).toDF("node")
+    val r = Graph.personalizedPageRank(e, "src", "dst", "w", seeds, "node",
+        iters = 6)
+      .collect().map(x => x.getAs[Long]("node") -> x.getAs[Long]("rank_pico"))
+      .toMap
+    // mass decays monotonically along the chain away from the seed
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > r(4L))
+    // the disconnected cycle gets NO teleport and no in-links from the
+    // seed side: exactly zero
+    assert(r(5L) == 0L && r(6L) == 0L)
+    // total mass never exceeds the pico budget
+    assert(r.values.sum <= Graph.PicoMass)
+  }
+
+  test("personalized PageRank with all nodes seeded equals pageRank") {
+    val e = edges((1L, 2L, 2L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 3L, 1L))
+    val all = Seq(1L, 2L, 3L).toDF("node")
+    val a = Graph.pageRank(e, "src", "dst", "w", iters = 5)
+      .orderBy("node").collect().map(_.getLong(1))
+    val b = Graph.personalizedPageRank(e, "src", "dst", "w", all, "node",
+        iters = 5)
+      .orderBy("node").collect().map(_.getLong(1))
+    assert(a.sameElements(b))
+  }
+
   test("rank_pico is partitioning-invariant (bit-exact)") {
     val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"),
       col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
