@@ -171,6 +171,21 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     },
 
+    // Entity resolution end-to-end: block (q3E's trigram inverted
+    // index) → verify (levenshtein ≤ 2) → cluster (connected
+    // components, min-label canonical) → every name mapped to its
+    // canonical entity; singletons stay their own entity. The
+    // metadata-normalization pass a catalog/dedup pipeline runs over
+    // titles/authors/products.
+    "q3F_entity_clusters" -> { (s, d) =>
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      val pairs = Dedup.fuzzyPairs(names, "name", "name", maxDist = 2)
+      val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      names.join(labels.withColumnRenamed("node", "name"), Seq("name"), "left")
+        .select(col("name"), coalesce(col("root"), col("name")).as("entity"))
+        .orderBy("name")
+    },
+
     // SimHash 64-bit signatures (repartition: 64 interpreted md5 votes
     // per token on a 1-file scan would otherwise run on one core).
     "q34_simhash" -> { (s, d) =>
@@ -588,6 +603,35 @@ object DedupQueries {
         |WHERE abs(len(s_a) - len(s_b)) <= 3
         |  AND levenshtein(s_a, s_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // Entity-cluster mirror: q3E's blocking at dist <= 2, then the q36
+    // recursive transitive-closure walk with min-label roots;
+    // singletons coalesce to themselves. Lexicographic min matches
+    // Spark's binary string ordering on these ASCII names.
+    "q3F_entity_clusters" ->
+      """WITH RECURSIVE nm AS (SELECT DISTINCT p_name AS s FROM part),
+        |gd AS (
+        |  SELECT DISTINCT s, g FROM (
+        |    SELECT s, unnest(CASE WHEN len(s) < 3 THEN [s]
+        |      ELSE [substr(s, i, 3) for i in range(1, len(s) - 1)] END) AS g
+        |    FROM nm)),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS s_a, b.s AS s_b
+        |  FROM gd a JOIN gd b ON a.g = b.g AND a.s < b.s),
+        |e2 AS (
+        |  SELECT s_a, s_b FROM cand
+        |  WHERE abs(len(s_a) - len(s_b)) <= 2
+        |    AND levenshtein(s_a, s_b) <= 2),
+        |sym AS (SELECT s_a AS a, s_b AS b FROM e2
+        |        UNION SELECT s_b, s_a FROM e2),
+        |walk(doc, reach) AS (
+        |  SELECT a, a FROM sym
+        |  UNION
+        |  SELECT w.doc, e.b FROM walk w JOIN sym e ON w.reach = e.a),
+        |rep AS (SELECT doc, min(reach) AS root FROM walk GROUP BY doc)
+        |SELECT nm.s AS name, coalesce(rep.root, nm.s) AS entity
+        |FROM nm LEFT JOIN rep ON rep.doc = nm.s
+        |ORDER BY name""".stripMargin,
 
     "q34_simhash" ->
       s"""SELECT doc_id,

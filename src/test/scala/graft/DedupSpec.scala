@@ -581,6 +581,22 @@ class DedupSpec extends GraftSpec {
     assert(capped.isEmpty, "every shared gram has df >= 2, so cap=1 drops all")
   }
 
+  test("entity clusters: transitive closure, min-label canonical, singleton identity") {
+    import spark.implicits._
+    // chain: aaaa ~ aaab ~ aabb (dist 1 links) -> one entity labeled by
+    // the min member even though aaaa-aabb are dist 2 apart only via
+    // the chain; zzz is a singleton
+    val names = Seq("aaaa", "aaab", "aabb", "zzz").toDF("name")
+    val pairs = graft.operators.Dedup.fuzzyPairs(names, "name", "name", maxDist = 1)
+    val labels = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val got = names
+      .join(labels.withColumnRenamed("node", "name"), Seq("name"), "left")
+      .select(col("name"), coalesce(col("root"), col("name")).as("entity"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("aaaa") == "aaaa" && got("aaab") == "aaaa" && got("aabb") == "aaaa")
+    assert(got("zzz") == "zzz")
+  }
+
   private def levenshteinDist(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
