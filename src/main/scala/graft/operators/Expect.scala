@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations (the Deequ / Great-Expectations
+  * stage): a constraint list compiles into ONE aggregation pass over the
+  * table, producing a per-constraint report row (metric, threshold,
+  * passed). The gate every ingest/training pipeline runs before trusting
+  * a new snapshot — schema-level nullability, domain membership, range
+  * discipline, and key uniqueness, priced as a single scan.
+  *
+  * Scale shape: every rate metric is an `avg` over a 0/1 projection —
+  * map-side combinable, one pass, no shuffle beyond the final one-row
+  * aggregate. Uniqueness needs `count(distinct keys)`, which Spark plans
+  * through one Expand + aggregation (a keys-sized shuffle — the honest
+  * cost of exact uniqueness; HLL via [[Sketch]] is the sketch path when
+  * approximate suffices). Metrics are rounded to 6 dp BEFORE the
+  * threshold comparison so the pass/fail boundary is bit-stable
+  * cross-engine.
+  */
+object Expect {
+
+  sealed trait Constraint {
+    def name: String
+    private[Expect] def metric: Column
+    def threshold: Double
+  }
+
+  /** Fraction of rows with a non-null value ≥ threshold. */
+  final case class NotNull(colName: String, override val threshold: Double = 1.0)
+      extends Constraint {
+    val name = s"not_null:$colName"
+    private[Expect] def metric =
+      avg(when(col(colName).isNotNull, 1.0d).otherwise(0.0d))
+  }
+
+  /** Fraction of non-null values inside [lo, hi] ≥ threshold (null rows
+    * count against the rate — absence is not compliance).
+    */
+  final case class InRange(colName: String, lo: Double, hi: Double,
+                           override val threshold: Double = 1.0)
+      extends Constraint {
+    val name = s"in_range:$colName"
+    private[Expect] def metric =
+      avg(when(col(colName) >= lo && col(colName) <= hi, 1.0d).otherwise(0.0d))
+  }
+
+  /** Fraction of values in the accepted set ≥ threshold. */
+  final case class InSet(colName: String, values: Seq[String],
+                         override val threshold: Double = 1.0)
+      extends Constraint {
+    require(values.nonEmpty, "accepted set must be non-empty")
+    val name = s"in_set:$colName"
+    private[Expect] def metric =
+      avg(when(col(colName).isin(values: _*), 1.0d).otherwise(0.0d))
+  }
+
+  /** distinct(keys) / count ≥ threshold (1.0 = the columns form a key). */
+  final case class Unique(colNames: Seq[String],
+                          override val threshold: Double = 1.0)
+      extends Constraint {
+    require(colNames.nonEmpty, "key column list must be non-empty")
+    val name = s"unique:${colNames.mkString(",")}"
+    private[Expect] def metric =
+      countDistinct(col(colNames.head), colNames.tail.map(col): _*)
+        .cast("double") / count(lit(1)).cast("double")
+  }
+
+  /** Row count ≥ threshold. */
+  final case class MinRows(override val threshold: Double) extends Constraint {
+    val name = "min_rows"
+    private[Expect] def metric = count(lit(1)).cast("double")
+  }
+
+  /** One report row per constraint: `check`, `metric` (6 dp),
+    * `threshold`, `passed`. All metrics evaluate in ONE `agg(...)`.
+    */
+  def report(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "no constraints given")
+    require(constraints.map(_.name).distinct.size == constraints.size,
+      "duplicate constraint names")
+    val aggs = constraints.map(c => round(c.metric, 6).as(c.name))
+    val one  = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(constraints.map { c =>
+      struct(lit(c.name).as("check"), col(c.name).as("metric"),
+        lit(c.threshold).as("threshold"),
+        (col(c.name) >= c.threshold).as("passed"))
+    }: _*)
+    one.select(explode(rows).as("r"))
+      .select(col("r.check").as("check"), col("r.metric").as("metric"),
+        col("r.threshold").as("threshold"), col("r.passed").as("passed"))
+  }
+}

@@ -255,6 +255,24 @@ object RelationalQueries {
     // Table profiling (the data-quality pass a pipeline runs before
     // training): row/distinct/null counts and numeric ranges in ONE
     // aggregation pass over the table.
+    // Declarative data-quality expectations (the Deequ stage): six
+    // constraints compile into ONE aggregation pass; metric rounded 6 dp
+    // BEFORE the threshold compare so pass/fail is bit-stable. The
+    // price-cap check is deliberately failing — the report must show
+    // both outcomes.
+    "q0K_expectations" -> { (s, d) =>
+      import graft.operators.Expect
+      import graft.operators.Expect._
+      Expect.report(Tables.lineitem(s, d), Seq(
+          NotNull("l_orderkey"),
+          InRange("l_quantity", 1, 50),
+          InSet("l_returnflag", Seq("A", "N", "R")),
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          MinRows(1000),
+          InRange("l_extendedprice", 0, 1000)))
+        .orderBy("check")
+    },
+
     "q0J_table_profile" -> { (s, d) =>
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n_rows"),
@@ -459,6 +477,33 @@ object RelationalQueries {
         |    AS cum_revenue
         |FROM monthly
         |ORDER BY status, month""".stripMargin,
+
+    // Expectations mirror: identical 0/1-average metrics, identical
+    // round-then-compare, count(DISTINCT (a, b)) for the composite key.
+    "q0K_expectations" ->
+      """WITH m AS (SELECT
+        |  round(avg(CASE WHEN l_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS c_nn,
+        |  round(avg(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 1.0 ELSE 0.0 END), 6) AS c_qty,
+        |  round(avg(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 1.0 ELSE 0.0 END), 6) AS c_flag,
+        |  round(CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+        |        / CAST(count(*) AS DOUBLE), 6) AS c_uq,
+        |  round(CAST(count(*) AS DOUBLE), 6) AS c_rows,
+        |  round(avg(CASE WHEN l_extendedprice >= 0 AND l_extendedprice <= 1000 THEN 1.0 ELSE 0.0 END), 6) AS c_cap
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'not_null:l_orderkey' AS "check", c_nn AS metric,
+        |    1.0 AS threshold, c_nn >= 1.0 AS passed FROM m
+        |  UNION ALL
+        |  SELECT 'in_range:l_quantity', c_qty, 1.0, c_qty >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'in_set:l_returnflag', c_flag, 1.0, c_flag >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'unique:l_orderkey,l_linenumber', c_uq, 1.0, c_uq >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'min_rows', c_rows, 1000.0, c_rows >= 1000.0 FROM m
+        |  UNION ALL
+        |  SELECT 'in_range:l_extendedprice', c_cap, 1.0, c_cap >= 1.0 FROM m)
+        |ORDER BY "check"""".stripMargin,
 
     "q0J_table_profile" ->
       """SELECT count(*) AS n_rows,

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.Expect
+import graft.operators.Expect._
+import org.apache.spark.sql.functions._
+
+/** Declarative expectations: hand-verifiable metrics, one-pass plan,
+  * boundary behavior of the round-then-compare contract.
+  */
+class ExpectSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("report computes hand-checked metrics and pass/fail") {
+    val df = Seq(
+      (1, Some("a"), 10.0), (2, Some("b"), 20.0), (3, None, 30.0),
+      (4, Some("a"), 999.0)).toDF("id", "tag", "v")
+    val r = Expect.report(df, Seq(
+        NotNull("tag", threshold = 0.7),
+        InRange("v", 0, 100, threshold = 0.75),
+        InSet("tag", Seq("a", "b"), threshold = 0.7),
+        Unique(Seq("id")),
+        MinRows(4)))
+      .collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getBoolean(3))).toMap
+    assert(r("not_null:tag") == (0.75, true))
+    assert(r("in_range:v") == (0.75, true))
+    // null tag is not in the set: 3/4
+    assert(r("in_set:tag") == (0.75, true))
+    assert(r("unique:id") == (1.0, true))
+    assert(r("min_rows") == (4.0, true))
+    // tighten thresholds -> same metrics flip to failed
+    val r2 = Expect.report(df, Seq(NotNull("tag"), InRange("v", 0, 100)))
+      .collect().map(x => x.getString(0) -> x.getBoolean(3)).toMap
+    assert(!r2("not_null:tag") && !r2("in_range:v"))
+  }
+
+  test("rounding happens before the threshold compare") {
+    // 2/3 = 0.666667 rounded; threshold exactly at the rounded value
+    val df = Seq(Some(1), Some(2), None).toDF("x")
+    val r = Expect.report(df, Seq(NotNull("x", threshold = 0.666667)))
+      .head()
+    assert(r.getDouble(1) == 0.666667 && r.getBoolean(3))
+  }
+
+  test("one aggregation pass: a single Aggregate over the source") {
+    val df = Tables.lineitem(spark, sfDir)
+    val plan = Expect.report(df, Seq(
+        NotNull("l_orderkey"), InRange("l_quantity", 1, 50),
+        MinRows(10))).queryExecution.optimizedPlan
+    val nAggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size
+    assert(nAggs == 1, s"expected one Aggregate, got $nAggs")
+  }
+
+  test("duplicate constraint names are rejected") {
+    val df = Seq(1).toDF("x")
+    intercept[IllegalArgumentException] {
+      Expect.report(df, Seq(NotNull("x"), NotNull("x")))
+    }
+  }
+}
