@@ -363,6 +363,34 @@ object StreamingQueries {
       top.select(col("source"), explode(col("top.id")).as("doc_id"))
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // Data-quality expectations as a STREAMING monitor: q0K's
+    // declarative report running as a Complete-mode aggregate over the
+    // event stream — every rate metric's state is one (sum, count)
+    // pair, so the monitor holds a handful of state rows forever (the
+    // drift gate an ingest pipeline keeps live). Exact-uniqueness is
+    // deliberately absent from the streaming form: its state grows
+    // with the key space (the HLL sketch q7E is the bounded-state
+    // alternative). Shares the metric formulas and round-then-compare
+    // contract with q0K's oracle.
+    "q7I_stream_expectations" -> { (s, d) =>
+      import graft.operators.Expect
+      import graft.operators.Expect._
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev = if (schema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000"))) else raw
+      StreamRunner.runToBatch(
+          Expect.report(ev, Seq(
+            NotNull("user_id"),
+            InRange("value", 0, 1000000),
+            InSet("event_type",
+              Seq("view", "click", "signup", "purchase", "error")),
+            MinRows(100))),
+          OutputMode.Complete)
+        .orderBy("check")
     }
   )
 
@@ -560,6 +588,25 @@ object StreamingQueries {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'cap'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 15
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Streamed expectations mirror: q0K's metric formulas over events.
+    "q7I_stream_expectations" ->
+      """WITH m AS (SELECT
+        |  round(avg(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS c_nn,
+        |  round(avg(CASE WHEN value >= 0 AND value <= 1000000 THEN 1.0 ELSE 0.0 END), 6) AS c_v,
+        |  round(avg(CASE WHEN event_type IN ('view', 'click', 'signup', 'purchase', 'error') THEN 1.0 ELSE 0.0 END), 6) AS c_et,
+        |  round(CAST(count(*) AS DOUBLE), 6) AS c_rows
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'not_null:user_id' AS "check", c_nn AS metric,
+        |    1.0 AS threshold, c_nn >= 1.0 AS passed FROM m
+        |  UNION ALL
+        |  SELECT 'in_range:value', c_v, 1.0, c_v >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'in_set:event_type', c_et, 1.0, c_et >= 1.0 FROM m
+        |  UNION ALL
+        |  SELECT 'min_rows', c_rows, 100.0, c_rows >= 100.0 FROM m)
+        |ORDER BY "check"""".stripMargin
   )
 }
