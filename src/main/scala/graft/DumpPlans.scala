@@ -55,7 +55,8 @@ object DumpPlans {
       ("q4C_zorder", "Z-order key: pure codegen'd integer bit-interleave (no UDF, no shuffle before the bucket aggregate) -- the clustering key a 100 TB OPTIMIZE ZORDER layout job computes per row", PipelineQueries.queries("q4C_zorder")),
       ("q6K_nb_classifier", "Naive Bayes: model = labels x nBuckets broadcast count table; ONE heavy per-(doc, bucket) corpus pass, then broadcast joins -- the corpus never shuffles on anything but (doc, bucket); fixed-point argmax via two aggregations, no corpus window", CurationQueries.queries("q6K_nb_classifier")),
       ("q3E_fuzzy_pairs", "fuzzy entity matching: trigram inverted-index equi-join on xxhash64 keys (never n^2), distinct candidate pairs, free length prune, ONE levenshtein per pair -- no CartesianProduct anywhere", DedupQueries.queries("q3E_fuzzy_pairs")),
-      ("q4D_cdc_chunks", "content-defined chunking: one narrow aggregate() fold per doc (lambdas bind only acc/element -- no per-element re-evaluation of the token split), then posexplode of the finished chunk array; no shuffle until the final sort", PipelineQueries.queries("q4D_cdc_chunks"))
+      ("q4D_cdc_chunks", "content-defined chunking: one narrow aggregate() fold per doc (lambdas bind only acc/element -- no per-element re-evaluation of the token split), then posexplode of the finished chunk array; no shuffle until the final sort", PipelineQueries.queries("q4D_cdc_chunks")),
+      ("q0K_expectations", "declarative expectations: every constraint metric inside ONE Aggregate (map-side-combinable 0/1 averages + the single count-distinct Expand for key uniqueness), then a literal-array explode into report rows -- the whole quality gate is one scan", RelationalQueries.queries("q0K_expectations"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
