@@ -53,5 +53,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_mean"),
       info("vector_mean", "_FUNC_(v) - element-wise mean of grouped float vectors"),
       (es: Seq[Expression]) => VectorMeanAgg(es.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "_FUNC_(text) - 64-bit SimHash as a '0'/'1' bitstring"),
+      (es: Seq[Expression]) => SimHash64Expr(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("chunk_split"),
+      info("chunk_split", "_FUNC_(text, size, overlap) - recursive chunker (LangChain-parity)"),
+      (es: Seq[Expression]) => {
+        val size    = es(1).eval(null).asInstanceOf[Int]
+        val overlap = es(2).eval(null).asInstanceOf[Int]
+        ChunkSplitExpr(es.head, size, overlap,
+          graft.ingest.Chunker.DefaultSeparators)
+      }))
+    e.injectFunction((
+      FunctionIdentifier("top_k_by_rank"),
+      info("top_k_by_rank",
+        "_FUNC_(rank, id, k) - bounded reservoir: the k smallest (rank, id) pairs"),
+      (es: Seq[Expression]) => {
+        val k = es(2).eval(null).asInstanceOf[Int]
+        TopKByRankAgg(es.head, es(1), k).toAggregateExpression()
+      }))
   }
 }

@@ -29,6 +29,19 @@ class ExtensionsSpec extends GraftSpec {
         """SELECT vector_mean(v) AS m FROM VALUES
           |  (array(1.0F, 2.0F)), (array(3.0F, 4.0F)) AS t(v)""".stripMargin).head()
       assert(agg.getAs[scala.collection.Seq[Double]]("m") == Seq(2.0, 3.0))
+
+      // round-6 registrations: simhash64, chunk_split, top_k_by_rank
+      val r6 = extSession.sql(
+        """SELECT length(simhash64('hello world')) AS sl,
+          |       chunk_split('aaaa bbbb cccc', 9, 0) AS ch""".stripMargin).head()
+      assert(r6.getInt(0) == 64)
+      assert(r6.getAs[scala.collection.Seq[String]]("ch").nonEmpty)
+      val topk = extSession.sql(
+        """SELECT top_k_by_rank(r, id, 2) AS t FROM VALUES
+          |  ('c', 3L), ('a', 1L), ('b', 2L) AS v(r, id)""".stripMargin).head()
+      val kept = topk.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("t")
+        .map(x => (x.getString(0), x.getLong(1)))
+      assert(kept == Seq(("a", 1L), ("b", 2L)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
