@@ -151,4 +151,48 @@ class StreamingParitySpec extends GraftSpec {
     assert(streamed == expected)
     assert(streamed.nonEmpty, "no view→click pairs at this sf — interval too narrow to test anything")
   }
+
+  test("TopKByRankAgg state survives a checkpoint resume at a different shuffle.partitions") {
+    // The custom aggregate's serialize/deserialize round-trips through
+    // the state store ACROSS runs: phase 1 streams half the rows at 3
+    // partitions, phase 2 resumes the same checkpoint at 17 with the
+    // rest; the merged reservoir must equal the batch draw over ALL
+    // rows — proving the buffer encoding and the bounded merge are
+    // resume-safe, not just single-run-safe.
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.functions.TopKByRankAgg.topKByRank
+    import spark.implicits._
+    val dir  = graft.util.TempDirs.scratch("graft-topk-freeze-")
+    val ckpt = graft.util.TempDirs.scratch("graft-topk-freeze-ckpt-")
+    val all = (1L to 500L).toDF("id")
+    all.filter(col("id") <= 250).write.parquet(s"$dir/data")
+    val schema = spark.read.parquet(s"$dir/data").schema
+    def runOnce(sinkName: String, parts: Int) = {
+      val key  = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, parts.toString)
+      try {
+        val q = spark.readStream.schema(schema).parquet(s"$dir/data")
+          .select(md5(concat(col("id").cast("string"), lit("f"))).as("r"),
+            col("id"))
+          .agg(topKByRank(col("r"), col("id"), 12).as("top"))
+          .writeStream.format("memory").queryName(sinkName)
+          .outputMode(OutputMode.Complete)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      } finally spark.conf.set(key, prev)
+      spark.table(sinkName)
+    }
+    runOnce("topk_run1", 3)
+    all.filter(col("id") > 250).write.mode("append").parquet(s"$dir/data")
+    val got = runOnce("topk_run2", 17)
+      .select(explode(col("top.id")).as("id")).orderBy("id")
+      .as[Long].collect()
+    val want = all
+      .select(md5(concat(col("id").cast("string"), lit("f"))).as("r"), col("id"))
+      .orderBy("r", "id").limit(12)
+      .select("id").orderBy("id").as[Long].collect()
+    assert(got.length == 12 && got.sameElements(want))
+  }
 }
