@@ -279,6 +279,46 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("cdc chunking properties on generated texts: coverage, boundary " +
+    "rule, and shift resistance past the first boundary") {
+    import graft.ingest.Chunker
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps",
+      "zeta", "eta", "theta", "iota", "kappa", "mu", "nu")
+    val textGen = Gen.chooseNum(40, 120)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val texts = samples(textGen, 25, 8200L)
+    val rows = texts.toDF("text")
+      .select(col("text"), Chunker.cdcChunksCol(col("text"), 16).as("chunks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def gearZero(tok: String): Boolean =
+      md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .charAt(7) == '0'
+    rows.foreach { case (text, chunks) =>
+      // coverage: chunks re-join to the token stream
+      assert(chunks.mkString(" ") == text.split("\\s+").mkString(" "))
+      // every non-final chunk ends on a gear boundary; no interior
+      // token of any chunk is a boundary
+      chunks.dropRight(1).foreach(c => assert(gearZero(c.split(" ").last)))
+      chunks.foreach { c =>
+        val toks = c.split(" ")
+        toks.dropRight(1).foreach(t => assert(!gearZero(t)))
+      }
+    }
+    // shift resistance on every generated text: prepending tokens
+    // preserves all chunks after the first boundary
+    val shifted = texts.map("prefix tokens here " + _)
+    val pairs = (texts ++ shifted).toDF("text")
+      .select(col("text"), Chunker.cdcChunksCol(col("text"), 16).as("chunks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    texts.foreach { t =>
+      val orig  = pairs(t).toSet
+      val shift = pairs("prefix tokens here " + t).toSet
+      assert((orig intersect shift).size >= orig.size - 2,
+        s"lost ${orig.size - (orig intersect shift).size} chunks to a prefix")
+    }
+  }
+
   test("pageRank properties on generated graphs: mass bound, teleport " +
     "floor, bit-exact partitioning invariance") {
     import graft.operators.Graph
