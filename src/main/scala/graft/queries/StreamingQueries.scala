@@ -391,6 +391,33 @@ object StreamingQueries {
             MinRows(100))),
           OutputMode.Complete)
         .orderBy("check")
+    },
+
+    // Fuzzy-duplicate screening ON ARRIVAL (the q7B/q7F pattern applied
+    // to entity resolution): the set of names having a Levenshtein-≤2
+    // neighbor is precomputed batch-side by the VERIFIED q3E/q3F
+    // operator chain and broadcast; the stream is then a STATELESS
+    // Append-mode semi-join flag per arriving part row — zero streaming
+    // state, which is exactly how a production catalog screens incoming
+    // records against a curated dictionary.
+    "q7J_stream_fuzzy_flag" -> { (s, d) =>
+      import graft.operators.Dedup
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      val pairs = Dedup.fuzzyPairs(names, "name", "name", maxDist = 2)
+      val flagged = pairs.select(col("id_a").as("name"))
+        .unionByName(pairs.select(col("id_b").as("name")))
+        .distinct()
+        .withColumn("has_neighbor", lit(true))
+      val schema = s.read.parquet(s"$d/part.parquet").schema
+      val parts = s.readStream.schema(schema)
+        .option("pathGlobFilter", "part.parquet").parquet(d)
+      val out = parts
+        .select(col("p_partkey"), col("p_name"))
+        .join(broadcast(flagged), col("p_name") === col("name"), "left")
+        .select(col("p_partkey"), col("p_name"),
+          coalesce(col("has_neighbor"), lit(false)).as("has_neighbor"))
+      StreamRunner.runToBatch(out, OutputMode.Append)
+        .orderBy("p_partkey")
     }
   )
 
@@ -607,6 +634,28 @@ object StreamingQueries {
         |  SELECT 'in_set:event_type', c_et, 1.0, c_et >= 1.0 FROM m
         |  UNION ALL
         |  SELECT 'min_rows', c_rows, 100.0, c_rows >= 100.0 FROM m)
-        |ORDER BY "check"""".stripMargin
+        |ORDER BY "check"""".stripMargin,
+
+    // Streamed fuzzy-flag mirror: q3E's blocking at dist <= 2 yields the
+    // neighbor-name set; every part row flags by membership.
+    "q7J_stream_fuzzy_flag" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS s FROM part),
+        |gd AS (
+        |  SELECT DISTINCT s, g FROM (
+        |    SELECT s, unnest(CASE WHEN len(s) < 3 THEN [s]
+        |      ELSE [substr(s, i, 3) for i in range(1, len(s) - 1)] END) AS g
+        |    FROM nm)),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS s_a, b.s AS s_b
+        |  FROM gd a JOIN gd b ON a.g = b.g AND a.s < b.s),
+        |e2 AS (
+        |  SELECT s_a, s_b FROM cand
+        |  WHERE abs(len(s_a) - len(s_b)) <= 2
+        |    AND levenshtein(s_a, s_b) <= 2),
+        |flagged AS (SELECT s_a AS name FROM e2 UNION SELECT s_b FROM e2)
+        |SELECT p.p_partkey, p.p_name,
+        |  (f.name IS NOT NULL) AS has_neighbor
+        |FROM part p LEFT JOIN flagged f ON f.name = p.p_name
+        |ORDER BY p.p_partkey""".stripMargin
   )
 }
