@@ -294,6 +294,55 @@ object Curation {
     * buffer — unbounded for long documents). Docs with fewer than two
     * tokens have no bigrams and drop out.
     */
+  /** Token-distribution drift between two corpus slices: smoothed KL
+    * divergence over hashed token buckets — the distribution-shift
+    * monitor a continuously-ingesting pipeline runs between "reference"
+    * and "latest" slices (the population-stability / drift gate; KL is
+    * its information-theoretic form). `KL(P_a ‖ P_b) = Σ_b p_a(b) ·
+    * (ln p_a(b) − ln p_b(b))` with add-one smoothing over a FIXED
+    * `nBuckets` spine, so unseen buckets need no special-casing and the
+    * sum has exactly `nBuckets` terms.
+    *
+    * Scale shape: each slice reduces to a ≤ nBuckets-row count table
+    * (map-side combinable — the only corpus-sized work); the spine join
+    * and the divergence fold are nBuckets-sized. Exactness: each
+    * bucket's term is computed in shared double arithmetic, rounded to
+    * NANO fixed-point (×10⁹, cast long) and summed as longs —
+    * order-independent and bit-identical cross-engine (the [[lmScore]]
+    * idiom). Returns one row: both directions (KL is asymmetric —
+    * new-mass-appearing vs mass-vanishing drift differ) in nano units
+    * and as 6-dp doubles.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, textCol: String,
+                 nBuckets: Int = 4096): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = a.sparkSession
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .select(hashBucket(col("tok"), nBuckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(name))
+    val spine = spark.range(0, nBuckets).select(col("id").cast("int").as("b"))
+    val joined = spine
+      .join(cnt(a, "c_a"), Seq("b"), "left")
+      .join(cnt(b, "c_b"), Seq("b"), "left")
+      .select(col("b"),
+        (coalesce(col("c_a"), lit(0L)) + lit(1L)).cast("double").as("sa"),
+        (coalesce(col("c_b"), lit(0L)) + lit(1L)).cast("double").as("sb"))
+    val tot = joined.agg(sum("sa").as("ta"), sum("sb").as("tb"))
+    joined.crossJoin(broadcast(tot))
+      .select(
+        round((col("sa") / col("ta")) *
+          (log(col("sa") / col("ta")) - log(col("sb") / col("tb"))) * lit(1e9))
+          .cast("long").as("t_ab"),
+        round((col("sb") / col("tb")) *
+          (log(col("sb") / col("tb")) - log(col("sa") / col("ta"))) * lit(1e9))
+          .cast("long").as("t_ba"))
+      .agg(sum("t_ab").as("kl_ab_nano"), sum("t_ba").as("kl_ba_nano"))
+      .select(col("kl_ab_nano"), col("kl_ba_nano"),
+        round(col("kl_ab_nano").cast("double") / lit(1e9), 6).as("kl_ab"),
+        round(col("kl_ba_nano").cast("double") / lit(1e9), 6).as("kl_ba"))
+  }
+
   /** Hashed-token Naive Bayes classifier — the fastText-style linear
     * gate (Joulin et al. 2016; the GPT-3/CCNet "quality classifier"
     * shape: a bag-of-hashed-features linear scorer trained on a labeled

@@ -288,6 +288,44 @@ object Dedup {
   private def jaccardAll(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int, maxShingleDf: Int
+  ): DataFrame =
+    shingleOverlap(df, idCol, textCol, shingleN, maxShingleDf)
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") /
+          (col("sh_a") + col("sh_b") - col("common")).cast("double"), 6).as("jaccard")
+      )
+
+  /** Containment similarity (Broder 1997's other resemblance measure):
+    * `C(A ⊆ B) = |A ∩ B| / |A|` — the ASYMMETRIC near-dup signal
+    * Jaccard misses. A short doc fully quoted inside a long one scores
+    * containment ≈ 1 while its Jaccard stays tiny (the union is
+    * dominated by the long side), so quote/subset/excerpt dedup keys on
+    * containment, not resemblance. Emits both directions per pair and
+    * keeps pairs where EITHER reaches `minContainment`; same inverted-
+    * index shape and `maxShingleDf` capping as [[jaccardPairs]].
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, minContainment: Double,
+      maxShingleDf: Int = Int.MaxValue
+  ): DataFrame =
+    shingleOverlap(df, idCol, textCol, shingleN, maxShingleDf)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double") / col("sh_a").cast("double"), 6)
+          .as("c_a_in_b"),
+        round(col("common").cast("double") / col("sh_b").cast("double"), 6)
+          .as("c_b_in_a"))
+      .filter(greatest(col("c_a_in_b"), col("c_b_in_a")) >= minContainment)
+
+  /** Shared pair core for [[jaccardAll]]/[[containmentPairs]]: distinct-
+    * shingle overlap counts with per-doc sizes —
+    * `(doc_a, doc_b, common, sh_a, sh_b)` for every shingle-sharing
+    * pair.
+    */
+  private def shingleOverlap(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, maxShingleDf: Int
   ): DataFrame = {
     // Join on a 64-bit shingle hash, not the shingle string: the self-join
     // shuffles every (doc, shingle) row, and a fixed-width long key is
@@ -314,11 +352,6 @@ object Dedup {
     common
       .join(sizes.select(col("doc").as("doc_a"), col("n_sh").as("sh_a")), "doc_a")
       .join(sizes.select(col("doc").as("doc_b"), col("n_sh").as("sh_b")), "doc_b")
-      .select(
-        col("doc_a"), col("doc_b"),
-        round(col("common").cast("double") /
-          (col("sh_a") + col("sh_b") - col("common")).cast("double"), 6).as("jaccard")
-      )
   }
 
   /** Exact Jaccard for an explicit candidate-pair list: each doc's

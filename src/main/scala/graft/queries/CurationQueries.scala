@@ -177,6 +177,17 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Token-distribution drift (the population-stability / KL monitor):
+    // both KL directions between the even- and odd-doc_id halves over a
+    // fixed 4096-bucket spine. Each slice reduces to a bucket count
+    // table; the divergence fold is nano-fixed-point longs —
+    // order-independent, bit-identical cross-engine.
+    "q6L_token_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.tokenDrift(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "text", nBuckets = 4096)
+    },
+
     // Hashed-token Naive Bayes language classifier (the fastText-style
     // linear gate): train on the doc_id % 5 != 0 slice with `lang` as
     // the label, predict the held-out slice, report accuracy per doc.
@@ -455,6 +466,40 @@ object CurationQueries {
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          |FROM avgd
          |ORDER BY doc_id""".stripMargin,
+
+    // Drift mirror: identical spine, smoothing, and nano fixed-point
+    // term arithmetic (integer-valued doubles sum exactly; long term
+    // sums are order-independent).
+    "q6L_token_drift" ->
+      s"""WITH ca AS (
+         |  SELECT ${duckBucket("tok", 4096)} AS b, count(*) AS c_a
+         |  FROM (SELECT unnest(${DuckSql.toks}) AS tok FROM documents
+         |        WHERE doc_id % 2 = 0)
+         |  GROUP BY 1),
+         |cb AS (
+         |  SELECT ${duckBucket("tok", 4096)} AS b, count(*) AS c_b
+         |  FROM (SELECT unnest(${DuckSql.toks}) AS tok FROM documents
+         |        WHERE doc_id % 2 <> 0)
+         |  GROUP BY 1),
+         |sp AS (SELECT CAST(unnest(range(0, 4096)) AS INT) AS b),
+         |j AS (
+         |  SELECT sp.b,
+         |    CAST(coalesce(c_a, 0) + 1 AS DOUBLE) AS sa,
+         |    CAST(coalesce(c_b, 0) + 1 AS DOUBLE) AS sb
+         |  FROM sp LEFT JOIN ca USING (b) LEFT JOIN cb USING (b)),
+         |t AS (SELECT sum(sa) AS ta, sum(sb) AS tb FROM j),
+         |terms AS (
+         |  SELECT
+         |    CAST(round((sa / ta) * (ln(sa / ta) - ln(sb / tb))
+         |         * 1000000000) AS BIGINT) AS t_ab,
+         |    CAST(round((sb / tb) * (ln(sb / tb) - ln(sa / ta))
+         |         * 1000000000) AS BIGINT) AS t_ba
+         |  FROM j CROSS JOIN t)
+         |SELECT CAST(sum(t_ab) AS BIGINT) AS kl_ab_nano,
+         |  CAST(sum(t_ba) AS BIGINT) AS kl_ba_nano,
+         |  round(CAST(sum(t_ab) AS DOUBLE) / 1000000000, 6) AS kl_ab,
+         |  round(CAST(sum(t_ba) AS DOUBLE) / 1000000000, 6) AS kl_ba
+         |FROM terms""".stripMargin,
 
     // Naive Bayes mirror: identical marker augmentation (same profile
     // arrays, same index arithmetic), identical md5 bucket arithmetic,

@@ -171,6 +171,16 @@ object DedupQueries {
         .orderBy("name_a", "name_b")
     },
 
+    // Containment similarity (Broder's asymmetric resemblance): pairs
+    // where either doc's distinct-shingle set is >= 60% contained in
+    // the other — the quote/excerpt/subset near-dup signal symmetric
+    // Jaccard misses. Same inverted-index shape as q31.
+    "q3G_containment_pairs" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minContainment = 0.6)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Entity resolution end-to-end: block (q3E's trigram inverted
     // index) → verify (levenshtein ≤ 2) → cluster (connected
     // components, min-label canonical) → every name mapped to its
@@ -603,6 +613,25 @@ object DedupQueries {
         |WHERE abs(len(s_a) - len(s_b)) <= 3
         |  AND levenshtein(s_a, s_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
+
+    // Containment mirror: q31's overlap core with the per-side ratios.
+    "q3G_containment_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) AS c_a_in_b,
+         |  round(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6) AS c_b_in_a
+         |FROM common
+         |JOIN sizes sa ON sa.doc = doc_a
+         |JOIN sizes sb ON sb.doc = doc_b
+         |WHERE greatest(round(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6),
+         |               round(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6)) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // Entity-cluster mirror: q3E's blocking at dist <= 2, then the q36
     // recursive transitive-closure walk with min-label roots;

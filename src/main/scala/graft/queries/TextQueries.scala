@@ -141,6 +141,28 @@ object TextQueries {
         .limit(10)
     },
 
+    // Per-document n-gram novelty (the memorization-risk / boilerplate
+    // score): the fraction of a doc's DISTINCT 3-gram shingles that
+    // appear in no other document. Shape: distinct (doc, gram) rows →
+    // gram document-frequency (vocabulary-sized, map-side combinable)
+    // → one join back → per-doc exact counts; never a pair join. Low
+    // novelty = template/boilerplate mass; high = unique content.
+    "q2I_novelty" -> { (s, d) =>
+      import graft.functions.TextFunctions.wordShingles
+      val dg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(wordShingles(col("text"), 3))).as("g"))
+      val dfTab = dg.groupBy("g").agg(count(lit(1)).as("gdf"))
+      dg.join(dfTab, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gdf") >= 2, lit(1L)).otherwise(lit(0L))).as("n_shared"))
+        .withColumn("novelty",
+          round(lit(1.0) - col("n_shared").cast("double") /
+            col("n_grams").cast("double"), 6))
+        .orderBy("doc_id")
+    },
+
     // Corpus vocabulary head: exact top-20 terms by frequency — the
     // vocabulary/stopword audit a tokenizer-training pipeline starts
     // with. Map-side combine bounds the shuffle to distinct terms.
@@ -427,6 +449,21 @@ object TextQueries {
          |GROUP BY term
          |ORDER BY n DESC, term
          |LIMIT 20""".stripMargin,
+
+    // Novelty mirror: identical distinct-shingle universe, identical
+    // document-frequency join and exact counts.
+    "q2I_novelty" ->
+      s"""WITH dg AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(${DuckSql.grams(3)}) AS g FROM documents)),
+         |dfq AS (SELECT g, count(*) AS gdf FROM dg GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         |  round(1.0 - CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |        / CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM dg JOIN dfq USING (g)
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // CMS mirror: same one-digest-per-occurrence sliced hashing (row j =
     // j-th 4-hex-char window of md5(term || ':cms')), same d x w grid,

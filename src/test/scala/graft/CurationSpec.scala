@@ -307,6 +307,28 @@ class CurationSpec extends GraftSpec {
     assert(strip("<div   class=\"a b\"  >  spaced   out  </div>") == "spaced out")
   }
 
+  test("tokenDrift: zero on identical slices, grows with divergence, asymmetric") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma alpha"), (2L, "beta gamma delta"))
+      .toDF("id", "text")
+    // KL(a || a) == 0 exactly (every term is 0 before rounding)
+    val same = Curation.tokenDrift(a, a, "text", nBuckets = 256).head()
+    assert(same.getLong(0) == 0L && same.getLong(1) == 0L)
+    // disjoint vocabulary drifts much harder than the same vocabulary
+    val b = Seq((1L, "omega psi chi omega"), (2L, "psi chi phi"))
+      .toDF("id", "text")
+    val drift = Curation.tokenDrift(a, b, "text", nBuckets = 256).head()
+    assert(drift.getLong(0) > 0L && drift.getLong(1) > 0L)
+    // asymmetry: a heavier a-side makes the two directions differ
+    val aHeavy = Seq((1L, ("alpha " * 50).trim)).toDF("id", "text")
+    val asym = Curation.tokenDrift(aHeavy, b, "text", nBuckets = 256).head()
+    assert(asym.getLong(0) != asym.getLong(1))
+    // partitioning-invariant fixed-point sums
+    val p = Curation.tokenDrift(a.repartition(7), b.repartition(5), "text",
+      nBuckets = 256).head()
+    assert(p.getLong(0) == drift.getLong(0) && p.getLong(1) == drift.getLong(1))
+  }
+
   test("nbClassify learns a separable vocabulary and ties break to min label") {
     import spark.implicits._
     // two cleanly separated vocabularies: class a uses apple/ant,

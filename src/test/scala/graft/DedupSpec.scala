@@ -581,6 +581,30 @@ class DedupSpec extends GraftSpec {
     assert(capped.isEmpty, "every shared gram has df >= 2, so cap=1 drops all")
   }
 
+  test("containmentPairs: a quoted excerpt scores ~1 where jaccard stays low") {
+    import spark.implicits._
+    val long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    val excerpt = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, excerpt), (2L, long), (3L, "unrelated words here now"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup
+      .containmentPairs(docs, "doc_id", "text", shingleN = 3,
+        minContainment = 0.9)
+      .collect()
+    assert(pairs.length == 1)
+    val p = pairs.head
+    // every excerpt shingle is inside the long doc: containment = 1.0
+    assert(p.getLong(0) == 1L && p.getLong(1) == 2L)
+    assert(p.getDouble(2) == 1.0, "excerpt fully contained")
+    assert(p.getDouble(3) < 0.3, "long side is NOT contained in the excerpt")
+    // while symmetric jaccard on the same pair stays small
+    val j = graft.operators.Dedup
+      .jaccardPairs(docs, "doc_id", "text", shingleN = 3, topPairs = 1)
+      .head().getDouble(2)
+    assert(j < 0.3, s"jaccard $j should miss this near-dup")
+  }
+
   test("entity clusters: transitive closure, min-label canonical, singleton identity") {
     import spark.implicits._
     // chain: aaaa ~ aaab ~ aabb (dist 1 links) -> one entity labeled by
