@@ -769,6 +769,52 @@ object PipelineQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // Ordered funnel conversion (view → click → purchase, each step
+    // STRICTLY after the previous one's first occurrence): three
+    // per-user min aggregations chained by equi-joins — each pass is
+    // one keyed groupBy, no window over the corpus, no self-join
+    // blowup. The product-analytics staple.
+    "q4G_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      def firstAfter(step: String, prev: DataFrame, prevCol: String,
+                     outCol: String): DataFrame =
+        ev.filter(col("event_type") === step)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy("user_id").agg(min("ts").as(outCol))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val t2 = firstAfter("click", t1, "t1", "t2")
+      val t3 = firstAfter("purchase", t2, "t2", "t3")
+      val n1 = t1.agg(count(lit(1)).as("step_view"))
+      val n2 = t2.agg(count(lit(1)).as("step_click"))
+      val n3 = t3.agg(count(lit(1)).as("step_purchase"))
+      n1.crossJoin(n2).crossJoin(n3)
+        .withColumn("conv_click",
+          round(col("step_click").cast("double") /
+            col("step_view").cast("double"), 6))
+        .withColumn("conv_purchase",
+          round(col("step_purchase").cast("double") /
+            col("step_click").cast("double"), 6))
+    },
+
+    // Cohort retention: users grouped by first-seen day, activity
+    // counted per (cohort, day-offset) — two keyed aggregations and one
+    // join; the matrix every growth dashboard draws.
+    "q4H_cohorts" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val first = ev.groupBy("user_id")
+        .agg(date_trunc("day", min("ts")).as("cohort"))
+      ev.join(first, "user_id")
+        .select(col("cohort"),
+          datediff(date_trunc("day", col("ts")), col("cohort")).as("day_off"),
+          col("user_id"))
+        .distinct()
+        .groupBy("cohort", "day_off")
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy("cohort", "day_off")
+    },
+
     // The point of CDC made measurable: chunk-store dedup accounting.
     // The md5 chunk dictionary (distinct-chunk-sized, map-side
     // combinable) prices exactly how many tokens a content-addressed
@@ -1415,6 +1461,43 @@ object PipelineQueries {
          |  CAST(len(string_split(chunk_text, ' ')) AS INT) AS n_tokens,
          |  md5(chunk_text) AS chunk_md5
          |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Funnel mirror: identical chained first-occurrence semantics.
+    "q4G_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT
+        |  (SELECT count(*) FROM t1) AS step_view,
+        |  (SELECT count(*) FROM t2) AS step_click,
+        |  (SELECT count(*) FROM t3) AS step_purchase,
+        |  round(CAST((SELECT count(*) FROM t2) AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM t1) AS DOUBLE), 6) AS conv_click,
+        |  round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
+        |        / CAST((SELECT count(*) FROM t2) AS DOUBLE), 6) AS conv_purchase""".stripMargin,
+
+    // Cohort mirror: same first-day cohorts and day offsets.
+    "q4H_cohorts" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT f.cohort,
+        |    datediff('day', f.cohort, date_trunc('day', e.ts)) AS day_off,
+        |    e.user_id
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort, CAST(day_off AS INT) AS day_off,
+        |  count(*) AS n_active
+        |FROM act GROUP BY 1, 2
+        |ORDER BY cohort, day_off""".stripMargin,
 
     // CDC dedup-ratio mirror: same chunk CTEs, then exact integer
     // chunk/token accounting over the md5 chunk dictionary.
