@@ -798,6 +798,33 @@ object PipelineQueries {
             col("step_click").cast("double"), 6))
     },
 
+    // A/B experiment analysis: Welch's two-sample t statistic on event
+    // value between the user_id-parity arms — closed-form from per-arm
+    // (n, mean, variance) aggregates, one scan, no per-row state. The
+    // rounding tolerances follow q0E's established stats-aggregate
+    // contract (stddev-family at 4 dp).
+    "q4I_ab_test" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select((col("user_id") % 2).as("arm"), col("value"))
+      val stats = ev.groupBy("arm")
+        .agg(count(lit(1)).as("n"), avg("value").as("m"),
+          var_samp(col("value")).as("v"))
+      val a = stats.filter(col("arm") === 0)
+        .select(col("n").as("n_a"), col("m").as("m_a"), col("v").as("v_a"))
+      val b = stats.filter(col("arm") === 1)
+        .select(col("n").as("n_b"), col("m").as("m_b"), col("v").as("v_b"))
+      a.crossJoin(b)
+        .withColumn("se2",
+          col("v_a") / col("n_a") + col("v_b") / col("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(col("m_a"), 4).as("mean_a"),
+          round(col("m_b"), 4).as("mean_b"),
+          round((col("m_a") - col("m_b")) / sqrt(col("se2")), 4).as("t_welch"),
+          round(pow(col("se2"), 2) /
+            (pow(col("v_a") / col("n_a"), 2) / (col("n_a") - 1) +
+             pow(col("v_b") / col("n_b"), 2) / (col("n_b") - 1)), 2).as("df_welch"))
+    },
+
     // Cohort retention: users grouped by first-seen day, activity
     // counted per (cohort, day-offset) — two keyed aggregations and one
     // join; the matrix every growth dashboard draws.
@@ -1483,6 +1510,23 @@ object PipelineQueries {
         |        / CAST((SELECT count(*) FROM t1) AS DOUBLE), 6) AS conv_click,
         |  round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
         |        / CAST((SELECT count(*) FROM t2) AS DOUBLE), 6) AS conv_purchase""".stripMargin,
+
+    // Welch mirror: identical closed-form arithmetic from the same
+    // per-arm aggregates.
+    "q4I_ab_test" ->
+      """WITH s AS (
+        |  SELECT user_id % 2 AS arm, count(*) AS n,
+        |    avg(value) AS m, var_samp(value) AS v
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT n AS n_a, m AS m_a, v AS v_a FROM s WHERE arm = 0),
+        |b AS (SELECT n AS n_b, m AS m_b, v AS v_b FROM s WHERE arm = 1)
+        |SELECT n_a, n_b,
+        |  round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+        |  round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_welch,
+        |  round(pow(v_a / n_a + v_b / n_b, 2)
+        |        / (pow(v_a / n_a, 2) / (n_a - 1)
+        |           + pow(v_b / n_b, 2) / (n_b - 1)), 2) AS df_welch
+        |FROM a CROSS JOIN b""".stripMargin,
 
     // Cohort mirror: same first-day cohorts and day offsets.
     "q4H_cohorts" ->
