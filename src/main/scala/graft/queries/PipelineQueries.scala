@@ -798,6 +798,43 @@ object PipelineQueries {
             col("step_click").cast("double"), 6))
     },
 
+    // Behavioral transition matrix (first-order Markov model of the
+    // event stream): P(next event type | current) from per-user
+    // consecutive pairs — the q4B edge shape reduced over types. One
+    // window per user + a types²-sized aggregate.
+    "q4J_transitions" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = ev.withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val tot = tr.groupBy("cur").agg(sum("n").as("row_n"))
+      tr.join(tot, "cur")
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n").cast("double") / col("row_n").cast("double"), 6)
+            .as("p"))
+        .orderBy("cur", "nxt")
+    },
+
+    // Daily-volume anomaly flags: per-day event counts z-scored against
+    // the corpus mean/stddev (one tiny second-pass aggregate, broadcast
+    // back) — the ops-monitoring pass that catches ingest gaps and
+    // bot spikes.
+    "q4K_anomaly_days" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val stats = daily.agg(avg(col("n").cast("double")).as("mu"),
+        stddev_samp(col("n").cast("double")).as("sd"))
+      daily.crossJoin(broadcast(stats))
+        .select(col("day"), col("n"),
+          round((col("n").cast("double") - col("mu")) / col("sd"), 4).as("z"))
+        .withColumn("anomaly", (abs(col("z")) > 2.0).cast("int"))
+        .orderBy("day")
+    },
+
     // A/B experiment analysis: Welch's two-sample t statistic on event
     // value between the user_id-parity arms — closed-form from per-arm
     // (n, mean, variance) aggregates, one scan, no per-row state. The
@@ -1510,6 +1547,37 @@ object PipelineQueries {
         |        / CAST((SELECT count(*) FROM t1) AS DOUBLE), 6) AS conv_click,
         |  round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
         |        / CAST((SELECT count(*) FROM t2) AS DOUBLE), 6) AS conv_purchase""".stripMargin,
+
+    // Transition-matrix mirror: same per-user lead pairs and row
+    // normalization.
+    "q4J_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS cur,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |cnt AS (
+        |  SELECT cur, nxt, count(*) AS n FROM tr
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS row_n
+        |        FROM cnt GROUP BY 1)
+        |SELECT c.cur, c.nxt, c.n,
+        |  round(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
+        |FROM cnt c JOIN tot t USING (cur)
+        |ORDER BY cur, nxt""".stripMargin,
+
+    // Anomaly mirror: identical daily counts and z-scores.
+    "q4K_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT avg(CAST(n AS DOUBLE)) AS mu,
+        |             stddev_samp(CAST(n AS DOUBLE)) AS sd FROM daily)
+        |SELECT day, n, round((CAST(n AS DOUBLE) - mu) / sd, 4) AS z,
+        |  CAST(abs(round((CAST(n AS DOUBLE) - mu) / sd, 4)) > 2.0 AS INT)
+        |    AS anomaly
+        |FROM daily CROSS JOIN s
+        |ORDER BY day""".stripMargin,
 
     // Welch mirror: identical closed-form arithmetic from the same
     // per-arm aggregates.
