@@ -798,6 +798,45 @@ object PipelineQueries {
             col("step_click").cast("double"), 6))
     },
 
+    // Corpus health report — the one-look dashboard a data owner reads
+    // before training: doc count, exact-duplicate rate, mean token
+    // length, language mix, and the CDC chunk-store dedup savings, as
+    // (metric, value) rows. Every metric is a verified operator's
+    // formula (q30's md5 dedup, q20's token counts, q22's lang labels,
+    // q4E's chunk dictionary) composed into one result.
+    "q0L_corpus_report" -> { (s, d) =>
+      import graft.functions.TextFunctions.tokenCount
+      import graft.ingest.Chunker
+      val docs = Tables.documents(s, d)
+      val base = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        round(avg(tokenCount(col("text")).cast("double")), 6).as("mean_tokens"),
+        round(avg(when(col("lang") === "en", 1.0d).otherwise(0.0d)), 6)
+          .as("en_rate"))
+      val sized = docs
+        .select(explode(Chunker.cdcChunksCol(col("text"), 16)).as("chunk"))
+        .select(md5(col("chunk")).as("h"),
+          size(split(col("chunk"), " ")).cast("long").as("nt"))
+      val cdc = sized.groupBy("h")
+        .agg(count(lit(1)).as("n"), min("nt").as("nt"))
+        .agg(round(sum((col("n") - 1) * col("nt")).cast("double") /
+          sum(col("n") * col("nt")).cast("double"), 6).as("cdc_savings"))
+      base.crossJoin(broadcast(cdc))
+        .select(explode(array(
+          struct(lit("n_docs").as("metric"),
+            col("n_docs").cast("double").as("value")),
+          struct(lit("dup_doc_rate").as("metric"),
+            round(lit(1.0) - col("n_distinct").cast("double") /
+              col("n_docs").cast("double"), 6).as("value")),
+          struct(lit("mean_tokens").as("metric"), col("mean_tokens").as("value")),
+          struct(lit("en_rate").as("metric"), col("en_rate").as("value")),
+          struct(lit("cdc_savings").as("metric"), col("cdc_savings").as("value"))
+        )).as("r"))
+        .select(col("r.metric").as("metric"), col("r.value").as("value"))
+        .orderBy("metric")
+    },
+
     // Behavioral transition matrix (first-order Markov model of the
     // event stream): P(next event type | current) from per-user
     // consecutive pairs — the q4B edge shape reduced over types. One
@@ -1547,6 +1586,37 @@ object PipelineQueries {
         |        / CAST((SELECT count(*) FROM t1) AS DOUBLE), 6) AS conv_click,
         |  round(CAST((SELECT count(*) FROM t3) AS DOUBLE)
         |        / CAST((SELECT count(*) FROM t2) AS DOUBLE), 6) AS conv_purchase""".stripMargin,
+
+    // Health-report mirror: each metric is its verified oracle fragment
+    // (q30 md5 dedup, q20 token counts, q22 lang labels, q4E chunk
+    // CTEs) unioned into (metric, value) rows.
+    "q0L_corpus_report" ->
+      s"""WITH $duckCdcChunkCtes,
+         |sized AS (SELECT md5(chunk_text) AS h,
+         |  CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS nt FROM x),
+         |dict AS (SELECT h, CAST(count(*) AS BIGINT) AS n, min(nt) AS nt
+         |         FROM sized GROUP BY h),
+         |cdc AS (SELECT round(CAST(sum((n - 1) * nt) AS DOUBLE)
+         |          / CAST(sum(n * nt) AS DOUBLE), 6) AS v FROM dict),
+         |bs AS (SELECT
+         |  count(*) AS n_docs,
+         |  count(DISTINCT md5(text)) AS n_distinct,
+         |  round(avg(CAST(len(${DuckSql.toks}) AS DOUBLE)), 6) AS mean_tokens,
+         |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) AS en_rate
+         |  FROM documents)
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, CAST(n_docs AS DOUBLE) AS value FROM bs
+         |  UNION ALL
+         |  SELECT 'dup_doc_rate',
+         |    round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+         |  FROM bs
+         |  UNION ALL
+         |  SELECT 'mean_tokens', mean_tokens FROM bs
+         |  UNION ALL
+         |  SELECT 'en_rate', en_rate FROM bs
+         |  UNION ALL
+         |  SELECT 'cdc_savings', v FROM cdc)
+         |ORDER BY metric""".stripMargin,
 
     // Transition-matrix mirror: same per-user lead pairs and row
     // normalization.
