@@ -279,6 +279,33 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("containment dominates jaccard on generated corpora (set algebra)") {
+    // common/min(|A|,|B|) >= common/union always, so max-direction
+    // containment must bound jaccard from above pair-for-pair; both in
+    // (0, 1].
+    import graft.operators.Dedup
+    val wordGen = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8")
+    val docGen  = Gen.chooseNum(8, 25)
+      .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val docs = samples(docGen, 12, 9900L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = docs.toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairsAbove(df, "doc_id", "text", shingleN = 2,
+        minJaccard = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val con = Dedup.containmentPairs(df, "doc_id", "text", shingleN = 2,
+        minContainment = 0.0)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        math.max(r.getDouble(2), r.getDouble(3))).toMap
+    assert(jac.nonEmpty && jac.keySet == con.keySet)
+    jac.foreach { case (k, j) =>
+      val c = con(k)
+      assert(c >= j - 1e-9, s"pair $k: containment $c < jaccard $j")
+      assert(j > 0.0 && c <= 1.0)
+    }
+  }
+
   test("cdc chunking properties on generated texts: coverage, boundary " +
     "rule, and shift resistance past the first boundary") {
     import graft.ingest.Chunker
