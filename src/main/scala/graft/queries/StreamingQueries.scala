@@ -418,6 +418,27 @@ object StreamingQueries {
           coalesce(col("has_neighbor"), lit(false)).as("has_neighbor"))
       StreamRunner.runToBatch(out, OutputMode.Append)
         .orderBy("p_partkey")
+    },
+
+    // Ordered funnel as a STREAMING state machine: per-user monotone
+    // progress through view → click → purchase via
+    // flatMapGroupsWithState, each step emitted ON ARRIVAL and the
+    // user's state REMOVED at completion (self-evicting state — the
+    // pattern sessions/dedup don't cover). Step counts equal q4G's
+    // batch min-chain exactly.
+    "q7K_stream_funnel" -> { (s, d) =>
+      import s.implicits._
+      val ev = eventsStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[StreamingIngest.FunnelEvent]
+      val reached = StreamRunner.runToBatch(
+        StreamingIngest.funnelSteps(ev, Seq("view", "click", "purchase"))
+          .toDF(),
+        OutputMode.Append)
+      reached.groupBy("step")
+        .agg(countDistinct("user_id").as("n_users"))
+        .orderBy("step")
     }
   )
 
@@ -656,6 +677,27 @@ object StreamingQueries {
         |SELECT p.p_partkey, p.p_name,
         |  (f.name IS NOT NULL) AS has_neighbor
         |FROM part p LEFT JOIN flagged f ON f.name = p.p_name
-        |ORDER BY p.p_partkey""".stripMargin
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    // Streamed funnel mirror: q4G's strict min-chain, as step counts.
+    "q7K_stream_funnel" ->
+      """WITH t1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1)
+        |SELECT step, n_users FROM (
+        |  SELECT 1 AS step, CAST((SELECT count(*) FROM t1) AS BIGINT) AS n_users
+        |  UNION ALL
+        |  SELECT 2, CAST((SELECT count(*) FROM t2) AS BIGINT)
+        |  UNION ALL
+        |  SELECT 3, CAST((SELECT count(*) FROM t3) AS BIGINT))
+        |ORDER BY step""".stripMargin
   )
 }

@@ -326,6 +326,52 @@ object StreamingIngest {
     */
   final case class UserEvent(
       user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
+
+  final case class FunnelEvent(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+  final case class FunnelState(reached: Seq[Long])
+  final case class StepReached(user_id: Long, step: Int, ts_us: Long)
+
+  /** Ordered-funnel state machine (q4G's semantics as a STREAM): per
+    * user, each step's FIRST occurrence strictly after the previous
+    * step's timestamp emits a [[StepReached]] row ON ARRIVAL. State is
+    * one tiny timestamp vector per user still mid-funnel — and is
+    * REMOVED the moment the final step completes, so completed users
+    * cost nothing forever (the state-machine pattern the session/dedup
+    * operators don't cover: custom monotone per-key progress with
+    * self-evicting state). Within a batch rows process in
+    * (ts, event_id) order, so the emitted step timestamps equal the
+    * batch `min(ts > prev)` chain exactly.
+    */
+  def funnelSteps(events: Dataset[FunnelEvent],
+                  steps: Seq[String]): Dataset[StepReached] = {
+    require(steps.nonEmpty && steps.distinct.size == steps.size,
+      "steps must be non-empty and distinct")
+    import events.sparkSession.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    events
+      .filter(e => stepIdx.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StepReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val reached = state.getOption
+            .map(_.reached.toArray)
+            .getOrElse(Array.fill(steps.size)(-1L))
+          val out = Seq.newBuilder[StepReached]
+          for (e <- rows.toSeq.sortBy(x => (x.ts_us, x.event_id))) {
+            val k = stepIdx(e.event_type)
+            if (reached(k) < 0 &&
+                (k == 0 || (reached(k - 1) >= 0 && e.ts_us > reached(k - 1)))) {
+              reached(k) = e.ts_us
+              out += StepReached(user, k + 1, e.ts_us)
+            }
+          }
+          if (reached.last >= 0) state.remove() // funnel complete: evict
+          else state.update(FunnelState(reached.toSeq))
+          out.result().iterator
+      }
+  }
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class ClosedSession(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)

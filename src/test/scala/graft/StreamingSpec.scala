@@ -415,4 +415,39 @@ class StreamingSpec extends GraftSpec {
     assert(perQ.size == qBatch.count())
     assert(perQ.values.forall(_ <= 3))
   }
+
+  test("funnel FSM: cross-batch state, on-arrival emission, self-eviction") {
+    import spark.implicits._
+    import StreamingIngest.{FunnelEvent, StepReached}
+    val dir = graft.util.TempDirs.scratch("graft-funnel-")
+    // user 1 completes the funnel ACROSS batches (view in batch 1,
+    // click+purchase in batch 2); user 2 clicks before ever viewing
+    // (click must not count, the later view->click order must);
+    // user 3 views only.
+    val b1 = Seq(
+      FunnelEvent(1L, 100L, 1L, "view"),
+      FunnelEvent(2L, 100L, 2L, "click"),
+      FunnelEvent(3L, 120L, 3L, "view"),
+      FunnelEvent(2L, 150L, 4L, "view"))
+    val b2 = Seq(
+      FunnelEvent(1L, 200L, 5L, "click"),
+      FunnelEvent(2L, 220L, 6L, "click"),
+      FunnelEvent(1L, 300L, 7L, "purchase"))
+    b1.toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    b2.toDS().coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .as[FunnelEvent]
+    val reached = graft.streaming.StreamRunner.runToBatch(
+        StreamingIngest.funnelSteps(stream,
+          Seq("view", "click", "purchase")).toDF(),
+        org.apache.spark.sql.streaming.OutputMode.Append)
+      .as[StepReached].collect()
+      .map(r => (r.user_id, r.step, r.ts_us)).toSet
+    assert(reached == Set(
+      (1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L), // full funnel, cross-batch
+      (2L, 1, 150L), (2L, 2, 220L),                // pre-view click ignored
+      (3L, 1, 120L)))
+  }
 }
