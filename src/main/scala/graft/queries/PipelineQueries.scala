@@ -857,6 +857,37 @@ object PipelineQueries {
         .orderBy("cur", "nxt")
     },
 
+    // CUSUM control chart over daily volume: the running sum of
+    // deviations from the series mean — the change-POINT view q4K's
+    // pointwise z-scores can't give (a level shift shows as a sustained
+    // slope). The running window orders a days-sized AGGREGATE, not the
+    // corpus (the q0I cumulative pattern).
+    "q4L_cusum" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val mu = daily.agg(avg(col("n").cast("double")).as("mu"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.crossJoin(broadcast(mu))
+        .withColumn("cusum",
+          // + 0.0 folds IEEE negative zero to +0.0 (a zero-sum final
+          // row otherwise hash-mismatches on the sign of nothing)
+          round(sum(col("n").cast("double") - col("mu")).over(w), 4) + lit(0.0))
+        .select(col("day"), col("n"), col("cusum"))
+        .orderBy("day")
+    },
+
+    // Seasonality profile: activity by (day-of-week, hour-of-day) —
+    // the traffic fingerprint load forecasting starts from. One
+    // groupBy; DOW pinned to Spark's 1=Sunday numbering on both sides.
+    "q4M_seasonality" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(dayofweek(col("ts")).as("dow"), hour(col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+        .orderBy("dow", "hr")
+    },
+
     // Daily-volume anomaly flags: per-day event counts z-scored against
     // the corpus mean/stddev (one tiny second-pass aggregate, broadcast
     // back) — the ops-monitoring pass that catches ingest gaps and
@@ -1635,6 +1666,29 @@ object PipelineQueries {
         |  round(CAST(c.n AS DOUBLE) / CAST(t.row_n AS DOUBLE), 6) AS p
         |FROM cnt c JOIN tot t USING (cur)
         |ORDER BY cur, nxt""".stripMargin,
+
+    // CUSUM mirror: identical day-ordered running deviation sum (both
+    // engines fold the same doubles left-to-right over the same order).
+    "q4L_cusum" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT avg(CAST(n AS DOUBLE)) AS mu FROM daily)
+        |SELECT day, n,
+        |  round(sum(CAST(n AS DOUBLE) - mu) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) + 0.0 AS cusum
+        |FROM daily CROSS JOIN m
+        |ORDER BY day""".stripMargin,
+
+    // Seasonality mirror: DuckDB dayofweek is 0=Sunday; +1 matches
+    // Spark's 1=Sunday.
+    "q4M_seasonality" ->
+      """SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hr,
+        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY dow, hr""".stripMargin,
 
     // Anomaly mirror: identical daily counts and z-scores.
     "q4K_anomaly_days" ->

@@ -163,6 +163,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Collocation mining: pointwise mutual information between the
+    // top-20 head terms, from document co-occurrence. PMI =
+    // ln(co·N / (df_a·df_b)) — an integer ratio inside one ln, exact
+    // cross-engine. The pair universe is head×head (≤ 190 pairs), so
+    // the self-join is broadcast-bounded no matter the corpus size.
+    "q2J_pmi_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      val head = dt.groupBy("term").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("term")).limit(20)
+      val ht = dt.join(broadcast(head), "term")
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      ht.as("a")
+        .join(ht.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+        .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+        .agg(count(lit(1)).as("co"), min(col("a.df")).as("df_a"),
+          min(col("b.df")).as("df_b"))
+        .crossJoin(broadcast(nd))
+        .select(col("term_a"), col("term_b"), col("co"),
+          round(log(col("co").cast("double") * col("n_docs").cast("double") /
+            (col("df_a").cast("double") * col("df_b").cast("double"))), 6)
+            .as("pmi"))
+        .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
+        .limit(20)
+    },
+
     // Corpus vocabulary head: exact top-20 terms by frequency — the
     // vocabulary/stopword audit a tokenizer-training pipeline starts
     // with. Map-side combine bounds the shuffle to distinct terms.
@@ -448,6 +476,30 @@ object TextQueries {
          |FROM (SELECT unnest($duckToks) AS term FROM documents)
          |GROUP BY term
          |ORDER BY n DESC, term
+         |LIMIT 20""".stripMargin,
+
+    // PMI mirror: same head-term cut, same doc-co-occurrence pairs,
+    // same integer ratio inside one ln.
+    "q2J_pmi_pairs" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest($duckToks) AS term FROM documents)),
+         |head AS (
+         |  SELECT term, count(*) AS df FROM dt GROUP BY term
+         |  ORDER BY df DESC, term LIMIT 20),
+         |ht AS (SELECT dt.doc_id, dt.term, head.df
+         |       FROM dt JOIN head USING (term)),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |pairs AS (
+         |  SELECT a.term AS term_a, b.term AS term_b, count(*) AS co,
+         |    min(a.df) AS df_a, min(b.df) AS df_b
+         |  FROM ht a JOIN ht b ON a.doc_id = b.doc_id AND a.term < b.term
+         |  GROUP BY 1, 2)
+         |SELECT term_a, term_b, co,
+         |  round(ln(CAST(co AS DOUBLE) * CAST(n_docs AS DOUBLE)
+         |        / (CAST(df_a AS DOUBLE) * CAST(df_b AS DOUBLE))), 6) AS pmi
+         |FROM pairs CROSS JOIN nd
+         |ORDER BY pmi DESC, term_a, term_b
          |LIMIT 20""".stripMargin,
 
     // Novelty mirror: identical distinct-shingle universe, identical
