@@ -104,6 +104,43 @@ object Graph {
     prLoop(e, init, iters, dampingPct)
   }
 
+  /** Triangle count + global clustering coefficient over the
+    * UNDIRECTED simple graph induced by the edge list (directions and
+    * weights dropped, self-loops removed). The canonical two-join
+    * formulation: orient every edge low→high, join wedges
+    * `(a<b, b<c)`, close against the oriented edge set — each triangle
+    * counts exactly once, and the join work is bounded by Σ deg²
+    * (wedges), never n³. Clustering coefficient =
+    * 3·triangles / wedges, where wedges = Σ_v deg(v)·(deg(v)−1)/2 —
+    * all exact integer arithmetic until the one final rounded ratio.
+    */
+  def triangleStats(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val wedges = deg.agg(
+      sum(expr("(deg * (deg - 1)) div 2")).as("wedges"),
+      count(lit(1)).as("n_nodes"))
+    // wedge (a<b<c via shared low endpoint) closed by edge (b, c)
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.a") === col("e2.a") &&
+        col("e1.b") < col("e2.b"))
+      .join(und.as("e3"), col("e1.b") === col("e3.a") &&
+        col("e2.b") === col("e3.b"))
+      .agg(count(lit(1)).as("triangles"))
+    tri.crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("wedges"), col("triangles"),
+        round(lit(3.0) * col("triangles").cast("double") /
+          col("wedges").cast("double"), 6).as("clustering_coeff"))
+  }
+
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
                         weightCol: String): DataFrame =
     edges.select(

@@ -729,6 +729,22 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // Triangle census of the session-transition graph: exact triangle
+    // count + global clustering coefficient via the oriented two-join
+    // (work bounded by wedges, never n³) — the cohesion measurement
+    // next to q4B's ranking and q36's components.
+    "q4N_triangles" -> { (s, d) =>
+      import graft.operators.Graph
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev.withColumn("dst_k", lead("k", 1).over(w))
+        .filter(col("dst_k").isNotNull)
+        .select(col("k").as("src"), col("dst_k").as("dst"))
+      Graph.triangleStats(edges, "src", "dst")
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // behind OPTIMIZE ZORDER: interleave (user_id % 1024, props.k) bits
     // and bucket by z ranges; each bucket's (x, y) bounding box is the
@@ -1562,6 +1578,35 @@ object PipelineQueries {
          |  round(CAST(r AS DOUBLE) / 1000000000000.0, 6) AS rank
          |FROM it5 ORDER BY node""".stripMargin
     },
+
+    // Triangle mirror: identical orientation, wedge join, and closure.
+    "q4N_triangles" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |tr AS (
+        |  SELECT k AS src,
+        |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM seq),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM tr WHERE dst IS NOT NULL AND least(src, dst) < greatest(src, dst)),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |wd AS (SELECT CAST(sum((deg * (deg - 1)) // 2) AS BIGINT) AS wedges,
+        |              count(*) AS n_nodes FROM deg),
+        |tri AS (
+        |  SELECT count(*) AS triangles
+        |  FROM und e1
+        |  JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+        |  JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT n_nodes, wedges, CAST(triangles AS BIGINT) AS triangles,
+        |  round(3.0 * CAST(triangles AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
+        |    AS clustering_coeff
+        |FROM tri CROSS JOIN wd""".stripMargin,
 
     // Z-order mirror: identical clamp + bit-interleave integer
     // arithmetic ((v >> i) % 2 with long power-of-two weights), same

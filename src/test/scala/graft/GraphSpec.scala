@@ -90,6 +90,27 @@ class GraphSpec extends GraftSpec {
     assert(a.sameElements(b))
   }
 
+  test("triangleStats: hand-counted census, direction/self-loop insensitive") {
+    // K3 plus a pendant: triangles {1,2,3}; degrees 2,2,3,1 ->
+    // wedges 1+1+3+0 = 5; coeff = 3/5
+    val e = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 1L))
+    val r = graft.operators.Graph.triangleStats(e, "src", "dst").head()
+    assert(r.getAs[Long]("n_nodes") == 4L)
+    assert(r.getAs[Long]("wedges") == 5L)
+    assert(r.getAs[Long]("triangles") == 1L)
+    assert(r.getAs[Double]("clustering_coeff") == 0.6)
+    // reversed duplicates and self-loops change nothing
+    val noisy = edges((2L, 1L, 9L), (3L, 2L, 1L), (1L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 2L, 1L), (2L, 2L, 1L))
+    val r2 = graft.operators.Graph.triangleStats(noisy, "src", "dst").head()
+    assert(r2.getAs[Long]("triangles") == 1L &&
+      r2.getAs[Long]("wedges") == 5L)
+    // a pure path has wedges but no triangles
+    val path = edges((1L, 2L, 1L), (2L, 3L, 1L))
+    val r3 = graft.operators.Graph.triangleStats(path, "src", "dst").head()
+    assert(r3.getAs[Long]("triangles") == 0L && r3.getAs[Long]("wedges") == 1L)
+  }
+
   test("rank_pico is partitioning-invariant (bit-exact)") {
     val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"),
       col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
