@@ -232,6 +232,45 @@ object VectorQueries {
         .limit(10)
     },
 
+    // Retrieval-quality evaluation: nDCG@10 of exact KNN against
+    // label-match relevance (the graded-ranking metric ANN recall
+    // q6B doesn't cover). Gains fold as micro fixed-point longs in
+    // rank order; the ideal DCG derives from each query's true
+    // relevant-set size via the same 1/log2(i+1) arithmetic — all
+    // cross-engine-exact until one final rounded ratio.
+    "q1F_ndcg" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val top = Knn.topKBatch(e, "vec_id", "embedding",
+        queries.select("qid", "qvec"), "qid", "qvec", k = 10)
+      val gains = top
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .join(broadcast(queries.select("qid", "qlabel")), "qid")
+        .select(col("qid"),
+          when(col("label") === col("qlabel"),
+            round(lit(1e6) / log2(col("rn").cast("double") + 1.0))
+              .cast("long"))
+            .otherwise(lit(0L)).as("gain_micro"))
+        .groupBy("qid").agg(sum("gain_micro").as("dcg_micro"))
+      // true relevant-set size per query (same label, self excluded)
+      val labelSizes = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val ideal = queries
+        .join(broadcast(labelSizes), col("qlabel") === col("label"))
+        .select(col("qid"), (col("n_label") - 1).as("n_rel"))
+        .withColumn("idcg_micro",
+          aggregate(sequence(lit(1L), least(lit(10L), col("n_rel"))),
+            lit(0L),
+            (acc, i) => acc +
+              round(lit(1e6) / log2(i.cast("double") + 1.0)).cast("long")))
+      gains.join(ideal, "qid")
+        .select(col("qid"), col("n_rel"),
+          round(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double"), 6).as("ndcg"))
+        .orderBy("qid")
+    },
+
     // A5 (demo notebook cell 22): per-query retrieval metrics over a
     // batched KNN run.
     "q18_batch_query_metrics" -> { (s, d) =>
@@ -633,6 +672,39 @@ object VectorQueries {
          |SELECT query_id, neighbor_id, score, rn FROM ranked
          |WHERE rn <= 5
          |ORDER BY query_id, rn""".stripMargin,
+
+    // nDCG mirror: identical rounded-score ranking, identical
+    // micro-fixed-point 1/log2 gains and ideal-DCG arithmetic.
+    "q1F_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         |         round(${duckCosine("e.embedding", "q.qvec")}, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |                               ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored),
+         |dcg AS (
+         |  SELECT qid,
+         |    CAST(sum(CASE WHEN label = qlabel
+         |      THEN CAST(round(1000000.0 / log2(CAST(rn AS DOUBLE) + 1.0)) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS dcg_micro
+         |  FROM ranked WHERE rn <= 10 GROUP BY qid),
+         |ls AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+         |ideal AS (
+         |  SELECT q.qid, CAST(ls.n_label - 1 AS BIGINT) AS n_rel,
+         |    CAST(list_sum([CAST(round(1000000.0 / log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT)
+         |      for i in range(1, least(10, ls.n_label - 1) + 1)]) AS BIGINT)
+         |      AS idcg_micro
+         |  FROM q JOIN ls ON ls.label = q.qlabel)
+         |SELECT d.qid, i.n_rel,
+         |  round(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+         |    AS ndcg
+         |FROM dcg d JOIN ideal i ON i.qid = d.qid
+         |ORDER BY d.qid""".stripMargin,
 
     "q12_knn_filtered" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
