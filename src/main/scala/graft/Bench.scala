@@ -160,7 +160,21 @@ object Bench {
     // gating on it would make every long run indict itself.
     val contended = ambientLoad > nCpus / 4.0 || residualSpread > SpreadLimit
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}"""
+    println(json)
+    // ALSO write the artifact to a file: both BENCH_r05.json and
+    // BENCH_r06.json driver artifacts carried "parsed": null because the
+    // stdout JSON line drowned in sbt/log noise — a file the harness (or
+    // a human) reads back is noise-proof. SPARK_GRAFT_BENCH_OUT names
+    // the path; default bench_out.json in the working directory.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
     // the JSON line is flushed; force JVM exit so a leftover streaming
     // non-daemon thread can never hang the driver's bench harness

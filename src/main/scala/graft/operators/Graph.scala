@@ -66,10 +66,13 @@ object Graph {
     // one-row broadcast: node count -> integer base + teleport floor.
     // (10^12 div N) truncates; the teleport floor reuses the truncated
     // base so both engines compute the identical long.
+    // n = 0 (empty edge table) guard: `div 0` is NULL in Spark SQL and
+    // would silently poison every rank; an all-zero base keeps the
+    // arithmetic total (the result set is empty anyway — no nodes exist)
     val consts = nodes.agg(count(lit(1)).as("n"))
       .select(
-        expr(s"$PicoMass div n").as("base"),
-        expr(s"(($PicoMass div n) * ${100 - dampingPct}) div 100").as("t"))
+        expr(s"CASE WHEN n = 0 THEN 0 ELSE $PicoMass div n END").as("base"),
+        expr(s"CASE WHEN n = 0 THEN 0 ELSE (($PicoMass div n) * ${100 - dampingPct}) div 100 END").as("t"))
     val init = nodes.crossJoin(broadcast(consts))
       .select(col("node"), col("base").as("init"), col("t").as("tp"))
     prLoop(e, init, iters, dampingPct)
@@ -93,10 +96,14 @@ object Graph {
     val nodes = edgeNodes(e).unionByName(seedNodes).distinct()
       .join(seedNodes.withColumn("seed", lit(true)), Seq("node"), "left")
       .select(col("node"), coalesce(col("seed"), lit(false)).as("seed"))
+    // s = 0 (empty seed set) guard: without it `div 0` is NULL, and any
+    // seed row (impossible today, but cheap to make impossible forever)
+    // would carry NULL into the recurrence; zero base = zero teleport
+    // mass = all-zero ranks, the honest answer for "no trusted seeds"
     val consts = seedNodes.agg(count(lit(1)).as("s"))
       .select(
-        expr(s"$PicoMass div s").as("base"),
-        expr(s"(($PicoMass div s) * ${100 - dampingPct}) div 100").as("t"))
+        expr(s"CASE WHEN s = 0 THEN 0 ELSE $PicoMass div s END").as("base"),
+        expr(s"CASE WHEN s = 0 THEN 0 ELSE (($PicoMass div s) * ${100 - dampingPct}) div 100 END").as("t"))
     val init = nodes.crossJoin(broadcast(consts))
       .select(col("node"),
         when(col("seed"), col("base")).otherwise(lit(0L)).as("init"),
@@ -106,39 +113,94 @@ object Graph {
 
   /** Triangle count + global clustering coefficient over the
     * UNDIRECTED simple graph induced by the edge list (directions and
-    * weights dropped, self-loops removed). The canonical two-join
-    * formulation: orient every edge low→high, join wedges
-    * `(a<b, b<c)`, close against the oriented edge set — each triangle
-    * counts exactly once, and the join work is bounded by Σ deg²
-    * (wedges), never n³. Clustering coefficient =
+    * weights dropped, self-loops removed). The DEGREE-ORDERED two-join
+    * formulation (Chiba–Nishizeki 1985 / Schank–Wagner 2005 "forward"
+    * algorithm, the standard distributed variant in Cohen 2009 and
+    * Suri–Vassilvitskii 2011): orient every edge from its lower-degree
+    * endpoint to its higher-degree endpoint (ties broken by id), join
+    * wedges at the shared SOURCE, close against the oriented edge set.
+    * Each triangle counts exactly once (the triangle's edges form a
+    * path under any total order), and — unlike id-based orientation,
+    * where a hub that happens to get a low id materializes deg²/2 wedge
+    * rows under ONE join key — every out-degree is ≤ √(2m), so total
+    * wedge work is O(m^1.5) on ANY degree distribution: the bound a
+    * power-law web graph needs at 100 TB. Clustering coefficient =
     * 3·triangles / wedges, where wedges = Σ_v deg(v)·(deg(v)−1)/2 —
-    * all exact integer arithmetic until the one final rounded ratio.
+    * all exact integer arithmetic until the one final rounded ratio,
+    * and both wedges and triangles are orientation-invariant, so this
+    * is hash-identical to the naive formulation.
     */
   def triangleStats(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
-    val und = edges.select(
-        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
-        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
-      .filter(col("a") < col("b"))
-      .distinct()
+    val und = undirectedEdges(edges, srcCol, dstCol)
       .localCheckpoint(eager = false)
-    val deg = und.select(col("a").as("node"))
-      .unionByName(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val deg = undirectedDegrees(und)
     val wedges = deg.agg(
       sum(expr("(deg * (deg - 1)) div 2")).as("wedges"),
       count(lit(1)).as("n_nodes"))
-    // wedge (a<b<c via shared low endpoint) closed by edge (b, c)
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.a") === col("e2.a") &&
-        col("e1.b") < col("e2.b"))
-      .join(und.as("e3"), col("e1.b") === col("e3.a") &&
-        col("e2.b") === col("e3.b"))
+    val oriented = orientByDegree(und, deg).localCheckpoint(eager = false)
+    // wedge (src ≺ dst1 ≺ dst2 under the (deg, id) total order) closed
+    // by the oriented edge (dst1, dst2)
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src") &&
+        (col("e1.ddeg") < col("e2.ddeg") ||
+          (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .join(oriented.as("e3"), col("e1.dst") === col("e3.src") &&
+        col("e2.dst") === col("e3.dst"))
       .agg(count(lit(1)).as("triangles"))
     tri.crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("wedges"), col("triangles"),
         round(lit(3.0) * col("triangles").cast("double") /
           col("wedges").cast("double"), 6).as("clustering_coeff"))
+  }
+
+  /** Canonical undirected simple edge set: (a < b), deduped, self-loops
+    * dropped.
+    */
+  private[graft] def undirectedEdges(edges: DataFrame, srcCol: String,
+                                     dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("a"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("b"))
+      .filter(col("a") < col("b"))
+      .distinct()
+
+  private[graft] def undirectedDegrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+
+  /** Orient each undirected edge from its lower-degree endpoint to its
+    * higher-degree endpoint (ties by id; `a < b` already holds, so the
+    * tie orients a→b). Output columns: `src`, `dst`, `ddeg` (the
+    * destination's degree, carried so the wedge join can order the two
+    * out-neighbors under the same (deg, id) total order without another
+    * degree join). Out-degree under this orientation is ≤ √(2m) for
+    * every node — a node of degree d only KEEPS out-edges to endpoints
+    * of degree ≥ d, and more than √(2m) such neighbors would need more
+    * than m total edge endpoints — which is what bounds the wedge join
+    * at O(m^1.5).
+    */
+  private[graft] def orientByDegree(und: DataFrame, deg: DataFrame): DataFrame = {
+    val da  = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db  = deg.select(col("node").as("b"), col("deg").as("db"))
+    val fwd = col("da") <= col("db")
+    und.join(da, "a").join(db, "b")
+      .select(
+        when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"),
+        when(fwd, col("db")).otherwise(col("da")).as("ddeg"))
+  }
+
+  /** Degree-ordered oriented edge table for an arbitrary edge list —
+    * the table `triangleStats` wedge-joins; exposed so specs (and
+    * capacity planning) can measure the materialized wedge-candidate
+    * count Σ_src C(outdeg, 2) directly.
+    */
+  private[graft] def degreeOrientedEdges(edges: DataFrame, srcCol: String,
+                                         dstCol: String): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+    orientByDegree(und, undirectedDegrees(und))
   }
 
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,

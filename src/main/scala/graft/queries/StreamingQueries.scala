@@ -424,16 +424,22 @@ object StreamingQueries {
     // progress through view → click → purchase via
     // flatMapGroupsWithState, each step emitted ON ARRIVAL and the
     // user's state REMOVED at completion (self-evicting state — the
-    // pattern sessions/dedup don't cover). Step counts equal q4G's
+    // pattern sessions/dedup don't cover) OR when the watermark passes
+    // first-event-time + the conversion window, so abandoning users
+    // never hold state forever (the 100 TB bound). The 365-day window
+    // exceeds the fixture's time span, so step counts equal q4G's
     // batch min-chain exactly.
     "q7K_stream_funnel" -> { (s, d) =>
       import s.implicits._
       val ev = eventsStream(s, d)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("event_type"))
         .as[StreamingIngest.FunnelEvent]
       val reached = StreamRunner.runToBatch(
-        StreamingIngest.funnelSteps(ev, Seq("view", "click", "purchase"))
+        StreamingIngest.funnelSteps(ev, Seq("view", "click", "purchase"),
+          StreamingIngest.SessionFlush.WatermarkHorizon(
+            365L * 86400L * 1000000L))
           .toDF(),
         OutputMode.Append)
       reached.groupBy("step")

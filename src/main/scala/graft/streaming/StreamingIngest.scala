@@ -327,49 +327,95 @@ object StreamingIngest {
   final case class UserEvent(
       user_id: Long, ts: java.sql.Timestamp, ts_us: Long, value: Double)
 
+  /** `ts` carries the event time so an event-time conversion-window
+    * horizon can evict abandoning users (Spark requires the watermarked
+    * COLUMN to reach the stateful operator's input — see [[UserEvent]]);
+    * the funnel arithmetic itself runs on `ts_us` micros.
+    */
   final case class FunnelEvent(
-      user_id: Long, ts_us: Long, event_id: Long, event_type: String)
-  final case class FunnelState(reached: Seq[Long])
+      user_id: Long, ts: java.sql.Timestamp, ts_us: Long,
+      event_id: Long, event_type: String)
+  /** `firstUs` = event time of the user's first observed funnel-relevant
+    * event, the conversion window's anchor (set even when that event
+    * advanced no step — an out-of-order `click` still starts the clock).
+    */
+  final case class FunnelState(firstUs: Long, reached: Seq[Long])
   final case class StepReached(user_id: Long, step: Int, ts_us: Long)
 
   /** Ordered-funnel state machine (q4G's semantics as a STREAM): per
     * user, each step's FIRST occurrence strictly after the previous
     * step's timestamp emits a [[StepReached]] row ON ARRIVAL. State is
-    * one tiny timestamp vector per user still mid-funnel — and is
-    * REMOVED the moment the final step completes, so completed users
-    * cost nothing forever (the state-machine pattern the session/dedup
-    * operators don't cover: custom monotone per-key progress with
-    * self-evicting state). Within a batch rows process in
-    * (ts, event_id) order, so the emitted step timestamps equal the
+    * one tiny timestamp vector per user still mid-funnel — REMOVED the
+    * moment the final step completes, so converted users cost nothing
+    * forever — and, under [[SessionFlush.WatermarkHorizon]], ALSO
+    * removed (emitting nothing) once the watermark passes the user's
+    * first funnel event + horizon: the conversion window. Without that
+    * horizon every user who views but never purchases — the vast
+    * majority in any real funnel — would hold state forever, which is
+    * unbounded growth on an unbounded stream. The horizon keeps state
+    * O(users inside their conversion window), is replay-deterministic
+    * (event-time timers are data, not wall clock), and terminates under
+    * `Trigger.AvailableNow`. Requires `withWatermark` on `ts` upstream.
+    * A user whose state expired and who then sends fresh in-window
+    * events restarts the funnel from step 1 — the semantics of "convert
+    * within the window", matching the batch q4G min-chain whenever the
+    * horizon exceeds the data's time span. Within a batch rows process
+    * in (ts, event_id) order, so the emitted step timestamps equal the
     * batch `min(ts > prev)` chain exactly.
     */
-  def funnelSteps(events: Dataset[FunnelEvent],
-                  steps: Seq[String]): Dataset[StepReached] = {
+  def funnelSteps(events: Dataset[FunnelEvent], steps: Seq[String],
+                  flush: SessionFlush = SessionFlush.NoFlush
+                 ): Dataset[StepReached] = {
     require(steps.nonEmpty && steps.distinct.size == steps.size,
       "steps must be non-empty and distinct")
+    val timeoutConf = flush match {
+      case SessionFlush.WatermarkHorizon(_) => GroupStateTimeout.EventTimeTimeout
+      case SessionFlush.NoFlush             => GroupStateTimeout.NoTimeout
+      case SessionFlush.IdleWallClock(_) => throw new IllegalArgumentException(
+        "funnelSteps: conversion windows are event-time by definition — " +
+          "use WatermarkHorizon (or NoFlush for bounded fixtures)")
+    }
     import events.sparkSession.implicits._
     val stepIdx = steps.zipWithIndex.toMap
     events
       .filter(e => stepIdx.contains(e.event_type))
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StepReached](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val reached = state.getOption
-            .map(_.reached.toArray)
-            .getOrElse(Array.fill(steps.size)(-1L))
-          val out = Seq.newBuilder[StepReached]
-          for (e <- rows.toSeq.sortBy(x => (x.ts_us, x.event_id))) {
-            val k = stepIdx(e.event_type)
-            if (reached(k) < 0 &&
-                (k == 0 || (reached(k - 1) >= 0 && e.ts_us > reached(k - 1)))) {
-              reached(k) = e.ts_us
-              out += StepReached(user, k + 1, e.ts_us)
+          if (state.hasTimedOut) {
+            // conversion window elapsed mid-funnel: abandoned, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            val st      = state.getOption
+            var firstUs = st.map(_.firstUs).getOrElse(-1L)
+            val reached = st.map(_.reached.toArray)
+              .getOrElse(Array.fill(steps.size)(-1L))
+            val out = Seq.newBuilder[StepReached]
+            for (e <- rows.toSeq.sortBy(x => (x.ts_us, x.event_id))) {
+              if (firstUs < 0) firstUs = e.ts_us
+              val k = stepIdx(e.event_type)
+              if (reached(k) < 0 &&
+                  (k == 0 || (reached(k - 1) >= 0 && e.ts_us > reached(k - 1)))) {
+                reached(k) = e.ts_us
+                out += StepReached(user, k + 1, e.ts_us)
+              }
             }
+            if (reached.last >= 0) state.remove() // funnel complete: evict
+            else {
+              state.update(FunnelState(firstUs, reached.toSeq))
+              flush match {
+                case SessionFlush.WatermarkHorizon(h) =>
+                  // the engine rejects a timeout at-or-before the current
+                  // watermark; a straggler expires at the next instant
+                  state.setTimeoutTimestamp(math.max(
+                    (firstUs + h) / 1000L, state.getCurrentWatermarkMs() + 1))
+                case _ =>
+              }
+            }
+            out.result().iterator
           }
-          if (reached.last >= 0) state.remove() // funnel complete: evict
-          else state.update(FunnelState(reached.toSeq))
-          out.result().iterator
       }
   }
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)

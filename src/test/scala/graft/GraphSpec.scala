@@ -111,6 +111,110 @@ class GraphSpec extends GraftSpec {
     assert(r3.getAs[Long]("triangles") == 0L && r3.getAs[Long]("wedges") == 1L)
   }
 
+  test("empty edge table / empty seed set: empty or all-zero, never NULL") {
+    val none = edges()
+    // empty edges -> empty result (and no div-0 NULL poisoning en route)
+    assert(Graph.pageRank(none, "src", "dst", "w", iters = 3).isEmpty)
+    // empty seed set: nodes exist but no teleport mass anywhere -> every
+    // rank decays to exactly zero, not NULL
+    val e = edges((1L, 2L, 1L), (2L, 1L, 1L))
+    val r = Graph.personalizedPageRank(e, "src", "dst", "w",
+        Seq.empty[Long].toDF("node"), "node", iters = 3)
+      .collect()
+    assert(r.length == 2)
+    assert(r.forall(x => !x.isNullAt(1) && x.getAs[Long]("rank_pico") == 0L))
+  }
+
+  test("triangle orientation: hub fixture stays under the O(m^1.5) wedge bound") {
+    // a 1000-leaf star around the LOWEST id (0) — the adversarial case
+    // for id-based orientation, which would put C(1000,2) = 499,500
+    // wedge candidates on hub id 0's single join key — plus a 10-edge
+    // leaf path closing 10 triangles through the hub
+    val star = (1L to 1000L).map(i => (0L, i, 1L))
+    val path = (1L to 10L).map(i => (i, i + 1L, 1L))
+    val e    = edges(star ++ path: _*)
+    val m    = 1010L
+    // the materialized wedge-candidate count is Σ_src C(outdeg, 2) over
+    // the oriented table triangleStats actually joins
+    val candidates = Graph.degreeOrientedEdges(e, "src", "dst")
+      .groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("c"))
+      .head().getLong(0)
+    val bound = 2.0 * m * math.sqrt(m.toDouble) // O(m^1.5) with constant 2
+    assert(candidates <= bound,
+      s"wedge candidates $candidates exceed the degree-ordered bound $bound " +
+        "(id-oriented code puts ~499,500 on the hub key)")
+    // degree orientation points every star edge leaf->hub: the hub has
+    // out-degree 0 and contributes ZERO wedge candidates
+    assert(candidates <= 100L)
+    // and the census itself is orientation-invariant: 10 triangles
+    // {0, i, i+1}; wedges = hub C(1000,2) + 2 deg-3 nodes... assert
+    // against an independently computed census instead of hand arithmetic
+    val r = Graph.triangleStats(e, "src", "dst").head()
+    assert(r.getAs[Long]("triangles") == 10L)
+    assert(r.getAs[Long]("n_nodes") == 1001L)
+    // wedges: hub 1000*999/2; leaves 2..10 have degree 3 (hub+2 path)
+    // -> 3 wedges each; leaves 1 and 11 degree 2 -> 1 each; rest 0
+    assert(r.getAs[Long]("wedges") == 1000L * 999L / 2 + 9L * 3L + 2L * 1L)
+  }
+
+  test("pageRank on a Zipf hub graph: no task ingests the hub's in-edges whole") {
+    // deterministic power-law-ish fixture: 5000 sources all point at hub
+    // 0, plus a short chain — the dst-skew case. Map-side combine in the
+    // contribution aggregate means the hub's reduce task reads per-mapper
+    // PARTIALS, never the 5000 raw contribution rows. AQE partition
+    // coalescing is disabled for the measurement: at fixture scale it
+    // legitimately merges every tiny shuffle into ONE partition, which
+    // would make "one task read everything" indistinguishable from skew.
+    val hub   = (1L to 5000L).map(i => (i, 0L, 1L))
+    val chain = (1L to 10L).map(i => (i, i + 1L, 1L))
+    val e     = edges(hub ++ chain: _*).repartition(8)
+    val sc    = spark.sparkContext
+    val coalesceKey  = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    val group = s"graph-skew-${System.nanoTime()}"
+    val myStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val maxTaskRecords = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          js.stageIds.foreach(id => myStages.add(id))
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (myStages.contains(te.stageId) && te.taskMetrics != null)
+          maxTaskRecords.accumulateAndGet(
+            te.taskMetrics.shuffleReadMetrics.recordsRead, math.max)
+    }
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(group, "graph skew fixture")
+      val r = Graph.pageRank(e, "src", "dst", "w", iters = 2)
+        .orderBy(col("rank_pico").desc).limit(1).collect()
+      assert(r.head.getAs[Long]("node") == 0L, "the hub must rank first")
+      // listener events are async: poll until the max stabilizes
+      var prev = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200L)
+        val cur = maxTaskRecords.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      val worst = maxTaskRecords.get()
+      // without partial aggregation the hub's reduce task reads >= 5000
+      // shuffle records; with it, every task stays far under the hub's
+      // in-degree (uniform shuffles of ~6000 node/edge rows over 8+
+      // partitions dominate instead)
+      assert(worst > 0L, "listener saw no shuffle reads — fixture broken")
+      assert(worst < 2500L,
+        s"a task read $worst shuffle records — hub contributions are " +
+          "reaching one task unaggregated")
+    } finally {
+      spark.conf.set(coalesceKey, prevCoalesce)
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
+  }
+
   test("rank_pico is partitioning-invariant (bit-exact)") {
     val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"),
       col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))

@@ -424,15 +424,17 @@ class StreamingSpec extends GraftSpec {
     // click+purchase in batch 2); user 2 clicks before ever viewing
     // (click must not count, the later view->click order must);
     // user 3 views only.
+    def fe(u: Long, us: Long, id: Long, et: String) =
+      FunnelEvent(u, new java.sql.Timestamp(us / 1000L), us, id, et)
     val b1 = Seq(
-      FunnelEvent(1L, 100L, 1L, "view"),
-      FunnelEvent(2L, 100L, 2L, "click"),
-      FunnelEvent(3L, 120L, 3L, "view"),
-      FunnelEvent(2L, 150L, 4L, "view"))
+      fe(1L, 100L, 1L, "view"),
+      fe(2L, 100L, 2L, "click"),
+      fe(3L, 120L, 3L, "view"),
+      fe(2L, 150L, 4L, "view"))
     val b2 = Seq(
-      FunnelEvent(1L, 200L, 5L, "click"),
-      FunnelEvent(2L, 220L, 6L, "click"),
-      FunnelEvent(1L, 300L, 7L, "purchase"))
+      fe(1L, 200L, 5L, "click"),
+      fe(2L, 220L, 6L, "click"),
+      fe(1L, 300L, 7L, "purchase"))
     b1.toDS().coalesce(1).write.parquet(s"$dir/batch1")
     b2.toDS().coalesce(1).write.parquet(s"$dir/batch2")
     val schema = spark.read.parquet(s"$dir/batch1").schema
@@ -449,5 +451,53 @@ class StreamingSpec extends GraftSpec {
       (1L, 1, 100L), (1L, 2, 200L), (1L, 3, 300L), // full funnel, cross-batch
       (2L, 1, 150L), (2L, 2, 220L),                // pre-view click ignored
       (3L, 1, 120L)))
+  }
+
+  test("funnel FSM: watermark-horizon eviction drops abandoning users' state") {
+    import spark.implicits._
+    import StreamingIngest.{FunnelEvent, SessionFlush, StepReached}
+    val dir = graft.util.TempDirs.scratch("graft-funnel-evict-")
+    def fe(u: Long, sec: Long, id: Long, et: String) =
+      FunnelEvent(u, new java.sql.Timestamp(sec * 1000L), sec * 1000000L, id, et)
+    // batch 1: user 1 views then abandons; user 2 converts fully
+    // (self-evicts at completion)
+    val b1 = Seq(
+      fe(1L, 100L, 1L, "view"),
+      fe(2L, 100L, 2L, "view"),
+      fe(2L, 150L, 3L, "click"),
+      fe(2L, 200L, 4L, "purchase"))
+    // batch 2: user 3 views far in the future, advancing the watermark
+    // past user 1's first-event + horizon (100 s + 1000 s << 10000 s)
+    val b2 = Seq(fe(3L, 10000L, 5L, "view"))
+    b1.toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    b2.toDS().coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .withWatermark("ts", "0 seconds")
+      .as[FunnelEvent]
+    val out = StreamingIngest.funnelSteps(stream,
+      Seq("view", "click", "purchase"),
+      SessionFlush.WatermarkHorizon(1000L * 1000000L)).toDF()
+    val ckpt = graft.util.TempDirs.scratch("graft-funnel-evict-ckpt-")
+    val query = out.writeStream.format("memory").queryName("funnel_evict_sink")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    // eviction emits NOTHING — outputs are exactly the on-arrival steps
+    val reached = spark.table("funnel_evict_sink").as[StepReached].collect()
+      .map(r => (r.user_id, r.step, r.ts_us)).toSet
+    assert(reached == Set(
+      (1L, 1, 100000000L), (2L, 1, 100000000L), (2L, 2, 150000000L),
+      (2L, 3, 200000000L), (3L, 1, 10000000000L)))
+    // state-store PROOF of eviction (not just output equality): user 2
+    // self-evicted at conversion, user 1 expired at the horizon — only
+    // user 3, still inside their conversion window, holds a state row.
+    // Under the old NoTimeout behavior this is 2, and on a real stream
+    // it is "every abandoning user ever seen".
+    val lastState = query.recentProgress.reverse
+      .flatMap(_.stateOperators.headOption).headOption
+    assert(lastState.exists(_.numRowsTotal == 1L),
+      s"expected 1 live state row, got ${lastState.map(_.numRowsTotal)}")
   }
 }
