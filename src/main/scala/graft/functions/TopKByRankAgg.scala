@@ -61,11 +61,26 @@ case class TopKByRankAgg(
   override def createAggregationBuffer(): ArrayBuffer[(String, Long)] =
     ArrayBuffer.empty
 
+  // Rank comparisons use UTF-8 BYTE order (UTF8String.compareTo), the
+  // order Spark's own orderBy puts on StringType — NOT Java String's
+  // UTF-16 code-unit order, which diverges for supplementary-plane code
+  // points (U+FFFF sorts above U+1F600 in UTF-16 units but below it in
+  // UTF-8 bytes). The aggregate is registered as a general SQL function
+  // over any string rank, so its kept set must match what
+  // `orderBy(rank, id).limit(k)` keeps for ALL inputs, not just the
+  // ASCII md5-hex ranks the sampling call sites feed it.
+  private object RankOrder extends Ordering[(String, Long)] {
+    def compare(x: (String, Long), y: (String, Long)): Int = {
+      val c = UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
   // keep the buffer small: append, and compact to the k smallest
   // whenever it doubles — amortized O(log k) per row, ≤ 2k entries held
   private def compact(buf: ArrayBuffer[(String, Long)]): Unit =
     if (buf.length > k) {
-      val kept = buf.sorted.take(k)
+      val kept = buf.sorted(RankOrder).take(k)
       buf.clear()
       buf ++= kept
     }
@@ -89,7 +104,7 @@ case class TopKByRankAgg(
 
   override def eval(buf: ArrayBuffer[(String, Long)]): Any = {
     compact(buf)
-    val rows = buf.sorted.map { case (r, i) =>
+    val rows = buf.sorted(RankOrder).map { case (r, i) =>
       InternalRow(UTF8String.fromString(r), i)
     }
     new GenericArrayData(rows.toArray[Any])

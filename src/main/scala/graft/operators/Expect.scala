@@ -80,12 +80,18 @@ object Expect {
     require(constraints.nonEmpty, "no constraints given")
     require(constraints.map(_.name).distinct.size == constraints.size,
       "duplicate constraint names")
-    val aggs = constraints.map(c => round(c.metric, 6).as(c.name))
+    // positional INTERNAL aliases: a constraint name is free text (it
+    // embeds user column names — "not_null:a.b" would make col() parse
+    // the dot as struct-field access and fail analysis); the name only
+    // ever appears as a literal in the report row
+    val aggs = constraints.zipWithIndex.map { case (c, i) =>
+      round(c.metric, 6).as(s"_m$i")
+    }
     val one  = df.agg(aggs.head, aggs.tail: _*)
-    val rows = array(constraints.map { c =>
-      struct(lit(c.name).as("check"), col(c.name).as("metric"),
+    val rows = array(constraints.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check"), col(s"_m$i").as("metric"),
         lit(c.threshold).as("threshold"),
-        (col(c.name) >= c.threshold).as("passed"))
+        (col(s"_m$i") >= c.threshold).as("passed"))
     }: _*)
     one.select(explode(rows).as("r"))
       .select(col("r.check").as("check"), col("r.metric").as("metric"),

@@ -119,29 +119,49 @@ object Quantiles {
     val useHistogram =
       if (histogramFallbackDistinct == Long.MaxValue) false
       else if (histogramFallbackDistinct <= 0L) true
-      // distinct-per-(group, column) can never exceed total row count, so
-      // a row count under the threshold proves the frequency path safe
-      // WITHOUT the probe scan. NOTE the adaptive routing runs Spark
-      // JOBS at DataFrame-construction time: count() is near-free only
-      // over (near-)bare scans (Catalyst prunes every column; parquet
-      // answers from row-group metadata) — a caller holding a DERIVED
-      // frame (joins/aggregations upstream) should pass `rowCountHint`
-      // or pin a path via `histogramFallbackDistinct` rather than pay a
-      // full lineage execution for plan routing
-      else if (rowCountHint.getOrElse(df.count()) <= histogramFallbackDistinct)
-        false
       else {
-        val probe = vals.groupBy("_g", "_ci")
-          .agg(approx_count_distinct(col("_v"), rsd = 0.1).as("_d"))
-          .agg(max(col("_d")).as("_maxd"))
-          .head()
-        !probe.isNullAt(0) && probe.getLong(0) > histogramFallbackDistinct
+        // distinct-per-(group, column) can never exceed total row count,
+        // so a row count under the threshold proves the frequency path
+        // safe WITHOUT the probe scan — but count() is near-free ONLY
+        // over (near-)bare scans (Catalyst prunes every column; parquet
+        // answers from row-group metadata). The adaptive routing runs
+        // Spark jobs at DataFrame-construction time, so for a DERIVED
+        // frame (any join/aggregate/window/etc. upstream) a count()
+        // would execute the full lineage TWICE when the probe follows:
+        // skip it and run the HLL probe directly — ONE lineage
+        // execution, map-side-bounded. `rowCountHint` still short-
+        // circuits everything.
+        val cheapCount: Option[Long] = rowCountHint.orElse(
+          if (nearBareScan(df)) Some(df.count()) else None)
+        if (cheapCount.exists(_ <= histogramFallbackDistinct)) false
+        else {
+          val probe = vals.groupBy("_g", "_ci")
+            .agg(approx_count_distinct(col("_v"), rsd = 0.1).as("_d"))
+            .agg(max(col("_d")).as("_maxd"))
+            .head()
+          !probe.isNullAt(0) && probe.getLong(0) > histogramFallbackDistinct
+        }
       }
 
     val ranked =
       if (useHistogram) histogramRanked(vals, specs, ci, histogramBuckets)
       else frequencyRanked(vals)
     interpolate(ranked, specs, ci, groupCol)
+  }
+
+  /** True when the frame is a projection/filter chain over leaf
+    * relations — the shapes whose count() Catalyst answers from file
+    * metadata after pruning every column. Anything heavier (join,
+    * aggregate, window, generate, set op…) makes count() a full lineage
+    * execution, which routing must never spend.
+    */
+  private def nearBareScan(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter => LFilter, Project, SubqueryAlias}
+    df.queryExecution.logical.collect { case p => p }.forall {
+      case _: Project | _: LFilter | _: SubqueryAlias => true
+      case p => p.children.isEmpty
+    }
   }
 
   /** Frequency-selection rank ranges: the full distinct-value table with

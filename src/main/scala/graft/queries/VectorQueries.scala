@@ -259,6 +259,12 @@ object VectorQueries {
       val ideal = queries
         .join(broadcast(labelSizes), col("qlabel") === col("label"))
         .select(col("qid"), (col("n_label") - 1).as("n_rel"))
+        // a query with NO relevant documents has no defined nDCG: drop it
+        // on BOTH sides (the DuckDB mirror filters identically). Without
+        // this, n_rel = 0 makes sequence(1, 0) the DESCENDING [1, 0] —
+        // injecting a 1e6/log2(1) = Infinity term — while DuckDB's
+        // range(1, 1) is empty -> NULL idcg: divergent garbage.
+        .filter(col("n_rel") >= 1)
         .withColumn("idcg_micro",
           aggregate(sequence(lit(1L), least(lit(10L), col("n_rel"))),
             lit(0L),
@@ -699,7 +705,8 @@ object VectorQueries {
          |    CAST(list_sum([CAST(round(1000000.0 / log2(CAST(i AS DOUBLE) + 1.0)) AS BIGINT)
          |      for i in range(1, least(10, ls.n_label - 1) + 1)]) AS BIGINT)
          |      AS idcg_micro
-         |  FROM q JOIN ls ON ls.label = q.qlabel)
+         |  FROM q JOIN ls ON ls.label = q.qlabel
+         |  WHERE ls.n_label - 1 >= 1)
          |SELECT d.qid, i.n_rel,
          |  round(CAST(d.dcg_micro AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
          |    AS ndcg

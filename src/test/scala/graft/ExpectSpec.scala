@@ -59,4 +59,16 @@ class ExpectSpec extends GraftSpec {
       Expect.report(df, Seq(NotNull("x"), NotNull("x")))
     }
   }
+
+  test("dotted constraint targets (struct fields) survive report aliasing") {
+    // the constraint name "not_null:s.x" must never round-trip through
+    // col() — struct-field access in the METRIC is legal, and the report
+    // row carries the name as a literal
+    val df = Seq((1, Some(5)), (2, None)).toDF("id", "x")
+      .select(col("id"), struct(col("x")).as("s"))
+    val r = Expect.report(df, Seq(NotNull("s.x", threshold = 0.4)))
+      .head()
+    assert(r.getString(0) == "not_null:s.x")
+    assert(r.getDouble(1) == 0.5 && r.getBoolean(3))
+  }
 }

@@ -136,4 +136,53 @@ class QuantilesSpec extends GraftSpec {
       histogramFallbackDistinct = Long.MaxValue)
     assert(routed.collect().toSeq == pinned.collect().toSeq)
   }
+
+  test("derived-frame routing runs exactly one probe job, never a lineage count") {
+    // a JOIN upstream makes count() a full lineage execution; routing
+    // must skip it and go straight to the HLL probe — ONE construction-
+    // time job. The marker column name isolates this test's executions
+    // from concurrently running suites on the shared session.
+    val marker = "qv_routing_marker_r7"
+    val derived = li.select(col("l_orderkey").as("k"), col("l_quantity"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("g")), "k")
+      .select(col("g"), col("l_quantity").as(marker))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val s = qe.analyzed.toString
+        if (s.contains(marker)) seen.add(s)
+      }
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val q = Quantiles.groupQuantiles(derived, "g",
+        Seq((marker, 0.5, "p50")))
+      // listener delivery is async: poll until the seen set stabilizes
+      var prev = -1; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200L)
+        val cur = seen.size()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+      }
+      val runs = new scala.collection.mutable.ArrayBuffer[String]()
+      seen.forEach(s => runs += s)
+      assert(runs.size == 1,
+        s"expected exactly 1 construction-time job (the probe), got ${runs.size}")
+      assert(runs.head.contains("approx_count_distinct"),
+        "the one construction-time job must be the HLL probe, not a count")
+      // and the routed result is still correct (tiny distinct set ->
+      // frequency path; parity with Spark's exact percentile)
+      val got = q.orderBy("g").collect().map(_.getDouble(1)).toSeq
+      val ref = derived.groupBy("g")
+        .agg(expr(s"percentile($marker, 0.5)")).orderBy("g")
+        .collect().map(_.getDouble(1)).toSeq
+      assert(got == ref)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Registry hygiene: one canonical query count, checked mechanically.
+  * OPERATORS.md / PERF.md snapshots drifted mid-round as the registry
+  * grew (140 vs 150 vs 156 in the same files, round 6) — so the count
+  * now lives in ONE place ("Registry count: N" in OPERATORS.md) and
+  * this spec fails the build whenever docs lag the code.
+  */
+class RegistrySpec extends AnyFunSuite {
+
+  test("queries and oracleSql cover the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    val drift = (q diff o) ++ (o diff q)
+    assert(q == o, s"queries/oracleSql key drift: ${drift.mkString(", ")}")
+    assert(SparkEntry.rowsOnly.subsetOf(q),
+      "rowsOnly names a query that does not exist")
+  }
+
+  test("OPERATORS.md 'Registry count' line matches SparkEntry.queries") {
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("OPERATORS.md"))
+    val m = "(?m)^Registry count: (\\d+)$".r.findFirstMatchIn(src)
+    assert(m.isDefined, "OPERATORS.md must carry a 'Registry count: N' line")
+    val documented = m.get.group(1).toInt
+    assert(documented == SparkEntry.queries.size,
+      s"OPERATORS.md says $documented queries; " +
+        s"SparkEntry.queries has ${SparkEntry.queries.size} — update the " +
+        "'Registry count' line")
+  }
+}

@@ -27,6 +27,19 @@ class TopKAggSpec extends GraftSpec {
     assert(viaAgg.length == 50 && viaAgg.sameElements(viaSort))
   }
 
+  test("supplementary-plane ranks sort in Spark's binary string order") {
+    // U+FFFF (UTF-16 unit FFFF; UTF-8 EF BF BF) vs U+1F600 (UTF-16
+    // surrogates D83D DE00; UTF-8 F0 9F 98 80): Java String order puts
+    // the emoji FIRST, Spark's UTF8String binary order puts U+FFFF
+    // first — the aggregate must agree with Spark's own orderBy
+    val df = Seq(("\uFFFF", 1L), ("\uD83D\uDE00", 2L)).toDF("r", "id")
+    val viaAgg = df.agg(topKByRank(col("r"), col("id"), 1).as("top"))
+      .select(explode(col("top.id")).as("id")).as[Long].collect().toSeq
+    val viaSort = df.orderBy(col("r"), col("id")).limit(1)
+      .select("id").as[Long].collect().toSeq
+    assert(viaAgg == viaSort && viaAgg == Seq(1L))
+  }
+
   test("compaction keeps the exact k smallest past the 2k buffer bound") {
     // 1,000 rows through k = 3: exercises many compact() cycles
     val df = (1L to 1000L).toDF("id")
