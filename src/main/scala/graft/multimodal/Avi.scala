@@ -3,15 +3,18 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.types._
 
-/** REAL video frame sampling for the one container family that needs no
-  * codec library: AVI (a RIFF container, like WAV) carrying UNCOMPRESSED
-  * 24-bit DIB frames (`biCompression == 0`). The demuxer walks the RIFF
-  * chunk tree — `LIST hdrl → LIST strl → strf` for geometry, `LIST movi`
-  * for `00db`/`00dc` frame chunks — and decodes each sampled frame's
-  * bottom-up, 4-byte-row-padded BGR bitmap into a lossless PNG, so the
-  * downstream pipeline ([[Multimodal.decodeAndFeaturize]]) treats video
-  * frames exactly like any other image column. Compressed codecs
-  * (H.264/MJPEG/...) stay out of scope — no JDK API decodes them — and
+/** REAL video frame sampling for the container families that need no
+  * codec library: AVI (a RIFF container, like WAV) carrying either
+  * UNCOMPRESSED 24/32-bit DIB frames (`biCompression == 0`) or MJPEG
+  * frames (`biCompression == 'MJPG'` — each frame chunk is a standalone
+  * JPEG, which the in-JDK ImageIO reader decodes; MJPEG is what real-
+  * world capture hardware and surveillance AVIs overwhelmingly ship).
+  * The demuxer walks the RIFF chunk tree — `LIST hdrl → LIST strl →
+  * strf` for geometry, `LIST movi` for `00db`/`00dc` frame chunks — and
+  * decodes each sampled frame into a lossless PNG, so the downstream
+  * pipeline ([[Multimodal.decodeAndFeaturize]]) treats video frames
+  * exactly like any other image column. Inter-frame codecs
+  * (H.264/VP9/...) stay out of scope — no JDK API decodes them — and
   * degrade per-file to zero emitted frames, never a failed job.
   *
   * Scale shape: demux is a narrow 1→N flatMap (like the stub it
@@ -22,8 +25,13 @@ object Avi {
 
   import Riff.{next, tag, u16, u32}
 
+  private[multimodal] object Codec {
+    val RawDib = 0
+    val Mjpeg  = 1
+  }
+
   private[multimodal] final case class VideoFormat(
-      width: Int, height: Int, bitCount: Int)
+      width: Int, height: Int, bitCount: Int, codec: Int = Codec.RawDib)
 
   /** A decoded frame can't exceed this many pixels — a crafted strf
     * declaring a 2^29-wide bitmap must not allocate a multi-GB
@@ -58,6 +66,11 @@ object Avi {
           if (compression == 0L && (bits == 24 || bits == 32))
             fmt = Some(VideoFormat(u32(b, body + 4).toInt,
               u32(b, body + 8).toInt, bits))
+          else if (tag(b, body + 16, "MJPG"))
+            // MJPEG: per-frame geometry comes from each JPEG itself; the
+            // strf w/h are advisory (still pixel-capped at decode)
+            fmt = Some(VideoFormat(u32(b, body + 4).toInt,
+              u32(b, body + 8).toInt, bits, Codec.Mjpeg))
         } else if ((tag(b, pos, "00db") || tag(b, pos, "00dc")) && sz > 0)
           frames += ((body.toInt, math.min(sz, b.length - body).toInt))
         pos = next(body, sz)
@@ -101,6 +114,36 @@ object Avi {
     Some(bos.toByteArray)
   }
 
+  /** Decode one MJPEG frame chunk (a standalone JPEG) to a PNG byte
+    * array via the in-JDK ImageIO reader. The header is read FIRST so a
+    * crafted JPEG declaring a multi-gigapixel canvas is rejected before
+    * any pixel buffer allocates (the [[MaxFramePixels]] cap, same class
+    * of guard as [[dibToPng]]'s stride check). Returns None on garbage
+    * bytes, truncation, or oversize geometry — per-frame degradation.
+    */
+  private[multimodal] def jpegToPng(
+      b: Array[Byte], off: Int, len: Int): Option[Array[Byte]] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(b, off, len))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      reader.setInput(iis)
+      try {
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w <= 0 || h <= 0 || w.toLong * h > MaxFramePixels) return None
+        val img = reader.read(0)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Some(bos.toByteArray)
+      } finally reader.dispose()
+    } catch {
+      case scala.util.control.NonFatal(_) => None
+    } finally iis.close()
+  }
+
   /** Real frame sampling over an AVI `content` column: emit every
     * `stride`-th frame (indices 0, stride, 2·stride, …), at most
     * `maxFrames` per video, as `(frame_index INT, frame BINARY)` rows
@@ -128,8 +171,10 @@ object Avi {
           parsed.toSeq.flatMap { case (fmt, chunks) =>
             Iterator.range(0, chunks.length, stride).take(maxFrames).flatMap { fi =>
               val (off, len) = chunks(fi)
-              dibToPng(bytes, off, len, fmt).map(png =>
-                Row.fromSeq(row.toSeq ++ Seq(fi, png)))
+              val png =
+                if (fmt.codec == Codec.Mjpeg) jpegToPng(bytes, off, len)
+                else dibToPng(bytes, off, len, fmt)
+              png.map(p => Row.fromSeq(row.toSeq ++ Seq(fi, p)))
             }
           }
         } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -161,9 +206,8 @@ object Avi {
   }
 
   private def buildAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
-    import java.nio.{ByteBuffer, ByteOrder}
-    val stride   = ((w * 3 + 3) / 4) * 4
-    val frameSz  = stride * h
+    val stride  = ((w * 3 + 3) / 4) * 4
+    val frameSz = stride * h
     def frame(f: Int): Array[Byte] = {
       val d = new Array[Byte](frameSz)
       var y = 0
@@ -180,6 +224,58 @@ object Avi {
       }
       d
     }
+    assembleAvi(w, h, (0 until nFrames).map(frame), mjpeg = false)
+  }
+
+  /** Deterministic MJPEG AVI clip generator: same container walk as
+    * [[syntheticAvis]], but each frame chunk is a REAL in-JDK-encoded
+    * JPEG of one constant gray value `v(f) = (7·id + 11·f) % 256` —
+    * constant frames keep the lossy decode essentially exact (DC-only
+    * blocks), while geometry (`width = 16 + 8·(id % 3)`,
+    * `height = 16 + 8·((id + 1) % 3)`, `frames = 4 + id % 3`) is
+    * closed-form for an arithmetic oracle. Dims are multiples of 8 so
+    * every MCU block is whole.
+    */
+  def syntheticMjpegAvis(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val id = row.getLong(idx)
+        val w  = (16 + 8 * (id % 3)).toInt
+        val h  = (16 + 8 * ((id + 1) % 3)).toInt
+        val n  = (4 + id % 3).toInt
+        val frames = (0 until n).map { f =>
+          val v   = ((7 * id + 11 * f) % 256).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val rgb = (v << 16) | (v << 8) | v
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", bos)
+          bos.toByteArray
+        }
+        Row.fromSeq(row.toSeq :+ assembleAvi(w, h, frames, mjpeg = true))
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** RIFF/AVI container assembly shared by the DIB and MJPEG synthetic
+    * generators: `LIST hdrl (avih, LIST strl (strh, strf)) · LIST movi
+    * (frame chunks)`. MJPEG differs only in the stream handler fourcc,
+    * the strf biCompression tag, and the `00dc` (compressed) frame tag.
+    */
+  private def assembleAvi(w: Int, h: Int, framePayloads: Seq[Array[Byte]],
+                          mjpeg: Boolean): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val nFrames = framePayloads.length
+    val frameSz = framePayloads.foldLeft(0)((m, p) => math.max(m, p.length))
+    val handler = if (mjpeg) "MJPG" else "DIB "
     def chunk(t: String, body: Array[Byte]): Array[Byte] = {
       val bb = ByteBuffer.allocate(8 + body.length + (body.length & 1))
         .order(ByteOrder.LITTLE_ENDIAN)
@@ -198,17 +294,21 @@ object Avi {
       .putInt(nFrames).putInt(0).putInt(1).putInt(frameSz)
       .putInt(w).putInt(h).array()
     val strh = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      .put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      .put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
       .putInt(0).putInt(0).putInt(0).putInt(1).putInt(30).putInt(0)
       .putInt(nFrames).putInt(frameSz).putInt(-1).putInt(0)
       .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort).array()
-    val strf = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
-      .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-      .putInt(0).putInt(frameSz).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    val strf = {
+      val bb = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      if (mjpeg) bb.put("MJPG".getBytes("US-ASCII")) else bb.putInt(0)
+      bb.putInt(frameSz).putInt(0).putInt(0).putInt(0).putInt(0).array()
+    }
     val hdrl = list("hdrl", chunk("avih", avih) ++
       list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val frameTag = if (mjpeg) "00dc" else "00db"
     val movi = list("movi",
-      (0 until nFrames).map(f => chunk("00db", frame(f)))
+      framePayloads.map(p => chunk(frameTag, p))
         .foldLeft(Array.emptyByteArray)(_ ++ _))
     val body = hdrl ++ movi
     val out = ByteBuffer.allocate(12 + body.length).order(ByteOrder.LITTLE_ENDIAN)

@@ -437,6 +437,34 @@ object PipelineQueries {
         .orderBy("doc_id", "frame_index")
     },
 
+    // MJPEG AVI frame sampling, oracle-gated on geometry: synthetic
+    // RIFF/AVI containers whose 'MJPG' frame chunks are REAL in-JDK-
+    // encoded JPEGs (constant-gray frames, closed-form geometry) are
+    // demuxed by the same chunk-tree walker as q5C, each sampled frame
+    // decoded by the ImageIO JPEG reader, re-encoded PNG, and decoded
+    // AGAIN by the image path — geometry and pixel-count survive the
+    // lossy codec exactly, so the oracle replays them arithmetically
+    // (pixel VALUES are lossy and asserted with tolerance in
+    // MultimodalSpec instead).
+    "q5F_mjpeg_frames" -> { (s, d) =>
+      import graft.multimodal.{Avi, Multimodal}
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 40).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val frames = Avi.sampleFrames(
+        Avi.syntheticMjpegAvis(ids, "doc_id"), stride = 2, maxFrames = 3)
+      val decoded = Multimodal.decodeAndFeaturize(
+        frames.drop("content"), new Multimodal.ImageIoDecoder,
+        contentCol = "frame")
+      decoded.select(
+          col("doc_id"), col("frame_index"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("decode_ok"),
+          element_at(col("features"), 4).cast("long").as("n_px"))
+        .orderBy("doc_id", "frame_index")
+    },
+
     // REAL audio decode, oracle-gated — the q56 playbook for sound:
     // deterministic PCM16 WAV clips (geometry and every sample
     // closed-form in doc_id — see Multimodal.syntheticWavs) are built as
@@ -1215,6 +1243,26 @@ object PipelineQueries {
         |       CAST(sum(v) AS BIGINT) AS sum_r,
         |       CAST(count(*) AS BIGINT) AS n_px
         |FROM px GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_index""".stripMargin,
+
+    // MJPEG mirror WITHOUT a codec: geometry, sampled frame indices and
+    // pixel COUNTS replay from the closed forms; pixel values are lossy
+    // by construction and stay out of the oracle.
+    "q5F_mjpeg_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |geo AS (
+        |  SELECT doc_id, 16 + 8*(doc_id % 3) AS w,
+        |         16 + 8*((doc_id + 1) % 3) AS h,
+        |         4 + doc_id % 3 AS n
+        |  FROM ids),
+        |fr AS (
+        |  SELECT g.*, f.f AS frame_index
+        |  FROM geo g, LATERAL (SELECT unnest([0, 2, 4]) AS f) f
+        |  WHERE f.f < g.n)
+        |SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+        |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |       true AS decode_ok,
+        |       CAST(w * h AS BIGINT) AS n_px
+        |FROM fr ORDER BY doc_id, frame_index""".stripMargin,
 
     // Resize mirror WITHOUT a pixel: replay the synthetic pattern
     // v(x,y) = (id + x + y) % 256 through the nearest-neighbor map

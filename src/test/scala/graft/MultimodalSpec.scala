@@ -274,6 +274,54 @@ class MultimodalSpec extends GraftSpec {
     assert(one(giant) == 0)
   }
 
+  test("MJPEG AVI: JPEG frames decode near-exact; a corrupt frame degrades per-frame") {
+    import graft.multimodal.Avi
+    val ids = spark.range(0, 6).toDF("doc_id")
+    val out = Avi.sampleFrames(Avi.syntheticMjpegAvis(ids, "doc_id"),
+      stride = 2, maxFrames = 3).collect()
+    val expected = (0L until 6L).map(id => id -> Seq(0, 2, 4)
+      .filter(_ < (4 + id % 3).toInt)).toMap
+    assert(out.groupBy(_.getAs[Long]("doc_id")).view
+      .mapValues(_.map(_.getAs[Int]("frame_index")).sorted.toSeq).toMap
+      == expected)
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      val fi = r.getAs[Int]("frame_index")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("frame")))
+      // geometry survives the lossy codec EXACTLY
+      assert(img.getWidth == (16 + 8 * (id % 3)).toInt &&
+        img.getHeight == (16 + 8 * ((id + 1) % 3)).toInt, s"id=$id f=$fi")
+      // constant-gray frames are DC-only blocks: the decoded mean stays
+      // within the DC quantization step of the encoded constant
+      val v = ((7 * id + 11 * fi) % 256).toInt
+      var sum = 0L; var n = 0
+      for (x <- 0 until img.getWidth; y <- 0 until img.getHeight) {
+        sum += img.getRGB(x, y) & 0xff; n += 1
+      }
+      val mean = sum.toDouble / n
+      assert(math.abs(mean - v) <= 6.0, s"id=$id f=$fi mean=$mean want~$v")
+    }
+    // corrupt ONE frame's JPEG bytes: that frame drops, siblings survive
+    val avi = Avi.syntheticMjpegAvis(spark.range(2, 3).toDF("doc_id"), "doc_id")
+      .collect().head.getAs[Array[Byte]]("content")
+    val dcOffsets = avi.indices.filter(i => i + 4 <= avi.length &&
+      avi(i) == '0' && avi(i + 1) == '0' && avi(i + 2) == 'd' &&
+      avi(i + 3) == 'c')
+    assert(dcOffsets.size == 6) // id=2 -> 4 + 2%3 = 6 frames
+    val corrupted = avi.clone()
+    val at = dcOffsets.head + 8 // first frame's payload: garble the SOI
+    corrupted(at) = 0; corrupted(at + 1) = 0; corrupted(at + 2) = 0
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(corrupted)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+    val rows = Avi.sampleFrames(df, 1, 10).collect()
+    assert(rows.map(_.getAs[Int]("frame_index")).sorted.toSeq ==
+      Seq(1, 2, 3, 4, 5))
+  }
+
   test("frame sampling explodes video payloads into bounded frame rows") {
     val df  = Multimodal.scanMedia(spark, mediaDir, "*.img")
     val out = Multimodal.sampleFrames(df, stride = 50, maxFrames = 4)
