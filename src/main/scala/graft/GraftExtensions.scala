@@ -74,5 +74,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val k = es(2).eval(null).asInstanceOf[Int]
         TopKByRankAgg(es.head, es(1), k).toAggregateExpression()
       }))
+    e.injectFunction((
+      FunctionIdentifier("bottom_k_sample"),
+      info("bottom_k_sample",
+        "_FUNC_(rank, id, v, k) - mergeable bottom-k value sample (DKW-bounded quantile sketch)"),
+      (es: Seq[Expression]) => {
+        val k = es(3).eval(null).asInstanceOf[Int]
+        BottomKSampleAgg(es.head, es(1), es(2), k).toAggregateExpression()
+      }))
   }
 }

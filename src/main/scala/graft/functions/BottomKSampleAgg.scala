@@ -1,0 +1,161 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import scala.collection.mutable.ArrayBuffer
+
+/** Bottom-k VALUE sample — the mergeable quantile sketch
+  * ([[TopKByRankAgg]]'s reservoir carrying the sampled VALUE in-state,
+  * so no join back to the corpus is ever needed). Keeping the k rows
+  * with the smallest `(hash-rank, id)` keys is a uniform
+  * without-replacement row sample as a pure SET function of the input
+  * multiset: merge-associative, arrival- and partition-order-
+  * independent, bounded at ≤ 2k buffer entries forever. Quantiles read
+  * off the sorted sample carry the Dvoretzky–Kiefer–Wolfowitz bound:
+  * P(sup_x |F_sample(x) − F(x)| > ε) ≤ 2·e^(−2kε²), i.e. rank error
+  * ε = sqrt(ln(2/δ) / 2k) at confidence 1−δ — the proven-error,
+  * bounded-state answer for streaming quantiles where the fixed-grid
+  * histogram (q7D) needs a known value range and Complete mode, and
+  * exact [[graft.operators.Quantiles]] needs the whole corpus. Unlike
+  * KLL/t-digest compactions (whose merge trees are order-sensitive,
+  * so replays across engines/partitionings diverge), the bottom-k set
+  * is deterministic, which is what lets a DuckDB oracle replay the
+  * sketch hash-for-hash — the same property every sketch in this
+  * engine (CMS/HLL/Bloom) is built around.
+  *
+  * Output: `array<struct<rank: string, id: bigint, v: double>>` sorted
+  * ascending by (rank, id) — the sample in hash order; consumers sort
+  * by value to read quantiles (see `Sketch.sampleQuantiles`).
+  */
+case class BottomKSampleAgg(
+    rank: Expression,
+    id: Expression,
+    value: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[ArrayBuffer[(String, Long, Double)]] {
+
+  override def children: Seq[Expression] = Seq(rank, id, value)
+  override def nullable: Boolean         = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("rank", StringType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("v", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bottom_k_sample"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 1) TypeCheckResult.TypeCheckFailure("k must be >= 1")
+    else (rank.dataType, id.dataType, value.dataType) match {
+      case (StringType, LongType, DoubleType) => TypeCheckResult.TypeCheckSuccess
+      case (r, i, v) => TypeCheckResult.TypeCheckFailure(
+        s"bottom_k_sample expects (string, bigint, double), got " +
+          s"(${r.simpleString}, ${i.simpleString}, ${v.simpleString})")
+    }
+
+  override def createAggregationBuffer(): ArrayBuffer[(String, Long, Double)] =
+    ArrayBuffer.empty
+
+  // UTF-8 byte order on the rank — Spark's binary StringType order (the
+  // same contract, and the same supplementary-plane caveat, as
+  // TopKByRankAgg.RankOrder)
+  private object SampleOrder extends Ordering[(String, Long, Double)] {
+    def compare(x: (String, Long, Double), y: (String, Long, Double)): Int = {
+      val c = UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+      if (c != 0) c else java.lang.Long.compare(x._2, y._2)
+    }
+  }
+
+  private def compact(buf: ArrayBuffer[(String, Long, Double)]): Unit =
+    if (buf.length > k) {
+      val kept = buf.sorted(SampleOrder).take(k)
+      buf.clear()
+      buf ++= kept
+    }
+
+  override def update(buf: ArrayBuffer[(String, Long, Double)],
+                      input: InternalRow): ArrayBuffer[(String, Long, Double)] = {
+    val r = rank.eval(input)
+    val i = id.eval(input)
+    val v = value.eval(input)
+    if (r == null || i == null || v == null) return buf
+    buf += ((r.asInstanceOf[UTF8String].toString, i.asInstanceOf[Long],
+      v.asInstanceOf[Double]))
+    if (buf.length >= 2 * k) compact(buf)
+    buf
+  }
+
+  override def merge(b1: ArrayBuffer[(String, Long, Double)],
+                     b2: ArrayBuffer[(String, Long, Double)]): ArrayBuffer[(String, Long, Double)] = {
+    b1 ++= b2
+    compact(b1)
+    b1
+  }
+
+  override def eval(buf: ArrayBuffer[(String, Long, Double)]): Any = {
+    compact(buf)
+    val rows = buf.sorted(SampleOrder).map { case (r, i, v) =>
+      InternalRow(UTF8String.fromString(r), i, v)
+    }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buf: ArrayBuffer[(String, Long, Double)]): Array[Byte] = {
+    compact(buf)
+    val entries = buf.map { case (r, i, v) =>
+      (r.getBytes(StandardCharsets.UTF_8), i, v)
+    }
+    val size = 4 + entries.map(e => 4 + e._1.length + 8 + 8).sum
+    val bb   = ByteBuffer.allocate(size)
+    bb.putInt(entries.length)
+    entries.foreach { case (rb, i, v) =>
+      bb.putInt(rb.length); bb.put(rb); bb.putLong(i); bb.putDouble(v)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, Long, Double)] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val n   = bb.getInt()
+    val out = new ArrayBuffer[(String, Long, Double)](n)
+    var j   = 0
+    while (j < n) {
+      val len = bb.getInt()
+      val rb  = new Array[Byte](len)
+      bb.get(rb)
+      out += ((new String(rb, StandardCharsets.UTF_8), bb.getLong(),
+        bb.getDouble()))
+      j += 1
+    }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): BottomKSampleAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BottomKSampleAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(rank = c(0), id = c(1), value = c(2))
+}
+
+object BottomKSampleAgg {
+  /** Column form: `bottomKSample($"rank", $"id", $"v", 256)` inside
+    * `agg(...)`.
+    */
+  def bottomKSample(rank: Column, id: Column, value: Column, k: Int): Column =
+    GraftBridge.column(
+      BottomKSampleAgg(GraftBridge.expression(rank),
+        GraftBridge.expression(id), GraftBridge.expression(value), k)
+        .toAggregateExpression())
+}

@@ -304,4 +304,42 @@ object Sketch {
       .groupBy(carried.map(col): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_count"))
   }
+
+  /** Rank error ε of a k-row bottom-k sample at confidence 1−δ, by the
+    * Dvoretzky–Kiefer–Wolfowitz inequality:
+    * P(sup_x |F_k(x) − F(x)| > ε) ≤ 2e^(−2kε²) ⇒ ε = sqrt(ln(2/δ)/2k).
+    */
+  def dkwEpsilon(k: Int, delta: Double = 0.01): Double = {
+    require(k >= 1 && delta > 0 && delta < 1)
+    math.sqrt(math.log(2.0 / delta) / (2.0 * k))
+  }
+
+  /** Read quantile estimates off a [[graft.functions.BottomKSampleAgg]]
+    * sample column: sort the (tiny, ≤ k entries) sample array by
+    * `(v, id)` with an in-row HOF — no shuffle, no explode — and pick
+    * the element at index `⌊p·(n−1)⌋` per requested fraction (the
+    * "lower" sample quantile; index arithmetic is replayed verbatim by
+    * the DuckDB oracle). An empty sample yields NULL estimates. Rank
+    * error vs the true distribution is [[dkwEpsilon]] — the audit shape
+    * `q0M_sketch_quantiles` gates end to end.
+    */
+  def sampleQuantiles(sketch: DataFrame, sampleCol: String,
+                      ps: Seq[(Double, String)]): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
+      "quantile fractions must be in [0, 1]")
+    val byValue = array_sort(col(sampleCol), (l, r) =>
+      when(l.getField("v") < r.getField("v"), -1)
+        .when(l.getField("v") > r.getField("v"), 1)
+        .when(l.getField("id") < r.getField("id"), -1)
+        .when(l.getField("id") > r.getField("id"), 1)
+        .otherwise(0))
+    val withSorted = sketch.withColumn("_svs", byValue)
+    ps.foldLeft(withSorted) { case (df, (p, out)) =>
+      df.withColumn(out,
+        element_at(col("_svs"),
+          (floor(lit(p) * (size(col("_svs")) - 1).cast("double")) + 1)
+            .cast("int"))
+          .getField("v"))
+    }.drop("_svs")
+  }
 }

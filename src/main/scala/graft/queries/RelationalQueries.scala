@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  /** q0M's DKW rank bound, rounded to 6 dp — ONE constant interpolated
+    * into BOTH the Spark query and its DuckDB mirror (the q36/q37
+    * threshold-fork lesson): Sketch.dkwEpsilon(256, 0.01) =
+    * sqrt(ln(200)/512) = 0.10172648… → "0.101726".
+    */
+  private val SketchDkwEps6 = "0.101726"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: the canonical partial-agg pattern.
     "q01_pricing_summary" -> { (s, d) =>
@@ -100,6 +107,57 @@ object RelationalQueries {
           round(col("p90_price"), 4).as("p90_price"),
           round(col("median_qty"), 4).as("median_qty"))
         .orderBy("l_returnflag")
+    },
+
+    // Mergeable quantile SKETCH with a proven rank bound, audited
+    // in-query: a bottom-k (k = 256) hash-rank sample — a pure SET
+    // function of the multiset, so merge-associative, partition-order-
+    // independent, and replayable in SQL, unlike KLL/t-digest whose
+    // compaction trees are order-sensitive — estimates four quantiles;
+    // the output carries the exact quantile (distributed Quantiles
+    // path), the estimate's TRUE rank in the corpus, and a within_dkw
+    // flag against the DKW bound eps = sqrt(ln(2/0.01)/512) ≈ 0.101726
+    // (Sketch.dkwEpsilon). The oracle replays sample, selection,
+    // ranks, and flag verbatim.
+    "q0M_sketch_quantiles" -> { (s, d) =>
+      import graft.functions.BottomKSampleAgg.bottomKSample
+      import graft.operators.{Quantiles, Sketch}
+      val li = Tables.lineitem(s, d)
+      val rows = li.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("rid"),
+        col("l_extendedprice").cast("double").as("v"))
+      val est = Sketch.sampleQuantiles(
+          rows.select(
+              md5(concat(col("rid").cast("string"), lit("qsk"))).as("rk"),
+              col("rid"), col("v"))
+            .agg(bottomKSample(col("rk"), col("rid"), col("v"), 256)
+              .as("sample")),
+          "sample",
+          Seq((0.25, "e25"), (0.5, "e50"), (0.75, "e75"), (0.9, "e90")))
+        .select("e25", "e50", "e75", "e90")
+        .localCheckpoint(eager = false) // reused twice: ranks + output
+      val exact = Quantiles.globalQuantiles(li,
+        Seq(("l_extendedprice", 0.25, "x25"), ("l_extendedprice", 0.5, "x50"),
+            ("l_extendedprice", 0.75, "x75"), ("l_extendedprice", 0.9, "x90")))
+      val ranks = rows.crossJoin(broadcast(est))
+        .agg(
+          avg(when(col("v") <= col("e25"), 1.0d).otherwise(0.0d)).as("r25"),
+          avg(when(col("v") <= col("e50"), 1.0d).otherwise(0.0d)).as("r50"),
+          avg(when(col("v") <= col("e75"), 1.0d).otherwise(0.0d)).as("r75"),
+          avg(when(col("v") <= col("e90"), 1.0d).otherwise(0.0d)).as("r90"))
+      def one(p: Double, e: String, x: String, r: String) =
+        struct(lit(p).as("p"), round(col(e), 6).as("est"),
+          round(col(x), 6).as("exact"), round(col(r), 6).as("sample_rank"))
+      ranks.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .select(explode(array(
+          one(0.25, "e25", "x25", "r25"), one(0.5, "e50", "x50", "r50"),
+          one(0.75, "e75", "x75", "r75"), one(0.9, "e90", "x90", "r90")))
+          .as("q"))
+        .select(col("q.p").as("p"), col("q.est").as("est"),
+          col("q.exact").as("exact"), col("q.sample_rank").as("sample_rank"),
+          (round(abs(col("q.sample_rank") - col("q.p")), 6)
+            <= lit(SketchDkwEps6.toDouble)).as("within_dkw"))
+        .orderBy("p")
     },
 
     // Statistical aggregates: stddev / correlation / covariance.
@@ -380,6 +438,42 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Sketch mirror: identical bottom-k sample (same md5 rank, same id
+    // tiebreak, same LIMIT), identical ⌊p·(n−1)⌋ index selection,
+    // identical rank audit and DKW flag (shared eps literal).
+    "q0M_sketch_quantiles" ->
+      s"""WITH rows_ AS (
+         |  SELECT l_orderkey * 8 + l_linenumber AS rid,
+         |         CAST(l_extendedprice AS DOUBLE) AS v
+         |  FROM lineitem),
+         |samp AS (
+         |  SELECT rid, v FROM rows_
+         |  ORDER BY md5(CAST(rid AS VARCHAR) || 'qsk'), rid
+         |  LIMIT 256),
+         |sorted AS (
+         |  SELECT v, row_number() OVER (ORDER BY v, rid) - 1 AS rn,
+         |         count(*) OVER () AS n
+         |  FROM samp),
+         |ps AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9]) AS DOUBLE) AS p),
+         |est AS (
+         |  SELECT p.p, s.v AS est
+         |  FROM ps p JOIN sorted s
+         |    ON s.rn = CAST(floor(p.p * (s.n - 1)) AS BIGINT)),
+         |exact AS (
+         |  SELECT CAST(0.25 AS DOUBLE) AS p,
+         |         quantile_cont(l_extendedprice, 0.25) AS ex FROM lineitem
+         |  UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+         |  UNION ALL SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+         |  UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem),
+         |rnk AS (
+         |  SELECT e.p, avg(CASE WHEN r.v <= e.est THEN 1.0 ELSE 0.0 END) AS sr
+         |  FROM rows_ r CROSS JOIN est e GROUP BY e.p)
+         |SELECT e.p, round(e.est, 6) AS est, round(x.ex, 6) AS exact,
+         |       round(r.sr, 6) AS sample_rank,
+         |       round(abs(round(r.sr, 6) - e.p), 6) <= $SketchDkwEps6 AS within_dkw
+         |FROM est e JOIN exact x ON x.p = e.p JOIN rnk r ON r.p = e.p
+         |ORDER BY e.p""".stripMargin,
 
     "q0E_stats_agg" ->
       """SELECT l_returnflag,

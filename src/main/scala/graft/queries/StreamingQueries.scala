@@ -420,6 +420,35 @@ object StreamingQueries {
         .orderBy("p_partkey")
     },
 
+    // Streaming QUANTILE SKETCH: the bottom-k value sample as a
+    // Complete-mode aggregate — q7D's histogram quantiles need a fixed
+    // bucket grid and a known value range; this sketch needs neither
+    // and carries a proven DKW rank bound. State is ONE buffer of
+    // ≤ 2·256 entries forever (the state-store row count is asserted in
+    // SketchSpec); partial aggregation ships partitions × k entries per
+    // micro-batch, never the stream. The kept set is a pure set
+    // function of the data, so the streamed sketch is bit-identical to
+    // the batch form and the DuckDB mirror replays it exactly.
+    "q7L_stream_sketch_quantiles" -> { (s, d) =>
+      import graft.functions.BottomKSampleAgg.bottomKSample
+      import graft.operators.Sketch
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val ev = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ranked = ev.select(
+        md5(concat(col("event_id").cast("string"), lit("qsk7"))).as("rk"),
+        col("event_id").cast("long").as("rid"),
+        col("value").cast("double").as("v"))
+      val sk = StreamRunner.runToBatch(
+        ranked.agg(bottomKSample(col("rk"), col("rid"), col("v"), 256)
+          .as("sample")),
+        OutputMode.Complete)
+      Sketch.sampleQuantiles(sk, "sample",
+          Seq((0.25, "p25"), (0.5, "p50"), (0.9, "p90")))
+        .select(round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
+          round(col("p90"), 6).as("p90"), size(col("sample")).as("n_sample"))
+    },
+
     // Ordered funnel as a STREAMING state machine: per-user monotone
     // progress through view → click → purchase via
     // flatMapGroupsWithState, each step emitted ON ARRIVAL and the
@@ -684,6 +713,27 @@ object StreamingQueries {
         |  (f.name IS NOT NULL) AS has_neighbor
         |FROM part p LEFT JOIN flagged f ON f.name = p.p_name
         |ORDER BY p.p_partkey""".stripMargin,
+
+    // Streamed sketch mirror: identical bottom-k sample over events,
+    // identical ⌊p·(n−1)⌋ index selection (batch SQL replays the whole
+    // streamed sketch because the kept set is a set function).
+    "q7L_stream_sketch_quantiles" ->
+      """WITH samp AS (
+        |  SELECT event_id AS rid, CAST(value AS DOUBLE) AS v FROM events
+        |  ORDER BY md5(CAST(event_id AS VARCHAR) || 'qsk7'), event_id
+        |  LIMIT 256),
+        |sorted AS (
+        |  SELECT v, row_number() OVER (ORDER BY v, rid) - 1 AS rn,
+        |         count(*) OVER () AS n
+        |  FROM samp)
+        |SELECT
+        |  round((SELECT v FROM sorted
+        |         WHERE rn = CAST(floor(0.25 * (n - 1)) AS BIGINT)), 6) AS p25,
+        |  round((SELECT v FROM sorted
+        |         WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)), 6) AS p50,
+        |  round((SELECT v FROM sorted
+        |         WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)), 6) AS p90,
+        |  CAST((SELECT count(*) FROM samp) AS INT) AS n_sample""".stripMargin,
 
     // Streamed funnel mirror: q4G's strict min-chain, as step counts.
     "q7K_stream_funnel" ->

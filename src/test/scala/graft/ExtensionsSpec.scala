@@ -42,6 +42,14 @@ class ExtensionsSpec extends GraftSpec {
       val kept = topk.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("t")
         .map(x => (x.getString(0), x.getLong(1)))
       assert(kept == Seq(("a", 1L), ("b", 2L)))
+      // round-7 registration: bottom_k_sample (quantile sketch reservoir)
+      val bks = extSession.sql(
+        """SELECT bottom_k_sample(r, id, v, 2) AS s FROM VALUES
+          |  ('c', 3L, 30.0D), ('a', 1L, 10.0D), ('b', 2L, 20.0D) AS t(r, id, v)
+          |""".stripMargin).head()
+      val sample = bks.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("s")
+        .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
+      assert(sample == Seq(("a", 1L, 10.0), ("b", 2L, 20.0)))
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

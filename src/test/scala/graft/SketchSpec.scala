@@ -127,6 +127,82 @@ class SketchSpec extends GraftSpec {
     assert(merged == whole)
   }
 
+  test("bottom-k quantile sketch: DKW bound holds, partitioning-invariant") {
+    import graft.functions.BottomKSampleAgg.bottomKSample
+    val li = Tables.lineitem(spark, sfDir)
+    def sketchOf(df: org.apache.spark.sql.DataFrame, k: Int) = {
+      val rows = df.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("rid"),
+        col("l_quantity").cast("double").as("v"))
+      Sketch.sampleQuantiles(
+        rows.select(md5(concat(col("rid").cast("string"), lit("dkw")))
+            .as("rk"), col("rid"), col("v"))
+          .agg(bottomKSample(col("rk"), col("rid"), col("v"), k).as("sample")),
+        "sample", Seq((0.25, "e25"), (0.5, "e50"), (0.9, "e90")))
+        .select("e25", "e50", "e90").head()
+    }
+    val est = sketchOf(li, 128)
+    // the kept set is a SET function: any partitioning, same sketch
+    val est13 = sketchOf(li.repartition(13), 128)
+    assert(est == est13)
+    // DKW audit at delta = 0.01: each estimate's true rank within eps
+    val eps = Sketch.dkwEpsilon(128) // ~0.1439
+    val n = li.count().toDouble
+    for ((p, i) <- Seq(0.25, 0.5, 0.9).zipWithIndex) {
+      val e = est.getDouble(i)
+      val trueRank = li.filter(col("l_quantity") <= e).count() / n
+      // l_quantity is DISCRETE (1..50): <= overshoots by up to one
+      // value's mass (~1/50), so allow eps + one tick
+      assert(math.abs(trueRank - p) <= eps + 0.021,
+        s"p=$p est=$e rank=$trueRank eps=$eps")
+    }
+    // k larger than the input degenerates to the exact sample
+    val tiny = li.limit(7)
+    val all = sketchOf(tiny, 500)
+    val vs = tiny.select(col("l_quantity").cast("double")).collect()
+      .map(_.getDouble(0)).sorted
+    assert(all.getDouble(1) == vs((0.5 * 6).toInt)) // median of 7 = idx 3
+  }
+
+  test("streaming quantile sketch: one state row, bit-equal to batch") {
+    import graft.functions.BottomKSampleAgg.bottomKSample
+    import spark.implicits._
+    val dir = graft.util.TempDirs.scratch("graft-qsketch-stream-")
+    val all = (1L to 2000L).map(i => (i, (i * 2654435761L % 1000).toDouble))
+      .toDF("rid", "v")
+    all.filter(col("rid") <= 1000).coalesce(1).write.parquet(s"$dir/b1")
+    all.filter(col("rid") > 1000).coalesce(1).write.parquet(s"$dir/b2")
+    val schema = spark.read.parquet(s"$dir/b1").schema
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.select(
+      md5(concat(col("rid").cast("string"), lit("sq"))).as("rk"),
+      col("rid"), col("v"))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/b*")
+    val agg = ranked(stream)
+      .agg(bottomKSample(col("rk"), col("rid"), col("v"), 64).as("sample"))
+    val ckpt = graft.util.TempDirs.scratch("graft-qsketch-ckpt-")
+    val query = agg.writeStream.format("memory").queryName("qsketch_sink")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    // bounded state: ONE row (the single group's serialized <= 2k buffer)
+    val lastState = query.recentProgress.reverse
+      .flatMap(_.stateOperators.headOption).headOption
+    assert(lastState.exists(_.numRowsTotal == 1L),
+      s"expected 1 state row, got ${lastState.map(_.numRowsTotal)}")
+    // the streamed sketch equals the batch aggregate bit-for-bit
+    val got = spark.table("qsketch_sink")
+      .select(explode(col("sample")).as("e"))
+      .select(col("e.rank"), col("e.id"), col("e.v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = ranked(all)
+      .agg(bottomKSample(col("rk"), col("rid"), col("v"), 64).as("sample"))
+      .select(explode(col("sample")).as("e"))
+      .select(col("e.rank"), col("e.id"), col("e.v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.size == 64 && got == want)
+  }
+
   test("sketches merge cell-wise: union of halves equals the whole") {
     val docs = Tables.documents(spark, sfDir)
     def termsOf(f: org.apache.spark.sql.Column) = docs.filter(f)
