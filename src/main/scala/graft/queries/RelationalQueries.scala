@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
-  /** q0M's DKW rank bound, rounded to 6 dp — ONE constant interpolated
-    * into BOTH the Spark query and its DuckDB mirror (the q36/q37
-    * threshold-fork lesson): Sketch.dkwEpsilon(256, 0.01) =
-    * sqrt(ln(200)/512) = 0.10172648… → "0.101726".
+  /** DKW rank bounds rounded to 6 dp — ONE computed constant
+    * interpolated into BOTH the Spark query and its DuckDB mirror (the
+    * q36/q37 threshold-fork lesson), derived from the formula itself so
+    * no hand-rounding can fork the engines.
     */
-  private val SketchDkwEps6 = "0.101726"
+  private val SketchDkwEps6 =
+    f"${graft.operators.Sketch.dkwEpsilon(256)}%.6f" // q0M, k = 256
+  private val GroupSketchDkwEps6 =
+    f"${graft.operators.Sketch.dkwEpsilon(128)}%.6f" // q0N, k = 128
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: the canonical partial-agg pattern.
@@ -158,6 +161,62 @@ object RelationalQueries {
           (round(abs(col("q.sample_rank") - col("q.p")), 6)
             <= lit(SketchDkwEps6.toDouble)).as("within_dkw"))
         .orderBy("p")
+    },
+
+    // PER-GROUP quantile sketch (q0M's bottom-k reservoir under
+    // groupBy): one <= 2k sample buffer per group — strata × k state no
+    // matter the corpus — audited per group against the exact
+    // distributed quantile and the k = 128 DKW bound.
+    "q0N_grouped_sketch_quantiles" -> { (s, d) =>
+      import graft.functions.BottomKSampleAgg.bottomKSample
+      import graft.operators.{Quantiles, Sketch}
+      val li = Tables.lineitem(s, d)
+      val rows = li.select(col("l_returnflag").as("g"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("rid"),
+        col("l_extendedprice").cast("double").as("v"))
+      val est = Sketch.sampleQuantiles(
+          rows.select(col("g"),
+              md5(concat(col("rid").cast("string"), lit("gsk"))).as("rk"),
+              col("rid"), col("v"))
+            .groupBy("g")
+            .agg(bottomKSample(col("rk"), col("rid"), col("v"), 128)
+              .as("sample")),
+          "sample", Seq((0.5, "e50")))
+        .select(col("g"), col("e50"))
+        .localCheckpoint(eager = false) // reused: ranks join + output
+      val exact = Quantiles.groupQuantiles(li, "l_returnflag",
+          Seq(("l_extendedprice", 0.5, "x50")))
+        .withColumnRenamed("l_returnflag", "g")
+      val ranks = rows.join(broadcast(est), "g")
+        .groupBy("g")
+        .agg(avg(when(col("v") <= col("e50"), 1.0d).otherwise(0.0d)).as("r50"))
+      est.join(exact, "g").join(ranks, "g")
+        .select(col("g").as("l_returnflag"),
+          round(col("e50"), 6).as("est_p50"),
+          round(col("x50"), 6).as("exact_p50"),
+          round(col("r50"), 6).as("sample_rank"),
+          (round(abs(round(col("r50"), 6) - lit(0.5)), 6)
+            <= lit(GroupSketchDkwEps6.toDouble)).as("within_dkw"))
+        .orderBy("l_returnflag")
+    },
+
+    // Snapshot diff (dataset versioning): added / removed / changed /
+    // unchanged per key between two corpus snapshots — ONE
+    // co-partitioned full-outer join, null-safe column comparison. The
+    // fixture derives both snapshots from `documents` (old = id % 7
+    // != 0; new = id % 5 != 0 with text amended where id % 11 = 0) so
+    // the oracle replays every class.
+    "q0O_snapshot_diff" -> { (s, d) =>
+      import graft.operators.SnapshotDiff
+      val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 11 === 0, concat(col("text"), lit(" [rev2]")))
+            .otherwise(col("text")))
+      SnapshotDiff.diff(oldSnap, newSnap, Seq("doc_id"),
+          includeUnchanged = true)
+        .orderBy("doc_id")
     },
 
     // Statistical aggregates: stddev / correlation / covariance.
@@ -474,6 +533,62 @@ object RelationalQueries {
          |       round(abs(round(r.sr, 6) - e.p), 6) <= $SketchDkwEps6 AS within_dkw
          |FROM est e JOIN exact x ON x.p = e.p JOIN rnk r ON r.p = e.p
          |ORDER BY e.p""".stripMargin,
+
+    // Grouped sketch mirror: per-group bottom-k via a partitioned
+    // row_number, same selection, same per-group rank audit.
+    "q0N_grouped_sketch_quantiles" ->
+      s"""WITH rows_ AS (
+         |  SELECT l_returnflag AS g, l_orderkey * 8 + l_linenumber AS rid,
+         |         CAST(l_extendedprice AS DOUBLE) AS v
+         |  FROM lineitem),
+         |samp AS (
+         |  SELECT g, rid, v FROM (
+         |    SELECT g, rid, v, row_number() OVER (
+         |      PARTITION BY g
+         |      ORDER BY md5(CAST(rid AS VARCHAR) || 'gsk'), rid) AS hrn
+         |    FROM rows_) t
+         |  WHERE hrn <= 128),
+         |sorted AS (
+         |  SELECT g, v,
+         |         row_number() OVER (PARTITION BY g ORDER BY v, rid) - 1 AS rn,
+         |         count(*) OVER (PARTITION BY g) AS n
+         |  FROM samp),
+         |est AS (
+         |  SELECT g, v AS e50 FROM sorted
+         |  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT)),
+         |exact AS (
+         |  SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS x50
+         |  FROM lineitem GROUP BY 1),
+         |rnk AS (
+         |  SELECT r.g, avg(CASE WHEN r.v <= e.e50 THEN 1.0 ELSE 0.0 END) AS r50
+         |  FROM rows_ r JOIN est e ON e.g = r.g GROUP BY r.g)
+         |SELECT e.g AS l_returnflag, round(e.e50, 6) AS est_p50,
+         |       round(x.x50, 6) AS exact_p50, round(r.r50, 6) AS sample_rank,
+         |       round(abs(round(r.r50, 6) - 0.5), 6) <= $GroupSketchDkwEps6
+         |         AS within_dkw
+         |FROM est e JOIN exact x ON x.g = e.g JOIN rnk r ON r.g = e.g
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // Diff mirror: FULL OUTER JOIN + IS NOT DISTINCT FROM — the same
+    // null-safe comparison the operator plans with <=>.
+    "q0O_snapshot_diff" ->
+      """WITH oldS AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0),
+        |newS AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]'
+        |              ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE
+        |    WHEN o.doc_id IS NULL THEN 'added'
+        |    WHEN n.doc_id IS NULL THEN 'removed'
+        |    WHEN NOT (o.source IS NOT DISTINCT FROM n.source)
+        |      OR NOT (o.text IS NOT DISTINCT FROM n.text) THEN 'changed'
+        |    ELSE 'unchanged'
+        |  END AS change_type
+        |FROM oldS o FULL OUTER JOIN newS n ON n.doc_id = o.doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q0E_stats_agg" ->
       """SELECT l_returnflag,

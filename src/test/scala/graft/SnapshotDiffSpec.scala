@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.SnapshotDiff
+import org.apache.spark.sql.functions._
+
+/** SnapshotDiff: the four change classes, null-safe comparison, schema
+  * evolution tolerance, and the production delta-only shape.
+  */
+class SnapshotDiffSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("classifies added / removed / changed / unchanged, null-safely") {
+    val oldS = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("id", "v")
+    val newS = Seq(
+      (2L, Some("b")),  // unchanged
+      (3L, None),       // unchanged — null <=> null must NOT read as changed
+      (4L, None),       // changed — value -> null must not read as unchanged
+      (5L, Some("e")))  // added
+      .toDF("id", "v")
+    val got = SnapshotDiff.diff(oldS, newS, Seq("id"), includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "unchanged",
+      4L -> "changed", 5L -> "added"))
+    // delta-only drops the unchanged rows
+    val delta = SnapshotDiff.diff(oldS, newS, Seq("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(delta == Set(1L, 4L, 5L))
+  }
+
+  test("schema evolution: one-sided columns are ignored, keys can be compound") {
+    val oldS = Seq((1L, "x", "only-old")).toDF("k1", "k2", "legacy")
+    val newS = Seq((1L, "x", 9)).toDF("k1", "k2", "fresh")
+    // no shared non-key columns -> present-in-both keys are unchanged
+    val got = SnapshotDiff.diff(oldS, newS, Seq("k1", "k2"),
+      includeUnchanged = true).collect()
+    assert(got.length == 1 && got.head.getString(2) == "unchanged")
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diff(oldS, newS, Seq("k1", "missing"))
+    }
+  }
+
+  test("plan: a single full-outer join, comparison stays columnar") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val d = SnapshotDiff.diff(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 3 === 0), Seq("doc_id"))
+    val joins = d.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 1 &&
+      joins.head.joinType.sql.toLowerCase.contains("full"))
+  }
+}
