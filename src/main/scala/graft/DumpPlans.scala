@@ -56,7 +56,10 @@ object DumpPlans {
       ("q6K_nb_classifier", "Naive Bayes: model = labels x nBuckets broadcast count table; ONE heavy per-(doc, bucket) corpus pass, then broadcast joins -- the corpus never shuffles on anything but (doc, bucket); fixed-point argmax via two aggregations, no corpus window", CurationQueries.queries("q6K_nb_classifier")),
       ("q3E_fuzzy_pairs", "fuzzy entity matching: trigram inverted-index equi-join on xxhash64 keys (never n^2), distinct candidate pairs, free length prune, ONE levenshtein per pair -- no CartesianProduct anywhere", DedupQueries.queries("q3E_fuzzy_pairs")),
       ("q4D_cdc_chunks", "content-defined chunking: one narrow aggregate() fold per doc (lambdas bind only acc/element -- no per-element re-evaluation of the token split), then posexplode of the finished chunk array; no shuffle until the final sort", PipelineQueries.queries("q4D_cdc_chunks")),
-      ("q0K_expectations", "declarative expectations: every constraint metric inside ONE Aggregate (map-side-combinable 0/1 averages + the single count-distinct Expand for key uniqueness), then a literal-array explode into report rows -- the whole quality gate is one scan", RelationalQueries.queries("q0K_expectations"))
+      ("q0K_expectations", "declarative expectations: every constraint metric inside ONE Aggregate (map-side-combinable 0/1 averages + the single count-distinct Expand for key uniqueness), then a literal-array explode into report rows -- the whole quality gate is one scan", RelationalQueries.queries("q0K_expectations")),
+      ("q4N_triangles", "triangle census (round-7 rewrite): DEGREE-ORDERED orientation -- each edge points low-degree -> high-degree, so every out-degree is <= sqrt(2m) and the wedge self-join materializes O(m^1.5) candidates on ANY degree distribution (id-orientation put deg^2/2 on one hub key); two keyed equi-joins, no cartesian", PipelineQueries.queries("q4N_triangles")),
+      ("q0M_sketch_quantiles", "bottom-k quantile sketch: the reservoir aggregate partial-combines (partitions x k entries cross the shuffle, never rows), estimates select IN-ROW from the sorted sample array (no explode, no window), exact-quantile + rank-audit passes broadcast the 1-row estimate table -- corpus passes stay narrow", RelationalQueries.queries("q0M_sketch_quantiles")),
+      ("q0O_snapshot_diff", "snapshot diff: ONE full-outer SortMergeJoin co-partitioned on the key, null-safe <=> comparison computed columnar in the projection -- no per-row hashing pass, no second join; at 100 TB bucket both snapshots by key for a shuffle-free diff", RelationalQueries.queries("q0O_snapshot_diff"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
