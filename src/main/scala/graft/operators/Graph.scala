@@ -154,6 +154,68 @@ object Graph {
           col("wedges").cast("double"), 6).as("clustering_coeff"))
   }
 
+  /** Degree assortativity (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over the
+    * symmetrized undirected edge list — positive when hubs link to
+    * hubs (social graphs), negative when hubs link to leaves (the web,
+    * most crawl graphs). A one-number structure probe a curation
+    * pipeline reads next to the clustering coefficient: together they
+    * tell whether a link-graph quality prior (q4B) will concentrate or
+    * diffuse.
+    *
+    * Determinism / scale shape: all five moment sums (Σx, Σxy, Σx²,
+    * count) accumulate as EXACT longs (degrees are integers), so the
+    * aggregation is associative and partition-order-independent; the
+    * one closed-form double expression at the end is evaluated
+    * identically by any engine. Two node-sized degree joins + one
+    * map-side-combinable aggregate — no shuffle carries more than the
+    * edge list. A degree-regular graph has zero variance: the
+    * correlation is undefined and returned as NULL (both engines).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+      .localCheckpoint(eager = false)
+    val deg = undirectedDegrees(und)
+    val da  = deg.select(col("node").as("a"), col("deg").as("da"))
+    val db  = deg.select(col("node").as("b"), col("deg").as("db"))
+    val pairs = und.join(da, "a").join(db, "b")
+      .select(col("da").cast("long").as("x"), col("db").cast("long").as("y"))
+    // symmetrize: each edge contributes (x, y) AND (y, x), the standard
+    // formulation (Σx = Σy by construction; both kept for formula
+    // clarity)
+    val sym = pairs.unionByName(
+      pairs.select(col("y").as("x"), col("x").as("y")))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    sym.agg(
+        count(lit(1)).as("m2"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .crossJoin(broadcast(nNodes))
+      // the moment sums are exact longs; the variance/covariance
+      // PRODUCTS are formed in double space (a long product m2·sxx
+      // overflows at billion-edge scale) — one fixed expression, so
+      // still bit-identical across engines and partitionings
+      .select(col("n_nodes"), expr("m2 div 2").as("n_edges"),
+        round(
+          when(
+            (col("m2").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) === 0.0 ||
+              (col("m2").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double")) === 0.0,
+            lit(null).cast("double"))
+            .otherwise(
+              (col("m2").cast("double") * col("sxy").cast("double") -
+                col("sx").cast("double") * col("sy").cast("double")) /
+                sqrt((col("m2").cast("double") * col("sxx").cast("double") -
+                  col("sx").cast("double") * col("sx").cast("double")) *
+                  (col("m2").cast("double") * col("syy").cast("double") -
+                    col("sy").cast("double") * col("sy").cast("double")))),
+          6).as("assortativity"))
+  }
+
   /** Canonical undirected simple edge set: (a < b), deduped, self-loops
     * dropped.
     */

@@ -773,6 +773,22 @@ object PipelineQueries {
       Graph.triangleStats(edges, "src", "dst")
     },
 
+    // Degree assortativity over the same link graph as q4B/q4N: are
+    // hub pages linking to hubs (assortative) or to leaves
+    // (disassortative, the typical crawl-graph shape)? Exact long
+    // moment sums, one closed-form double — bit-replayable.
+    "q4O_assortativity" -> { (s, d) =>
+      import graft.operators.Graph
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev.withColumn("dst_k", lead("k", 1).over(w))
+        .filter(col("dst_k").isNotNull)
+        .select(col("k").as("src"), col("dst_k").as("dst"))
+      Graph.assortativity(edges, "src", "dst")
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // behind OPTIMIZE ZORDER: interleave (user_id % 1024, props.k) bits
     // and bucket by z ranges; each bucket's (x, y) bounding box is the
@@ -1655,6 +1671,54 @@ object PipelineQueries {
         |  round(3.0 * CAST(triangles AS DOUBLE) / CAST(wedges AS DOUBLE), 6)
         |    AS clustering_coeff
         |FROM tri CROSS JOIN wd""".stripMargin,
+
+    // Assortativity mirror: same undirected simple graph, exact BIGINT
+    // moment sums, identical double-space Pearson formula.
+    "q4O_assortativity" ->
+      """WITH seq AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |tr AS (
+        |  SELECT k AS src,
+        |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM seq),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM tr WHERE dst IS NOT NULL AND least(src, dst) < greatest(src, dst)),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        |  GROUP BY node),
+        |pairs AS (
+        |  SELECT da.deg AS x, db.deg AS y
+        |  FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b),
+        |sym AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM sym),
+        |nn AS (SELECT count(*) AS n_nodes FROM deg)
+        |SELECT n_nodes, m2 // 2 AS n_edges,
+        |  round(CASE
+        |    WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) = 0.0
+        |      OR CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+        |         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) = 0.0
+        |    THEN NULL
+        |    ELSE (CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)
+        |              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 6) AS assortativity
+        |FROM m CROSS JOIN nn""".stripMargin,
 
     // Z-order mirror: identical clamp + bit-interleave integer
     // arithmetic ((v >> i) % 2 with long power-of-two weights), same

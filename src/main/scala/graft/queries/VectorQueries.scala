@@ -277,6 +277,43 @@ object VectorQueries {
         .orderBy("qid")
     },
 
+    // MRR + recall@10: the other two standard retrieval-eval metrics
+    // next to q1F's nDCG — reciprocal rank of the FIRST relevant hit
+    // (0 when none lands in the top-10) and the fraction of each
+    // query's true relevant set retrieved. Zero-relevant queries are
+    // dropped on both sides (the q1F guard); all ratios are two small
+    // exact integers divided once, rounded 6 dp.
+    "q1G_mrr_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+          col("label").as("qlabel"))
+      val top = Knn.topKBatch(e, "vec_id", "embedding",
+        queries.select("qid", "qvec"), "qid", "qvec", k = 10)
+      val hits = top
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .join(broadcast(queries.select("qid", "qlabel")), "qid")
+        .groupBy("qid")
+        .agg(
+          min(when(col("label") === col("qlabel"), col("rn"))).as("first_rank"),
+          count(when(col("label") === col("qlabel"), lit(1))).as("n_ret_rel"))
+      val labelSizes = e.groupBy("label").agg(count(lit(1)).as("n_label"))
+      val rel = queries
+        .join(broadcast(labelSizes), col("qlabel") === col("label"))
+        .select(col("qid"), (col("n_label") - 1).as("n_rel"))
+        .filter(col("n_rel") >= 1)
+      hits.join(rel, "qid")
+        .select(col("qid"), col("n_rel"),
+          coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),
+          when(col("first_rank").isNull, lit(0.0))
+            .otherwise(round(lit(1.0) / col("first_rank").cast("double"), 6))
+            .as("rr"),
+          col("n_ret_rel"),
+          round(col("n_ret_rel").cast("double") / col("n_rel").cast("double"), 6)
+            .as("recall_at_10"))
+        .orderBy("qid")
+    },
+
     // A5 (demo notebook cell 22): per-query retrieval metrics over a
     // batched KNN run.
     "q18_batch_query_metrics" -> { (s, d) =>
@@ -712,6 +749,40 @@ object VectorQueries {
          |    AS ndcg
          |FROM dcg d JOIN ideal i ON i.qid = d.qid
          |ORDER BY d.qid""".stripMargin,
+
+    // MRR/recall mirror: identical rounded-score ranking (q1F's CTEs),
+    // min-rank + count over label matches, same integer ratios.
+    "q1G_mrr_recall" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qvec, label AS qlabel
+         |           FROM embeddings WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.qid, q.qlabel, e.vec_id, e.label,
+         |         round(${duckCosine("e.embedding", "q.qvec")}, 6) AS score
+         |  FROM embeddings e, q
+         |  WHERE e.vec_id <> q.qid),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY qid
+         |                               ORDER BY score DESC, vec_id) AS rn
+         |  FROM scored),
+         |hits AS (
+         |  SELECT qid,
+         |    min(CASE WHEN label = qlabel THEN rn END) AS first_rank,
+         |    count(CASE WHEN label = qlabel THEN 1 END) AS n_ret_rel
+         |  FROM ranked WHERE rn <= 10 GROUP BY qid),
+         |ls AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+         |rel AS (
+         |  SELECT q.qid, CAST(ls.n_label - 1 AS BIGINT) AS n_rel
+         |  FROM q JOIN ls ON ls.label = q.qlabel
+         |  WHERE ls.n_label - 1 >= 1)
+         |SELECT h.qid, r.n_rel,
+         |  CAST(coalesce(h.first_rank, 0) AS INT) AS first_rank,
+         |  CASE WHEN h.first_rank IS NULL THEN 0.0
+         |       ELSE round(1.0 / CAST(h.first_rank AS DOUBLE), 6) END AS rr,
+         |  CAST(h.n_ret_rel AS BIGINT) AS n_ret_rel,
+         |  round(CAST(h.n_ret_rel AS DOUBLE) / CAST(r.n_rel AS DOUBLE), 6)
+         |    AS recall_at_10
+         |FROM hits h JOIN rel r ON r.qid = h.qid
+         |ORDER BY h.qid""".stripMargin,
 
     "q12_knn_filtered" ->
       s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)

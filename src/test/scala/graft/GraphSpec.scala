@@ -215,6 +215,24 @@ class GraphSpec extends GraftSpec {
     }
   }
 
+  test("assortativity: hand-computed values, NULL on degree-regular graphs") {
+    // star K1,4: every edge joins the deg-4 hub to a deg-1 leaf ->
+    // perfectly disassortative, r = -1
+    val star = edges((5L, 1L, 1L), (5L, 2L, 1L), (5L, 3L, 1L), (5L, 4L, 1L))
+    val rs = Graph.assortativity(star, "src", "dst").head()
+    assert(rs.getAs[Long]("n_nodes") == 5L && rs.getAs[Long]("n_edges") == 4L)
+    assert(rs.getAs[Double]("assortativity") == -1.0)
+    // K3 + pendant (the q4N census fixture): degrees 2,2,3,1 ->
+    // r = (8*38 - 18*18) / (8*44 - 18*18) = -20/28 = -0.714286
+    val k3p = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 4L, 1L))
+    assert(Graph.assortativity(k3p, "src", "dst").head()
+      .getAs[Double]("assortativity") == -0.714286)
+    // 4-cycle: every degree is 2 -> zero variance -> undefined -> NULL
+    val cyc = edges((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (4L, 1L, 1L))
+    val rc = Graph.assortativity(cyc, "src", "dst").head()
+    assert(rc.isNullAt(rc.fieldIndex("assortativity")))
+  }
+
   test("rank_pico is partitioning-invariant (bit-exact)") {
     val ev = Tables.events(spark, sfDir).select(col("user_id"), col("ts"),
       col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
