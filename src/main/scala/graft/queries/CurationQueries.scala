@@ -118,6 +118,38 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Temperature-based mixture sampling (the T5/Pile α-mixing rule):
+    // per-source draw targets ∝ n_source^α (α = 0.5 damps head sources,
+    // boosts tail ones), drawn deterministically via the salted-hash
+    // order. The weight total folds over source-ascending terms with an
+    // explicit 0.0 init (the q6G idiom) so the double sum is
+    // bit-identical cross-engine; the draw itself is the BOUNDED
+    // per-stratum reservoir (state ≤ strata × 200), with each source
+    // trimmed to its own target by position.
+    "q6M_temperature_mixture" -> { (s, d) =>
+      import graft.functions.TopKByRankAgg
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val w = counts.withColumn("w", round(sqrt(col("n").cast("double")), 6))
+      val wsum = w.agg(
+        aggregate(array_sort(collect_list(struct(col("source"), col("w")))),
+          lit(0.0d), (acc, x) => acc + x.getField("w")).as("wsum"))
+      val targets = w.crossJoin(broadcast(wsum))
+        .select(col("source"),
+          floor(lit(200.0) * col("w") / col("wsum")).cast("long").as("target"))
+      val ranked = docs.select(col("source"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("mix"))).as("rk"))
+      val top = ranked.groupBy("source")
+        .agg(TopKByRankAgg.topKByRank(col("rk"), col("doc_id"), 200).as("top"))
+      top.join(broadcast(targets), "source")
+        .select(col("source"), col("target"),
+          posexplode(col("top").getField("id")))
+        .toDF("source", "target", "pos", "doc_id")
+        .filter(col("pos") < col("target"))
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Length-outlier pruning: keep docs inside the corpus [p10, p90]
     // token-count band.
     "q68_length_band" -> { (s, d) =>
@@ -337,6 +369,26 @@ object CurationQueries {
         |  FROM documents)
         |WHERE rn <= 15
         |ORDER BY doc_id""".stripMargin,
+
+    // Mixture mirror: same rounded sqrt weights, the same source-
+    // ascending 0.0-init fold for the total, same floor targets, same
+    // salted-hash per-source draw.
+    "q6M_temperature_mixture" ->
+      """WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT source, round(sqrt(CAST(n AS DOUBLE)), 6) AS w FROM counts),
+        |ws AS (SELECT list_reduce(
+        |         list_prepend(CAST(0.0 AS DOUBLE), list(w ORDER BY source)),
+        |         (x, y) -> x + y) AS wsum FROM w),
+        |tgt AS (SELECT source, CAST(floor(200.0 * w / wsum) AS BIGINT) AS target
+        |        FROM w CROSS JOIN ws),
+        |rk AS (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'mix'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.source
+        |FROM rk r JOIN tgt t ON t.source = r.source
+        |WHERE r.rn <= t.target
+        |ORDER BY r.doc_id""".stripMargin,
 
     "q68_length_band" ->
       s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),

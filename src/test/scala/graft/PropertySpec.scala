@@ -369,4 +369,65 @@ class PropertySpec extends GraftSpec {
         s"seed $seed: partitioning changed ranks")
     }
   }
+
+  test("snapshot-diff properties on generated tables: self-diff empty, " +
+    "swap flips added/removed, classes partition the key universe") {
+    import graft.operators.SnapshotDiff
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 40L),
+      Gen.option(Gen.alphaStr.map(_.take(4))))
+    for (seed <- 0 until 3) {
+      val a = samples(rowGen, 30, 7300L + seed * 13).distinctBy(_._1)
+      val b = samples(rowGen, 30, 7900L + seed * 13).distinctBy(_._1)
+      val da = a.toDF("id", "v"); val db = b.toDF("id", "v")
+      // self-diff has no delta at all
+      assert(SnapshotDiff.diff(da, da, Seq("id")).isEmpty)
+      val fwd = SnapshotDiff.diff(da, db, Seq("id"), includeUnchanged = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // classes cover exactly the key universe
+      assert(fwd.keySet == (a.map(_._1) ++ b.map(_._1)).toSet)
+      // swapping snapshots flips added <-> removed, keeps the rest
+      val bwd = SnapshotDiff.diff(db, da, Seq("id"), includeUnchanged = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fwd.forall { case (k, c) =>
+        bwd(k) == (c match {
+          case "added" => "removed"; case "removed" => "added"; case x => x
+        })
+      }, s"seed $seed: swap not an involution")
+      // changed/unchanged agree with a direct map comparison
+      val am = a.toMap; val bm = b.toMap
+      fwd.foreach { case (k, c) =>
+        val want =
+          if (!am.contains(k)) "added"
+          else if (!bm.contains(k)) "removed"
+          else if (am(k) == bm(k)) "unchanged" else "changed"
+        assert(c == want, s"seed $seed key $k: $c != $want")
+      }
+    }
+  }
+
+  test("bottom-k sample properties on generated data: set-function merge, " +
+    "subset of input, degenerate k >= n is the whole multiset") {
+    import graft.functions.BottomKSampleAgg.bottomKSample
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 5000L), Gen.chooseNum(0, 999))
+    for (seed <- 0 until 3) {
+      val rows = samples(rowGen, 120, 8100L + seed * 31).distinctBy(_._1)
+        .map { case (id, v) => (id, v.toDouble) }
+      val df = rows.toDF("rid", "v")
+      def sketch(in: org.apache.spark.sql.DataFrame, k: Int) =
+        in.select(md5(concat(col("rid").cast("string"), lit("pp"))).as("rk"),
+            col("rid"), col("v"))
+          .agg(bottomKSample(col("rk"), col("rid"), col("v"), k).as("s"))
+          .select(explode(col("s")).as("e"))
+          .select(col("e.id"), col("e.v"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val s1 = sketch(df, 32)
+      // partitioning cannot change the kept set (it is a set function)
+      assert(s1 == sketch(df.repartition(11), 32), s"seed $seed: not a set fn")
+      // the sample is a subset of the input with the right size
+      assert(s1.size == math.min(32, rows.size) && s1.forall(rows.contains),
+        s"seed $seed: sample not a subset")
+      // k >= n keeps everything
+      assert(sketch(df, 4096).toSet == rows.toSet, s"seed $seed: k>=n lossy")
+    }
+  }
 }
