@@ -126,6 +126,34 @@ object StreamingQueries {
         .orderBy("user_id", "view_id", "click_id")
     },
 
+    // Attribution WITH the negatives: the q73 interval join as a
+    // LEFT OUTER stream-stream join — views that attract no in-window
+    // click emit ONE NULL-click row when the watermark passes the end
+    // of their window (only then can the engine know no future click
+    // matches). Views whose window is still open when the bounded
+    // replay ends emit nothing — the production semantics; the oracle
+    // replays the final-watermark cutoff (max ts − delay) exactly.
+    "q7M_stream_attribution_outer" -> { (s, d) =>
+      val ev = eventsStream(s, d)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+      StreamRunner
+        .runToBatch(
+          StreamingIngest.joinWithinInterval(views, clicks,
+            keyCol = "user_id", leftTsCol = "view_ts",
+            rightTsCol = "click_ts", delay = "1 hour",
+            intervalSeconds = AttribIvalSec, joinType = "left_outer"),
+          OutputMode.Append)
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("click_id").isNotNull.as("attributed"))
+        .orderBy(col("user_id"), col("view_id"),
+          col("click_id").asc_nulls_last)
+    },
+
     // The upload→ingest path (S4) as an oracle-gated stream: uploads
     // land as JSONL BATCH files (one file per 100-doc upload batch —
     // the reference's own upsert batching, pinecone_service.py:135-140;
@@ -526,6 +554,46 @@ object StreamingQueries {
         | AND epoch_us(c.ts) >= epoch_us(v.ts)
         | AND epoch_us(c.ts) <= epoch_us(v.ts) + 21600 * 1000000::BIGINT
         |ORDER BY v.user_id, view_id, click_id""".stripMargin,
+
+    // Outer-attribution mirror: the q73 inner join UNION the negatives
+    // whose windows the final watermark closed. The watermark replayed
+    // here is EXACTLY Spark's: each side tracks its own max event time
+    // (views and clicks are separate watermark operators), the global
+    // watermark is the MIN of the sides (multipleWatermarkPolicy=min),
+    // event-time stats are kept in whole milliseconds (floor), and the
+    // 1 h delay is subtracted in ms. A view emits a negative iff its
+    // 6 h window end precedes that watermark — only then can the engine
+    // KNOW no future click matches.
+    "q7M_stream_attribution_outer" ->
+      """WITH mx AS (
+        |  SELECT ((least(
+        |      (SELECT max(ts) FROM events WHERE event_type = 'view'),
+        |      (SELECT max(ts) FROM events WHERE event_type = 'click'))
+        |    ::TIMESTAMP)) AS mxts),
+        |wm AS (
+        |  SELECT (epoch_us(mxts) // 1000 - 3600000) * 1000 AS wm_us FROM mx),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS vts
+        |      FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, ts AS cts
+        |      FROM events WHERE event_type = 'click'),
+        |matched AS (
+        |  SELECT v.user_id, v.view_id, c.click_id
+        |  FROM v JOIN c ON c.user_id = v.user_id
+        |   AND epoch_us(c.cts) >= epoch_us(v.vts)
+        |   AND epoch_us(c.cts) <= epoch_us(v.vts) + 21600 * 1000000::BIGINT),
+        |negatives AS (
+        |  SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS click_id
+        |  FROM v CROSS JOIN wm
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM c
+        |      WHERE c.user_id = v.user_id
+        |        AND epoch_us(c.cts) >= epoch_us(v.vts)
+        |        AND epoch_us(c.cts) <= epoch_us(v.vts) + 21600 * 1000000::BIGINT)
+        |    AND epoch_us(v.vts) + 21600 * 1000000::BIGINT < wm.wm_us)
+        |SELECT user_id, view_id, click_id,
+        |       click_id IS NOT NULL AS attributed
+        |FROM (SELECT * FROM matched UNION ALL SELECT * FROM negatives)
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
 
     // Batch mirror of the streamed ingest: q50's recursive chunk walk +
     // q51's trigram-murmur embed, with source/id derived from the

@@ -282,20 +282,30 @@ object StreamingIngest {
     } finally corpus.unpersist()
   }
 
-  /** Watermarked stream-stream inner join with a time-interval
-    * condition (the impressions-to-clicks attribution pattern): each
-    * left row joins right rows of the same key whose timestamp falls in
+  /** Watermarked stream-stream join with a time-interval condition
+    * (the impressions-to-clicks attribution pattern): each left row
+    * joins right rows of the same key whose timestamp falls in
     * `[left.ts, left.ts + intervalSeconds]`. Both sides carry a
     * watermark, so the join state the engine buffers is bounded by
     * `delay + intervalSeconds` per key — the requirement for append-mode
     * stream-stream joins and the reason this holds at 100 TB/day
     * (state size tracks the time window, not the stream length).
     * The right side's key column is returned as `<keyCol>_r`.
+    *
+    * `joinType = "left_outer"` gives attribution WITH the negatives:
+    * a left row that attracts no in-window right row emits once, with
+    * NULL right columns, when the watermark passes the end of its
+    * window (the engine then KNOWS no future match can arrive — the
+    * only sound moment to emit a negative on an unbounded stream).
+    * Left rows whose window is still open when a bounded replay ends
+    * never emit a negative — exactly the production semantics, which
+    * the q7M oracle replays via the final-watermark cutoff.
     */
   def joinWithinInterval(
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
-      delay: String, intervalSeconds: Long
+      delay: String, intervalSeconds: Long,
+      joinType: String = "inner"
   ): DataFrame = {
     require(leftTsCol != rightTsCol,
       "left and right timestamp columns must have distinct names")
@@ -315,7 +325,8 @@ object StreamingIngest {
     l.join(r,
       col(keyCol) === col(s"${keyCol}_r") &&
         col(rightTsCol) >= col(leftTsCol) &&
-        col(rightTsCol) <= col(leftTsCol) + expr(s"interval $intervalSeconds seconds"))
+        col(rightTsCol) <= col(leftTsCol) + expr(s"interval $intervalSeconds seconds"),
+      joinType)
   }
 
   /** `ts` carries the event time (and, in event-time flush mode, the

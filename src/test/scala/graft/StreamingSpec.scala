@@ -81,6 +81,49 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits negatives only for watermark-closed windows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssj-outer").toString
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ts(sec: Long) = new java.sql.Timestamp(base.getTime + sec * 1000)
+
+    // Global watermark = min(max imp_ts, max click_ts) − 10 s
+    //                  = min(100, 130) − 10 = 90 s.
+    // An unmatched imp emits a NULL-click row iff its 60 s window end
+    // precedes that: imp_d@5 (65 < 90 → negative); imp_e@80 (140 > 90 →
+    // window still open, emits NOTHING — the only sound call on an
+    // unbounded stream). Matched imps emit their inner rows as usual.
+    Seq((1L, "imp_a", ts(0)), (2L, "imp_b", ts(100)),
+        (4L, "imp_d", ts(5)), (5L, "imp_e", ts(80)))
+      .toDF("user_id", "imp_id", "imp_ts").coalesce(1)
+      .write.parquet(s"$dir/imps")
+    Seq((1L, "clk_1", ts(30)), (2L, "clk_3", ts(130)))
+      .toDF("user_id", "click_id", "click_ts").coalesce(1)
+      .write.parquet(s"$dir/clicks")
+
+    val imps = spark.readStream
+      .schema(spark.read.parquet(s"$dir/imps").schema).parquet(s"$dir/imps")
+    val clks = spark.readStream
+      .schema(spark.read.parquet(s"$dir/clicks").schema).parquet(s"$dir/clicks")
+
+    val joined = StreamingIngest.joinWithinInterval(
+      imps, clks, "user_id", "imp_ts", "click_ts",
+      delay = "10 seconds", intervalSeconds = 60, joinType = "left_outer")
+    val q = joined.select("user_id", "imp_id", "click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attributed_outer").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("attributed_outer").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("imp_id"),
+          Option(r.getAs[String]("click_id")))).toSet
+      assert(got == Set(
+        (1L, "imp_a", Some("clk_1")),
+        (2L, "imp_b", Some("clk_3")),
+        (4L, "imp_d", None)))
+    } finally q.stop()
+  }
+
   test("stateful sessions close across micro-batches with per-user state") {
     import spark.implicits._
     import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
