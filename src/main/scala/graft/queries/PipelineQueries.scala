@@ -1104,6 +1104,91 @@ object PipelineQueries {
           "doc_id", nShards = 8, seed = 7)
         .select(col("doc_id"), col("shard"), col("pos_in_shard"))
         .orderBy("shard", "pos_in_shard")
+    },
+
+    // Market-basket association rules over order contents: which part
+    // brands co-occur in one order more than chance predicts
+    // (support / confidence / lift — the retail-analytics staple)?
+    // Baskets are per-order DISTINCT brand sets, so the okey-keyed pair
+    // self-join is LINEAR in orders (≤ C(25,2) combos per order, never
+    // n² across orders); the 25-row brand-support table and the one-row
+    // order total broadcast. Exact long counts; one double division per
+    // ratio at the very end.
+    "q4P_basket_rules" -> { (s, d) =>
+      val basket = Tables.lineitem(s, d).select("l_orderkey", "l_partkey")
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+        .distinct()
+      val total   = basket.agg(countDistinct("okey").as("n_orders"))
+      val singles = basket.groupBy("brand").agg(count(lit(1)).as("nb"))
+      val pairs = basket.as("x")
+        .join(basket.as("y"),
+          col("x.okey") === col("y.okey") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("brand_a"), col("y.brand").as("brand_b"))
+        .agg(count(lit(1)).as("pair_n"))
+      pairs
+        .join(broadcast(singles.select(col("brand").as("brand_a"),
+          col("nb").as("na"))), "brand_a")
+        .join(broadcast(singles.select(col("brand").as("brand_b"),
+          col("nb").as("nbb"))), "brand_b")
+        .crossJoin(broadcast(total))
+        .select(col("brand_a"), col("brand_b"), col("pair_n"),
+          round(col("pair_n") / col("n_orders"), 6).as("support"),
+          round(col("pair_n") / col("na"), 6).as("conf_ab"),
+          round(col("pair_n") / col("nbb"), 6).as("conf_ba"),
+          round(col("pair_n") * col("n_orders") / (col("na") * col("nbb")), 6)
+            .as("lift"))
+        .orderBy("brand_a", "brand_b")
+    },
+
+    // RFM segmentation (recency / frequency / monetary quintiles) —
+    // the CRM scoring classic, built scale-first: per-customer metrics
+    // are ONE distributed aggregate; quintile cutoffs come from the
+    // VALUE-frequency table (bounded by distinct metric values — days
+    // since last order, order counts, $1k monetary bands — not by
+    // customers), so the customer table is never globally sorted the
+    // way ntile() would; the 12 cutoffs broadcast back for the bucket
+    // assignment. All-integer metrics: no float enters anywhere.
+    // Buckets are value-based (ties share a bucket — the statistically
+    // honest quintile, unlike ntile's arbitrary tie splits).
+    "q4Q_rfm" -> { (s, d) =>
+      val o      = Tables.orders(s, d)
+      val anchor = o.agg(max(to_date(col("o_orderdate"))).as("mxd"))
+      val cust = o.crossJoin(broadcast(anchor))
+        .groupBy(col("o_custkey"))
+        .agg(
+          min(datediff(col("mxd"), to_date(col("o_orderdate"))))
+            .cast("long").as("r"),
+          count(lit(1)).as("f"),
+          expr("sum(cast(round(o_totalprice * 100) as bigint)) div 100000")
+            .as("m"))
+      val nCust = cust.agg(count(lit(1)).as("n"))
+      val metrics = cust.select(col("o_custkey"),
+        explode(map(lit("r"), col("r"), lit("f"), col("f"),
+          lit("m"), col("m"))).as(Seq("metric", "v")))
+      val wcum = Window.partitionBy("metric").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cuts = metrics.groupBy("metric", "v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wcum))
+        .crossJoin(broadcast(nCust))
+        .select(col("metric"), col("v"), col("cum"),
+          explode(sequence(lit(1L), lit(4L))).as("i"))
+        .filter(col("cum") >= expr("(i * n + 4) div 5"))
+        .groupBy("metric", "i").agg(min("v").as("cut"))
+      val buckets = metrics.join(broadcast(cuts), "metric")
+        .groupBy("o_custkey", "metric")
+        .agg((lit(1L) + sum(when(col("v") > col("cut"), 1L).otherwise(0L)))
+          .as("q"))
+      buckets.groupBy("o_custkey")
+        .agg((lit(6L) - max(when(col("metric") === "r", col("q")))).as("r_score"),
+          max(when(col("metric") === "f", col("q"))).as("f_score"),
+          max(when(col("metric") === "m", col("q"))).as("m_score"))
+        .select(col("o_custkey"), col("r_score"), col("f_score"),
+          col("m_score"),
+          concat(col("r_score").cast("string"), col("f_score").cast("string"),
+            col("m_score").cast("string")).as("rfm"))
+        .orderBy("o_custkey")
     }
   )
 
@@ -1986,6 +2071,74 @@ object PipelineQueries {
         |       CAST(row_number() OVER (PARTITION BY shard
         |              ORDER BY k, doc_id) AS INTEGER) AS pos_in_shard
         |FROM sharded
-        |ORDER BY shard, pos_in_shard""".stripMargin
+        |ORDER BY shard, pos_in_shard""".stripMargin,
+
+    // Basket mirror: distinct (order, brand) rows, okey-keyed pair
+    // self-join, exact counts, the same double division per ratio
+    // (BIGINT '/' is true division in both engines).
+    "q4P_basket_rules" ->
+      """WITH basket AS (
+        |  SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+        |total AS (SELECT count(DISTINCT okey) AS n_orders FROM basket),
+        |singles AS (SELECT brand, count(*) AS nb FROM basket GROUP BY brand),
+        |pairs AS (
+        |  SELECT x.brand AS brand_a, y.brand AS brand_b,
+        |         count(*) AS pair_n
+        |  FROM basket x JOIN basket y
+        |    ON x.okey = y.okey AND x.brand < y.brand
+        |  GROUP BY 1, 2)
+        |SELECT brand_a, brand_b, pair_n,
+        |       round(pair_n / n_orders, 6) AS support,
+        |       round(pair_n / a.nb, 6) AS conf_ab,
+        |       round(pair_n / b.nb, 6) AS conf_ba,
+        |       round(pair_n * n_orders / (a.nb * b.nb), 6) AS lift
+        |FROM pairs
+        |JOIN singles a ON a.brand = pairs.brand_a
+        |JOIN singles b ON b.brand = pairs.brand_b
+        |CROSS JOIN total
+        |ORDER BY brand_a, brand_b""".stripMargin,
+
+    // RFM mirror: same integer metrics (days via date_diff, exact cent
+    // sums banded by // 100000), value-frequency cumulative counts,
+    // cutoff_i = min value whose running count reaches ceil(i*n/5),
+    // bucket = 1 + cutoffs strictly below the value.
+    "q4Q_rfm" ->
+      """WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS mxd FROM orders),
+        |cust AS (
+        |  SELECT o_custkey,
+        |    CAST(min(date_diff('day', CAST(o_orderdate AS DATE), mxd)) AS BIGINT) AS r,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) // 100000 AS m
+        |  FROM orders CROSS JOIN anchor
+        |  GROUP BY o_custkey),
+        |nc AS (SELECT count(*) AS n FROM cust),
+        |me AS (
+        |  SELECT o_custkey, 'r' AS metric, r AS v FROM cust
+        |  UNION ALL SELECT o_custkey, 'f', CAST(f AS BIGINT) FROM cust
+        |  UNION ALL SELECT o_custkey, 'm', m FROM cust),
+        |ranked AS (
+        |  SELECT metric, v, sum(c) OVER (PARTITION BY metric ORDER BY v) AS cum
+        |  FROM (SELECT metric, v, count(*) AS c FROM me GROUP BY 1, 2) f),
+        |cuts AS (
+        |  SELECT metric, i, min(v) AS cut
+        |  FROM ranked
+        |  CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS i) ii
+        |  WHERE cum >= (i * nc.n + 4) // 5
+        |  GROUP BY metric, i),
+        |b AS (
+        |  SELECT me.o_custkey, me.metric,
+        |         1 + sum(CASE WHEN me.v > c.cut THEN 1 ELSE 0 END) AS q
+        |  FROM me JOIN cuts c USING (metric)
+        |  GROUP BY 1, 2)
+        |SELECT o_custkey,
+        |  CAST(6 - max(CASE WHEN metric = 'r' THEN q END) AS BIGINT) AS r_score,
+        |  CAST(max(CASE WHEN metric = 'f' THEN q END) AS BIGINT) AS f_score,
+        |  CAST(max(CASE WHEN metric = 'm' THEN q END) AS BIGINT) AS m_score,
+        |  CAST(6 - max(CASE WHEN metric = 'r' THEN q END) AS VARCHAR)
+        |    || CAST(max(CASE WHEN metric = 'f' THEN q END) AS VARCHAR)
+        |    || CAST(max(CASE WHEN metric = 'm' THEN q END) AS VARCHAR) AS rfm
+        |FROM b GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

@@ -437,6 +437,27 @@ object RelationalQueries {
           Tables.lineitem(s, d), "l_returnflag", "l_quantity", saltBuckets = 32)
         .select(col("l_returnflag"), round(col("total"), 2).as("total"), col("n"))
         .orderBy("l_returnflag")
+    },
+
+    // Shuffle-skew diagnostic on the lineitem→supplier join key: the
+    // top-10 hottest keys with each one's share of the table, its
+    // ratio to the mean key, and the salt factor that would level it —
+    // the number a pre-shuffle planner reads before picking q6A's salt
+    // bucket count. The keyed count is ONE map-side-combinable
+    // aggregate; globals are a key-table aggregate broadcast back; every
+    // ratio comes from exact longs (one double division at the end),
+    // and the top-10 is a per-partition-pruned TakeOrdered, not a sort.
+    "q0P_skew_report" -> { (s, d) =>
+      val keyed = Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("n"))
+      val g = keyed.agg(count(lit(1)).as("n_keys"), sum("n").as("total"))
+      keyed.crossJoin(broadcast(g))
+        .select(col("l_suppkey"), col("n"),
+          round(col("n") / col("total"), 6).as("share"),
+          round(col("n") * col("n_keys") / col("total"), 6).as("skew_ratio"),
+          expr("(n * n_keys + total - 1) div total").as("salt_factor"))
+        .orderBy(col("n").desc, col("l_suppkey"))
+        .limit(10)
     }
   )
 
@@ -755,6 +776,21 @@ object RelationalQueries {
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Skew-report mirror: keyed counts, exact-long globals, the same
+    // double divisions and ceil-div salt factor.
+    "q0P_skew_report" ->
+      """WITH keyed AS (
+        |  SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |g AS (SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS total
+        |      FROM keyed)
+        |SELECT l_suppkey, n,
+        |       round(n / total, 6) AS share,
+        |       round(n * n_keys / total, 6) AS skew_ratio,
+        |       (n * n_keys + total - 1) // total AS salt_factor
+        |FROM keyed CROSS JOIN g
+        |ORDER BY n DESC, l_suppkey
+        |LIMIT 10""".stripMargin
   )
 }
