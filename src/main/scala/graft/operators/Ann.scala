@@ -276,18 +276,33 @@ object AnnIvf {
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nList: Int, iterations: Int
-  ): DataFrame = {
-    val spark = corpus.sparkSession
+  ): DataFrame =
+    if (iterations == 0) centroids(corpus, idCol, vecCol, nList)
+    else kMeans(corpus, idCol, vecCol, nList, iterations)._2
+
+  /** [[trainCentroids]] exposing the FINAL assignment alongside the
+    * trained centroids: `(assigned, cents)` where `assigned` is the
+    * assignment that PRODUCED `cents` (the last Lloyd update's input).
+    * The pair is what cluster summaries need — sizes come from
+    * `assigned`, geometry from `cents` — without re-running a third
+    * assignment pass over the corpus.
+    */
+  def kMeans(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nList: Int, iterations: Int
+  ): (DataFrame, DataFrame) = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     var cents = centroids(corpus, idCol, vecCol, nList)
+    var assigned: DataFrame = null
     for (_ <- 0 until iterations) {
-      val assigned = assign(corpus, idCol, vecCol, cents)
+      assigned = assign(corpus, idCol, vecCol, cents)
       cents = assigned
         .groupBy(col("cell"))
         .agg(graft.functions.VectorMeanAgg.vectorMean(col(vecCol)).as("m"))
         .select(col("cell").as("centroid_id"),
           transform(col("m"), x => x.cast("float")).as("centroid_vec"))
     }
-    cents
+    (assigned, cents)
   }
 
   /** Assign every row to its nearest centroid (broadcast argmax).

@@ -25,6 +25,34 @@ object VectorQueries {
     */
   private def duckIvfCells(nCells: Int): String = DuckSql.ivfCells(nCells)
 
+  /** One Lloyd round as CTE fragments, the SQL mirror of
+    * `AnnIvf.assign` + one `VectorMeanAgg` update: `<a>` assigns every
+    * embedding to its max-cosine centroid in `<cin>(cid, cvec)` (ties
+    * to the smallest cid — the max_by ordering), `<cout>(cid, cvec)`
+    * is the per-cell component mean cast to REAL — the same float
+    * rounding Spark applies each round, which is what keeps the two
+    * engines' centroids bit-identical going into the next assignment.
+    */
+  private def duckLloydRound(cin: String, a: String, cout: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT e.vec_id, c.cid AS cell,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${duckCosine("e.embedding", "c.cvec")} DESC,
+       |                      c.cid ASC) AS rn
+       |    FROM embeddings e, $cin c) t
+       |  WHERE rn = 1),
+       |${a}_ex AS (
+       |  SELECT a.cell, unnest(range(0, len(e.embedding))) AS pos,
+       |         CAST(unnest(e.embedding) AS DOUBLE) AS v
+       |  FROM embeddings e JOIN $a a USING (vec_id)),
+       |${a}_m AS (
+       |  SELECT cell, pos, CAST(avg(v) AS REAL) AS mf
+       |  FROM ${a}_ex GROUP BY cell, pos),
+       |$cout AS (
+       |  SELECT cell AS cid, list(mf ORDER BY pos) AS cvec
+       |  FROM ${a}_m GROUP BY cell)""".stripMargin
+
   /** DuckDB mirror of `AnnLsh.hyperplanes` + `signatureOf` (seed 42):
     * plane entry (p, d) is the sign of scala
     * `MurmurHash3.finalizeHash(mix(mix(42, p), d), 2)`, spelled out as
@@ -146,6 +174,29 @@ object VectorQueries {
       val assigned = graft.operators.AnnIvf.assign(e, "vec_id", "embedding", cents)
       graft.operators.AnnIvf.topKApprox(assigned, cents, "vec_id", "embedding",
         qvec, k = 10, nProbe = 4)
+    },
+
+    // Lloyd k-means over the embedding corpus (k=8, 2 iterations,
+    // deterministic lowest-id seeding) — AnnIvf.trainCentroids
+    // graduated from spec-only to the oracle gate: per final cluster,
+    // its size and the trained centroid's L2 norm. Assignment is the
+    // broadcast max_by argmax (the nList× expansion never crosses the
+    // shuffle); each update is ONE VectorMeanAgg pass (a single
+    // (dim+1)-double array per cell crosses the wire); centroids are
+    // float-cast every round, which pins cross-engine parity — a
+    // last-ulp double-mean difference dies in the float rounding
+    // before the next iteration's cosines compare.
+    "q1H_kmeans" -> { (s, d) =>
+      val (assigned, cents) = graft.operators.AnnIvf.kMeans(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nList = 8, iterations = 2)
+      assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .join(cents.select(col("centroid_id").as("cell"),
+          col("centroid_vec")), "cell")
+        .select(col("cell"), col("n"),
+          round(sqrt(dotProduct(col("centroid_vec"), col("centroid_vec"))), 6)
+            .as("centroid_norm"))
+        .orderBy("cell")
     },
 
     // ANN quality evaluation: per-query recall@10 of the batched
@@ -595,6 +646,22 @@ object VectorQueries {
          |WHERE a.cell IN (SELECT cid FROM probe)
          |ORDER BY score DESC, e.vec_id
          |LIMIT 10""".stripMargin,
+
+    // k-means mirror: seed centroids are the 8 lowest-id vectors, two
+    // unrolled Lloyd rounds (assignment argmax + REAL-cast component
+    // means), then sizes from the final assignment and the left-to-
+    // right double dot for the trained centroid norms.
+    "q1H_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |${duckLloydRound("c0", "a1", "c1")},
+         |${duckLloydRound("c1", "a2", "c2")}
+         |SELECT s.cell, s.n,
+         |       round(sqrt(${DuckSql.dot("c.cvec", "c.cvec")}), 6) AS centroid_norm
+         |FROM (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) s
+         |JOIN c2 c ON c.cid = s.cell
+         |ORDER BY s.cell""".stripMargin,
 
     // SemDeDup pairs: the same deterministic IVF assignment as q17's
     // oracle (first-16-ids centroids, cosine argmax with min-cid ties),

@@ -111,6 +111,35 @@ class AnnSpec extends GraftSpec {
     } finally { assigned.unpersist(); () }
   }
 
+  test("kMeans exposes the assignment that produced the trained centroids") {
+    val (assigned, cents) = AnnIvf.kMeans(emb, "vec_id", "embedding", 8, 2)
+    // the pair is consistent: trainCentroids is exactly the cents half
+    val viaTrain = AnnIvf.trainCentroids(emb, "vec_id", "embedding", 8, 2)
+      .orderBy("centroid_id").collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid_vec").toSeq).toSeq
+    val viaPair = cents.orderBy("centroid_id").collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Float]]("centroid_vec").toSeq).toSeq
+    assert(viaPair == viaTrain)
+    // every corpus row is assigned, and cents reduce over exactly the
+    // cells the final assignment names
+    assert(assigned.count() == emb.count())
+    val assignedCells = assigned.select("cell").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(viaPair.map(_._1).toSet == assignedCells)
+    // recomputing the update from the exposed assignment reproduces cents
+    val recomputed = assigned.groupBy(col("cell"))
+      .agg(graft.functions.VectorMeanAgg.vectorMean(col("embedding")).as("m"))
+      .select(col("cell"),
+        org.apache.spark.sql.functions.transform(col("m"),
+          x => x.cast("float")).as("cv"))
+      .orderBy("cell").collect()
+      .map(r => r.getAs[Long]("cell") ->
+        r.getAs[scala.collection.Seq[Float]]("cv").toSeq).toSeq
+    assert(recomputed == viaPair)
+  }
+
   test("bucket-partitioned store prunes partitions at the scan") {
     val path = java.nio.file.Files.createTempDirectory("graft-ann-store").toString
     AnnLsh.writeBucketPartitioned(emb, "embedding", path, nPlanes = 6)
