@@ -106,6 +106,48 @@ object Sketch {
       .agg((min(coalesce(col("_set"), lit(0))) === 1).as("bloom_hit"))
   }
 
+  /** Driver-packed bitmap of a [[bloomBits]] table for the COLUMN-form
+    * probe [[bloomHitCol]]: bit `j*width + b` set per set-bit row. The
+    * collect is bounded by the grid itself (≤ depth·width bits — 16 KB
+    * at 4×32768 — NEVER the inserted set), which is what makes this the
+    * runtime-filter shape: the little bitmap rides into every task as a
+    * plan literal, like a broadcast var without a join.
+    */
+  def packBloom(bloom: DataFrame, depth: Int, width: Int): Array[Long] = {
+    val words = new Array[Long]((depth * width + 63) / 64)
+    bloom.select(col("j").cast("int"), col("b").cast("int")).collect()
+      .foreach { r =>
+        val pos = r.getInt(0) * width + r.getInt(1)
+        words(pos >>> 6) |= 1L << (pos & 63)
+      }
+    words
+  }
+
+  /** Per-ROW membership probe against a packed bitmap — the
+    * streaming-/filter-legal form of [[bloomProbe]] (which is an
+    * AGGREGATION and so can't sit in a WHERE clause or a hot join
+    * path). Same md5-slice hashes, so it agrees bit-for-bit with the
+    * DataFrame probe: no false negatives ever, false positives at the
+    * grid's ε. This is the classic runtime join filter: build the grid
+    * on the small side's keys, drop non-matching big-side rows BEFORE
+    * the shuffle — exactness-preserving because the real join
+    * re-verifies survivors, so the result (and its oracle) is just the
+    * plain join's.
+    */
+  def bloomHitCol(term: Column, words: Array[Long], depth: Int,
+      width: Int, salt: String = "bloom"): Column = {
+    require(depth >= 1 && depth <= 8, s"depth must be in [1,8], got $depth")
+    val wordsLit = typedLit(words.toSeq)
+    val h = md5(concat(term, lit(s":$salt")))
+    (0 until depth).map { j =>
+      val pos = TextFunctions.hashBucketSlice(h, lit(j), width)
+        .cast("long") + lit(j.toLong * width)
+      val word = element_at(wordsLit, floor(pos / 64).cast("int") + 1)
+      val mask = call_function("shiftleft", lit(1L), pmod(pos, lit(64L)).cast("int"))
+      word.bitwiseAND(mask) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
   /** HyperLogLog register table (Flajolet, Fusy, Gandouet & Meunier
     * 2007): THE distinct-count sketch — exact `countDistinct` shuffles
     * every distinct value, the HLL is ≤ `m` register rows per group

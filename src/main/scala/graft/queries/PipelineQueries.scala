@@ -917,6 +917,36 @@ object PipelineQueries {
         .orderBy("cur", "nxt")
     },
 
+    // Markov next-event prediction with a REAL train/test split: fit
+    // q4J's transition matrix on even users, predict each odd-user
+    // transition with the argmax next type (ties to the
+    // lexicographically smallest), score top-1 accuracy per current
+    // type. The model is a types²-sized frame (broadcast); the only
+    // corpus-shaped work is the per-user lead window both q4B/q4J
+    // already pay. The eval that says whether the transition matrix
+    // carries signal before anyone ships it.
+    "q4R_markov_eval" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = ev.withColumn("nxt", lead("event_type", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("user_id"), col("event_type").as("cur"), col("nxt"))
+      val train = pairs.filter(col("user_id") % 2 === 0)
+        .groupBy("cur", "nxt").agg(count(lit(1)).as("n"))
+      val wbest = Window.partitionBy("cur").orderBy(col("n").desc, col("nxt"))
+      val model = train.withColumn("rn", row_number().over(wbest))
+        .filter(col("rn") === 1).select(col("cur"), col("nxt").as("pred"))
+      pairs.filter(col("user_id") % 2 =!= 0)
+        .join(broadcast(model), "cur")
+        .groupBy("cur")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("nxt") === col("pred"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .withColumn("accuracy", round(col("n_correct") / col("n_test"), 6))
+        .orderBy("cur")
+    },
+
     // CUSUM control chart over daily volume: the running sum of
     // deviations from the series mean — the change-POINT view q4K's
     // pointwise z-scores can't give (a level shift shows as a sustained
@@ -2072,6 +2102,35 @@ object PipelineQueries {
         |              ORDER BY k, doc_id) AS INTEGER) AS pos_in_shard
         |FROM sharded
         |ORDER BY shard, pos_in_shard""".stripMargin,
+
+    // Markov-eval mirror: even-user transition counts, argmax with the
+    // same (count desc, type asc) tie rule, odd-user top-1 scoring.
+    "q4R_markov_eval" ->
+      """WITH pairs AS (
+        |  SELECT user_id, event_type AS cur,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS nxt
+        |  FROM events),
+        |p AS (SELECT * FROM pairs WHERE nxt IS NOT NULL),
+        |train AS (
+        |  SELECT cur, nxt, count(*) AS n FROM p
+        |  WHERE user_id % 2 = 0 GROUP BY cur, nxt),
+        |model AS (
+        |  SELECT cur, nxt AS pred FROM (
+        |    SELECT cur, nxt,
+        |           row_number() OVER (PARTITION BY cur
+        |             ORDER BY n DESC, nxt) AS rn
+        |    FROM train) t
+        |  WHERE rn = 1)
+        |SELECT p.cur, count(*) AS n_test,
+        |       CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_correct,
+        |       round(CAST(sum(CASE WHEN p.nxt = m.pred THEN 1 ELSE 0 END)
+        |         AS BIGINT) / count(*), 6) AS accuracy
+        |FROM p JOIN model m USING (cur)
+        |WHERE p.user_id % 2 <> 0
+        |GROUP BY p.cur
+        |ORDER BY p.cur""".stripMargin,
 
     // Basket mirror: distinct (order, brand) rows, okey-keyed pair
     // self-join, exact counts, the same double division per ratio

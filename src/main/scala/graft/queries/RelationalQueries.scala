@@ -458,6 +458,36 @@ object RelationalQueries {
           expr("(n * n_keys + total - 1) div total").as("salt_factor"))
         .orderBy(col("n").desc, col("l_suppkey"))
         .limit(10)
+    },
+
+    // Bloom-filtered join (the runtime join filter): revenue by brand
+    // for the Brand#1x line (a stable ~20% of parts at every scale),
+    // with the fact side pre-screened by a 4×16384
+    // bloom grid built from the dim side's keys — the 16 KB bitmap
+    // rides into every scan task as a plan literal and drops
+    // non-matching lineitem rows BEFORE the shuffle, the move that
+    // turns a 100 TB big-big join's exchange into a fraction of
+    // itself. Exactness-preserving (no false negatives; false
+    // positives die in the real join), so the oracle is the PLAIN
+    // join — the bloom is invisible to the result by construction.
+    "q0Q_bloom_join" -> { (s, d) =>
+      import graft.operators.Sketch
+      val dim = Tables.part(s, d)
+        .filter(col("p_brand").startsWith("Brand#1"))
+        .select(col("p_partkey"), col("p_brand"))
+      val words = Sketch.packBloom(
+        Sketch.bloomBits(dim.select(col("p_partkey").cast("string").as("k")),
+          "k", depth = 4, width = 16384),
+        depth = 4, width = 16384)
+      Tables.lineitem(s, d)
+        .filter(Sketch.bloomHitCol(col("l_partkey").cast("string"), words,
+          depth = 4, width = 16384))
+        .join(dim, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+        .orderBy("p_brand")
     }
   )
 
@@ -791,6 +821,17 @@ object RelationalQueries {
         |       (n * n_keys + total - 1) // total AS salt_factor
         |FROM keyed CROSS JOIN g
         |ORDER BY n DESC, l_suppkey
-        |LIMIT 10""".stripMargin
+        |LIMIT 10""".stripMargin,
+
+    // The bloom pre-filter is exactness-preserving, so the mirror is
+    // the plain join: premium-part revenue by brand, exact cent sums.
+    "q0Q_bloom_join" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand LIKE 'Brand#1%'
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
   )
 }

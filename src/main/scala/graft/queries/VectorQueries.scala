@@ -199,6 +199,42 @@ object VectorQueries {
         .orderBy("cell")
     },
 
+    // Davies–Bouldin cluster validity over q1H's k-means result: per
+    // cluster, its scatter (mean member→centroid L2) and its DB term
+    // (worst (S_i + S_j) / M_ij over the other centroids — high means
+    // this cluster blurs into a neighbor). Scatter sums MICRO-fixed-
+    // point longs (order-independent, cross-engine exact); centroid
+    // separations are a k²-sized frame. The eval a clustering run
+    // reads before trusting k.
+    "q1I_davies_bouldin" -> { (s, d) =>
+      val (assigned, cents) = graft.operators.AnnIvf.kMeans(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        nList = 8, iterations = 2)
+      val c = cents.select(col("centroid_id").as("cell"),
+        col("centroid_vec"))
+      val scatter = assigned.join(broadcast(c), "cell")
+        .withColumn("dmic",
+          round(euclideanDistance(col("embedding"), col("centroid_vec"))
+            * 1e6).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), sum("dmic").as("sm"))
+        .withColumn("s", col("sm").cast("double") / col("n") / lit(1e6))
+      val seps = c.as("ci").join(c.as("cj"),
+          col("ci.cell") =!= col("cj.cell"))
+        .select(col("ci.cell").as("cell"), col("cj.cell").as("other"),
+          euclideanDistance(col("ci.centroid_vec"), col("cj.centroid_vec"))
+            .as("m"))
+      seps
+        .join(scatter.select(col("cell"), col("n"), col("s")), "cell")
+        .join(scatter.select(col("cell").as("other"), col("s").as("s_j")),
+          "other")
+        .groupBy("cell", "n", "s")
+        .agg(max((col("s") + col("s_j")) / col("m")).as("term"))
+        .select(col("cell"), col("n"), round(col("s"), 6).as("scatter"),
+          round(col("term"), 6).as("db_term"))
+        .orderBy("cell")
+    },
+
     // ANN quality evaluation: per-query recall@10 of the batched
     // multi-probe LSH path (q16's production shape, 20 queries in ONE
     // bucket equi-join) against exact batch KNN ground truth. The
@@ -662,6 +698,36 @@ object VectorQueries {
          |FROM (SELECT cell, count(*) AS n FROM a2 GROUP BY cell) s
          |JOIN c2 c ON c.cid = s.cell
          |ORDER BY s.cell""".stripMargin,
+
+    // Davies–Bouldin mirror: the q1H Lloyd rounds, then micro-long
+    // scatter sums and the k² separation frame with the same double
+    // arithmetic.
+    "q1I_davies_bouldin" ->
+      s"""WITH c0 AS (
+         |  SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings ORDER BY vec_id LIMIT 8),
+         |${duckLloydRound("c0", "a1", "c1")},
+         |${duckLloydRound("c1", "a2", "c2")},
+         |sc AS (
+         |  SELECT a.cell, count(*) AS n,
+         |         CAST(sum(CAST(round(${DuckSql.l2dist("e.embedding", "c.cvec")}
+         |           * 1000000) AS BIGINT)) AS BIGINT) AS sm
+         |  FROM embeddings e
+         |  JOIN a2 a USING (vec_id)
+         |  JOIN c2 c ON c.cid = a.cell
+         |  GROUP BY a.cell),
+         |s AS (SELECT cell, n, CAST(sm AS DOUBLE) / n / 1000000.0 AS s FROM sc),
+         |seps AS (
+         |  SELECT i.cid AS cell, j.cid AS other,
+         |         ${DuckSql.l2dist("i.cvec", "j.cvec")} AS m
+         |  FROM c2 i JOIN c2 j ON i.cid <> j.cid)
+         |SELECT si.cell, si.n, round(si.s, 6) AS scatter,
+         |       round(max((si.s + sj.s) / seps.m), 6) AS db_term
+         |FROM seps
+         |JOIN s si ON si.cell = seps.cell
+         |JOIN s sj ON sj.cell = seps.other
+         |GROUP BY si.cell, si.n, si.s
+         |ORDER BY si.cell""".stripMargin,
 
     // SemDeDup pairs: the same deterministic IVF assignment as q17's
     // oracle (first-16-ids centroids, cosine argmax with min-cid ties),

@@ -65,6 +65,29 @@ class SketchSpec extends GraftSpec {
     assert(mergedBits == wholeBits)
   }
 
+  test("column-form bloom probe agrees bit-for-bit with the DataFrame probe") {
+    val docs = Tables.documents(spark, sfDir)
+    val inserted = docs.filter(col("doc_id") % 2 === 0)
+      .select(explode(TextFunctions.tokens(col("text"))).as("term")).distinct()
+    val bloom = Sketch.bloomBits(inserted, "term", D, 4096)
+    val words = Sketch.packBloom(bloom, D, 4096)
+    // probe the FULL vocabulary plus definitely-novel terms through both
+    // forms and compare verdict-for-verdict
+    val probes = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("term")).distinct()
+      .unionByName(spark.range(0, 200)
+        .select(concat(lit("nv-"), col("id")).as("term")))
+    val viaDf = Sketch.bloomProbe(bloom, probes, "term", D, 4096)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val viaCol = probes
+      .withColumn("hit", Sketch.bloomHitCol(col("term"), words, D, 4096))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(viaDf == viaCol)
+    // and the filter really prunes: inserted terms all pass, the novel
+    // population is not all-pass
+    assert(viaCol.filterKeys(_.startsWith("nv-")).values.exists(_ == false))
+  }
+
   test("histogram quantiles: bounded state, clamped domain, within a bucket of exact") {
     import spark.implicits._
     val vals = (1 to 1000).map(_.toDouble) ++ Seq(-50.0, 5000.0) // clamp both edges
