@@ -947,6 +947,42 @@ object PipelineQueries {
         .orderBy("cur")
     },
 
+    // OLS trend line over daily volume (growth analytics): slope,
+    // intercept and R² of events/day against the day index, from the
+    // FIVE integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²) — day
+    // indexes and counts are integers, so every moment is an EXACT
+    // long (order-independent, map-side combinable) and the only
+    // floating point is the closed-form division at the very end.
+    // One days-sized aggregate; nothing corpus-shaped beyond the
+    // daily groupBy.
+    "q4S_trend" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val d0 = daily.agg(min("day").as("d0"))
+      val pts = daily.crossJoin(broadcast(d0))
+        .select(datediff(col("day"), col("d0")).cast("long").as("x"),
+          col("y"))
+      val m = pts.agg(count(lit(1)).as("nd"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      m.select(col("nd").as("n_days"),
+          ((col("nd") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("nd") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope"),
+          col("nd"), col("sx"), col("sy"), col("sxy"), col("sxx"), col("syy"))
+        .select(col("n_days"), round(col("slope"), 6).as("slope"),
+          round((col("sy").cast("double") - col("slope") * col("sx"))
+            / col("nd"), 6).as("intercept"),
+          round(((col("nd") * col("sxy") - col("sx") * col("sy")).cast("double")
+              * (col("nd") * col("sxy") - col("sx") * col("sy")).cast("double"))
+            / ((col("nd") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * (col("nd") * col("syy") - col("sy") * col("sy")).cast("double")),
+            6).as("r2"))
+    },
+
     // CUSUM control chart over daily volume: the running sum of
     // deviations from the series mean — the change-POINT view q4K's
     // pointwise z-scores can't give (a level shift shows as a sustained
@@ -2102,6 +2138,38 @@ object PipelineQueries {
         |              ORDER BY k, doc_id) AS INTEGER) AS pos_in_shard
         |FROM sharded
         |ORDER BY shard, pos_in_shard""".stripMargin,
+
+    // Trend mirror: the same exact integer moments and closed-form
+    // divisions (slope reconstructed inline for the intercept, exactly
+    // as the Spark expression tree does).
+    "q4S_trend" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS y
+        |  FROM events GROUP BY 1),
+        |d0 AS (SELECT min(day) AS d0 FROM daily),
+        |pts AS (
+        |  SELECT CAST(date_diff('day', CAST(d0 AS DATE), CAST(day AS DATE))
+        |           AS BIGINT) AS x, y
+        |  FROM daily CROSS JOIN d0),
+        |m AS (
+        |  SELECT count(*) AS nd,
+        |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pts)
+        |SELECT nd AS n_days,
+        |  round(CAST(nd * sxy - sx * sy AS DOUBLE)
+        |    / CAST(nd * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - (CAST(nd * sxy - sx * sy AS DOUBLE)
+        |         / CAST(nd * sxx - sx * sx AS DOUBLE)) * sx)
+        |    / nd, 6) AS intercept,
+        |  round((CAST(nd * sxy - sx * sy AS DOUBLE)
+        |      * CAST(nd * sxy - sx * sy AS DOUBLE))
+        |    / (CAST(nd * sxx - sx * sx AS DOUBLE)
+        |      * CAST(nd * syy - sy * sy AS DOUBLE)), 6) AS r2
+        |FROM m""".stripMargin,
 
     // Markov-eval mirror: even-user transition counts, argmax with the
     // same (count desc, type asc) tie rule, odd-user top-1 scoring.

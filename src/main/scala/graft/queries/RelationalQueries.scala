@@ -488,6 +488,29 @@ object RelationalQueries {
           sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * 100).cast("long")).as("revenue_cents"))
         .orderBy("p_brand")
+    },
+
+    // Benford first-digit screen over order totals (the forensic
+    // anomaly test: organically-grown amounts follow log10(1 + 1/d);
+    // fabricated ones usually don't): per leading digit, observed
+    // share vs the Benford expectation and the deviation. One
+    // 9-group aggregate; the only floats are per-row closed forms —
+    // no float ever crosses an aggregation.
+    "q0R_benford" -> { (s, d) =>
+      val digits = Tables.orders(s, d)
+        .select(floor(col("o_totalprice")).cast("long").cast("string")
+          .substr(1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = digits.agg(sum("n").as("total"))
+      digits.crossJoin(broadcast(total))
+        .select(col("digit"), col("n"),
+          round(col("n") / col("total"), 6).as("share"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("benford_share"),
+          round(col("n") / col("total")
+            - log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+            .as("deviation"))
+        .orderBy("digit")
     }
   )
 
@@ -832,6 +855,22 @@ object RelationalQueries {
         |FROM lineitem JOIN part ON p_partkey = l_partkey
         |WHERE p_brand LIKE 'Brand#1%'
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+
+    // Benford mirror: same leading-digit derivation, same closed forms
+    // (log base change spelled as ln ratios exactly like Spark's LOG).
+    "q0R_benford" ->
+      """WITH digits AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+        |           AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM digits)
+        |SELECT digit, n,
+        |  round(n / total, 6) AS share,
+        |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+        |  round(n / total - ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS deviation
+        |FROM digits CROSS JOIN t
+        |ORDER BY digit""".stripMargin
   )
 }
