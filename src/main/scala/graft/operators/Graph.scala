@@ -265,6 +265,67 @@ object Graph {
     orientByDegree(und, undirectedDegrees(und))
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5)): the
+    * two-score dual of PageRank on a DIRECTED graph — a page is a good
+    * AUTHORITY if good hubs point at it, a good HUB if it points at
+    * good authorities. The mutual recurrence (a = Eᵀh, h = Ea,
+    * L1-renormalized each round) runs in the same EXACT pico
+    * fixed-point longs as [[pageRank]]: sums of longs are
+    * partition-order-independent, and the renormalization is a
+    * truncating `div` by `max(1, Σraw div 10^12)` — every quantity
+    * non-negative, so Spark's `div` equals DuckDB's `//` and the whole
+    * register of scores is bit-identical cross-engine. Multi-edges are
+    * collapsed (standard HITS is over the simple directed graph).
+    *
+    * Scale shape: per round, TWO node-sized hash joins (edge⋈score) +
+    * two map-side-combinable sums + two one-row normalizer aggregates
+    * (broadcast); lineage cut per round. Overflow headroom: a raw sum
+    * is ≤ 10^12 × degree, so degrees up to ~9×10^6 fit a long at full
+    * mass — beyond that, pre-aggregate or drop to milli fixed-point.
+    *
+    * @return one row per node: `node`, `auth_pico`, `hub_pico` (exact
+    *         longs) and rounded `auth` / `hub` doubles for human eyes
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nodes = edgeNodes(e)
+    val consts = nodes.agg(count(lit(1)).as("n"))
+      .select(expr(s"CASE WHEN n = 0 THEN 0 ELSE $PicoMass div n END")
+        .as("base"))
+    def renorm(raw: DataFrame): DataFrame = {
+      val q = raw.agg(sum("raw").as("s"))
+        .select(expr(s"greatest(1L, coalesce(s, 0L) div $PicoMass)").as("q"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(q))
+        .select(col("node"),
+          expr("coalesce(raw, 0L) div q").as("v"))
+        .localCheckpoint(eager = false)
+    }
+    var h = nodes.crossJoin(broadcast(consts))
+      .select(col("node"), col("base").as("v"))
+      .localCheckpoint(eager = false)
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      a = renorm(e.join(h.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("v").as("raw")))
+      h = renorm(e.join(a.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("v").as("raw")))
+    }
+    a.withColumnRenamed("v", "auth_pico")
+      .join(h.withColumnRenamed("v", "hub_pico"), "node")
+      .select(col("node"), col("auth_pico"), col("hub_pico"),
+        round(col("auth_pico").cast("double") / lit(PicoMass.toDouble), 6)
+          .as("auth"),
+        round(col("hub_pico").cast("double") / lit(PicoMass.toDouble), 6)
+          .as("hub"))
+  }
+
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
                         weightCol: String): DataFrame =
     edges.select(

@@ -52,4 +52,57 @@ object RangeJoin {
       .select(col(keyCol), col("id_a"), col("id_b"),
         abs(col("ts_a") - col("ts_b")).as("gap_us"))
   }
+
+  /** Point-in-interval join: every (point, interval) pair with
+    * `lo <= point < hi` (half-open, the calendar-window convention).
+    * The naive formulation is a θ-join — Spark plans it as
+    * BroadcastNestedLoopJoin (if one side is small) or a cartesian
+    * product (if neither is), both of which die at 100 TB. Binning
+    * turns it into an equi-join: each interval is exploded to the bins
+    * it overlaps, each point lands in exactly ONE bin, so every
+    * qualifying pair meets on exactly one (bin) key — one hash
+    * shuffle, no dedup pass, AQE-skew-splittable.
+    *
+    * `binWidth` trades explosion factor against join selectivity: an
+    * interval spanning w bins yields w candidate rows. Pick it near
+    * the MEDIAN interval length (each interval then explodes to ~2
+    * bins). Intervals longer than `maxBinsPerInterval * binWidth` fail
+    * fast inside the plan (raise_error) rather than silently exploding
+    * a 10-year interval into 10^6 candidate rows per row.
+    *
+    * Both sides keep all their columns; `points` and `intervals` must
+    * not share column names (standard pre-aliasing applies).
+    */
+  def pointInInterval(
+      points: DataFrame,
+      ptCol: String,
+      intervals: DataFrame,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      maxBinsPerInterval: Int = 4096
+  ): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val shared = points.columns.toSet intersect intervals.columns.toSet
+    require(shared.isEmpty, s"sides share column names: $shared")
+    require(!points.columns.contains("_bin") &&
+      !intervals.columns.contains("_bin"), "'_bin' is reserved")
+    // div, not floor(/): stays exact beyond 2^53 (nanosecond epochs)
+    val p = points.withColumn("_bin", expr(s"`$ptCol` div ${binWidth}L"))
+    // hi is exclusive: a hi exactly on a bin edge contributes nothing
+    // to that bin, so explode to bins of [lo, hi-1] inclusive
+    val i = intervals
+      .withColumn("_bin", explode(expr(
+        s"""CASE WHEN `$hiCol` <= `$loCol` THEN CAST(array() AS ARRAY<BIGINT>)
+           |WHEN (`$hiCol` - 1L) div ${binWidth}L - `$loCol` div ${binWidth}L
+           |     >= ${maxBinsPerInterval}L
+           |THEN raise_error(concat('pointInInterval: interval spans > ',
+           |     '$maxBinsPerInterval bins; raise binWidth'))
+           |ELSE sequence(`$loCol` div ${binWidth}L,
+           |              (`$hiCol` - 1L) div ${binWidth}L) END""".stripMargin)))
+    p.join(i, Seq("_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("_bin")
+  }
 }

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension Type 2 builder: turn an append-only change
+  * log (one observation per (key, ts)) into validity intervals — the
+  * standard warehouse dimension shape that as-of / point-in-time joins
+  * consume (see [[AsOf]] for the fact-side join).
+  *
+  * Scale shape: every step is a window partitioned BY KEY — one hash
+  * shuffle on the dimension key total (Catalyst reuses the exchange
+  * across the chained windows, which share partitioning and ordering),
+  * then per-key sequential passes. No global sort, no self-join; a
+  * dimension keyed by customer at 100 TB shuffles each key's history
+  * to one task and nothing else.
+  */
+object Scd {
+
+  /** Build SCD2 intervals from `changes`.
+    *
+    * Steps, all deterministic:
+    *  1. collapse same-(key, ts) duplicate observations, keeping the
+    *     row with the highest `tieBreakCol` (required exactly because
+    *     "last write wins" needs a total order);
+    *  2. drop runs: a row survives only if ANY tracked attribute
+    *     differs (null-safe) from the key's previous observation;
+    *  3. intervals: `valid_from` = its ts, `valid_to` = next surviving
+    *     ts (exclusive) or NULL for the current row; `version` counts
+    *     from 1 per key; `is_current` flags the open interval.
+    *
+    * @return keyCol, attrCols*, valid_from, valid_to, version, is_current
+    */
+  def scd2(
+      changes: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      attrCols: Seq[String],
+      tieBreakCol: String
+  ): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val reserved = Seq("_rn", "_chg", "valid_from", "valid_to", "version",
+      "is_current") ++ attrCols.map("_prev_" + _)
+    reserved.foreach { c =>
+      require(!changes.columns.contains(c),
+        s"input may not contain the reserved working column '$c'")
+    }
+    // same-ts dedup INSIDE the key partition (ordered ts asc, tie desc:
+    // a row wins its ts group iff the previous row has a different ts)
+    // rather than a (key, ts)-partitioned row_number — keeps every
+    // window in this chain on ONE hashpartitioning(key) exchange
+    val byTsTie = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(tieBreakCol).desc)
+    val byKey = Window.partitionBy(keyCol).orderBy(col(tsCol))
+    val deduped = changes
+      .withColumn("_rn", !(lag(col(tsCol), 1).over(byTsTie) <=> col(tsCol)))
+      .filter(col("_rn")).drop("_rn")
+    val changed = attrCols
+      .map(a => !(col(a) <=> lag(col(a), 1).over(byKey)))
+      .reduce(_ || _)
+    deduped
+      // first row per key: every lag is null, so <=> is false for any
+      // non-null attr; an all-null first row still opens version 1 via
+      // the row_number guard below
+      .withColumn("_chg", changed ||
+        row_number().over(byKey) === 1)
+      .filter(col("_chg")).drop("_chg")
+      .select((Seq(col(keyCol)) ++ attrCols.map(col) ++ Seq(
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(byKey).as("valid_to"),
+        row_number().over(byKey).as("version"),
+        lead(col(tsCol), 1).over(byKey).isNull.as("is_current"))): _*)
+  }
+}

@@ -789,6 +789,66 @@ object PipelineQueries {
       Graph.assortativity(edges, "src", "dst")
     },
 
+    // HITS hubs & authorities over the same session-transition graph
+    // as q4B — the two-score dual of PageRank: directory-style pages
+    // (link out to good content) surface as hubs, destination content
+    // as authorities. Same exact pico fixed-point recurrence family;
+    // L1 renorm per round is a truncating div by max(1, Σ div 10¹²).
+    "q4T_hits" -> { (s, d) =>
+      import graft.operators.Graph
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val edges = ev.withColumn("dst_k", lead("k", 1).over(w))
+        .filter(col("dst_k").isNotNull)
+        .select(col("k").as("src"), col("dst_k").as("dst"))
+      Graph.hits(edges, "src", "dst", iters = 5).orderBy("node")
+    },
+
+    // Point-in-interval (range) join, bin-reshaped: promo windows
+    // (7 days from every 97th order) × lineitem ship dates. The naive
+    // θ-join is a nested-loop; RangeJoin.pointInInterval explodes each
+    // interval to its covered 7-day bins and meets points on ONE
+    // equi-key — hash shuffle, AQE-splittable, no candidate dedup.
+    "q4U_interval_join" -> { (s, d) =>
+      import graft.operators.RangeJoin
+      val promos = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey").as("promo_key"),
+          unix_micros(col("o_orderdate")).as("lo_us"),
+          (unix_micros(col("o_orderdate")) + lit(7L * 86400L * 1000000L))
+            .as("hi_us"))
+      val pts = Tables.lineitem(s, d)
+        .select(col("l_quantity"), unix_micros(col("l_shipdate")).as("ship_us"))
+      RangeJoin.pointInInterval(pts, "ship_us", promos, "lo_us", "hi_us",
+          binWidth = 7L * 86400L * 1000000L)
+        .groupBy("promo_key", "lo_us")
+        .agg(count(lit(1)).as("n_shipped"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("promo_key")
+    },
+
+    // SCD Type 2 dimension build: the orders log as a change feed on
+    // (customer → order priority). Same-day duplicate observations
+    // collapse to the highest orderkey; unchanged-priority runs
+    // collapse; validity is [valid_from, valid_to) with NULL-open
+    // current rows. One hash shuffle on the key, window chain reuses it.
+    "q4V_scd2" -> { (s, d) =>
+      import graft.operators.Scd
+      val ch = Tables.orders(s, d).select(
+        col("o_custkey").as("cust_key"),
+        unix_micros(col("o_orderdate")).as("ts_us"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderkey"))
+      Scd.scd2(ch, "cust_key", "ts_us", Seq("priority"), "o_orderkey")
+        .select(col("cust_key"), col("priority"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"),
+          col("version"), col("is_current"))
+        .orderBy("cust_key", "version")
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // behind OPTIMIZE ZORDER: interleave (user_id % 1024, props.k) bits
     // and bucket by z ranges; each bucket's (x, y) bounding box is the
@@ -2138,6 +2198,100 @@ object PipelineQueries {
         |              ORDER BY k, doc_id) AS INTEGER) AS pos_in_shard
         |FROM sharded
         |ORDER BY shard, pos_in_shard""".stripMargin,
+
+    // HITS mirror: q4B's edge CTEs (DISTINCT edges — multi-edges
+    // collapse, standard HITS), five unrolled a/h rounds with the same
+    // truncating-div L1 renorm. Each half-round is ONE CTE referencing
+    // its predecessor exactly once (normalizer via sum() OVER ()):
+    // a multiply-referenced CTE chain gets INLINED by DuckDB and
+    // re-evaluates the whole prefix per reference — 2^rounds blowup
+    // (measured: the _raw/_q/join formulation never finished sf0.001).
+    "q4T_hits" -> {
+      def half(prev: String, out: String, joinKey: String,
+               groupKey: String): String =
+        s"""$out AS (
+           |  SELECT node, raw // greatest(1,
+           |      coalesce(CAST(sum(raw) OVER () AS BIGINT), 0)
+           |      // 1000000000000) AS v
+           |  FROM (
+           |    SELECT n.node, coalesce(r.raw, 0) AS raw
+           |    FROM nodes n LEFT JOIN (
+           |      SELECT e.$groupKey AS node, CAST(sum(p.v) AS BIGINT) AS raw
+           |      FROM edges e JOIN $prev p ON p.node = e.$joinKey
+           |      GROUP BY e.$groupKey) r ON r.node = n.node))""".stripMargin
+      val rounds = (1 to 5).map { i =>
+        val hin = if (i == 1) "h0" else s"h${i - 1}"
+        half(hin, s"a$i", "src", "dst") + ",\n" +
+          half(s"a$i", s"h$i", "dst", "src")
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |tr AS (
+         |  SELECT k AS src,
+         |    lead(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+         |  FROM seq),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM tr WHERE dst IS NOT NULL),
+         |nodes AS (SELECT src AS node FROM edges
+         |          UNION SELECT dst FROM edges),
+         |consts AS (SELECT CASE WHEN count(*) = 0 THEN 0
+         |    ELSE 1000000000000 // count(*) END AS base FROM nodes),
+         |h0 AS (SELECT node, (SELECT base FROM consts) AS v FROM nodes),
+         |$rounds
+         |SELECT n.node, a5.v AS auth_pico, h5.v AS hub_pico,
+         |  round(CAST(a5.v AS DOUBLE) / 1000000000000.0, 6) AS auth,
+         |  round(CAST(h5.v AS DOUBLE) / 1000000000000.0, 6) AS hub
+         |FROM nodes n
+         |JOIN a5 ON a5.node = n.node
+         |JOIN h5 ON h5.node = n.node
+         |ORDER BY n.node""".stripMargin
+    },
+
+    // Interval-join mirror: the plain θ-join (DuckDB's IEJoin handles
+    // it natively at oracle scale; the bin reshaping is Spark-side
+    // physical-plan strategy, invisible in the result).
+    "q4U_interval_join" ->
+      """WITH promos AS (
+        |  SELECT o_orderkey AS promo_key,
+        |    epoch_us(o_orderdate) AS lo_us,
+        |    epoch_us(o_orderdate) + 604800000000 AS hi_us
+        |  FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT promo_key, lo_us, count(*) AS n_shipped,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM promos JOIN lineitem
+        |  ON epoch_us(l_shipdate) >= lo_us AND epoch_us(l_shipdate) < hi_us
+        |GROUP BY promo_key, lo_us
+        |ORDER BY promo_key""".stripMargin,
+
+    // SCD2 mirror: identical three-step window chain — same-ts dedup by
+    // highest orderkey, run collapse via lag (null-safe: IS DISTINCT
+    // FROM), intervals via lead over survivors.
+    "q4V_scd2" ->
+      """WITH ch AS (
+        |  SELECT o_custkey AS cust_key, epoch_us(o_orderdate) AS ts_us,
+        |    o_orderpriority AS priority,
+        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+        |                       ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |u AS (SELECT cust_key, ts_us, priority FROM ch WHERE rn = 1),
+        |c AS (
+        |  SELECT cust_key, ts_us, priority,
+        |    (priority IS DISTINCT FROM lag(priority) OVER
+        |      (PARTITION BY cust_key ORDER BY ts_us)) OR
+        |    row_number() OVER (PARTITION BY cust_key ORDER BY ts_us) = 1
+        |      AS chg
+        |  FROM u)
+        |SELECT cust_key, priority, ts_us AS valid_from_us,
+        |  lead(ts_us) OVER (PARTITION BY cust_key ORDER BY ts_us)
+        |    AS valid_to_us,
+        |  CAST(row_number() OVER (PARTITION BY cust_key ORDER BY ts_us)
+        |    AS INTEGER) AS version,
+        |  lead(ts_us) OVER (PARTITION BY cust_key ORDER BY ts_us) IS NULL
+        |    AS is_current
+        |FROM c WHERE chg
+        |ORDER BY cust_key, version""".stripMargin,
 
     // Trend mirror: the same exact integer moments and closed-form
     // divisions (slope reconstructed inline for the intercept, exactly

@@ -219,7 +219,9 @@ object VectorQueries {
         .groupBy("cell")
         .agg(count(lit(1)).as("n"), sum("dmic").as("sm"))
         .withColumn("s", col("sm").cast("double") / col("n") / lit(1e6))
-      val seps = c.as("ci").join(c.as("cj"),
+      // broadcast the k-row right side: the non-equi k² pairing plans
+      // as BroadcastNestedLoopJoin, never a CartesianProduct exchange
+      val seps = c.as("ci").join(broadcast(c.as("cj")),
           col("ci.cell") =!= col("cj.cell"))
         .select(col("ci.cell").as("cell"), col("cj.cell").as("other"),
           euclideanDistance(col("ci.centroid_vec"), col("cj.centroid_vec"))

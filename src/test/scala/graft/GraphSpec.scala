@@ -125,6 +125,34 @@ class GraphSpec extends GraftSpec {
     assert(r.forall(x => !x.isNullAt(1) && x.getAs[Long]("rank_pico") == 0L))
   }
 
+  test("HITS: hubs point at authorities, authorities are pointed at") {
+    // 1 and 2 each link to BOTH 4 and 5; 3 links to 4 only. So 4 is the
+    // stronger authority (3 in-links vs 2), 1 and 2 are the stronger
+    // (and exactly tied) hubs, and pure authorities have hub score 0.
+    val e = Seq((1L, 4L), (1L, 5L), (2L, 4L), (2L, 5L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = Graph.hits(e, "src", "dst", iters = 5)
+      .collect().map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("auth_pico"), x.getAs[Long]("hub_pico"))).toMap
+    assert(r.size == 5)
+    assert(r(4L)._1 > r(5L)._1 && r(5L)._1 > 0L,
+      "4 must out-authority 5, both positive")
+    assert(r(1L)._1 == 0L && r(2L)._1 == 0L && r(3L)._1 == 0L,
+      "nodes with no in-links carry zero authority")
+    assert(r(1L)._2 == r(2L)._2 && r(1L)._2 > r(3L)._2 && r(3L)._2 > 0L,
+      "1 and 2 tie as top hubs; 3 is a weaker hub; all positive")
+    assert(r(4L)._2 == 0L && r(5L)._2 == 0L,
+      "nodes with no out-links carry zero hub score")
+    // multi-edges collapse: duplicating an edge changes nothing
+    val dup = Graph.hits(e.union(e.limit(2)), "src", "dst", iters = 5)
+      .collect().map(x => x.getAs[Long]("node") ->
+        (x.getAs[Long]("auth_pico"), x.getAs[Long]("hub_pico"))).toMap
+    assert(dup == r)
+    // empty edge table: empty result, never NULL scores
+    assert(Graph.hits(Seq.empty[(Long, Long)].toDF("src", "dst"),
+      "src", "dst", iters = 3).isEmpty)
+  }
+
   test("triangle orientation: hub fixture stays under the O(m^1.5) wedge bound") {
     // a 1000-leaf star around the LOWEST id (0) — the adversarial case
     // for id-based orientation, which would put C(1000,2) = 499,500

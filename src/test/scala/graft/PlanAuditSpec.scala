@@ -116,7 +116,12 @@ class PlanAuditSpec extends GraftSpec {
     // merged span islands per doc (disjoint, >= k tokens each, so
     // <= len/k entries): the island aggregate's span_id key is the witness
     "q76_span_clean" -> (("span_id island aggregate below the collect",
-      sub => sub.contains("span_id"))))
+      sub => sub.contains("span_id"))),
+    // q6M's weight fold collects the per-SOURCE count frame (one row
+    // per stratum, never the corpus): the source-keyed aggregate below
+    // the collect is the witness
+    "q6M_temperature_mixture" -> (("source-keyed count aggregate below the collect",
+      sub => """HashAggregate\(keys=\[source#\d+""".r.findFirstIn(sub).isDefined)))
 
   /** Each final (non-partial) collect_list/collect_set node with its
     * full plan subtree, extracted from the plan TEXT — AQE's

@@ -38,6 +38,58 @@ class RangeJoinSpec extends GraftSpec {
     assert(fast.nonEmpty)
   }
 
+  test("pointInInterval: matches the naive θ-join, half-open semantics") {
+    val pts = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 35L), (5L, 999L))
+      .toDF("pid", "p")
+    val iv = Seq((100L, 10L, 30L), (200L, 25L, 36L), (300L, 40L, 40L),
+        (400L, 50L, 45L)) // 300 is empty (lo==hi), 400 inverted
+      .toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "p", iv, "lo", "hi", binWidth = 7L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // half-open: p=30 is NOT in [10,30) but IS in [25,36)
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L)))
+    // cross-check vs naive on real data: lineitem ship dates × promo windows
+    val promos = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"), unix_micros(col("o_orderdate")).as("lo"),
+        (unix_micros(col("o_orderdate")) + lit(7L * 86400L * 1000000L)).as("hi"))
+    val ship = Tables.lineitem(spark, sfDir).limit(2000)
+      .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        unix_micros(col("l_shipdate")).as("su"))
+    val fast = RangeJoin.pointInInterval(ship, "su", promos, "lo", "hi",
+        binWidth = 7L * 86400L * 1000000L)
+      .select("ok", "ln", "k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val naive = ship.join(promos, col("su") >= col("lo") && col("su") < col("hi"))
+      .select("ok", "ln", "k").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("pointInInterval: plans an equi-join and fails fast on giant intervals") {
+    val pts = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), unix_micros(col("l_shipdate")).as("su"))
+    val iv = Tables.orders(spark, sfDir).filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"), unix_micros(col("o_orderdate")).as("lo"),
+        (unix_micros(col("o_orderdate")) + lit(7L * 86400L * 1000000L)).as("hi"))
+    val plan = RangeJoin.pointInInterval(pts, "su", iv, "lo", "hi",
+      binWidth = 7L * 86400L * 1000000L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join degenerated to nested loop:\n$plan")
+    // an interval spanning > maxBinsPerInterval bins raises in-plan
+    val boom = intercept[Exception] {
+      RangeJoin.pointInInterval(pts, "su", iv, "lo", "hi",
+        binWidth = 7L * 86400L * 1000000L, maxBinsPerInterval = 0)
+    }
+    assert(boom.getMessage.contains("maxBinsPerInterval"))
+    val big = Seq((1L, 0L, Long.MaxValue / 4)).toDF("iid", "lo", "hi")
+    val p1 = Seq((1L, 5L)).toDF("pid", "p")
+    val err = intercept[Exception] {
+      RangeJoin.pointInInterval(p1, "p", big, "lo", "hi", binWidth = 7L).collect()
+    }
+    assert(err.getMessage.contains("raise binWidth") ||
+      Option(err.getCause).exists(_.getMessage.contains("raise binWidth")))
+  }
+
   test("plans an equi-join (hash/merge), not a nested-loop cartesian") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))

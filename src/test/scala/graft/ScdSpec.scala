@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Scd
+import org.apache.spark.sql.functions._
+
+class ScdSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def log(rows: (Long, Long, String, Long)*) =
+    rows.toDF("k", "ts", "attr", "tie")
+
+  test("scd2: same-ts dedup, run collapse, half-open intervals, current flag") {
+    val ch = log(
+      (1L, 10L, "A", 1L), (1L, 10L, "B", 2L), // same ts: tie=2 wins -> B
+      (1L, 20L, "B", 3L),                     // unchanged run: collapses
+      (1L, 30L, "C", 4L),                     // change -> version 2
+      (2L, 15L, "X", 5L))                     // single-row key
+    val r = Scd.scd2(ch, "k", "ts", Seq("attr"), "tie")
+      .orderBy("k", "version").collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[String]("attr"),
+        x.getAs[Long]("valid_from"),
+        Option(x.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+        x.getAs[Int]("version"), x.getAs[Boolean]("is_current")))
+    assert(r.toSeq == Seq(
+      (1L, "B", 10L, Some(30L), 1, false),
+      (1L, "C", 30L, None, 2, true),
+      (2L, "X", 15L, None, 1, true)))
+  }
+
+  test("scd2: null attributes are tracked null-safely") {
+    val ch = Seq(
+      (1L, 10L, Option.empty[String], 1L), // first row, null attr
+      (1L, 20L, Option.empty[String], 2L), // still null: collapses
+      (1L, 30L, Option("A"), 3L),          // null -> A is a change
+      (1L, 40L, Option.empty[String], 4L)) // A -> null is a change
+      .toDF("k", "ts", "attr", "tie")
+    val r = Scd.scd2(ch, "k", "ts", Seq("attr"), "tie")
+      .orderBy("version").collect()
+      .map(x => (Option(x.getAs[String]("attr")), x.getAs[Long]("valid_from"),
+        x.getAs[Boolean]("is_current")))
+    assert(r.toSeq == Seq(
+      (None, 10L, false), (Some("A"), 30L, false), (None, 40L, true)))
+  }
+
+  test("scd2: multi-attribute change detection, one exchange in the plan") {
+    val ch = Seq(
+      (1L, 10L, "A", 1L, 1L), (1L, 20L, "A", 2L, 2L), // b changed
+      (1L, 30L, "A", 2L, 3L))                          // nothing changed
+      .toDF("k", "ts", "a", "b", "tie")
+      .withColumnRenamed("tie", "tb")
+    val dim = Scd.scd2(ch, "k", "ts", Seq("a", "b"), "tb")
+    assert(dim.count() == 2)
+    // all windows share partitioning on k: exactly one hash exchange
+    val exchanges = dim.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"window chain must reuse one key shuffle, saw $exchanges")
+  }
+}
