@@ -343,6 +343,46 @@ object Curation {
         round(col("kl_ba_nano").cast("double") / lit(1e9), 6).as("kl_ba"))
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the
+    * `valueCol` distributions of two slices: D = max_x |F_a(x) −
+    * F_b(x)|, the standard nonparametric drift test to run next to
+    * [[tokenDrift]]'s KL (KS is threshold-free and sensitive to ANY
+    * distributional difference, not just head-mass shift).
+    *
+    * Exactness: the max is taken over the INTEGER cross-products
+    * |cumA·n_b − cumB·n_a| (never a float CDF), so the argmax — and
+    * the reported D = d_num / (n_a·n_b) — is bit-identical
+    * cross-engine. Ties in d_num break to the smallest value.
+    *
+    * Scale shape: each slice reduces to a per-distinct-value count
+    * (map-side combinable, the only corpus-sized pass); the cumulative
+    * window runs over the merged DISTINCT-value table (bounded by the
+    * value domain, not the corpus) and the final max is a
+    * TakeOrderedAndProject of 1.
+    *
+    * @return one row: n_a, n_b, at_value (argmax), d_num, ks_d
+    */
+  def ksTest(a: DataFrame, b: DataFrame, valueCol: String): DataFrame = {
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(col(valueCol).as("v"))
+        .agg(count(lit(1)).as(name))
+    val m = cnt(a, "ca").join(cnt(b, "cb"), Seq("v"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = m.select(col("v"),
+      sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+    val tot = m.agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("v").as("at_value"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("d_num"))
+      .orderBy(col("d_num").desc, col("at_value"))
+      .limit(1)
+      .withColumn("ks_d", round(col("d_num").cast("double") /
+        (col("n_a") * col("n_b")).cast("double"), 6))
+  }
+
   /** Hashed-token Naive Bayes classifier — the fastText-style linear
     * gate (Joulin et al. 2016; the GPT-3/CCNet "quality classifier"
     * shape: a bag-of-hashed-features linear scorer trained on a labeled

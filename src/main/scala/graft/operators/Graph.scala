@@ -326,6 +326,103 @@ object Graph {
           .as("hub"))
   }
 
+  /** HashMin connected components, k synchronous rounds: every node
+    * starts labeled with its own id; each round every node takes the
+    * MIN label over itself and its neighbors. After `iters` >= the
+    * graph diameter, labels equal the component's minimum node id (the
+    * classic HashMin/label-propagation CC — Rastogi et al., ICDE 2013).
+    * Fewer rounds still yield a deterministic (partially-converged)
+    * labeling, which is what makes a fixed-round oracle replay exact.
+    *
+    * The self-loop trick: "min over self and neighbors" is ONE
+    * join+groupBy per round over the edge set augmented with (v, v)
+    * self-loops — no left-join-back step, so the round's recurrence
+    * references the previous label table exactly once (lineage stays a
+    * chain; a mirror SQL replay stays linear under CTE inlining).
+    *
+    * Scale shape per round: one node-table hash join against the
+    * (static, checkpointed) bidirected edge table + a map-side-
+    * combinable min — the same shape as [[pageRank]]; label tables are
+    * node-sized and never collected. [[Dedup.connectedComponents]] is
+    * the alternating-action variant used where cluster convergence must
+    * be exact regardless of diameter; HashMin is the bulk-synchronous
+    * form you run a fixed round budget on at 100 TB.
+    *
+    * @return one row per non-isolated node: `node`, `comp` (min id
+    *         reached within `iters` hops)
+    */
+  def hashMinComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                        iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val (bi, nodes) = bidirectedWithSelfLoops(edges, srcCol, dstCol)
+    var lab = nodes.select(col("node"), col("node").as("comp"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to iters) {
+      lab = bi.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("comp").as("comp"))
+        .localCheckpoint(eager = false)
+    }
+    lab
+  }
+
+  /** Multi-source BFS hop distance, bounded at `maxHops` rounds: the
+    * distance from each node to its nearest seed, by synchronous
+    * min-plus relaxation over the undirected graph. Nodes further than
+    * `maxHops` from every seed are absent from the result (their
+    * distance is unknown at this round budget, not infinity) — the
+    * frontier table only ever holds REACHED nodes, so early rounds are
+    * frontier-sized, not graph-sized.
+    *
+    * Same self-loop trick as [[hashMinComponents]]: a node keeps its
+    * own distance via its (v, v) edge (increment 0) and takes
+    * neighbor distances + 1, in one join+min per round; the recurrence
+    * references the previous distance table exactly once.
+    *
+    * @param seeds distance-0 nodes; ids not present in the edge set are
+    *              ignored (isolated nodes have no edges to relax over)
+    * @return one row per reached node: `node`, `dist` (int hops)
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String,
+              maxHops: Int = 6): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 50,
+      s"maxHops must be in [1, 50], got $maxHops")
+    val (bi, nodes) = bidirectedWithSelfLoops(edges, srcCol, dstCol)
+    var dist = nodes
+      .join(seeds.select(col(seedCol).cast("long").as("node")).distinct(),
+        "node")
+      .select(col("node"), lit(0).as("dist"))
+      .localCheckpoint(eager = false)
+    for (_ <- 1 to maxHops) {
+      dist = bi.join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(when(col("src") === col("dst"), col("dist"))
+          .otherwise(col("dist") + 1)).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
+  /** Undirected simple edges, materialized in both directions and
+    * augmented with a (v, v) self-loop per node — the edge table that
+    * lets "combine self with neighbors" run as a single join+aggregate.
+    * Returns (bidirected edges, node table), both lineage-cut.
+    */
+  private def bidirectedWithSelfLoops(edges: DataFrame, srcCol: String,
+                                      dstCol: String): (DataFrame, DataFrame) = {
+    val und = undirectedEdges(edges, srcCol, dstCol)
+      .localCheckpoint(eager = false)
+    val nodes = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val bi = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
+      .localCheckpoint(eager = false)
+    (bi, nodes)
+  }
+
   private def normEdges(edges: DataFrame, srcCol: String, dstCol: String,
                         weightCol: String): DataFrame =
     edges.select(

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** 2-D Pareto frontier (skyline, max-max convention): the rows not
+  * dominated by any other row — `q` dominates `p` iff `q.x >= p.x` and
+  * `q.y >= p.y` with at least one strict. The standard multi-criteria
+  * "best tradeoffs" operator (Börzsönyi et al., ICDE 2001).
+  *
+  * Scale shape: aggregate-then-window. Dominance in 2-D only needs, per
+  * distinct x, the running max of y over STRICTLY GREATER x — so the
+  * corpus is first collapsed to one row per distinct x (a map-side-
+  * combinable max), the single-partition window runs over that
+  * aggregate (bounded by the x domain, never the corpus — pick the
+  * lower-cardinality dimension as x), and survivors are selected by a
+  * key join back. No pairwise self-join, no global sort of the input.
+  */
+object Skyline {
+
+  /** Rows of `df` on the max-max Pareto frontier of (`xCol`, `yCol`).
+    * Duplicate points survive together (neither strictly dominates).
+    * NULL coordinates are excluded (dominance is undefined on them).
+    */
+  def pareto2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    Seq("_gy", "_runmax").foreach { c =>
+      require(!df.columns.contains(c),
+        s"input may not contain the reserved working column '$c'")
+    }
+    val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val gx = pts.groupBy(col(xCol)).agg(max(col(yCol)).as("_gy"))
+    // rows preceding in x-desc order = strictly greater x (gx has one
+    // row per distinct x, so rowsBetween is exact here)
+    val w = Window.orderBy(col(xCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val dom = gx.withColumn("_runmax", max(col("_gy")).over(w))
+    // dominated iff some strictly-greater x reaches y, or the same x
+    // holds a strictly greater y
+    pts.join(dom, xCol)
+      .filter(!(coalesce(col("_runmax") >= col(yCol), lit(false)) ||
+        col("_gy") > col(yCol)))
+      .drop("_gy", "_runmax")
+  }
+}

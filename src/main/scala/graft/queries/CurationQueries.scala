@@ -220,6 +220,16 @@ object CurationQueries {
         docs.filter(col("doc_id") % 2 =!= 0), "text", nBuckets = 4096)
     },
 
+    // Exact two-sample KS on document length between the same slices
+    // q6L KL-compares: the threshold-free nonparametric drift gate.
+    // The max runs over integer cross-products (never a float CDF), so
+    // argmax and D replay bit-identically.
+    "q6N_ks_drift" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.ksTest(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+    },
+
     // Hashed-token Naive Bayes language classifier (the fastText-style
     // linear gate): train on the doc_id % 5 != 0 slice with `lang` as
     // the label, predict the held-out slice, report accuracy per doc.
@@ -552,6 +562,35 @@ object CurationQueries {
          |  round(CAST(sum(t_ab) AS DOUBLE) / 1000000000, 6) AS kl_ab,
          |  round(CAST(sum(t_ba) AS DOUBLE) / 1000000000, 6) AS kl_ba
          |FROM terms""".stripMargin,
+
+    // KS mirror: same per-value counts, same full-outer merge, same
+    // cumulative window over distinct values, same integer
+    // cross-product max with smallest-value tie-break.
+    "q6N_ks_drift" ->
+      """WITH ca AS (
+        |  SELECT n_chars AS v, count(*) AS cac FROM documents
+        |  WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |cb AS (
+        |  SELECT n_chars AS v, count(*) AS cbc FROM documents
+        |  WHERE doc_id % 2 <> 0 AND n_chars IS NOT NULL GROUP BY 1),
+        |m AS (
+        |  SELECT coalesce(ca.v, cb.v) AS v,
+        |    coalesce(cac, 0) AS ca2, coalesce(cbc, 0) AS cb2
+        |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(ca2) OVER (ORDER BY v) AS BIGINT) AS cuma,
+        |    CAST(sum(cb2) OVER (ORDER BY v) AS BIGINT) AS cumb
+        |  FROM m),
+        |t AS (SELECT CAST(sum(ca2) AS BIGINT) AS n_a,
+        |             CAST(sum(cb2) AS BIGINT) AS n_b FROM m)
+        |SELECT n_a, n_b, v AS at_value,
+        |  abs(cuma * n_b - cumb * n_a) AS d_num,
+        |  round(CAST(abs(cuma * n_b - cumb * n_a) AS DOUBLE)
+        |        / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d
+        |FROM cum CROSS JOIN t
+        |ORDER BY d_num DESC, at_value
+        |LIMIT 1""".stripMargin,
 
     // Naive Bayes mirror: identical marker augmentation (same profile
     // arrays, same index arithmetic), identical md5 bucket arithmetic,

@@ -15,6 +15,33 @@ object PipelineQueries {
 
   private def duckCosine(a: String, b: String): String = DuckSql.cosine(a, b)
 
+  /** Sparse part↔supplier bipartite graph for q4W/q4X: rare
+    * (quantity ≥ 49) lineitems as edges, suppliers offset by 10^6 into
+    * an id space disjoint from parts.
+    */
+  private def rareBipartite(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_partkey").as("src"),
+        (col("l_suppkey") + lit(1000000L)).as("dst"))
+
+  /** The q4W/q4X oracle's shared graph CTEs: undirected simple edges,
+    * node set, and the bidirected-with-self-loops table that makes each
+    * HashMin/BFS round ONE join+aggregate referencing its predecessor
+    * exactly once (multiply-referenced recurrent CTEs inline
+    * exponentially in DuckDB — see the q4T comment).
+    */
+  private val duckBipartiteGraph: String =
+    """e0 AS (
+      |  SELECT DISTINCT least(l_partkey, l_suppkey + 1000000) AS a,
+      |    greatest(l_partkey, l_suppkey + 1000000) AS b
+      |  FROM lineitem WHERE l_quantity >= 49),
+      |und AS (SELECT a, b FROM e0 WHERE a < b),
+      |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
+      |bi AS (SELECT a AS src, b AS dst FROM und
+      |       UNION ALL SELECT b, a FROM und
+      |       UNION ALL SELECT node, node FROM nodes)""".stripMargin
+
   /** CDC chunk CTEs shared by the q4D and q4E oracles: boundary
     * positions by the gear predicate, final-token close, chunk
     * assembly; emits `x(doc_id, chunk_idx, chunk_text)`.
@@ -847,6 +874,31 @@ object PipelineQueries {
           col("valid_to").as("valid_to_us"),
           col("version"), col("is_current"))
         .orderBy("cust_key", "version")
+    },
+
+    // HashMin connected components on a sparse part↔supplier bipartite
+    // graph (rare qty-49+ lineitems as edges; suppliers offset by 10^6
+    // into a disjoint id space). 10 synchronous rounds — deterministic
+    // whether or not the diameter is covered, which is what the
+    // fixed-round DuckDB replay checks.
+    "q4W_components" -> { (s, d) =>
+      import graft.operators.Graph
+      Graph.hashMinComponents(rareBipartite(s, d), "src", "dst", iters = 10)
+        .orderBy("node")
+    },
+
+    // Multi-source BFS over the same bipartite graph: hop distance to
+    // the nearest seed supplier (ids divisible by 10), 6-round budget.
+    // Unreached nodes are absent, not infinite — the frontier table
+    // stays reached-sized.
+    "q4X_bfs_hops" -> { (s, d) =>
+      import graft.operators.Graph
+      val g = rareBipartite(s, d)
+      val seeds = g.select(col("dst").as("node"))
+        .filter(col("node") >= 1000000L && col("node") % 10 === 0)
+        .distinct()
+      Graph.bfsHops(g, "src", "dst", seeds, "node", maxHops = 6)
+        .orderBy("node")
     },
 
     // Z-order (Morton) clustering key — the multi-dimensional layout
@@ -2292,6 +2344,42 @@ object PipelineQueries {
         |    AS is_current
         |FROM c WHERE chg
         |ORDER BY cust_key, version""".stripMargin,
+
+    // HashMin mirror: 10 unrolled min-label rounds over the shared
+    // bidirected+self-loop graph; each round references only its
+    // predecessor (linear under CTE inlining).
+    "q4W_components" -> {
+      val rounds = (1 to 10).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT e.dst AS node, min(l.comp) AS comp
+           |  FROM bi e JOIN $prev l ON l.node = e.src GROUP BY e.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckBipartiteGraph,
+         |l0 AS (SELECT node, node AS comp FROM nodes),
+         |$rounds
+         |SELECT node, comp FROM l10 ORDER BY node""".stripMargin
+    },
+
+    // BFS mirror: 6 unrolled min-plus rounds; the self-loop carries a
+    // node's own distance (increment 0), neighbors add 1.
+    "q4X_bfs_hops" -> {
+      val rounds = (1 to 6).map { i =>
+        val prev = if (i == 1) "d0" else s"d${i - 1}"
+        s"""d$i AS (
+           |  SELECT e.dst AS node,
+           |    min(d.dist + CASE WHEN e.src = e.dst THEN 0 ELSE 1 END) AS dist
+           |  FROM bi e JOIN $prev d ON d.node = e.src GROUP BY e.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckBipartiteGraph,
+         |d0 AS (SELECT node, CAST(0 AS INTEGER) AS dist FROM nodes
+         |       WHERE node >= 1000000 AND node % 10 = 0),
+         |$rounds
+         |SELECT node, CAST(dist AS INTEGER) AS dist
+         |FROM d6 ORDER BY node""".stripMargin
+    },
 
     // Trend mirror: the same exact integer moments and closed-form
     // divisions (slope reconstructed inline for the intercept, exactly

@@ -511,6 +511,23 @@ object RelationalQueries {
             - log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
             .as("deviation"))
         .orderBy("digit")
+    },
+
+    // 2-D Pareto frontier: customers whose (order count, lifetime
+    // spend) tradeoff is undominated. Spend in exact cents (long) —
+    // double sums are partition-order-dependent and would break the
+    // cross-engine hash. Skyline.pareto2D aggregates per distinct
+    // n_orders before its window, so nothing corpus-sized is sorted.
+    "q0S_pareto" -> { (s, d) =>
+      import graft.operators.Skyline
+      val c = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("cust_key"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("spend_cents"))
+      Skyline.pareto2D(c, "n_orders", "spend_cents")
+        .select("cust_key", "n_orders", "spend_cents")
+        .orderBy("cust_key")
     }
   )
 
@@ -871,6 +888,23 @@ object RelationalQueries {
         |  round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
         |  round(n / total - ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS deviation
         |FROM digits CROSS JOIN t
-        |ORDER BY digit""".stripMargin
+        |ORDER BY digit""".stripMargin,
+
+    // Pareto mirror: literal NOT EXISTS dominance (q beats p on one
+    // axis without losing the other). Quadratic is fine at oracle
+    // scale; the Spark side is the aggregate-then-window formulation.
+    "q0S_pareto" ->
+      """WITH c AS (
+        |  SELECT o_custkey AS cust_key, count(*) AS n_orders,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS spend_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT p.cust_key, p.n_orders, p.spend_cents
+        |FROM c p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c q
+        |  WHERE (q.n_orders > p.n_orders AND q.spend_cents >= p.spend_cents)
+        |     OR (q.n_orders = p.n_orders AND q.spend_cents > p.spend_cents))
+        |ORDER BY p.cust_key""".stripMargin
   )
 }

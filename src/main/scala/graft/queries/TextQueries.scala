@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis coverage on the `documents` fixture: token counting,
@@ -189,6 +190,41 @@ object TextQueries {
             .as("pmi"))
         .orderBy(col("pmi").desc, col("term_a"), col("term_b"))
         .limit(20)
+    },
+
+    // Chi-squared term↔language association: the classic supervised
+    // feature-selection screen (Yang & Pedersen, ICML 1997). From the
+    // 2×2 contingency of (term present, lang), χ² collapses to
+    // N·(a·N − nl·df)² / (nl·(N−nl)·df·(N−df)) — a single closed-form
+    // expression over four EXACT integer counts, so the double is
+    // bit-identical cross-engine (no float accumulation). Top-5 terms
+    // per language, df-floored and capped at 90% presence so every
+    // denominator is positive.
+    "q2K_chi2_terms" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dt = docs.select(col("doc_id"), col("lang"),
+        explode(array_distinct(tokens(col("text")))).as("term"))
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val nl = docs.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val dfT = dt.groupBy("term").agg(count(lit(1)).as("df"))
+      val a = dt.groupBy("lang", "term").agg(count(lit(1)).as("a"))
+      val scored = a.join(broadcast(nl), "lang").join(dfT, "term")
+        .crossJoin(broadcast(nd))
+        .filter(col("df") >= 20 && col("df") * 10 <= col("n") * 9)
+        .withColumn("_dd",
+          (col("a") * col("n") - col("nl") * col("df")).cast("double"))
+        .withColumn("chi2", round(
+          col("n").cast("double") * col("_dd") * col("_dd") /
+            (col("nl").cast("double") * (col("n") - col("nl")).cast("double") *
+              col("df").cast("double") * (col("n") - col("df")).cast("double")),
+          4))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("chi2").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank"), col("term"), col("a"),
+          col("df"), col("chi2"))
+        .orderBy("lang", "rank")
     },
 
     // Corpus vocabulary head: exact top-20 terms by frequency — the
@@ -501,6 +537,37 @@ object TextQueries {
          |FROM pairs CROSS JOIN nd
          |ORDER BY pmi DESC, term_a, term_b
          |LIMIT 20""".stripMargin,
+
+    // χ² mirror: identical distinct (doc, lang, term) universe,
+    // identical integer counts, the identical closed-form double
+    // (numerator difference spelled once per factor, same
+    // left-to-right association).
+    "q2K_chi2_terms" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, lang, term FROM (
+         |    SELECT doc_id, lang, unnest($duckToks) AS term FROM documents)),
+         |nd AS (SELECT count(*) AS n FROM documents),
+         |nlt AS (SELECT lang, count(*) AS nl FROM documents GROUP BY lang),
+         |dfq AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+         |ac AS (SELECT lang, term, count(*) AS a FROM dt GROUP BY lang, term),
+         |scored AS (
+         |  SELECT ac.lang, ac.term, ac.a, dfq.df,
+         |    round(CAST(n AS DOUBLE)
+         |      * CAST(ac.a * n - nlt.nl * dfq.df AS DOUBLE)
+         |      * CAST(ac.a * n - nlt.nl * dfq.df AS DOUBLE)
+         |      / (CAST(nlt.nl AS DOUBLE) * CAST(n - nlt.nl AS DOUBLE)
+         |         * CAST(dfq.df AS DOUBLE) * CAST(n - dfq.df AS DOUBLE)), 4)
+         |      AS chi2
+         |  FROM ac JOIN nlt USING (lang) JOIN dfq USING (term) CROSS JOIN nd
+         |  WHERE dfq.df >= 20 AND dfq.df * 10 <= n * 9),
+         |r AS (
+         |  SELECT lang, term, a, df, chi2,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY chi2 DESC, term) AS INTEGER) AS "rank"
+         |  FROM scored)
+         |SELECT lang, "rank", term, a, df, chi2
+         |FROM r WHERE "rank" <= 5
+         |ORDER BY lang, "rank"""".stripMargin,
 
     // Novelty mirror: identical distinct-shingle universe, identical
     // document-frequency join and exact counts.

@@ -329,6 +329,25 @@ class CurationSpec extends GraftSpec {
     assert(p.getLong(0) == drift.getLong(0) && p.getLong(1) == drift.getLong(1))
   }
 
+  test("ksTest: hand-computed D, zero on identical samples, tie to min value") {
+    import spark.implicits._
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(3L, 4L).toDF("v")
+    val r = Curation.ksTest(a, b, "v").head()
+    // cum cross-products at v=1,2,3,4: |1*2-0|=2, |2*2-0|=4, |3*2-1*3|=3,
+    // |3*2-2*3|=0 -> max 4 at v=2; D = 4/(3*2)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("at_value") == 2L && r.getAs[Long]("d_num") == 4L)
+    assert(math.abs(r.getAs[Double]("ks_d") - 4.0 / 6.0) < 1e-6)
+    // identical samples: D == 0 (argmax ties to the smallest value)
+    val same = Curation.ksTest(a, a, "v").head()
+    assert(same.getAs[Long]("d_num") == 0L &&
+      same.getAs[Long]("at_value") == 1L)
+    // partitioning-invariant: integer cross-products, no float CDF
+    val p = Curation.ksTest(a.repartition(7), b.repartition(5), "v").head()
+    assert(p.getAs[Long]("d_num") == 4L && p.getAs[Long]("at_value") == 2L)
+  }
+
   test("nbClassify learns a separable vocabulary and ties break to min label") {
     import spark.implicits._
     // two cleanly separated vocabularies: class a uses apple/ant,

@@ -153,6 +153,34 @@ class GraphSpec extends GraftSpec {
       "src", "dst", iters = 3).isEmpty)
   }
 
+  test("hashMinComponents: disjoint components get their min ids") {
+    val e = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 20L))
+      .toDF("src", "dst") // self-loop-only node 20 is isolated -> absent
+    val r = Graph.hashMinComponents(e, "src", "dst", iters = 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // one round on a 4-chain: labels move one hop, deterministically
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val one = Graph.hashMinComponents(chain, "src", "dst", iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("bfsHops: multi-source min distance, bounded frontier") {
+    // path 1-2-3-4-5 plus disjoint 8-9; seeds 1 and 9
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 9L, 777L).toDF("node") // 777 not in the graph
+    val r = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 2)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // maxHops=2: node 4 is 3 away from seed 1 -> absent; 777 ignored
+    assert(r == Map(1L -> 0, 2L -> 1, 3L -> 2, 8L -> 1, 9L -> 0))
+    val full = Graph.bfsHops(e, "src", "dst", seeds, "node", maxHops = 6)
+      .collect().map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(full == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 4,
+      8L -> 1, 9L -> 0))
+  }
+
   test("triangle orientation: hub fixture stays under the O(m^1.5) wedge bound") {
     // a 1000-leaf star around the LOWEST id (0) — the adversarial case
     // for id-based orientation, which would put C(1000,2) = 499,500

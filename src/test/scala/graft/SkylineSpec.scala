@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Skyline
+import org.apache.spark.sql.functions._
+
+class SkylineSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("pareto2D: hand frontier with ties, duplicates, and nulls") {
+    val pts = Seq(
+      (1L, 1L, 5L), (2L, 2L, 4L), (3L, 2L, 4L), (4L, 3L, 1L),
+      (5L, 0L, 9L), (6L, 2L, 5L), (7L, 3L, 1L))
+      .toDF("id", "x", "y")
+      .union(Seq((8L, Option.empty[Long], Option(1L)),
+        (9L, Option(1L), Option.empty[Long])).toDF("id", "x", "y"))
+    val got = Skyline.pareto2D(pts, "x", "y")
+      .select("id").collect().map(_.getLong(0)).toSet
+    // (1,5) loses to (2,5); both (2,4)s lose to (2,5); duplicates (3,1)
+    // survive together; null coordinates are excluded
+    assert(got == Set(4L, 5L, 6L, 7L))
+  }
+
+  test("pareto2D: matches the NOT EXISTS definition on real aggregates") {
+    val c = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val fast = Skyline.pareto2D(c, "x", "y")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val rows = c.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val naive = rows.filter { case (_, x, y) =>
+      !rows.exists { case (_, qx, qy) =>
+        (qx > x && qy >= y) || (qx == x && qy > y)
+      }
+    }.map(_._1).toSet
+    assert(fast == naive && fast.nonEmpty)
+  }
+
+  test("pareto2D: the window input is the x-aggregate, not the corpus") {
+    val c = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val plan = Skyline.pareto2D(c, "x", "y")
+      .queryExecution.optimizedPlan.toString
+    // the Window node's child must contain the max-per-x Aggregate —
+    // i.e. _gy is computed below the window, bounding its input by the
+    // distinct-x domain
+    val windowIdx = plan.indexOf("Window")
+    assert(windowIdx >= 0)
+    assert(plan.indexOf("_gy", windowIdx) >= 0,
+      s"expected the per-x max aggregate beneath the window:\n$plan")
+  }
+}
