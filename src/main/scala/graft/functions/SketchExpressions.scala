@@ -1,0 +1,81 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared per-thread MD5 + packed-bitmap probe for [[BloomHitExpr]].
+  * One digest per row; bucket j is digest bytes (2j, 2j+1) big-endian
+  * mod width — NUMERICALLY IDENTICAL to parsing hex chars 4j..4j+3 of
+  * the md5 hex string base-16 (each hex char is a nibble of the byte),
+  * which is how [[graft.operators.Sketch.bloomBits]] set the bits and
+  * how the DuckDB replays compute slice buckets. Kept as a reference
+  * object so codegen calls ONE method instead of inlining an
+  * expression forest (the Column-composed formulation re-evaluated the
+  * md5 subtree per hex-digit reference inside FilterExec — no
+  * subexpression elimination there — measured 22 s → ~1 s on the q0Q
+  * 600 K-row probe at depth 4).
+  */
+private[graft] final class BloomProbe(
+    words: Array[Long], depth: Int, width: Int, salt: String)
+    extends Serializable {
+  private val saltBytes = s":$salt".getBytes("UTF-8")
+  @transient private lazy val md =
+    new ThreadLocal[MessageDigest] {
+      override def initialValue(): MessageDigest =
+        MessageDigest.getInstance("MD5")
+    }
+
+  def hit(term: UTF8String): Boolean = {
+    val digestIn = md.get()
+    digestIn.reset()
+    digestIn.update(term.getBytes)
+    digestIn.update(saltBytes)
+    val dg = digestIn.digest()
+    var j = 0
+    while (j < depth) {
+      val v = ((dg(2 * j) & 0xff) << 8) | (dg(2 * j + 1) & 0xff)
+      val pos = j * width + v % width
+      if ((words(pos >>> 6) & (1L << (pos & 63))) == 0L) return false
+      j += 1
+    }
+    true
+  }
+}
+
+/** bloom_hit(term): membership probe of a driver-packed Bloom bitmap —
+  * true iff all `depth` probed bits are set. Whole-stage-codegen'd,
+  * ONE md5 per row. Agrees bit-for-bit with the md5-hex-slice
+  * arithmetic of [[graft.operators.Sketch.bloomBits]] /
+  * `TextFunctions.hashBucketSlice` (see [[BloomProbe]]), so it has no
+  * false negatives against a bitmap those builders populated.
+  */
+case class BloomHitExpr(child: Expression, probe: BloomProbe)
+    extends UnaryExpression {
+
+  override def dataType: DataType      = BooleanType
+  override def nullable: Boolean       = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String      = "bloom_hit"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bloom_hit needs a STRING term, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(a: Any): Any =
+    probe.hit(a.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", probe,
+      classOf[BloomProbe].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.hit($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

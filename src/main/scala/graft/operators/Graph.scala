@@ -403,13 +403,52 @@ object Graph {
     dist
   }
 
-  /** Undirected simple edges, materialized in both directions and
-    * augmented with a (v, v) self-loop per node — the edge table that
-    * lets "combine self with neighbors" run as a single join+aggregate.
-    * Returns (bidirected edges, node table), both lineage-cut.
+  /** Synchronous label propagation (Raghavan et al., 2007, in its
+    * deterministic bulk-synchronous form): every node starts with its
+    * own id as label; each round every node adopts the MOST FREQUENT
+    * label among its neighbors, ties broken by the smallest label.
+    * After a few rounds, dense regions agree on a label — the cheap
+    * community-detection pass a curation pipeline runs to group, e.g.,
+    * mutually-linking hosts. Unlike [[hashMinComponents]] (which
+    * converges to whole components), frequency voting stops at
+    * community boundaries.
+    *
+    * Determinism: synchronous rounds + total (count desc, label asc)
+    * tie order make every round a pure function of the previous
+    * labeling — fixed-round replay is exact cross-engine. (The classic
+    * ASYNC formulation is order-dependent by construction; this is the
+    * replayable variant.)
+    *
+    * Scale shape per round: one label-table join against the static
+    * bidirected edge set, a map-side-combinable (node, label) count,
+    * and a per-node top-1 window (partitioned by node — never global).
+    *
+    * @return one row per non-isolated node: `node`, `comm`
     */
-  private def bidirectedWithSelfLoops(edges: DataFrame, srcCol: String,
-                                      dstCol: String): (DataFrame, DataFrame) = {
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
+    val (bi, nodes) = bidirected(edges, srcCol, dstCol)
+    var lab = nodes.select(col("node"), col("node").as("comm"))
+      .localCheckpoint(eager = false)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("cnt").desc, col("comm"))
+    for (_ <- 1 to iters) {
+      lab = bi.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("comm"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("node"), col("comm"))
+        .localCheckpoint(eager = false)
+    }
+    lab
+  }
+
+  /** Undirected simple edges materialized in both directions, plus the
+    * node table; both lineage-cut. */
+  private def bidirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): (DataFrame, DataFrame) = {
     val und = undirectedEdges(edges, srcCol, dstCol)
       .localCheckpoint(eager = false)
     val nodes = und.select(col("a").as("node"))
@@ -418,6 +457,18 @@ object Graph {
       .localCheckpoint(eager = false)
     val bi = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = false)
+    (bi, nodes)
+  }
+
+  /** [[bidirected]] augmented with a (v, v) self-loop per node — the
+    * edge table that lets "combine self with neighbors" run as a
+    * single join+aggregate.
+    */
+  private def bidirectedWithSelfLoops(edges: DataFrame, srcCol: String,
+                                      dstCol: String): (DataFrame, DataFrame) = {
+    val (bi0, nodes) = bidirected(edges, srcCol, dstCol)
+    val bi = bi0
       .unionByName(nodes.select(col("node").as("src"), col("node").as("dst")))
       .localCheckpoint(eager = false)
     (bi, nodes)

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.Curation
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation coverage on the `documents` fixture: PII scrubbing,
@@ -228,6 +229,44 @@ object CurationQueries {
       val docs = Tables.documents(s, d)
       Curation.ksTest(docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
+    },
+
+    // 1-D decision stump: the best n_chars threshold separating
+    // English docs from the rest by weighted Gini impurity — the
+    // counts-only ML primitive behind tree-based quality classifiers.
+    // Candidate thresholds are the distinct feature values; class
+    // counts accumulate in ONE cumulative window over that bounded
+    // domain; the impurity is a closed-form double over four exact
+    // integers per row, so the argmin replays bit-identically.
+    "q6O_gini_stump" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val per = docs.groupBy(col("n_chars").as("v"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c1"),
+          sum(when(col("lang") === "en", 0L).otherwise(1L)).as("c0"))
+      val w = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = per.select(col("v"),
+        sum("c1").over(w).as("l1"), sum("c0").over(w).as("l0"))
+      val tot = per.agg(sum("c1").as("t1"), sum("c0").as("t0"))
+      val scored = cum.crossJoin(broadcast(tot))
+        .withColumn("r1", col("t1") - col("l1"))
+        .withColumn("r0", col("t0") - col("l0"))
+        .withColumn("nl", col("l1") + col("l0"))
+        .withColumn("nr", col("r1") + col("r0"))
+        .filter(col("nr") > 0)
+        .withColumn("pl1", col("l1").cast("double") / col("nl").cast("double"))
+        .withColumn("pl0", col("l0").cast("double") / col("nl").cast("double"))
+        .withColumn("pr1", col("r1").cast("double") / col("nr").cast("double"))
+        .withColumn("pr0", col("r0").cast("double") / col("nr").cast("double"))
+        .withColumn("wgini",
+          col("nl").cast("double") / (col("nl") + col("nr")).cast("double") *
+            (lit(1.0) - col("pl1") * col("pl1") - col("pl0") * col("pl0")) +
+          col("nr").cast("double") / (col("nl") + col("nr")).cast("double") *
+            (lit(1.0) - col("pr1") * col("pr1") - col("pr0") * col("pr0")))
+      scored.orderBy(col("wgini").asc, col("v").asc).limit(1)
+        .select(col("v").as("threshold"), col("nl").as("n_left"),
+          col("nr").as("n_right"), col("l1").as("en_left"),
+          col("r1").as("en_right"), round(col("wgini"), 6).as("wgini"))
     },
 
     // Hashed-token Naive Bayes language classifier (the fastText-style
@@ -591,6 +630,44 @@ object CurationQueries {
         |FROM cum CROSS JOIN t
         |ORDER BY d_num DESC, at_value
         |LIMIT 1""".stripMargin,
+
+    // Stump mirror: same per-value class counts, same cumulative
+    // window, the same closed-form impurity expression (identical
+    // association order) over the same exact integers.
+    "q6O_gini_stump" ->
+      """WITH per AS (
+        |  SELECT n_chars AS v,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS c0
+        |  FROM documents GROUP BY 1),
+        |cum AS (
+        |  SELECT v,
+        |    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS l1,
+        |    CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS l0
+        |  FROM per),
+        |t AS (SELECT CAST(sum(c1) AS BIGINT) AS t1,
+        |             CAST(sum(c0) AS BIGINT) AS t0 FROM per),
+        |scored AS (
+        |  SELECT v, l1, l0, t1 - l1 AS r1, t0 - l0 AS r0,
+        |    l1 + l0 AS nl, (t1 - l1) + (t0 - l0) AS nr
+        |  FROM cum CROSS JOIN t),
+        |g AS (
+        |  SELECT v, nl, nr, l1, r1,
+        |    CAST(nl AS DOUBLE) / CAST(nl + nr AS DOUBLE) *
+        |      (1.0 - (CAST(l1 AS DOUBLE) / CAST(nl AS DOUBLE))
+        |             * (CAST(l1 AS DOUBLE) / CAST(nl AS DOUBLE))
+        |           - (CAST(l0 AS DOUBLE) / CAST(nl AS DOUBLE))
+        |             * (CAST(l0 AS DOUBLE) / CAST(nl AS DOUBLE))) +
+        |    CAST(nr AS DOUBLE) / CAST(nl + nr AS DOUBLE) *
+        |      (1.0 - (CAST(r1 AS DOUBLE) / CAST(nr AS DOUBLE))
+        |             * (CAST(r1 AS DOUBLE) / CAST(nr AS DOUBLE))
+        |           - (CAST(r0 AS DOUBLE) / CAST(nr AS DOUBLE))
+        |             * (CAST(r0 AS DOUBLE) / CAST(nr AS DOUBLE)))
+        |      AS wgini
+        |  FROM scored WHERE nr > 0)
+        |SELECT v AS threshold, nl AS n_left, nr AS n_right,
+        |  l1 AS en_left, r1 AS en_right, round(wgini, 6) AS wgini
+        |FROM g ORDER BY wgini ASC, v ASC LIMIT 1""".stripMargin,
 
     // Naive Bayes mirror: identical marker augmentation (same profile
     // arrays, same index arithmetic), identical md5 bucket arithmetic,

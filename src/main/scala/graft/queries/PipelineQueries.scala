@@ -30,6 +30,9 @@ object PipelineQueries {
     * HashMin/BFS round ONE join+aggregate referencing its predecessor
     * exactly once (multiply-referenced recurrent CTEs inline
     * exponentially in DuckDB — see the q4T comment).
+    * `bi0` is the plain bidirected table (label propagation votes over
+    * neighbors only); `bi` adds the self-loops (HashMin/BFS combine
+    * self with neighbors).
     */
   private val duckBipartiteGraph: String =
     """e0 AS (
@@ -38,8 +41,9 @@ object PipelineQueries {
       |  FROM lineitem WHERE l_quantity >= 49),
       |und AS (SELECT a, b FROM e0 WHERE a < b),
       |nodes AS (SELECT a AS node FROM und UNION SELECT b FROM und),
-      |bi AS (SELECT a AS src, b AS dst FROM und
-      |       UNION ALL SELECT b, a FROM und
+      |bi0 AS (SELECT a AS src, b AS dst FROM und
+      |        UNION ALL SELECT b, a FROM und),
+      |bi AS (SELECT src, dst FROM bi0
       |       UNION ALL SELECT node, node FROM nodes)""".stripMargin
 
   /** CDC chunk CTEs shared by the q4D and q4E oracles: boundary
@@ -901,6 +905,16 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // Synchronous label propagation on the same graph: most-frequent
+    // neighbor label, smallest-label tie, 5 rounds — communities, not
+    // components (voting stops at sparse boundaries where HashMin
+    // floods through).
+    "q4Y_label_prop" -> { (s, d) =>
+      import graft.operators.Graph
+      Graph.labelPropagation(rareBipartite(s, d), "src", "dst", iters = 5)
+        .orderBy("node")
+    },
+
     // Z-order (Morton) clustering key — the multi-dimensional layout
     // behind OPTIMIZE ZORDER: interleave (user_id % 1024, props.k) bits
     // and bucket by z ranges; each bucket's (x, y) bounding box is the
@@ -919,6 +933,26 @@ object PipelineQueries {
           min("x").as("x_min"), max("x").as("x_max"),
           min("y").as("y_min"), max("y").as("y_max"))
         .orderBy("zbucket")
+    },
+
+    // Hilbert-curve clustering key — the locality upgrade over q4C's
+    // Morton interleave: consecutive indices are ALWAYS grid
+    // neighbors, so same-size buckets get tighter (x, y) bounding
+    // boxes and better min/max pruning (ScaleSpec measures both
+    // properties). Same bucket/bbox report shape as q4C for an
+    // apples-to-apples read.
+    "q4Z_hilbert" -> { (s, d) =>
+      import graft.operators.Scale
+      val base = Tables.events(s, d)
+        .select((col("user_id") % 1024).as("x"),
+          get_json_object(col("props"), "$.k").cast("long").as("y"))
+      Scale.withHilbert(base, "x", "y", "h", bits = 10)
+        .withColumn("hbucket", expr("h div 4096"))
+        .groupBy("hbucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("x_min"), max("x").as("x_max"),
+          min("y").as("y_min"), max("y").as("y_max"))
+        .orderBy("hbucket")
     },
 
     // Content-defined chunking (the CDC/rolling-hash family): chunk
@@ -2005,6 +2039,46 @@ object PipelineQueries {
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // Hilbert mirror: the identical per-bit-level rotation chain as
+    // CTEs (each referencing only its predecessor), identical clamp,
+    // identical CASE quadrant table.
+    "q4Z_hilbert" -> {
+      val bits = 10
+      val max = (1L << bits) - 1
+      val levels = (bits - 1 to 0 by -1).map { i =>
+        val s = 1L << i
+        val s2 = s * s
+        val prev = if (i == bits - 1) "h_in" else s"lv${i + 1}"
+        s"""lv$i AS (
+           |  SELECT x, y,
+           |    CASE WHEN hry = 0 THEN (CASE WHEN hrx = 1
+           |      THEN $max - hy ELSE hy END) ELSE hx END AS hx,
+           |    CASE WHEN hry = 0 THEN (CASE WHEN hrx = 1
+           |      THEN $max - hx ELSE hx END) ELSE hy END AS hy,
+           |    hd + $s2 * (CASE WHEN hrx = 0 THEN hry
+           |      WHEN hry = 0 THEN 3 ELSE 2 END) AS hd
+           |  FROM (SELECT x, y, hx, hy, hd,
+           |      CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END AS hrx,
+           |      CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END AS hry
+           |    FROM $prev))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (
+         |  SELECT user_id % 1024 AS x,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS y
+         |  FROM events),
+         |h_in AS (
+         |  SELECT x, y,
+         |    least(greatest(x, 0), $max) AS hx,
+         |    least(greatest(y, 0), $max) AS hy,
+         |    CAST(0 AS BIGINT) AS hd
+         |  FROM base),
+         |$levels
+         |SELECT hd // 4096 AS hbucket, count(*) AS n,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max
+         |FROM lv0 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     // CDC mirror: identical gear predicate (leading-8-hex md5 value mod
     // 16 over the shared hexValue arithmetic), identical final-token
     // close, identical slice-and-join chunk assembly via list
@@ -2379,6 +2453,27 @@ object PipelineQueries {
          |$rounds
          |SELECT node, CAST(dist AS INTEGER) AS dist
          |FROM d6 ORDER BY node""".stripMargin
+    },
+
+    // Label-propagation mirror: five unrolled vote rounds — per round
+    // ONE aggregate+window subquery referencing only its predecessor
+    // (count votes per (node, label), rank by count desc / label asc,
+    // keep rank 1). Votes run over bi0 (no self-loops).
+    "q4Y_label_prop" -> {
+      val rounds = (1 to 5).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT node, comm FROM (
+           |    SELECT e.dst AS node, l.comm AS comm,
+           |      row_number() OVER (PARTITION BY e.dst
+           |        ORDER BY count(*) DESC, l.comm) AS rn
+           |    FROM bi0 e JOIN $prev l ON l.node = e.src
+           |    GROUP BY e.dst, l.comm) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckBipartiteGraph,
+         |l0 AS (SELECT node, node AS comm FROM nodes),
+         |$rounds
+         |SELECT node, comm FROM l5 ORDER BY node""".stripMargin
     },
 
     // Trend mirror: the same exact integer moments and closed-form

@@ -192,6 +192,48 @@ object TextQueries {
         .limit(20)
     },
 
+    // TF-IDF document similarity: cosine over tf·ln(N/df) weighted term
+    // vectors, top pairs — the sparse-lexical dual of q14's dense
+    // embedding near-dups. Weights round to EXACT micro-unit longs, so
+    // dot products and norms are order-independent long sums (pico
+    // units) and the final cosine is one closed-form double. The
+    // inverted-index pair join drops terms with df > 100 (the standard
+    // frequency-cap on posting-list fanout: a term in d docs yields
+    // C(d,2) candidate pairs — ubiquitous terms carry ~zero idf weight
+    // AND quadratic cost, so the cap changes little and bounds all).
+    "q2L_tfidf_pairs" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nd = docs.agg(count(lit(1)).as("n"))
+      val tf = docs.select(col("doc_id"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 100)
+      val wts = tf.join(dfT, "term").crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("term"),
+          round(col("tf").cast("double") *
+            log(col("n").cast("double") / col("df").cast("double")) *
+            lit(1000000.0)).cast("long").as("w"))
+      val norms = wts.groupBy("doc_id")
+        .agg(sum(col("w") * col("w")).as("norm_pico"))
+      val dots = wts.as("a").join(wts.as("b"),
+          col("a.term") === col("b.term") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(sum(col("a.w") * col("b.w")).as("dot_pico"))
+      dots
+        .join(norms.select(col("doc_id").as("doc_a"),
+          col("norm_pico").as("na")), "doc_a")
+        .join(norms.select(col("doc_id").as("doc_b"),
+          col("norm_pico").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("dot_pico"),
+          round(col("dot_pico").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+            6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_a"), col("doc_b"))
+        .limit(10)
+    },
+
     // Chi-squared term↔language association: the classic supervised
     // feature-selection screen (Yang & Pedersen, ICML 1997). From the
     // 2×2 contingency of (term present, lang), χ² collapses to
@@ -537,6 +579,43 @@ object TextQueries {
          |FROM pairs CROSS JOIN nd
          |ORDER BY pmi DESC, term_a, term_b
          |LIMIT 20""".stripMargin,
+
+    // TF-IDF mirror: identical tf / capped-df tables, identical
+    // micro-long weight rounding, long dot/norm sums, one closed-form
+    // cosine double.
+    "q2L_tfidf_pairs" ->
+      s"""WITH nd AS (SELECT count(*) AS n FROM documents),
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($duckToks) AS term FROM documents)
+         |  GROUP BY doc_id, term),
+         |dfq AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY term
+         |  HAVING count(*) <= 100),
+         |wts AS (
+         |  SELECT doc_id, term,
+         |    CAST(round(CAST(tf AS DOUBLE)
+         |      * ln(CAST(n AS DOUBLE) / CAST(df AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS w
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+         |norms AS (
+         |  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm_pico
+         |  FROM wts GROUP BY doc_id),
+         |dots AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(a.w * b.w) AS BIGINT) AS dot_pico
+         |  FROM wts a JOIN wts b
+         |    ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, dot_pico,
+         |  round(CAST(dot_pico AS DOUBLE)
+         |    / (sqrt(CAST(na.norm_pico AS DOUBLE))
+         |       * sqrt(CAST(nb.norm_pico AS DOUBLE))), 6) AS cos
+         |FROM dots
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |ORDER BY cos DESC, doc_a, doc_b
+         |LIMIT 10""".stripMargin,
 
     // χ² mirror: identical distinct (doc, lang, term) universe,
     // identical integer counts, the identical closed-form double

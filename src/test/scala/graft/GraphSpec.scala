@@ -166,6 +166,27 @@ class GraphSpec extends GraftSpec {
     assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
   }
 
+  test("labelPropagation: two cliques with one bridge keep distinct labels") {
+    // clique {1,2,3} + clique {10,11,12} + bridge 3-10: majority voting
+    // keeps each clique on its own min label, where HashMin would flood
+    // everything to 1
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val r = Graph.labelPropagation(cl, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(r) == Set(1L),
+      s"left clique must agree on label 1: $r")
+    // the bridge leaks node 3's label into the right clique on the
+    // round-1 tie (min label wins), but voting still keeps the two
+    // communities on DIFFERENT labels
+    assert(Set(10L, 11L, 12L).map(r).size == 1,
+      s"right clique must agree on one label: $r")
+    assert(r(10L) != r(1L), s"communities must not merge: $r")
+    val cc = Graph.hashMinComponents(cl, "src", "dst", iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(cc.values.toSet == Set(1L), "HashMin on the same graph floods to 1")
+  }
+
   test("bfsHops: multi-source min distance, bounded frontier") {
     // path 1-2-3-4-5 plus disjoint 8-9; seeds 1 and 9
     val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))

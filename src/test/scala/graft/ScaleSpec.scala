@@ -237,6 +237,44 @@ class ScaleSpec extends GraftSpec {
       org.apache.spark.sql.Row(0L, 255L))
   }
 
+  test("withHilbert: bijection, unit-step adjacency, tighter buckets than Morton") {
+    import spark.implicits._
+    val n = 8 // bits = 3
+    val grid = (0L until n).flatMap(x => (0L until n).map(y => (x, y)))
+      .toDF("x", "y")
+    val h = Scale.withHilbert(grid, "x", "y", "h", bits = 3)
+      .collect().map(r => r.getAs[Long]("h") ->
+        (r.getAs[Long]("x"), r.getAs[Long]("y"))).toMap
+    // bijection onto [0, 64)
+    assert(h.keySet == (0L until 64L).toSet)
+    // THE Hilbert property z-order lacks: consecutive indices are grid
+    // neighbors (Manhattan distance exactly 1), for every step
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = h(d); val (x2, y2) = h(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+    // clamp matches zValue's convention
+    val c = Scale.withHilbert(Seq((-7L, 9999L)).toDF("x", "y"),
+      "x", "y", "h", bits = 3).head().getAs[Long]("h")
+    val c2 = Scale.withHilbert(Seq((0L, 7L)).toDF("x", "y"),
+      "x", "y", "h", bits = 3).head().getAs[Long]("h")
+    assert(c == c2)
+    // locality: average per-bucket bbox semi-perimeter at the same
+    // bucket count is no worse than Morton's on a full grid
+    def avgBbox(df: org.apache.spark.sql.DataFrame, keyCol: String): Double =
+      df.withColumn("b", expr(s"$keyCol div 16"))
+        .groupBy("b")
+        .agg((max("x") - min("x") + max("y") - min("y")).as("sp"))
+        .agg(avg("sp")).head().getDouble(0)
+    val big = (0L until 32L).flatMap(x => (0L until 32L).map(y => (x, y)))
+      .toDF("x", "y")
+    val hb = avgBbox(Scale.withHilbert(big, "x", "y", "h", bits = 5), "h")
+    val zb = avgBbox(big.withColumn("z",
+      Scale.zValue(col("x"), col("y"), bits = 5)), "z")
+    assert(hb <= zb, s"hilbert avg bbox $hb must not exceed morton $zb")
+  }
+
   test("zOrderWrite shrinks per-file bounding boxes vs row-order layout") {
     import org.apache.spark.sql.functions.input_file_name
     val dir = graft.util.TempDirs.scratch("graft-zorder-")
