@@ -272,6 +272,70 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Perceptual average-hash (aHash) of image payloads: decode, sample
+    * an 8×8 grid by the SAME exact nearest-neighbor map as
+    * [[resizeNearest]] (`src(x) = floor(x·w/8)`), threshold each cell's
+    * red channel against the grid mean, pack the 64 bits row-major as
+    * two non-negative longs `(phash_lo bits 0–31, phash_hi bits
+    * 32–63)` — near-identical images hash equal, so exact groupBy on
+    * the pair IS image dedup, and a banded hamming join (the q35
+    * simhash shape) gives the near-dup variant. The threshold is the
+    * INTEGER comparison `v·64 > Σv` — no float mean, so an oracle
+    * replays every bit from a pixel formula. Undecodable bytes keep
+    * their row with `ahash_ok = false`. A narrow map like every media
+    * kernel: payloads never shuffle.
+    */
+  def aHash(df: DataFrame, contentCol: String = "content"): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("phash_hi", LongType),
+      StructField("phash_lo", LongType),
+      StructField("ahash_ok", BooleanType, nullable = false)
+    ))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val out: Option[(Long, Long)] =
+          if (bytes == null || bytes.isEmpty) None
+          else
+            try {
+              Option(javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))).map { img =>
+                val w = img.getWidth; val h = img.getHeight
+                val v = new Array[Int](64)
+                var total = 0L
+                var y = 0
+                while (y < 8) {
+                  val sy = (y.toLong * h / 8).toInt
+                  var x = 0
+                  while (x < 8) {
+                    val rgb = img.getRGB((x.toLong * w / 8).toInt, sy)
+                    val r   = (rgb >> 16) & 0xff
+                    v(y * 8 + x) = r
+                    total += r
+                    x += 1
+                  }
+                  y += 1
+                }
+                var hi = 0L; var lo = 0L
+                var i = 0
+                while (i < 64) {
+                  if (v(i).toLong * 64 > total) {
+                    if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+                  }
+                  i += 1
+                }
+                (hi, lo)
+              }
+            } catch { case scala.util.control.NonFatal(_) => None }
+        out match {
+          case Some((hi, lo)) => Row.fromSeq(row.toSeq ++ Seq(hi, lo, true))
+          case None => Row.fromSeq(row.toSeq ++ Seq(null, null, false))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Scan a directory of media files: `(path, length, content BINARY)`. */
   def scanMedia(spark: SparkSession, dir: String, glob: String): DataFrame =
     spark.read.format("binaryFile")

@@ -412,6 +412,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // Perceptual-hash image dedup, oracle-gated end to end: the q56
+    // PNG patterns are gradient images, so every doc_id in the same
+    // (width, height) class thresholds to the IDENTICAL 64-bit aHash
+    // (adding a constant to all cells never crosses the integer
+    // v·64 > Σv mean test when no mod-256 wrap occurs — doc_id < 50
+    // keeps every pixel < 82). Exact groupBy on (hi, lo) collapses 50
+    // real decoded images into the 9 dimension classes; the oracle
+    // recomputes every bit from the pixel formula without a codec.
+    "q5G_image_phash" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      Multimodal.aHash(Multimodal.syntheticPngs(ids, "doc_id"))
+        .filter(col("ahash_ok"))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(count(lit(1)).as("n_images"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("min_doc")
+    },
+
     // REAL image resize, oracle-gated: the q56 PNG test patterns are
     // nearest-neighbor-resized to 8x8 by the real kernel (decode →
     // explicit integer-mapped pixel loop → lossless PNG re-encode),
@@ -1492,6 +1513,35 @@ object PipelineQueries {
         |       CAST(sum(v) AS BIGINT) AS sum_r, CAST(sum(v) AS BIGINT) AS sum_g,
         |       CAST(sum(v) AS BIGINT) AS sum_b, CAST(count(*) AS BIGINT) AS n_px
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+
+    // aHash mirror: the identical 8×8 nearest map, integer mean test,
+    // and row-major bit packing, replayed from the pixel formula.
+    "q5G_image_phash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (
+        |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (3*doc_id) % 9 AS h
+        |  FROM ids),
+        |grid AS (
+        |  SELECT d.doc_id, x.x, y.y,
+        |    (d.doc_id + (x.x * d.w) // 8 + (y.y * d.h) // 8) % 256 AS v
+        |  FROM dims d,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) y),
+        |tot AS (SELECT doc_id, CAST(sum(v) AS BIGINT) AS total
+        |        FROM grid GROUP BY 1),
+        |bits AS (
+        |  SELECT g.doc_id,
+        |    CAST(sum(CASE WHEN g.v * 64 > t.total AND g.y*8 + g.x >= 32
+        |      THEN CAST(1 AS BIGINT) << (g.y*8 + g.x - 32)
+        |      ELSE 0 END) AS BIGINT) AS phash_hi,
+        |    CAST(sum(CASE WHEN g.v * 64 > t.total AND g.y*8 + g.x < 32
+        |      THEN CAST(1 AS BIGINT) << (g.y*8 + g.x)
+        |      ELSE 0 END) AS BIGINT) AS phash_lo
+        |  FROM grid g JOIN tot t USING (doc_id)
+        |  GROUP BY g.doc_id)
+        |SELECT phash_hi, phash_lo, count(*) AS n_images,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM bits GROUP BY 1, 2 ORDER BY min_doc""".stripMargin,
 
     // Mixed-corpus mirror: the txt half is byte-identity, the pdf half
     // is the lossless q57 round-trip — so the whole scan reduces to the

@@ -448,6 +448,36 @@ object StreamingQueries {
         .orderBy("p_partkey")
     },
 
+    // Streaming Bloom runtime-filter flag: the dim side's keys pack
+    // into a 16 KB bitmap ONCE (driver-bounded by the grid, never the
+    // set), and every arriving row is flagged by the codegen'd
+    // BloomHitExpr — one md5 per row, ZERO streaming state (stateless
+    // Append projection, the q7J shape without even a broadcast join).
+    // This is the serving half of q0Q's bloom-filtered join: drop
+    // non-matching rows before they ever reach a shuffle or sink. The
+    // flag (false positives included) is replayed exactly by the
+    // oracle's slice-hash arithmetic.
+    "q7N_stream_bloom_flag" -> { (s, d) =>
+      import graft.operators.Sketch
+      val dim = Tables.part(s, d)
+        .filter(col("p_brand").startsWith("Brand#1"))
+        .select(col("p_partkey").cast("string").as("k"))
+      val words = Sketch.packBloom(
+        Sketch.bloomBits(dim, "k", depth = 4, width = 16384),
+        depth = 4, width = 16384)
+      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val li = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+      val out = li.select(
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        Sketch.bloomHitCol(col("l_partkey").cast("string"), words,
+          depth = 4, width = 16384).as("bloom_hit"))
+      StreamRunner.runToBatch(out, OutputMode.Append)
+        .groupBy("bloom_hit")
+        .agg(count(lit(1)).as("n"), sum("l_partkey").as("sum_partkey"))
+        .orderBy("bloom_hit")
+    },
+
     // Streaming QUANTILE SKETCH: the bottom-k value sample as a
     // Complete-mode aggregate — q7D's histogram quantiles need a fixed
     // bucket grid and a known value range; this sketch needs neither
@@ -762,6 +792,37 @@ object StreamingQueries {
 
     // Streamed fuzzy-flag mirror: q3E's blocking at dist <= 2 yields the
     // neighbor-name set; every part row flags by membership.
+    // Bloom-flag mirror: the q2D slice-hash replay (same md5 || ':bloom'
+    // digest, same 4-hex-char windows mod 16384, same all-bits-set
+    // rule) over the dim's keys and every lineitem row — false
+    // positives and all.
+    "q7N_stream_bloom_flag" ->
+      s"""WITH dim AS (
+         |  SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS k FROM part
+         |  WHERE p_brand LIKE 'Brand#1%'),
+         |bloom AS (
+         |  SELECT DISTINCT j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT md5(k || ':bloom') AS h, unnest(range(0, 4)) AS j
+         |        FROM dim)),
+         |keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+         |probe AS (
+         |  SELECT l_partkey, j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT l_partkey,
+         |          md5(CAST(l_partkey AS VARCHAR) || ':bloom') AS h,
+         |          unnest(range(0, 4)) AS j
+         |        FROM keys)),
+         |khit AS (
+         |  SELECT probe.l_partkey,
+         |    min(CASE WHEN bloom.b IS NOT NULL THEN 1 ELSE 0 END) = 1
+         |      AS bloom_hit
+         |  FROM probe LEFT JOIN bloom
+         |    ON probe.j = bloom.j AND probe.b = bloom.b
+         |  GROUP BY 1)
+         |SELECT bloom_hit, count(*) AS n,
+         |  CAST(sum(l_partkey) AS BIGINT) AS sum_partkey
+         |FROM lineitem JOIN khit USING (l_partkey)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q7J_stream_fuzzy_flag" ->
       """WITH nm AS (SELECT DISTINCT p_name AS s FROM part),
         |gd AS (

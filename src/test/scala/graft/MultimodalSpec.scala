@@ -187,6 +187,30 @@ class MultimodalSpec extends GraftSpec {
     assert(dec.decode(float32).isEmpty)
   }
 
+  test("aHash: brightness-shift invariant, geometry-sensitive, garbage-safe") {
+    import spark.implicits._
+    // doc 0 and doc 9 share dims (8x8) and differ only by a +9 shift of
+    // every pixel (no mod wrap at these ids) -> identical aHash; doc 1
+    // has different geometry -> (almost surely) a different bit pattern
+    val ids = Seq(0L, 9L, 1L).toDF("doc_id")
+    val h = Multimodal.aHash(Multimodal.syntheticPngs(ids, "doc_id"))
+      .select("doc_id", "phash_hi", "phash_lo", "ahash_ok")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(h.values.forall(_._3), "all synthetic PNGs must hash ok")
+    assert((h(0L)._1, h(0L)._2) == (h(9L)._1, h(9L)._2),
+      "same-geometry shifted gradients must collide")
+    assert((h(0L)._1, h(0L)._2) != (h(1L)._1, h(1L)._2),
+      "different geometry must separate on this fixture")
+    // hashes are non-negative (32 bits per long half)
+    assert(h.values.forall(v => v._1 >= 0L && v._2 >= 0L))
+    // garbage bytes keep the row, flagged
+    val bad = Multimodal.aHash(
+      Seq((1L, Array[Byte](1, 2, 3))).toDF("id", "content"))
+      .select("ahash_ok", "phash_hi").head()
+    assert(!bad.getBoolean(0) && bad.isNullAt(1))
+  }
+
   test("resizeNearest: exact nearest-neighbor pixels, garbage flags resize_ok=false") {
     import org.apache.spark.sql.functions.col
     val ids = spark.range(0, 6).toDF("doc_id")
