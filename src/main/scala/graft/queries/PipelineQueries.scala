@@ -25,6 +25,28 @@ object PipelineQueries {
       .select(col("l_partkey").as("src"),
         (col("l_suppkey") + lit(1000000L)).as("dst"))
 
+  /** The q4V/q0T oracles' shared SCD2 dimension CTEs (same-ts dedup by
+    * highest orderkey, null-safe run collapse) — emits
+    * `dim(cust_key, priority, valid_from)`.
+    */
+  private val duckScd2Dim: String =
+    """ch AS (
+      |  SELECT o_custkey AS cust_key, epoch_us(o_orderdate) AS ts_us,
+      |    o_orderpriority AS priority,
+      |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                       ORDER BY o_orderkey DESC) AS rn
+      |  FROM orders),
+      |u AS (SELECT cust_key, ts_us, priority FROM ch WHERE rn = 1),
+      |c AS (
+      |  SELECT cust_key, ts_us, priority,
+      |    (priority IS DISTINCT FROM lag(priority) OVER
+      |      (PARTITION BY cust_key ORDER BY ts_us)) OR
+      |    row_number() OVER (PARTITION BY cust_key ORDER BY ts_us) = 1
+      |      AS chg
+      |  FROM u),
+      |dim AS (SELECT cust_key, priority, ts_us AS valid_from
+      |        FROM c WHERE chg)""".stripMargin
+
   /** The q4W/q4X oracle's shared graph CTEs: undirected simple edges,
     * node set, and the bidirected-with-self-loops table that makes each
     * HashMin/BFS round ONE join+aggregate referencing its predecessor
@@ -899,6 +921,38 @@ object PipelineQueries {
           col("valid_to").as("valid_to_us"),
           col("version"), col("is_current"))
         .orderBy("cust_key", "version")
+    },
+
+    // Point-in-time (as-of) enrichment against the q4V SCD2 dimension:
+    // each shipped lineitem gets the customer's priority state CURRENT
+    // AT SHIP TIME (not order time — the retro-correct feature-backfill
+    // semantics that a plain join leaks the future on). Facts are
+    // pre-aggregated to distinct (customer, ship-ts) probes, then ONE
+    // AsOf union-window resolves the state — the formulation with
+    // exactly one key shuffle on both 100 TB sides.
+    "q0T_scd2_pit" -> { (s, d) =>
+      import graft.operators.{AsOf, Scd}
+      val ch = Tables.orders(s, d).select(
+        col("o_custkey").as("cust_key"),
+        unix_micros(col("o_orderdate")).as("ts_us"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderkey"))
+      val dim = Scd.scd2(ch, "cust_key", "ts_us", Seq("priority"),
+        "o_orderkey").select("cust_key", "valid_from", "priority")
+      val fct = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust_key"),
+          unix_micros(col("l_shipdate")).as("ship_us"))
+        .agg(count(lit(1)).as("n"))
+      // the fixture ships ~half the lineitems BEFORE their order date
+      // (dates are independent draws), so probes earlier than the
+      // customer's first observation resolve to NULL state — kept as
+      // its own "no state known yet" group, null order pinned
+      AsOf.lastValueBefore(fct, dim, "cust_key", "ship_us",
+          "valid_from", "priority")
+        .groupBy(col("priority").as("priority_at_ship"))
+        .agg(sum("n").as("n_items"))
+        .orderBy(col("priority_at_ship").asc_nulls_first)
     },
 
     // HashMin connected components on a sparse part↔supplier bipartite
@@ -2443,31 +2497,38 @@ object PipelineQueries {
 
     // SCD2 mirror: identical three-step window chain — same-ts dedup by
     // highest orderkey, run collapse via lag (null-safe: IS DISTINCT
-    // FROM), intervals via lead over survivors.
+    // FROM), intervals via lead over survivors (the shared dim CTEs).
     "q4V_scd2" ->
-      """WITH ch AS (
-        |  SELECT o_custkey AS cust_key, epoch_us(o_orderdate) AS ts_us,
-        |    o_orderpriority AS priority,
-        |    row_number() OVER (PARTITION BY o_custkey, o_orderdate
-        |                       ORDER BY o_orderkey DESC) AS rn
-        |  FROM orders),
-        |u AS (SELECT cust_key, ts_us, priority FROM ch WHERE rn = 1),
-        |c AS (
-        |  SELECT cust_key, ts_us, priority,
-        |    (priority IS DISTINCT FROM lag(priority) OVER
-        |      (PARTITION BY cust_key ORDER BY ts_us)) OR
-        |    row_number() OVER (PARTITION BY cust_key ORDER BY ts_us) = 1
-        |      AS chg
-        |  FROM u)
-        |SELECT cust_key, priority, ts_us AS valid_from_us,
-        |  lead(ts_us) OVER (PARTITION BY cust_key ORDER BY ts_us)
-        |    AS valid_to_us,
-        |  CAST(row_number() OVER (PARTITION BY cust_key ORDER BY ts_us)
-        |    AS INTEGER) AS version,
-        |  lead(ts_us) OVER (PARTITION BY cust_key ORDER BY ts_us) IS NULL
-        |    AS is_current
-        |FROM c WHERE chg
-        |ORDER BY cust_key, version""".stripMargin,
+      s"""WITH $duckScd2Dim
+         |SELECT cust_key, priority, valid_from AS valid_from_us,
+         |  lead(valid_from) OVER w AS valid_to_us,
+         |  CAST(row_number() OVER w AS INTEGER) AS version,
+         |  lead(valid_from) OVER w IS NULL AS is_current
+         |FROM dim
+         |WINDOW w AS (PARTITION BY cust_key ORDER BY valid_from)
+         |ORDER BY cust_key, version""".stripMargin,
+
+    // PIT mirror: the shared SCD2 dim probed by distinct (customer,
+    // ship-ts) facts — argmax valid_from <= ship via one ranked
+    // non-equi join (quadratic only within a customer's history at
+    // oracle scale; the Spark side is the single-shuffle AsOf union
+    // window).
+    "q0T_scd2_pit" ->
+      s"""WITH $duckScd2Dim,
+         |fct AS (
+         |  SELECT o_custkey AS cust_key, epoch_us(l_shipdate) AS ship_us,
+         |    count(*) AS n
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT f.cust_key, f.ship_us, f.n, d.priority,
+         |    row_number() OVER (PARTITION BY f.cust_key, f.ship_us
+         |                       ORDER BY d.valid_from DESC) AS rn
+         |  FROM fct f LEFT JOIN dim d
+         |    ON d.cust_key = f.cust_key AND d.valid_from <= f.ship_us)
+         |SELECT priority AS priority_at_ship, CAST(sum(n) AS BIGINT) AS n_items
+         |FROM cand WHERE rn = 1
+         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // HashMin mirror: 10 unrolled min-label rounds over the shared
     // bidirected+self-loop graph; each round references only its
