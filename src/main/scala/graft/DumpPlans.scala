@@ -59,7 +59,14 @@ object DumpPlans {
       ("q0K_expectations", "declarative expectations: every constraint metric inside ONE Aggregate (map-side-combinable 0/1 averages + the single count-distinct Expand for key uniqueness), then a literal-array explode into report rows -- the whole quality gate is one scan", RelationalQueries.queries("q0K_expectations")),
       ("q4N_triangles", "triangle census (round-7 rewrite): DEGREE-ORDERED orientation -- each edge points low-degree -> high-degree, so every out-degree is <= sqrt(2m) and the wedge self-join materializes O(m^1.5) candidates on ANY degree distribution (id-orientation put deg^2/2 on one hub key); two keyed equi-joins, no cartesian", PipelineQueries.queries("q4N_triangles")),
       ("q0M_sketch_quantiles", "bottom-k quantile sketch: the reservoir aggregate partial-combines (partitions x k entries cross the shuffle, never rows), estimates select IN-ROW from the sorted sample array (no explode, no window), exact-quantile + rank-audit passes broadcast the 1-row estimate table -- corpus passes stay narrow", RelationalQueries.queries("q0M_sketch_quantiles")),
-      ("q0O_snapshot_diff", "snapshot diff: ONE full-outer SortMergeJoin co-partitioned on the key, null-safe <=> comparison computed columnar in the projection -- no per-row hashing pass, no second join; at 100 TB bucket both snapshots by key for a shuffle-free diff", RelationalQueries.queries("q0O_snapshot_diff"))
+      ("q0O_snapshot_diff", "snapshot diff: ONE full-outer SortMergeJoin co-partitioned on the key, null-safe <=> comparison computed columnar in the projection -- no per-row hashing pass, no second join; at 100 TB bucket both snapshots by key for a shuffle-free diff", RelationalQueries.queries("q0O_snapshot_diff")),
+      ("q0Q_bloom_join", "Bloom-filtered join (round-7 rewrite): the runtime filter is ONE codegen'd bloom_hit expression in the scan's DataFilters -- one md5 per row against a 16 KB plan-literal bitmap, rows drop BEFORE the join/shuffle. The Column-composed probe it replaced re-evaluated the md5 subtree per hex-digit reference (FilterExec does no subexpression elimination): measured 22.4 s -> ~1.5 s on the same 600 K-row probe", RelationalQueries.queries("q0Q_bloom_join")),
+      ("q4U_interval_join", "point-in-interval range join: each interval explodes to its covered bins and BROADCASTS; points land in exactly ONE bin -- a BroadcastHashJoin on _bin with the exact containment as residual condition. The naive theta-join would be a BroadcastNestedLoopJoin; oversized intervals raise IN-PLAN instead of exploding", PipelineQueries.queries("q4U_interval_join")),
+      ("q4V_scd2", "SCD Type 2 build: same-ts dedup + run collapse + validity intervals as a window CHAIN sharing ONE hashpartitioning(cust_key) exchange (the (key, ts)-partitioned dedup variant would force a second shuffle); the only other exchange is the output ORDER BY", PipelineQueries.queries("q4V_scd2")),
+      ("q0S_pareto", "2-D Pareto frontier: per-distinct-x max aggregate BELOW the single-partition window (the window input is bounded by the x domain, never the corpus), survivors selected by a broadcast equi-join back on x -- no pairwise self-join, no corpus sort", RelationalQueries.queries("q0S_pareto")),
+      ("q0T_scd2_pit", "SCD2 point-in-time enrichment: facts pre-aggregate to distinct (key, ts) probes, then the AsOf union-window resolves state current at ship time -- ONE hashpartitioning(cust_key) exchange over both sides together, no row fanout, no per-probe re-scan", PipelineQueries.queries("q0T_scd2_pit")),
+      ("q4W_components", "HashMin connected components: per round ONE node-table hash join against the static bidirected+self-loop edge set + a map-side-combinable min -- the self-loop trick removes the left-join-back step, so the recurrence references its predecessor exactly once and lineage stays a chain", PipelineQueries.queries("q4W_components")),
+      ("q2L_tfidf_pairs", "TF-IDF cosine pairs: inverted-index self-join on term with the df <= 100 posting-list cap (ubiquitous terms carry ~zero idf AND C(d,2) fanout); dot products and norms are LONG sums of micro-unit weights -- order-independent, partial-aggregated; TakeOrderedAndProject cuts the top-10", TextQueries.queries("q2L_tfidf_pairs"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
