@@ -448,6 +448,38 @@ object StreamingQueries {
         .orderBy("p_partkey")
     },
 
+    // Streaming PSI drift monitor: live event values bucket into a
+    // FIXED 20-cell histogram (Complete-mode state = 20 rows forever),
+    // then the population-stability index vs a batch reference slice —
+    // the drift gate run next to q6L's KL and q6N's KS, in the bounded-
+    // state form a 100 TB stream needs. Smoothed PSI terms round to
+    // nano fixed-point longs (the tokenDrift idiom) so the streamed
+    // statistic replays bit-identically.
+    "q7O_stream_psi" -> { (s, d) =>
+      def bucketed(df: DataFrame): DataFrame =
+        df.select(least(floor(col("value") / 25.0).cast("int"), lit(19))
+          .as("b"))
+      val ref = bucketed(Tables.events(s, d).filter(col("event_id") % 2 === 0))
+        .groupBy("b").agg(count(lit(1)).as("c_ref"))
+      val live = StreamRunner.runToBatch(
+        bucketed(eventsStream(s, d).filter(col("event_id") % 2 =!= 0))
+          .groupBy("b").agg(count(lit(1)).as("c_live")),
+        OutputMode.Complete)
+      val spine = s.range(0, 20).select(col("id").cast("int").as("b"))
+      val j = spine.join(ref, Seq("b"), "left").join(live, Seq("b"), "left")
+        .select(col("b"),
+          (coalesce(col("c_ref"), lit(0L)) + lit(1L)).cast("double").as("sa"),
+          (coalesce(col("c_live"), lit(0L)) + lit(1L)).cast("double").as("sb"))
+      val tot = j.agg(sum("sa").as("ta"), sum("sb").as("tb"))
+      j.crossJoin(broadcast(tot))
+        .select(round(((col("sa") / col("ta")) - (col("sb") / col("tb"))) *
+          (log(col("sa") / col("ta")) - log(col("sb") / col("tb"))) *
+          lit(1e9)).cast("long").as("t"))
+        .agg(sum("t").as("psi_nano"))
+        .select(col("psi_nano"),
+          round(col("psi_nano").cast("double") / lit(1e9), 6).as("psi"))
+    },
+
     // Streaming Bloom runtime-filter flag: the dim side's keys pack
     // into a 16 KB bitmap ONCE (driver-bounded by the grid, never the
     // set), and every arriving row is flagged by the codegen'd
@@ -792,6 +824,33 @@ object StreamingQueries {
 
     // Streamed fuzzy-flag mirror: q3E's blocking at dist <= 2 yields the
     // neighbor-name set; every part row flags by membership.
+    // PSI mirror: same fixed buckets, same add-one smoothing over the
+    // 20-cell spine, same nano fixed-point terms (identical expression
+    // association), batch-replayed over the full stream content.
+    "q7O_stream_psi" ->
+      """WITH ref AS (
+        |  SELECT least(CAST(floor(value / 25.0) AS INT), 19) AS b,
+        |    count(*) AS c_ref
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |live AS (
+        |  SELECT least(CAST(floor(value / 25.0) AS INT), 19) AS b,
+        |    count(*) AS c_live
+        |  FROM events WHERE event_id % 2 <> 0 GROUP BY 1),
+        |sp AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS b),
+        |j AS (
+        |  SELECT sp.b,
+        |    CAST(coalesce(c_ref, 0) + 1 AS DOUBLE) AS sa,
+        |    CAST(coalesce(c_live, 0) + 1 AS DOUBLE) AS sb
+        |  FROM sp LEFT JOIN ref USING (b) LEFT JOIN live USING (b)),
+        |t AS (SELECT sum(sa) AS ta, sum(sb) AS tb FROM j),
+        |terms AS (
+        |  SELECT CAST(round(((sa / ta) - (sb / tb))
+        |    * (ln(sa / ta) - ln(sb / tb)) * 1000000000) AS BIGINT) AS t
+        |  FROM j CROSS JOIN t)
+        |SELECT CAST(sum(t) AS BIGINT) AS psi_nano,
+        |  round(CAST(sum(t) AS DOUBLE) / 1000000000, 6) AS psi
+        |FROM terms""".stripMargin,
+
     // Bloom-flag mirror: the q2D slice-hash replay (same md5 || ':bloom'
     // digest, same 4-hex-char windows mod 16384, same all-bits-set
     // rule) over the dim's keys and every lineitem row — false

@@ -200,4 +200,61 @@ class PlanAuditSpec extends GraftSpec {
     }
     assert(offenders.isEmpty, s"suspicious broadcasts: ${offenders.toSeq.sorted}")
   }
+
+  test("every single-partition Window sits above an aggregate, never the corpus") {
+    // A Window with an EMPTY partition spec serializes its whole input
+    // through one task — fatal at 100 TB unless that input is already
+    // bounded (an aggregate keyed by a value DOMAIN, or a top-k). The
+    // audit: every path from a global WindowExec down to a leaf must
+    // cross an Aggregate / TakeOrdered / limit before any source.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, LocalLimitExec, GlobalLimitExec, LocalTableScanExec}
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case s: QueryStageExec        => unwrap(s.plan)
+      case other                    => other
+    }
+    def boundedBelow(p: SparkPlan): Boolean = unwrap(p) match {
+      case _: BaseAggregateExec                               => true
+      case _: TakeOrderedAndProjectExec                       => true
+      case _: LocalLimitExec | _: GlobalLimitExec             => true
+      case _: LocalTableScanExec                              => true // literal rows
+      case leaf if leaf.children.isEmpty && leaf.subqueries.isEmpty => false
+      case node => node.children.forall(boundedBelow)
+    }
+    def offendingWindows(p: SparkPlan): Int = {
+      val node = unwrap(p)
+      val self = node match {
+        case w: WindowExecBase if w.partitionSpec.isEmpty &&
+            !boundedBelow(w.child) => 1
+        case _ => 0
+      }
+      self + node.children.map(offendingWindows).sum
+    }
+    // negative control: a global row_number straight over a range scan
+    // must trip the detector, bare and AQE-wrapped
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    val bad = spark.range(64)
+      .withColumn("rn", row_number().over(Window.orderBy("id")))
+    assert(offendingWindows(bad.queryExecution.executedPlan) > 0,
+      "global-window detector failed its negative control")
+    val badAqe = bad.groupBy(col("rn") % 4).count().orderBy("count")
+    badAqe.collect()
+    assert(offendingWindows(badAqe.queryExecution.executedPlan) > 0,
+      "global-window detector failed its AQE-wrapped negative control")
+    // positive control: a window OVER an aggregate passes (the q0S shape)
+    val ok = spark.range(64).groupBy(col("id") % 4).count()
+      .withColumn("rn", row_number().over(Window.orderBy("count")))
+    assert(offendingWindows(ok.queryExecution.executedPlan) == 0,
+      "aggregate-bounded global window must not trip the detector")
+    val offenders = executedPlans.collect {
+      case (name, plan) if offendingWindows(plan) > 0 => name
+    }
+    assert(offenders.isEmpty,
+      s"corpus-sized single-partition windows in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
 }
