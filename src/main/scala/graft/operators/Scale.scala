@@ -43,13 +43,24 @@ object Scale {
       table: String,
       bucketCol: String,
       numBuckets: Int
-  ): Unit =
+  ): Unit = {
+    val spark = df.sparkSession
+    // a PREVIOUS JVM's managed-table directory can outlive its
+    // metastore entry (each local session gets a fresh in-memory
+    // catalog), and saveAsTable refuses a squatting location outright —
+    // drop the entry AND clear the default location before writing
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on the bucket key; with broadcast
     * disabled this plans a shuffle-free sort-merge join.

@@ -528,6 +528,32 @@ object RelationalQueries {
       Skyline.pareto2D(c, "n_orders", "spend_cents")
         .select("cust_key", "n_orders", "spend_cents")
         .orderBy("cust_key")
+    },
+
+    // Bucketed co-located join, END TO END through the production
+    // layout path: both sides written bucketBy(orderkey) (the one-time
+    // layout cost a 100 TB warehouse pays ONCE to make every repeated
+    // big-big join on that key shuffle-free), then joined with a merge
+    // hint — bucket-local sort-merge, ZERO Exchange between the scans
+    // and the join (ScaleSpec asserts the plan; this query gates the
+    // RESULT through the same path). The timed cost here is dominated
+    // by the two bucketed writes — the amortized-away part.
+    "q0U_bucketed_join" -> { (s, d) =>
+      import graft.operators.Scale
+      Scale.writeBucketed(
+        Tables.orders(s, d).select(col("o_orderkey").as("k"),
+          col("o_orderstatus")), "graft_q0u_orders", "k", 8)
+      Scale.writeBucketed(
+        Tables.lineitem(s, d).select(col("l_orderkey").as("k"),
+          col("l_extendedprice"), col("l_discount")),
+        "graft_q0u_lineitem", "k", 8)
+      s.table("graft_q0u_orders").hint("merge")
+        .join(s.table("graft_q0u_lineitem"), "k")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).as("revenue_cents"))
+        .orderBy("o_orderstatus")
     }
   )
 
@@ -905,6 +931,17 @@ object RelationalQueries {
         |  SELECT 1 FROM c q
         |  WHERE (q.n_orders > p.n_orders AND q.spend_cents >= p.spend_cents)
         |     OR (q.n_orders = p.n_orders AND q.spend_cents > p.spend_cents))
-        |ORDER BY p.cust_key""".stripMargin
+        |ORDER BY p.cust_key""".stripMargin,
+
+    // Bucketed-join mirror: layout is invisible in the result — the
+    // oracle is the plain join (the bucketing is Spark-side physical
+    // strategy the hash gate proves lossless).
+    "q0U_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -430,4 +430,96 @@ class PropertySpec extends GraftSpec {
       assert(sketch(df, 4096).toSet == rows.toSet, s"seed $seed: k>=n lossy")
     }
   }
+
+  test("scd2 properties on generated change logs: intervals tile [first, inf) " +
+    "per key, versions dense, attrs change across every boundary") {
+    import graft.operators.Scd
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(1L, 40L),
+      Gen.oneOf("A", "B", "C"), Gen.chooseNum(1L, 10000L))
+    for (seed <- 0 until 3) {
+      val rows = samples(rowGen, 150, 9200L + seed * 17)
+        .distinctBy(r => (r._1, r._2, r._4)) // tie-break unique per (k, ts)
+      val dim = Scd.scd2(rows.toDF("k", "ts", "attr", "tie"),
+          "k", "ts", Seq("attr"), "tie")
+        .collect()
+        .map(r => (r.getAs[Long]("k"), r.getAs[String]("attr"),
+          r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[Int]("version"), r.getAs[Boolean]("is_current")))
+        .groupBy(_._1)
+      dim.foreach { case (k, vs) =>
+        val s = vs.sortBy(_._5)
+        // versions are dense from 1; exactly one open current interval
+        assert(s.map(_._5).toSeq == (1 to s.length), s"seed $seed k $k")
+        assert(s.count(_._6) == 1 && s.last._6, s"seed $seed k $k current")
+        // intervals tile: each valid_to == next valid_from; only last open
+        s.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a._4.contains(b._3), s"seed $seed k $k gap/overlap")
+            assert(a._2 != b._2, s"seed $seed k $k: boundary without change")
+          case _ => ()
+        }
+        assert(s.last._4.isEmpty, s"seed $seed k $k: last interval closed")
+      }
+    }
+  }
+
+  test("skyline properties on generated points: survivors undominated, " +
+    "non-survivors dominated, partitioning-invariant") {
+    import graft.operators.Skyline
+    val ptGen = Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))
+    for (seed <- 0 until 3) {
+      val pts = samples(ptGen, 80, 9900L + seed * 13).zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+      val df = pts.toDF("id", "x", "y")
+      def dom(p: (Long, Long, Long), q: (Long, Long, Long)) =
+        (q._2 > p._2 && q._3 >= p._3) || (q._2 == p._2 && q._3 > p._3)
+      val got = Skyline.pareto2D(df, "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSet
+      pts.foreach { p =>
+        val dominated = pts.exists(q => dom(p, q))
+        assert(got.contains(p._1) == !dominated,
+          s"seed $seed point $p: skyline membership wrong")
+      }
+      val rep = Skyline.pareto2D(df.repartition(7), "x", "y")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(rep == got, s"seed $seed: partitioning changed the frontier")
+    }
+  }
+
+  test("hilbert properties on generated orders: bijection and unit-step " +
+    "adjacency at every bits level 1..4") {
+    import graft.operators.Scale
+    for (bits <- 1 to 4) {
+      val n = 1 << bits
+      val grid = (0L until n).flatMap(x => (0L until n).map(y => (x, y)))
+        .toDF("x", "y")
+      val h = Scale.withHilbert(grid, "x", "y", "h", bits)
+        .collect().map(r => r.getAs[Long]("h") ->
+          (r.getAs[Long]("x"), r.getAs[Long]("y"))).toMap
+      assert(h.keySet == (0L until n.toLong * n).toSet, s"bits $bits bijection")
+      (0L until n.toLong * n - 1).foreach { d =>
+        val (x1, y1) = h(d); val (x2, y2) = h(d + 1)
+        assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+          s"bits $bits: step $d jumps")
+      }
+    }
+  }
+
+  test("KS properties on generated samples: D in [0,1], zero iff identical " +
+    "multisets, symmetric in its arguments") {
+    import graft.operators.Curation
+    val vGen = Gen.chooseNum(0L, 30L)
+    for (seed <- 0 until 3) {
+      val a = samples(vGen, 60, 9700L + seed * 7)
+      val b = samples(vGen, 45, 9800L + seed * 11)
+      val ab = Curation.ksTest(a.toDF("v"), b.toDF("v"), "v").head()
+      val ba = Curation.ksTest(b.toDF("v"), a.toDF("v"), "v").head()
+      assert(ab.getAs[Double]("ks_d") >= 0.0 && ab.getAs[Double]("ks_d") <= 1.0)
+      assert(ab.getAs[Long]("d_num") == ba.getAs[Long]("d_num"),
+        s"seed $seed: KS not symmetric")
+      val same = Curation.ksTest(a.toDF("v"), a.toDF("v"), "v").head()
+      assert(same.getAs[Long]("d_num") == 0L, s"seed $seed: D(a,a) != 0")
+    }
+  }
 }

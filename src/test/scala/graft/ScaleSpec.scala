@@ -237,6 +237,17 @@ class ScaleSpec extends GraftSpec {
       org.apache.spark.sql.Row(0L, 255L))
   }
 
+  test("registry q0U joins bucket-local: no exchange on the join key") {
+    val df = SparkEntry.queries("q0U_bucketed_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    // the only exchanges must be the aggregate/orderBy ones above the
+    // join; bucketing supplies the k-partitioning to both scan sides
+    assert(!plan.contains("Exchange hashpartitioning(k#"),
+      s"bucketed join re-shuffled on the join key:\n$plan")
+    assert(df.count() == 3)
+  }
+
   test("withHilbert: bijection, unit-step adjacency, tighter buckets than Morton") {
     import spark.implicits._
     val n = 8 // bits = 3

@@ -36,6 +36,22 @@ class SkylineSpec extends GraftSpec {
     assert(fast == naive && fast.nonEmpty)
   }
 
+  test("pareto2D: AQE reuses the base-aggregate exchange (input computes once)") {
+    // the survivors branch and the dominance branch both hang off the
+    // same per-key aggregate; statically it prints twice, but at
+    // runtime AQE must fold the second into a ReusedExchange of the
+    // first — otherwise the operator scans its input twice at 100 TB
+    val c = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("x"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("y"))
+    val df = Skyline.pareto2D(c, "x", "y")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"),
+      s"expected AQE to reuse the base aggregate exchange:\n$plan")
+  }
+
   test("pareto2D: the window input is the x-aggregate, not the corpus") {
     val c = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("k"))
