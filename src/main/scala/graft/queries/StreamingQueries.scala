@@ -500,13 +500,15 @@ object StreamingQueries {
       val schema = s.read.parquet(s"$d/lineitem.parquet").schema
       val li = s.readStream.schema(schema)
         .option("pathGlobFilter", "lineitem.parquet").parquet(d)
-      val out = li.select(
-        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-        Sketch.bloomHitCol(col("l_partkey").cast("string"), words,
-          depth = 4, width = 16384).as("bloom_hit"))
-      StreamRunner.runToBatch(out, OutputMode.Append)
+      // flag per row in-stream, aggregate in-stream too: Complete-mode
+      // state is TWO rows forever, and the sink materializes two rows
+      // instead of the whole flagged stream
+      val out = li.select(col("l_partkey"),
+          Sketch.bloomHitCol(col("l_partkey").cast("string"), words,
+            depth = 4, width = 16384).as("bloom_hit"))
         .groupBy("bloom_hit")
         .agg(count(lit(1)).as("n"), sum("l_partkey").as("sum_partkey"))
+      StreamRunner.runToBatch(out, OutputMode.Complete)
         .orderBy("bloom_hit")
     },
 
