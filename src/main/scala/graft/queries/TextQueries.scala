@@ -192,6 +192,46 @@ object TextQueries {
         .limit(20)
     },
 
+    // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs (capped at 4 words — the
+    // standard RAKE cut, and what bounds the phrase-assembly buffer);
+    // word score = degree/frequency over candidate occurrences, phrase
+    // score = Σ member scores. Scores are EXACT micro-unit longs
+    // ((deg·10⁶) div freq — integer division), so phrase sums are
+    // order-independent and the ranking replays bit-identically. All
+    // windows partition by doc (parallel, never global).
+    "q2M_rake_keywords" -> { (s, d) =>
+      import graft.functions.TextFunctions.EN_STOP
+      val tok = Tables.documents(s, d).filter(col("lang") === "en")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "w")))
+        .withColumn("is_stop", col("w").isin(EN_STOP: _*))
+      val wDoc = Window.partitionBy("doc_id").orderBy("i")
+      val mem = tok
+        .withColumn("phrase_id",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("is_stop") && length(col("w")) > 0)
+      val kept = mem
+        .withColumn("plen",
+          count(lit(1)).over(Window.partitionBy("doc_id", "phrase_id")))
+        .filter(col("plen") <= 4)
+      val scored = kept.groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .select(col("w"), expr("(deg * 1000000L) div freq").as("wscore"))
+      val phrases = kept.join(scored, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("i"), col("w")))),
+            x => x.getField("w")), " ").as("phrase"),
+          sum("wscore").as("score_micro"))
+      phrases.groupBy("phrase", "score_micro")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("score_micro").desc, col("phrase"))
+        .limit(10)
+        .select(col("phrase"), col("n_occurrences"), col("score_micro"),
+          round(col("score_micro").cast("double") / lit(1e6), 6).as("score"))
+    },
+
     // TF-IDF document similarity: cosine over tf·ln(N/df) weighted term
     // vectors, top pairs — the sparse-lexical dual of q14's dense
     // embedding near-dups. Weights round to EXACT micro-unit longs, so
@@ -579,6 +619,46 @@ object TextQueries {
          |FROM pairs CROSS JOIN nd
          |ORDER BY pmi DESC, term_a, term_b
          |LIMIT 20""".stripMargin,
+
+    // RAKE mirror: same stopword fence-posting (cumulative stop count
+    // as the phrase id), same 4-word cap, same integer micro scores,
+    // phrase text assembled in token order.
+    "q2M_rake_keywords" -> {
+      import graft.functions.TextFunctions.EN_STOP
+      val stops = EN_STOP.map(w => s"'$w'").mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, i, w, w IN ($stops) AS is_stop
+         |  FROM (SELECT doc_id, unnest($duckToks) AS w,
+         |          generate_subscripts($duckToks, 1) AS i
+         |        FROM documents WHERE lang = 'en')),
+         |ph AS (
+         |  SELECT doc_id, i, w, is_stop,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY i) AS phrase_id
+         |  FROM tok),
+         |mem AS (SELECT doc_id, phrase_id, i, w FROM ph
+         |        WHERE NOT is_stop AND len(w) > 0),
+         |kept AS (
+         |  SELECT * FROM (
+         |    SELECT doc_id, phrase_id, i, w,
+         |      count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+         |    FROM mem) WHERE plen <= 4),
+         |scored AS (
+         |  SELECT w, (CAST(sum(plen) AS BIGINT) * 1000000) // count(*)
+         |    AS wscore
+         |  FROM kept GROUP BY w),
+         |phr AS (
+         |  SELECT k.doc_id, k.phrase_id,
+         |    string_agg(k.w, ' ' ORDER BY k.i) AS phrase,
+         |    CAST(sum(s.wscore) AS BIGINT) AS score_micro
+         |  FROM kept k JOIN scored s USING (w)
+         |  GROUP BY 1, 2)
+         |SELECT phrase, count(*) AS n_occurrences, score_micro,
+         |  round(CAST(score_micro AS DOUBLE) / 1000000.0, 6) AS score
+         |FROM phr GROUP BY phrase, score_micro
+         |ORDER BY score_micro DESC, phrase
+         |LIMIT 10""".stripMargin
+    },
 
     // TF-IDF mirror: identical tf / capped-df tables, identical
     // micro-long weight rounding, long dot/norm sums, one closed-form

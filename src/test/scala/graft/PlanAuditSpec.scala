@@ -121,7 +121,11 @@ class PlanAuditSpec extends GraftSpec {
     // per stratum, never the corpus): the source-keyed aggregate below
     // the collect is the witness
     "q6M_temperature_mixture" -> (("source-keyed count aggregate below the collect",
-      sub => """HashAggregate\(keys=\[source#\d+""".r.findFirstIn(sub).isDefined)))
+      sub => """HashAggregate\(keys=\[source#\d+""".r.findFirstIn(sub).isDefined)),
+    // q2M assembles RAKE phrase text from <= 4 members: the plen <= 4
+    // candidate cap below the collect is the witness
+    "q2M_rake_keywords" -> (("plen <= 4 phrase cap below the collect",
+      sub => """plen#\d+L? <= 4""".r.findFirstIn(sub).isDefined)))
 
   /** Each final (non-partial) collect_list/collect_set node with its
     * full plan subtree, extracted from the plan TEXT — AQE's
