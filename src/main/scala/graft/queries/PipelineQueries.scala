@@ -29,7 +29,7 @@ object PipelineQueries {
     * highest orderkey, null-safe run collapse) — emits
     * `dim(cust_key, priority, valid_from)`.
     */
-  private val duckScd2Dim: String =
+  private[queries] val duckScd2Dim: String =
     """ch AS (
       |  SELECT o_custkey AS cust_key, epoch_us(o_orderdate) AS ts_us,
       |    o_orderpriority AS priority,

@@ -448,6 +448,31 @@ object StreamingQueries {
         .orderBy("p_partkey")
     },
 
+    // Streaming SCD Type 2 maintenance: the orders change feed streams
+    // through flatMapGroupsWithState; state is each customer's CURRENT
+    // version (one small row per key — the floor for dimension
+    // maintenance), and every attribute change CLOSES the previous
+    // validity interval on arrival. Emitted rows equal the batch q4V
+    // build's closed intervals exactly (open versions live in state).
+    "q7P_stream_scd2" -> { (s, d) =>
+      import graft.streaming.StreamingIngest
+      import s.implicits._
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val ch = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+        .select(col("o_custkey").as("k"),
+          unix_micros(col("o_orderdate")).as("ts_us"),
+          col("o_orderpriority").as("attr"),
+          col("o_orderkey").as("tie"))
+        .as[StreamingIngest.ScdChange]
+      StreamRunner.runToBatch(
+          StreamingIngest.scdMaintain(ch).toDF(), OutputMode.Append)
+        .select(col("k").as("cust_key"), col("attr").as("priority"),
+          col("valid_from").as("valid_from_us"),
+          col("valid_to").as("valid_to_us"))
+        .orderBy("cust_key", "valid_from_us")
+    },
+
     // Streaming PSI drift monitor: live event values bucket into a
     // FIXED 20-cell histogram (Complete-mode state = 20 rows forever),
     // then the population-stability index vs a batch reference slice —
@@ -826,6 +851,19 @@ object StreamingQueries {
 
     // Streamed fuzzy-flag mirror: q3E's blocking at dist <= 2 yields the
     // neighbor-name set; every part row flags by membership.
+    // Streaming-SCD2 mirror: the shared batch dim CTEs, CLOSED
+    // intervals only (open versions are state, not output).
+    "q7P_stream_scd2" ->
+      s"""WITH ${PipelineQueries.duckScd2Dim},
+         |iv AS (
+         |  SELECT cust_key, priority, valid_from AS valid_from_us,
+         |    lead(valid_from) OVER (PARTITION BY cust_key
+         |                           ORDER BY valid_from) AS valid_to_us
+         |  FROM dim)
+         |SELECT cust_key, priority, valid_from_us, valid_to_us
+         |FROM iv WHERE valid_to_us IS NOT NULL
+         |ORDER BY cust_key, valid_from_us""".stripMargin,
+
     // PSI mirror: same fixed buckets, same add-one smoothing over the
     // 20-cell spine, same nano fixed-point terms (identical expression
     // association), batch-replayed over the full stream content.

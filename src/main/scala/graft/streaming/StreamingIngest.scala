@@ -429,6 +429,52 @@ object StreamingIngest {
           }
       }
   }
+  final case class ScdChange(k: Long, ts_us: Long, attr: String, tie: Long)
+  final case class ScdCurrent(validFrom: Long, attr: String)
+  final case class ClosedVersion(k: Long, attr: String,
+                                 valid_from: Long, valid_to: Long)
+
+  /** Streaming SCD Type 2 maintenance: consume a change feed, keep each
+    * key's CURRENT version as state (ONE small row per key — the honest
+    * floor for dimension maintenance: the open version must be known to
+    * close it), and emit a [[ClosedVersion]] the moment an attribute
+    * change closes the previous validity interval. The streaming twin
+    * of [[graft.operators.Scd.scd2]]: same same-ts dedup (highest tie
+    * wins), same run collapse (unchanged attrs emit nothing), and the
+    * emitted rows equal the batch build's CLOSED intervals whenever
+    * each key's changes arrive time-ordered across micro-batches
+    * (within a batch, rows process in (ts asc, tie desc) order, so
+    * any single-batch replay matches the batch build exactly).
+    * Open (current) versions live only in state — stream a snapshot
+    * out with a final batch read if needed.
+    */
+  def scdMaintain(changes: Dataset[ScdChange]): Dataset[ClosedVersion] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ScdCurrent, ClosedVersion](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (k: Long, rows: Iterator[ScdChange], state: GroupState[ScdCurrent]) =>
+          val out = Seq.newBuilder[ClosedVersion]
+          var cur = state.getOption.orNull
+          var lastTs = Long.MinValue
+          // (ts asc, tie desc): the first row of each ts group is the
+          // tie-break winner; later same-ts rows are dropped
+          for (e <- rows.toSeq.sortBy(x => (x.ts_us, -x.tie))) {
+            if (e.ts_us != lastTs) {
+              lastTs = e.ts_us
+              if (cur == null) cur = ScdCurrent(e.ts_us, e.attr)
+              else if (cur.attr != e.attr) {
+                out += ClosedVersion(k, cur.attr, cur.validFrom, e.ts_us)
+                cur = ScdCurrent(e.ts_us, e.attr)
+              }
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class ClosedSession(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)

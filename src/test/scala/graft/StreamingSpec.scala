@@ -172,6 +172,40 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 closes versions across micro-batches; open stays in state") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest.{ClosedVersion, ScdChange}
+    val dir = Files.createTempDirectory("graft-scd").toString
+    // batch 1: key 1 opens A at 10 (with a same-ts tie loser B@tie1);
+    // batch 2: A->B at 20 closes [10,20), B->B at 25 collapses,
+    //          B->C at 30 closes [20,30); C stays OPEN (state only)
+    Seq(ScdChange(1L, 10L, "B", 1L), ScdChange(1L, 10L, "A", 2L))
+      .toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    Seq(ScdChange(1L, 20L, "B", 3L), ScdChange(1L, 25L, "B", 4L),
+        ScdChange(1L, 30L, "C", 5L))
+      .toDS().coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .as[ScdChange]
+    val closed = graft.streaming.StreamingIngest.scdMaintain(stream)
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("scd_closed").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("scd_closed").as[ClosedVersion].collect()
+        .sortBy(_.valid_from)
+      assert(rows.toSeq == Seq(
+        ClosedVersion(1L, "A", 10L, 20L),   // tie=2 won the same-ts pair
+        ClosedVersion(1L, "B", 20L, 30L)),  // the 25 re-observation collapsed
+        s"got ${rows.toSeq}")
+      // exactly one state row (key 1's open C version)
+      val prog = q.lastProgress
+      assert(prog.stateOperators.head.numRowsTotal == 1,
+        s"state rows: ${prog.stateOperators.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("idle users' final sessions flush via the processing-time timeout") {
     import spark.implicits._
     import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
