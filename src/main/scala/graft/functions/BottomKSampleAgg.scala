@@ -11,7 +11,6 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 import scala.collection.mutable.ArrayBuffer
 
 /** Bottom-k VALUE sample — the mergeable quantile sketch
@@ -44,7 +43,7 @@ case class BottomKSampleAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[ArrayBuffer[(String, Long, Double)]] {
+) extends TypedImperativeAggregate[ArrayBuffer[(UTF8String, Long, Double)]] {
 
   override def children: Seq[Expression] = Seq(rank, id, value)
   override def nullable: Boolean         = false
@@ -64,58 +63,59 @@ case class BottomKSampleAgg(
           s"(${r.simpleString}, ${i.simpleString}, ${v.simpleString})")
     }
 
-  override def createAggregationBuffer(): ArrayBuffer[(String, Long, Double)] =
+  override def createAggregationBuffer(): ArrayBuffer[(UTF8String, Long, Double)] =
     ArrayBuffer.empty
 
   // UTF-8 byte order on the rank — Spark's binary StringType order (the
   // same contract, and the same supplementary-plane caveat, as
-  // TopKByRankAgg.RankOrder)
-  private object SampleOrder extends Ordering[(String, Long, Double)] {
-    def compare(x: (String, Long, Double), y: (String, Long, Double)): Int = {
-      val c = UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+  // TopKByRankAgg.RankOrder). UTF8String lives in the buffer itself so
+  // compaction comparisons allocate nothing; conversions only at the
+  // serialize/deserialize boundary.
+  private object SampleOrder extends Ordering[(UTF8String, Long, Double)] {
+    def compare(x: (UTF8String, Long, Double), y: (UTF8String, Long, Double)): Int = {
+      val c = x._1.compareTo(y._1)
       if (c != 0) c else java.lang.Long.compare(x._2, y._2)
     }
   }
 
-  private def compact(buf: ArrayBuffer[(String, Long, Double)]): Unit =
+  private def compact(buf: ArrayBuffer[(UTF8String, Long, Double)]): Unit =
     if (buf.length > k) {
       val kept = buf.sorted(SampleOrder).take(k)
       buf.clear()
       buf ++= kept
     }
 
-  override def update(buf: ArrayBuffer[(String, Long, Double)],
-                      input: InternalRow): ArrayBuffer[(String, Long, Double)] = {
+  override def update(buf: ArrayBuffer[(UTF8String, Long, Double)],
+                      input: InternalRow): ArrayBuffer[(UTF8String, Long, Double)] = {
     val r = rank.eval(input)
     val i = id.eval(input)
     val v = value.eval(input)
     if (r == null || i == null || v == null) return buf
-    buf += ((r.asInstanceOf[UTF8String].toString, i.asInstanceOf[Long],
+    // clone(): the eval result may point into a reused unsafe-row page
+    buf += ((r.asInstanceOf[UTF8String].clone(), i.asInstanceOf[Long],
       v.asInstanceOf[Double]))
     if (buf.length >= 2 * k) compact(buf)
     buf
   }
 
-  override def merge(b1: ArrayBuffer[(String, Long, Double)],
-                     b2: ArrayBuffer[(String, Long, Double)]): ArrayBuffer[(String, Long, Double)] = {
+  override def merge(b1: ArrayBuffer[(UTF8String, Long, Double)],
+                     b2: ArrayBuffer[(UTF8String, Long, Double)]): ArrayBuffer[(UTF8String, Long, Double)] = {
     b1 ++= b2
     compact(b1)
     b1
   }
 
-  override def eval(buf: ArrayBuffer[(String, Long, Double)]): Any = {
+  override def eval(buf: ArrayBuffer[(UTF8String, Long, Double)]): Any = {
     compact(buf)
     val rows = buf.sorted(SampleOrder).map { case (r, i, v) =>
-      InternalRow(UTF8String.fromString(r), i, v)
+      InternalRow(r, i, v)
     }
     new GenericArrayData(rows.toArray[Any])
   }
 
-  override def serialize(buf: ArrayBuffer[(String, Long, Double)]): Array[Byte] = {
+  override def serialize(buf: ArrayBuffer[(UTF8String, Long, Double)]): Array[Byte] = {
     compact(buf)
-    val entries = buf.map { case (r, i, v) =>
-      (r.getBytes(StandardCharsets.UTF_8), i, v)
-    }
+    val entries = buf.map { case (r, i, v) => (r.getBytes, i, v) }
     val size = 4 + entries.map(e => 4 + e._1.length + 8 + 8).sum
     val bb   = ByteBuffer.allocate(size)
     bb.putInt(entries.length)
@@ -125,17 +125,16 @@ case class BottomKSampleAgg(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, Long, Double)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(UTF8String, Long, Double)] = {
     val bb  = ByteBuffer.wrap(bytes)
     val n   = bb.getInt()
-    val out = new ArrayBuffer[(String, Long, Double)](n)
+    val out = new ArrayBuffer[(UTF8String, Long, Double)](n)
     var j   = 0
     while (j < n) {
       val len = bb.getInt()
       val rb  = new Array[Byte](len)
       bb.get(rb)
-      out += ((new String(rb, StandardCharsets.UTF_8), bb.getLong(),
-        bb.getDouble()))
+      out += ((UTF8String.fromBytes(rb), bb.getLong(), bb.getDouble()))
       j += 1
     }
     out

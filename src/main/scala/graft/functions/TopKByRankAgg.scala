@@ -11,7 +11,6 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.nio.ByteBuffer
-import java.nio.charset.StandardCharsets
 import scala.collection.mutable.ArrayBuffer
 
 /** Bounded top-k selection by a rank string — the aggregate form of the
@@ -41,7 +40,7 @@ case class TopKByRankAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
-) extends TypedImperativeAggregate[ArrayBuffer[(String, Long)]] {
+) extends TypedImperativeAggregate[ArrayBuffer[(UTF8String, Long)]] {
 
   override def children: Seq[Expression] = Seq(rank, id)
   override def nullable: Boolean         = false
@@ -58,7 +57,7 @@ case class TopKByRankAgg(
         s"top_k_by_rank expects (string, bigint), got (${r.simpleString}, ${i.simpleString})")
     }
 
-  override def createAggregationBuffer(): ArrayBuffer[(String, Long)] =
+  override def createAggregationBuffer(): ArrayBuffer[(UTF8String, Long)] =
     ArrayBuffer.empty
 
   // Rank comparisons use UTF-8 BYTE order (UTF8String.compareTo), the
@@ -68,51 +67,53 @@ case class TopKByRankAgg(
   // UTF-8 bytes). The aggregate is registered as a general SQL function
   // over any string rank, so its kept set must match what
   // `orderBy(rank, id).limit(k)` keeps for ALL inputs, not just the
-  // ASCII md5-hex ranks the sampling call sites feed it.
-  private object RankOrder extends Ordering[(String, Long)] {
-    def compare(x: (String, Long), y: (String, Long)): Int = {
-      val c = UTF8String.fromString(x._1).compareTo(UTF8String.fromString(y._1))
+  // ASCII md5-hex ranks the sampling call sites feed it. The buffer
+  // stores UTF8String itself so a compaction's O(k log k) comparisons
+  // allocate NOTHING — conversions happen only at the serialize /
+  // deserialize boundary.
+  private object RankOrder extends Ordering[(UTF8String, Long)] {
+    def compare(x: (UTF8String, Long), y: (UTF8String, Long)): Int = {
+      val c = x._1.compareTo(y._1)
       if (c != 0) c else java.lang.Long.compare(x._2, y._2)
     }
   }
 
   // keep the buffer small: append, and compact to the k smallest
   // whenever it doubles — amortized O(log k) per row, ≤ 2k entries held
-  private def compact(buf: ArrayBuffer[(String, Long)]): Unit =
+  private def compact(buf: ArrayBuffer[(UTF8String, Long)]): Unit =
     if (buf.length > k) {
       val kept = buf.sorted(RankOrder).take(k)
       buf.clear()
       buf ++= kept
     }
 
-  override def update(buf: ArrayBuffer[(String, Long)],
-                      input: InternalRow): ArrayBuffer[(String, Long)] = {
+  override def update(buf: ArrayBuffer[(UTF8String, Long)],
+                      input: InternalRow): ArrayBuffer[(UTF8String, Long)] = {
     val r = rank.eval(input)
     val i = id.eval(input)
     if (r == null || i == null) return buf
-    buf += ((r.asInstanceOf[UTF8String].toString, i.asInstanceOf[Long]))
+    // clone(): the eval result may point into a reused unsafe-row page
+    buf += ((r.asInstanceOf[UTF8String].clone(), i.asInstanceOf[Long]))
     if (buf.length >= 2 * k) compact(buf)
     buf
   }
 
-  override def merge(b1: ArrayBuffer[(String, Long)],
-                     b2: ArrayBuffer[(String, Long)]): ArrayBuffer[(String, Long)] = {
+  override def merge(b1: ArrayBuffer[(UTF8String, Long)],
+                     b2: ArrayBuffer[(UTF8String, Long)]): ArrayBuffer[(UTF8String, Long)] = {
     b1 ++= b2
     compact(b1)
     b1
   }
 
-  override def eval(buf: ArrayBuffer[(String, Long)]): Any = {
+  override def eval(buf: ArrayBuffer[(UTF8String, Long)]): Any = {
     compact(buf)
-    val rows = buf.sorted(RankOrder).map { case (r, i) =>
-      InternalRow(UTF8String.fromString(r), i)
-    }
+    val rows = buf.sorted(RankOrder).map { case (r, i) => InternalRow(r, i) }
     new GenericArrayData(rows.toArray[Any])
   }
 
-  override def serialize(buf: ArrayBuffer[(String, Long)]): Array[Byte] = {
+  override def serialize(buf: ArrayBuffer[(UTF8String, Long)]): Array[Byte] = {
     compact(buf)
-    val entries = buf.map { case (r, i) => (r.getBytes(StandardCharsets.UTF_8), i) }
+    val entries = buf.map { case (r, i) => (r.getBytes, i) }
     val size    = 4 + entries.map(e => 4 + e._1.length + 8).sum
     val bb      = ByteBuffer.allocate(size)
     bb.putInt(entries.length)
@@ -122,16 +123,16 @@ case class TopKByRankAgg(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(String, Long)] = {
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(UTF8String, Long)] = {
     val bb  = ByteBuffer.wrap(bytes)
     val n   = bb.getInt()
-    val out = new ArrayBuffer[(String, Long)](n)
+    val out = new ArrayBuffer[(UTF8String, Long)](n)
     var j   = 0
     while (j < n) {
       val len = bb.getInt()
       val rb  = new Array[Byte](len)
       bb.get(rb)
-      out += ((new String(rb, StandardCharsets.UTF_8), bb.getLong()))
+      out += ((UTF8String.fromBytes(rb), bb.getLong()))
       j += 1
     }
     out

@@ -380,11 +380,15 @@ object Sketch {
         .otherwise(0))
     val withSorted = sketch.withColumn("_svs", byValue)
     ps.foldLeft(withSorted) { case (df, (p, out)) =>
+      // empty sample → NULL, not element_at(_, 0): under ANSI mode the
+      // index expression would otherwise throw (0 is always invalid)
       df.withColumn(out,
-        element_at(col("_svs"),
-          (floor(lit(p) * (size(col("_svs")) - 1).cast("double")) + 1)
-            .cast("int"))
-          .getField("v"))
+        when(size(col("_svs")) === 0, lit(null).cast("double"))
+          .otherwise(
+            element_at(col("_svs"),
+              (floor(lit(p) * (size(col("_svs")) - 1).cast("double")) + 1)
+                .cast("int"))
+              .getField("v")))
     }.drop("_svs")
   }
 }
