@@ -445,8 +445,14 @@ object StreamingIngest {
     * each key's changes arrive time-ordered across micro-batches
     * (within a batch, rows process in (ts asc, tie desc) order, so
     * any single-batch replay matches the batch build exactly).
-    * Open (current) versions live only in state — stream a snapshot
-    * out with a final batch read if needed.
+    * Cross-batch late duplicates: an arrival at or before the current
+    * version's `validFrom` is dropped — the tie-break for that instant
+    * already ran when the state row was installed, so re-delivered
+    * same-ts events (at-least-once sources redeliver across batches)
+    * can never emit a zero-length `[ts, ts)` interval, and a genuinely
+    * older straggler can never close the current version with
+    * `valid_to < valid_from`. Open (current) versions live only in
+    * state — stream a snapshot out with a final batch read if needed.
     */
   def scdMaintain(changes: Dataset[ScdChange]): Dataset[ClosedVersion] = {
     import changes.sparkSession.implicits._
@@ -461,7 +467,10 @@ object StreamingIngest {
           // (ts asc, tie desc): the first row of each ts group is the
           // tie-break winner; later same-ts rows are dropped
           for (e <- rows.toSeq.sortBy(x => (x.ts_us, -x.tie))) {
-            if (e.ts_us != lastTs) {
+            // late-duplicate policy: cur.validFrom's tie-break already
+            // ran (possibly in an earlier micro-batch) — drop arrivals
+            // at or before it rather than emit a degenerate interval
+            if (e.ts_us != lastTs && (cur == null || e.ts_us > cur.validFrom)) {
               lastTs = e.ts_us
               if (cur == null) cur = ScdCurrent(e.ts_us, e.attr)
               else if (cur.attr != e.attr) {

@@ -206,6 +206,36 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2 drops cross-batch same-ts duplicates (no zero-length interval)") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest.{ClosedVersion, ScdChange}
+    val dir = Files.createTempDirectory("graft-scd-dup").toString
+    // batch 1 installs A@10 as current. batch 2 redelivers ts=10 with a
+    // DIFFERENT attr (an at-least-once source's late duplicate — its
+    // tie-break already ran when A won in batch 1): it must be dropped,
+    // not emit a degenerate [10,10) interval or usurp the current row.
+    // The real change C@20 then closes A's interval, proving state held.
+    Seq(ScdChange(1L, 10L, "A", 2L))
+      .toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    Seq(ScdChange(1L, 10L, "B", 9L), ScdChange(1L, 20L, "C", 1L))
+      .toDS().coalesce(1).write.parquet(s"$dir/batch2")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
+      .as[ScdChange]
+    val closed = graft.streaming.StreamingIngest.scdMaintain(stream)
+    val q = closed.writeStream.outputMode("append")
+      .format("memory").queryName("scd_dup_closed").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("scd_dup_closed").as[ClosedVersion].collect().toSeq
+      // exactly ONE closed version: A's, closed by C@20 — the duplicate
+      // emitted nothing and did not replace A as the open version
+      assert(rows == Seq(ClosedVersion(1L, "A", 10L, 20L)), s"got $rows")
+      assert(rows.forall(r => r.valid_to > r.valid_from))
+    } finally q.stop()
+  }
+
   test("idle users' final sessions flush via the processing-time timeout") {
     import spark.implicits._
     import graft.streaming.StreamingIngest.{ClosedSession, UserEvent}
