@@ -272,6 +272,117 @@ object Multimodal {
     }(Encoders.row(schema))
   }
 
+  /** Deterministic NEAR-duplicate PNG families for gating
+    * [[imageNearDupPairs]]: a 16×16 gray PNG per id whose [[aHash]] is
+    * a closed-form 64-bit mask. Background pixels are 100; a "spiked"
+    * aHash grid cell (the sampled pixel `(2x, 2y)`) is 200. With `k`
+    * spiked cells the grid total is `6400 + 100k`, so the integer mean
+    * test `v·64 > total` holds EXACTLY for the spiked cells (`12800 >
+    * 6400 + 100k ⟺ k < 64`) — the aHash IS the spike mask, bit for
+    * bit, and flipping one spiked cell flips exactly one hash bit.
+    *
+    * Family structure: group `g = id / 4`, variant `v = id % 4`. The
+    * group's base mask draws bit `i` from the md5 of `"g:i"` (odd first
+    * hex digit — inter-group hamming ≈ 32, so distinct groups never
+    * collide at small thresholds); variants XOR-flip `v = 1` → cell
+    * `g % 64` (distance 1 from base), `v = 2` → cells `g % 64` and
+    * `(g + 32) % 64` (distance 2), `v = 3` → the 8 cells `i ≡ g
+    * (mod 8)` (distance 8 — OUTSIDE a ≤3 threshold, the in-family
+    * negative). An oracle replays every bit without a codec.
+    */
+  def syntheticSpikedPngs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(idx)
+        val g  = id / 4
+        val v  = (id % 4).toInt
+        def base(i: Int): Boolean = {
+          md.reset()
+          val hex = md.digest(s"$g:$i".getBytes("UTF-8"))
+          // first hex digit = high nibble of byte 0; odd → bit set
+          (((hex(0) >> 4) & 0xf) & 1) == 1
+        }
+        def flipped(i: Int): Boolean = v match {
+          case 1 => i == (g % 64).toInt
+          case 2 => i == (g % 64).toInt || i == ((g + 32) % 64).toInt
+          case 3 => i % 8 == (g % 8).toInt
+          case _ => false
+        }
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            // only the even (sampled) positions carry the cell value;
+            // odd positions stay background — aHash never reads them
+            val p =
+              if (x % 2 == 0 && y % 2 == 0) {
+                val i = (y / 2) * 8 + (x / 2)
+                if (base(i) ^ flipped(i)) 200 else 100
+              } else 100
+            img.setRGB(x, y, (p << 16) | (p << 8) | p)
+            x += 1
+          }
+          y += 1
+        }
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", out)
+        Row.fromSeq(row.toSeq :+ out.toByteArray)
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Image NEAR-duplicate pairs over [[aHash]] signatures via the
+    * 4×16-bit pigeonhole band join (the q35 simhash shape — see
+    * [[graft.operators.Dedup.simhashPairsBlocked]]): any two hashes
+    * within hamming distance ≤ 3 differ in at most 3 of the 4 16-bit
+    * bands, so they agree EXACTLY on at least one and the (band, key)
+    * equi-join is exhaustive — no all-pairs scan. Candidates are then
+    * verified by the full 64-bit distance `bit_count(hi⊕hi) +
+    * bit_count(lo⊕lo)` and pairs agreeing on several bands collapse.
+    *
+    * Input: rows with non-null `phash_hi` / `phash_lo` (filter
+    * `ahash_ok` first). The signature table is cut once
+    * (`localCheckpoint`) — it feeds both join sides and sits atop the
+    * expensive decode. Scale: pair space is bounded by band-bucket
+    * sizes; EXACT duplicates (distance 0) all land in the same 4
+    * buckets, so at corpus scale collapse exact dups first (groupBy
+    * the hash pair, keep one representative — the q5G shape) and run
+    * this on representatives.
+    */
+  def imageNearDupPairs(
+      hashed: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"4x16-bit banding is only exhaustive for maxDist <= 3, got $maxDist")
+    val sigs = hashed
+      .select(col(idCol).as("doc"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
+      .localCheckpoint()
+    val mask = lit(0xffffL)
+    val bands = sigs.select(col("doc"), col("hi"), col("lo"),
+      posexplode(array(
+        col("lo").bitwiseAND(mask),
+        shiftright(col("lo"), 16).bitwiseAND(mask),
+        col("hi").bitwiseAND(mask),
+        shiftright(col("hi"), 16).bitwiseAND(mask))).as(Seq("band", "key")))
+    val a = bands.select(col("doc").as("doc_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"), col("band"), col("key"))
+    val b = bands.select(col("doc").as("doc_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"),
+      col("band").as("band_b"), col("key").as("key_b"))
+    a.join(b, col("band") === col("band_b") && col("key") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy("doc_a", "doc_b")
+      .agg(min("dist").as("dist"))
+  }
+
   /** Perceptual average-hash (aHash) of image payloads: decode, sample
     * an 8×8 grid by the SAME exact nearest-neighbor map as
     * [[resizeNearest]] (`src(x) = floor(x·w/8)`), threshold each cell's

@@ -455,6 +455,26 @@ object PipelineQueries {
         .orderBy("min_doc")
     },
 
+    // Image NEAR-duplicate detection, oracle-gated end to end: spiked
+    // 16×16 PNG families (closed-form aHash = the spike mask — see
+    // syntheticSpikedPngs) are decoded and hashed by the REAL
+    // ImageIO→aHash path, then paired by the 4×16-bit pigeonhole band
+    // join + full-hamming verify. Variants 1–2 bits from their group's
+    // base collide (distances 1 and 2); the 8-bit-flipped variant and
+    // every cross-group image (hamming ≈ 32) must NOT. The oracle
+    // replays mask, banding-free quadratic distance, and threshold
+    // arithmetically — blocking is a plan choice, not semantics.
+    "q5H_image_near_dup" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val hashed = Multimodal.aHash(Multimodal.syntheticSpikedPngs(ids, "doc_id"))
+        .filter(col("ahash_ok"))
+      Multimodal.imageNearDupPairs(hashed, "doc_id", maxDist = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // REAL image resize, oracle-gated: the q56 PNG test patterns are
     // nearest-neighbor-resized to 8x8 by the real kernel (decode →
     // explicit integer-mapped pixel loop → lossless PNG re-encode),
@@ -1596,6 +1616,34 @@ object PipelineQueries {
         |SELECT phash_hi, phash_lo, count(*) AS n_images,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM bits GROUP BY 1, 2 ORDER BY min_doc""".stripMargin,
+
+    // Near-dup mirror WITHOUT a codec or banding: the spiked-PNG aHash
+    // is its closed-form spike mask (base md5 bit XOR the variant
+    // flips), and the oracle takes the plain quadratic hamming form —
+    // the pigeonhole band join is a plan choice, exhaustive for
+    // dist <= 3 by construction.
+    "q5H_image_near_dup" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+        |             FROM documents WHERE doc_id < 200),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN
+        |      (strpos('13579bdf', substr(md5(g || ':' || i.i), 1, 1)) > 0)
+        |      <> (CASE v
+        |            WHEN 1 THEN i.i = g % 64
+        |            WHEN 2 THEN i.i = g % 64 OR i.i = (g + 32) % 64
+        |            WHEN 3 THEN i.i % 8 = g % 8
+        |            ELSE false END)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM ids, LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+        |dist AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dist
+        |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dist FROM dist
+        |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     // Mixed-corpus mirror: the txt half is byte-identity, the pdf half
     // is the lossless q57 round-trip — so the whole scan reduces to the

@@ -211,6 +211,78 @@ class MultimodalSpec extends GraftSpec {
     assert(!bad.getBoolean(0) && bad.isNullAt(1))
   }
 
+  test("spiked PNGs: the decoded aHash IS the closed-form spike mask") {
+    import spark.implicits._
+    val ids = (0L until 20L).toDF("doc_id")
+    val got = Multimodal.aHash(Multimodal.syntheticSpikedPngs(ids, "doc_id"))
+      .select("doc_id", "phash_hi", "phash_lo", "ahash_ok")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.values.forall(_._3))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- 0L until 20L) {
+      val g = id / 4; val v = (id % 4).toInt
+      var hi = 0L; var lo = 0L
+      for (i <- 0 until 64) {
+        val base = (((md.digest(s"$g:$i".getBytes("UTF-8"))(0) >> 4) & 0xf) & 1) == 1
+        val flip = v match {
+          case 1 => i == (g % 64).toInt
+          case 2 => i == (g % 64).toInt || i == ((g + 32) % 64).toInt
+          case 3 => i % 8 == (g % 8).toInt
+          case _ => false
+        }
+        if (base ^ flip) { if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32) }
+      }
+      assert((got(id)._1, got(id)._2) == (hi, lo),
+        s"doc $id: decoded hash != closed-form mask")
+    }
+  }
+
+  test("imageNearDupPairs: pigeonhole-exhaustive to dist 3, full-hamming verified") {
+    import spark.implicits._
+    // the pigeonhole bound itself, EXHAUSTIVELY: no 3-subset of the 64
+    // bit positions can touch all four 16-bit bands, so a band-key
+    // equi-join is a complete candidate generator for dist <= 3
+    for (i <- 0 until 64; j <- i + 1 until 64; k <- j + 1 until 64)
+      assert(Set(i / 16, j / 16, k / 16).size < 4)
+    // and the requirement guard refuses thresholds past the bound
+    val dummy = Seq((0L, 0L, 0L)).toDF("doc_id", "phash_hi", "phash_lo")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(dummy, "doc_id", maxDist = 4)
+    }
+
+    // Spark-side recall + precision: one base hash, variants at every
+    // dist-1 position, deterministic dist-2/3 sets, one dist-4 flip
+    // confined to band 0 (collides in bands 1-3 — candidate, but the
+    // full-hamming verify must reject it), one far hash (no collision)
+    val baseHi = 0x5a3cc3a5L   // 32-bit halves, like aHash emits
+    val baseLo = 0x9669aa55L
+    def flip(hi: Long, lo: Long, bits: Seq[Int]): (Long, Long) =
+      bits.foldLeft((hi, lo)) { case ((h, l), i) =>
+        if (i < 32) (h, l ^ (1L << i)) else (h ^ (1L << (i - 32)), l)
+      }
+    val d1 = (0 until 64).map(i => Seq(i))
+    val d2 = (0 until 64 by 3).map(i => Seq(i, (i + 21) % 64))
+    val d3 = (0 until 64 by 5).map(i => Seq(i, (i + 17) % 64, (i + 41) % 64))
+    val variants = (d1 ++ d2 ++ d3).zipWithIndex.map { case (bits, n) =>
+      val (h, l) = flip(baseHi, baseLo, bits.distinct)
+      (1000L + n, h, l, bits.distinct.size.toLong)
+    }
+    val d4 = flip(baseHi, baseLo, Seq(0, 1, 2, 3))   // all in band 0
+    val rows = Seq((0L, baseHi, baseLo, 0L)) ++ variants ++
+      Seq((9000L, d4._1, d4._2, 4L),
+        (9001L, ~baseHi & 0xffffffffL, ~baseLo & 0xffffffffL, -1L))
+    val hashed = rows.map(r => (r._1, r._2, r._3))
+      .toDF("doc_id", "phash_hi", "phash_lo")
+    val got = Multimodal.imageNearDupPairs(hashed, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((id, _, _, d) <- variants)
+      assert(got.get((0L, id)).contains(d),
+        s"variant $id at dist $d must pair with base, got ${got.get((0L, id))}")
+    assert(!got.contains((0L, 9000L)), "dist-4 candidate must be verified away")
+    assert(!got.contains((0L, 9001L)), "far hash must not pair")
+  }
+
   test("resizeNearest: exact nearest-neighbor pixels, garbage flags resize_ok=false") {
     import org.apache.spark.sql.functions.col
     val ids = spark.range(0, 6).toDF("doc_id")
