@@ -1,0 +1,275 @@
+package graft.operators
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** KLL quantile sketch (Karnin, Lang, Liberty, "Optimal quantile
+  * approximation in streams", FOCS 2016) with DETERMINISTIC seeded
+  * compaction — the tighter sibling of the bottom-k/DKW sample in
+  * [[Sketch.sampleQuantiles]]: at the same state budget (k = 256 is
+  * ~3k doubles ≈ 6 KB) the normalized rank error drops from the DKW
+  * ε ≈ 0.102 to the KLL ε ≈ 0.017 ([[Kll.kllEpsilon]]).
+  *
+  * Structure: level `h` holds items of weight `2^h`; level capacities
+  * shrink geometrically below the top (`max(⌈k·(2/3)^d⌉, 8)` at depth
+  * `d` from the top). A full level sorts, promotes every other item
+  * (deterministic coin: a seeded hash of (level, compaction count)
+  * picks odd/even) to level `h+1`, and drops the rest; an odd buffer
+  * leaves its largest item behind so TOTAL WEIGHT == exact row count
+  * at all times (asserted in KllSpec — `n` is exact, only ranks are
+  * approximate).
+  *
+  * Unlike the bottom-k sample, the result is NOT a set function of the
+  * input — compaction depends on arrival and merge order. Every Spark
+  * path here fixes that order (per-partition insertion order, merges
+  * sorted by partition id), so a run is bit-deterministic for a given
+  * file layout; cross-engine oracles gate via the in-query rank audit
+  * (the q0M shape): the estimate's TRUE rank must sit within
+  * [[Kll.kllEpsilon]] of the target, and THAT flag is replayable.
+  */
+final class KllSketch(val k: Int, val seed: Long) extends Serializable {
+  require(k >= 8, s"k must be >= 8, got $k")
+
+  private var levels: ArrayBuffer[ArrayBuffer[Double]] =
+    ArrayBuffer(ArrayBuffer.empty[Double])
+  private var compactions: ArrayBuffer[Long] = ArrayBuffer(0L)
+
+  /** Exact number of inserted values (== total weight, see class doc). */
+  var n: Long = 0L
+
+  private def cap(h: Int): Int = {
+    val depth = levels.length - 1 - h
+    math.max(math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt, 8)
+  }
+  private def capTotal: Int = levels.indices.map(cap).sum
+  private def totalSize: Int = levels.map(_.size).sum
+
+  /** Deterministic compaction coin: a mix of (seed, level, that level's
+    * compaction count) — no RNG state, so replays are bit-identical.
+    */
+  private def coin(h: Int): Int = {
+    var z = seed ^ (h.toLong * 0x9E3779B97F4A7C15L) ^
+      (compactions(h) * 0xC2B2AE3D27D4EB4FL)
+    z ^= z >>> 33; z *= 0xFF51AFD7ED558CCDL; z ^= z >>> 33
+    (z & 1L).toInt
+  }
+
+  private def addLevel(): Unit = {
+    levels += ArrayBuffer.empty[Double]
+    compactions += 0L
+  }
+
+  private def compact(h: Int): Unit = {
+    if (h == levels.length - 1) addLevel()
+    val buf = levels(h).toArray
+    java.util.Arrays.sort(buf)
+    val even = buf.length - (buf.length & 1)
+    val o = coin(h)
+    compactions(h) += 1
+    levels(h).clear()
+    // odd buffer: the largest item stays at level h (weight conserved)
+    if (even < buf.length) levels(h) += buf(buf.length - 1)
+    var i = o
+    while (i < even) { levels(h + 1) += buf(i); i += 2 }
+  }
+
+  private def compressIfNeeded(): Unit = {
+    while (totalSize > capTotal) {
+      val h = levels.indices.find(i => levels(i).size >= cap(i))
+        .orElse(levels.indices.find(levels(_).nonEmpty))
+        .getOrElse(return)
+      compact(h)
+    }
+  }
+
+  def insert(v: Double): Unit = {
+    levels(0) += v
+    n += 1
+    compressIfNeeded()
+  }
+
+  /** In-place merge; `other` is absorbed level-wise, then compressed.
+    * Deterministic given the operand order — callers fix it (sorted by
+    * partition id).
+    */
+  def merge(other: KllSketch): Unit = {
+    require(other.k == k && other.seed == seed,
+      "can only merge sketches with identical (k, seed)")
+    while (levels.length < other.levels.length) addLevel()
+    var h = 0
+    while (h < other.levels.length) {
+      levels(h) ++= other.levels(h)
+      compactions(h) += other.compactions(h)
+      h += 1
+    }
+    n += other.n
+    compressIfNeeded()
+  }
+
+  /** All (value, weight) pairs sorted by value. */
+  def weightedItems: Array[(Double, Long)] = {
+    val out = ArrayBuffer.empty[(Double, Long)]
+    for (h <- levels.indices; v <- levels(h)) out += ((v, 1L << h))
+    out.sortBy(_._1).toArray
+  }
+
+  /** Lower weighted quantile: the value covering weighted position
+    * `⌊p·(W−1)⌋` (W == n). NaN-free inputs assumed; empty → None.
+    */
+  def quantile(p: Double): Option[Double] = {
+    require(p >= 0.0 && p <= 1.0, s"fraction out of [0,1]: $p")
+    if (n == 0) return None
+    val items = weightedItems
+    val pos = math.floor(p * (n - 1).toDouble).toLong
+    var cum = 0L
+    var i = 0
+    while (i < items.length) {
+      cum += items(i)._2
+      if (cum > pos) return Some(items(i)._1)
+      i += 1
+    }
+    Some(items.last._1)
+  }
+
+  def serialized: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(k); out.writeLong(seed); out.writeLong(n)
+    out.writeInt(levels.length)
+    for (h <- levels.indices) {
+      out.writeLong(compactions(h))
+      out.writeInt(levels(h).size)
+      levels(h).foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object KllSketch {
+  def deserialize(bytes: Array[Byte]): KllSketch = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val sk = new KllSketch(in.readInt(), in.readLong())
+    sk.n = in.readLong()
+    val nLevels = in.readInt()
+    sk.levels = ArrayBuffer.fill(nLevels)(ArrayBuffer.empty[Double])
+    sk.compactions = ArrayBuffer.fill(nLevels)(0L)
+    for (h <- 0 until nLevels) {
+      sk.compactions(h) = in.readLong()
+      val sz = in.readInt()
+      var i = 0
+      while (i < sz) { sk.levels(h) += in.readDouble(); i += 1 }
+    }
+    sk
+  }
+}
+
+/** Spark plumbing for [[KllSketch]]: a deterministic three-stage
+  * distributed build (per-partition sketches → group merges sorted by
+  * partition id → one final merge), each stage's fan-in bounded — at
+  * 100k input partitions the final task merges ~1.6k sketches of a few
+  * KB, never rows. No driver materialization anywhere.
+  */
+object Kll {
+
+  /** Conservative single-rank normalized error bound for a KLL sketch
+    * with parameter k. The `const/k` shape is the KLL guarantee
+    * (Karnin–Lang–Liberty 2016, Thm. 1: ε = O(√log(1/δ))/k); the
+    * `2.446/k^0.9` calibration is the one Apache DataSketches publishes
+    * for its KLL implementation's 99%-confidence rank error. k = 256 →
+    * ε ≈ 0.0166, ~6× tighter than [[Sketch.dkwEpsilon]] at the same
+    * state (0.1017); KllSpec verifies the bound empirically on uniform,
+    * skewed, sorted, and merged inputs.
+    */
+  def kllEpsilon(k: Int): Double = 2.446 / math.pow(k, 0.9)
+
+  /** Build one KLL sketch over `valueCol` (cast to double; NULLs
+    * skipped) and evaluate the requested quantile fractions. Returns a
+    * SINGLE row `(n BIGINT, <out> DOUBLE ...)`; empty input → n = 0
+    * with NULL estimates. Deterministic for a fixed file layout: stage
+    * 1 sketches each partition in row order, stages 2–3 merge in
+    * partition-id order (`groupSize` partitions per intermediate
+    * merge).
+    */
+  def kllQuantiles(rows: DataFrame, valueCol: String,
+                   ps: Seq[(Double, String)], k: Int = 256,
+                   seed: Long = 0x6b6c6cL, groupSize: Int = 64): DataFrame = {
+    require(ps.nonEmpty && ps.forall { case (p, _) => p >= 0.0 && p <= 1.0 },
+      "quantile fractions must be in [0, 1]")
+    require(groupSize >= 2, s"groupSize must be >= 2, got $groupSize")
+
+    val pairSchema = StructType(Seq(
+      StructField("g", IntegerType, nullable = false),
+      StructField("pid", IntegerType, nullable = false),
+      StructField("bytes", BinaryType, nullable = false)))
+    val pairEnc = Encoders.row(pairSchema)
+
+    // stage 1: one sketch per input partition, inserted in row order
+    val prepared = rows.select(col(valueCol).cast("double").as("v"))
+    val parts = prepared.mapPartitions { it =>
+      val sk = new KllSketch(k, seed)
+      val pid = TaskContext.getPartitionId()
+      it.foreach(r => if (!r.isNullAt(0)) sk.insert(r.getDouble(0)))
+      if (sk.n == 0) Iterator.empty
+      else Iterator(Row(pid / groupSize, pid, sk.serialized))
+    }(pairEnc)
+      // a sentinel EMPTY sketch (identity under merge: no items, no
+      // compaction-counter drift) keeps the plan non-empty, so the
+      // one-row (n=0, NULL...) contract survives empty/all-NULL input —
+      // the optimizer would otherwise propagate the empty relation
+      // straight through every mapPartitions stage
+      .unionAll(rows.sparkSession.range(1).mapPartitions { _ =>
+        Iterator(Row(Int.MaxValue, Int.MaxValue,
+          new KllSketch(k, seed).serialized))
+      }(pairEnc))
+
+    // stage 2: merge each group of `groupSize` partition sketches in
+    // pid order (hash-partition by g; a task may hold several groups —
+    // the sort keys runs of equal g together)
+    val merged = parts
+      .repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("pid"))
+      .mapPartitions { it =>
+        val out = ArrayBuffer.empty[Row]
+        var curG = Int.MinValue
+        var cur: KllSketch = null
+        for (r <- it) {
+          val g = r.getInt(0)
+          val sk = KllSketch.deserialize(r.getAs[Array[Byte]](2))
+          if (g != curG) {
+            if (cur != null) out += Row(0, curG, cur.serialized)
+            curG = g; cur = sk
+          } else cur.merge(sk)
+        }
+        if (cur != null) out += Row(0, curG, cur.serialized)
+        out.iterator
+      }(pairEnc)
+
+    // stage 3: single task folds the (few, small) group sketches in
+    // group order and evaluates the quantiles
+    val outSchema = StructType(
+      StructField("n", LongType, nullable = false) +:
+        ps.map { case (_, name) => StructField(name, DoubleType) })
+    val outEnc = Encoders.row(outSchema)
+    merged
+      .repartition(1)
+      .sortWithinPartitions(col("pid"))
+      .mapPartitions { it =>
+        var cur: KllSketch = null
+        for (r <- it) {
+          val sk = KllSketch.deserialize(r.getAs[Array[Byte]](2))
+          if (cur == null) cur = sk else cur.merge(sk)
+        }
+        val ests: Seq[Any] =
+          if (cur == null) ps.map(_ => null)
+          else ps.map { case (p, _) => cur.quantile(p).orNull }
+        val nOut = if (cur == null) 0L else cur.n
+        Iterator(Row.fromSeq(nOut +: ests))
+      }(outEnc)
+  }
+}

@@ -245,6 +245,46 @@ object Sketch {
       .select(b.as("b")).groupBy("b").agg(count(lit(1)).as("c"))
   }
 
+  /** Data-derived histogram bin edges: the `nCells − 1` interior
+    * quantiles (p = i/nCells) of a REFERENCE slice, computed by the
+    * distributed exact [[Quantiles]] path and rounded to 6 dp
+    * HALF_UP — the rounding DuckDB's `round` applies to non-negative
+    * values, so an oracle recomputes the identical edges from
+    * `quantile_cont`. A monitor over an unknown-range metric derives
+    * its grid from the reference ONCE (19 doubles to the driver — the
+    * grid, never the data) instead of hardcoding a domain the live
+    * stream may never visit (every row saturating one cell reads as
+    * "no drift" no matter how far the stream moved). Ascending but not
+    * necessarily distinct (heavy ties collapse neighboring edges —
+    * those cells just stay empty).
+    */
+  def referenceEdges(df: DataFrame, valueCol: String, nCells: Int): Array[Double] = {
+    require(nCells >= 2 && nCells <= 1024,
+      s"nCells must be in [2, 1024], got $nCells")
+    val specs = (1 until nCells)
+      .map(i => (valueCol, i.toDouble / nCells, s"_e$i"))
+    val rows = Quantiles.globalQuantiles(df, specs).collect()
+    require(rows.nonEmpty, "reference slice is empty: no edges to derive")
+    val row = rows.head
+    (1 until nCells).map { i =>
+      BigDecimal(row.getAs[Double](s"_e$i"))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toArray
+  }
+
+  /** Bucket a value by [[referenceEdges]]: cell = number of edges at or
+    * below the value (0..edges.length) — a codegen-friendly fold of
+    * `value >= edge` flags, no UDF, no lookup table. Ties go to the
+    * upper cell, mirroring the oracle's `count(e <= v)`.
+    */
+  def bucketByEdges(value: Column, edges: Array[Double]): Column = {
+    require(edges.nonEmpty && edges.sameElements(edges.sorted),
+      "edges must be non-empty and ascending")
+    edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(value >= lit(e), 1).otherwise(0)
+    }.cast("int")
+  }
+
   /** Interpolated quantile ESTIMATES from a histogram grid: for each
     * requested `p`, the continuous rank `t = p·(N−1) + 1` is located in
     * the cumulative-count walk and positioned uniformly within its

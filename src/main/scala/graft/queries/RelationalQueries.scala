@@ -29,6 +29,8 @@ object RelationalQueries {
     f"${graft.operators.Sketch.dkwEpsilon(256)}%.6f" // q0M, k = 256
   private val GroupSketchDkwEps6 =
     f"${graft.operators.Sketch.dkwEpsilon(128)}%.6f" // q0N, k = 128
+  private val KllEps6 =
+    f"${graft.operators.Kll.kllEpsilon(256)}%.6f" // q0V/q7Q, k = 256
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: the canonical partial-agg pattern.
@@ -198,6 +200,52 @@ object RelationalQueries {
           (round(abs(round(col("r50"), 6) - lit(0.5)), 6)
             <= lit(GroupSketchDkwEps6.toDouble)).as("within_dkw"))
         .orderBy("l_returnflag")
+    },
+
+    // KLL quantile sketch (q0M's tighter sibling): deterministic seeded
+    // compaction over a three-stage distributed build, k = 256 ≈ 6 KB
+    // of state with rank error kllEpsilon ≈ 0.0166 — ~6× tighter than
+    // the bottom-k/DKW sample at the same footprint. The compaction
+    // tree is NOT a set function, so the raw estimate is not
+    // SQL-replayable; the gate is the in-query rank audit (the q0M
+    // shape, interval form): the estimate's true rank window
+    // [P(v < est), P(v <= est)] must contain a point within kllEpsilon
+    // of p, and THAT flag — plus the exact count the sketch's total
+    // weight must equal, and the exact quantiles — replays verbatim.
+    "q0V_kll_quantiles" -> { (s, d) =>
+      import graft.operators.{Kll, Quantiles}
+      val li = Tables.lineitem(s, d)
+      val rows = li.select(col("l_extendedprice").cast("double").as("v"))
+      val est = Kll.kllQuantiles(rows, "v",
+          Seq((0.25, "e25"), (0.5, "e50"), (0.75, "e75"), (0.9, "e90")),
+          k = 256)
+        .localCheckpoint(eager = false) // reused: ranks join + output
+      val exact = Quantiles.globalQuantiles(li,
+        Seq(("l_extendedprice", 0.25, "x25"), ("l_extendedprice", 0.5, "x50"),
+            ("l_extendedprice", 0.75, "x75"), ("l_extendedprice", 0.9, "x90")))
+      val ranks = rows.crossJoin(broadcast(est))
+        .agg(
+          avg(when(col("v") < col("e25"), 1.0d).otherwise(0.0d)).as("lo25"),
+          avg(when(col("v") <= col("e25"), 1.0d).otherwise(0.0d)).as("hi25"),
+          avg(when(col("v") < col("e50"), 1.0d).otherwise(0.0d)).as("lo50"),
+          avg(when(col("v") <= col("e50"), 1.0d).otherwise(0.0d)).as("hi50"),
+          avg(when(col("v") < col("e75"), 1.0d).otherwise(0.0d)).as("lo75"),
+          avg(when(col("v") <= col("e75"), 1.0d).otherwise(0.0d)).as("hi75"),
+          avg(when(col("v") < col("e90"), 1.0d).otherwise(0.0d)).as("lo90"),
+          avg(when(col("v") <= col("e90"), 1.0d).otherwise(0.0d)).as("hi90"))
+      def one(p: Double, x: String, lo: String, hi: String) =
+        struct(lit(p).as("p"), round(col(x), 6).as("exact"),
+          (greatest(lit(0.0d), col(lo) - lit(p), lit(p) - col(hi))
+            <= lit(KllEps6.toDouble)).as("within_kll"))
+      ranks.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+        .select(col("n"), explode(array(
+          one(0.25, "x25", "lo25", "hi25"), one(0.5, "x50", "lo50", "hi50"),
+          one(0.75, "x75", "lo75", "hi75"), one(0.9, "x90", "lo90", "hi90")))
+          .as("q"))
+        .select(col("q.p").as("p"), col("n"),
+          col("q.exact").as("exact"), lit(KllEps6.toDouble).as("eps"),
+          col("q.within_kll").as("within_kll"))
+        .orderBy("p")
     },
 
     // Snapshot diff (dataset versioning): added / removed / changed /
@@ -685,6 +733,24 @@ object RelationalQueries {
          |         AS within_dkw
          |FROM est e JOIN exact x ON x.g = e.g JOIN rnk r ON r.g = e.g
          |ORDER BY l_returnflag""".stripMargin,
+
+    // KLL mirror: the compaction tree is order-sensitive, so the
+    // estimate itself is not replayed — the oracle asserts the contract
+    // instead: exact count (the sketch's total weight is exact by
+    // construction), exact quantiles, the shared eps literal, and
+    // within_kll = true (the Spark side computes the flag from the
+    // estimate's true rank interval; a bound violation forks the hash).
+    "q0V_kll_quantiles" ->
+      s"""WITH exact AS (
+         |  SELECT CAST(0.25 AS DOUBLE) AS p,
+         |         quantile_cont(l_extendedprice, 0.25) AS ex FROM lineitem
+         |  UNION ALL SELECT 0.5, quantile_cont(l_extendedprice, 0.5) FROM lineitem
+         |  UNION ALL SELECT 0.75, quantile_cont(l_extendedprice, 0.75) FROM lineitem
+         |  UNION ALL SELECT 0.9, quantile_cont(l_extendedprice, 0.9) FROM lineitem)
+         |SELECT e.p, (SELECT count(*) FROM lineitem) AS n,
+         |       round(e.ex, 6) AS exact,
+         |       CAST($KllEps6 AS DOUBLE) AS eps, true AS within_kll
+         |FROM exact e ORDER BY e.p""".stripMargin,
 
     // Diff mirror: FULL OUTER JOIN + IS NOT DISTINCT FROM — the same
     // null-safe comparison the operator plans with <=>.

@@ -473,16 +473,25 @@ object StreamingQueries {
         .orderBy("cust_key", "valid_from_us")
     },
 
-    // Streaming PSI drift monitor: live event values bucket into a
-    // FIXED 20-cell histogram (Complete-mode state = 20 rows forever),
-    // then the population-stability index vs a batch reference slice —
-    // the drift gate run next to q6L's KL and q6N's KS, in the bounded-
-    // state form a 100 TB stream needs. Smoothed PSI terms round to
+    // Streaming PSI drift monitor with DATA-DERIVED bins: the 20-cell
+    // grid's 19 edges are the reference slice's own quantiles
+    // (Sketch.referenceEdges — computed once by the exact distributed
+    // Quantiles path, 19 doubles to the driver, embedded as literals in
+    // the streaming projection), so a metric of ANY range spreads the
+    // reference ~uniformly across the cells instead of saturating one
+    // cell of a hardcoded domain and reading as "no drift". Complete-
+    // mode state stays 20 rows forever. Smoothed PSI terms round to
     // nano fixed-point longs (the tokenDrift idiom) so the streamed
-    // statistic replays bit-identically.
+    // statistic replays bit-identically — the oracle re-derives the
+    // same rounded edges from quantile_cont.
     "q7O_stream_psi" -> { (s, d) =>
+      import graft.operators.Sketch
+      val edges = Sketch.referenceEdges(
+        Tables.events(s, d).filter(col("event_id") % 2 === 0)
+          .select(col("value").cast("double").as("v")),
+        "v", nCells = 20)
       def bucketed(df: DataFrame): DataFrame =
-        df.select(least(floor(col("value") / 25.0).cast("int"), lit(19))
+        df.select(Sketch.bucketByEdges(col("value").cast("double"), edges)
           .as("b"))
       val ref = bucketed(Tables.events(s, d).filter(col("event_id") % 2 === 0))
         .groupBy("b").agg(count(lit(1)).as("c_ref"))
@@ -564,6 +573,51 @@ object StreamingQueries {
           Seq((0.25, "p25"), (0.5, "p50"), (0.9, "p90")))
         .select(round(col("p25"), 6).as("p25"), round(col("p50"), 6).as("p50"),
           round(col("p90"), 6).as("p90"), size(col("sample")).as("n_sample"))
+    },
+
+    // Streaming KLL quantile sketch, per event type: ONE serialized
+    // KllSketch per group in state (~6 KB at k = 256, forever), folded
+    // per micro-batch in event_id order (deterministic seeded
+    // compaction), ~6× tighter rank error than q7L's bottom-k/DKW at
+    // the same footprint. Estimates aren't set functions (the
+    // compaction tree is order-sensitive), so the gate is the q0V rank
+    // audit against the batch table: exact per-group count (sketch
+    // weight is exact), exact quantiles, and the within-kllEpsilon
+    // flags replay; the estimates themselves stay internal.
+    "q7Q_stream_kll_quantiles" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.{Kll, Quantiles}
+      val ev = eventsStream(s, d)
+        .select(col("event_type").as("g"),
+          col("event_id").cast("long").as("event_id"),
+          col("value").cast("double").as("v"))
+        .as[StreamingIngest.KllEvent]
+      val est = StreamRunner.runToBatch(
+        StreamingIngest.kllMaintain(ev, k = 256, seed = 0x6b6c6cL).toDF(),
+        OutputMode.Update)
+        .withColumnRenamed("g", "event_type")
+        .localCheckpoint(eager = false) // reused: ranks join + output
+      val rows = Tables.events(s, d)
+        .select(col("event_type"), col("value").cast("double").as("v"))
+      val exact = Quantiles.groupQuantiles(
+        rows, "event_type", Seq(("v", 0.5, "x50"), ("v", 0.9, "x90")))
+      val ranks = rows.join(broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+          avg(when(col("v") < col("e50"), 1.0d).otherwise(0.0d)).as("lo50"),
+          avg(when(col("v") <= col("e50"), 1.0d).otherwise(0.0d)).as("hi50"),
+          avg(when(col("v") < col("e90"), 1.0d).otherwise(0.0d)).as("lo90"),
+          avg(when(col("v") <= col("e90"), 1.0d).otherwise(0.0d)).as("hi90"))
+      def within(p: Double, lo: String, hi: String) =
+        greatest(lit(0.0d), col(lo) - lit(p), lit(p) - col(hi)) <=
+          lit(Kll.kllEpsilon(256))
+      est.join(exact, "event_type").join(ranks, "event_type")
+        .select(col("event_type"), col("n"),
+          round(col("x50"), 6).as("exact_p50"),
+          round(col("x90"), 6).as("exact_p90"),
+          within(0.5, "lo50", "hi50").as("within_p50"),
+          within(0.9, "lo90", "hi90").as("within_p90"))
+        .orderBy("event_type")
     },
 
     // Ordered funnel as a STREAMING state machine: per-user monotone
@@ -868,12 +922,21 @@ object StreamingQueries {
     // 20-cell spine, same nano fixed-point terms (identical expression
     // association), batch-replayed over the full stream content.
     "q7O_stream_psi" ->
-      """WITH ref AS (
-        |  SELECT least(CAST(floor(value / 25.0) AS INT), 19) AS b,
+      """WITH refv AS (
+        |  SELECT CAST(value AS DOUBLE) AS v FROM events WHERE event_id % 2 = 0),
+        |edges AS (
+        |  SELECT round(unnest(quantile_cont(v,
+        |    [1/20.0, 2/20.0, 3/20.0, 4/20.0, 5/20.0, 6/20.0, 7/20.0,
+        |     8/20.0, 9/20.0, 10/20.0, 11/20.0, 12/20.0, 13/20.0, 14/20.0,
+        |     15/20.0, 16/20.0, 17/20.0, 18/20.0, 19/20.0])), 6) AS e
+        |  FROM refv),
+        |ref AS (
+        |  SELECT (SELECT count(*) FROM edges WHERE e <= r.v) AS b,
         |    count(*) AS c_ref
-        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1),
+        |  FROM refv r GROUP BY 1),
         |live AS (
-        |  SELECT least(CAST(floor(value / 25.0) AS INT), 19) AS b,
+        |  SELECT (SELECT count(*) FROM edges
+        |          WHERE e <= CAST(value AS DOUBLE)) AS b,
         |    count(*) AS c_live
         |  FROM events WHERE event_id % 2 <> 0 GROUP BY 1),
         |sp AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS b),
@@ -962,6 +1025,20 @@ object StreamingQueries {
         |  round((SELECT v FROM sorted
         |         WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)), 6) AS p90,
         |  CAST((SELECT count(*) FROM samp) AS INT) AS n_sample""".stripMargin,
+
+    // Streaming KLL mirror (the q0V contract): per-group exact count,
+    // exact quantiles, and within_kll = true — the Spark side computes
+    // the flags from the streamed estimates' true rank intervals, so a
+    // bound violation (or a lost/duplicated row in state) forks the
+    // hash; the order-sensitive estimates themselves are not replayed.
+    "q7Q_stream_kll_quantiles" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS exact_p50,
+        |  round(quantile_cont(CAST(value AS DOUBLE), 0.9), 6) AS exact_p90,
+        |  true AS within_p50, true AS within_p90
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     // Streamed funnel mirror: q4G's strict min-chain, as step counts.
     "q7K_stream_funnel" ->

@@ -484,6 +484,39 @@ object StreamingIngest {
       }
   }
 
+  final case class KllEvent(g: String, event_id: Long, v: Double)
+  final case class KllGroupEst(g: String, n: Long, e50: Double, e90: Double)
+
+  /** Streaming per-group KLL quantile maintenance: state = ONE
+    * serialized [[graft.operators.KllSketch]] per group (a few KB at
+    * k = 256, forever — the bounded-state alternative to q7D's
+    * fixed-grid histogram and q7L's bottom-k/DKW sample, ~6× tighter
+    * rank error at the same footprint). Each micro-batch folds its
+    * group's rows into the sketch in `(event_id)` order — the seeded
+    * compaction is then deterministic for a deterministic delivery
+    * order — and emits the group's CURRENT (n, p50, p90) estimate
+    * (Update semantics: downstream keeps the latest row per group).
+    * Estimates are not set functions of the data (the compaction tree
+    * isn't), so oracles gate via the rank audit, not the raw values.
+    */
+  def kllMaintain(events: Dataset[KllEvent], k: Int,
+                  seed: Long): Dataset[KllGroupEst] = {
+    import events.sparkSession.implicits._
+    import graft.operators.KllSketch
+    events
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[Array[Byte], KllGroupEst](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[KllEvent], state: GroupState[Array[Byte]]) =>
+          val sk = state.getOption.map(KllSketch.deserialize)
+            .getOrElse(new KllSketch(k, seed))
+          rows.toSeq.sortBy(_.event_id).foreach(e => sk.insert(e.v))
+          state.update(sk.serialized)
+          sk.quantile(0.5).zip(sk.quantile(0.9)).iterator
+            .map { case (e50, e90) => KllGroupEst(g, sk.n, e50, e90) }
+      }
+  }
+
   final case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
   final case class ClosedSession(
       user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)

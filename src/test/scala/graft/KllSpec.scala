@@ -1,0 +1,173 @@
+package graft
+
+import graft.operators.{Kll, KllSketch, Sketch}
+import org.apache.spark.sql.functions._
+
+class KllSpec extends GraftSpec {
+
+  /** Distance from p to the estimate's normalized rank INTERVAL
+    * [count(< est), count(<= est)] / n — the guarantee is on some rank
+    * within the tie run, not the run's upper edge (heavy-tie streams
+    * would otherwise fail any estimator at low p).
+    */
+  private def rankErr(values: Array[Double], est: Double, p: Double): Double = {
+    val lo = values.count(_ < est).toDouble / values.length
+    val hi = values.count(_ <= est).toDouble / values.length
+    math.max(0.0, math.max(lo - p, p - hi))
+  }
+  private val grid = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private def assertWithinBound(values: Array[Double], k: Int,
+                                label: String): Unit = {
+    val sk = new KllSketch(k, seed = 0x6b6c6cL)
+    values.foreach(sk.insert)
+    assert(sk.n == values.length.toLong)
+    assert(sk.weightedItems.map(_._2).sum == sk.n,
+      s"$label: total weight must equal the exact count")
+    for (p <- grid) {
+      val est = sk.quantile(p).get
+      val err = rankErr(values, est, p)
+      assert(err <= Kll.kllEpsilon(k),
+        s"$label p=$p: rank err $err > bound ${Kll.kllEpsilon(k)}")
+    }
+  }
+
+  // deterministic value streams (no Random: replayable by construction)
+  private def lcgShuffled(n: Int): Array[Double] = {
+    var s = 12345L
+    Array.fill(n) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 16) % 1000000L).toDouble
+    }
+  }
+
+  test("rank error within kllEpsilon on uniform, sorted, and skewed streams") {
+    assertWithinBound(lcgShuffled(200000), 256, "uniform-200k")
+    assertWithinBound(Array.tabulate(100000)(_.toDouble), 256, "sorted-asc")
+    assertWithinBound(Array.tabulate(100000)(i => (100000 - i).toDouble), 256,
+      "sorted-desc")
+    assertWithinBound(
+      Array.tabulate(150000)(i => math.floor(1000.0 / math.sqrt(i + 1.0))),
+      256, "skewed")
+    // half the state still beats DKW-at-256 comfortably
+    assertWithinBound(lcgShuffled(120000), 128, "uniform-k128")
+  }
+
+  test("chunked merges in fixed order stay within the bound and keep n exact") {
+    val values = lcgShuffled(160000)
+    val chunks = values.grouped(2500).toArray
+    val sks = chunks.map { c =>
+      val s = new KllSketch(256, 0x6b6c6cL); c.foreach(s.insert); s
+    }
+    val merged = sks.reduceLeft { (a, b) => a.merge(b); a }
+    assert(merged.n == values.length.toLong)
+    assert(merged.weightedItems.map(_._2).sum == merged.n)
+    for (p <- grid)
+      assert(rankErr(values, merged.quantile(p).get, p) <= Kll.kllEpsilon(256))
+  }
+
+  test("deterministic: same stream twice (and via serialize) is bit-identical") {
+    val values = lcgShuffled(50000)
+    def build() = {
+      val s = new KllSketch(256, 0x6b6c6cL); values.foreach(s.insert); s
+    }
+    val a = build(); val b = build()
+    assert(java.util.Arrays.equals(a.serialized, b.serialized))
+    val rt = KllSketch.deserialize(a.serialized)
+    assert(rt.n == a.n)
+    assert(java.util.Arrays.equals(rt.serialized, a.serialized))
+    // and merging the round-trip behaves like merging the original
+    val m1 = build(); m1.merge(KllSketch.deserialize(b.serialized))
+    val m2 = build(); m2.merge(b)
+    assert(java.util.Arrays.equals(m1.serialized, m2.serialized))
+  }
+
+  test("empty and tiny sketches: no throw, exact below k") {
+    val sk = new KllSketch(256, 1L)
+    assert(sk.n == 0L && sk.quantile(0.5).isEmpty)
+    (1 to 100).foreach(i => sk.insert(i.toDouble))
+    // below k the sketch never compacts: quantiles are EXACT
+    assert(sk.quantile(0.0).get == 1.0)
+    assert(sk.quantile(0.5).get == math.floor(0.5 * 99) + 1)
+    assert(sk.quantile(1.0).get == 100.0)
+    intercept[IllegalArgumentException](sk.quantile(1.5))
+    intercept[IllegalArgumentException](new KllSketch(4, 1L))
+    val other = new KllSketch(128, 1L)
+    intercept[IllegalArgumentException](sk.merge(other))
+  }
+
+  test("kllEpsilon is ~6x tighter than DKW at the same state") {
+    assert(Kll.kllEpsilon(256) < Sketch.dkwEpsilon(256) / 5.0)
+    assert(Kll.kllEpsilon(128) < Sketch.dkwEpsilon(128) / 4.0)
+  }
+
+  test("kllQuantiles: distributed build matches the bound; n is exact") {
+    val n = 300000L
+    val df = spark.range(n).select(
+      (((col("id") * 2654435761L) % 999983L + 999983L) % 999983L)
+        .cast("double").as("v"))
+    val out = Kll.kllQuantiles(df, "v",
+      Seq((0.25, "e25"), (0.5, "e50"), (0.9, "e90")), k = 256).collect()
+    assert(out.length == 1)
+    val row = out.head
+    assert(row.getLong(0) == n)
+    val values = df.collect().map(_.getDouble(0))
+    for ((i, p) <- Seq((1, 0.25), (2, 0.5), (3, 0.9)))
+      assert(rankErr(values, row.getDouble(i), p) <= Kll.kllEpsilon(256),
+        s"distributed p=$p err too large")
+    // rerun is bit-identical (fixed layout -> fixed merge order)
+    val again = Kll.kllQuantiles(df, "v",
+      Seq((0.25, "e25"), (0.5, "e50"), (0.9, "e90")), k = 256).collect().head
+    assert(again == row)
+  }
+
+  test("kllMaintain: one state row per group; stream equals the ordered batch fold") {
+    import spark.implicits._
+    import graft.streaming.StreamingIngest
+    import graft.streaming.StreamingIngest.KllEvent
+    val dir = java.nio.file.Files.createTempDirectory("graft-kll-stream").toString
+    val events = (0 until 5).flatMap { g =>
+      (0 until 4000).map(i => KllEvent(s"g$g", i.toLong,
+        (((i * 2654435761L + g) % 99991L + 99991L) % 99991L).toDouble))
+    }
+    events.toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    val schema = spark.read.parquet(s"$dir/batch1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/batch*")
+      .as[KllEvent]
+    val q = StreamingIngest.kllMaintain(stream, k = 256, seed = 7L)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("kll_est").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kll_est").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      assert(got.size == 5)
+      // exactly one state row per group — the bounded-state claim
+      val prog = q.lastProgress
+      assert(prog.stateOperators.head.numRowsTotal == 5,
+        s"state rows: ${prog.stateOperators.head.numRowsTotal}")
+      // the stream must equal a batch replay of the same ordered fold
+      for (g <- 0 until 5) {
+        val vals = events.filter(_.g == s"g$g").sortBy(_.event_id).map(_.v)
+        val sk = new KllSketch(256, 7L)
+        vals.foreach(sk.insert)
+        assert(got(s"g$g") ==
+          ((sk.n, sk.quantile(0.5).get, sk.quantile(0.9).get)))
+        // and the estimates honor the bound against the group's data
+        assert(rankErr(vals.toArray, got(s"g$g")._2, 0.5) <= Kll.kllEpsilon(256))
+        assert(rankErr(vals.toArray, got(s"g$g")._3, 0.9) <= Kll.kllEpsilon(256))
+      }
+    } finally q.stop()
+  }
+
+  test("kllQuantiles: empty and all-NULL inputs yield n=0 with NULL estimates") {
+    import spark.implicits._
+    val empty = spark.range(0).select(col("id").cast("double").as("v"))
+    val r0 = Kll.kllQuantiles(empty, "v", Seq((0.5, "e50"))).collect().head
+    assert(r0.getLong(0) == 0L && r0.isNullAt(1))
+    val nulls = Seq[Option[Double]](None, None).toDF("v")
+    val r1 = Kll.kllQuantiles(nulls, "v", Seq((0.5, "e50"))).collect().head
+    assert(r1.getLong(0) == 0L && r1.isNullAt(1))
+  }
+}

@@ -238,4 +238,69 @@ class SketchSpec extends GraftSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(merged == whole)
   }
+
+  test("sampleQuantiles: empty sample yields NULL estimates under ANSI") {
+    import graft.functions.BottomKSampleAgg.bottomKSample
+    import spark.implicits._
+    // Spark 4 runs ANSI by default — the regression this guards is
+    // element_at(_, 0) throwing SparkArrayIndexOutOfBoundsException on
+    // an empty sorted sample instead of degrading to NULL
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    // an all-NULL group: the reservoir keeps nothing
+    val allNull = Seq(("k1", 1L), ("k2", 2L)).toDF("rk", "rid")
+      .withColumn("v", lit(null).cast("double"))
+    val est = Sketch.sampleQuantiles(
+      allNull.agg(bottomKSample(col("rk"), col("rid"), col("v"), 16)
+        .as("sample")),
+      "sample", Seq((0.5, "e50"), (0.9, "e90"))).head()
+    assert(est.isNullAt(est.fieldIndex("e50")))
+    assert(est.isNullAt(est.fieldIndex("e90")))
+    // per-group form: the empty group is NULL, the populated one is not
+    val mixed = Seq(("g0", "a", 1L, Option.empty[Double]),
+        ("g1", "b", 2L, Some(7.0)), ("g1", "c", 3L, Some(9.0)))
+      .toDF("g", "rk", "rid", "v")
+    val byG = Sketch.sampleQuantiles(
+        mixed.groupBy("g")
+          .agg(bottomKSample(col("rk"), col("rid"), col("v"), 16)
+            .as("sample")),
+        "sample", Seq((0.5, "e50")))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(r.fieldIndex("e50"))) None else Some(r.getDouble(r.fieldIndex("e50")))))
+      .toMap
+    assert(byG("g0").isEmpty)
+    assert(byG("g1").contains(7.0)) // floor(0.5 * 1) = idx 0 of (7, 9)
+  }
+
+  test("referenceEdges: an unknown-range metric spreads across interior cells") {
+    import spark.implicits._
+    // a metric living in [1000, 1100]: the old hardcoded [0, 500]/25
+    // grid clamps EVERY row into cell 19 — reference and a drifted live
+    // stream become indistinguishable (PSI 0). Data-derived edges from
+    // the reference slice's own quantiles resolve the actual range.
+    val ref = (0 until 2000).map(i => 1000.0 + (i % 100)).toDF("value")
+    val edges = Sketch.referenceEdges(
+      ref.select(col("value").as("v")), "v", nCells = 20)
+    assert(edges.length == 19 && edges.sameElements(edges.sorted))
+    assert(edges.head >= 1000.0 && edges.last <= 1100.0)
+    val hardcoded = ref.select(
+        least(floor(col("value") / 25.0).cast("int"), lit(19)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(hardcoded == Set(19), "old grid saturates one cell")
+    val derivedRef = ref.select(
+        Sketch.bucketByEdges(col("value"), edges).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(derivedRef.size == 20, s"reference must fill the grid: $derivedRef")
+    // a +30 shift lands in INTERIOR cells (drift visible per-cell),
+    // not just the top bucket
+    val shifted = ref.select(
+        Sketch.bucketByEdges(col("value") + lit(30.0), edges).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(shifted.size >= 10 && shifted.exists(b => b > 0 && b < 19),
+      s"shifted stream must hit interior cells: $shifted")
+    // guards
+    intercept[IllegalArgumentException](
+      Sketch.bucketByEdges(col("value"), Array.empty[Double]))
+    intercept[IllegalArgumentException](
+      Sketch.referenceEdges(ref.limit(0).select(col("value").as("v")), "v", 20))
+  }
 }
