@@ -277,11 +277,16 @@ object Graph {
     * register of scores is bit-identical cross-engine. Multi-edges are
     * collapsed (standard HITS is over the simple directed graph).
     *
-    * Scale shape: per round, TWO node-sized hash joins (edge⋈score) +
-    * two map-side-combinable sums + two one-row normalizer aggregates
-    * (broadcast); lineage cut per round. Overflow headroom: a raw sum
-    * is ≤ 10^12 × degree, so degrees up to ~9×10^6 fit a long at full
-    * mass — beyond that, pre-aggregate or drop to milli fixed-point.
+    * Scale shape: per round, ONE edge⋈score hash join + map-side-
+    * combinable sum per direction, CUT once — the one-row normalizer
+    * aggregate and the div projection both read the cut node-sized
+    * result instead of re-running the edge join, and zero-score nodes
+    * re-enter once at the END (an absent row contributes exactly what
+    * a v=0 row would to every sum and to the normalizer, so eliding
+    * them per-round is value-identical — the final left join restores
+    * them). Overflow headroom: a raw sum is ≤ 10^12 × degree, so
+    * degrees up to ~9×10^6 fit a long at full mass — beyond that,
+    * pre-aggregate or drop to milli fixed-point.
     *
     * @return one row per node: `node`, `auth_pico`, `hub_pico` (exact
     *         longs) and rounded `auth` / `hub` doubles for human eyes
@@ -298,32 +303,38 @@ object Graph {
     val consts = nodes.agg(count(lit(1)).as("n"))
       .select(expr(s"CASE WHEN n = 0 THEN 0 ELSE $PicoMass div n END")
         .as("base"))
-    def renorm(raw: DataFrame): DataFrame = {
+    // one fused pass per direction: edge join + sum, CUT, then the
+    // normalizer and the renormalizing projection both read the cut.
+    // Rows with no mass flowing to them simply don't appear — identical
+    // to the v=0 rows they'd carry (0 div q = 0, Σ unchanged); the
+    // output join re-adds them once.
+    def step(score: DataFrame, joinKey: String, outKey: String): DataFrame = {
+      val raw = e.join(score.withColumnRenamed("node", joinKey), joinKey)
+        .groupBy(col(outKey).as("node")).agg(sum("v").as("raw"))
+        .localCheckpoint(eager = false)
       val q = raw.agg(sum("raw").as("s"))
         .select(expr(s"greatest(1L, coalesce(s, 0L) div $PicoMass)").as("q"))
-      nodes.join(raw, Seq("node"), "left")
-        .crossJoin(broadcast(q))
-        .select(col("node"),
-          expr("coalesce(raw, 0L) div q").as("v"))
-        .localCheckpoint(eager = false)
+      raw.crossJoin(broadcast(q))
+        .select(col("node"), expr("raw div q").as("v"))
     }
     var h = nodes.crossJoin(broadcast(consts))
       .select(col("node"), col("base").as("v"))
       .localCheckpoint(eager = false)
     var a: DataFrame = null
     for (_ <- 1 to iters) {
-      a = renorm(e.join(h.withColumnRenamed("node", "src"), "src")
-        .groupBy(col("dst").as("node")).agg(sum("v").as("raw")))
-      h = renorm(e.join(a.withColumnRenamed("node", "dst"), "dst")
-        .groupBy(col("src").as("node")).agg(sum("v").as("raw")))
+      a = step(h, "src", "dst")
+      h = step(a, "dst", "src")
     }
-    a.withColumnRenamed("v", "auth_pico")
-      .join(h.withColumnRenamed("v", "hub_pico"), "node")
-      .select(col("node"), col("auth_pico"), col("hub_pico"),
-        round(col("auth_pico").cast("double") / lit(PicoMass.toDouble), 6)
-          .as("auth"),
-        round(col("hub_pico").cast("double") / lit(PicoMass.toDouble), 6)
-          .as("hub"))
+    nodes
+      .join(a.withColumnRenamed("v", "auth_pico"), Seq("node"), "left")
+      .join(h.withColumnRenamed("v", "hub_pico"), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth_pico"), lit(0L)).as("auth_pico"),
+        coalesce(col("hub_pico"), lit(0L)).as("hub_pico"),
+        round(coalesce(col("auth_pico"), lit(0L)).cast("double")
+          / lit(PicoMass.toDouble), 6).as("auth"),
+        round(coalesce(col("hub_pico"), lit(0L)).cast("double")
+          / lit(PicoMass.toDouble), 6).as("hub"))
   }
 
   /** HashMin connected components, k synchronous rounds: every node
