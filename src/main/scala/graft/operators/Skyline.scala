@@ -19,16 +19,46 @@ import org.apache.spark.sql.functions._
   */
 object Skyline {
 
+  /** Above this distinct-x estimate the single-partition window over
+    * the per-x aggregate stops being "bounded by the domain" and starts
+    * being a corpus serialized through one task — [[pareto2D]] fails
+    * fast instead (the Quantiles-router probe pattern, minus the
+    * second path: 2-D dominance has no exact domain-unbounded form
+    * that avoids a global order, so the right fix is picking the
+    * lower-cardinality dimension as x, not a silent slow plan).
+    */
+  val DefaultMaxDistinctX: Long = 1000000L
+
   /** Rows of `df` on the max-max Pareto frontier of (`xCol`, `yCol`).
     * Duplicate points survive together (neither strictly dominates).
     * NULL coordinates are excluded (dominance is undefined on them).
+    *
+    * Guard: the x domain must be window-sized. `distinctXHint` (exact
+    * or known bound, e.g. from table stats) short-circuits the probe;
+    * otherwise a low-rsd `approx_count_distinct` probe runs at
+    * DataFrame-construction time (one map-side-bounded pass) and the
+    * call REFUSES x domains estimated past `maxDistinctX` rather than
+    * serializing the corpus through one window task.
     */
-  def pareto2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+  def pareto2D(df: DataFrame, xCol: String, yCol: String,
+               maxDistinctX: Long = DefaultMaxDistinctX,
+               distinctXHint: Option[Long] = None): DataFrame = {
     Seq("_gy", "_runmax").foreach { c =>
       require(!df.columns.contains(c),
         s"input may not contain the reserved working column '$c'")
     }
+    require(maxDistinctX >= 1, s"maxDistinctX must be >= 1, got $maxDistinctX")
     val pts = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    val estX = distinctXHint.getOrElse {
+      val probe = pts.agg(
+        approx_count_distinct(col(xCol), rsd = 0.1).as("_d")).head()
+      if (probe.isNullAt(0)) 0L else probe.getLong(0)
+    }
+    require(estX <= maxDistinctX,
+      s"distinct '$xCol' ~ $estX exceeds maxDistinctX = $maxDistinctX: the " +
+        "per-x aggregate would serialize through one window task. Pick the " +
+        "lower-cardinality dimension as x, pass a distinctXHint if the " +
+        "estimate is wrong, or raise maxDistinctX deliberately.")
     val gx = pts.groupBy(col(xCol)).agg(max(col(yCol)).as("_gy"))
     // rows preceding in x-desc order = strictly greater x (gx has one
     // row per distinct x, so rowsBetween is exact here)

@@ -566,6 +566,11 @@ object RelationalQueries {
     // double sums are partition-order-dependent and would break the
     // cross-engine hash. Skyline.pareto2D aggregates per distinct
     // n_orders before its window, so nothing corpus-sized is sorted.
+    // The distinctXHint states what the author knows (x is a per-
+    // customer ORDER COUNT — a few dozen values at any scale) and
+    // skips the construction-time probe, which would re-execute the
+    // derived aggregate lineage a second time (the Quantiles
+    // rowCountHint lesson).
     "q0S_pareto" -> { (s, d) =>
       import graft.operators.Skyline
       val c = Tables.orders(s, d)
@@ -573,7 +578,8 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(round(col("o_totalprice") * 100).cast("long"))
             .as("spend_cents"))
-      Skyline.pareto2D(c, "n_orders", "spend_cents")
+      Skyline.pareto2D(c, "n_orders", "spend_cents",
+          distinctXHint = Some(1024L))
         .select("cust_key", "n_orders", "spend_cents")
         .orderBy("cust_key")
     },

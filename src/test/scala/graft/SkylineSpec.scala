@@ -20,6 +20,29 @@ class SkylineSpec extends GraftSpec {
     assert(got == Set(4L, 5L, 6L, 7L))
   }
 
+  test("pareto2D: refuses a corpus-sized x domain instead of one-task sorting it") {
+    // x = a unique id: the per-x aggregate IS the corpus; the probe
+    // must fail fast rather than serialize it through one window task
+    val wide = spark.range(0, 200000)
+      .select(col("id").as("x"), (col("id") % 97).as("y"))
+    val ex = intercept[IllegalArgumentException] {
+      Skyline.pareto2D(wide, "x", "y", maxDistinctX = 10000L)
+    }
+    assert(ex.getMessage.contains("maxDistinctX"))
+    // an explicit hint takes the author's word both ways: a bound under
+    // the cap routes through (no probe), one over it refuses
+    assert(Skyline.pareto2D(wide, "y", "x",
+      distinctXHint = Some(97L)).count() >= 1L) // probe skipped, plan runs
+    intercept[IllegalArgumentException] {
+      Skyline.pareto2D(wide, "x", "y", maxDistinctX = 10000L,
+        distinctXHint = Some(200000L))
+    }
+    // the default cap admits normal domains without a hint
+    val small = spark.range(0, 5000)
+      .select((col("id") % 50).as("x"), (col("id") % 977).as("y"))
+    assert(Skyline.pareto2D(small, "x", "y").count() >= 1L)
+  }
+
   test("pareto2D: matches the NOT EXISTS definition on real aggregates") {
     val c = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("k"))
