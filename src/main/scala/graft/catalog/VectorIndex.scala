@@ -43,9 +43,25 @@ final class VectorIndex(
         .limit(1).count()
       require(bad == 0,
         s"embedding dimension mismatch or null embedding: index ${meta.name} expects ${meta.dimension}")
-      val version = nextVersion()
+      val version = claimVersion()
+      // stage-then-move: the batch is written to a dot-prefixed dir
+      // (invisible to readers — FileInputFormat's hidden-file filter),
+      // then its part files rename into the live dir. A crash before
+      // the move leaves only ignored staging garbage; the claimed
+      // version is burnt (a harmless gap).
+      val staged = s"$path/.staged_v$version"
       batch.withColumn("_version", lit(version))
-        .write.mode("append").parquet(path)
+        .write.mode("overwrite").parquet(staged)
+      val stagedPath = new org.apache.hadoop.fs.Path(staged)
+      val livePath   = new org.apache.hadoop.fs.Path(path)
+      fileSystem.listStatus(stagedPath)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .foreach { f =>
+          require(fileSystem.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(livePath, f.getPath.getName)),
+            s"failed to publish ${f.getPath} into $path")
+        }
+      fileSystem.delete(stagedPath, true)
       batch.count()
     } finally {
       batch.unpersist()
@@ -53,29 +69,55 @@ final class VectorIndex(
     }
   }
 
-  /** Monotonic version for the next batch. Wall-clock based with a
-    * strictly-greater guard, so sequential upserts are always ordered
-    * and two concurrent writers (API upload racing a streaming batch)
-    * only tie within the same millisecond — a far narrower window than
-    * a pure read-max-then-increment. True multi-writer isolation needs
-    * an external lock or a table format with a commit protocol.
+  /** Optimistic commit protocol for the next batch version: a candidate
+    * (max of in-memory successor and wall clock) is CLAIMED by the
+    * atomic creation of `_commits/_v<N>.commit`; on collision (another
+    * writer owns it) the candidate increments and retries. Two
+    * concurrent writers — an API upload racing a streaming batch, or
+    * two JVMs — therefore always hold DISTINCT, strictly ordered
+    * versions: no same-millisecond tie, no lost update. (On an object
+    * store without atomic create-exclusive, swap the marker for a
+    * conditional PUT — the protocol shape is unchanged.)
     *
-    * The on-disk max is read ONCE per VectorIndex instance and bumped
-    * in memory after each write: a streaming ingest upserting hundreds
-    * of micro-batches must not re-scan every prior version's footer per
-    * batch (that read was O(batches²) across a stream's lifetime).
-    * Cross-instance writers still order correctly through the
-    * wall-clock component.
+    * The on-disk max is read ONCE per VectorIndex instance (marker
+    * listing, O(batches); parquet footers only for pre-marker legacy
+    * logs) and bumped in memory after each claim: a streaming ingest
+    * upserting hundreds of micro-batches must not re-scan every prior
+    * version per batch.
     */
   private var lastVersion: Long = Long.MinValue
 
-  private def nextVersion(): Long = synchronized {
-    if (lastVersion == Long.MinValue)
-      lastVersion =
-        if (!hasData) -1L
+  private def fileSystem: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markersDir = new org.apache.hadoop.fs.Path(s"$path/_commits")
+
+  private val MarkerName = """_v(\d+)\.commit""".r
+
+  private def claimVersion(): Long = synchronized {
+    val fs = fileSystem
+    if (lastVersion == Long.MinValue) {
+      val markerMax =
+        if (!fs.exists(markersDir)) -1L
+        else fs.listStatus(markersDir).foldLeft(-1L) { (m, st) =>
+          st.getPath.getName match {
+            case MarkerName(v) => math.max(m, v.toLong)
+            case _             => m
+          }
+        }
+      val dataMax =
+        if (markerMax >= 0L || !hasData) markerMax
         else spark.read.parquet(path).agg(max("_version")).head().getLong(0)
-    lastVersion = math.max(lastVersion + 1L, System.currentTimeMillis())
-    lastVersion
+      lastVersion = math.max(markerMax, dataMax)
+    }
+    fs.mkdirs(markersDir)
+    var candidate = math.max(lastVersion + 1L, System.currentTimeMillis())
+    while (!fs.createNewFile(
+        new org.apache.hadoop.fs.Path(markersDir, s"_v$candidate.commit")))
+      candidate += 1L
+    lastVersion = candidate
+    candidate
   }
 
   private def hasData: Boolean = {

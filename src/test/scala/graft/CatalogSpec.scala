@@ -64,6 +64,46 @@ class CatalogSpec extends GraftSpec {
     assert(idx.knn(Seq(0f, 1f, 0f), 1).collect().head.getAs[String]("id") == "b")
   }
 
+  test("concurrent upserts: optimistic commit yields distinct ordered versions, no lost update") {
+    val meta = IndexMeta("idx-conc", 2)
+    VectorIndex.createOrConnect(spark, cat, meta)
+    // two INDEPENDENT index handles (separate in-memory version state —
+    // the two-JVM shape), each racing 8 interleaved single-id batches
+    val writers = Seq(
+      VectorIndex.createOrConnect(spark, cat, meta),
+      VectorIndex.createOrConnect(spark, cat, meta))
+    val perWriter = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = writers.zipWithIndex.map { case (w, wi) =>
+      new Thread(() => {
+        try {
+          for (b <- 0 until perWriter) {
+            val batch = Seq((s"k$b", Seq(wi.toFloat, b.toFloat), s"w$wi-b$b"))
+              .toDF("id", "embedding", "text")
+            assert(w.upsert(batch) == 1L)
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"writer failed: ${Option(errs.peek()).map(_.toString)}")
+    // no lost update: every one of the 16 committed batches is present,
+    // under 16 DISTINCT, strictly increasing versions
+    val vs = writers.head.versions
+    assert(vs.size == 2 * perWriter, s"expected 16 versions, got ${vs.size}")
+    assert(vs == vs.sorted && vs.distinct.size == vs.size)
+    val raw = spark.read.parquet(s"$root/idx-conc")
+    assert(raw.count() == 2L * perWriter)
+    // last-wins per id matches the raw log's max-version row exactly
+    val expected = raw.orderBy(col("_version").desc).collect()
+      .groupBy(_.getAs[String]("id"))
+      .map { case (id, rows) => id -> rows.head.getAs[String]("text") }
+    val got = writers.head.read.collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[String]("text")).toMap
+    assert(got == expected)
+    assert(got.size == perWriter) // k0..k7, each from SOME writer's last batch
+  }
+
   test("readAt time-travels the merge-on-read log; compact truncates history") {
     val idx = VectorIndex.createOrConnect(spark, cat, IndexMeta("idx-tt", 2))
     idx.upsert(Seq(("a", Seq(1f, 0f)), ("b", Seq(0f, 1f))).toDF("id", "embedding"))
