@@ -1,0 +1,97 @@
+package graft.functions
+
+import graft.operators.KllSketch
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Per-group KLL quantile sketch as a Catalyst aggregate: the grouped
+  * form of [[graft.operators.Kll.kllQuantiles]] — strata × ~3k doubles
+  * of state no matter the corpus, rank error [[graft.operators.Kll
+  * .kllEpsilon]] (~6× tighter than [[BottomKSampleAgg]]'s DKW bound at
+  * the same footprint). Buffer = one [[KllSketch]]; partial aggregation
+  * ships partitions × sketch bytes per group, never rows.
+  *
+  * Determinism contract (weaker than bottom-k, by design): Spark does
+  * not fix partial-aggregate MERGE order, and the KLL compaction tree
+  * is order-sensitive, so the raw ESTIMATES may differ run to run.
+  * What IS stable: `n` (exact — total weight equals the row count by
+  * construction) and any within-[[graft.operators.Kll.kllEpsilon]]
+  * rank-audit flag (the bound holds for every merge order). Gate
+  * grouped-KLL queries the q0V way — exact counts, exact quantiles,
+  * audit flags — and never hash the raw estimates.
+  *
+  * Output: `struct<n: bigint, est: array<double>>` — `est(i)` is the
+  * estimate for `ps(i)`; an empty group yields `(0, NULL)`.
+  */
+case class KllQuantilesAgg(
+    value: Expression,
+    k: Int,
+    seed: Long,
+    ps: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[KllSketch] {
+
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean         = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("est", ArrayType(DoubleType, containsNull = false))))
+  override def prettyName: String = "kll_quantiles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 8) TypeCheckResult.TypeCheckFailure("k must be >= 8")
+    else if (ps.isEmpty || ps.exists(p => p < 0.0 || p > 1.0))
+      TypeCheckResult.TypeCheckFailure("ps must be non-empty fractions in [0, 1]")
+    else value.dataType match {
+      case DoubleType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"kll_quantiles expects a double value, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): KllSketch = new KllSketch(k, seed)
+
+  override def update(buf: KllSketch, input: InternalRow): KllSketch = {
+    val v = value.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(b1: KllSketch, b2: KllSketch): KllSketch = {
+    b1.merge(b2)
+    b1
+  }
+
+  override def eval(buf: KllSketch): Any =
+    if (buf.n == 0L) InternalRow(0L, null)
+    else InternalRow(buf.n,
+      new GenericArrayData(ps.map(p => buf.quantile(p).get).toArray[Any]))
+
+  override def serialize(buf: KllSketch): Array[Byte] = buf.serialized
+  override def deserialize(bytes: Array[Byte]): KllSketch =
+    KllSketch.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(offset: Int): KllQuantilesAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KllQuantilesAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(value = c(0))
+}
+
+object KllQuantilesAgg {
+  /** Column form: `kllQuantilesAgg($"v", 128, seed, Seq(0.5, 0.9))`
+    * inside `agg(...)`.
+    */
+  def kllQuantilesAgg(value: Column, k: Int, seed: Long,
+                      ps: Seq[Double]): Column =
+    GraftBridge.column(
+      KllQuantilesAgg(GraftBridge.expression(value), k, seed, ps)
+        .toAggregateExpression())
+}

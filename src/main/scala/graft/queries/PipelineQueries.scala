@@ -475,6 +475,28 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Image near-dup CLUSTERS: the q36 dedup-pipeline end-game for
+    // images — q5H's verified pairs feed HashMin connected components
+    // (3 synchronous rounds; the spiked families are triangles, so any
+    // round count >= 1 converges, and the fixed-round replay is exact
+    // either way) and every clustered image gets its component's min
+    // doc_id as the canonical representative: "keep cluster, drop the
+    // rest" is then one filter. Singletons (never paired) are absent,
+    // exactly like q36's clustered-docs contract.
+    "q5I_image_near_dup_clusters" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      import graft.operators.Graph
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val hashed = Multimodal.aHash(Multimodal.syntheticSpikedPngs(ids, "doc_id"))
+        .filter(col("ahash_ok"))
+      val pairs = Multimodal.imageNearDupPairs(hashed, "doc_id", maxDist = 3)
+      Graph.hashMinComponents(pairs, "doc_a", "doc_b", iters = 3)
+        .select(col("node").as("doc_id"), col("comp").as("cluster"))
+        .orderBy("doc_id")
+    },
+
     // REAL image resize, oracle-gated: the q56 PNG test patterns are
     // nearest-neighbor-resized to 8x8 by the real kernel (decode →
     // explicit integer-mapped pixel loop → lossless PNG re-encode),
@@ -1644,6 +1666,46 @@ object PipelineQueries {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dist FROM dist
         |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Cluster mirror: the q5H pair derivation (closed-form masks,
+    // quadratic hamming) feeding three unrolled HashMin rounds over the
+    // bidirected pair graph with self-loops — the q4W replay idiom.
+    "q5I_image_near_dup_clusters" -> {
+      val rounds = (1 to 3).map { i =>
+        val prev = if (i == 1) "l0" else s"l${i - 1}"
+        s"""l$i AS (
+           |  SELECT e.dst AS node, min(l.comp) AS comp
+           |  FROM bi e JOIN $prev l ON l.node = e.src GROUP BY e.dst)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ids AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+         |             FROM documents WHERE doc_id < 200),
+         |bits AS (
+         |  SELECT doc_id, i.i AS i,
+         |    CASE WHEN
+         |      (strpos('13579bdf', substr(md5(g || ':' || i.i), 1, 1)) > 0)
+         |      <> (CASE v
+         |            WHEN 1 THEN i.i = g % 64
+         |            WHEN 2 THEN i.i = g % 64 OR i.i = (g + 32) % 64
+         |            WHEN 3 THEN i.i % 8 = g % 8
+         |            ELSE false END)
+         |      THEN 1 ELSE 0 END AS bit
+         |  FROM ids, LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 3),
+         |und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |        UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS node FROM und),
+         |bi AS (SELECT src, dst FROM und
+         |       UNION ALL SELECT node, node FROM nodes),
+         |l0 AS (SELECT node, node AS comp FROM nodes),
+         |$rounds
+         |SELECT node AS doc_id, comp AS cluster FROM l3
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // Mixed-corpus mirror: the txt half is byte-identity, the pdf half
     // is the lossless q57 round-trip — so the whole scan reduces to the

@@ -31,6 +31,8 @@ object RelationalQueries {
     f"${graft.operators.Sketch.dkwEpsilon(128)}%.6f" // q0N, k = 128
   private val KllEps6 =
     f"${graft.operators.Kll.kllEpsilon(256)}%.6f" // q0V/q7Q, k = 256
+  private val GroupKllEps6 =
+    f"${graft.operators.Kll.kllEpsilon(128)}%.6f" // q0W, k = 128
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // TPC-H Q1-style pricing summary: the canonical partial-agg pattern.
@@ -246,6 +248,48 @@ object RelationalQueries {
           col("q.exact").as("exact"), lit(KllEps6.toDouble).as("eps"),
           col("q.within_kll").as("within_kll"))
         .orderBy("p")
+    },
+
+    // PER-GROUP KLL sketch (q0V's grouped form, q0N's tighter sibling):
+    // the KllQuantilesAgg Catalyst aggregate keeps ONE ~3k-double
+    // sketch per group — strata × k state no matter the corpus. Merge
+    // order of partial aggregates is scheduler-dependent and KLL
+    // compaction is order-sensitive, so the raw estimates are NOT
+    // hashed; the gate is exact per-group counts (sketch weight is
+    // exact), exact quantiles, and within-kllEpsilon(128) rank-interval
+    // flags — all stable for every merge order.
+    "q0W_grouped_kll" -> { (s, d) =>
+      import graft.functions.KllQuantilesAgg.kllQuantilesAgg
+      import graft.operators.Quantiles
+      val li = Tables.lineitem(s, d)
+      val rows = li.select(col("l_returnflag").as("g"),
+        col("l_extendedprice").cast("double").as("v"))
+      val est = rows.groupBy("g")
+        .agg(kllQuantilesAgg(col("v"), 128, 0x6b6c6cL, Seq(0.5, 0.9)).as("sk"))
+        .select(col("g"), col("sk.n").as("n"),
+          element_at(col("sk.est"), 1).as("e50"),
+          element_at(col("sk.est"), 2).as("e90"))
+        .localCheckpoint(eager = false) // reused: ranks join + output
+      val exact = Quantiles.groupQuantiles(li, "l_returnflag",
+          Seq(("l_extendedprice", 0.5, "x50"), ("l_extendedprice", 0.9, "x90")))
+        .withColumnRenamed("l_returnflag", "g")
+      val ranks = rows.join(broadcast(est), "g")
+        .groupBy("g")
+        .agg(
+          avg(when(col("v") < col("e50"), 1.0d).otherwise(0.0d)).as("lo50"),
+          avg(when(col("v") <= col("e50"), 1.0d).otherwise(0.0d)).as("hi50"),
+          avg(when(col("v") < col("e90"), 1.0d).otherwise(0.0d)).as("lo90"),
+          avg(when(col("v") <= col("e90"), 1.0d).otherwise(0.0d)).as("hi90"))
+      def within(p: Double, lo: String, hi: String) =
+        greatest(lit(0.0d), col(lo) - lit(p), lit(p) - col(hi)) <=
+          lit(GroupKllEps6.toDouble)
+      est.join(exact, "g").join(ranks, "g")
+        .select(col("g").as("l_returnflag"), col("n"),
+          round(col("x50"), 6).as("exact_p50"),
+          round(col("x90"), 6).as("exact_p90"),
+          within(0.5, "lo50", "hi50").as("within_p50"),
+          within(0.9, "lo90", "hi90").as("within_p90"))
+        .orderBy("l_returnflag")
     },
 
     // Snapshot diff (dataset versioning): added / removed / changed /
@@ -757,6 +801,22 @@ object RelationalQueries {
          |       round(e.ex, 6) AS exact,
          |       CAST($KllEps6 AS DOUBLE) AS eps, true AS within_kll
          |FROM exact e ORDER BY e.p""".stripMargin,
+
+    // Grouped-KLL mirror (the q0V contract per group): exact counts,
+    // exact quantiles, audit flags true — the Spark side computes the
+    // flags from each group's estimate rank intervals, so a bound
+    // violation in ANY group forks the hash; order-sensitive estimates
+    // stay internal.
+    "q0W_grouped_kll" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6)
+        |    AS exact_p50,
+        |  round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6)
+        |    AS exact_p90,
+        |  true AS within_p50, true AS within_p90
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Diff mirror: FULL OUTER JOIN + IS NOT DISTINCT FROM — the same
     // null-safe comparison the operator plans with <=>.

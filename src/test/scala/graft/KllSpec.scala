@@ -161,6 +161,42 @@ class KllSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("kllQuantilesAgg: per-group sketches honor the bound; n exact; NULLs skipped") {
+    import graft.functions.KllQuantilesAgg.kllQuantilesAgg
+    import spark.implicits._
+    val perG = 40000
+    val data = (0 until 4).flatMap { g =>
+      (0 until perG).map(i =>
+        (s"g$g", (((i * 2654435761L + g * 7919L) % 49999L + 49999L) % 49999L).toDouble))
+    }
+    val df = data.toDF("g", "v").repartition(8)
+    val est = df.groupBy("g")
+      .agg(kllQuantilesAgg(col("v"), 128, 0xA5L, Seq(0.25, 0.5, 0.9)).as("sk"))
+      .select(col("g"), col("sk.n").as("n"), col("sk.est").as("est"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(est.size == 4)
+    for (g <- 0 until 4) {
+      val (n, es) = est(s"g$g")
+      assert(n == perG.toLong, s"g$g count must be exact")
+      val vals = data.filter(_._1 == s"g$g").map(_._2).toArray
+      for ((p, e) <- Seq(0.25, 0.5, 0.9).zip(es))
+        assert(rankErr(vals, e, p) <= Kll.kllEpsilon(128),
+          s"g$g p=$p err over bound")
+    }
+    // NULL values are skipped, not inserted as zeros; an all-NULL group
+    // evals to (0, NULL)
+    val withNulls = Seq(("a", Some(5.0)), ("a", None), ("b", None))
+      .toDF("g", "v")
+    val r = withNulls.groupBy("g")
+      .agg(kllQuantilesAgg(col("v"), 128, 1L, Seq(0.5)).as("sk"))
+      .select(col("g"), col("sk.n"), col("sk.est"))
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("a").getLong(1) == 1L &&
+      r("a").getSeq[Double](2) == Seq(5.0))
+    assert(r("b").getLong(1) == 0L && r("b").isNullAt(2))
+  }
+
   test("kllQuantiles: empty and all-NULL inputs yield n=0 with NULL estimates") {
     import spark.implicits._
     val empty = spark.range(0).select(col("id").cast("double").as("v"))
