@@ -66,7 +66,11 @@ object DumpPlans {
       ("q0S_pareto", "2-D Pareto frontier: per-distinct-x max aggregate BELOW the single-partition window (the window input is bounded by the x domain, never the corpus), survivors selected by a broadcast equi-join back on x -- no pairwise self-join, no corpus sort", RelationalQueries.queries("q0S_pareto")),
       ("q0T_scd2_pit", "SCD2 point-in-time enrichment: facts pre-aggregate to distinct (key, ts) probes, then the AsOf union-window resolves state current at ship time -- ONE hashpartitioning(cust_key) exchange over both sides together, no row fanout, no per-probe re-scan", PipelineQueries.queries("q0T_scd2_pit")),
       ("q4W_components", "HashMin connected components: per round ONE node-table hash join against the static bidirected+self-loop edge set + a map-side-combinable min -- the self-loop trick removes the left-join-back step, so the recurrence references its predecessor exactly once and lineage stays a chain", PipelineQueries.queries("q4W_components")),
-      ("q2L_tfidf_pairs", "TF-IDF cosine pairs: inverted-index self-join on term with the df <= 100 posting-list cap (ubiquitous terms carry ~zero idf AND C(d,2) fanout); dot products and norms are LONG sums of micro-unit weights -- order-independent, partial-aggregated; TakeOrderedAndProject cuts the top-10", TextQueries.queries("q2L_tfidf_pairs"))
+      ("q2L_tfidf_pairs", "TF-IDF cosine pairs: inverted-index self-join on term with the df <= 100 posting-list cap (ubiquitous terms carry ~zero idf AND C(d,2) fanout); dot products and norms are LONG sums of micro-unit weights -- order-independent, partial-aggregated; TakeOrderedAndProject cuts the top-10", TextQueries.queries("q2L_tfidf_pairs")),
+      ("q5H_image_near_dup", "banded-hamming image near-dup: the decoded aHash signature table cuts ONCE above the codec (localCheckpoint -- both self-join sides read it), 4x16-bit band posexplode, (band, key) equi-join, full bit_count(xor) verify as residual -- pair space bounded by band buckets, no all-pairs, payloads never shuffle", PipelineQueries.queries("q5H_image_near_dup")),
+      ("q0V_kll_quantiles", "KLL quantile sketch: three mapPartitions stages with bounded fan-in (per-partition sketches -> pid-sorted group merges -> one final merge of ~KB blobs); the rank audit broadcasts the 1-row estimate table into a narrow corpus pass; exact Quantiles path alongside for the flag -- nothing corpus-sized ever sits in one task", RelationalQueries.queries("q0V_kll_quantiles")),
+      ("q0W_grouped_kll", "grouped KLL aggregate: ObjectHashAggregate over KllSketch buffers -- partials ship sketch BYTES per (partition, group), never rows; audit joins broadcast the groups-sized estimate table", RelationalQueries.queries("q0W_grouped_kll")),
+      ("q4T_hits", "HITS (round-9 fusion): per round ONE edge||score hash join + map-side-combinable sum per direction, CUT once -- the one-row normalizer agg and the div projection both read the cut instead of re-running the join; zero-mass rows elided per round, restored in the output's left joins", PipelineQueries.queries("q4T_hits"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
