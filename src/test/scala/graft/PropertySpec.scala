@@ -506,6 +506,74 @@ class PropertySpec extends GraftSpec {
     }
   }
 
+  test("KLL properties on generated streams: rank bound, exact n, " +
+    "merge-split invariance of the contract") {
+    import graft.operators.{Kll, KllSketch}
+    // mixture shapes a fixed formula won't cover: uniform, clustered
+    // heavy ties, exponential-ish tails — per seed
+    val gens: Seq[(String, Gen[Double])] = Seq(
+      ("uniform", Gen.chooseNum(0.0, 1e6)),
+      ("ties", Gen.oneOf(1.0, 2.0, 3.0, 5.0, 8.0)),
+      ("tail", Gen.chooseNum(1.0, 12.0).map(x => math.exp(x))))
+    def rankErr(vals: Array[Double], est: Double, p: Double): Double = {
+      val lo = vals.count(_ < est).toDouble / vals.length
+      val hi = vals.count(_ <= est).toDouble / vals.length
+      math.max(0.0, math.max(lo - p, p - hi))
+    }
+    for (((label, g), gi) <- gens.zipWithIndex; seed <- 0 until 2) {
+      val vals = samples(g, 30000, 11000L + gi * 97 + seed * 13).toArray
+      val whole = new KllSketch(128, 0x51L + seed)
+      vals.foreach(whole.insert)
+      // split-merge at arbitrary cut points: same contract
+      val cut = 7000 + seed * 4096
+      val a = new KllSketch(128, 0x51L + seed)
+      val b = new KllSketch(128, 0x51L + seed)
+      vals.take(cut).foreach(a.insert); vals.drop(cut).foreach(b.insert)
+      a.merge(b)
+      for (sk <- Seq(whole, a)) {
+        assert(sk.n == vals.length.toLong)
+        assert(sk.weightedItems.map(_._2).sum == sk.n)
+        for (p <- Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+          assert(rankErr(vals, sk.quantile(p).get, p) <= Kll.kllEpsilon(128),
+            s"$label seed=$seed p=$p over bound")
+      }
+    }
+  }
+
+  test("banded near-dup equals the quadratic reference on generated hash sets") {
+    import graft.multimodal.Multimodal
+    // 64-bit hashes as two 32-bit halves, clustered so some pairs land
+    // within distance 3: draw a few base hashes, then variants flipping
+    // 0-6 random bit positions
+    for (seed <- 0 until 3) {
+      val baseGen = Gen.zip(Gen.chooseNum(0L, 0xffffffffL), Gen.chooseNum(0L, 0xffffffffL))
+      val bases = samples(baseGen, 6, 13000L + seed * 31)
+      val flipGen = Gen.chooseNum(0, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 63)))
+      val rows = (0 until 80).map { i =>
+        val (bh, bl) = bases(i % bases.size)
+        val flips = samples(flipGen, 1, 14000L + seed * 53 + i).head
+        val (h, l) = flips.foldLeft((bh, bl)) { case ((hh, ll), bit) =>
+          if (bit < 32) (hh, ll ^ (1L << bit)) else (hh ^ (1L << (bit - 32)), ll)
+        }
+        (i.toLong, h, l)
+      }
+      val df = rows.toDF("doc_id", "phash_hi", "phash_lo")
+      val got = Multimodal.imageNearDupPairs(df, "doc_id", maxDist = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // quadratic reference in plain Scala
+      val ref = (for {
+        a <- rows; b <- rows if a._1 < b._1
+        d = java.lang.Long.bitCount(a._2 ^ b._2) +
+          java.lang.Long.bitCount(a._3 ^ b._3)
+        if d <= 3
+      } yield (a._1, b._1) -> d.toLong).toMap
+      assert(got == ref, s"seed $seed: banded != quadratic " +
+        s"(missing ${(ref.keySet -- got.keySet).take(3)}, " +
+        s"extra ${(got.keySet -- ref.keySet).take(3)})")
+    }
+  }
+
   test("KS properties on generated samples: D in [0,1], zero iff identical " +
     "multisets, symmetric in its arguments") {
     import graft.operators.Curation
