@@ -497,6 +497,34 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // VIDEO perceptual-fingerprint dedup, oracle-gated through the REAL
+    // pipeline: RIFF/AVI demux → every-2nd-frame DIB decode → per-frame
+    // aHash → the video's fingerprint is its sorted frame-hash list →
+    // exact groupBy = video dedup classes (the q5G shape lifted to
+    // containers). 50 real videos collapse to the 10 classes the
+    // closed-form frame formula predicts; a fingerprint is per-video
+    // metadata-sized, so the groupBy shuffles strings, never frames.
+    "q5J_video_fingerprint" -> { (s, d) =>
+      import graft.multimodal.{Avi, Multimodal}
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val frames = Avi.sampleFrames(
+        Avi.syntheticAvis(ids, "doc_id"), stride = 2, maxFrames = 3)
+      val hashed = Multimodal.aHash(frames.drop("content"),
+          contentCol = "frame")
+        .filter(col("ahash_ok"))
+      val fp = hashed.groupBy("doc_id")
+        .agg(concat_ws("|", sort_array(collect_list(
+          format_string("%d:%d:%d",
+            col("frame_index"), col("phash_hi"), col("phash_lo"))))).as("fp"))
+      fp.groupBy("fp")
+        .agg(count(lit(1)).as("n_videos"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("min_doc")
+        .select("fp", "n_videos", "min_doc", "max_doc")
+    },
+
     // REAL image resize, oracle-gated: the q56 PNG test patterns are
     // nearest-neighbor-resized to 8x8 by the real kernel (decode →
     // explicit integer-mapped pixel loop → lossless PNG re-encode),
@@ -1706,6 +1734,46 @@ object PipelineQueries {
          |SELECT node AS doc_id, comp AS cluster FROM l3
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Video-fingerprint mirror WITHOUT a container or codec: per
+    // sampled frame, the q5G aHash bit arithmetic over the closed-form
+    // pixel formula v = (id + 3f + (x·w)//8 + (y·h)//8) % 256, then the
+    // same sorted frame-hash fingerprint and exact grouping.
+    "q5J_video_fingerprint" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |geo AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + (2*doc_id) % 5 AS h,
+        |         4 + doc_id % 3 AS n
+        |  FROM ids),
+        |fr AS (
+        |  SELECT g.*, f.f AS fi
+        |  FROM geo g, LATERAL (SELECT unnest([0, 2, 4]) AS f) f
+        |  WHERE f.f < g.n),
+        |grid AS (
+        |  SELECT r.doc_id, r.fi, x.x, y.y,
+        |    (r.doc_id + 3*r.fi + (x.x*r.w)//8 + (y.y*r.h)//8) % 256 AS v
+        |  FROM fr r,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS x) x,
+        |       LATERAL (SELECT unnest(range(0, 8)) AS y) y),
+        |tot AS (SELECT doc_id, fi, CAST(sum(v) AS BIGINT) AS total
+        |        FROM grid GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT g.doc_id, g.fi,
+        |    CAST(sum(CASE WHEN g.v*64 > t.total AND g.y*8 + g.x >= 32
+        |      THEN CAST(1 AS BIGINT) << (g.y*8 + g.x - 32)
+        |      ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN g.v*64 > t.total AND g.y*8 + g.x < 32
+        |      THEN CAST(1 AS BIGINT) << (g.y*8 + g.x)
+        |      ELSE 0 END) AS BIGINT) AS lo
+        |  FROM grid g JOIN tot t USING (doc_id, fi) GROUP BY 1, 2),
+        |vfp AS (
+        |  SELECT doc_id,
+        |    string_agg(fi || ':' || hi || ':' || lo, '|'
+        |      ORDER BY fi || ':' || hi || ':' || lo) AS fp
+        |  FROM bits GROUP BY doc_id)
+        |SELECT fp, count(*) AS n_videos,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM vfp GROUP BY fp ORDER BY min_doc""".stripMargin,
 
     // Mixed-corpus mirror: the txt half is byte-identity, the pdf half
     // is the lossless q57 round-trip — so the whole scan reduces to the
