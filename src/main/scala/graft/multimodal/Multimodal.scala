@@ -181,6 +181,127 @@ object Multimodal {
     }
   }
 
+  /** Energy-envelope audio fingerprint: the REAL RIFF/PCM walk (same
+    * chunk grammar as [[WavPcmDecoder]]), the interleaved samples split
+    * into `windows` equal spans (`window(k) = k·windows div n`), each
+    * window's EXACT integer |sample| sum quantized against the loudest
+    * window — `level(w) = sumAbs(w)·31 div max_w sumAbs` ∈ [0, 31] —
+    * and the levels joined into a string fingerprint. Loudness-profile
+    * dedup for audio: clips with the same envelope shape collide
+    * regardless of absolute gain-step position, and the all-integer
+    * pipeline replays from a generation formula without parsing a
+    * byte. Undecodable/empty audio keeps its row with
+    * `afp_ok = false`. A narrow map; payloads never shuffle.
+    */
+  def audioEnergyFingerprint(df: DataFrame, contentCol: String = "content",
+                             windows: Int = 8): DataFrame = {
+    require(windows >= 1 && windows <= 256,
+      s"windows must be in [1, 256], got $windows")
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("afp", StringType),
+      StructField("afp_ok", BooleanType, nullable = false)))
+    val idx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val b = row.getAs[Array[Byte]](idx)
+        val fp: Option[String] =
+          if (b == null || b.length < 44) None
+          else try {
+            import Riff.{next, tag, u16, u32}
+            if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) None
+            else {
+              var pos: Long = 12
+              var pcmOk = false
+              var bits  = 0
+              var dataAt = -1; var dataLen = 0
+              while (pos >= 0 && pos + 8 <= b.length) {
+                val sz = u32(b, pos + 4); val body = pos + 8
+                if (sz < 0) { pos = -1 }
+                else {
+                  if (tag(b, pos, "fmt ") && body + 16 <= b.length) {
+                    bits = u16(b, body + 14)
+                    pcmOk = u16(b, body) == 1 && (bits == 16 || bits == 8) &&
+                      u16(b, body + 2) > 0
+                  } else if (tag(b, pos, "data")) {
+                    dataAt = body.toInt
+                    dataLen = math.min(sz, b.length - body).toInt
+                  }
+                  pos = next(body, sz)
+                }
+              }
+              if (!pcmOk || dataAt < 0 || dataLen <= 0) None
+              else {
+                val bytesPer = bits / 8
+                val n = dataLen / bytesPer
+                if (n < windows) None
+                else {
+                  val e = new Array[Long](windows)
+                  var k = 0
+                  while (k < n) {
+                    val v: Int =
+                      if (bits == 16) u16(b, dataAt + 2L * k).toShort.toInt
+                      else (b(dataAt + k) & 0xff) - 128
+                    e((k.toLong * windows / n).toInt) += math.abs(v)
+                    k += 1
+                  }
+                  val maxE = math.max(1L, e.max)
+                  Some(e.map(x => x * 31L / maxE).mkString("-"))
+                }
+              }
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        fp match {
+          case Some(s) => Row.fromSeq(row.toSeq ++ Seq(s, true))
+          case None    => Row.fromSeq(row.toSeq ++ Seq(null, false))
+        }
+      }
+    }(Encoders.row(schema))
+  }
+
+  /** Deterministic NEAR-family tone clips for gating
+    * [[audioEnergyFingerprint]]: a real PCM16 WAV per id (512 mono
+    * frames at 8 kHz) built as an 8-window square wave whose per-window
+    * amplitude is closed-form in the id's FAMILY `g = id / 5` —
+    * `A(g, w) = 200 + 150·(md5digit("g:w") mod 8)` with the sign
+    * alternating per sample, so window `w`'s |sample| sum is exactly
+    * `64·A(g, w)` and the whole fingerprint replays arithmetically.
+    * All ids in a family share the envelope (they collide); distinct
+    * families draw independent 8-window profiles (they don't, absent a
+    * ~6e-8 md5 coincidence).
+    */
+  def syntheticToneWavs(df: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField("content", BinaryType))
+    val idx = df.schema.fieldIndex(idCol)
+    val frames = 512
+    df.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { row =>
+        val id = row.getLong(idx)
+        val g  = id / 5
+        val amps = Array.tabulate(8) { w =>
+          val hex = md.digest(s"$g:$w".getBytes("UTF-8"))
+          200 + 150 * (((hex(0) >> 4) & 0xf) % 8)
+        }
+        val dataSz = frames * 2
+        val out = java.nio.ByteBuffer.allocate(44 + dataSz)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSz)
+          .put("WAVE".getBytes("US-ASCII"))
+        out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort).putShort(1.toShort).putInt(8000)
+          .putInt(8000 * 2).putShort(2.toShort).putShort(16.toShort)
+        out.put("data".getBytes("US-ASCII")).putInt(dataSz)
+        var k = 0
+        while (k < frames) {
+          val a = amps(k * 8 / frames)
+          out.putShort((if (k % 2 == 0) a else -a).toShort)
+          k += 1
+        }
+        Row.fromSeq(row.toSeq :+ out.array())
+      }
+    }(Encoders.row(schema))
+  }
+
   /** Deterministic WAV test-clip generator — the audio twin of
     * [[syntheticPngs]]: appends `content BINARY` holding a real PCM16
     * WAV whose geometry and samples are closed-form in the id —

@@ -525,6 +525,29 @@ object PipelineQueries {
         .select("fp", "n_videos", "min_doc", "max_doc")
     },
 
+    // AUDIO loudness-envelope dedup, oracle-gated through the REAL
+    // RIFF/PCM16 walk: 8-window square-wave clips whose per-window
+    // amplitude is closed-form in the id's family (syntheticToneWavs),
+    // fingerprinted by exact windowed |sample| sums quantized against
+    // the loudest window (audioEnergyFingerprint), then exact groupBy —
+    // the q5J shape for audio. 50 real clips collapse to the 10
+    // family envelopes; the oracle replays amplitude, quantization,
+    // and grouping without parsing a byte.
+    "q5K_audio_fingerprint" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 50).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      Multimodal.audioEnergyFingerprint(
+          Multimodal.syntheticToneWavs(ids, "doc_id"), windows = 8)
+        .filter(col("afp_ok"))
+        .groupBy("afp")
+        .agg(count(lit(1)).as("n_clips"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("min_doc")
+        .select("afp", "n_clips", "min_doc", "max_doc")
+    },
+
     // REAL image resize, oracle-gated: the q56 PNG test patterns are
     // nearest-neighbor-resized to 8x8 by the real kernel (decode →
     // explicit integer-mapped pixel loop → lossless PNG re-encode),
@@ -1774,6 +1797,29 @@ object PipelineQueries {
         |SELECT fp, count(*) AS n_videos,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM vfp GROUP BY fp ORDER BY min_doc""".stripMargin,
+
+    // Audio-envelope mirror WITHOUT a RIFF parser: window w's |sample|
+    // sum is exactly 64·A(g, w) (constant-amplitude square wave), and
+    // the 64s cancel exactly in the integer quantization, so the level
+    // replays as (A·31) // maxA straight from the amplitude formula.
+    "q5K_audio_fingerprint" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS g
+        |             FROM documents WHERE doc_id < 50),
+        |amp AS (
+        |  SELECT doc_id, w.w AS w,
+        |    200 + 150 * ((strpos('0123456789abcdef',
+        |      substr(md5(g || ':' || w.w), 1, 1)) - 1) % 8) AS a
+        |  FROM ids, LATERAL (SELECT unnest(range(0, 8)) AS w) w),
+        |mx AS (SELECT doc_id, max(a) AS ma FROM amp GROUP BY 1),
+        |lv AS (SELECT a.doc_id, a.w, (a.a * 31) // m.ma AS level
+        |       FROM amp a JOIN mx m USING (doc_id)),
+        |afp AS (
+        |  SELECT doc_id,
+        |    string_agg(CAST(level AS VARCHAR), '-' ORDER BY w) AS afp
+        |  FROM lv GROUP BY doc_id)
+        |SELECT afp, count(*) AS n_clips,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM afp GROUP BY afp ORDER BY min_doc""".stripMargin,
 
     // Mixed-corpus mirror: the txt half is byte-identity, the pdf half
     // is the lossless q57 round-trip — so the whole scan reduces to the

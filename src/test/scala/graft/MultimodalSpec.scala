@@ -211,6 +211,46 @@ class MultimodalSpec extends GraftSpec {
     assert(!bad.getBoolean(0) && bad.isNullAt(1))
   }
 
+  test("audioEnergyFingerprint: exact levels from real PCM, garbage-safe") {
+    import spark.implicits._
+    // tone families: same family -> identical fingerprint; the levels
+    // replay from the amplitude formula exactly
+    val ids = (0L until 10L).toDF("doc_id")
+    val got = Multimodal.audioEnergyFingerprint(
+        Multimodal.syntheticToneWavs(ids, "doc_id"), windows = 8)
+      .select("doc_id", "afp", "afp_ok")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getBoolean(2)))
+      .toMap
+    assert(got.values.forall(_._2))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (id <- 0L until 10L) {
+      val g = id / 5
+      val amps = Array.tabulate(8) { w =>
+        200 + 150 * (((md.digest(s"$g:$w".getBytes("UTF-8"))(0) >> 4) & 0xf) % 8)
+      }
+      val expect = amps.map(a => a.toLong * 31 / amps.max).mkString("-")
+      assert(got(id)._1 == expect, s"doc $id: fingerprint != formula")
+    }
+    assert(got(0L)._1 == got(4L)._1, "family members must collide")
+    assert(got(0L)._1 != got(5L)._1, "distinct families must separate")
+    // the generic-WAV path also fingerprints (interleaved q58 clips)
+    val generic = Multimodal.audioEnergyFingerprint(
+        Multimodal.syntheticWavs(ids, "doc_id"), windows = 4)
+      .select("afp_ok").collect()
+    assert(generic.forall(_.getBoolean(0)))
+    // garbage, truncated, and too-short clips keep rows flagged false
+    val junk = Seq(
+      (1L, Array[Byte](1, 2, 3)),
+      (2L, "RIFFxxxxWAVE".getBytes ++ Array.fill[Byte](40)(0)),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "content")
+    val bad = Multimodal.audioEnergyFingerprint(junk)
+      .select("afp_ok", "afp").collect()
+    assert(bad.length == 3 && bad.forall(r => !r.getBoolean(0) && r.isNullAt(1)))
+    intercept[IllegalArgumentException](
+      Multimodal.audioEnergyFingerprint(junk, windows = 0))
+  }
+
   test("spiked PNGs: the decoded aHash IS the closed-form spike mask") {
     import spark.implicits._
     val ids = (0L until 20L).toDF("doc_id")
