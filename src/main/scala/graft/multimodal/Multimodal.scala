@@ -504,6 +504,46 @@ object Multimodal {
       .agg(min("dist").as("dist"))
   }
 
+  /** Incremental image near-dup: each INCOMING image against the
+    * existing CORPUS (the q3A incremental-dedup shape for pixels) —
+    * both sides band their aHash 4×16-bit ([[imageNearDupPairs]]'
+    * pigeonhole, exhaustive for `maxDist` ≤ 3), the (band, key) join
+    * BROADCASTS the incoming side's bands, so the corpus streams
+    * through narrowly and never shuffles: exactly what a daily
+    * increment against a 100 TB image corpus needs. Candidates verify
+    * by the full 64-bit distance. Returns one row per (incoming,
+    * corpus) near-dup pair; an incoming image with no row is novel.
+    *
+    * Input: both frames carry `idCol` + non-null `phash_hi`/`phash_lo`
+    * (filter `ahash_ok` first).
+    */
+  def imageNearDupAgainstCorpus(corpus: DataFrame, incoming: DataFrame,
+                                idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"4x16-bit banding is only exhaustive for maxDist <= 3, got $maxDist")
+    val mask = lit(0xffffL)
+    def bands(df: DataFrame, out: String) = df
+      .select(col(idCol).as(out),
+        col("phash_hi").as(s"hi_$out"), col("phash_lo").as(s"lo_$out"),
+        posexplode(array(
+          col("phash_lo").bitwiseAND(mask),
+          shiftright(col("phash_lo"), 16).bitwiseAND(mask),
+          col("phash_hi").bitwiseAND(mask),
+          shiftright(col("phash_hi"), 16).bitwiseAND(mask)))
+          .as(Seq(s"band_$out", s"key_$out")))
+    bands(corpus, "corpus_id")
+      .join(broadcast(bands(incoming, "inc_id")),
+        col("band_corpus_id") === col("band_inc_id") &&
+          col("key_corpus_id") === col("key_inc_id"))
+      .select(col("inc_id"), col("corpus_id"),
+        (bit_count(col("hi_inc_id").bitwiseXOR(col("hi_corpus_id"))) +
+          bit_count(col("lo_inc_id").bitwiseXOR(col("lo_corpus_id"))))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+      .groupBy("inc_id", "corpus_id")
+      .agg(min("dist").as("dist"))
+  }
+
   /** Perceptual average-hash (aHash) of image payloads: decode, sample
     * an 8×8 grid by the SAME exact nearest-neighbor map as
     * [[resizeNearest]] (`src(x) = floor(x·w/8)`), threshold each cell's

@@ -525,6 +525,34 @@ object PipelineQueries {
         .select("fp", "n_videos", "min_doc", "max_doc")
     },
 
+    // INCREMENTAL image near-dup (the q3A shape for pixels): a 40-image
+    // incoming batch — re-renders of existing families under NEW ids —
+    // against the 200-image corpus. The incoming side's bands
+    // broadcast; the corpus streams and never shuffles. Each incoming
+    // image surfaces its family's 1-2-bit corpus variants; 8-bit
+    // variants and foreign families stay out. Oracle replays both
+    // sides' masks (incoming content keyed by doc_id % 200) and the
+    // quadratic cross-set distance.
+    "q5L_incremental_image_dedup" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val corpusIds = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val incomingIds = Tables.documents(s, d)
+        .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+        .select(col("doc_id"), (col("doc_id") % 200).as("content_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val corpus = Multimodal.aHash(
+          Multimodal.syntheticSpikedPngs(corpusIds, "doc_id"))
+        .filter(col("ahash_ok"))
+      val incoming = Multimodal.aHash(
+          Multimodal.syntheticSpikedPngs(incomingIds, "content_id"))
+        .filter(col("ahash_ok"))
+      Multimodal.imageNearDupAgainstCorpus(corpus, incoming, "doc_id",
+          maxDist = 3)
+        .orderBy("inc_id", "corpus_id")
+    },
+
     // AUDIO loudness-envelope dedup, oracle-gated through the REAL
     // RIFF/PCM16 walk: 8-window square-wave clips whose per-window
     // amplitude is closed-form in the id's family (syntheticToneWavs),
@@ -1797,6 +1825,41 @@ object PipelineQueries {
         |SELECT fp, count(*) AS n_videos,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM vfp GROUP BY fp ORDER BY min_doc""".stripMargin,
+
+    // Incremental mirror: the q5H mask arithmetic on both sides — the
+    // corpus masks keyed by doc_id, the incoming masks by doc_id % 200
+    // — and the plain quadratic cross-set hamming (banding and the
+    // broadcast direction are plan choices).
+    "q5L_incremental_image_dedup" ->
+      """WITH mask AS (
+        |  SELECT cid, i.i AS i,
+        |    CASE WHEN
+        |      (strpos('13579bdf',
+        |        substr(md5((cid // 4) || ':' || i.i), 1, 1)) > 0)
+        |      <> (CASE cid % 4
+        |            WHEN 1 THEN i.i = (cid // 4) % 64
+        |            WHEN 2 THEN i.i = (cid // 4) % 64
+        |                     OR i.i = ((cid // 4) + 32) % 64
+        |            WHEN 3 THEN i.i % 8 = (cid // 4) % 8
+        |            ELSE false END)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT DISTINCT doc_id % 200 AS cid FROM documents
+        |        WHERE doc_id < 240) c,
+        |       LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+        |corp AS (SELECT doc_id, doc_id AS cid FROM documents
+        |         WHERE doc_id < 200),
+        |inc AS (SELECT doc_id, doc_id % 200 AS cid FROM documents
+        |        WHERE doc_id >= 200 AND doc_id < 240),
+        |dist AS (
+        |  SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id,
+        |    CAST(sum(CASE WHEN mi.bit <> mc.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dist
+        |  FROM inc i JOIN mask mi ON mi.cid = i.cid
+        |       JOIN corp c ON true
+        |       JOIN mask mc ON mc.cid = c.cid AND mc.i = mi.i
+        |  GROUP BY 1, 2)
+        |SELECT inc_id, corpus_id, dist FROM dist
+        |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
 
     // Audio-envelope mirror WITHOUT a RIFF parser: window w's |sample|
     // sum is exactly 64·A(g, w) (constant-amplitude square wave), and
