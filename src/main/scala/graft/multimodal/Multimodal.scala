@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -542,6 +542,53 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
       .groupBy("inc_id", "corpus_id")
       .agg(min("dist").as("dist"))
+  }
+
+  /** STATELESS near-dup flags against a corpus — the streaming-safe
+    * variant of [[imageNearDupAgainstCorpus]]: a pair that agrees on
+    * several bands would emit once per band, and a streaming dedup of
+    * those repeats would need keyed state; instead each row carries
+    * both hashes, the set of agreeing bands is a pure row-local
+    * function, and the pair is emitted ONLY from its smallest agreeing
+    * band — exact dedup with ZERO state, so the whole pipeline is an
+    * Append-mode stream-static join a 100 TB ingest can run in-flight
+    * (broadcast the corpus band table when it fits; bucket it by
+    * (band, key) when it doesn't). Works identically on batch frames.
+    */
+  def imageNearDupFlags(corpus: DataFrame, incoming: DataFrame,
+                        idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist <= 3,
+      s"4x16-bit banding is only exhaustive for maxDist <= 3, got $maxDist")
+    val mask = lit(0xffffL)
+    def key(h: Column, l: Column, b: Int): Column = b match {
+      case 0 => l.bitwiseAND(mask)
+      case 1 => shiftright(l, 16).bitwiseAND(mask)
+      case 2 => h.bitwiseAND(mask)
+      case _ => shiftright(h, 16).bitwiseAND(mask)
+    }
+    val corpusBands = (0 until 4).map { b =>
+      corpus.select(col(idCol).as("corpus_id"),
+        col("phash_hi").as("hi_c"), col("phash_lo").as("lo_c"),
+        lit(b).as("band"), key(col("phash_hi"), col("phash_lo"), b).as("key"))
+    }.reduce(_.unionAll(_))
+    val incBands = (0 until 4).map { b =>
+      incoming.select(col(idCol).as("inc_id"),
+        col("phash_hi").as("hi_i"), col("phash_lo").as("lo_i"),
+        lit(b).as("band_i"), key(col("phash_hi"), col("phash_lo"), b).as("key_i"))
+    }.reduce(_.unionAll(_))
+    val firstAgree = coalesce(
+      (0 until 4).map(b =>
+        when(key(col("hi_i"), col("lo_i"), b) === key(col("hi_c"), col("lo_c"), b),
+          lit(b))): _*)
+    incBands
+      .join(broadcast(corpusBands),
+        col("band_i") === col("band") && col("key_i") === col("key"))
+      .filter(col("band_i") === firstAgree)
+      .select(col("inc_id"), col("corpus_id"),
+        (bit_count(col("hi_i").bitwiseXOR(col("hi_c"))) +
+          bit_count(col("lo_i").bitwiseXOR(col("lo_c"))))
+          .cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 
   /** Perceptual average-hash (aHash) of image payloads: decode, sample

@@ -575,6 +575,36 @@ object StreamingQueries {
           round(col("p90"), 6).as("p90"), size(col("sample")).as("n_sample"))
     },
 
+    // STREAMING image dedup, ZERO state: incoming images (a re-render
+    // batch under new ids) decode, hash, and band IN-FLIGHT, join the
+    // static corpus band table (broadcast — bucket it by (band, key)
+    // when a real corpus outgrows that), and each near-dup pair emits
+    // exactly once from its smallest agreeing band — a pure row-local
+    // dedup, so the whole flag path is a stateless Append stream (the
+    // q77 shape for pixels). Emitted rows equal the batch q5L result.
+    "q7R_stream_image_dedup" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val corpusIds = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val corpus = Multimodal.aHash(
+          Multimodal.syntheticSpikedPngs(corpusIds, "doc_id"))
+        .filter(col("ahash_ok"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val incomingIds = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+        .select(col("doc_id"), (col("doc_id") % 200).as("content_id"))
+      val incoming = Multimodal.aHash(
+          Multimodal.syntheticSpikedPngs(incomingIds, "content_id"))
+        .filter(col("ahash_ok"))
+      StreamRunner.runToBatch(
+          Multimodal.imageNearDupFlags(corpus, incoming, "doc_id",
+            maxDist = 3),
+          OutputMode.Append)
+        .orderBy("inc_id", "corpus_id")
+    },
+
     // Streaming KLL quantile sketch, per event type: ONE serialized
     // KllSketch per group in state (~6 KB at k = 256, forever), folded
     // per micro-batch in event_id order (deterministic seeded
@@ -1025,6 +1055,40 @@ object StreamingQueries {
         |  round((SELECT v FROM sorted
         |         WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)), 6) AS p90,
         |  CAST((SELECT count(*) FROM samp) AS INT) AS n_sample""".stripMargin,
+
+    // Streaming image-dedup mirror: identical to the batch q5L mirror —
+    // the stateless stream computes the same pair set, banding and the
+    // smallest-agreeing-band dedup being plan choices.
+    "q7R_stream_image_dedup" ->
+      """WITH mask AS (
+        |  SELECT cid, i.i AS i,
+        |    CASE WHEN
+        |      (strpos('13579bdf',
+        |        substr(md5((cid // 4) || ':' || i.i), 1, 1)) > 0)
+        |      <> (CASE cid % 4
+        |            WHEN 1 THEN i.i = (cid // 4) % 64
+        |            WHEN 2 THEN i.i = (cid // 4) % 64
+        |                     OR i.i = ((cid // 4) + 32) % 64
+        |            WHEN 3 THEN i.i % 8 = (cid // 4) % 8
+        |            ELSE false END)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT DISTINCT doc_id % 200 AS cid FROM documents
+        |        WHERE doc_id < 240) c,
+        |       LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+        |corp AS (SELECT doc_id, doc_id AS cid FROM documents
+        |         WHERE doc_id < 200),
+        |inc AS (SELECT doc_id, doc_id % 200 AS cid FROM documents
+        |        WHERE doc_id >= 200 AND doc_id < 240),
+        |dist AS (
+        |  SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id,
+        |    CAST(sum(CASE WHEN mi.bit <> mc.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dist
+        |  FROM inc i JOIN mask mi ON mi.cid = i.cid
+        |       JOIN corp c ON true
+        |       JOIN mask mc ON mc.cid = c.cid AND mc.i = mi.i
+        |  GROUP BY 1, 2)
+        |SELECT inc_id, corpus_id, dist FROM dist
+        |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
 
     // Streaming KLL mirror (the q0V contract): per-group exact count,
     // exact quantiles, and within_kll = true — the Spark side computes
