@@ -499,11 +499,16 @@ object PipelineQueries {
 
     // VIDEO perceptual-fingerprint dedup, oracle-gated through the REAL
     // pipeline: RIFF/AVI demux → every-2nd-frame DIB decode → per-frame
-    // aHash → the video's fingerprint is its sorted frame-hash list →
-    // exact groupBy = video dedup classes (the q5G shape lifted to
-    // containers). 50 real videos collapse to the 10 classes the
-    // closed-form frame formula predicts; a fingerprint is per-video
-    // metadata-sized, so the groupBy shuffles strings, never frames.
+    // aHash → the video's fingerprint is its frame-hash list in frame
+    // order → exact groupBy = video dedup classes (the q5G shape
+    // lifted to containers). The sampler's (stride 2, maxFrames 3)
+    // makes the sampled indices the CONSTANTS {0, 2, 4}, so the
+    // fingerprint assembles from three max(when(frame_index = i))
+    // slots — per-group state is three strings by construction (no
+    // collect buffer; concat_ws skips the missing-frame NULLs).
+    // 50 real videos collapse to the 10 classes the closed-form frame
+    // formula predicts; fingerprints are metadata-sized, frames never
+    // shuffle.
     "q5J_video_fingerprint" -> { (s, d) =>
       import graft.multimodal.{Avi, Multimodal}
       val ids = Tables.documents(s, d)
@@ -514,10 +519,11 @@ object PipelineQueries {
       val hashed = Multimodal.aHash(frames.drop("content"),
           contentCol = "frame")
         .filter(col("ahash_ok"))
+      def slot(i: Int) = max(when(col("frame_index") === i,
+        format_string("%d:%d:%d",
+          col("frame_index"), col("phash_hi"), col("phash_lo"))))
       val fp = hashed.groupBy("doc_id")
-        .agg(concat_ws("|", sort_array(collect_list(
-          format_string("%d:%d:%d",
-            col("frame_index"), col("phash_hi"), col("phash_lo"))))).as("fp"))
+        .agg(concat_ws("|", slot(0), slot(2), slot(4)).as("fp"))
       fp.groupBy("fp")
         .agg(count(lit(1)).as("n_videos"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))

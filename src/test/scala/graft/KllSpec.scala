@@ -130,18 +130,28 @@ class KllSpec extends GraftSpec {
       (0 until 4000).map(i => KllEvent(s"g$g", i.toLong,
         (((i * 2654435761L + g) % 99991L + 99991L) % 99991L).toDouble))
     }
-    events.toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    // TWO micro-batches: the sketch must fold batch 2 into the state
+    // carried from batch 1, not restart
+    val (b1, b2) = events.partition(_.event_id < 2000)
+    b1.toDS().coalesce(1).write.parquet(s"$dir/batch1")
+    b2.toDS().coalesce(1).write.parquet(s"$dir/batch2")
     val schema = spark.read.parquet(s"$dir/batch1").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$dir/batch*")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/batch*")
       .as[KllEvent]
     val q = StreamingIngest.kllMaintain(stream, k = 256, seed = 7L)
       .toDF().writeStream.outputMode("update")
       .format("memory").queryName("kll_est").start()
     try {
       q.processAllAvailable()
-      val got = spark.table("kll_est").collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
-        .toMap
+      val all = spark.table("kll_est").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      // Update mode: one emitted row per group per micro-batch; the
+      // group's final state is the row with the largest n
+      assert(all.length == 10, s"5 groups x 2 batches, got ${all.length}")
+      val got = all.groupBy(_._1).map { case (g, rows) =>
+        val r = rows.maxBy(_._2); g -> (r._2, r._3, r._4)
+      }
       assert(got.size == 5)
       // exactly one state row per group — the bounded-state claim
       val prog = q.lastProgress
