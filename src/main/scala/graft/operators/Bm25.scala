@@ -83,4 +83,34 @@ object Bm25 {
           x => x.getField("s")),
         lit(0.0), (acc, x) => acc + x).as("bm25"))
   }
+
+  /** Exact positional PHRASE search: docs containing the consecutive
+    * token sequence `phrase`, with the occurrence count (overlaps
+    * included). The plan is the one a document-local predicate
+    * deserves: a single NARROW in-row scan — candidate start positions
+    * via `sequence`, the m adjacent-token equalities via codegen'd
+    * array HOFs — with NO explode, NO postings join, and no shuffle
+    * before the caller's sort. The token array binds as a lambda
+    * variable (`element_at(transform(array(...)))`) so the split runs
+    * once per row, not once per element (the q38 HOF lesson). At
+    * 100 TB this composes with any pushed-down prefilter; an
+    * inverted-index candidate prune belongs UPSTREAM (q2D's bloom or
+    * the BM25 postings), not inside the exact matcher.
+    */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase must be a non-empty sequence of non-empty tokens")
+    val m = phrase.size
+    val count = element_at(
+      transform(array(TextFunctions.tokens(col(textCol))), toks =>
+        when(size(toks) < m, lit(0)).otherwise(
+          size(filter(sequence(lit(1), size(toks) - lit(m) + 1), p =>
+            phrase.zipWithIndex.map { case (t, j) =>
+              element_at(toks, (p + lit(j)).cast("int")) === lit(t)
+            }.reduce(_ && _))))),
+      1)
+    docs.select(col(idCol), count.as("n_matches"))
+      .filter(col("n_matches") >= 1)
+  }
 }

@@ -192,6 +192,23 @@ object TextQueries {
         .limit(20)
     },
 
+    // Exact positional phrase search: one NARROW in-row scan per doc —
+    // candidate starts via sequence(), the adjacent-token equalities
+    // via codegen'd HOFs, token array bound once per row — no explode,
+    // no postings join, no shuffle before the sort. Two- and
+    // three-term phrases in one result; overlap counts included.
+    "q2N_phrase_search" -> { (s, d) =>
+      import graft.operators.Bm25
+      val docs = Tables.documents(s, d)
+      def one(ts: Seq[String]) =
+        Bm25.phraseMatches(docs, "doc_id", "text", ts)
+          .select(lit(ts.mkString(" ")).as("phrase"), col("doc_id"),
+            col("n_matches").cast("long").as("n_matches"))
+      one(Seq("table", "fast"))
+        .unionByName(one(Seq("table", "fast", "batch")))
+        .orderBy("phrase", "doc_id")
+    },
+
     // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
     // maximal stopword-free token runs (capped at 4 words — the
     // standard RAKE cut, and what bounds the phrase-assembly buffer);
@@ -619,6 +636,31 @@ object TextQueries {
          |FROM pairs CROSS JOIN nd
          |ORDER BY pmi DESC, term_a, term_b
          |LIMIT 20""".stripMargin,
+
+    // Phrase mirror: the same start-position arithmetic over the same
+    // split (1-based list indexing; range() is empty when the doc is
+    // shorter than the phrase).
+    "q2N_phrase_search" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |m2 AS (
+        |  SELECT 'table fast' AS phrase, doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_matches
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(toks))) AS p) p
+        |  WHERE toks[CAST(p.p AS INT)] = 'table'
+        |    AND toks[CAST(p.p + 1 AS INT)] = 'fast'
+        |  GROUP BY doc_id),
+        |m3 AS (
+        |  SELECT 'table fast batch' AS phrase, doc_id,
+        |         CAST(count(*) AS BIGINT) AS n_matches
+        |  FROM d, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS p) p
+        |  WHERE toks[CAST(p.p AS INT)] = 'table'
+        |    AND toks[CAST(p.p + 1 AS INT)] = 'fast'
+        |    AND toks[CAST(p.p + 2 AS INT)] = 'batch'
+        |  GROUP BY doc_id)
+        |SELECT * FROM m2 UNION ALL SELECT * FROM m3
+        |ORDER BY phrase, doc_id""".stripMargin,
 
     // RAKE mirror: same stopword fence-posting (cumulative stop count
     // as the phrase id), same 4-word cap, same integer micro scores,
