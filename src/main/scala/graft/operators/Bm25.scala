@@ -88,8 +88,8 @@ object Bm25 {
     * token sequence `phrase`, with the occurrence count (overlaps
     * included). The plan is the one a document-local predicate
     * deserves: a single NARROW in-row scan — candidate start positions
-    * via `sequence`, the m adjacent-token equalities via codegen'd
-    * array HOFs — with NO explode, NO postings join, and no shuffle
+    * via `sequence`, the m adjacent-token equalities via in-row array
+    * HOFs (interpreted, but ONE bound pass per row) — with NO explode, NO postings join, and no shuffle
     * before the caller's sort. The token array binds as a lambda
     * variable (`element_at(transform(array(...)))`) so the split runs
     * once per row, not once per element (the q38 HOF lesson). At

@@ -194,7 +194,7 @@ object TextQueries {
 
     // Exact positional phrase search: one NARROW in-row scan per doc —
     // candidate starts via sequence(), the adjacent-token equalities
-    // via codegen'd HOFs, token array bound once per row — no explode,
+    // via in-row array HOFs, token array bound once per row — no explode,
     // no postings join, no shuffle before the sort. Two- and
     // three-term phrases in one result; overlap counts included.
     "q2N_phrase_search" -> { (s, d) =>
