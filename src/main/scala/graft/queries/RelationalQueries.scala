@@ -292,6 +292,63 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    // CMS join-size estimation (Cormode–Muthukrishnan 2005 §4.2: the
+    // inner product of two count-min rows OVERESTIMATES a·b, min over
+    // depth rows, excess ≤ ε·Na·Nb w.h.p.) — the planner-support
+    // machinery behind "should this join broadcast / salt / bucket":
+    // |A⋈B| from two d×w grids without touching the join, and the
+    // self-join size (F2, the skew signal) from one grid's Σc² per row.
+    // The sketch is a pure SET function (md5 buckets), so exact counts,
+    // estimates, never-under flags AND the 2·Na·Nb/w Markov-bound
+    // audit all replay verbatim in SQL.
+    "q0X_cms_join_size" -> { (s, d) =>
+      import graft.operators.Sketch
+      val width = 16384
+      val li  = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      def cms(df: DataFrame, c: String) = Sketch.cmsTable(
+        df.select(col(c).cast("string").as("t")), "t",
+        depth = 4, width = width, salt = "jsz")
+      val estJoin = cms(li, "l_orderkey")
+        .select(col("j"), col("b"), col("c").as("ca"))
+        .join(cms(ord, "o_orderkey")
+          .select(col("j"), col("b"), col("c").as("cb")), Seq("j", "b"))
+        .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min("ip").as("est_join"))
+      // self inner product needs no join: Σ_b c² within each hash row
+      val estF2 = cms(li, "l_partkey")
+        .groupBy("j").agg(sum(col("c") * col("c")).as("ip"))
+        .agg(min("ip").as("est_f2"))
+      val exactJoin = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("x_join"))
+      val exactF2 = li.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("x_f2"))
+      val ns = li.agg(count(lit(1)).as("n_li")).crossJoin(
+        ord.agg(count(lit(1)).as("n_ord")))
+      def one(metric: String, x: String, e: String,
+              bound: org.apache.spark.sql.Column) =
+        struct(lit(metric).as("metric"), col(x).as("exact"),
+          col(e).as("est"), (col(e) - col(x)).as("overestimate"),
+          bound.as("bound"),
+          (col(e) >= col(x)).as("never_under"),
+          (col(e) - col(x) <= bound).as("within_bound"))
+      broadcast(estJoin).crossJoin(broadcast(estF2))
+        .crossJoin(broadcast(exactJoin)).crossJoin(broadcast(exactF2))
+        .crossJoin(broadcast(ns))
+        .select(explode(array(
+          one("join_li_orders",
+            "x_join", "est_join",
+            expr(s"(2 * n_li * n_ord) div $width")),
+          one("selfjoin_f2_partkey",
+            "x_f2", "est_f2",
+            expr(s"(2 * n_li * n_li) div $width")))).as("r"))
+        .select(col("r.metric").as("metric"), col("r.exact").as("exact"),
+          col("r.est").as("est"), col("r.overestimate").as("overestimate"),
+          col("r.bound").as("bound"), col("r.never_under").as("never_under"),
+          col("r.within_bound").as("within_bound"))
+        .orderBy("metric")
+    },
+
     // Snapshot diff (dataset versioning): added / removed / changed /
     // unchanged per key between two corpus snapshots — ONE
     // co-partitioned full-outer join, null-safe column comparison. The
@@ -801,6 +858,50 @@ object RelationalQueries {
          |       round(e.ex, 6) AS exact,
          |       CAST($KllEps6 AS DOUBLE) AS eps, true AS within_kll
          |FROM exact e ORDER BY e.p""".stripMargin,
+
+    // CMS join-size mirror: identical md5 4-hex-slice buckets, inner
+    // products, min over rows, exact sides, and both audit flags.
+    "q0X_cms_join_size" -> {
+      val w = 16384
+      def cells(src: String, keyExpr: String) =
+        s"""(SELECT j, ${DuckSql.bucketSlice("h", "j", w)} AS bkt,
+           |        count(*) AS c
+           | FROM (SELECT md5(CAST($keyExpr AS VARCHAR) || ':jsz') AS h,
+           |              unnest(range(0, 4)) AS j FROM $src)
+           | GROUP BY 1, 2)""".stripMargin
+      s"""WITH est_join AS (
+         |  SELECT min(ip) AS est FROM (
+         |    SELECT x.j, sum(x.c * y.c) AS ip
+         |    FROM ${cells("lineitem", "l_orderkey")} x
+         |    JOIN ${cells("orders", "o_orderkey")} y
+         |      ON x.j = y.j AND x.bkt = y.bkt
+         |    GROUP BY x.j)),
+         |est_f2 AS (
+         |  SELECT min(ip) AS est FROM (
+         |    SELECT j, sum(c * c) AS ip
+         |    FROM ${cells("lineitem", "l_partkey")} GROUP BY j)),
+         |x_join AS (SELECT count(*) AS x FROM lineitem l
+         |           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |x_f2 AS (SELECT sum(n * n) AS x FROM
+         |         (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey)),
+         |ns AS (SELECT (SELECT count(*) FROM lineitem) AS n_li,
+         |              (SELECT count(*) FROM orders) AS n_ord),
+         |rows_ AS (
+         |  SELECT 'join_li_orders' AS metric, x_join.x AS exact,
+         |         est_join.est AS est, (2 * n_li * n_ord) // $w AS bound
+         |  FROM x_join, est_join, ns
+         |  UNION ALL
+         |  SELECT 'selfjoin_f2_partkey', x_f2.x, est_f2.est,
+         |         (2 * n_li * n_li) // $w
+         |  FROM x_f2, est_f2, ns)
+         |SELECT metric, CAST(exact AS BIGINT) AS exact,
+         |       CAST(est AS BIGINT) AS est,
+         |       CAST(est - exact AS BIGINT) AS overestimate,
+         |       CAST(bound AS BIGINT) AS bound,
+         |       est >= exact AS never_under,
+         |       est - exact <= bound AS within_bound
+         |FROM rows_ ORDER BY metric""".stripMargin
+    },
 
     // Grouped-KLL mirror (the q0V contract per group): exact counts,
     // exact quantiles, audit flags true — the Spark side computes the
