@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -326,7 +326,7 @@ object RelationalQueries {
       val ns = li.agg(count(lit(1)).as("n_li")).crossJoin(
         ord.agg(count(lit(1)).as("n_ord")))
       def one(metric: String, x: String, e: String,
-              bound: org.apache.spark.sql.Column) =
+              bound: Column) =
         struct(lit(metric).as("metric"), col(x).as("exact"),
           col(e).as("est"), (col(e) - col(x)).as("overestimate"),
           bound.as("bound"),
@@ -346,6 +346,58 @@ object RelationalQueries {
           col("r.est").as("est"), col("r.overestimate").as("overestimate"),
           col("r.bound").as("bound"), col("r.never_under").as("never_under"),
           col("r.within_bound").as("within_bound"))
+        .orderBy("metric")
+    },
+
+    // HLL set algebra (Flajolet et al. 2007): two independently-built
+    // register tables MERGE by register max — the mergeability that
+    // lets every shard/day sketch its keys once and any union be
+    // estimated later without rescanning — and |A∩B| falls out by
+    // inclusion–exclusion. Audited in-query: each direct estimate
+    // within 3·(1.04/√m) relative (3σ of the standard HLL error), the
+    // derived intersection within the additive 3σ·(|A|+|B|+|A∪B|)
+    // envelope. The md5 registers are a set function, so estimates and
+    // flags replay verbatim.
+    "q0Y_hll_set_algebra" -> { (s, d) =>
+      import graft.operators.Sketch
+      val m = 1024
+      val sigma3 = 3.0 * 1.04 / math.sqrt(m.toDouble)
+      val li = Tables.lineitem(s, d)
+      def side(pred: Column) = li.filter(pred)
+        .select(col("l_partkey").cast("string").as("term"))
+      val a = side(col("l_partkey") % 10 <= 5)
+      val b = side(col("l_partkey") % 10 >= 4)
+      val regsA = Sketch.hllTable(a, Nil, "term", m)
+      val regsB = Sketch.hllTable(b, Nil, "term", m)
+      val merged = regsA.unionByName(regsB).groupBy("j").agg(max("r").as("r"))
+      def est(regs: DataFrame, name: String) =
+        Sketch.hllEstimate(regs, Nil, m).select(col("hll_distinct").as(name))
+      val exact = li.agg(
+        countDistinct(when(col("l_partkey") % 10 <= 5, col("l_partkey")))
+          .as("xa"),
+        countDistinct(when(col("l_partkey") % 10 >= 4, col("l_partkey")))
+          .as("xb"),
+        countDistinct(col("l_partkey")).as("xu"),
+        countDistinct(when(col("l_partkey") % 10 >= 4 &&
+          col("l_partkey") % 10 <= 5, col("l_partkey"))).as("xi"))
+      def row(metric: String, x: String, e: Column, within: Column) =
+        struct(lit(metric).as("metric"), col(x).as("exact"),
+          round(e, 6).as("est"), within.as("within_3sigma"))
+      broadcast(est(regsA, "ea")).crossJoin(broadcast(est(regsB, "eb")))
+        .crossJoin(broadcast(est(merged, "eu")))
+        .crossJoin(broadcast(exact))
+        .select(explode(array(
+          row("distinct_a", "xa", col("ea"),
+            abs(col("ea") - col("xa")) <= lit(sigma3) * col("xa")),
+          row("distinct_b", "xb", col("eb"),
+            abs(col("eb") - col("xb")) <= lit(sigma3) * col("xb")),
+          row("union", "xu", col("eu"),
+            abs(col("eu") - col("xu")) <= lit(sigma3) * col("xu")),
+          row("intersection", "xi", col("ea") + col("eb") - col("eu"),
+            abs(col("ea") + col("eb") - col("eu") - col("xi")) <=
+              lit(sigma3) * (col("xa") + col("xb") + col("xu"))))).as("r"))
+        .select(col("r.metric").as("metric"), col("r.exact").as("exact"),
+          col("r.est").as("est"), col("r.within_3sigma").as("within_3sigma"))
         .orderBy("metric")
     },
 
@@ -858,6 +910,74 @@ object RelationalQueries {
          |       round(e.ex, 6) AS exact,
          |       CAST($KllEps6 AS DOUBLE) AS eps, true AS within_kll
          |FROM exact e ORDER BY e.p""".stripMargin,
+
+    // HLL set-algebra mirror: three inlined register chains (identical
+    // md5 bucket/value slices, identical rank fold), register-max
+    // merge, the same harmonic estimate with small-range correction,
+    // rounded components, inclusion–exclusion, and both flag families.
+    "q0Y_hll_set_algebra" -> {
+      val m = 1024
+      val sigma3 = 3.0 * 1.04 / math.sqrt(m.toDouble)
+      val num = 0.7213 / (1.0 + 1.079 / m) * m * m * 8589934592.0
+      val rankCase = (31 to 0 by -1)
+        .map(bit => s"WHEN v >= ${1L << bit} THEN ${32 - bit}")
+        .mkString("CASE ", " ", " ELSE 33 END")
+      def chain(sfx: String, pred: String) =
+        s"""h_$sfx AS (
+           |  SELECT md5(CAST(l_partkey AS VARCHAR) || ':hll') AS hh
+           |  FROM lineitem WHERE $pred),
+           |jv_$sfx AS (SELECT ${DuckSql.bucketSlice("hh", "0", m)} AS j,
+           |                   ${DuckSql.hexValue("hh", 5, 8)} AS v FROM h_$sfx),
+           |regs_$sfx AS (SELECT j, max($rankCase) AS r
+           |              FROM jv_$sfx GROUP BY j)""".stripMargin
+      def est(sfx: String, regs: String) =
+        s"""est_$sfx AS (
+           |  SELECT round(CASE WHEN ($m - nz) > 0 AND raw <= ${2.5 * m}
+           |           THEN $m.0 * ln($m.0 / CAST($m - nz AS DOUBLE))
+           |           ELSE raw END, 6) AS e
+           |  FROM (SELECT count(*) AS nz,
+           |          $num / CAST(sum(CAST(1 AS BIGINT) << (33 - r))
+           |            + ($m - count(*)) * 8589934592 AS DOUBLE) AS raw
+           |        FROM $regs))""".stripMargin
+      s"""WITH ${chain("a", "l_partkey % 10 <= 5")},
+         |${chain("b", "l_partkey % 10 >= 4")},
+         |regs_u AS (
+         |  SELECT j, max(r) AS r FROM
+         |  (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+         |  GROUP BY j),
+         |${est("a", "regs_a")},
+         |${est("b", "regs_b")},
+         |${est("u", "regs_u")},
+         |x AS (
+         |  SELECT
+         |    count(DISTINCT CASE WHEN l_partkey % 10 <= 5
+         |      THEN l_partkey END) AS xa,
+         |    count(DISTINCT CASE WHEN l_partkey % 10 >= 4
+         |      THEN l_partkey END) AS xb,
+         |    count(DISTINCT l_partkey) AS xu,
+         |    count(DISTINCT CASE WHEN l_partkey % 10 >= 4
+         |      AND l_partkey % 10 <= 5 THEN l_partkey END) AS xi
+         |  FROM lineitem),
+         |rows_ AS (
+         |  SELECT 'distinct_a' AS metric, xa AS exact, ea.e AS est,
+         |         abs(ea.e - xa) <= $sigma3 * xa AS within_3sigma
+         |  FROM x, est_a ea
+         |  UNION ALL
+         |  SELECT 'distinct_b', xb, eb.e, abs(eb.e - xb) <= $sigma3 * xb
+         |  FROM x, est_b eb
+         |  UNION ALL
+         |  SELECT 'union', xu, eu.e, abs(eu.e - xu) <= $sigma3 * xu
+         |  FROM x, est_u eu
+         |  UNION ALL
+         |  SELECT 'intersection', xi,
+         |         round(ea.e + eb.e - eu.e, 6),
+         |         abs(ea.e + eb.e - eu.e - xi)
+         |           <= $sigma3 * (xa + xb + xu)
+         |  FROM x, est_a ea, est_b eb, est_u eu)
+         |SELECT metric, CAST(exact AS BIGINT) AS exact, est,
+         |       within_3sigma
+         |FROM rows_ ORDER BY metric""".stripMargin
+    },
 
     // CMS join-size mirror: identical md5 4-hex-slice buckets, inner
     // products, min over rows, exact sides, and both audit flags.
