@@ -566,16 +566,19 @@ object Multimodal {
       case 2 => h.bitwiseAND(mask)
       case _ => shiftright(h, 16).bitwiseAND(mask)
     }
-    val corpusBands = (0 until 4).map { b =>
-      corpus.select(col(idCol).as("corpus_id"),
-        col("phash_hi").as("hi_c"), col("phash_lo").as("lo_c"),
-        lit(b).as("band"), key(col("phash_hi"), col("phash_lo"), b).as("key"))
-    }.reduce(_.unionAll(_))
-    val incBands = (0 until 4).map { b =>
-      incoming.select(col(idCol).as("inc_id"),
-        col("phash_hi").as("hi_i"), col("phash_lo").as("lo_i"),
-        lit(b).as("band_i"), key(col("phash_hi"), col("phash_lo"), b).as("key_i"))
-    }.reduce(_.unionAll(_))
+    // ONE posexplode pass per side (a 4-way self-union would re-run
+    // everything below it — for the streaming side that means decoding
+    // each image four times per micro-batch)
+    def allBands(h: Column, l: Column): Column =
+      array((0 until 4).map(b => key(h, l, b)): _*)
+    val corpusBands = corpus.select(col(idCol).as("corpus_id"),
+      col("phash_hi").as("hi_c"), col("phash_lo").as("lo_c"),
+      posexplode(allBands(col("phash_hi"), col("phash_lo")))
+        .as(Seq("band", "key")))
+    val incBands = incoming.select(col(idCol).as("inc_id"),
+      col("phash_hi").as("hi_i"), col("phash_lo").as("lo_i"),
+      posexplode(allBands(col("phash_hi"), col("phash_lo")))
+        .as(Seq("band_i", "key_i")))
     val firstAgree = coalesce(
       (0 until 4).map(b =>
         when(key(col("hi_i"), col("lo_i"), b) === key(col("hi_c"), col("lo_c"), b),
