@@ -605,6 +605,49 @@ object StreamingQueries {
         .orderBy("inc_id", "corpus_id")
     },
 
+    // STREAMING join-size monitor: the live side's count-min grid is a
+    // Complete-mode aggregate — state is the d×w grid (65,536 rows)
+    // FOREVER, never the stream — and each micro-batch's refreshed
+    // cells inner-product against the static dimension's grid for the
+    // current |A⋈B| estimate (q0X's planner signal, maintained live:
+    // "is tonight's feed about to skew tomorrow's join"). Exact side,
+    // never-under invariant, and the Markov bound replay verbatim (the
+    // md5 grid is a set function).
+    "q7S_stream_cms_join_size" -> { (s, d) =>
+      import graft.operators.Sketch
+      val width = 16384
+      val cmsOrd = Sketch.cmsTable(
+        Tables.orders(s, d)
+          .select(col("o_orderkey").cast("string").as("t")),
+        "t", depth = 4, width = width, salt = "jsz")
+      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val liStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+      val streamedCells = StreamRunner.runToBatch(
+        Sketch.cmsTable(
+          liStream.select(col("l_orderkey").cast("string").as("t")),
+          "t", depth = 4, width = width, salt = "jsz"),
+        OutputMode.Complete)
+      val est = streamedCells.select(col("j"), col("b"), col("c").as("ca"))
+        .join(cmsOrd.select(col("j"), col("b"), col("c").as("cb")),
+          Seq("j", "b"))
+        .groupBy("j").agg(sum(col("ca") * col("cb")).as("ip"))
+        .agg(min("ip").as("est"))
+      val li = Tables.lineitem(s, d)
+      val exact = li.join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact"))
+      val ns = li.agg(count(lit(1)).as("n_li")).crossJoin(
+        Tables.orders(s, d).agg(count(lit(1)).as("n_ord")))
+      broadcast(est).crossJoin(broadcast(exact)).crossJoin(broadcast(ns))
+        .select(col("exact"), col("est"),
+          (col("est") - col("exact")).as("overestimate"),
+          expr(s"(2 * n_li * n_ord) div $width").as("bound"),
+          (col("est") >= col("exact")).as("never_under"),
+          (col("est") - col("exact") <=
+            expr(s"(2 * n_li * n_ord) div $width")).as("within_bound"))
+    },
+
     // Streaming KLL quantile sketch, per event type: ONE serialized
     // KllSketch per group in state (~6 KB at k = 256, forever), folded
     // per micro-batch in event_id order (deterministic seeded
@@ -1055,6 +1098,35 @@ object StreamingQueries {
         |  round((SELECT v FROM sorted
         |         WHERE rn = CAST(floor(0.9 * (n - 1)) AS BIGINT)), 6) AS p90,
         |  CAST((SELECT count(*) FROM samp) AS INT) AS n_sample""".stripMargin,
+
+    // Streaming join-size mirror: the q0X join half — identical md5
+    // buckets, inner product, min over rows, exact side, both flags.
+    "q7S_stream_cms_join_size" -> {
+      val w = 16384
+      def cells(src: String, keyExpr: String) =
+        s"""(SELECT j, ${DuckSql.bucketSlice("h", "j", w)} AS bkt,
+           |        count(*) AS c
+           | FROM (SELECT md5(CAST($keyExpr AS VARCHAR) || ':jsz') AS h,
+           |              unnest(range(0, 4)) AS j FROM $src)
+           | GROUP BY 1, 2)""".stripMargin
+      s"""WITH est_join AS (
+         |  SELECT min(ip) AS est FROM (
+         |    SELECT x.j, sum(x.c * y.c) AS ip
+         |    FROM ${cells("lineitem", "l_orderkey")} x
+         |    JOIN ${cells("orders", "o_orderkey")} y
+         |      ON x.j = y.j AND x.bkt = y.bkt
+         |    GROUP BY x.j)),
+         |x_join AS (SELECT count(*) AS x FROM lineitem l
+         |           JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         |ns AS (SELECT (SELECT count(*) FROM lineitem) AS n_li,
+         |              (SELECT count(*) FROM orders) AS n_ord)
+         |SELECT CAST(x AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+         |       CAST(est - x AS BIGINT) AS overestimate,
+         |       CAST((2 * n_li * n_ord) // $w AS BIGINT) AS bound,
+         |       est >= x AS never_under,
+         |       est - x <= (2 * n_li * n_ord) // $w AS within_bound
+         |FROM est_join, x_join, ns""".stripMargin
+    },
 
     // Streaming image-dedup mirror: identical to the batch q5L mirror —
     // the stateless stream computes the same pair set, banding and the
