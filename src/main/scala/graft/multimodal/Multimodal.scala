@@ -473,22 +473,37 @@ object Multimodal {
     * sizes; EXACT duplicates (distance 0) all land in the same 4
     * buckets, so at corpus scale collapse exact dups first (groupBy
     * the hash pair, keep one representative — the q5G shape) and run
-    * this on representatives.
+    * this on representatives. `maxBucketSize` is the hot-bucket guard
+    * on top of that: a (band, key) bucket with m members mints m²/2
+    * candidates (flat-color boilerplate images — logos, blanks — are
+    * web-scale guaranteed), so oversized buckets drop wholesale BEFORE
+    * the self-join; a pair whose every agreeing band is oversized is
+    * forfeited (same trade as
+    * [[graft.operators.Dedup.lshCandidatePairs]]).
     */
   def imageNearDupPairs(
-      hashed: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+      hashed: DataFrame, idCol: String, maxDist: Int,
+      maxBucketSize: Int = Int.MaxValue): DataFrame = {
     require(maxDist <= 3,
       s"4x16-bit banding is only exhaustive for maxDist <= 3, got $maxDist")
     val sigs = hashed
       .select(col(idCol).as("doc"), col("phash_hi").as("hi"), col("phash_lo").as("lo"))
       .localCheckpoint()
     val mask = lit(0xffffL)
-    val bands = sigs.select(col("doc"), col("hi"), col("lo"),
+    val bands0 = sigs.select(col("doc"), col("hi"), col("lo"),
       posexplode(array(
         col("lo").bitwiseAND(mask),
         shiftright(col("lo"), 16).bitwiseAND(mask),
         col("hi").bitwiseAND(mask),
         shiftright(col("hi"), 16).bitwiseAND(mask))).as(Seq("band", "key")))
+    val bands =
+      if (maxBucketSize == Int.MaxValue) bands0
+      else
+        // one row per DROPPED bucket — the df tail, so AQE broadcasts it
+        bands0.join(
+          bands0.groupBy("band", "key").agg(count(lit(1)).as("sz"))
+            .filter(col("sz") > maxBucketSize).select("band", "key"),
+          Seq("band", "key"), "left_anti")
     val a = bands.select(col("doc").as("doc_a"),
       col("hi").as("hi_a"), col("lo").as("lo_a"), col("band"), col("key"))
     val b = bands.select(col("doc").as("doc_b"),

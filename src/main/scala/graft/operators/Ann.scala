@@ -118,12 +118,18 @@ object AnnLsh {
     * Scale: the only corpus-sized shuffles are the band equi-join (keyed
     * by (band, bucket)) and the two id-keyed vector lookups for
     * verification — the quadratic pair space is materialized only for
-    * rows sharing a band bucket. Returns `(id_a, id_b, n_bands, score)`.
+    * rows sharing a band bucket. `maxBucketSize` caps the per-bucket
+    * blowup exactly like [[graft.operators.Dedup.lshCandidatePairs]]: a
+    * band value shared by m vectors mints m²/2 candidates (with only 16
+    * values per 4-bit band, dense regions of embedding space guarantee
+    * hot buckets at corpus scale), so buckets over the cap are dropped
+    * wholesale BEFORE the self-join — pair cost ≤ |bands|·cap instead
+    * of Σ size². Returns `(id_a, id_b, n_bands, score)`.
     */
   def nearDupPairsLsh(
       corpus: DataFrame, idCol: String, vecCol: String,
       nPlanes: Int, bandBits: Int, minScore: Double,
-      seed: Int = 42
+      seed: Int = 42, maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
     require(nPlanes % bandBits == 0,
       s"nPlanes ($nPlanes) must be a multiple of bandBits ($bandBits)")
@@ -136,11 +142,20 @@ object AnnLsh {
     val sigs = withBuckets(corpus, vecCol, nPlanes, seed)
       .select(col(idCol).as("id"), col("bucket"))
       .localCheckpoint()
-    val bands = sigs
+    val bands0 = sigs
       .select(col("id"),
         posexplode(array((0 until nBands).map(b =>
           shiftright(col("bucket"), b * bandBits).bitwiseAND(mask)): _*))
           .as(Seq("band", "bkt")))
+    val bands =
+      if (maxBucketSize == Int.MaxValue) bands0
+      else
+        // one row per DROPPED bucket — bounded by nBands * 2^bandBits,
+        // so AQE broadcasts the anti-join build side
+        bands0.join(
+          bands0.groupBy("band", "bkt").agg(count(lit(1)).as("sz"))
+            .filter(col("sz") > maxBucketSize).select("band", "bkt"),
+          Seq("band", "bkt"), "left_anti")
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&

@@ -28,7 +28,12 @@ object DedupQueries {
   // feeds q3B; MaxBucketSize feeds q3C AND the flagship q36/q37 cluster
   // pipeline (the production entry point exercises its own guard).
   private val MaxShingleDf  = 5
-  private val MaxBucketSize = 2
+  // shared with PipelineQueries' q69 LSH-prune stage (and its oracle)
+  private[queries] val MaxBucketSize = 2
+  // q3I's hot-trigram cap: sf0.01's part-name trigram dfs reach 16
+  // ("old"/"ld " at df 16 over 64 distinct names), so 10 drops two
+  // grams — live, not decorative.
+  private val MaxGramDf     = 10
   // Verify thresholds, interpolated into BOTH the Spark call and the
   // oracle SQL so the two engines cannot silently fork: VerifyMinJaccard
   // gates the q36/q37 cluster verify and the q3A incremental verify;
@@ -174,11 +179,43 @@ object DedupQueries {
     // Containment similarity (Broder's asymmetric resemblance): pairs
     // where either doc's distinct-shingle set is >= 60% contained in
     // the other — the quote/excerpt/subset near-dup signal symmetric
-    // Jaccard misses. Same inverted-index shape as q31.
+    // Jaccard misses. Same inverted-index shape as q31. EXACT oracle
+    // form (uncapped, like q31); the production-scale capped form is
+    // its twin q3H, and PlanAuditSpec's shingle-self-join audit pins
+    // this pairing (exact forms are allowlisted only because a capped
+    // twin exists).
     "q3G_containment_pairs" -> { (s, d) =>
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
           shingleN = 3, minContainment = 0.6)
         .orderBy("doc_a", "doc_b")
+    },
+
+    // q3G with the hot-shingle df cap live (the q31/q3B pairing applied
+    // to containment): shingles with df > MaxShingleDf leave the
+    // universe BEFORE the pair self-join, so one boilerplate 3-gram can
+    // never generate O(df^2) pairs — at sf0.01 the cap drops 29
+    // shingles, so the guard is exercised, not decorative. Containment
+    // denominators shrink with the universe (stop-word-removal
+    // semantics, same as q3B), mirrored exactly in the oracle.
+    "q3H_containment_capped" -> { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, minContainment = 0.6, maxShingleDf = MaxShingleDf)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // q3E with the hot-trigram df cap live (the q31/q3B pairing applied
+    // to q-gram blocking): trigrams shared by more than MaxGramDf
+    // strings leave the blocking index BEFORE the candidate self-join —
+    // at name-catalog scale a ubiquitous gram ("ing", "the") is the
+    // same O(df^2) pair mint as a hot shingle. Candidates whose ONLY
+    // shared gram is hot are forfeited (stop-gram semantics, mirrored
+    // in the oracle); sf0.01 has 2 grams over the cap, so it's live.
+    "q3I_fuzzy_capped" -> { (s, d) =>
+      val names = Tables.part(s, d).select(col("p_name").as("name")).distinct()
+      Dedup.fuzzyPairs(names, "name", "name", maxDist = 3, maxGramDf = MaxGramDf)
+        .select(col("id_a").as("name_a"), col("id_b").as("name_b"),
+          col("dist"))
+        .orderBy("name_a", "name_b")
     },
 
     // Entity resolution end-to-end: block (q3E's trigram inverted
@@ -632,6 +669,53 @@ object DedupQueries {
          |WHERE greatest(round(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6),
          |               round(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6)) >= 0.6
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q3G over the df-capped shingle universe (sizes and overlap both
+    // computed AFTER the hot filter, exactly as the Spark side).
+    "q3H_containment_capped" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),
+         |hot AS (
+         |  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > $MaxShingleDf),
+         |sh AS (
+         |  SELECT doc, sh FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6) AS c_a_in_b,
+         |  round(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6) AS c_b_in_a
+         |FROM common
+         |JOIN sizes sa ON sa.doc = doc_a
+         |JOIN sizes sb ON sb.doc = doc_b
+         |WHERE greatest(round(CAST(common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE), 6),
+         |               round(CAST(common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE), 6)) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // q3E over the df-capped gram index (hot grams leave the blocking
+    // index before candidate generation, exactly as the Spark side).
+    "q3I_fuzzy_capped" ->
+      s"""WITH nm AS (SELECT DISTINCT p_name AS s FROM part),
+        |gd AS (
+        |  SELECT DISTINCT s, g FROM (
+        |    SELECT s, unnest(CASE WHEN len(s) < 3 THEN [s]
+        |      ELSE [substr(s, i, 3) for i in range(1, len(s) - 1)] END) AS g
+        |    FROM nm)),
+        |hot AS (
+        |  SELECT g FROM gd GROUP BY g HAVING count(*) > $MaxGramDf),
+        |gk AS (
+        |  SELECT s, g FROM gd WHERE g NOT IN (SELECT g FROM hot)),
+        |cand AS (
+        |  SELECT DISTINCT a.s AS s_a, b.s AS s_b
+        |  FROM gk a JOIN gk b ON a.g = b.g AND a.s < b.s)
+        |SELECT s_a AS name_a, s_b AS name_b,
+        |  CAST(levenshtein(s_a, s_b) AS INT) AS dist
+        |FROM cand
+        |WHERE abs(len(s_a) - len(s_b)) <= 3
+        |  AND levenshtein(s_a, s_b) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
 
     // Entity-cluster mirror: q3E's blocking at dist <= 2, then the q36
     // recursive transitive-closure walk with min-label roots;

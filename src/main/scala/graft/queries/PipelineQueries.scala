@@ -475,6 +475,27 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // q5H with the hot-bucket cap live (the q33/q3C pairing applied to
+    // image banding): (band, key) buckets over 3 members drop wholesale
+    // before the pair self-join — the guard against flat-color
+    // boilerplate images minting O(size²) candidates at corpus scale.
+    // The 200-image fixture has a size-4 bucket (a spiked family plus a
+    // 16-bit collision), so the cap drops real candidates here; the
+    // oracle replays banding + cap from the closed-form masks instead
+    // of q5H's banding-free quadratic distance — with a cap, blocking
+    // IS semantics, not just a plan choice.
+    "q5M_image_near_dup_capped" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val ids = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val hashed = Multimodal.aHash(Multimodal.syntheticSpikedPngs(ids, "doc_id"))
+        .filter(col("ahash_ok"))
+      Multimodal.imageNearDupPairs(hashed, "doc_id", maxDist = 3,
+          maxBucketSize = 3)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Image near-dup CLUSTERS: the q36 dedup-pipeline end-game for
     // images — q5H's verified pairs feed HashMin connected components
     // (3 synchronous rounds; the spiked families are triangles, so any
@@ -1490,11 +1511,16 @@ object PipelineQueries {
           .select(col("keep_id").as("doc_id")),
         Seq("doc_id"), "left_semi")
         .localCheckpoint()
+      // maxBucketSize: the PRODUCTION pipeline exercises its own
+      // hot-bucket guard (the q36/q37 contract) — an uncapped band
+      // self-join here is exactly the O(size²) pair mint the registry's
+      // PlanAuditSpec rule makes un-writable
       val losers = Dedup.lshCandidatePairs(
           Dedup.lshBucketsWide(
             Dedup.minhashWide(exact, "doc_id", "text",
               DedupQueries.NumHashes, shingleN = 3),
-            DedupQueries.NumHashes, DedupQueries.RowsPerBand))
+            DedupQueries.NumHashes, DedupQueries.RowsPerBand),
+          maxBucketSize = DedupQueries.MaxBucketSize)
         .filter(col("n_bands") >= 2)
         .select(col("doc_b").as("doc_id")).distinct()
       val deduped = exact.join(losers, Seq("doc_id"), "left_anti")
@@ -1748,6 +1774,50 @@ object PipelineQueries {
         |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
         |      AS dist
         |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, dist FROM dist
+        |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Capped mirror: the closed-form masks REBUILT into the 4×16-bit
+    // band keys (bit i → band i//16, key bit i%16 — exactly aHash's
+    // row-major lo/hi packing), buckets kept at or under the cap,
+    // candidates from kept-band agreement only, then the full hamming
+    // verify.
+    "q5M_image_near_dup_capped" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+        |             FROM documents WHERE doc_id < 200),
+        |bits AS (
+        |  SELECT doc_id, i.i AS i,
+        |    CASE WHEN
+        |      (strpos('13579bdf', substr(md5(g || ':' || i.i), 1, 1)) > 0)
+        |      <> (CASE v
+        |            WHEN 1 THEN i.i = g % 64
+        |            WHEN 2 THEN i.i = g % 64 OR i.i = (g + 32) % 64
+        |            WHEN 3 THEN i.i % 8 = g % 8
+        |            ELSE false END)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM ids, LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+        |bk AS (
+        |  SELECT doc_id, i // 16 AS band,
+        |         sum(CAST(bit AS BIGINT) << (i % 16)) AS bkey
+        |  FROM bits GROUP BY doc_id, i // 16),
+        |keep AS (
+        |  SELECT band, bkey FROM bk
+        |  GROUP BY band, bkey HAVING count(*) <= 3),
+        |kb AS (
+        |  SELECT b.doc_id, b.band, b.bkey
+        |  FROM bk b JOIN keep USING (band, bkey)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM kb a JOIN kb b
+        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |dist AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS dist
+        |  FROM cand c
+        |  JOIN bits a ON a.doc_id = c.doc_a
+        |  JOIN bits b ON b.doc_id = c.doc_b AND b.i = a.i
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dist FROM dist
         |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
@@ -2683,10 +2753,16 @@ object PipelineQueries {
          |sh AS (SELECT doc_id, unnest(${DuckSql.distinctGrams(3)}) AS sh FROM ex),
          |${DedupQueries.duckMinhashMh},
          |${DedupQueries.duckLshBuckets},
+         |keep AS (
+         |  SELECT band, bucket FROM buckets
+         |  GROUP BY band, bucket HAVING count(*) <= ${DedupQueries.MaxBucketSize}),
+         |kb AS (
+         |  SELECT b.doc_id, b.band, b.bucket
+         |  FROM buckets b JOIN keep USING (band, bucket)),
          |cand AS (
          |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nb
-         |  FROM buckets a
-         |  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+         |  FROM kb a
+         |  JOIN kb b ON a.band = b.band AND a.bucket = b.bucket
          |               AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2),
          |losers AS (SELECT DISTINCT db AS doc_id FROM cand WHERE nb >= 2),

@@ -153,6 +153,20 @@ object VectorQueries {
         .orderBy(col("score").desc, col("id_a"), col("id_b"))
     },
 
+    // q39 with the hot-bucket cap live (the q33/q3C pairing applied to
+    // embedding LSH): a 4-bit band has only 16 values, so dense regions
+    // of embedding space GUARANTEE hot buckets — at sf0.01 the largest
+    // holds 48 of 500 vectors and 8 buckets exceed the cap of 40, so
+    // the guard drops real candidates here, not just in the doc
+    // comment. Pairs whose every agreeing band is oversized are
+    // forfeited (mirrored in the oracle's keep CTE).
+    "q3J_embed_near_dup_capped" -> { (s, d) =>
+      graft.operators.AnnLsh.nearDupPairsLsh(Tables.embeddings(s, d),
+          "vec_id", "embedding", nPlanes = 16, bandBits = 4, minScore = 0.4,
+          maxBucketSize = 40)
+        .orderBy(col("score").desc, col("id_a"), col("id_b"))
+    },
+
     // ANN scale path: LSH-bucketed approximate top-10 for query vec 0.
     // Radius-2 multi-probe == signature Hamming distance <= 2, which is
     // how the oracle expresses the probe set.
@@ -658,6 +672,32 @@ object VectorQueries {
          |cand AS (
          |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
          |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b, c.n_bands,
+         |       round(${duckCosine("ea.embedding", "eb.embedding")}, 6) AS score
+         |FROM cand c
+         |JOIN embeddings ea ON ea.vec_id = c.id_a
+         |JOIN embeddings eb ON eb.vec_id = c.id_b
+         |WHERE round(${duckCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4
+         |ORDER BY score DESC, id_a, id_b""".stripMargin,
+
+    // q39 over the size-capped bucket universe (buckets kept only at or
+    // under the cap, exactly as the Spark side's left_anti guard).
+    "q3J_embed_near_dup_capped" ->
+      s"""WITH ${duckLshSigs(16)},
+         |bands AS (
+         |  SELECT vec_id AS id, b.b AS band, (sig >> (b.b * 4)) & 15 AS bkt
+         |  FROM sigs, range(0, 4) b(b)),
+         |keep AS (
+         |  SELECT band, bkt FROM bands
+         |  GROUP BY band, bkt HAVING count(*) <= 40),
+         |kb AS (
+         |  SELECT b.id, b.band, b.bkt
+         |  FROM bands b JOIN keep USING (band, bkt)),
+         |cand AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_bands
+         |  FROM kb a JOIN kb b
          |    ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id
          |  GROUP BY 1, 2)
          |SELECT c.id_a, c.id_b, c.n_bands,
