@@ -48,7 +48,16 @@ final class VectorIndex(
       // (invisible to readers — FileInputFormat's hidden-file filter),
       // then its part files rename into the live dir. A crash before
       // the move leaves only ignored staging garbage; the claimed
-      // version is burnt (a harmless gap).
+      // version is burnt (a harmless gap). A crash MID-loop leaves a
+      // TORN batch: some part files of the claimed version visible,
+      // the rest still staged — readers see a partial upsert until
+      // recovery (delete every live part with this _version, or finish
+      // the moves from the surviving .staged dir; both are listable by
+      // the burnt version number). A single-directory-rename publish
+      // would close the window but forces one subdirectory per version,
+      // turning every read into an O(versions) directory walk — this
+      // log keeps reads flat and accepts the torn window as the
+      // documented crash cost.
       val staged = s"$path/.staged_v$version"
       batch.withColumn("_version", lit(version))
         .write.mode("overwrite").parquet(staged)
@@ -175,9 +184,21 @@ final class VectorIndex(
     * ordering: the old data is moved ASIDE (not deleted) before the
     * compacted dir takes its place, so every crash window leaves either
     * the old or the new data at a recoverable location; the aside copy
-    * is removed last.
+    * is removed last. The `_commits` marker history moves BACK into the
+    * compacted dir before the aside copy is dropped — [[claimVersion]]'s
+    * monotonicity in a fresh JVM reads off the markers, and discarding
+    * them would silently demote the protocol to its wall-clock fallback
+    * (a clock-skewed writer could then re-claim a burnt version). A
+    * legacy log without markers gets one synthesized at the
+    * pre-compaction max version for the same reason.
     */
   def compact(): Unit = {
+    // capture the pre-compaction max version BEFORE the log is rewritten
+    // to _version = 0 — it seeds the synthesized marker for marker-less
+    // legacy logs
+    val maxVersion =
+      if (hasData) spark.read.parquet(path).agg(max("_version")).head().getLong(0)
+      else 0L
     val deduped = read.withColumn("_version", lit(0L))
     val tmp     = s"$path._compact"
     deduped.write.mode("overwrite").parquet(tmp)
@@ -192,6 +213,14 @@ final class VectorIndex(
       // restore the old data rather than leaving an empty index
       fs.rename(aside, p)
       throw new RuntimeException(s"compact: rename of $tmp into place failed; restored old data")
+    }
+    val asideMarkers = new org.apache.hadoop.fs.Path(aside, "_commits")
+    if (fs.exists(asideMarkers)) fs.rename(asideMarkers, markersDir)
+    else if (maxVersion > 0L) {
+      fs.mkdirs(markersDir)
+      fs.createNewFile(
+        new org.apache.hadoop.fs.Path(markersDir, s"_v$maxVersion.commit"))
+      ()
     }
     fs.delete(aside, true)
   }

@@ -22,9 +22,17 @@ import org.apache.spark.sql.types._
   * is order-sensitive, so the raw ESTIMATES may differ run to run.
   * What IS stable: `n` (exact — total weight equals the row count by
   * construction) and any within-[[graft.operators.Kll.kllEpsilon]]
-  * rank-audit flag (the bound holds for every merge order). Gate
-  * grouped-KLL queries the q0V way — exact counts, exact quantiles,
-  * audit flags — and never hash the raw estimates.
+  * rank-audit flag (the bound holds for every merge order — proven in
+  * KllSpec's merge-order suite, which folds the same chunks in five
+  * orders and pins every order inside kllEpsilon). Gate grouped-KLL
+  * queries the q0V way — exact counts, exact quantiles, audit flags —
+  * and never hash the raw estimates.
+  *
+  * Why not canonicalize (buffer partial sketches, merge in sorted
+  * partition-tag order at eval)? It would cost partitions × sketch
+  * bytes of extra state per group plus an eval-time sort, purely to
+  * stabilize digits this contract already refuses to gate on — the
+  * epsilon bound is the stable surface, and it holds unconditionally.
   *
   * Output: `struct<n: bigint, est: array<double>>` — `est(i)` is the
   * estimate for `ps(i)`; an empty group yields `(0, NULL)`.

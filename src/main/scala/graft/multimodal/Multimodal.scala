@@ -566,12 +566,19 @@ object Multimodal {
     * both hashes, the set of agreeing bands is a pure row-local
     * function, and the pair is emitted ONLY from its smallest agreeing
     * band — exact dedup with ZERO state, so the whole pipeline is an
-    * Append-mode stream-static join a 100 TB ingest can run in-flight
-    * (broadcast the corpus band table when it fits; bucket it by
-    * (band, key) when it doesn't). Works identically on batch frames.
+    * Append-mode stream-static join a 100 TB ingest can run in-flight.
+    * `broadcastCorpus` picks the join shape: true (default — right for
+    * the reference-set screening this query family does) force-ships
+    * the corpus band table to every task; FALSE leaves the hint off so
+    * the planner sort-merge/shuffle-hash joins on (band, key) — the
+    * only shape that works when the corpus bands exceed executor
+    * memory, i.e. the actual 100 TB corpus case (pre-bucket the stored
+    * band table by (band, key) and the stream side alone shuffles).
+    * Works identically on batch frames.
     */
   def imageNearDupFlags(corpus: DataFrame, incoming: DataFrame,
-                        idCol: String, maxDist: Int): DataFrame = {
+                        idCol: String, maxDist: Int,
+                        broadcastCorpus: Boolean = true): DataFrame = {
     require(maxDist <= 3,
       s"4x16-bit banding is only exhaustive for maxDist <= 3, got $maxDist")
     val mask = lit(0xffffL)
@@ -599,7 +606,7 @@ object Multimodal {
         when(key(col("hi_i"), col("lo_i"), b) === key(col("hi_c"), col("lo_c"), b),
           lit(b))): _*)
     incBands
-      .join(broadcast(corpusBands),
+      .join(if (broadcastCorpus) broadcast(corpusBands) else corpusBands,
         col("band_i") === col("band") && col("key_i") === col("key"))
       .filter(col("band_i") === firstAgree)
       .select(col("inc_id"), col("corpus_id"),

@@ -179,12 +179,17 @@ object Kll {
 
   /** Conservative single-rank normalized error bound for a KLL sketch
     * with parameter k. The `const/k` shape is the KLL guarantee
-    * (Karnin–Lang–Liberty 2016, Thm. 1: ε = O(√log(1/δ))/k); the
-    * `2.446/k^0.9` calibration is the one Apache DataSketches publishes
-    * for its KLL implementation's 99%-confidence rank error. k = 256 →
-    * ε ≈ 0.0166, ~6× tighter than [[Sketch.dkwEpsilon]] at the same
-    * state (0.1017); KllSpec verifies the bound empirically on uniform,
-    * skewed, sorted, and merged inputs.
+    * (Karnin–Lang–Liberty 2016, Thm. 1: ε = O(√log(1/δ))/k). The
+    * constant is a DELIBERATELY LOOSENED variant of Apache
+    * DataSketches' published KLL calibration — they fit
+    * `2.446/k^0.9433` for their implementation's 99%-confidence rank
+    * error (k = 256 → ~0.0129); this engine keeps the 2.446 numerator
+    * but drops the exponent to 0.9, yielding a strictly LARGER ε at
+    * every k ≥ 2 (k = 256 → ≈ 0.0166) as slack for this from-scratch
+    * implementation's different compaction schedule. Still ~6× tighter
+    * than [[Sketch.dkwEpsilon]] at the same state (0.1017); KllSpec
+    * verifies the bound empirically on uniform, skewed, sorted, and
+    * merged inputs, and the q0V/q0W/q7Q oracle flags gate on it.
     */
   def kllEpsilon(k: Int): Double = 2.446 / math.pow(k, 0.9)
 

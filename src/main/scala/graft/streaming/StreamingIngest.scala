@@ -451,8 +451,17 @@ object StreamingIngest {
     * same-ts events (at-least-once sources redeliver across batches)
     * can never emit a zero-length `[ts, ts)` interval, and a genuinely
     * older straggler can never close the current version with
-    * `valid_to < valid_from`. Open (current) versions live only in
-    * state — stream a snapshot out with a final batch read if needed.
+    * `valid_to < valid_from`. The cost of that guard is a POLICY
+    * divergence for same-ts rows SPLIT ACROSS micro-batches: the batch
+    * build tie-breaks globally over all rows of a timestamp, but here a
+    * higher-tie same-ts row delivered in a LATER batch is
+    * indistinguishable from a redelivery and is dropped — first
+    * delivered wins, batch parity forfeited for exactly those rows. So
+    * "emitted rows equal the batch build" requires not just
+    * time-ordered arrival but that one timestamp's rows never straddle
+    * a batch boundary; same-batch arrivals tie-break identically to
+    * batch. Open (current) versions live only in state — stream a
+    * snapshot out with a final batch read if needed.
     */
   def scdMaintain(changes: Dataset[ScdChange]): Dataset[ClosedVersion] = {
     import changes.sparkSession.implicits._
@@ -494,8 +503,12 @@ object StreamingIngest {
     * rank error at the same footprint). Each micro-batch folds its
     * group's rows into the sketch in `(event_id)` order — the seeded
     * compaction is then deterministic for a deterministic delivery
-    * order — and emits the group's CURRENT (n, p50, p90) estimate
-    * (Update semantics: downstream keeps the latest row per group).
+    * order — and emits the group's CURRENT (n, p50, p90) estimate.
+    * Update semantics: a group emits once per micro-batch that touched
+    * it, so an append-style consumer (the memory sink) accumulates one
+    * row per (group, batch) — downstream must REDUCE to the latest row
+    * per group itself, e.g. max_by on `n` (the cumulative exact count,
+    * strictly increasing across a group's emissions), as q7Q does.
     * Estimates are not set functions of the data (the compaction tree
     * isn't), so oracles gate via the rank audit, not the raw values.
     */

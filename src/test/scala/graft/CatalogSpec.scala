@@ -127,6 +127,13 @@ class CatalogSpec extends GraftSpec {
     assert(idx.versions == Seq(0L))
     assert(idx.read.select("id", "embedding").as[(String, Seq[Float])]
       .collect().toMap == s2)
+    // the _commits marker history SURVIVES compaction: without it a
+    // fresh JVM's claimVersion would fall back to wall clock alone, and
+    // a clock-skewed writer could re-claim a burnt version
+    val markers = new java.io.File(s"$root/idx-tt/_commits")
+    assert(markers.isDirectory, "compact dropped the _commits dir")
+    assert(vs.forall(v => new java.io.File(markers, s"_v$v.commit").exists()),
+      s"compact lost markers: kept ${markers.list().toSeq.sorted}, expected $vs")
   }
 
   test("dimension probe falls back to measuring the stored data") {
