@@ -20,6 +20,9 @@ object Verify {
       // the session is pinned to UTC so instants are unchanged, and
       // event-time streaming / unix_micros require TIMESTAMP.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Encoding.repairMojibake needs REPLACE (not throw) semantics for
+      // malformed/unmappable bytes; its guards inspect the replacements
+      .config("spark.sql.legacy.codingErrorAction", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Mojibake (UTF-8-read-as-Latin-1/CP1252) detection and repair — the
+  * encoding-hygiene gate every web-corpus pipeline runs before text
+  * statistics: a crawler that decoded UTF-8 bytes with a legacy
+  * single-byte charset turns `é` (0xC3 0xA9) into `Ã©`, `’` (0xE2 0x80
+  * 0x99) into `â€™`, and so on, and those artifacts poison tokenizers,
+  * language ID, and dedup alike.
+  *
+  * Detection keys on the class signature: `Ã`/`Â` followed by another
+  * high-byte char (UTF-8 2-byte sequences decoded as Latin-1 always
+  * produce lead 0xC2/0xC3 for the Latin script block), plus the `â€`
+  * prefix every corrupted curly-quote/dash family shares.
+  *
+  * Repair inverts the corruption EXACTLY where it is reversible:
+  * re-encode the string as ISO-8859-1 (recovering the original bytes)
+  * and decode as UTF-8. Three guards make this total and lossless:
+  * the string must carry the mojibake signature, every codepoint must
+  * be ≤ U+00FF (so the ISO-8859-1 re-encode is bijective — this is
+  * what excludes the CP1252-special `â€™` class, whose `€`/`™`
+  * codepoints have no Latin-1 byte), and the re-decoded text must
+  * contain no U+FFFD (so truncated/stray lead bytes like a trailing
+  * lone `Ã` never "repair" into replacement chars). Anything failing a
+  * guard is returned UNCHANGED — detectable-but-unrepairable rows keep
+  * their flag for quarantine.
+  *
+  * Requires `spark.sql.legacy.codingErrorAction=true` (set in this
+  * engine's session builders): Spark 4's default throws on malformed
+  * input mid-task, where this operator needs the REPLACE semantics the
+  * FFFD guard then inspects. Everything is native expressions on one
+  * row — no UDF, no shuffle.
+  */
+object Encoding {
+
+  /** The corruption-class signature (see object doc). */
+  val MojibakeRe: String =
+    "\\u00c3[\\u0080-\\u00ff]|\\u00c2[\\u0080-\\u00ff]|\\u00e2\\u20ac"
+
+  /** True when the text carries the mojibake signature. */
+  def mojibakeFlag(text: Column): Column = text.rlike(MojibakeRe)
+
+  /** True when every codepoint is ≤ U+00FF, i.e. the ISO-8859-1
+    * re-encode recovers the original bytes losslessly.
+    */
+  def latin1Only(text: Column): Column =
+    text.rlike("^[\\u0000-\\u00ff]*$")
+
+  private def redecoded(text: Column): Column =
+    decode(encode(text, "ISO-8859-1"), "UTF-8")
+
+  /** True when the text is flagged AND the byte-exact repair is safe. */
+  def repairable(text: Column): Column =
+    mojibakeFlag(text) && latin1Only(text) &&
+      !redecoded(text).contains("�")
+
+  /** The repaired text where [[repairable]], the input untouched
+    * otherwise.
+    */
+  def repairMojibake(text: Column): Column =
+    when(repairable(text), redecoded(text)).otherwise(text)
+}

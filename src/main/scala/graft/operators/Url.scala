@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + registrable-domain extraction — the CCNet /
+  * RefinedWeb-lineage pretraining stage that runs BEFORE url-keyed
+  * dedup and per-domain caps: crawl data carries the same logical page
+  * under case-varied schemes/hosts, default ports, dot-segmented
+  * paths, permuted query strings, tracking parameters, and fragments,
+  * and none of those variants should survive as distinct documents.
+  *
+  * Everything is native Spark expressions — regexp scalar functions
+  * plus the `aggregate`/`filter` higher-order functions for the two
+  * genuinely iterative pieces (dot-segment resolution, tracking-param
+  * removal). No ScalaUDF anywhere (PlanAuditSpec enforces that
+  * registry-wide); the HOFs are interpreted rather than codegen'd, the
+  * same documented trade as q2N's in-row phrase scan. Each URL is one
+  * row-local computation: the operator adds NO shuffle, so it
+  * composes into any scan at 100 TB.
+  *
+  * Canonical form (RFC 3986 normalization, dedup-oriented):
+  *   - fragment dropped; scheme + host lowercased; userinfo dropped
+  *   - default port stripped (http:80, https:443); other ports kept
+  *   - path dot-segments resolved exactly (stack fold, excess `..` at
+  *     root dropped per RFC 3986 §5.2.4); empty/`.` segments collapse,
+  *     so `//` and trailing `/` normalize away; empty path → `/`
+  *   - query params: tracking params removed ([[TrackingParams]]),
+  *     remainder SORTED byte-wise (order is transport noise for dedup)
+  *   - percent-encoding normalization is out of scope (unexercised by
+  *     the ASCII fixtures; add a hex-case pass before byte-level work)
+  *
+  * A URL with no `scheme://` prefix is returned trimmed/defragged but
+  * otherwise untouched — garbage stays stable rather than half-parsed.
+  */
+object Url {
+
+  /** Query parameters that carry attribution/session noise, never
+    * content identity (the CCNet strip list + the usual click ids).
+    */
+  val TrackingParams: String = "utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref"
+
+  /** Second-level labels that act as TLD extensions under 2-letter
+    * ccTLDs (`co.uk`, `ac.jp`, `gov.br`, …) — a deliberate
+    * APPROXIMATION of the Public Suffix List, which is external data a
+    * deployment would broadcast-join instead; this heuristic covers
+    * the dominant ccTLD+generic-SLD pattern with zero I/O.
+    */
+  val GenericSlds: Seq[String] = Seq("co", "com", "net", "org", "gov", "edu", "ac")
+
+  private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  /** Fragment-stripped, trimmed input — the shared first step. */
+  private def defrag(url: Column): Column =
+    regexp_replace(trim(url), "#.*$", "")
+
+  /** Lowercased host (no port, no userinfo) of an absolute URL; "" when
+    * the URL has no `scheme://` prefix.
+    */
+  def hostOf(url: Column): Column = {
+    val auth = regexp_replace(
+      regexp_extract(defrag(url), SchemeRe + "([^/?#]*)", 2), "^[^@/]*@", "")
+    lower(regexp_replace(auth, ":[0-9]+$", ""))
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment resolution as an exact stack fold over
+    * the split path: `.`/empty segments skip, `..` pops (never past
+    * root), everything else pushes. The `$ROOT$` sentinel keeps the
+    * accumulator non-empty so the slice arithmetic is total.
+    */
+  private def resolvedPath(rawPath: Column): Column = {
+    val folded = aggregate(
+      split(rawPath, "/"),
+      array(lit("$ROOT$")),
+      (acc, x) =>
+        concat(
+          slice(acc, lit(1),
+            size(acc) - when(x === ".." && size(acc) > 1, 1).otherwise(0)),
+          when(x.isin("", ".", ".."), array().cast("array<string>"))
+            .otherwise(array(x))))
+    concat(lit("/"), array_join(slice(folded, lit(2), size(folded) - 1), "/"))
+  }
+
+  /** Kept query string: tracking params out, remainder sorted; "" when
+    * nothing survives.
+    */
+  private def canonicalQuery(u: Column): Column = {
+    val kept = array_join(
+      array_sort(filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
+        s => s =!= "" && !s.rlike("^(" + TrackingParams + ")(=|$)"))),
+      "&")
+    when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
+  }
+
+  /** The canonical URL (see object doc for the exact normal form). */
+  def canonicalizeUrl(url: Column): Column = {
+    val u      = defrag(url)
+    val scheme = lower(regexp_extract(u, SchemeRe, 1))
+    val auth   = regexp_replace(
+      regexp_extract(u, SchemeRe + "([^/?#]*)", 2), "^[^@/]*@", "")
+    val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val portPart = when(
+      port === "" ||
+        (scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"),
+      lit("")).otherwise(concat(lit(":"), port))
+    val path = resolvedPath(
+      regexp_extract(u, SchemeRe + "[^/?#]*([^?#]*)", 2))
+    when(scheme === "", u)
+      .otherwise(concat(scheme, lit("://"), host, portPart, path,
+        canonicalQuery(u)))
+  }
+
+  /** Registrable domain of a lowercased host: the last two labels, or
+    * the last three when the second-to-last is a [[GenericSlds]] label
+    * under a 2-letter ccTLD (`a.b.co.uk` → `b.co.uk`). Hosts with
+    * fewer than three labels pass through.
+    */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n      = size(labels)
+    when(n <= 2, host)
+      .when(
+        element_at(labels, -2).isin(GenericSlds: _*) &&
+          length(element_at(labels, -1)) === 2,
+        array_join(slice(labels, -3, 3), "."))
+      .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+}

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Packed training-shard sink — the artifact a trainer actually mmaps,
+  * closing the gap after q66 (sequence packing) and q6C (shard
+  * assignment): fixed-count binary shards of length-prefixed token-id
+  * records plus a manifest row per shard (path, doc/token counts, byte
+  * size, content hash).
+  *
+  * Format: shard file `shard_%05d.bin` = the shard's doc records
+  * concatenated in `pos_in_shard` order; record = int32-LE token count
+  * followed by that many int32-LE token ids.
+  *
+  * DETERMINISTIC LAYOUT (sort before pack): docs route to shards by
+  * salted-md5 (the q6C `Scale.deterministicShards` order) and are
+  * written in `pos_in_shard` order, so the same corpus + seed yields
+  * BYTE-IDENTICAL shards on any cluster, partitioning, or file layout
+  * — re-runs of a 100 TB pack are diffable by content hash. Writing is
+  * executor-side: shards hash-partition across tasks
+  * (`repartition(col("shard"))`) and each task streams its shards'
+  * bytes and md5 in one pass — no collect, no per-group buffer, and
+  * parallelism grows with shard count (thousands at 100 TB, 8 here).
+  * Files go through `java.nio` (local-FS scope of this harness); a
+  * cluster deployment swaps in the Hadoop FileSystem client with the
+  * same stream-and-digest loop.
+  *
+  * The manifest's `content_md5` is the md5 of the LOWERCASE HEX of the
+  * file bytes (not the raw bytes) — hex is what a SQL oracle can
+  * rebuild arithmetically, and [[readManifests]] hex-digests the real
+  * file bytes the same way, so manifest == re-read manifest proves the
+  * bytes round-tripped exactly.
+  */
+object ShardSink {
+
+  /** Whitespace tokens → deterministic 31-bit ids (first 8 md5 hex
+    * chars, masked positive): replayable as `('0x' || substr(md5(t),
+    * 1, 8))::BIGINT % 2147483648` in the oracle.
+    */
+  def tokenIds(text: Column): Column =
+    transform(
+      filter(split(trim(text), "\\s+"), t => t =!= ""),
+      t => (conv(substring(md5(t), 1, 8), 16, 10) % lit(2147483648L))
+        .cast("int"))
+
+  final case class ShardManifest(shard: Int, n_docs: Long, n_tokens: Long,
+                                 byte_size: Long, content_md5: String)
+
+  private def hexByte(b: Int): String = f"${b & 0xff}%02x"
+
+  private def leHex(v: Int): String =
+    hexByte(v) + hexByte(v >> 8) + hexByte(v >> 16) + hexByte(v >> 24)
+
+  /** Pack `docs` into `nShards` binary shard files under `outDir`
+    * (executor-side write; overwrite-safe because bytes are
+    * deterministic) and return the manifest. The caller must run an
+    * action (e.g. `localCheckpoint()`) before reading the files back.
+    */
+  def writeShards(docs: DataFrame, idCol: String, textCol: String,
+                  nShards: Int, seed: Int,
+                  outDir: String): Dataset[ShardManifest] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = graft.operators.Scale
+      .deterministicShards(
+        docs.select(col(idCol), tokenIds(col(textCol)).as("tokens")),
+        idCol, nShards, seed)
+      .select(col("shard"), col("pos_in_shard"), col("tokens"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos_in_shard")
+    sharded.mapPartitions { rows =>
+      // rows arrive grouped by shard (partitioned by shard, sorted by
+      // (shard, pos)); stream each shard's records to its file and its
+      // hex through one md5 — manifest state is <= shards-per-task rows
+      val out  = scala.collection.mutable.ArrayBuffer.empty[ShardManifest]
+      val hexD = "0123456789abcdef"
+      var cur          = -1
+      var stream: java.io.OutputStream = null
+      var digest: java.security.MessageDigest = null
+      var nDocs   = 0L
+      var nTokens = 0L
+      var nBytes  = 0L
+      def close(): Unit = if (cur >= 0) {
+        stream.close()
+        out += ShardManifest(cur, nDocs, nTokens, nBytes,
+          digest.digest().map(b => f"$b%02x").mkString)
+      }
+      def open(shard: Int): Unit = {
+        close()
+        cur = shard; nDocs = 0L; nTokens = 0L; nBytes = 0L
+        digest = java.security.MessageDigest.getInstance("MD5")
+        stream = java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(outDir, f"shard_$shard%05d.bin"))
+      }
+      def writeLe(v: Int): Unit = {
+        var i = 0
+        while (i < 4) {
+          val b = (v >> (8 * i)) & 0xff
+          stream.write(b)
+          digest.update(hexD.charAt(b >> 4).toByte)
+          digest.update(hexD.charAt(b & 0xf).toByte)
+          i += 1
+        }
+        nBytes += 4
+      }
+      for (r <- rows) {
+        val shard = r.getInt(0)
+        if (shard != cur) open(shard)
+        val toks = r.getSeq[Int](2)
+        writeLe(toks.length)
+        toks.foreach(writeLe)
+        nDocs += 1; nTokens += toks.length
+      }
+      close()
+      out.iterator
+    }
+  }
+
+  /** Re-read `outDir`'s shard files and rebuild the manifest from the
+    * REAL bytes: parse the length-prefixed records (asserting the file
+    * ends exactly on a record boundary) and hex-digest the content the
+    * same way [[writeShards]] did.
+    */
+  def readManifests(spark: SparkSession, outDir: String): Dataset[ShardManifest] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(outDir + "/shard_*.bin")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val shard = "shard_(\\d+)\\.bin$".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"unrecognized shard file: $path"))
+        def le(i: Int): Int =
+          (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+            ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+        var off = 0; var nDocs = 0L; var nTokens = 0L
+        while (off < bytes.length) {
+          val n = le(off)
+          require(n >= 0 && off + 4 + 4L * n <= bytes.length,
+            s"torn record at $off in $path")
+          nDocs += 1; nTokens += n; off += 4 + 4 * n
+        }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val hexD   = "0123456789abcdef"
+        bytes.foreach { b =>
+          digest.update(hexD.charAt((b & 0xff) >> 4).toByte)
+          digest.update(hexD.charAt(b & 0xf).toByte)
+        }
+        ShardManifest(shard, nDocs, nTokens, bytes.length.toLong,
+          digest.digest().map(b => f"$b%02x").mkString)
+      }
+  }
+}

@@ -33,6 +33,117 @@ object CurationQueries {
   private val MIX: Map[String, Int] =
     Map("en" -> 50, "de" -> 100, "es" -> 25, "fr" -> 10, "zh" -> 75)
 
+  // ---- q6P/q6Q/q6R synthetic crawl URLs --------------------------------
+  // The fixture has no URL column, so (the q60 PII idiom) each doc_id
+  // deterministically derives a MESSY absolute URL on both engines:
+  // g = doc_id % UrlGroups picks the LOGICAL page (scheme, host, port,
+  // path, id param), while doc_id alone varies the transport noise —
+  // scheme/host case, default ports, /a/../ dot segments, query-param
+  // order, utm/gclid tracking junk, fragments. Canonicalization must
+  // collapse each group's variants to ONE url; the oracle constructs
+  // the expected canonical CLOSED-FORM from g (an independent
+  // expectation, not a SQL re-implementation of the canonicalizer).
+  private val UrlGroups    = 40
+  private val DomainCap    = 10
+  private val UrlCapSalt   = "urlcap"
+
+  /** The messy URL as a Spark column (mirrored by [[duckMessyUrl]]). */
+  private def messyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val g  = id % UrlGroups
+    val sb = when(g % 2 === 0, lit("http")).otherwise(lit("https"))
+    val hb = concat(lit("www.site"), (g % 7).cast("string"),
+      when(g % 3 === 0, lit(".co.uk"))
+        .when(g % 3 === 1, lit(".example.com"))
+        .otherwise(lit(".org")))
+    val qid = (g % 13).cast("string")
+    concat(
+      when(id % 2 === 0, sb).otherwise(upper(sb)), lit("://"),
+      when(id % 3 === 0, upper(hb)).otherwise(hb),
+      when(g % 5 === 1, lit(":8080"))
+        .when(id % 5 === 0, when(g % 2 === 0, lit(":80")).otherwise(lit(":443")))
+        .otherwise(lit("")),
+      when(id % 2 === 0, concat(lit("/a/../p"), (g % 11).cast("string"), lit("/./x")))
+        .otherwise(concat(lit("/p"), (g % 11).cast("string"), lit("/x"))),
+      when(id % 3 === 0, concat(lit("?id="), qid, lit("&z=2")))
+        .when(id % 3 === 1,
+          concat(lit("?z=2&id="), qid, lit("&utm_source=m"), id.cast("string")))
+        .otherwise(concat(lit("?utm_campaign=c&id="), qid, lit("&gclid="),
+          id.cast("string"), lit("&z=2"))),
+      when(id % 4 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(lit("")))
+  }
+
+  /** DuckDB mirror of [[messyUrl]] as a select expression over doc_id
+    * (`g` must be in scope as doc_id % UrlGroups).
+    */
+  private val duckMessyUrl: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN s ELSE upper(s) END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN upper(h) ELSE h END) ||
+      |    (CASE WHEN g % 5 = 1 THEN ':8080'
+      |          WHEN doc_id % 5 = 0 THEN (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/a/../p' || (g % 11) || '/./x'
+      |          ELSE '/p' || (g % 11) || '/x' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?id=' || (g % 13) || '&z=2'
+      |          WHEN doc_id % 3 = 1 THEN '?z=2&id=' || (g % 13) || '&utm_source=m' || doc_id
+      |          ELSE '?utm_campaign=c&id=' || (g % 13) || '&gclid=' || doc_id || '&z=2' END) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END)""".stripMargin
+
+  // shared CTE prefix: per-doc g, scheme base s, host base h
+  private val duckUrlBase: String =
+    s"""m AS (
+       |  SELECT doc_id, doc_id % $UrlGroups AS g FROM documents),
+       |mb AS (
+       |  SELECT doc_id, g,
+       |    CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS s,
+       |    'www.site' || (g % 7) ||
+       |      (CASE WHEN g % 3 = 0 THEN '.co.uk'
+       |            WHEN g % 3 = 1 THEN '.example.com' ELSE '.org' END) AS h
+       |  FROM m)""".stripMargin
+
+  // the CLOSED-FORM canonical url + registrable domain expected from g
+  private val duckCanonClosedForm: String =
+    """s || '://' || h ||
+      |    (CASE WHEN g % 5 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/p' || (g % 11) || '/x?id=' || (g % 13) || '&z=2'""".stripMargin
+  private val duckDomainClosedForm: String =
+    """CASE WHEN g % 3 = 0 THEN 'site' || (g % 7) || '.co.uk'
+      |         WHEN g % 3 = 1 THEN 'example.com'
+      |         ELSE 'site' || (g % 7) || '.org' END""".stripMargin
+
+  // ---- q6S/q7T shared mojibake gate ------------------------------------
+  // One definition of the corruption + detect + repair projection,
+  // shared by the batch query and its streaming twin (stateless and
+  // row-local, so it runs unchanged on a stream). See q6S's comment
+  // for the marker classes.
+  private[queries] def mojibakeGate(docs: DataFrame): DataFrame = {
+    import graft.operators.Encoding
+    val id = col("doc_id")
+    val marker = when(id % 4 === 1, lit(" cafÃ©"))
+      .when(id % 4 === 2, lit(" donâ€™t"))
+      .when(id % 4 === 3, lit(" Ã¼ber"))
+      .otherwise(lit(""))
+    docs
+      .select(id, concat(col("text"), marker).as("corrupted"))
+      .select(id,
+        Encoding.mojibakeFlag(col("corrupted")).as("mojibake"),
+        Encoding.repairable(col("corrupted")).as("repairable"),
+        md5(Encoding.repairMojibake(col("corrupted"))).as("repaired_md5"))
+  }
+
+  // q6S's closed-form oracle, shared verbatim by streaming q7T (the
+  // q67/q7H precedent: identical output contract, identical SQL).
+  private[queries] val duckMojibakeOracle: String =
+    """SELECT doc_id,
+      |  (doc_id % 4 <> 0) AS mojibake,
+      |  (doc_id % 4 IN (1, 3)) AS repairable,
+      |  md5(text || CASE doc_id % 4
+      |        WHEN 1 THEN ' café'
+      |        WHEN 2 THEN ' donâ€™t'
+      |        WHEN 3 THEN ' über'
+      |        ELSE '' END) AS repaired_md5
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrub: synthesize deterministic PII from doc_id, normalize,
     // count each pattern, emit md5 of the redacted text.
@@ -117,6 +228,67 @@ object CurationQueries {
       Curation.perStratumCap(Tables.documents(s, d), "doc_id", "source", k = 15)
         .select("doc_id", "source")
         .orderBy("doc_id")
+    },
+
+    // URL canonicalization (the CCNet/RefinedWeb pre-dedup stage):
+    // messy synthetic crawl URLs → canonical form + registrable domain,
+    // all row-local native expressions (regexps + HOF fold for dot
+    // segments — no UDF, no shuffle added). The oracle checks against a
+    // CLOSED-FORM expected canonical derived from the group id, so the
+    // two engines cannot share a bug in the canonicalizer itself.
+    "q6P_url_canonical" -> { (s, d) =>
+      import graft.operators.Url
+      Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .withColumn("curl", Url.canonicalizeUrl(col("url")))
+        .withColumn("domain", Url.registrableDomain(Url.hostOf(col("curl"))))
+        .orderBy("doc_id")
+    },
+
+    // Canonical-URL dedup: the q30 exact-dedup shape keyed on the
+    // canonical form — case/port/dot-segment/tracking variants of one
+    // logical page collapse to one group (min-id survivor). groupBy on
+    // a row-local key: one corpus-sized shuffle, exactly like q30.
+    "q6Q_url_dedup" -> { (s, d) =>
+      import graft.operators.Url
+      Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), Url.canonicalizeUrl(col("url")).as("curl"))
+        .groupBy("curl")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy("curl")
+    },
+
+    // Per-registrable-domain cap (q67's per-source cap composed with
+    // the URL operators): at most DomainCap docs per domain in salted-
+    // hash order — the "downweight overrepresented domains" stage keyed
+    // on a column DERIVED from the crawl URL rather than given. The
+    // example.com domain holds ~a third of the corpus at every scale,
+    // so the cap is live, not decorative.
+    "q6R_domain_cap" -> { (s, d) =>
+      import graft.operators.Url
+      val withDomain = Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"),
+          Url.registrableDomain(
+            Url.hostOf(Url.canonicalizeUrl(col("url")))).as("domain"))
+      Curation.perStratumCap(withDomain, "doc_id", "domain",
+          k = DomainCap, salt = UrlCapSalt)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    },
+
+    // Encoding-repair gate (mojibake): deterministic corruption markers
+    // appended per doc_id — ' cafÃ©' (UTF-8 é read as Latin-1,
+    // byte-reversible), ' donâ€™t' (CP1252-special class: € and ™ have
+    // no Latin-1 byte, detectable but NOT reversibly repairable),
+    // ' Ã¼ber' (reversible) — then the REAL detector + repair run over
+    // the corrupted text. The oracle's expectations are CLOSED FORMS of
+    // doc_id (flags from the branch taken, repaired md5 from the CLEAN
+    // marker), so the gate verifies the repair actually inverted the
+    // corruption, not that two engines share an algorithm.
+    "q6S_mojibake_repair" -> { (s, d) =>
+      mojibakeGate(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // Temperature-based mixture sampling (the T5/Pile α-mixing rule):
@@ -418,6 +590,44 @@ object CurationQueries {
         |  FROM documents)
         |WHERE rn <= 15
         |ORDER BY doc_id""".stripMargin,
+
+    // URL mirror: the messy url replays from doc_id; the expected
+    // canonical + domain are CLOSED FORMS of g — an independent
+    // expectation, not a SQL port of the canonicalizer.
+    "q6P_url_canonical" ->
+      s"""WITH $duckUrlBase
+         |SELECT doc_id,
+         |  $duckMessyUrl AS url,
+         |  $duckCanonClosedForm AS curl,
+         |  $duckDomainClosedForm AS domain
+         |FROM mb
+         |ORDER BY doc_id""".stripMargin,
+
+    "q6Q_url_dedup" ->
+      s"""WITH $duckUrlBase
+         |SELECT $duckCanonClosedForm AS curl,
+         |  min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM mb
+         |GROUP BY 1
+         |ORDER BY curl""".stripMargin,
+
+    "q6R_domain_cap" ->
+      s"""WITH $duckUrlBase,
+         |dom AS (
+         |  SELECT doc_id, $duckDomainClosedForm AS domain FROM mb)
+         |SELECT doc_id, domain FROM (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '$UrlCapSalt'), doc_id) AS rn
+         |  FROM dom)
+         |WHERE rn <= $DomainCap
+         |ORDER BY doc_id""".stripMargin,
+
+    // Mojibake mirror: flags and repaired text as closed forms of the
+    // corruption branch — the repairable classes md5 the CLEAN marker
+    // (repair must invert the corruption byte-exactly), the CP1252
+    // class md5s the corrupted text unchanged.
+    "q6S_mojibake_repair" -> duckMojibakeOracle,
 
     // Mixture mirror: same rounded sqrt weights, the same source-
     // ascending 0.0-init fold for the total, same floor targets, same

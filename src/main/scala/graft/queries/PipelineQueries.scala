@@ -496,6 +496,36 @@ object PipelineQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // Packed training-shard sink end-to-end: the corpus tokenizes,
+    // routes to 8 shards in the q6C deterministic order, and PACKS to
+    // real binary files (int32-LE length-prefixed token records) under
+    // a scratch dir; the query re-reads the REAL bytes, rebuilds the
+    // manifest from them, and emits manifest + roundtrip flag — so the
+    // hash gate proves byte-deterministic round-trip, and the oracle
+    // rebuilds the same manifest arithmetically (hex-encoded records
+    // string-aggregated in pos order, md5'd) with roundtrip pinned
+    // true. Executor-side streaming write: no collect, no per-group
+    // buffer, parallelism = shard count.
+    "q5N_packed_shards" -> { (s, d) =>
+      import graft.pipeline.ShardSink
+      val dir = graft.util.TempDirs.scratch("graft-shards-")
+      val written = ShardSink.writeShards(Tables.documents(s, d),
+          "doc_id", "text", nShards = 8, seed = 11, outDir = dir)
+        .toDF().localCheckpoint() // EXECUTES the pack before the re-read lists files
+      val reread = ShardSink.readManifests(s, dir).toDF()
+        .select(col("shard"), col("n_docs").as("r_docs"),
+          col("n_tokens").as("r_tokens"), col("byte_size").as("r_bytes"),
+          col("content_md5").as("r_md5"))
+      written.join(reread, Seq("shard"), "full")
+        .select(col("shard"), col("n_docs"), col("n_tokens"),
+          col("byte_size"), col("content_md5"),
+          (col("n_docs") === col("r_docs") &&
+            col("n_tokens") === col("r_tokens") &&
+            col("byte_size") === col("r_bytes") &&
+            col("content_md5") === col("r_md5")).as("roundtrip"))
+        .orderBy("shard")
+    },
+
     // Image near-dup CLUSTERS: the q36 dedup-pipeline end-game for
     // images — q5H's verified pairs feed HashMin connected components
     // (3 synchronous rounds; the spiked families are triangles, so any
@@ -1777,6 +1807,46 @@ object PipelineQueries {
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, dist FROM dist
         |WHERE dist <= 3 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Shard-sink mirror: tokenize + route + rank exactly as the Spark
+    // side, rebuild each record's int32-LE bytes as lowercase hex
+    // (printf per byte), string_agg per shard in pos order, md5 —
+    // roundtrip pinned true (the Spark side proved it against the real
+    // files; an oracle can only replay the arithmetic).
+    "q5N_packed_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    [('0x' || substr(md5(tok), 1, 8))::BIGINT % 2147483648
+        |     for tok in list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                            x -> x <> '')] AS toks,
+        |    md5(CAST(doc_id AS VARCHAR) || ':11') AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, toks,
+        |    CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER)
+        |      ORDER BY k, doc_id) AS pos
+        |  FROM t),
+        |hx AS (
+        |  SELECT shard, pos, len(toks) AS nt,
+        |    printf('%02x%02x%02x%02x',
+        |      len(toks) & 255, (len(toks) >> 8) & 255,
+        |      (len(toks) >> 16) & 255, (len(toks) >> 24) & 255) ||
+        |    array_to_string(list_transform(toks, v ->
+        |      printf('%02x%02x%02x%02x',
+        |        v & 255, (v >> 8) & 255, (v >> 16) & 255, (v >> 24) & 255)), '')
+        |      AS dochex
+        |  FROM sh)
+        |SELECT shard,
+        |  count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(4 * (count(*) + sum(nt)) AS BIGINT) AS byte_size,
+        |  md5(string_agg(dochex, '' ORDER BY pos)) AS content_md5,
+        |  true AS roundtrip
+        |FROM hx
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     // Capped mirror: the closed-form masks REBUILT into the 4×16-bit
     // band keys (bit i → band i//16, key bit i%16 — exactly aHash's

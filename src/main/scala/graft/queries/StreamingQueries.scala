@@ -276,6 +276,20 @@ object StreamingQueries {
     // the estimate is bit-identical to the batch sketch (max-merge is
     // what the state store does between micro-batches), and the
     // estimate is compared against the batch exact count in-query.
+    // Encoding-repair gate ON ARRIVAL: q6S's corrupt → detect → repair
+    // projection is row-local and stateless, so the same mojibakeGate
+    // runs unchanged as an Append-mode stream — the shape a 100 TB
+    // ingest uses to quarantine/repair in-flight with ZERO streaming
+    // state. Output (and oracle) identical to batch q6S.
+    "q7T_stream_mojibake_gate" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      StreamRunner.runToBatch(CurationQueries.mojibakeGate(docs),
+          OutputMode.Append)
+        .orderBy("doc_id")
+    },
+
     "q7E_stream_hll" -> { (s, d) =>
       import graft.functions.TextFunctions
       import graft.operators.Sketch
@@ -665,10 +679,22 @@ object StreamingQueries {
           col("event_id").cast("long").as("event_id"),
           col("value").cast("double").as("v"))
         .as[StreamingIngest.KllEvent]
+      // Update-mode memory sink APPENDS one row per group per
+      // micro-batch (it does not upsert), so "downstream keeps the
+      // latest row per group" must be implemented here: keep each
+      // group's max-n emission (n is the sketch's cumulative exact
+      // count, strictly increasing across a group's emissions). With
+      // the fixture's single-file source this is a no-op reduce, but a
+      // multi-file / maxFilesPerTrigger source would otherwise leave
+      // stale per-group rows fanning out the joins below.
       val est = StreamRunner.runToBatch(
         StreamingIngest.kllMaintain(ev, k = 256, seed = 0x6b6c6cL).toDF(),
         OutputMode.Update)
         .withColumnRenamed("g", "event_type")
+        .groupBy("event_type")
+        .agg(max_by(struct(col("n"), col("e50"), col("e90")), col("n")).as("r"))
+        .select(col("event_type"), col("r.n").as("n"),
+          col("r.e50").as("e50"), col("r.e90").as("e90"))
         .localCheckpoint(eager = false) // reused: ranks join + output
       val rows = Tables.events(s, d)
         .select(col("event_type"), col("value").cast("double").as("v"))
@@ -722,6 +748,9 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // identical output contract to batch q6S — shared SQL verbatim
+    "q7T_stream_mojibake_gate" -> CurationQueries.duckMojibakeOracle,
 
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start,

@@ -154,16 +154,20 @@ object VectorQueries {
     },
 
     // q39 with the hot-bucket cap live (the q33/q3C pairing applied to
-    // embedding LSH): a 4-bit band has only 16 values, so dense regions
-    // of embedding space GUARANTEE hot buckets — at sf0.01 the largest
-    // holds 48 of 500 vectors and 8 buckets exceed the cap of 40, so
-    // the guard drops real candidates here, not just in the doc
-    // comment. Pairs whose every agreeing band is oversized are
-    // forfeited (mirrored in the oracle's keep CTE).
+    // embedding LSH). Geometry matters for a FIXED cap across scales:
+    // q39's 4-bit bands have 16 values per band, so by sf0.1 EVERY
+    // bucket holds >100 vectors and any useful cap would empty the
+    // candidate set (banding saturated = planner error, the fix is
+    // more bits, not a bigger cap). The capped form therefore bands
+    // 2×8 bits (256 values/band — recall drops per band but collision
+    // prob still 1-(1-p^8)^2): cap 9 then drops 1 bucket at
+    // sf0.001/sf0.01 and 153 of 508 at sf0.1 — live everywhere,
+    // saturated nowhere. Pairs whose every agreeing band is oversized
+    // are forfeited (mirrored in the oracle's keep CTE).
     "q3J_embed_near_dup_capped" -> { (s, d) =>
       graft.operators.AnnLsh.nearDupPairsLsh(Tables.embeddings(s, d),
-          "vec_id", "embedding", nPlanes = 16, bandBits = 4, minScore = 0.4,
-          maxBucketSize = 40)
+          "vec_id", "embedding", nPlanes = 16, bandBits = 8, minScore = 0.4,
+          maxBucketSize = 9)
         .orderBy(col("score").desc, col("id_a"), col("id_b"))
     },
 
@@ -682,16 +686,18 @@ object VectorQueries {
          |WHERE round(${duckCosine("ea.embedding", "eb.embedding")}, 6) >= 0.4
          |ORDER BY score DESC, id_a, id_b""".stripMargin,
 
-    // q39 over the size-capped bucket universe (buckets kept only at or
-    // under the cap, exactly as the Spark side's left_anti guard).
+    // q39 over the size-capped bucket universe (2×8-bit bands — see the
+    // query comment for why the geometry differs from q39's 4×4;
+    // buckets kept only at or under the cap, exactly as the Spark
+    // side's left_anti guard).
     "q3J_embed_near_dup_capped" ->
       s"""WITH ${duckLshSigs(16)},
          |bands AS (
-         |  SELECT vec_id AS id, b.b AS band, (sig >> (b.b * 4)) & 15 AS bkt
-         |  FROM sigs, range(0, 4) b(b)),
+         |  SELECT vec_id AS id, b.b AS band, (sig >> (b.b * 8)) & 255 AS bkt
+         |  FROM sigs, range(0, 2) b(b)),
          |keep AS (
          |  SELECT band, bkt FROM bands
-         |  GROUP BY band, bkt HAVING count(*) <= 40),
+         |  GROUP BY band, bkt HAVING count(*) <= 9),
          |kb AS (
          |  SELECT b.id, b.band, b.bkt
          |  FROM bands b JOIN keep USING (band, bkt)),

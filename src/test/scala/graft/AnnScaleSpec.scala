@@ -1,0 +1,109 @@
+package graft
+
+import graft.functions.VectorFunctions.cosineSimilarity
+import graft.operators.AnnLsh
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN at realistic scale (VERDICT r9 item 7): the registry gates
+  * AnnLsh correctness on the 2k-row embeddings fixture; this property
+  * runs it against a SEEDED 100k-vector synthetic corpus and asserts
+  * the two claims that justify the operator at 100 TB:
+  *   1. recall@10 under multi-probe stays above a measured floor, and
+  *      grows monotonically with probe radius;
+  *   2. probe COST (candidates scored) is governed by the probed
+  *      buckets' share of the corpus, not the corpus size — doubling
+  *      the corpus leaves the scanned FRACTION flat.
+  *
+  * Corpus: 1000 planted clusters of 100 vectors each (dim 16) — a
+  * deterministic sin()-derived base per cluster plus 10% per-vector
+  * noise, so each query's exact top-10 is its own cluster's core and
+  * recall is a meaningful number, not a coin flip over uniform noise.
+  * Measured on this corpus (recorded in PERF.md): recall@10 is 0.90
+  * at every radius (one of each query's ten true neighbors sits >2
+  * bit-flips away — the standard multi-probe tail), and radius 2
+  * probes 137/65536 masks scoring ~14% of the corpus: the sin-derived
+  * signatures are sign-correlated across clusters, so buckets are
+  * coarser than a uniform 1000/65536 spread — exactly the skew a real
+  * embedding distribution shows, which is why the assertions below pin
+  * the FRACTION and its corpus-size independence, not a fantasy
+  * uniform bound.
+  */
+class AnnScaleSpec extends GraftSpec {
+
+  private val Dim     = 16
+  private val NPlanes = 16
+  private val K       = 10
+
+  private def corpus(n: Long): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"""transform(sequence(0, ${Dim - 1}), j ->
+               cast(sin((id % 1000) * 131071.0d + j * 524287.0d)
+                    + 0.1d * sin(id * 7919.0d + j * 104729.0d) as float))""")
+        .as("embedding"))
+
+  private def vecOf(df: DataFrame, id: Long): Seq[Float] =
+    df.filter(col("vec_id") === id).head()
+      .getAs[scala.collection.Seq[Float]]("embedding").toSeq
+
+  test("recall@10 holds its floor at 100k vectors and rises with probe radius") {
+    val c = corpus(100000L)
+    val bucketed = AnnLsh.withBuckets(c, "embedding", NPlanes).localCheckpoint()
+    val queryIds = Seq(3L, 47L, 501L, 777L, 999L)
+    val recalls = (0 to 2).map { radius =>
+      val rs = queryIds.map { qid =>
+        val qv = vecOf(c, qid)
+        val exact = c
+          .select(col("vec_id"),
+            round(cosineSimilarity(col("embedding"), typedlit(qv)), 6).as("s"))
+          .filter(col("vec_id") =!= qid)
+          .orderBy(col("s").desc, col("vec_id")).limit(K)
+          .collect().map(_.getLong(0)).toSet
+        val approx = AnnLsh
+          .topKApprox(bucketed, "vec_id", "embedding", qv, K,
+            NPlanes, probeRadius = radius)
+          .filter(col("vec_id") =!= qid)
+          .collect().map(_.getLong(0)).toSet
+        (exact intersect approx).size.toDouble / K
+      }
+      val mean = rs.sum / rs.size
+      info(f"radius $radius: recall@10 mean $mean%.2f (${rs.mkString(", ")})")
+      mean
+    }
+    assert(recalls(2) >= recalls(0) - 1e-9,
+      "multi-probe must not lose recall over the base bucket")
+    // floor: measured mean is 0.90 flat across radii on this corpus;
+    // 0.85 leaves margin for a Spark-version change in float order only
+    assert(recalls(2) >= 0.85,
+      f"radius-2 recall@10 ${recalls(2)}%.2f fell below the 0.85 floor")
+  }
+
+  test("probe cost tracks buckets probed, not corpus size") {
+    val planes = AnnLsh.hyperplanes(Dim, NPlanes)
+    def candidateFraction(n: Long, radius: Int, qid: Long): (Long, Double) = {
+      val c   = corpus(n)
+      val qv  = vecOf(c, qid)
+      val sig = AnnLsh.signatureOf(qv, planes)
+      val probes = AnnLsh.probeBuckets(sig, NPlanes, radius)
+      val cand = AnnLsh.withBuckets(c, "embedding", NPlanes)
+        .filter(col("bucket").isin(probes: _*)).count()
+      (cand, cand.toDouble / n)
+    }
+    val (c1, f1) = candidateFraction(100000L, 1, 3L)
+    val (c2, f2) = candidateFraction(100000L, 2, 3L)
+    info(f"100k: radius-1 candidates $c1 (${f1 * 100}%.2f%%), " +
+      f"radius-2 $c2 (${f2 * 100}%.2f%%)")
+    assert(c2 >= c1, "a larger probe set cannot score fewer candidates")
+    // measured: 7.3% at radius 1, 13.9% at radius 2 (sign-correlated
+    // buckets, see class doc) — selective vs the full scan, and the
+    // bound a regression in bucketing would break
+    assert(f2 < 0.25,
+      f"radius-2 scored ${f2 * 100}%.1f%% of the corpus — probing is not selective")
+    // corpus-size independence: the same probe set scans the same
+    // FRACTION when the corpus doubles (clusters scale uniformly)
+    val (_, fHalf) = candidateFraction(50000L, 2, 3L)
+    assert(f2 / fHalf < 2.0 && fHalf / f2 < 2.0,
+      f"probed fraction moved ${fHalf * 100}%.2f%% -> ${f2 * 100}%.2f%% " +
+        "with corpus size — cost is scaling with the corpus, not the probe set")
+  }
+}

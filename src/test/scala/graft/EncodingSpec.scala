@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Encoding
+import org.apache.spark.sql.functions._
+
+class EncodingSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def run(texts: String*): Map[String, (Boolean, Boolean, String)] =
+    texts.toDF("t")
+      .select(col("t"),
+        Encoding.mojibakeFlag(col("t")).as("flag"),
+        Encoding.repairable(col("t")).as("rep"),
+        Encoding.repairMojibake(col("t")).as("fixed"))
+      .as[(String, Boolean, Boolean, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("latin-1 class repairs byte-exactly; cp1252 class flags but stays") {
+    val caffe = " cafÃ©"   // 'é' UTF-8 read as latin-1
+    val uber  = "Ã¼ber"    // 'ü'
+    val quote = "donâ€™t" // '’' via cp1252 (€/™ not in latin-1)
+    val got = run("plain ascii", caffe, uber, quote)
+    assert(got("plain ascii") == ((false, false, "plain ascii")))
+    assert(got(caffe) == ((true, true, " café")))
+    assert(got(uber) == ((true, true, "über")))
+    // detectable (â€ signature) but NOT latin-1-reversible: untouched
+    assert(got(quote) == ((true, false, quote)))
+  }
+
+  test("FFFD guard: a stray lead byte never repairs into replacement chars") {
+    // Ã© then a LONE Ã: latin-1-only and flagged, but the recovered
+    // bytes end in 0xC3 — invalid UTF-8 — so repair must decline
+    val stray = "Ã© xÃ"
+    val got = run(stray)
+    assert(got(stray)._1, "signature must flag")
+    assert(!got(stray)._2 && got(stray)._3 == stray,
+      "invalid recovered UTF-8 must not repair")
+  }
+
+  test("repair is idempotent and clean unicode is never touched") {
+    val clean = "café über naïve" // real accents, no mojibake
+    val got = run(clean)
+    assert(got(clean) == ((false, false, clean)))
+    val once = run(" cafÃ©")(" cafÃ©")._3
+    assert(run(once)(once)._3 == once, "repaired text must be a fixed point")
+  }
+}

@@ -15,6 +15,9 @@ object TestSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Encoding.repairMojibake needs REPLACE (not throw) semantics for
+      // malformed/unmappable bytes; its guards inspect the replacements
+      .config("spark.sql.legacy.codingErrorAction", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,51 @@
+package graft
+
+import graft.pipeline.ShardSink
+import org.apache.spark.sql.functions._
+
+class ShardSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "alpha beta gamma"), (2L, "beta"), (3L, ""),
+    (4L, "  delta   epsilon "), (5L, "alpha"), (6L, "zeta eta theta iota"))
+    .toDF("doc_id", "text")
+
+  test("two writes produce byte-identical shards; manifest matches real files") {
+    val d1 = graft.util.TempDirs.scratch("shard-spec-a-")
+    val d2 = graft.util.TempDirs.scratch("shard-spec-b-")
+    val m1 = ShardSink.writeShards(docs, "doc_id", "text", 3, seed = 5, d1)
+      .collect().sortBy(_.shard)
+    val m2 = ShardSink.writeShards(docs, "doc_id", "text", 3, seed = 5, d2)
+      .collect().sortBy(_.shard)
+    assert(m1.toSeq == m2.toSeq, "same corpus + seed must manifest identically")
+    m1.foreach { m =>
+      val f = java.nio.file.Paths.get(d1, f"shard_${m.shard}%05d.bin")
+      val bytes = java.nio.file.Files.readAllBytes(f)
+      assert(bytes.length.toLong == m.byte_size)
+      val g = java.nio.file.Paths.get(d2, f"shard_${m.shard}%05d.bin")
+      assert(bytes.toSeq == java.nio.file.Files.readAllBytes(g).toSeq,
+        s"shard ${m.shard} bytes differ between runs")
+    }
+    // re-reader agrees with the writer exactly (the q5N roundtrip, unit-sized)
+    val reread = ShardSink.readManifests(spark, d1).collect().sortBy(_.shard)
+    assert(reread.toSeq == m1.toSeq)
+    // accounting: every doc and token is in exactly one shard; the
+    // empty doc still contributes its zero-length record
+    assert(m1.map(_.n_docs).sum == 6L)
+    assert(m1.map(_.n_tokens).sum == 11L) // 3 + 1 + 0 + 2 + 1 + 4
+    assert(m1.map(_.byte_size).sum == 4L * (6 + 11))
+  }
+
+  test("re-reader rejects a torn record") {
+    val d = graft.util.TempDirs.scratch("shard-spec-torn-")
+    ShardSink.writeShards(docs, "doc_id", "text", 1, seed = 5, d).collect()
+    val f = java.nio.file.Paths.get(d, "shard_00000.bin")
+    val bytes = java.nio.file.Files.readAllBytes(f)
+    java.nio.file.Files.write(f, bytes.dropRight(2)) // cut mid-int32
+    val err = intercept[org.apache.spark.SparkException](
+      ShardSink.readManifests(spark, d).collect())
+    assert(err.getMessage.contains("torn record") ||
+      Option(err.getCause).exists(_.getMessage.contains("torn record")))
+  }
+}

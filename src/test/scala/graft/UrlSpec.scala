@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Url
+import org.apache.spark.sql.functions._
+
+class UrlSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def canon(urls: (String, String)*): Unit = {
+    val got = urls.map(_._1).toDF("url")
+      .select(col("url"), Url.canonicalizeUrl(col("url")).as("c"))
+      .as[(String, String)].collect().toMap
+    urls.foreach { case (u, want) =>
+      assert(got(u) == want, s"canonicalizeUrl($u) = ${got(u)}, want $want")
+    }
+  }
+
+  test("canonicalizeUrl: case, default port, dot segments, tracking params, sort") {
+    canon(
+      // everything at once: scheme/host case, default port, ./.. path,
+      // param order + tracking junk, fragment
+      "HtTp://WWW.Site1.Co.Uk:80/a/../p3/./x?z=2&id=5&utm_source=m9#frag" ->
+        "http://www.site1.co.uk/p3/x?id=5&z=2",
+      // userinfo dropped, non-default port kept, // collapsed,
+      // trailing slash normalized, tracking-only query vanishes
+      "https://user:pw@Host.Example.COM:8080//a/b/../../c/?gclid=1" ->
+        "https://host.example.com:8080/c",
+      // excess .. at root drops (RFC 3986 5.2.4), empty path -> /
+      "http://h.org/../.." -> "http://h.org/",
+      "https://x.io" -> "https://x.io/",
+      // 443 is NOT http's default port
+      "http://a.co:443/p" -> "http://a.co:443/p",
+      // schemeless input passes through (trimmed + defragged only)
+      "not a url" -> "not a url",
+      "  http://pad.org/p#f  " -> "http://pad.org/p")
+  }
+
+  test("canonicalizeUrl is idempotent") {
+    val urls = Seq(
+      "HtTp://WWW.Site1.Co.Uk:80/a/../p3/./x?z=2&id=5&utm_source=m9#frag",
+      "https://user:pw@Host.Example.COM:8080//a/b/../../c/?gclid=1",
+      "https://x.io", "not a url")
+    val once = urls.toDF("url")
+      .select(Url.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    val twice = once.toSeq.toDF("url")
+      .select(Url.canonicalizeUrl(col("url")).as("c")).as[String].collect()
+    assert(once.toSeq == twice.toSeq)
+  }
+
+  test("registrableDomain: PSL-approximation rules") {
+    val cases = Seq(
+      "www.site1.co.uk"      -> "site1.co.uk",
+      "host.example.com"     -> "example.com",
+      "x.io"                 -> "x.io",
+      "a.b.gov.br"           -> "b.gov.br",
+      "deep.sub.example.org" -> "example.org",
+      "localhost"            -> "localhost")
+    val got = cases.map(_._1).toDF("h")
+      .select(col("h"), Url.registrableDomain(col("h")).as("d"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"$h -> ${got(h)}") }
+  }
+
+  test("hostOf extracts the lowercased port-free host") {
+    val got = Seq("HtTp://User@WWW.X.Org:8080/p?a=1#f", "nope")
+      .toDF("u").select(Url.hostOf(col("u"))).as[String].collect()
+    assert(got.toSeq == Seq("www.x.org", ""))
+  }
+}
