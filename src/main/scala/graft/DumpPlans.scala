@@ -19,6 +19,9 @@ object DumpPlans {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Encoding.repairMojibake needs REPLACE (not throw) semantics for
+      // malformed/unmappable bytes; its guards inspect the replacements
+      .config("spark.sql.legacy.codingErrorAction", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
@@ -70,6 +73,10 @@ object DumpPlans {
       ("q5H_image_near_dup", "banded-hamming image near-dup: the decoded aHash signature table cuts ONCE above the codec (localCheckpoint -- both self-join sides read it), 4x16-bit band posexplode, (band, key) equi-join, full bit_count(xor) verify as residual -- pair space bounded by band buckets, no all-pairs, payloads never shuffle", PipelineQueries.queries("q5H_image_near_dup")),
       ("q0V_kll_quantiles", "KLL quantile sketch: three mapPartitions stages with bounded fan-in (per-partition sketches -> pid-sorted group merges -> one final merge of ~KB blobs); the rank audit broadcasts the 1-row estimate table into a narrow corpus pass; exact Quantiles path alongside for the flag -- nothing corpus-sized ever sits in one task", RelationalQueries.queries("q0V_kll_quantiles")),
       ("q0W_grouped_kll", "grouped KLL aggregate: ObjectHashAggregate over KllSketch buffers -- partials ship sketch BYTES per (partition, group), never rows; audit joins broadcast the groups-sized estimate table", RelationalQueries.queries("q0W_grouped_kll")),
+      ("q3H_containment_capped", "capped containment pairs: the hot-shingle LeftAnti anti-join (the PlanAuditSpec cap witness) sits UNDER both sides of the pair self-join -- one df-d shingle can never mint d^2/2 pairs; sizes and overlap both computed AFTER the cap", DedupQueries.queries("q3H_containment_capped")),
+      ("q6R_domain_cap", "URL -> registrable domain -> per-domain cap: canonicalization + domain extraction are row-local native expressions (regexps + HOF fold, zero added shuffle); the only exchange is the per-domain rank window on the derived key", CurationQueries.queries("q6R_domain_cap")),
+      ("q6S_mojibake_repair", "encoding-repair gate: detection regex + guarded ISO-8859-1 re-encode/UTF-8 re-decode, all row-local in one projection -- a 100 TB scan pays zero shuffle for the hygiene pass", CurationQueries.queries("q6S_mojibake_repair")),
+      ("q5N_packed_shards", "packed training-shard sink: tokens + salted-md5 shard route, ONE repartition(shard) exchange, executor-side stream-and-digest file write inside mapPartitions (sort before pack => byte-identical re-runs), binaryFile re-read joins the 8-row manifests -- no collect, no per-group buffer", PipelineQueries.queries("q5N_packed_shards")),
       ("q4T_hits", "HITS (round-9 fusion): per round ONE edge||score hash join + map-side-combinable sum per direction, CUT once -- the one-row normalizer agg and the div projection both read the cut instead of re-running the join; zero-mass rows elided per round, restored in the output's left joins", PipelineQueries.queries("q4T_hits"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
