@@ -77,6 +77,7 @@ object DumpPlans {
       ("q6R_domain_cap", "URL -> registrable domain -> per-domain cap: canonicalization + domain extraction are row-local native expressions (regexps + HOF fold, zero added shuffle); the only exchange is the per-domain rank window on the derived key", CurationQueries.queries("q6R_domain_cap")),
       ("q6S_mojibake_repair", "encoding-repair gate: detection regex + guarded ISO-8859-1 re-encode/UTF-8 re-decode, all row-local in one projection -- a 100 TB scan pays zero shuffle for the hygiene pass", CurationQueries.queries("q6S_mojibake_repair")),
       ("q5N_packed_shards", "packed training-shard sink: tokens + salted-md5 shard route, ONE repartition(shard) exchange, executor-side stream-and-digest file write inside mapPartitions (sort before pack => byte-identical re-runs), binaryFile re-read joins the 8-row manifests -- no collect, no per-group buffer", PipelineQueries.queries("q5N_packed_shards")),
+      ("q5P_warc_html_pipeline", "crawl-to-text front end: binaryFile WARC scan -> typed flatMap record walk (object path, per-file imperative parse, payloads never shuffle) -> row-local HTML extraction + anchor-ratio gate, all inside one narrow projection before the final sort", PipelineQueries.queries("q5P_warc_html_pipeline")),
       ("q4T_hits", "HITS (round-9 fusion): per round ONE edge||score hash join + map-side-combinable sum per direction, CUT once -- the one-row normalizer agg and the div projection both read the cut instead of re-running the join; zero-mass rows elided per round, restored in the output's left joins", PipelineQueries.queries("q4T_hits"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML → text extraction — the boilerplate-removal stage every web
+  * pretraining pipeline runs between the crawl and the text gates
+  * (trafilatura/jusText territory, reduced to its deterministic
+  * regex core): drop comments, the whole `<head>` subtree, and
+  * script/style subtrees (unclosed ones strip to EOF so raw JS never
+  * leaks as text), turn block tags into line breaks, strip the
+  * remaining tags, decode the six entities that actually occur at
+  * volume, and normalize whitespace.
+  * Plus the classic boilerplate SIGNAL: the anchor-text ratio (share
+  * of extracted text that lived inside `<a>` tags) — nav/footer/link
+  * -farm pages score high and get dropped, content pages score low.
+  *
+  * Everything is a chain of `regexp_replace`/`regexp_extract_all`
+  * scalar calls — row-local, codegen-friendly, no UDF, zero shuffle —
+  * and every pattern stays inside the Java↔RE2 common subset
+  * ((?is) flags, non-greedy spans, \b) so the DuckDB oracle replays
+  * the chain verbatim.
+  *
+  * Deliberate limits (documented, not hidden): entity decoding is
+  * single-pass and non-recursive (`&amp;lt;` decodes to `&lt;`, not
+  * `<` — the lossless choice); no DOM, so pathological markup
+  * (unclosed `<script>`, tags inside attributes) degrades to extra
+  * whitespace rather than wrong text; and the anchor ratio counts
+  * raw anchor spans, which is the standard line-density shortcut.
+  */
+object Html {
+
+  /** `<title>` text, "" when absent. */
+  def title(html: Column): Column =
+    regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)
+
+  private def dropInvisible(html: Column): Column = {
+    val paired = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(html, "(?s)<!--.*?-->", " "),
+          "(?is)<head\\b[^>]*>.*?</head>", " "),
+        "(?is)<script\\b[^>]*>.*?</script>", " "),
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    // any <script/<style still present is UNCLOSED — strip to EOF so
+    // raw JS/CSS never leaks into the extracted text
+    regexp_replace(paired, "(?is)<(script|style)\\b.*", " ")
+  }
+
+  private def decodeEntities(text: Column): Column = {
+    // fixed order, single pass each — &amp; LAST so &amp;lt; stays &lt;
+    val steps = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    steps.foldLeft(text) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+  }
+
+  /** Extracted plain text: one line per block element, single-spaced,
+    * no leading/trailing blank lines.
+    */
+  def extractText(html: Column): Column = {
+    val blocks = regexp_replace(dropInvisible(html),
+      "(?i)</?(p|div|br|li|h[1-6]|tr|table|ul|ol)\\b[^>]*/?>", "\n")
+    val stripped = regexp_replace(blocks, "<[^>]+>", " ")
+    val decoded  = decodeEntities(stripped)
+    val spaced   = regexp_replace(decoded, "[ \\t]+", " ")
+    val trimmedLines = regexp_replace(
+      regexp_replace(spaced, " ?\\n ?", "\n"), "\\n+", "\n")
+    // Spark's trim() strips only 0x20 — boundary newlines need the regex
+    regexp_replace(regexp_replace(trimmedLines, "^\\s+", ""), "\\s+$", "")
+  }
+
+  /** Total decoded length of text inside `<a>…</a>` spans (the anchor
+    * side of the boilerplate ratio).
+    */
+  def anchorTextLength(html: Column): Column =
+    aggregate(
+      regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+      lit(0L),
+      (acc, x) => acc + length(trim(decodeEntities(
+        regexp_replace(x, "<[^>]+>", " ")))).cast("long"))
+
+  /** Anchor-text ratio in [0, 1]: 0 for empty extractions. */
+  def anchorRatio(html: Column): Column = {
+    val textLen = length(extractText(html)).cast("double")
+    when(textLen <= 0.0, lit(0.0))
+      .otherwise(
+        round(anchorTextLength(html).cast("double") / textLen, 6))
+  }
+}

@@ -831,6 +831,94 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // WARC corpus ingest round-trip: the corpus renders DISTRIBUTED as
+    // real multi-record .warc files (ISO 28500 — a warcinfo preamble
+    // plus one HTTP-enveloped response record per doc, exactly the
+    // Common Crawl shipping shape), then reads back through the
+    // from-scratch byte-walk parser (strict Content-Length records,
+    // envelope stripped, non-response records skipped). Oracle: the
+    // documents table — the round-trip must be byte-exact. Like .gz
+    // (q5D), WARC is non-splittable, so parallelism = file count,
+    // which is how crawls ship (thousands of segments).
+    "q5O_warc_ingest" -> { (s, d) =>
+      import graft.ingest.Warc
+      val dir = graft.util.TempDirs.scratch("graft-warc-corpus-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          buf.write(Warc.renderWarcinfo("2024-01-01T00:00:00Z"))
+          var n = 0
+          rows.foreach { r =>
+            buf.write(Warc.renderResponse(
+              s"http://corpus.local/doc/${r.getLong(0)}",
+              "2024-01-01T00:00:00Z",
+              r.getString(1).getBytes("UTF-8")))
+            n += 1
+          }
+          if (n > 0) {
+            val name = f"seg_${java.util.UUID.randomUUID()}.warc"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir, name), buf.toByteArray)
+          }
+          ()
+        }
+      Warc.warcDirectory(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text").as("doc_text"))
+        .orderBy("doc_id")
+    },
+
+    // Crawl-to-text END TO END: the corpus renders as HTML pages (the
+    // q2O template — nav boilerplate, scripts, entities, link-farm
+    // pages every 10th doc) INSIDE real WARC response records, then
+    // the pipeline a web-pretraining job actually runs: WARC byte-walk
+    // ingest → HTML boilerplate removal → anchor-ratio gate → kept
+    // docs with title + extracted-text hash. Composes q5O's source
+    // with q2O's extractor; the oracle replays the regex chain over
+    // the same closed-form template and keeps the same gate.
+    "q5P_warc_html_pipeline" -> { (s, d) =>
+      import graft.ingest.Warc
+      import graft.operators.Html
+      val dir = graft.util.TempDirs.scratch("graft-warc-html-")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextQueries.htmlPage(col("doc_id"), col("text")).as("html"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          buf.write(Warc.renderWarcinfo("2024-01-01T00:00:00Z"))
+          var n = 0
+          rows.foreach { r =>
+            buf.write(Warc.renderResponse(
+              s"http://corpus.local/page/${r.getLong(0)}",
+              "2024-01-01T00:00:00Z", r.getString(1).getBytes("UTF-8")))
+            n += 1
+          }
+          if (n > 0) {
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(dir,
+                f"seg_${java.util.UUID.randomUUID()}.warc"),
+              buf.toByteArray)
+          }
+          ()
+        }
+      Warc.warcDirectory(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text").as("html"))
+        .select(col("doc_id"),
+          Html.title(col("html")).as("title"),
+          md5(Html.extractText(col("html"))).as("text_md5"),
+          Html.anchorRatio(col("html")).as("anchor_ratio"))
+        .filter(col("anchor_ratio") <= 0.2)
+        .select("doc_id", "title", "text_md5")
+        .orderBy("doc_id")
+    },
+
     // JSONL corpus ingest, oracle-gated (graduates the one spec-only
     // source row with an oracle shape): the corpus is rendered to
     // real *.jsonl landing files DISTRIBUTED (one JSON doc per line,
@@ -2053,6 +2141,24 @@ object PipelineQueries {
     "q5D_gzip_ingest" ->
       """SELECT doc_id, text AS doc_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // WARC mirror: byte-exact round-trip, so the oracle is the table
+    "q5O_warc_ingest" ->
+      """SELECT doc_id, text AS doc_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Crawl-to-text mirror: q2O's CTE chain (the WARC leg is byte-exact
+    // per q5O, so the oracle's job is the extraction + gate)
+    "q5P_warc_html_pipeline" ->
+      s"""${TextQueries.duckHtmlCtes}
+         |SELECT c.doc_id,
+         |  regexp_extract(c.html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+         |  md5(c.txt) AS text_md5
+         |FROM cln c JOIN anch a USING (doc_id)
+         |WHERE (CASE WHEN len(c.txt) <= 0 THEN 0.0
+         |            ELSE round(CAST(a.alen AS DOUBLE) / CAST(len(c.txt) AS DOUBLE), 6)
+         |       END) <= 0.2
+         |ORDER BY c.doc_id""".stripMargin,
 
     // JSONL mirror WITHOUT parsing a line: the corruption rule is
     // closed-form (doc_id % 97 == 0 → truncated line → null fields +

@@ -13,6 +13,31 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  // ---- q2O/q5P shared synthetic page template --------------------------
+  // Deterministic HTML wrapping of (doc_id, text): head/title/style, a
+  // body-level script, nav anchors with a tracking-ish section link,
+  // comments, entities; every TENTH doc is a pure link-farm page (nav
+  // blocks only, no content paragraph) so the anchor-ratio gate is
+  // live. Shared by batch q2O and the q5P WARC→extract pipeline; the
+  // oracle template (q2O's CTEs) mirrors it string for string.
+  private[queries] def htmlPage(id: org.apache.spark.sql.Column,
+                                text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nav = concat(lit("<div class=\"nav\"><a href=\"/\">Home</a> " +
+        "<a href=\"/s"), (id % 5).cast("string"),
+      lit("\">Section &amp; "), (id % 5).cast("string"), lit("</a></div>"))
+    val body = when(id % 10 === 0, concat(nav, nav, nav))
+      .otherwise(concat(nav,
+        lit("<h1>Doc "), id.cast("string"), lit("</h1><!-- c"),
+        id.cast("string"), lit(" --><p>"), text,
+        lit("</p><p>Tail &lt;q&gt; &#39;v"), (id % 7).cast("string"),
+        lit("&#39;</p>")))
+    concat(
+      lit("<html><head><title>Doc "), id.cast("string"),
+      lit("</title><style>h1{x:y}</style></head><body>" +
+        "<script>if (1 < 2) { nav(\"x\") }</script>"),
+      body, lit("</body></html>"))
+  }
+
   // DuckDB fragments mirroring TextFunctions (same regex, same casts).
   private val duckToks   = DuckSql.toks
   private def duckHits(words: Seq[String]): String =
@@ -207,6 +232,28 @@ object TextQueries {
       one(Seq("table", "fast"))
         .unionByName(one(Seq("table", "fast", "batch")))
         .orderBy("phrase", "doc_id")
+    },
+
+    // HTML boilerplate removal end-to-end: deterministic page templates
+    // wrap each doc (head/title/style, an unclosed-in-some-docs script,
+    // nav anchors, comments, entities), every TENTH doc is a pure
+    // link-farm page with no content paragraph; Html.extractText /
+    // title / anchorRatio run the real chain and the anchor-ratio gate
+    // drops the link farms. The oracle replays the full regex chain in
+    // RE2 (the patterns live in the Java<->RE2 common subset by
+    // construction) — HtmlSpec carries the independent hand-computed
+    // expectations.
+    "q2O_html_extract" -> { (s, d) =>
+      import graft.operators.Html
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextQueries.htmlPage(col("doc_id"), col("text")).as("html"))
+        .select(col("doc_id"),
+          Html.title(col("html")).as("title"),
+          md5(Html.extractText(col("html"))).as("text_md5"),
+          Html.anchorRatio(col("html")).as("anchor_ratio"))
+        .withColumn("kept", col("anchor_ratio") <= 0.2)
+        .orderBy("doc_id")
     },
 
     // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
@@ -483,6 +530,69 @@ object TextQueries {
     }
   )
 
+  // DuckDB single-pass entity decode, &amp; last (mirror of
+  // Html.decodeEntities).
+  private def duckDec(e: String): String =
+    s"""replace(replace(replace(replace(replace(replace($e,
+       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+       |  '&quot;', '"'), '&#39;', \'\'\'\'), '&amp;', '&')""".stripMargin
+
+  // Shared RE2 replay of Html.extractText/anchorRatio over the q2O
+  // page template: CTEs base/h/vis/txt/cln/anch; the final SELECT
+  // differs per query (q2O full report, q5P kept-only pipeline).
+  private[queries] val duckHtmlCtes: String =
+    s"""WITH base AS (
+         |  SELECT doc_id, text,
+         |    '<div class="nav"><a href="/">Home</a> <a href="/s' ||
+         |    (doc_id % 5) || '">Section &amp; ' || (doc_id % 5) ||
+         |    '</a></div>' AS nav
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>Doc ' || doc_id ||
+         |    '</title><style>h1{x:y}</style></head><body>' ||
+         |    '<script>if (1 < 2) { nav("x") }</script>' ||
+         |    CASE WHEN doc_id % 10 = 0 THEN nav || nav || nav
+         |         ELSE nav || '<h1>Doc ' || doc_id || '</h1><!-- c' ||
+         |              doc_id || ' --><p>' || text ||
+         |              '</p><p>Tail &lt;q&gt; &#39;v' || (doc_id % 7) ||
+         |              '&#39;</p>' END ||
+         |    '</body></html>' AS html
+         |  FROM base),
+         |vis AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(html,
+         |        '(?s)<!--.*?-->', ' ', 'g'),
+         |        '(?is)<head\\b[^>]*>.*?</head>', ' ', 'g'),
+         |        '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+         |        '(?is)<(script|style)\\b.*', ' ', 'g') AS v
+         |  FROM h),
+         |txt AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(
+         |      regexp_replace(
+         |        ${duckDec(
+                    """regexp_replace(regexp_replace(v,
+                      |  '(?i)</?(p|div|br|li|h[1-6]|tr|table|ul|ol)\b[^>]*/?>', chr(10), 'g'),
+                      |  '<[^>]+>', ' ', 'g')""".stripMargin)},
+         |        '[ \\t]+', ' ', 'g'),
+         |        ' ?\\n ?', chr(10), 'g'),
+         |      '\\n+', chr(10), 'g') AS t0
+         |  FROM vis),
+         |cln AS (
+         |  SELECT doc_id, html,
+         |    regexp_replace(regexp_replace(t0, '^\\s+', ''), '\\s+$$', '') AS txt
+         |  FROM txt),
+         |anch AS (
+         |  SELECT doc_id,
+         |    coalesce(CAST(list_sum(list_transform(
+         |      regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+         |      a -> len(trim(${duckDec("regexp_replace(a, '<[^>]+>', ' ', 'g')")})))) AS BIGINT), 0)
+         |      AS alen
+         |  FROM cln)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->
       s"""SELECT doc_id,
@@ -661,6 +771,24 @@ object TextQueries {
         |  GROUP BY doc_id)
         |SELECT * FROM m2 UNION ALL SELECT * FROM m3
         |ORDER BY phrase, doc_id""".stripMargin,
+
+    // HTML mirror: same template, same regex chain in RE2 (DuckDB needs
+    // the explicit 'g' flag where Spark's regexp_replace is global by
+    // default). Entity decode is the same fixed order, &amp; last.
+    "q2O_html_extract" ->
+      s"""$duckHtmlCtes
+         |SELECT c.doc_id,
+         |  regexp_extract(c.html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+         |  md5(c.txt) AS text_md5,
+         |  CASE WHEN len(c.txt) <= 0 THEN 0.0
+         |       ELSE round(CAST(a.alen AS DOUBLE) / CAST(len(c.txt) AS DOUBLE), 6)
+         |  END AS anchor_ratio,
+         |  (CASE WHEN len(c.txt) <= 0 THEN 0.0
+         |        ELSE round(CAST(a.alen AS DOUBLE) / CAST(len(c.txt) AS DOUBLE), 6)
+         |   END) <= 0.2 AS kept
+         |FROM cln c JOIN anch a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
 
     // RAKE mirror: same stopword fence-posting (cumulative stop count
     // as the phrase id), same 4-word cap, same integer micro scores,

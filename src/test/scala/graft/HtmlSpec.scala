@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Html
+import org.apache.spark.sql.functions._
+
+class HtmlSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def extract(html: String): (String, String, Double) =
+    Seq(html).toDF("h")
+      .select(Html.title(col("h")), Html.extractText(col("h")),
+        Html.anchorRatio(col("h")))
+      .as[(String, String, Double)].collect().head
+
+  test("extraction: hand-computed expectations") {
+    val page =
+      """<html><head><title>My Page</title>
+        |<style>p { color: red }</style>
+        |<script>if (1 < 2) { alert("x") }</script></head>
+        |<body>
+        |<!-- navigation -->
+        |<div class="nav"><a href="/">Home</a> <a href="/a">About &amp; Us</a></div>
+        |<h1>Heading</h1>
+        |<p>First para with <b>bold</b> text.</p>
+        |<p>Tail &lt;quote&gt; &#39;q&#39;</p>
+        |</body></html>""".stripMargin
+    val (title, text, ratio) = extract(page)
+    assert(title == "My Page")
+    assert(text ==
+      """Home About & Us
+        |Heading
+        |First para with bold text.
+        |Tail <quote> 'q'""".stripMargin)
+    // anchor text = "Home" (4) + "About & Us" (10) = 14 of 58 chars
+    assert(ratio == math.rint(1e6 * 14.0 / text.length) / 1e6)
+  }
+
+  test("boilerplate signal: a link-farm page scores high, content low") {
+    val nav = "<body><div>" +
+      (1 to 20).map(i => s"""<a href="/$i">Section $i</a>""").mkString(" ") +
+      "</div></body>"
+    val content = "<body><p>" + ("word " * 200).trim +
+      """ see <a href="/x">here</a></p></body>"""
+    val (_, _, rNav)     = extract(nav)
+    val (_, _, rContent) = extract(content)
+    assert(rNav > 0.9, s"nav page ratio $rNav should be ~1")
+    assert(rContent < 0.05, s"content page ratio $rContent should be ~0")
+  }
+
+  test("entity decode is single-pass (lossless, non-recursive)") {
+    val (_, text, _) = extract("<p>&amp;lt; stays</p>")
+    assert(text == "&lt; stays")
+  }
+
+  test("degenerate markup degrades to whitespace, never wrong text") {
+    val (_, text, _) = extract("<p>ok</p><script>never closed...")
+    assert(text == "ok")
+    val (_, empty, r) = extract("")
+    assert(empty == "" && r == 0.0)
+  }
+}

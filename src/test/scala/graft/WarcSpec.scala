@@ -1,0 +1,51 @@
+package graft
+
+import graft.ingest.Warc
+
+class WarcSpec extends GraftSpec {
+
+  private val date = "2024-01-01T00:00:00Z"
+
+  test("render -> parse round-trips records; warcinfo is typed and skippable") {
+    val file = Warc.renderWarcinfo(date) ++
+      Warc.renderResponse("http://x/doc/1", date, "hello world".getBytes("UTF-8")) ++
+      Warc.renderResponse("http://x/doc/2", date, "".getBytes("UTF-8"))
+    val recs = Warc.parseWarc(file)
+    assert(recs.map(_.warcType) == Seq("warcinfo", "response", "response"))
+    val bodies = recs.filter(_.warcType == "response")
+      .map(r => r.targetUri -> new String(Warc.httpBody(r.payload), "UTF-8"))
+    assert(bodies == Seq("http://x/doc/1" -> "hello world", "http://x/doc/2" -> ""))
+  }
+
+  test("payload bytes are length-delimited, never scanned for markers") {
+    // a body that CONTAINS a fake record header must not confuse the walk
+    val tricky = "WARC/1.0\r\nContent-Length: 999\r\n\r\nnot a record"
+    val file = Warc.renderResponse("http://x/doc/9", date, tricky.getBytes("UTF-8"))
+    val recs = Warc.parseWarc(file)
+    assert(recs.size == 1)
+    assert(new String(Warc.httpBody(recs.head.payload), "UTF-8") == tricky)
+  }
+
+  test("structural violations fail loudly") {
+    val good = Warc.renderResponse("http://x/doc/1", date, "abc".getBytes("UTF-8"))
+    // truncated payload
+    intercept[IllegalArgumentException](Warc.parseWarc(good.dropRight(10)))
+    // bad magic
+    intercept[IllegalArgumentException](
+      Warc.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")))
+    // missing Content-Length
+    intercept[RuntimeException](Warc.parseWarc(
+      ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" + "x\r\n\r\n").getBytes("US-ASCII")))
+  }
+
+  test("warcDirectory reads a real directory distributed") {
+    val dir = graft.util.TempDirs.scratch("warc-spec-")
+    val f = Warc.renderWarcinfo(date) ++
+      Warc.renderResponse("http://x/doc/7", date, "seven".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.warc"), f)
+    val rows = Warc.warcDirectory(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("target_uri") == "http://x/doc/7")
+    assert(rows.head.getAs[String]("text") == "seven")
+  }
+}
