@@ -99,9 +99,26 @@ object Warc {
     Array.emptyByteArray
   }
 
-  /** One row per `response` record across a directory of .warc files:
-    * `(source, target_uri, warc_date, text)` with the HTTP envelope
-    * stripped and the body decoded as UTF-8.
+  /** Whole-file gunzip when the gzip magic leads — crawls ship
+    * member-per-file `.warc.gz` segments; like `.gz` text (q5D) the
+    * codec is non-splittable, which the one-segment-per-task layout
+    * already implies.
+    */
+  def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+      val in  = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    } else bytes
+
+  /** One row per `response` record across a directory of .warc /
+    * .warc.gz files: `(source, target_uri, warc_date, text)` with the
+    * HTTP envelope stripped and the body decoded as UTF-8.
     */
   def warcDirectory(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
@@ -110,11 +127,11 @@ object Warc {
       StructField("warc_date", StringType),
       StructField("text", StringType)))
     spark.read.format("binaryFile")
-      .load(dir + "/*.warc")
+      .load(dir + "/*.warc*")
       .select(col("path"), col("content"))
       .flatMap { row =>
         val path = row.getString(0)
-        parseWarc(row.getAs[Array[Byte]](1))
+        parseWarc(maybeGunzip(row.getAs[Array[Byte]](1)))
           .filter(_.warcType == "response")
           .map(r => Row(path, r.targetUri, r.date,
             new String(httpBody(r.payload), "UTF-8")))

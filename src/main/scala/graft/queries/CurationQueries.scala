@@ -47,8 +47,9 @@ object CurationQueries {
   private val DomainCap    = 10
   private val UrlCapSalt   = "urlcap"
 
-  /** The messy URL as a Spark column (mirrored by [[duckMessyUrl]]). */
-  private def messyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  /** The messy URL as a Spark column (mirrored by [[duckMessyUrl]]).
+    * Shared with streaming q7U. */
+  private[queries] def messyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val g  = id % UrlGroups
     val sb = when(g % 2 === 0, lit("http")).otherwise(lit("https"))
     val hb = concat(lit("www.site"), (g % 7).cast("string"),
@@ -89,7 +90,7 @@ object CurationQueries {
       |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END)""".stripMargin
 
   // shared CTE prefix: per-doc g, scheme base s, host base h
-  private val duckUrlBase: String =
+  private[queries] val duckUrlBase: String =
     s"""m AS (
        |  SELECT doc_id, doc_id % $UrlGroups AS g FROM documents),
        |mb AS (
@@ -101,7 +102,7 @@ object CurationQueries {
        |  FROM m)""".stripMargin
 
   // the CLOSED-FORM canonical url + registrable domain expected from g
-  private val duckCanonClosedForm: String =
+  private[queries] val duckCanonClosedForm: String =
     """s || '://' || h ||
       |    (CASE WHEN g % 5 = 1 THEN ':8080' ELSE '' END) ||
       |    '/p' || (g % 11) || '/x?id=' || (g % 13) || '&z=2'""".stripMargin

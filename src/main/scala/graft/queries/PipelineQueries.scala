@@ -871,6 +871,44 @@ object PipelineQueries {
         .orderBy("doc_id")
     },
 
+    // q5O over GZIPPED segments — the format crawls ACTUALLY ship
+    // (Common Crawl is .warc.gz): the writer gzips each rendered
+    // segment, the reader sniffs the 1f 8b magic and gunzips the whole
+    // member before the byte walk. Non-splittable like q5D's .gz —
+    // parallelism = segment count, which the per-partition layout
+    // already implies.
+    "q5Q_warc_gz_ingest" -> { (s, d) =>
+      import graft.ingest.Warc
+      val dir = graft.util.TempDirs.scratch("graft-warcgz-corpus-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val buf = new java.io.ByteArrayOutputStream()
+          buf.write(Warc.renderWarcinfo("2024-01-01T00:00:00Z"))
+          var n = 0
+          rows.foreach { r =>
+            buf.write(Warc.renderResponse(
+              s"http://corpus.local/doc/${r.getLong(0)}",
+              "2024-01-01T00:00:00Z", r.getString(1).getBytes("UTF-8")))
+            n += 1
+          }
+          if (n > 0) {
+            val p = java.nio.file.Paths.get(dir,
+              f"seg_${java.util.UUID.randomUUID()}.warc.gz")
+            val out = new java.util.zip.GZIPOutputStream(
+              java.nio.file.Files.newOutputStream(p))
+            try out.write(buf.toByteArray) finally out.close()
+          }
+          ()
+        }
+      Warc.warcDirectory(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text").as("doc_text"))
+        .orderBy("doc_id")
+    },
+
     // Crawl-to-text END TO END: the corpus renders as HTML pages (the
     // q2O template — nav boilerplate, scripts, entities, link-farm
     // pages every 10th doc) INSIDE real WARC response records, then
@@ -2144,6 +2182,10 @@ object PipelineQueries {
 
     // WARC mirror: byte-exact round-trip, so the oracle is the table
     "q5O_warc_ingest" ->
+      """SELECT doc_id, text AS doc_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q5Q_warc_gz_ingest" ->
       """SELECT doc_id, text AS doc_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -276,6 +276,29 @@ object StreamingQueries {
     // the estimate is bit-identical to the batch sketch (max-merge is
     // what the state store does between micro-batches), and the
     // estimate is compared against the batch exact count in-query.
+    // Streaming canonical-URL dedup: messy crawl URLs canonicalize ON
+    // ARRIVAL (row-local — q6P's exact operator) and dropDuplicates on
+    // the canonical key emits each logical page ONCE, whatever
+    // case/port/dot-segment/tracking variant arrived first — the
+    // URL-seen filter a streaming crawl ingest runs in front of fetch/
+    // store. State = one row per DISTINCT canonical url (the honest
+    // floor for exact dedup; a time-bounded crawl swaps in
+    // dropDuplicatesWithinWatermark, an approximate one the q7N Bloom).
+    // Projected to the key column (the q72 idiom), the emitted set is
+    // exactly the batch DISTINCT — order-independent, so it hash-gates.
+    "q7U_stream_url_dedup" -> { (s, d) =>
+      import graft.operators.Url
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val curls = docs
+        .select(CurationQueries.messyUrl(col("doc_id")).as("url"))
+        .select(Url.canonicalizeUrl(col("url")).as("curl"))
+        .dropDuplicates("curl")
+      StreamRunner.runToBatch(curls, OutputMode.Append)
+        .orderBy("curl")
+    },
+
     // Encoding-repair gate ON ARRIVAL: q6S's corrupt → detect → repair
     // projection is row-local and stateless, so the same mojibakeGate
     // runs unchanged as an Append-mode stream — the shape a 100 TB
@@ -751,6 +774,14 @@ object StreamingQueries {
 
     // identical output contract to batch q6S — shared SQL verbatim
     "q7T_stream_mojibake_gate" -> CurationQueries.duckMojibakeOracle,
+
+    // the distinct CLOSED-FORM canonicals (q6Q's independent
+    // expectation, projected to the key)
+    "q7U_stream_url_dedup" ->
+      s"""WITH ${CurationQueries.duckUrlBase}
+         |SELECT DISTINCT ${CurationQueries.duckCanonClosedForm} AS curl
+         |FROM mb
+         |ORDER BY curl""".stripMargin,
 
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start,

@@ -38,6 +38,18 @@ class WarcSpec extends GraftSpec {
       ("WARC/1.0\r\nWARC-Type: response\r\n\r\n" + "x\r\n\r\n").getBytes("US-ASCII")))
   }
 
+  test("gzip members gunzip transparently; plain bytes pass through") {
+    val raw = Warc.renderResponse("http://x/doc/3", date, "zzz".getBytes("UTF-8"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz  = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    assert(Warc.maybeGunzip(bos.toByteArray).toSeq == raw.toSeq)
+    assert(Warc.maybeGunzip(raw) eq raw)
+    val recs = Warc.parseWarc(Warc.maybeGunzip(bos.toByteArray))
+    assert(recs.size == 1 &&
+      new String(Warc.httpBody(recs.head.payload), "UTF-8") == "zzz")
+  }
+
   test("warcDirectory reads a real directory distributed") {
     val dir = graft.util.TempDirs.scratch("warc-spec-")
     val f = Warc.renderWarcinfo(date) ++
