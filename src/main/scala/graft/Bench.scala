@@ -182,8 +182,7 @@ object Bench {
           require(exit == 0, s"child bench exited $exit")
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(java.nio.file.Files.readAllBytes(childOut))
-          streamingFreshJvm = true
-          streamingNames.map { name =>
+          val parsed = streamingNames.map { name =>
             val med = node.get("queries").get(name).asDouble(-1.0)
             val ts = {
               val arr = node.get("rep_times").get(name)
@@ -196,6 +195,11 @@ object Bench {
             (name, med, ts, retried,
               node.get("max_residual_spread").asDouble(1.0))
           }
+          // flag only AFTER the whole artifact parsed: a mid-parse
+          // failure falls back to in-JVM numbers, and the artifact must
+          // not claim fresh-JVM conditions for them
+          streamingFreshJvm = true
+          parsed
         } catch {
           case e: Throwable =>
             System.err.println(

@@ -61,7 +61,12 @@ object Warc {
         s"WARC: bad version line at offset $off: ${lines.headOption.getOrElse("")}")
       val headers = lines.tail.flatMap { l =>
         val i = l.indexOf(':')
-        if (i < 0) None else Some(l.take(i).trim.toLowerCase -> l.drop(i + 1).trim)
+        // Locale.ROOT: under a Turkish default locale, bare toLowerCase
+        // maps 'I' to dotless 'ı' and every WARC-*-URI lookup silently
+        // misses — a data-corruption class, not a parse error
+        if (i < 0) None
+        else Some(l.take(i).trim.toLowerCase(java.util.Locale.ROOT) ->
+          l.drop(i + 1).trim)
       }.toMap
       val len = headers.getOrElse("content-length",
         sys.error(s"WARC: record at $off has no Content-Length")).toInt
@@ -108,7 +113,11 @@ object Warc {
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
       val in  = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      // size HINT only (the stream grows): clamp the 4x guess — at the
+      // ~1 GB segment sizes crawls ship, bytes.length * 4 overflows Int
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4L, (Int.MaxValue - 8).toLong).toInt
+          .max(65536))
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
@@ -146,6 +155,34 @@ object Warc {
       s"WARC-Date: $date\r\nContent-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
       http ++ Crlf ++ Crlf
+  }
+
+  /** Executor-side segment writer shared by the q5O/q5Q/q5P fixture
+    * sinks: one file per non-empty partition — a warcinfo preamble
+    * plus one response record per `(id, body)` row, optionally
+    * gzipped (member-per-file, like real crawl segments). One
+    * definition so a writer fix can never drift between the plain and
+    * gzipped paths.
+    */
+  def writeSegment(rows: Iterator[(Long, String)], dir: String,
+                   uriPrefix: String, gzip: Boolean,
+                   date: String = "2024-01-01T00:00:00Z"): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(renderWarcinfo(date))
+    var n = 0
+    rows.foreach { case (id, body) =>
+      buf.write(renderResponse(s"$uriPrefix$id", date, body.getBytes("UTF-8")))
+      n += 1
+    }
+    if (n > 0) {
+      val ext = if (gzip) ".warc.gz" else ".warc"
+      val p = java.nio.file.Paths.get(dir,
+        s"seg_${java.util.UUID.randomUUID()}$ext")
+      val raw = java.nio.file.Files.newOutputStream(p)
+      val out =
+        if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+      try out.write(buf.toByteArray) finally out.close()
+    }
   }
 
   /** Render a warcinfo record (the per-file preamble real crawls carry

@@ -496,14 +496,8 @@ object Multimodal {
         shiftright(col("lo"), 16).bitwiseAND(mask),
         col("hi").bitwiseAND(mask),
         shiftright(col("hi"), 16).bitwiseAND(mask))).as(Seq("band", "key")))
-    val bands =
-      if (maxBucketSize == Int.MaxValue) bands0
-      else
-        // one row per DROPPED bucket — the df tail, so AQE broadcasts it
-        bands0.join(
-          bands0.groupBy("band", "key").agg(count(lit(1)).as("sz"))
-            .filter(col("sz") > maxBucketSize).select("band", "key"),
-          Seq("band", "key"), "left_anti")
+    val bands = graft.operators.Dedup
+      .dropOversizedGroups(bands0, Seq("band", "key"), maxBucketSize)
     val a = bands.select(col("doc").as("doc_a"),
       col("hi").as("hi_a"), col("lo").as("lo_a"), col("band"), col("key"))
     val b = bands.select(col("doc").as("doc_b"),

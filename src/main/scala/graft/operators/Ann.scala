@@ -148,14 +148,7 @@ object AnnLsh {
           shiftright(col("bucket"), b * bandBits).bitwiseAND(mask)): _*))
           .as(Seq("band", "bkt")))
     val bands =
-      if (maxBucketSize == Int.MaxValue) bands0
-      else
-        // one row per DROPPED bucket — bounded by nBands * 2^bandBits,
-        // so AQE broadcasts the anti-join build side
-        bands0.join(
-          bands0.groupBy("band", "bkt").agg(count(lit(1)).as("sz"))
-            .filter(col("sz") > maxBucketSize).select("band", "bkt"),
-          Seq("band", "bkt"), "left_anti")
+      Dedup.dropOversizedGroups(bands0, Seq("band", "bkt"), maxBucketSize)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&

@@ -155,17 +155,29 @@ object Dedup {
     * representative per identical-content group) so the cap only ever
     * hits genuine boilerplate, not exact-dup mass.
     */
+  /** THE hot-key cap, shared by every posting-table pair self-join in
+    * the engine (shingle df, q-gram df, LSH band buckets, image-hash
+    * band buckets): rows of key groups larger than `maxSize` drop
+    * WHOLESALE before the join, so one degenerate key can never mint
+    * O(size²) pairs. The dropped-group list has one row per DROPPED
+    * group — the tail of the size distribution by construction — so
+    * AQE broadcasts the anti-join build side. One definition: a fix or
+    * policy change (e.g. logging what was dropped) lands everywhere at
+    * once, and PlanAuditSpec's LeftAnti cap witness stays one shape.
+    */
+  def dropOversizedGroups(df: DataFrame, keyCols: Seq[String],
+                          maxSize: Int): DataFrame =
+    if (maxSize == Int.MaxValue) df
+    else df.join(
+      df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_sz"))
+        .filter(col("_sz") > maxSize)
+        .select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+
   def lshCandidatePairs(
       buckets: DataFrame, maxBucketSize: Int = Int.MaxValue
   ): DataFrame = {
-    val kept =
-      if (maxBucketSize == Int.MaxValue) buckets
-      else
-        // the oversized list has one row per DROPPED bucket — tiny by
-        // construction, so AQE turns the anti-join into a broadcast
-        buckets.join(
-          oversizedBuckets(buckets, maxBucketSize).select("band", "bucket"),
-          Seq("band", "bucket"), "left_anti")
+    val kept = dropOversizedGroups(buckets, Seq("band", "bucket"), maxBucketSize)
     val a = kept.select(col("doc").as("doc_a"), col("band"), col("bucket"))
     val b = kept.select(col("doc").as("doc_b"), col("band").as("band_b"), col("bucket").as("bucket_b"))
     a.join(b,
@@ -266,13 +278,7 @@ object Dedup {
       .select(col("id"), col("s"),
         explode(array_distinct(charTrigrams(col("s")))).as("g"))
       .select(col("id"), col("s"), xxhash64(col("g")).as("gh"))
-    val grams =
-      if (maxGramDf == Int.MaxValue) gAll
-      else {
-        val hot = gAll.groupBy("gh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxGramDf).select("gh")
-        gAll.join(hot, Seq("gh"), "left_anti")
-      }
+    val grams = dropOversizedGroups(gAll, Seq("gh"), maxGramDf)
     grams.as("a")
       .join(grams.as("b"),
         col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
@@ -334,16 +340,7 @@ object Dedup {
     // expectation (~n^2/2^65); the oracle gate would catch a collision.
     val shAll = shingles(df, idCol, textCol, shingleN)
       .select(col("doc"), xxhash64(col("sh")).as("sh"))
-    val sh =
-      if (maxShingleDf == Int.MaxValue) shAll
-      else {
-        // one row per DROPPED shingle — small by construction (hot keys
-        // are the tail of the df distribution), so AQE broadcasts it
-        val hot = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDf)
-          .select("sh")
-        shAll.join(hot, Seq("sh"), "left_anti")
-      }
+    val sh = dropOversizedGroups(shAll, Seq("sh"), maxShingleDf)
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))

@@ -73,11 +73,16 @@ object Html {
   }
 
   /** Total decoded length of text inside `<a>…</a>` spans (the anchor
-    * side of the boilerplate ratio).
+    * side of the boilerplate ratio). Anchors are counted over the
+    * SAME invisible-stripped document the denominator sees — anchor
+    * markup embedded in script strings/comments must not count, or
+    * the ratio leaves [0, 1] and a JS-templated content page reads as
+    * a link farm.
     */
   def anchorTextLength(html: Column): Column =
     aggregate(
-      regexp_extract_all(html, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+      regexp_extract_all(dropInvisible(html),
+        lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
       lit(0L),
       (acc, x) => acc + length(trim(decodeEntities(
         regexp_replace(x, "<[^>]+>", " ")))).cast("long"))

@@ -36,13 +36,16 @@ object ShardSink {
 
   /** Whitespace tokens → deterministic 31-bit ids (first 8 md5 hex
     * chars, masked positive): replayable as `('0x' || substr(md5(t),
-    * 1, 8))::BIGINT % 2147483648` in the oracle.
+    * 1, 8))::BIGINT % 2147483648` in the oracle. NULL text packs as a
+    * zero-token record (the coalesce), not an executor NPE mid-shard.
     */
   def tokenIds(text: Column): Column =
-    transform(
-      filter(split(trim(text), "\\s+"), t => t =!= ""),
-      t => (conv(substring(md5(t), 1, 8), 16, 10) % lit(2147483648L))
-        .cast("int"))
+    coalesce(
+      transform(
+        filter(split(trim(text), "\\s+"), t => t =!= ""),
+        t => (conv(substring(md5(t), 1, 8), 16, 10) % lit(2147483648L))
+          .cast("int")),
+      array().cast("array<int>"))
 
   final case class ShardManifest(shard: Int, n_docs: Long, n_tokens: Long,
                                  byte_size: Long, content_md5: String)
@@ -136,6 +139,9 @@ object ShardSink {
             ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
         var off = 0; var nDocs = 0L; var nTokens = 0L
         while (off < bytes.length) {
+          // 1-3 stray trailing bytes must report as a torn record with
+          // file/offset context, not an ArrayIndexOutOfBounds inside le()
+          require(off + 4 <= bytes.length, s"torn record at $off in $path")
           val n = le(off)
           require(n >= 0 && off + 4 + 4L * n <= bytes.length,
             s"torn record at $off in $path")

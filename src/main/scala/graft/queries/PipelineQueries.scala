@@ -846,22 +846,8 @@ object PipelineQueries {
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val buf = new java.io.ByteArrayOutputStream()
-          buf.write(Warc.renderWarcinfo("2024-01-01T00:00:00Z"))
-          var n = 0
-          rows.foreach { r =>
-            buf.write(Warc.renderResponse(
-              s"http://corpus.local/doc/${r.getLong(0)}",
-              "2024-01-01T00:00:00Z",
-              r.getString(1).getBytes("UTF-8")))
-            n += 1
-          }
-          if (n > 0) {
-            val name = f"seg_${java.util.UUID.randomUUID()}.warc"
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir, name), buf.toByteArray)
-          }
-          ()
+          Warc.writeSegment(rows.map(r => (r.getLong(0), r.getString(1))),
+            dir, "http://corpus.local/doc/", gzip = false)
         }
       Warc.warcDirectory(s, dir)
         .select(
@@ -883,23 +869,8 @@ object PipelineQueries {
       Tables.documents(s, d).select(col("doc_id"), col("text"))
         .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val buf = new java.io.ByteArrayOutputStream()
-          buf.write(Warc.renderWarcinfo("2024-01-01T00:00:00Z"))
-          var n = 0
-          rows.foreach { r =>
-            buf.write(Warc.renderResponse(
-              s"http://corpus.local/doc/${r.getLong(0)}",
-              "2024-01-01T00:00:00Z", r.getString(1).getBytes("UTF-8")))
-            n += 1
-          }
-          if (n > 0) {
-            val p = java.nio.file.Paths.get(dir,
-              f"seg_${java.util.UUID.randomUUID()}.warc.gz")
-            val out = new java.util.zip.GZIPOutputStream(
-              java.nio.file.Files.newOutputStream(p))
-            try out.write(buf.toByteArray) finally out.close()
-          }
-          ()
+          Warc.writeSegment(rows.map(r => (r.getLong(0), r.getString(1))),
+            dir, "http://corpus.local/doc/", gzip = true)
         }
       Warc.warcDirectory(s, dir)
         .select(
@@ -926,22 +897,8 @@ object PipelineQueries {
           TextQueries.htmlPage(col("doc_id"), col("text")).as("html"))
         .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
-          val buf = new java.io.ByteArrayOutputStream()
-          buf.write(Warc.renderWarcinfo("2024-01-01T00:00:00Z"))
-          var n = 0
-          rows.foreach { r =>
-            buf.write(Warc.renderResponse(
-              s"http://corpus.local/page/${r.getLong(0)}",
-              "2024-01-01T00:00:00Z", r.getString(1).getBytes("UTF-8")))
-            n += 1
-          }
-          if (n > 0) {
-            java.nio.file.Files.write(
-              java.nio.file.Paths.get(dir,
-                f"seg_${java.util.UUID.randomUUID()}.warc"),
-              buf.toByteArray)
-          }
-          ()
+          Warc.writeSegment(rows.map(r => (r.getLong(0), r.getString(1))),
+            dir, "http://corpus.local/page/", gzip = false)
         }
       Warc.warcDirectory(s, dir)
         .select(

@@ -588,10 +588,10 @@ object TextQueries {
          |anch AS (
          |  SELECT doc_id,
          |    coalesce(CAST(list_sum(list_transform(
-         |      regexp_extract_all(html, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
+         |      regexp_extract_all(v, '(?is)<a\\b[^>]*>(.*?)</a>', 1),
          |      a -> len(trim(${duckDec("regexp_replace(a, '<[^>]+>', ' ', 'g')")})))) AS BIGINT), 0)
          |      AS alen
-         |  FROM cln)""".stripMargin
+         |  FROM vis)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q20_token_stats" ->

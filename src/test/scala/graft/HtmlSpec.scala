@@ -47,6 +47,17 @@ class HtmlSpec extends GraftSpec {
     assert(rContent < 0.05, s"content page ratio $rContent should be ~0")
   }
 
+  test("anchor markup inside scripts/comments never counts toward the ratio") {
+    // regression (round-10 review): the numerator must see the SAME
+    // invisible-stripped document as the denominator, or a JS-templated
+    // content page reads as a link farm and the ratio leaves [0, 1]
+    val page = """<script>var t = "<a href=/>twenty chars of anchor</a>"</script>""" +
+      """<!-- <a href=/>ghost</a> --><p>hi</p>"""
+    val (_, text, ratio) = extract(page)
+    assert(text == "hi")
+    assert(ratio == 0.0, s"script/comment anchors leaked into the ratio: $ratio")
+  }
+
   test("entity decode is single-pass (lossless, non-recursive)") {
     val (_, text, _) = extract("<p>&amp;lt; stays</p>")
     assert(text == "&lt; stays")
