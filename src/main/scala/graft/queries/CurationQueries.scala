@@ -292,6 +292,34 @@ object CurationQueries {
       mojibakeGate(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // Curriculum ordering (easy→hard training order, quality score as
+    // the difficulty proxy): decile EDGES come from the distributed
+    // exact-quantile operator (one aggregate, 9 rows) and BROADCAST;
+    // each doc's decile is then a row-local comparison and its position
+    // ranks per-decile — parallel windows keyed on decile, NO global
+    // sort/ntile of the corpus (the q6C lesson: a corpus-wide
+    // single-partition window is the 100 TB anti-pattern, and
+    // PlanAuditSpec bans it). The training order is (decile,
+    // pos_in_decile). Edges round to 4 decimals before comparison —
+    // the q0D-proven precision at which the two engines' quantile
+    // interpolation is bit-stable.
+    "q6T_curriculum_order" -> { (s, d) =>
+      import graft.operators.Quantiles
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+      val edges = Quantiles.globalQuantiles(scored,
+        (1 to 9).map(k => ("quality", k / 10.0, s"e$k")))
+      val decile = (1 to 9)
+        .map(k => when(col("quality") > round(col(s"e$k"), 4), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+      val w = Window.partitionBy("decile")
+        .orderBy(col("quality"), col("doc_id"))
+      scored.crossJoin(broadcast(edges))
+        .select(col("doc_id"), col("quality"), decile.as("decile"))
+        .withColumn("pos_in_decile", row_number().over(w))
+        .orderBy("decile", "pos_in_decile")
+    },
+
     // Temperature-based mixture sampling (the T5/Pile α-mixing rule):
     // per-source draw targets ∝ n_source^α (α = 0.5 damps head sources,
     // boosts tail ones), drawn deterministically via the salted-hash
@@ -623,6 +651,36 @@ object CurationQueries {
          |  FROM dom)
          |WHERE rn <= $DomainCap
          |ORDER BY doc_id""".stripMargin,
+
+    // Curriculum mirror: q21's quality formula, quantile_cont edges
+    // (rounded to the q0D-proven 4 decimals), the same strict-> decile
+    // count, the same per-decile rank.
+    "q6T_curriculum_order" -> {
+      def hits(ws: Seq[String]) =
+        s"len(list_filter($duckToks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      val quality =
+        s"""round(0.4 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           |             / CAST(length(text) AS DOUBLE))
+           |    + 0.3 * least(1.0, CAST(len($duckToks) AS DOUBLE) / 100.0)
+           |    + 0.3 * (CAST(${hits(EN_STOP)} AS DOUBLE) / CAST(len($duckToks) AS DOUBLE)), 6)"""
+          .stripMargin
+      val decile = (1 to 9)
+        .map(k => s"(CASE WHEN quality > round(e$k, 4) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH q AS (
+         |  SELECT doc_id, $quality AS quality FROM documents),
+         |e AS (
+         |  SELECT ${(1 to 9).map(k => s"quantile_cont(quality, 0.${k}) AS e$k").mkString(", ")}
+         |  FROM q),
+         |dd AS (
+         |  SELECT doc_id, quality, 1 + $decile AS decile
+         |  FROM q CROSS JOIN e)
+         |SELECT doc_id, quality, decile,
+         |  CAST(row_number() OVER (PARTITION BY decile
+         |         ORDER BY quality, doc_id) AS INTEGER) AS pos_in_decile
+         |FROM dd
+         |ORDER BY decile, pos_in_decile""".stripMargin
+    },
 
     // Mojibake mirror: flags and repaired text as closed forms of the
     // corruption branch — the repairable classes md5 the CLEAN marker
