@@ -78,7 +78,8 @@ object DumpPlans {
       ("q6S_mojibake_repair", "encoding-repair gate: detection regex + guarded ISO-8859-1 re-encode/UTF-8 re-decode, all row-local in one projection -- a 100 TB scan pays zero shuffle for the hygiene pass", CurationQueries.queries("q6S_mojibake_repair")),
       ("q5N_packed_shards", "packed training-shard sink: tokens + salted-md5 shard route, ONE repartition(shard) exchange, executor-side stream-and-digest file write inside mapPartitions (sort before pack => byte-identical re-runs), binaryFile re-read joins the 8-row manifests -- no collect, no per-group buffer", PipelineQueries.queries("q5N_packed_shards")),
       ("q5P_warc_html_pipeline", "crawl-to-text front end: binaryFile WARC scan -> typed flatMap record walk (object path, per-file imperative parse, payloads never shuffle) -> row-local HTML extraction + anchor-ratio gate, all inside one narrow projection before the final sort", PipelineQueries.queries("q5P_warc_html_pipeline")),
-      ("q4T_hits", "HITS (round-9 fusion): per round ONE edge||score hash join + map-side-combinable sum per direction, CUT once -- the one-row normalizer agg and the div projection both read the cut instead of re-running the join; zero-mass rows elided per round, restored in the output's left joins", PipelineQueries.queries("q4T_hits"))
+      ("q4T_hits", "HITS (round-9 fusion): per round ONE edge||score hash join + map-side-combinable sum per direction, CUT once -- the one-row normalizer agg and the div projection both read the cut instead of re-running the join; zero-mass rows elided per round, restored in the output's left joins", PipelineQueries.queries("q4T_hits")),
+      ("q6T_curriculum_order", "curriculum ordering (round-11 rewrite): decile + sub-bucket edges from ONE exact-quantile aggregate broadcast into a row-local assignment, then the TWO-PHASE rank -- row_number windows keyed on (decile, bucket) so parallelism is 10 x 128 and per-task sort state corpus/1280 (the round-10 10-key decile window put ~corpus/10 in one task; PlanAuditSpec's bounded-cardinality window audit now bans that shape), cumulative bucket counts rejoin as BROADCAST offsets", CurationQueries.queries("q6T_curriculum_order"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
@@ -95,6 +96,38 @@ object DumpPlans {
       out.println(fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")).take(7000))
       out.println("```")
+    }
+    // ---- registry-wide plan index ------------------------------------
+    // One audit line per registry query, so no query can lag the plan
+    // audit again (round 10's q6T landed after the regen and shipped
+    // with no PLANS.md entry); RegistrySpec fails the build when a
+    // registry key is missing from this file.
+    out.println()
+    out.println("## Registry plan index (auto-generated, every query)")
+    out.println()
+    out.println("Plan-shape counters per registry query at sf0.01: exch =")
+    out.println("keyed/range/single-partition Exchange nodes (incl. the output")
+    out.println("sort), bcast = BroadcastExchange, smj/bhj = sort-merge /")
+    out.println("broadcast-hash joins, win = Window nodes, gen = Generate")
+    out.println("(explode) nodes, rdd = imperative ExistingRDD cores")
+    out.println("(mapPartitions/localCheckpoint). Headline queries above carry")
+    out.println("the full annotated plan. Streaming (q7x) rows index the")
+    out.println("drained sink frame; their live micro-batch plans are asserted")
+    out.println("in StreamingSpec/PlanAuditSpec.")
+    out.println()
+    out.println("| query | exch | bcast | smj | bhj | win | gen | rdd |")
+    out.println("|---|---|---|---|---|---|---|---|")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val p = fn(spark, d).queryExecution.executedPlan.toString
+      def n(tok: String): Int = tok.r.findAllMatchIn(p).size
+      out.println(s"| $name" +
+        s" | ${n("Exchange (hash|range|Single)")}" +
+        s" | ${n("BroadcastExchange")}" +
+        s" | ${n("SortMergeJoin")}" +
+        s" | ${n("BroadcastHashJoin")}" +
+        s" | ${n("\\bWindow \\[")}" +
+        s" | ${n("\\bGenerate ")}" +
+        s" | ${n("Scan ExistingRDD")} |")
     }
     out.close()
     println("WROTE PLANS.md")

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable per-group ranking when the GROUP key has low cardinality.
+  *
+  * `Window.partitionBy(group)` with, say, 10 group values caps the
+  * stage at 10 tasks and puts ~corpus/10 rows through each task's sort
+  * — the low-cardinality cousin of the single-partition-window
+  * anti-pattern `PlanAuditSpec` bans (one-tenth of 100 TB in one task
+  * is still fatal). The fix is the classic two-phase rank: slice each
+  * group into SUB-BUCKETS that are monotone in the rank order, rank
+  * locally per (group, bucket), and add back the broadcast cumulative
+  * bucket counts as offsets. Parallelism becomes groups × buckets and
+  * per-task state corpus/(groups × buckets); the output is bit-equal
+  * to the single-window rank because bucket boundaries never split a
+  * tie (a monotone bucket function maps equal order keys to one
+  * bucket).
+  *
+  * The caller supplies the bucket column and owns its two contracts:
+  *   - MONOTONE: within a group, `bucket(a) < bucket(b)` implies
+  *     `a <= b` in the rank order (quantile-edge comparisons on the
+  *     leading order column, as q6T does, satisfy this by
+  *     construction);
+  *   - BOUNDED SKEW: bucket sizes bound per-task state. Edges from
+  *     [[Quantiles.globalQuantiles]] give near-uniform buckets unless
+  *     one single value carries a corpus-scale tie mass (every copy of
+  *     one value shares one bucket — raise the bucket count or add a
+  *     finer monotone key if a domain has such a value).
+  */
+object Ranks {
+
+  /** `row_number() over (partition by groupCol order by orderCols)` as
+    * a two-phase plan: per-(group, bucket) counts aggregate (map-side
+    * combinable, ≤ groups × buckets rows), cumulative offsets via a
+    * window OVER THAT AGGREGATE (bounded input — the allowed window
+    * shape), then a broadcast join puts each row's offset next to its
+    * per-(group, bucket) local rank. Output type matches `row_number`
+    * (int).
+    */
+  def bucketedGroupRank(
+      df: DataFrame,
+      groupCol: String,
+      bucketCol: String,
+      orderCols: Seq[Column],
+      out: String): DataFrame = {
+    val counts = df.groupBy(groupCol, bucketCol).agg(count(lit(1)).as("_bn"))
+    val wOff = Window.partitionBy(groupCol).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("_off", coalesce(sum("_bn").over(wOff), lit(0L)))
+      .drop("_bn")
+    val wLocal = Window.partitionBy(groupCol, bucketCol).orderBy(orderCols: _*)
+    df.join(broadcast(offsets), Seq(groupCol, bucketCol))
+      .withColumn(out, (col("_off") + row_number().over(wLocal)).cast("int"))
+      .drop("_off")
+  }
+}

@@ -364,4 +364,140 @@ class PlanAuditSpec extends GraftSpec {
     assert(offenders.isEmpty,
       s"corpus-sized single-partition windows in: ${offenders.toSeq.sorted.mkString(", ")}")
   }
+
+  test("no corpus-sized Window keyed on a bounded-cardinality partition spec") {
+    // Round-10's one weak (q6T), made structural: a corpus-sized
+    // Window.partitionBy("decile") with 10 possible decile values caps
+    // the stage at 10 tasks and sorts ~corpus/10 per task — the
+    // low-cardinality cousin of the empty-partition-spec window the
+    // audit above bans. The sweep ESTIMATES an upper bound on each
+    // window's partition-spec value cardinality by resolving partition
+    // expressions through the plan's Alias definitions and folding
+    // value-domain structure: a Literal is 1 value, a CaseWhen at most
+    // its branch count, Add/Multiply at most the product. Anything
+    // touching a raw data column is unbounded (None) and passes — the
+    // audit only fires when the spec PROVABLY cannot exceed
+    // MaxBoundedPartitions values while the window input is
+    // corpus-sized (not bounded below by an aggregate/top-k/limit).
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, AttributeReference, BinaryArithmetic, CaseWhen, Cast,
+      Expression, ExprId, If, Literal, UnaryMinus}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, LocalLimitExec, GlobalLimitExec, LocalTableScanExec}
+    val MaxBoundedPartitions = BigInt(1024)
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case s: QueryStageExec        => unwrap(s.plan)
+      case other                    => other
+    }
+    def boundedBelow(p: SparkPlan): Boolean = unwrap(p) match {
+      case _: BaseAggregateExec                               => true
+      case _: TakeOrderedAndProjectExec                       => true
+      case _: LocalLimitExec | _: GlobalLimitExec             => true
+      case _: LocalTableScanExec                              => true
+      case leaf if leaf.children.isEmpty && leaf.subqueries.isEmpty => false
+      case node => node.children.forall(boundedBelow)
+    }
+    def aliasEnv(root: SparkPlan): Map[ExprId, Expression] = {
+      val acc = scala.collection.mutable.Map.empty[ExprId, Expression]
+      def walk(p: SparkPlan): Unit = {
+        val node = unwrap(p)
+        node.expressions.foreach(_.foreach {
+          case a: Alias => acc(a.exprId) = a.child
+          case _        => ()
+        })
+        node.children.foreach(walk)
+        node.subqueries.foreach(walk)
+      }
+      walk(root)
+      acc.toMap
+    }
+    def card(e: Expression, env: Map[ExprId, Expression], depth: Int): Option[BigInt] =
+      if (depth > 60) None
+      else e match {
+        case Literal(_, _)         => Some(BigInt(1))
+        case a: Alias              => card(a.child, env, depth + 1)
+        case c: Cast               => card(c.child, env, depth + 1)
+        case a: AttributeReference => env.get(a.exprId).flatMap(card(_, env, depth + 1))
+        case cw: CaseWhen =>
+          val outs  = cw.branches.map(_._2) ++ cw.elseValue.toSeq
+          val cards = outs.map(card(_, env, depth + 1))
+          if (cards.forall(_.isDefined))
+            Some(cards.flatten.sum + (if (cw.elseValue.isEmpty) 1 else 0))
+          else None
+        case i: If =>
+          for (t <- card(i.trueValue, env, depth + 1);
+               f <- card(i.falseValue, env, depth + 1)) yield t + f
+        case b: BinaryArithmetic =>
+          for (l <- card(b.left, env, depth + 1);
+               r <- card(b.right, env, depth + 1)) yield l * r
+        case u: UnaryMinus => card(u.child, env, depth + 1)
+        case _             => None
+      }
+    def offendingSpecs(root: SparkPlan): Seq[String] = {
+      val env = aliasEnv(root)
+      def walk(p: SparkPlan): Seq[String] = {
+        val node = unwrap(p)
+        val self = node match {
+          case w: WindowExecBase
+              if w.partitionSpec.nonEmpty && !boundedBelow(w.child) =>
+            val cards = w.partitionSpec.map(card(_, env, 0))
+            if (cards.forall(_.isDefined) &&
+                cards.flatten.product <= MaxBoundedPartitions)
+              Seq(s"<=${cards.flatten.product} partitions: " +
+                w.partitionSpec.map(_.sql).mkString(", "))
+            else Nil
+          case _ => Nil
+        }
+        self ++ node.children.flatMap(walk) ++ node.subqueries.flatMap(walk)
+      }
+      walk(root)
+    }
+    // red-line negative control: the exact round-10 q6T shape — a
+    // 10-valued case-when decile partitioning a corpus-sized rank
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, count, lit, row_number, when}
+    val base = spark.range(4096)
+      .select(col("id"), (col("id") % 97).cast("double").as("q"))
+    val dec = (1 to 9)
+      .map(k => when(col("q") > k * 10.0, 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    val bad = base.withColumn("decile", dec)
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("decile").orderBy("q", "id")))
+    assert(offendingSpecs(bad.queryExecution.executedPlan).nonEmpty,
+      "bounded-cardinality window detector failed its negative control")
+    // positive control 1: the two-phase shape — a fine sub-bucket in
+    // the spec pushes the bound past the threshold
+    val bkt = (1 until 128)
+      .map(k => when(col("q") > k * 0.75, 1).otherwise(0))
+      .reduce(_ + _)
+    val okFine = base.withColumn("decile", dec).withColumn("b", bkt)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("decile", "b").orderBy("q", "id")))
+    assert(offendingSpecs(okFine.queryExecution.executedPlan).isEmpty,
+      "two-phase (decile, bucket) rank must not trip the detector")
+    // positive control 2: a data-keyed window (cardinality unknowable)
+    val okData = base.withColumn("rn",
+      row_number().over(Window.partitionBy("id").orderBy("q")))
+    assert(offendingSpecs(okData.queryExecution.executedPlan).isEmpty,
+      "data-keyed window must not trip the detector")
+    // positive control 3: a bounded-cardinality window whose input is
+    // already an aggregate (the allowed shape)
+    val okAgg = base.groupBy((col("id") % 7).as("g")).agg(count(lit(1)).as("n"))
+      .withColumn("decile", when(col("n") > 1, 1).otherwise(2))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("decile").orderBy("n")))
+    assert(offendingSpecs(okAgg.queryExecution.executedPlan).isEmpty,
+      "aggregate-bounded window must not trip the detector")
+    val offenders = executedPlans.collect {
+      case (name, plan) if offendingSpecs(plan).nonEmpty =>
+        s"$name [${offendingSpecs(plan).mkString("; ")}]"
+    }
+    assert(offenders.isEmpty,
+      s"bounded-cardinality corpus windows in: ${offenders.toSeq.sorted.mkString(", ")}")
+  }
 }

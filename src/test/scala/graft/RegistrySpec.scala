@@ -31,6 +31,20 @@ class RegistrySpec extends AnyFunSuite {
         "'Registry count' line")
   }
 
+  test("every registry query appears in PLANS.md (plan-audit completeness)") {
+    // round 10's q6T landed after the PLANS.md regen and shipped as the
+    // one registry query with no plan audit — DumpPlans now appends an
+    // auto-generated index row per query, and this guard fails the
+    // build whenever the file lags the registry (the README-count
+    // pattern, applied to plans)
+    val src = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("PLANS.md"))
+    val missing = SparkEntry.queries.keySet.filterNot(src.contains)
+    assert(missing.isEmpty,
+      s"PLANS.md lacks entries for: ${missing.toSeq.sorted.mkString(", ")}" +
+        " — regenerate with sbt \"runMain graft.DumpPlans\"")
+  }
+
   test("README.md registry and streaming counts match SparkEntry.queries") {
     // the round-8 AND round-9 judges each caught a hand-maintained
     // README count gone stale — enforce it like OPERATORS.md
