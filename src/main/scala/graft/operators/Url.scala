@@ -27,8 +27,11 @@ import org.apache.spark.sql.functions._
   *     so `//` and trailing `/` normalize away; empty path → `/`
   *   - query params: tracking params removed ([[TrackingParams]]),
   *     remainder SORTED byte-wise (order is transport noise for dedup)
-  *   - percent-encoding normalization is out of scope (unexercised by
-  *     the ASCII fixtures; add a hex-case pass before byte-level work)
+  *   - percent-encoding normalized (RFC 3986 §2.3 / §6.2.2.2):
+  *     unreserved octets (`A-Z a-z 0-9 - . _ ~`) DECODE (`%7E` → `~`),
+  *     every other valid triplet keeps its encoding with UPPERCASE hex
+  *     (`%2f` → `%2F`), and a stray `%` not followed by two hex digits
+  *     passes through untouched (garbage stays stable)
   *
   * A URL with no `scheme://` prefix is returned trimmed/defragged but
   * otherwise untouched — garbage stays stable rather than half-parsed.
@@ -37,8 +40,13 @@ object Url {
 
   /** Query parameters that carry attribution/session noise, never
     * content identity (the CCNet strip list + the usual click ids).
+    * Deliberately does NOT include bare `ref`: unlike `utm_*`/`gclid`
+    * it is frequently content-bearing (`?ref=<branch>` on code hosts),
+    * and stripping it would merge genuinely distinct pages — pass a
+    * custom list to [[canonicalizeUrl]] for deployments that know
+    * their `ref` is attribution noise.
     */
-  val TrackingParams: String = "utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref"
+  val TrackingParams: String = "utm_[^=]*|gclid|fbclid|msclkid|mc_cid|mc_eid"
 
   /** Second-level labels that act as TLD extensions under 2-letter
     * ccTLDs (`co.uk`, `ac.jp`, `gov.br`, …) — a deliberate
@@ -81,20 +89,51 @@ object Url {
     concat(lit("/"), array_join(slice(folded, lit(2), size(folded) - 1), "/"))
   }
 
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization as a pure
+    * expression: split on `%`, then each following fragment either
+    * starts with two hex digits (decode when the octet is unreserved —
+    * §2.3: ALPHA / DIGIT / `-` / `.` / `_` / `~` — else re-emit with
+    * uppercase hex) or doesn't (a stray `%`, re-emitted verbatim).
+    * Decoding unreserved octets can never produce a URL delimiter, so
+    * this runs safely over the WHOLE URL before component extraction.
+    */
+  private def percentNormalize(u: Column): Column = {
+    val parts = split(u, "%", -1)
+    val fixed = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      p => {
+        val code = conv(substring(p, 1, 2), 16, 10).cast("int")
+        val rest = p.substr(lit(3), length(p))
+        val unreserved =
+          (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+            (code >= 48 && code <= 57) ||
+            code.isin(45, 46, 95, 126) // - . _ ~
+        when(!p.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), p))
+          .when(unreserved, concat(chr(code), rest))
+          .otherwise(concat(lit("%"), upper(substring(p, 1, 2)), rest))
+      })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
+
   /** Kept query string: tracking params out, remainder sorted; "" when
     * nothing survives.
     */
-  private def canonicalQuery(u: Column): Column = {
+  private def canonicalQuery(u: Column, trackingParams: String): Column = {
     val kept = array_join(
       array_sort(filter(split(regexp_extract(u, "\\?([^#]*)", 1), "&"),
-        s => s =!= "" && !s.rlike("^(" + TrackingParams + ")(=|$)"))),
+        s => s =!= "" && !s.rlike("^(" + trackingParams + ")(=|$)"))),
       "&")
     when(kept === "", lit("")).otherwise(concat(lit("?"), kept))
   }
 
-  /** The canonical URL (see object doc for the exact normal form). */
-  def canonicalizeUrl(url: Column): Column = {
-    val u      = defrag(url)
+  /** The canonical URL (see object doc for the exact normal form).
+    * `trackingParams` is the regex alternation of query-param names to
+    * strip — tune it per deployment (see the [[TrackingParams]] note
+    * on content-bearing `ref`).
+    */
+  def canonicalizeUrl(url: Column,
+                      trackingParams: String = TrackingParams): Column = {
+    val raw    = defrag(url)
+    val u      = percentNormalize(raw)
     val scheme = lower(regexp_extract(u, SchemeRe, 1))
     val auth   = regexp_replace(
       regexp_extract(u, SchemeRe + "([^/?#]*)", 2), "^[^@/]*@", "")
@@ -107,9 +146,9 @@ object Url {
       lit("")).otherwise(concat(lit(":"), port))
     val path = resolvedPath(
       regexp_extract(u, SchemeRe + "[^/?#]*([^?#]*)", 2))
-    when(scheme === "", u)
+    when(scheme === "", raw) // schemeless garbage stays byte-stable
       .otherwise(concat(scheme, lit("://"), host, portPart, path,
-        canonicalQuery(u)))
+        canonicalQuery(u, trackingParams)))
   }
 
   /** Registrable domain of a lowercased host: the last two labels, or

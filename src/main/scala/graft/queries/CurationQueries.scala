@@ -69,13 +69,25 @@ object CurationQueries {
       when(g % 5 === 1, lit(":8080"))
         .when(id % 5 === 0, when(g % 2 === 0, lit(":80")).otherwise(lit(":443")))
         .otherwise(lit("")),
-      when(id % 2 === 0, concat(lit("/a/../p"), (g % 11).cast("string"), lit("/./x")))
-        .otherwise(concat(lit("/p"), (g % 11).cast("string"), lit("/x"))),
+      when(id % 2 === 0, concat(lit("/a/../p"), (g % 11).cast("string"), lit("/./")))
+        .otherwise(concat(lit("/p"), (g % 11).cast("string"), lit("/"))),
+      // percent-encoding noise (RFC 3986 §6.2.2.2): the terminal segment
+      // is x~e with the x sometimes %78-encoded (encoded unreserved
+      // ALPHA — must decode) and the ~ spelled raw / %7E / %7e (hex
+      // case — must decode either way); canonical is always `x~e`
+      when(id % 7 === 0, lit("%78")).otherwise(lit("x")),
+      when(id % 3 === 0, lit("%7E")).when(id % 3 === 1, lit("%7e"))
+        .otherwise(lit("~")),
+      lit("e"),
       when(id % 3 === 0, concat(lit("?id="), qid, lit("&z=2")))
         .when(id % 3 === 1,
           concat(lit("?z=2&id="), qid, lit("&utm_source=m"), id.cast("string")))
         .otherwise(concat(lit("?utm_campaign=c&id="), qid, lit("&gclid="),
           id.cast("string"), lit("&z=2"))),
+      // a RESERVED percent octet in a kept param: %2F must stay encoded
+      // but its hex uppercases, so `%2f` and `%2F` spellings collapse
+      concat(lit("&p="),
+        when(id % 2 === 0, lit("%2F")).otherwise(lit("%2f")), lit("v")),
       when(id % 4 === 0, concat(lit("#sec"), id.cast("string"))).otherwise(lit("")))
   }
 
@@ -88,11 +100,15 @@ object CurationQueries {
       |    (CASE WHEN g % 5 = 1 THEN ':8080'
       |          WHEN doc_id % 5 = 0 THEN (CASE WHEN g % 2 = 0 THEN ':80' ELSE ':443' END)
       |          ELSE '' END) ||
-      |    (CASE WHEN doc_id % 2 = 0 THEN '/a/../p' || (g % 11) || '/./x'
-      |          ELSE '/p' || (g % 11) || '/x' END) ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN '/a/../p' || (g % 11) || '/./'
+      |          ELSE '/p' || (g % 11) || '/' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '%78' ELSE 'x' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '%7E'
+      |          WHEN doc_id % 3 = 1 THEN '%7e' ELSE '~' END) || 'e' ||
       |    (CASE WHEN doc_id % 3 = 0 THEN '?id=' || (g % 13) || '&z=2'
       |          WHEN doc_id % 3 = 1 THEN '?z=2&id=' || (g % 13) || '&utm_source=m' || doc_id
       |          ELSE '?utm_campaign=c&id=' || (g % 13) || '&gclid=' || doc_id || '&z=2' END) ||
+      |    '&p=' || (CASE WHEN doc_id % 2 = 0 THEN '%2F' ELSE '%2f' END) || 'v' ||
       |    (CASE WHEN doc_id % 4 = 0 THEN '#sec' || doc_id ELSE '' END)""".stripMargin
 
   // shared CTE prefix: per-doc g, scheme base s, host base h
@@ -108,10 +124,12 @@ object CurationQueries {
        |  FROM m)""".stripMargin
 
   // the CLOSED-FORM canonical url + registrable domain expected from g
+  // (percent noise resolves: %78→x, %7E/%7e→~, %2f→%2F which stays;
+  // kept params sort byte-wise: id < p < z)
   private[queries] val duckCanonClosedForm: String =
     """s || '://' || h ||
       |    (CASE WHEN g % 5 = 1 THEN ':8080' ELSE '' END) ||
-      |    '/p' || (g % 11) || '/x?id=' || (g % 13) || '&z=2'""".stripMargin
+      |    '/p' || (g % 11) || '/x~e?id=' || (g % 13) || '&p=%2Fv&z=2'""".stripMargin
   private val duckDomainClosedForm: String =
     """CASE WHEN g % 3 = 0 THEN 'site' || (g % 7) || '.co.uk'
       |         WHEN g % 3 = 1 THEN 'example.com'

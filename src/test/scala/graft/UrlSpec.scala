@@ -35,11 +35,42 @@ class UrlSpec extends GraftSpec {
       "  http://pad.org/p#f  " -> "http://pad.org/p")
   }
 
+  test("canonicalizeUrl: percent-encoding normalization (RFC 3986 §6.2.2.2)") {
+    canon(
+      // unreserved octets decode: %7E → ~, %78 → x, %2D → -, hex case
+      // irrelevant on the way in
+      "http://h.org/%78%7Ee" -> "http://h.org/x~e",
+      "http://h.org/a%7eb%2Dc" -> "http://h.org/a~b-c",
+      // reserved/other octets stay encoded with UPPERCASE hex
+      "http://h.org/a%2fb?q=%2a" -> "http://h.org/a%2Fb?q=%2A",
+      // a decoded dot-segment resolves like a literal one
+      "http://h.org/a/%2E%2E/b" -> "http://h.org/b",
+      // stray % (not two hex digits) passes through untouched
+      "http://h.org/100%?x=1" -> "http://h.org/100%?x=1",
+      "http://h.org/p%1" -> "http://h.org/p%1",
+      // %25 (the encoded %) stays encoded — decoding it would change
+      // how a second pass reads the following octets
+      "http://h.org/a%257E" -> "http://h.org/a%257E",
+      // bare `ref` is NOT in the default strip list (content-bearing)
+      "http://h.org/p?ref=main&utm_source=x" -> "http://h.org/p?ref=main")
+  }
+
+  test("canonicalizeUrl honors a custom tracking-param list") {
+    val got = Seq("http://h.org/p?ref=main&id=1").toDF("url")
+      .select(Url.canonicalizeUrl(col("url"),
+        trackingParams = "ref|utm_[^=]*")).as[String].collect()
+    assert(got.toSeq == Seq("http://h.org/p?id=1"))
+  }
+
   test("canonicalizeUrl is idempotent") {
     val urls = Seq(
       "HtTp://WWW.Site1.Co.Uk:80/a/../p3/./x?z=2&id=5&utm_source=m9#frag",
       "https://user:pw@Host.Example.COM:8080//a/b/../../c/?gclid=1",
-      "https://x.io", "not a url")
+      "https://x.io", "not a url",
+      // percent-encoding cases: decoded-unreserved, kept-reserved with
+      // raised hex, stray %, encoded %
+      "http://h.org/%78%7Ee?p=%2fv", "http://h.org/100%?x=1",
+      "http://h.org/a%257E&p%1")
     val once = urls.toDF("url")
       .select(Url.canonicalizeUrl(col("url")).as("c")).as[String].collect()
     val twice = once.toSeq.toDF("url")
