@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization + registrable-domain extraction — the CCNet /
@@ -50,11 +50,23 @@ object Url {
 
   /** Second-level labels that act as TLD extensions under 2-letter
     * ccTLDs (`co.uk`, `ac.jp`, `gov.br`, …) — a deliberate
-    * APPROXIMATION of the Public Suffix List, which is external data a
-    * deployment would broadcast-join instead; this heuristic covers
-    * the dominant ccTLD+generic-SLD pattern with zero I/O.
+    * APPROXIMATION of the Public Suffix List; the PSL-backed path is
+    * [[registrableDomainPsl]] (this heuristic is its no-data
+    * fallback, covering the dominant ccTLD+generic-SLD pattern with
+    * zero I/O).
     */
   val GenericSlds: Seq[String] = Seq("co", "com", "net", "org", "gov", "edu", "ac")
+
+  /** A fixture-sized snippet of the Public Suffix List (publicsuffix
+    * .org — exact rules only) for tests and the q6U/q6V queries; a
+    * deployment loads the full published list into the `suffix` table
+    * instead. Includes `github.io`-style PRIVATE-section suffixes the
+    * [[GenericSlds]] heuristic cannot know about.
+    */
+  val SamplePsl: Seq[String] = Seq(
+    "com", "org", "net", "io", "uk", "co.uk", "ac.uk", "gov.uk",
+    "jp", "ac.jp", "co.jp", "br", "gov.br", "com.br",
+    "github.io", "blogspot.com")
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -165,5 +177,44 @@ object Url {
           length(element_at(labels, -1)) === 2,
         array_join(slice(labels, -3, 3), "."))
       .otherwise(array_join(slice(labels, -2, 2), "."))
+  }
+
+  /** PSL-backed registrable domain: `psl` is an ARRAY column holding
+    * the public-suffix set (ship it with [[withRegistrableDomainPsl]]
+    * — the PSL is ~10k static rows, a one-row broadcast, so the match
+    * itself stays row-local and shuffle-free). The registrable domain
+    * is one label + the host's LONGEST public suffix (the PSL match
+    * rule); a host with no matching suffix — or one that IS a bare
+    * public suffix — falls back to the [[registrableDomain]]
+    * heuristic, so missing PSL data degrades, never nulls. Exact
+    * rules only: the PSL's `*.` wildcard and `!` exception lines are
+    * documented out of scope (≪1% of rules; expand them to their
+    * exact forms when loading the published list).
+    */
+  def registrableDomainPsl(host: Column, psl: Column): Column = {
+    val labels = split(host, "\\.")
+    val n      = size(labels)
+    def suffixOf(k: Column) = array_join(slice(labels, -k, k), ".")
+    // ascending fold over candidate suffix lengths 1..n-1: a longer
+    // match overwrites, so the accumulator ends at the LONGEST match
+    val best = aggregate(
+      filter(sequence(lit(1), greatest(n - 1, lit(1))), k => k <= n - 1),
+      lit(0),
+      (acc, k) => when(array_contains(psl, suffixOf(k)), k).otherwise(acc))
+    when(best === 0, registrableDomain(host))
+      .otherwise(array_join(slice(labels, -(best + 1), best + 1), "."))
+  }
+
+  /** Join shape for [[registrableDomainPsl]]: collapse the suffix
+    * table to ONE array row and broadcast it — every task gets the
+    * whole (small, static) PSL and the longest-suffix match runs as a
+    * pure row-local expression; nothing about the corpus shuffles.
+    */
+  def withRegistrableDomainPsl(df: DataFrame, hostCol: String,
+                               psl: DataFrame, out: String): DataFrame = {
+    val arr = psl.agg(collect_set(col("suffix")).as("_psl"))
+    df.crossJoin(broadcast(arr))
+      .withColumn(out, registrableDomainPsl(col(hostCol), col("_psl")))
+      .drop("_psl")
   }
 }

@@ -303,6 +303,55 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // PSL-backed registrable domain (the real-data upgrade of q6P's
+    // heuristic): synthetic hosts from doc_id cover the case classes —
+    // a PRIVATE-section suffix (blog.github.io, where the last-2-labels
+    // heuristic is WRONG), ccTLD+SLD (co.uk / ac.jp), and a plain gTLD.
+    // The suffix set is a one-row broadcast array; the longest-suffix
+    // match is a row-local fold, so the corpus never shuffles. Both
+    // the PSL answer and the heuristic answer are emitted with their
+    // divergence bit; the oracle's expectations are CLOSED FORMS of gp.
+    "q6U_psl_domain" -> { (s, d) =>
+      import graft.operators.Url
+      import s.implicits._
+      val gp = col("doc_id") % 12
+      val host = when(gp % 4 === 0,
+          concat(lit("a"), gp.cast("string"), lit(".blog.github.io")))
+        .when(gp % 4 === 1,
+          concat(lit("www.site"), gp.cast("string"), lit(".co.uk")))
+        .when(gp % 4 === 2,
+          concat(lit("deep.sub.example"), gp.cast("string"), lit(".org")))
+        .otherwise(concat(lit("host.x"), gp.cast("string"), lit(".ac.jp")))
+      val psl = Url.SamplePsl.toDF("suffix")
+      Url.withRegistrableDomainPsl(
+          Tables.documents(s, d).select(col("doc_id"), host.as("host")),
+          "host", psl, "domain")
+        .withColumn("heur_domain", Url.registrableDomain(col("host")))
+        .withColumn("diverges", col("domain") =!= col("heur_domain"))
+        .orderBy("doc_id")
+    },
+
+    // q6R's per-domain cap re-based on the PSL path (hash-equal twin —
+    // the SamplePsl covers this fixture's suffixes, so the PSL match
+    // and the heuristic agree here; what changes is the PLAN: the
+    // suffix table broadcasts as one array row and the match is the
+    // longest-suffix fold instead of the label heuristic).
+    "q6V_domain_cap_psl" -> { (s, d) =>
+      import graft.operators.Url
+      import s.implicits._
+      val withHost = Tables.documents(s, d)
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"),
+          Url.hostOf(Url.canonicalizeUrl(col("url"))).as("host"))
+      val withDomain = Url.withRegistrableDomainPsl(
+          withHost, "host", Url.SamplePsl.toDF("suffix"), "domain")
+        .select("doc_id", "domain")
+      Curation.perStratumCap(withDomain, "doc_id", "domain",
+          k = DomainCap, salt = UrlCapSalt)
+        .select("doc_id", "domain")
+        .orderBy("doc_id")
+    },
+
     // Encoding-repair gate (mojibake): deterministic corruption markers
     // appended per doc_id — ' cafÃ©' (UTF-8 é read as Latin-1,
     // byte-reversible), ' donâ€™t' (CP1252-special class: € and ™ have
@@ -681,6 +730,42 @@ object CurationQueries {
          |ORDER BY curl""".stripMargin,
 
     "q6R_domain_cap" ->
+      s"""WITH $duckUrlBase,
+         |dom AS (
+         |  SELECT doc_id, $duckDomainClosedForm AS domain FROM mb)
+         |SELECT doc_id, domain FROM (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '$UrlCapSalt'), doc_id) AS rn
+         |  FROM dom)
+         |WHERE rn <= $DomainCap
+         |ORDER BY doc_id""".stripMargin,
+
+    // PSL mirror: host replays from gp; BOTH expected domains are
+    // closed forms of gp (the PSL answer and the heuristic answer),
+    // not a SQL port of the longest-suffix fold.
+    "q6U_psl_domain" ->
+      """WITH m AS (SELECT doc_id, doc_id % 12 AS gp FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN gp % 4 = 0 THEN 'a' || gp || '.blog.github.io'
+        |       WHEN gp % 4 = 1 THEN 'www.site' || gp || '.co.uk'
+        |       WHEN gp % 4 = 2 THEN 'deep.sub.example' || gp || '.org'
+        |       ELSE 'host.x' || gp || '.ac.jp' END AS host,
+        |  CASE WHEN gp % 4 = 0 THEN 'blog.github.io'
+        |       WHEN gp % 4 = 1 THEN 'site' || gp || '.co.uk'
+        |       WHEN gp % 4 = 2 THEN 'example' || gp || '.org'
+        |       ELSE 'x' || gp || '.ac.jp' END AS domain,
+        |  CASE WHEN gp % 4 = 0 THEN 'github.io'
+        |       WHEN gp % 4 = 1 THEN 'site' || gp || '.co.uk'
+        |       WHEN gp % 4 = 2 THEN 'example' || gp || '.org'
+        |       ELSE 'x' || gp || '.ac.jp' END AS heur_domain,
+        |  (gp % 4 = 0) AS diverges
+        |FROM m
+        |ORDER BY doc_id""".stripMargin,
+
+    // identical output contract to q6R — same closed-form domains,
+    // same cap, same salt (the twin exercises the PSL plan shape)
+    "q6V_domain_cap_psl" ->
       s"""WITH $duckUrlBase,
          |dom AS (
          |  SELECT doc_id, $duckDomainClosedForm AS domain FROM mb)

@@ -92,6 +92,26 @@ class UrlSpec extends GraftSpec {
     cases.foreach { case (h, want) => assert(got(h) == want, s"$h -> ${got(h)}") }
   }
 
+  test("registrableDomainPsl: longest suffix wins, heuristic fallback") {
+    val psl = Url.SamplePsl.toDF("suffix")
+    val cases = Seq(
+      // private-section suffix beats the heuristic's last-2-labels
+      "a.blog.github.io"  -> "blog.github.io",
+      // longest match: github.io (2 labels) over io (1 label)
+      "blog.github.io"    -> "blog.github.io",
+      "www.site1.co.uk"   -> "site1.co.uk",
+      "host.example.com"  -> "example.com",
+      // a host that IS a bare public suffix falls back to the heuristic
+      "github.io"         -> "github.io",
+      // no suffix matches at all -> heuristic fallback
+      "a.b.internal.lan"  -> "internal.lan",
+      "localhost"         -> "localhost")
+    val got = Url.withRegistrableDomainPsl(
+        cases.map(_._1).toDF("h"), "h", psl, "d")
+      .select("h", "d").as[(String, String)].collect().toMap
+    cases.foreach { case (h, want) => assert(got(h) == want, s"$h -> ${got(h)}") }
+  }
+
   test("hostOf extracts the lowercased port-free host") {
     val got = Seq("HtTp://User@WWW.X.Org:8080/p?a=1#f", "nope")
       .toDF("u").select(Url.hostOf(col("u"))).as[String].collect()
