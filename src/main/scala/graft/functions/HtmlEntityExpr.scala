@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel behind [[DecodeNumericEntitiesExpr]]: one compiled
+  * scan decoding NUMERIC character references — `&#8217;` (1–7
+  * decimal digits) and `&#x2019;`/`&#X27;` (1–6 hex digits, either
+  * x case) — which real pages carry at volume where named entities
+  * are rare (CMS smart quotes ship as `&#8217;`/`&#x2019;`).
+  *
+  * Contract (mirrored exactly by the DuckDB oracle's split/transform
+  * replay — the digit-run grammar is RE2-expressible):
+  *  - a reference decodes ONLY when the digit run is terminated by
+  *    `;` within the length cap; anything else (`&#zz`, `&#12` at a
+  *    non-digit, an 8+-digit run) passes through byte-stable;
+  *  - a parsed codepoint that is 0, a UTF-16 surrogate
+  *    (U+D800–U+DFFF), or beyond U+10FFFF decodes to U+FFFD (the
+  *    HTML5 replacement rule) — never a crash, never a raw
+  *    ill-formed string;
+  *  - single pass, non-recursive: the OUTPUT is never rescanned, so
+  *    `&#38;` yields a literal `&` that stays `&`.
+  */
+object HtmlEntityUtil {
+
+  def decodeNumericEntities(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (!str.contains("&#")) return s
+    val n  = str.length
+    val sb = new java.lang.StringBuilder(n)
+    var i  = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      var consumed = false
+      if (c == '&' && i + 2 < n && str.charAt(i + 1) == '#') {
+        var j   = i + 2
+        var hex = false
+        if (str.charAt(j) == 'x' || str.charAt(j) == 'X') { hex = true; j += 1 }
+        val maxDigits = if (hex) 6 else 7
+        var code      = 0L
+        var digits    = 0
+        var ok        = true
+        while (ok && j < n && digits < maxDigits) {
+          val d = Character.digit(str.charAt(j), if (hex) 16 else 10)
+          if (d < 0) ok = false
+          else { code = code * (if (hex) 16 else 10) + d; digits += 1; j += 1 }
+        }
+        if (digits > 0 && j < n && str.charAt(j) == ';') {
+          val cp =
+            if (code == 0L || code > 0x10FFFFL ||
+              (code >= 0xD800L && code <= 0xDFFFL)) 0xFFFD
+            else code.toInt
+          sb.appendCodePoint(cp)
+          i = j + 1
+          consumed = true
+        }
+      }
+      if (!consumed) { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** `decode_numeric_entities(text)`: HTML numeric character references
+  * → their codepoints, whole-stage-codegen'd (see [[HtmlEntityUtil]]
+  * for the exact grammar and the replacement rule). A compiled scan
+  * because Spark's `chr` is mod-256 (Latin-1 only) — a smart quote at
+  * U+2019 is simply not expressible through the built-in functions.
+  */
+case class DecodeNumericEntitiesExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType      = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String      = "decode_numeric_entities"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"decode_numeric_entities expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    HtmlEntityUtil.decodeNumericEntities(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HtmlEntityUtil.decodeNumericEntities($c)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

@@ -47,14 +47,30 @@ object Html {
     regexp_replace(paired, "(?is)<(script|style)\\b.*", " ")
   }
 
+  /** HTML numeric character references (`&#8217;` decimal,
+    * `&#x2019;` hex) → codepoints, one compiled pass — see
+    * [[graft.functions.HtmlEntityUtil]] for the exact grammar,
+    * length caps, and the U+FFFD replacement rule.
+    */
+  def decodeNumericEntities(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.DecodeNumericEntitiesExpr(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   private def decodeEntities(text: Column): Column = {
-    // fixed order, single pass each — &amp; LAST so &amp;lt; stays &lt;
-    val steps = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
-    steps.foldLeft(text) { case (c, (from, to)) =>
+    // fixed order, single pass each: named first, then ONE compiled
+    // numeric pass (decimal + hex — subsumes the old &#39; literal),
+    // then &amp; LAST so &amp;-escaped entities (&amp;lt;, &amp;#8217;)
+    // decode exactly one level. Known limit: a page spelling &#38;amp;
+    // double-decodes — the inverse order would double-decode the far
+    // more common &amp;#NNNN; class instead.
+    val named = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
+    val n = named.foldLeft(text) { case (c, (from, to)) =>
       regexp_replace(c, java.util.regex.Pattern.quote(from), to)
     }
+    regexp_replace(decodeNumericEntities(n),
+      java.util.regex.Pattern.quote("&amp;"), "&")
   }
 
   /** Extracted plain text: one line per block element, single-spaced,

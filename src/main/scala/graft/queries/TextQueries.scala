@@ -30,7 +30,10 @@ object TextQueries {
         lit("<h1>Doc "), id.cast("string"), lit("</h1><!-- c"),
         id.cast("string"), lit(" --><p>"), text,
         lit("</p><p>Tail &lt;q&gt; &#39;v"), (id % 7).cast("string"),
-        lit("&#39;</p>")))
+        // numeric-entity coverage: decimal smart quote, hex (both x
+        // cases), a >Latin-1 codepoint, and a malformed ref that must
+        // stay byte-stable
+        lit("&#39; r&#8217;s &#x2019;t &#X27;u &#970;v &#xzz w</p>")))
     concat(
       lit("<html><head><title>Doc "), id.cast("string"),
       lit("</title><style>h1{x:y}</style></head><body>" +
@@ -532,10 +535,35 @@ object TextQueries {
 
   // DuckDB single-pass entity decode, &amp; last (mirror of
   // Html.decodeEntities).
-  private def duckDec(e: String): String =
-    s"""replace(replace(replace(replace(replace(replace($e,
-       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-       |  '&quot;', '"'), '&#39;', \'\'\'\'), '&amp;', '&')""".stripMargin
+  // Numeric-entity replay over a BOUND variable name (cheap to repeat):
+  // same grammar as HtmlEntityUtil — 1-7 decimal / 1-6 hex digits
+  // terminated by ';', U+FFFD for 0/surrogate/out-of-range, raw
+  // otherwise. Split on '&#', transform fragments, stitch back.
+  private def duckNum(s: String): String = {
+    val dec = s"CAST(regexp_extract(p, '^([0-9]{1,7});', 1) AS BIGINT)"
+    val hex = s"CAST('0x' || regexp_extract(p, '^[xX]([0-9a-fA-F]{1,6});', 1) AS BIGINT)"
+    def cp(v: String) =
+      s"""(CASE WHEN $v = 0 OR $v > 1114111 OR ($v BETWEEN 55296 AND 57343)
+         |      THEN chr(65533) ELSE chr(CAST($v AS INT)) END)""".stripMargin
+    s"""(CASE WHEN strpos($s, '&#') = 0 THEN $s ELSE
+       |  string_split($s, '&#')[1] || array_to_string(
+       |    list_transform(string_split($s, '&#')[2:], p ->
+       |      CASE WHEN regexp_matches(p, '^[0-9]{1,7};')
+       |             THEN ${cp(dec)} || regexp_replace(p, '^[0-9]{1,7};', '')
+       |           WHEN regexp_matches(p, '^[xX][0-9a-fA-F]{1,6};')
+       |             THEN ${cp(hex)} || regexp_replace(p, '^[xX][0-9a-fA-F]{1,6};', '')
+       |           ELSE '&#' || p END), '') END)""".stripMargin
+  }
+
+  // Entity replay mirroring Html.decodeEntities: named first, the
+  // numeric pass (binds the inner expression ONCE via a one-element
+  // list_transform), &amp; last.
+  private def duckDec(e: String): String = {
+    val named =
+      s"""replace(replace(replace(replace($e,
+         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')""".stripMargin
+    s"""replace(list_transform([$named], s -> ${duckNum("s")})[1], '&amp;', '&')"""
+  }
 
   // Shared RE2 replay of Html.extractText/anchorRatio over the q2O
   // page template: CTEs base/h/vis/txt/cln/anch; the final SELECT
@@ -556,7 +584,7 @@ object TextQueries {
          |         ELSE nav || '<h1>Doc ' || doc_id || '</h1><!-- c' ||
          |              doc_id || ' --><p>' || text ||
          |              '</p><p>Tail &lt;q&gt; &#39;v' || (doc_id % 7) ||
-         |              '&#39;</p>' END ||
+         |              '&#39; r&#8217;s &#x2019;t &#X27;u &#970;v &#xzz w</p>' END ||
          |    '</body></html>' AS html
          |  FROM base),
          |vis AS (

@@ -61,6 +61,22 @@ class HtmlSpec extends GraftSpec {
   test("entity decode is single-pass (lossless, non-recursive)") {
     val (_, text, _) = extract("<p>&amp;lt; stays</p>")
     assert(text == "&lt; stays")
+    // ...and &amp;-escaped NUMERIC refs decode exactly one level too
+    val (_, t2, _) = extract("<p>&amp;#8217; stays</p>")
+    assert(t2 == "&#8217; stays")
+  }
+
+  test("numeric character references: decimal, hex, replacement, malformed") {
+    val (_, text, _) = extract(
+      "<p>a&#8217;b &#x2019;c &#X27;d &#970;e</p>")
+    assert(text == "a’b ’c 'd ϊe")
+    // 0 / surrogate / out-of-range -> U+FFFD (HTML5 replacement rule)
+    val (_, bad, _) = extract("<p>&#0;x &#55296;y &#1114112;z</p>")
+    assert(bad == "�x �y �z")
+    // malformed refs stay byte-stable: no digits, unterminated, 8+
+    // digit runs, bare &#
+    val (_, raw, _) = extract("<p>&#xzz; &#12 &#12345678; 100&#</p>")
+    assert(raw == "&#xzz; &#12 &#12345678; 100&#")
   }
 
   test("degenerate markup degrades to whitespace, never wrong text") {
