@@ -43,7 +43,7 @@ object CurationQueries {
   // collapse each group's variants to ONE url; the oracle constructs
   // the expected canonical CLOSED-FORM from g (an independent
   // expectation, not a SQL re-implementation of the canonicalizer).
-  private val UrlGroups    = 40
+  private[graft] val UrlGroups = 40
   private val DomainCap    = 10
   private val UrlCapSalt   = "urlcap"
 
@@ -55,7 +55,7 @@ object CurationQueries {
 
   /** The messy URL as a Spark column (mirrored by [[duckMessyUrl]]).
     * Shared with streaming q7U. */
-  private[queries] def messyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+  private[graft] def messyUrl(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val g  = id % UrlGroups
     val sb = when(g % 2 === 0, lit("http")).otherwise(lit("https"))
     val hb = concat(lit("www.site"), (g % 7).cast("string"),

@@ -299,6 +299,47 @@ object StreamingQueries {
         .orderBy("curl")
     },
 
+    // BOUNDED-STATE streaming URL seen-filter — q7U's honest complement:
+    // exact dropDuplicates carries one state row per distinct canonical
+    // URL FOREVER, which a multi-year crawl cannot afford. Here the
+    // HISTORICAL frontier (the canonical URLs of the first half of the
+    // logical page groups) packs into a 16 KB Bloom bitmap ONCE
+    // (driver-bounded by the grid, never the URL count) and every
+    // arriving URL canonicalizes (q6P's exact operator) and probes the
+    // broadcast bitmap via the codegen'd BloomHitExpr — ZERO streaming
+    // state for the filter itself; the Complete-mode roll-up that makes
+    // the result deterministic holds ≤ 4 rows forever (asserted in
+    // StreamingSpec). One-sided error, measured IN the output: a truly
+    // seen URL always flags (no false negatives — the crawl never
+    // re-fetches known pages), and the (bloom_hit=true, truly_seen=
+    // false) row IS the false-positive count the 16 KB buys. The
+    // oracle replays the slice-hash arithmetic, false positives and
+    // all (the q7N idiom applied to crawl frontier dedup).
+    "q7V_stream_url_seen" -> { (s, d) =>
+      import graft.operators.{Sketch, Url}
+      val g = col("doc_id") % CurationQueries.UrlGroups
+      val seenCurls = Tables.documents(s, d)
+        .filter(g < 20)
+        .select(Url.canonicalizeUrl(
+          CurationQueries.messyUrl(col("doc_id"))).as("curl"))
+      val words = Sketch.packBloom(
+        Sketch.bloomBits(seenCurls, "curl", depth = 4, width = 16384),
+        depth = 4, width = 16384)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val flagged = docs
+        .select(
+          Sketch.bloomHitCol(
+            Url.canonicalizeUrl(CurationQueries.messyUrl(col("doc_id"))),
+            words, depth = 4, width = 16384).as("bloom_hit"),
+          (g < 20).as("truly_seen"))
+        .groupBy("bloom_hit", "truly_seen")
+        .agg(count(lit(1)).as("n"))
+      StreamRunner.runToBatch(flagged, OutputMode.Complete)
+        .orderBy("bloom_hit", "truly_seen")
+    },
+
     // Encoding-repair gate ON ARRIVAL: q6S's corrupt → detect → repair
     // projection is row-local and stateless, so the same mojibakeGate
     // runs unchanged as an Append-mode stream — the shape a 100 TB
@@ -782,6 +823,37 @@ object StreamingQueries {
          |SELECT DISTINCT ${CurationQueries.duckCanonClosedForm} AS curl
          |FROM mb
          |ORDER BY curl""".stripMargin,
+
+    // Seen-filter mirror: closed-form canonical URLs, the q7N slice-hash
+    // bloom replay (same md5 || ':bloom' digest, same 4-hex windows mod
+    // 16384), counts per (hit, truly_seen) — false positives replay too.
+    "q7V_stream_url_seen" ->
+      s"""WITH ${CurationQueries.duckUrlBase},
+         |cu AS (
+         |  SELECT doc_id, g, ${CurationQueries.duckCanonClosedForm} AS curl
+         |  FROM mb),
+         |seen AS (SELECT DISTINCT curl FROM cu WHERE g < 20),
+         |bloom AS (
+         |  SELECT DISTINCT j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT md5(curl || ':bloom') AS h, unnest(range(0, 4)) AS j
+         |        FROM seen)),
+         |dcu AS (SELECT DISTINCT curl FROM cu),
+         |probe AS (
+         |  SELECT curl, j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT curl, md5(curl || ':bloom') AS h,
+         |          unnest(range(0, 4)) AS j
+         |        FROM dcu)),
+         |hit AS (
+         |  SELECT probe.curl,
+         |    min(CASE WHEN bloom.b IS NOT NULL THEN 1 ELSE 0 END) = 1
+         |      AS bloom_hit
+         |  FROM probe LEFT JOIN bloom
+         |    ON probe.j = bloom.j AND probe.b = bloom.b
+         |  GROUP BY 1)
+         |SELECT bloom_hit, (g < 20) AS truly_seen, count(*) AS n
+         |FROM cu JOIN hit USING (curl)
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
 
     "q70_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS win_start,

@@ -607,4 +607,48 @@ class StreamingSpec extends GraftSpec {
     assert(lastState.exists(_.numRowsTotal == 1L),
       s"expected 1 live state row, got ${lastState.map(_.numRowsTotal)}")
   }
+
+  test("q7V Bloom seen-filter: streaming state is the flag cells, not the URLs") {
+    import graft.operators.{Sketch, Url}
+    import graft.queries.CurationQueries
+    // the q7V pipeline with an explicit sink so recentProgress is
+    // observable: state must be bounded by the ≤4 (hit, seen) cells —
+    // NEVER one row per URL like q7U's exact dropDuplicates
+    val g = col("doc_id") % CurationQueries.UrlGroups
+    val seen = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(g < 20)
+      .select(Url.canonicalizeUrl(
+        CurationQueries.messyUrl(col("doc_id"))).as("curl"))
+    val words = Sketch.packBloom(
+      Sketch.bloomBits(seen, "curl", depth = 4, width = 16384),
+      depth = 4, width = 16384)
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val docs = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val flagged = docs
+      .select(
+        Sketch.bloomHitCol(
+          Url.canonicalizeUrl(CurationQueries.messyUrl(col("doc_id"))),
+          words, depth = 4, width = 16384).as("bloom_hit"),
+        (g < 20).as("truly_seen"))
+      .groupBy("bloom_hit", "truly_seen")
+      .agg(count(lit(1)).as("n"))
+    val ckpt = graft.util.TempDirs.scratch("graft-urlseen-ckpt-")
+    val query = flagged.writeStream.format("memory")
+      .queryName("url_seen_sink").outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val out = spark.table("url_seen_sink")
+      .select("bloom_hit", "truly_seen").collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)))
+    // every truly-seen URL must flag (Bloom has no false negatives)
+    assert(!out.contains((false, true)),
+      "a truly seen URL escaped the Bloom filter (false negative)")
+    assert(out.contains((true, true)) && out.contains((false, false)))
+    val lastState = query.recentProgress.reverse
+      .flatMap(_.stateOperators.headOption).headOption
+    assert(lastState.exists(_.numRowsTotal <= 4L),
+      s"expected <=4 state rows (the flag cells), got ${lastState.map(_.numRowsTotal)}")
+  }
 }
