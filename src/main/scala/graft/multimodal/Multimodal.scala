@@ -563,12 +563,16 @@ object Multimodal {
     * Append-mode stream-static join a 100 TB ingest can run in-flight.
     * `broadcastCorpus` picks the join shape: true (default — right for
     * the reference-set screening this query family does) force-ships
-    * the corpus band table to every task; FALSE leaves the hint off so
-    * the planner sort-merge/shuffle-hash joins on (band, key) — the
-    * only shape that works when the corpus bands exceed executor
-    * memory, i.e. the actual 100 TB corpus case (pre-bucket the stored
-    * band table by (band, key) and the stream side alone shuffles).
-    * Works identically on batch frames.
+    * the corpus band table to every task; FALSE pins a sort-merge
+    * join on (band, key) via the MERGE hint — the only shape that
+    * works when the corpus bands exceed executor memory, i.e. the
+    * actual 100 TB corpus case (pre-bucket the stored band table by
+    * (band, key) and the incoming side alone shuffles). The hint is
+    * pinned rather than left to the planner so the scale shape is the
+    * shape that actually runs (and plan-asserts) at ANY fixture size —
+    * size-based planning would silently broadcast a small test corpus.
+    * Works identically on batch frames (q5R is the batch twin with
+    * the plan assert).
     */
   def imageNearDupFlags(corpus: DataFrame, incoming: DataFrame,
                         idCol: String, maxDist: Int,
@@ -600,7 +604,9 @@ object Multimodal {
         when(key(col("hi_i"), col("lo_i"), b) === key(col("hi_c"), col("lo_c"), b),
           lit(b))): _*)
     incBands
-      .join(if (broadcastCorpus) broadcast(corpusBands) else corpusBands,
+      .join(
+        if (broadcastCorpus) broadcast(corpusBands)
+        else corpusBands.hint("merge"),
         col("band_i") === col("band") && col("key_i") === col("key"))
       .filter(col("band_i") === firstAgree)
       .select(col("inc_id"), col("corpus_id"),

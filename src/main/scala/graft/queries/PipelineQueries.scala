@@ -610,6 +610,37 @@ object PipelineQueries {
         .orderBy("inc_id", "corpus_id")
     },
 
+    // q5L's near-dup screen on the BUCKETED join path (hash-equal twin):
+    // same corpus, same incoming batch, but the corpus band table is
+    // NOT broadcast — imageNearDupFlags(broadcastCorpus = false) pins a
+    // sort-merge join on (band, key), the only shape that survives a
+    // corpus whose band table exceeds executor memory (the advisor's
+    // round-10 OOM finding — at 100 TB of images the 4-row-per-image
+    // band table is itself TBs; pre-bucket it by (band, key) and only
+    // the incoming side shuffles). MultimodalSpec asserts the plan:
+    // SortMergeJoin present, zero BroadcastExchange. Output rows equal
+    // q5L (flags emit each pair once from its smallest agreeing band;
+    // dist is band-independent), so the oracle is q5L's verbatim.
+    "q5R_image_near_dup_bucketed" -> { (s, d) =>
+      import graft.multimodal.Multimodal
+      val corpusIds = Tables.documents(s, d)
+        .filter(col("doc_id") < 200).select("doc_id")
+        .repartition(s.sparkContext.defaultParallelism)
+      val incomingIds = Tables.documents(s, d)
+        .filter(col("doc_id") >= 200 && col("doc_id") < 240)
+        .select(col("doc_id"), (col("doc_id") % 200).as("content_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val corpus = Multimodal.aHash(
+          Multimodal.syntheticSpikedPngs(corpusIds, "doc_id"))
+        .filter(col("ahash_ok"))
+      val incoming = Multimodal.aHash(
+          Multimodal.syntheticSpikedPngs(incomingIds, "content_id"))
+        .filter(col("ahash_ok"))
+      Multimodal.imageNearDupFlags(corpus, incoming, "doc_id",
+          maxDist = 3, broadcastCorpus = false)
+        .orderBy("inc_id", "corpus_id")
+    },
+
     // AUDIO loudness-envelope dedup, oracle-gated through the REAL
     // RIFF/PCM16 walk: 8-window square-wave clips whose per-window
     // amplitude is closed-form in the id's family (syntheticToneWavs),
@@ -2060,6 +2091,39 @@ object PipelineQueries {
     // — and the plain quadratic cross-set hamming (banding and the
     // broadcast direction are plan choices).
     "q5L_incremental_image_dedup" ->
+      """WITH mask AS (
+        |  SELECT cid, i.i AS i,
+        |    CASE WHEN
+        |      (strpos('13579bdf',
+        |        substr(md5((cid // 4) || ':' || i.i), 1, 1)) > 0)
+        |      <> (CASE cid % 4
+        |            WHEN 1 THEN i.i = (cid // 4) % 64
+        |            WHEN 2 THEN i.i = (cid // 4) % 64
+        |                     OR i.i = ((cid // 4) + 32) % 64
+        |            WHEN 3 THEN i.i % 8 = (cid // 4) % 8
+        |            ELSE false END)
+        |      THEN 1 ELSE 0 END AS bit
+        |  FROM (SELECT DISTINCT doc_id % 200 AS cid FROM documents
+        |        WHERE doc_id < 240) c,
+        |       LATERAL (SELECT unnest(range(0, 64)) AS i) i),
+        |corp AS (SELECT doc_id, doc_id AS cid FROM documents
+        |         WHERE doc_id < 200),
+        |inc AS (SELECT doc_id, doc_id % 200 AS cid FROM documents
+        |        WHERE doc_id >= 200 AND doc_id < 240),
+        |dist AS (
+        |  SELECT i.doc_id AS inc_id, c.doc_id AS corpus_id,
+        |    CAST(sum(CASE WHEN mi.bit <> mc.bit THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dist
+        |  FROM inc i JOIN mask mi ON mi.cid = i.cid
+        |       JOIN corp c ON true
+        |       JOIN mask mc ON mc.cid = c.cid AND mc.i = mi.i
+        |  GROUP BY 1, 2)
+        |SELECT inc_id, corpus_id, dist FROM dist
+        |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
+
+    // identical output contract to q5L — same pairs, same distances
+    // (the twin changes the JOIN SHAPE, not the math)
+    "q5R_image_near_dup_bucketed" ->
       """WITH mask AS (
         |  SELECT cid, i.i AS i,
         |    CASE WHEN

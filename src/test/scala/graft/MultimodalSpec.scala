@@ -470,4 +470,36 @@ class MultimodalSpec extends GraftSpec {
     val frames = out.select("frame").collect()
     assert(frames.forall(_.getAs[Array[Byte]]("frame").nonEmpty))
   }
+
+  test("imageNearDupFlags join shapes: broadcast vs bucketed sort-merge") {
+    import spark.implicits._
+    // tiny two-sided fixture — the assert is about the PLAN, the row
+    // parity between the two shapes is the point of the q5R/q5L twins
+    def hashed(ids: Seq[Long]) = Multimodal.aHash(
+      Multimodal.syntheticSpikedPngs(ids.toDF("doc_id"), "doc_id"))
+      .filter(col("ahash_ok"))
+    val corpus   = hashed(0L until 20L)
+    val incoming = hashed(Seq(3L, 7L, 40L))
+    val bcast = Multimodal.imageNearDupFlags(corpus, incoming, "doc_id",
+      maxDist = 3, broadcastCorpus = true)
+    val merge = Multimodal.imageNearDupFlags(corpus, incoming, "doc_id",
+      maxDist = 3, broadcastCorpus = false)
+    // scale path: the corpus side must NOT materialize on every task —
+    // sort-merge on (band, key), zero BroadcastExchange anywhere
+    val mergePlan = merge.queryExecution.executedPlan.toString
+    assert(mergePlan.contains("SortMergeJoin"),
+      s"bucketed path lost its sort-merge join:\n$mergePlan")
+    assert(!mergePlan.contains("BroadcastExchange"),
+      s"bucketed path still broadcasts:\n$mergePlan")
+    // reference path really broadcasts
+    val bcastPlan = bcast.queryExecution.executedPlan.toString
+    assert(bcastPlan.contains("BroadcastExchange"),
+      s"broadcast path lost its hint:\n$bcastPlan")
+    // and the two shapes emit the SAME pairs
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (rb, rm) = (rows(bcast), rows(merge))
+    assert(rb == rm, s"shape changed the answer: $rb vs $rm")
+    assert(rb.nonEmpty, "fixture produced no near-dup pairs (vacuous test)")
+  }
 }
