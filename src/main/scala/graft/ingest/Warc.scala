@@ -1,7 +1,6 @@
 package graft.ingest
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** WARC (ISO 28500 Web ARChive) source — the format web crawls
@@ -18,14 +17,15 @@ import org.apache.spark.sql.types._
   * are skipped by the ingest view, exactly like a production
   * extraction job.
   *
-  * Scale shape: the q57 PDF idiom — `binaryFile` scan → per-file
-  * imperative parse in a typed flatMap (object path, NOT a ScalaUDF;
-  * per-file container walking is inherently imperative and
-  * parallelizes across files) → codegen'd projection. One narrow map,
-  * zero shuffles; payload bytes never shuffle. WARC files are
-  * non-splittable without an index (like .gz — q5D), so parallelism =
-  * file count, which is how crawls are shipped (thousands of ~1 GB
-  * segments).
+  * Scale shape: `binaryFiles` hands out LAZY per-file handles, the
+  * byte walk is a record-at-a-time stream parse (per-task memory =
+  * one record, never the segment — see [[parseWarcStream]]), and the
+  * per-file imperative core lives in an object-path flatMap, NOT a
+  * ScalaUDF (container walking is inherently imperative and
+  * parallelizes across files). One narrow map, zero shuffles; payload
+  * bytes never shuffle. WARC files are non-splittable without an
+  * index (like .gz — q5D), so parallelism = file count, which is how
+  * crawls are shipped (thousands of ~1 GB segments).
   */
 object Warc {
 
@@ -35,60 +35,101 @@ object Warc {
 
   private val Crlf = "\r\n".getBytes("US-ASCII")
 
-  /** Strict parse of one WARC file. Throws on structural violations
-    * (bad magic, missing Content-Length, truncated payload, missing
-    * record separator) — a torn crawl segment should fail loudly, not
-    * yield silently short corpora.
+  /** Strict RECORD-AT-A-TIME parse from an InputStream — the byte walk
+    * is inherently sequential, so per-task memory is one record's
+    * payload, never the segment: the shape that holds when segments
+    * are the real ~1 GB .warc.gz (whole-segment materialization plus
+    * up-to-4× gunzip expansion would cost ~5 GB per task; a >2 GB
+    * decompressed member would not even fit a byte array). Throws on
+    * structural violations (bad magic, missing Content-Length,
+    * truncated payload, missing record separator) — a torn crawl
+    * segment should fail loudly, not yield silently short corpora.
+    * The iterator is strict per record: each `next()` fully consumes
+    * that record's bytes before returning.
     */
-  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
-    var off = 0
-    def indexOfCrlfCrlf(from: Int): Int = {
-      var i = from
-      while (i + 3 < bytes.length) {
-        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-          bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
-        i += 1
+  def parseWarcStream(in: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var off     = 0L // consumed bytes, for diagnostics
+      private var nextRec = fetch()
+
+      // header block up to (excluding) CRLFCRLF; None at clean EOF
+      private def readHeaderBlock(): Option[String] = {
+        val out     = new java.io.ByteArrayOutputStream(512)
+        var matched = 0
+        var sawAny  = false
+        var eof     = false
+        while (matched < 4 && !eof) {
+          val b = in.read()
+          if (b < 0) eof = true
+          else {
+            sawAny = true; off += 1
+            out.write(b)
+            matched =
+              if (b == '\r' && (matched % 2) == 0) matched + 1
+              else if (b == '\n' && (matched % 2) == 1) matched + 1
+              else if (b == '\r') 1
+              else 0
+          }
+        }
+        if (!sawAny) None
+        else {
+          require(matched == 4,
+            s"WARC: no header terminator after offset ${off - out.size()}")
+          val all = out.toByteArray
+          Some(new String(all, 0, all.length - 4, "US-ASCII"))
+        }
       }
-      -1
+
+      private def fetch(): WarcRecord = readHeaderBlock() match {
+        case None => null
+        case Some(head) =>
+          val headStart = off - head.length - 4
+          val lines     = head.split("\r\n")
+          require(lines.nonEmpty && lines.head.startsWith("WARC/"),
+            s"WARC: bad version line at offset $headStart: " +
+              lines.headOption.getOrElse(""))
+          val headers = lines.tail.flatMap { l =>
+            val i = l.indexOf(':')
+            // Locale.ROOT: under a Turkish default locale, bare
+            // toLowerCase maps 'I' to dotless 'ı' and every WARC-*-URI
+            // lookup silently misses — a data-corruption class, not a
+            // parse error
+            if (i < 0) None
+            else Some(l.take(i).trim.toLowerCase(java.util.Locale.ROOT) ->
+              l.drop(i + 1).trim)
+          }.toMap
+          val len = headers.getOrElse("content-length",
+            sys.error(s"WARC: record at $headStart has no Content-Length")).toInt
+          val payload = in.readNBytes(len)
+          require(payload.length == len,
+            s"WARC: truncated payload at $off (+$len)")
+          off += payload.length
+          val sep = in.readNBytes(4)
+          require(sep.length == 4 && sep(0) == '\r' && sep(1) == '\n' &&
+              sep(2) == '\r' && sep(3) == '\n',
+            s"WARC: missing record separator at $off")
+          off += 4
+          WarcRecord(
+            headers.getOrElse("warc-type", ""),
+            headers.getOrElse("warc-target-uri", ""),
+            headers.getOrElse("warc-date", ""), payload)
+      }
+
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec
+        if (r == null) throw new NoSuchElementException("empty WARC iterator")
+        nextRec = fetch()
+        r
+      }
     }
-    while (off < bytes.length) {
-      val headerEnd = indexOfCrlfCrlf(off)
-      require(headerEnd >= 0, s"WARC: no header terminator after offset $off")
-      val head = new String(bytes, off, headerEnd - off, "US-ASCII")
-      val lines = head.split("\r\n")
-      require(lines.nonEmpty && lines.head.startsWith("WARC/"),
-        s"WARC: bad version line at offset $off: ${lines.headOption.getOrElse("")}")
-      val headers = lines.tail.flatMap { l =>
-        val i = l.indexOf(':')
-        // Locale.ROOT: under a Turkish default locale, bare toLowerCase
-        // maps 'I' to dotless 'ı' and every WARC-*-URI lookup silently
-        // misses — a data-corruption class, not a parse error
-        if (i < 0) None
-        else Some(l.take(i).trim.toLowerCase(java.util.Locale.ROOT) ->
-          l.drop(i + 1).trim)
-      }.toMap
-      val len = headers.getOrElse("content-length",
-        sys.error(s"WARC: record at $off has no Content-Length")).toInt
-      val payloadStart = headerEnd + 4
-      require(payloadStart + len <= bytes.length,
-        s"WARC: truncated payload at $payloadStart (+$len)")
-      val payload = java.util.Arrays.copyOfRange(
-        bytes, payloadStart, payloadStart + len)
-      out += WarcRecord(
-        headers.getOrElse("warc-type", ""),
-        headers.getOrElse("warc-target-uri", ""),
-        headers.getOrElse("warc-date", ""), payload)
-      var next = payloadStart + len
-      require(next + 4 <= bytes.length &&
-          bytes(next) == '\r' && bytes(next + 1) == '\n' &&
-          bytes(next + 2) == '\r' && bytes(next + 3) == '\n',
-        s"WARC: missing record separator at $next")
-      next += 4
-      off = next
-    }
-    out.toSeq
-  }
+
+  /** Strict parse of one in-memory WARC file — the [[parseWarcStream]]
+    * walk over a byte array (ONE implementation; fixture writers and
+    * tests use this form).
+    */
+  def parseWarc(bytes: Array[Byte]): Seq[WarcRecord] =
+    parseWarcStream(new java.io.ByteArrayInputStream(bytes)).toSeq
 
   /** Body of an HTTP response payload: bytes after the envelope's
     * first CRLFCRLF ("" when no envelope terminator exists).
@@ -104,10 +145,26 @@ object Warc {
     Array.emptyByteArray
   }
 
-  /** Whole-file gunzip when the gzip magic leads — crawls ship
-    * member-per-file `.warc.gz` segments; like `.gz` text (q5D) the
-    * codec is non-splittable, which the one-segment-per-task layout
-    * already implies.
+  /** Stream-level gunzip sniff: peek the two magic bytes via
+    * mark/reset and wrap in a GZIPInputStream when they lead — the
+    * decompressed bytes FLOW through [[parseWarcStream]] one record at
+    * a time instead of inflating whole members in-heap (a >2 GB
+    * decompressed member cannot even be a byte array). Like `.gz`
+    * text (q5D) the codec is non-splittable, which the
+    * one-segment-per-task layout already implies.
+    */
+  def maybeGunzipStream(in: java.io.BufferedInputStream): java.io.InputStream = {
+    in.mark(2)
+    val b0 = in.read(); val b1 = in.read()
+    in.reset()
+    if (b0 == 0x1f && b1 == 0x8b)
+      new java.util.zip.GZIPInputStream(in, 65536)
+    else in
+  }
+
+  /** Whole-MEMBER gunzip for in-memory fixtures/tests; the ingest path
+    * is [[maybeGunzipStream]] (this form caps at what a byte array can
+    * hold and is only safe for small files).
     */
   def maybeGunzip(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
@@ -128,6 +185,14 @@ object Warc {
   /** One row per `response` record across a directory of .warc /
     * .warc.gz files: `(source, target_uri, warc_date, text)` with the
     * HTTP envelope stripped and the body decoded as UTF-8.
+    *
+    * Scale shape: `binaryFiles` hands each task a LAZY handle
+    * (`PortableDataStream`), the gunzip sniff wraps the raw stream,
+    * and [[parseWarcStream]] walks it record-at-a-time — per-task
+    * memory is one record, never the segment, whatever the segment
+    * size (the round-10 path materialized the whole file plus its
+    * gunzip expansion in-heap). Parallelism = segment count, exactly
+    * how crawls ship; payload bytes never shuffle.
     */
   def warcDirectory(spark: SparkSession, dir: String): DataFrame = {
     val schema = StructType(Seq(
@@ -135,16 +200,28 @@ object Warc {
       StructField("target_uri", StringType),
       StructField("warc_date", StringType),
       StructField("text", StringType)))
-    spark.read.format("binaryFile")
-      .load(dir + "/*.warc*")
-      .select(col("path"), col("content"))
-      .flatMap { row =>
-        val path = row.getString(0)
-        parseWarc(maybeGunzip(row.getAs[Array[Byte]](1)))
+    val rows = spark.sparkContext.binaryFiles(dir + "/*.warc*")
+      .flatMap { case (path, pds) =>
+        val in = maybeGunzipStream(
+          new java.io.BufferedInputStream(pds.open(), 65536))
+        // close at exhaustion (the normal path) AND at task end (the
+        // failure path) — a failed task must not leak the FS handle
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        val recs = parseWarcStream(in)
           .filter(_.warcType == "response")
           .map(r => Row(path, r.targetUri, r.date,
             new String(httpBody(r.payload), "UTF-8")))
-      }(Encoders.row(schema))
+        new Iterator[Row] {
+          override def hasNext: Boolean = {
+            val h = recs.hasNext
+            if (!h) in.close()
+            h
+          }
+          override def next(): Row = recs.next()
+        }
+      }
+    spark.createDataFrame(rows, schema)
   }
 
   /** Render one response record (for fixture writers / tests). */

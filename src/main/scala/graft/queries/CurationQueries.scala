@@ -139,7 +139,10 @@ object CurationQueries {
   // One definition of the corruption + detect + repair projection,
   // shared by the batch query and its streaming twin (stateless and
   // row-local, so it runs unchanged on a stream). See q6S's comment
-  // for the marker classes.
+  // for the marker classes. PRECONDITION: the closed-form oracle is
+  // valid only over ASCII, signature-free corpus text (the detector
+  // sees concat(text, marker) whole) — EncodingSpec asserts it against
+  // the fixture so a corpus change fails loudly.
   private[queries] def mojibakeGate(docs: DataFrame): DataFrame = {
     import graft.operators.Encoding
     val id = col("doc_id")

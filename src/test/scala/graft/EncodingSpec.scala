@@ -37,6 +37,23 @@ class EncodingSpec extends GraftSpec {
       "invalid recovered UTF-8 must not repair")
   }
 
+  test("q6S/q7T fixture precondition: corpus text is ASCII and signature-free") {
+    // the closed-form oracle (CurationQueries.duckMojibakeOracle)
+    // derives mojibake/repairable/repaired_md5 from doc_id % 4 ALONE —
+    // which is only valid while every corpus text is ASCII with no
+    // pre-existing mojibake signature (a non-Latin-1 char, a stray
+    // Ã/â€, or a U+FFFD in the corpus would flip the real detector
+    // relative to the closed forms). Assert the precondition here so a
+    // future fixture change fails LOUDLY, not as an oracle mismatch.
+    val bad = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(!col("text").rlike("^[\\x00-\\x7F]*$") ||
+        col("text").contains("Ã") || col("text").contains("â€") ||
+        col("text").contains("�"))
+      .count()
+    assert(bad == 0,
+      s"$bad corpus docs violate the q6S ASCII/signature-free fixture contract")
+  }
+
   test("repair is idempotent and clean unicode is never touched") {
     val clean = "café über naïve" // real accents, no mojibake
     val got = run(clean)

@@ -50,6 +50,40 @@ class WarcSpec extends GraftSpec {
       new String(Warc.httpBody(recs.head.payload), "UTF-8") == "zzz")
   }
 
+  test("stream parse: record-at-a-time walk matches the whole-file walk") {
+    val file = Warc.renderWarcinfo(date) ++
+      Warc.renderResponse("http://x/doc/1", date, "hello world".getBytes("UTF-8")) ++
+      Warc.renderResponse("http://x/doc/2", date, ("y" * 100000).getBytes("UTF-8")) ++
+      Warc.renderResponse("http://x/doc/3", date, "".getBytes("UTF-8"))
+    val whole    = Warc.parseWarc(file)
+    val streamed = Warc.parseWarcStream(
+      new java.io.ByteArrayInputStream(file)).toSeq
+    assert(streamed.map(r => (r.warcType, r.targetUri, r.date)) ==
+      whole.map(r => (r.warcType, r.targetUri, r.date)))
+    assert(streamed.zip(whole).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload, b.payload) })
+    assert(streamed.size == 4)
+  }
+
+  test("stream parse through a gzip member: identical records, no whole-member inflate") {
+    val raw = Warc.renderWarcinfo(date) ++
+      Warc.renderResponse("http://x/doc/5", date, "five".getBytes("UTF-8")) ++
+      Warc.renderResponse("http://x/doc/6", date, "six".getBytes("UTF-8"))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz  = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    val in = Warc.maybeGunzipStream(new java.io.BufferedInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    val streamed = Warc.parseWarcStream(in).toSeq
+    val whole    = Warc.parseWarc(raw)
+    assert(streamed.map(r => (r.warcType, r.targetUri)) ==
+      whole.map(r => (r.warcType, r.targetUri)))
+    // plain bytes pass through the sniff un-wrapped
+    val plain = Warc.maybeGunzipStream(new java.io.BufferedInputStream(
+      new java.io.ByteArrayInputStream(raw)))
+    assert(Warc.parseWarcStream(plain).size == 3)
+  }
+
   test("warcDirectory reads a real directory distributed") {
     val dir = graft.util.TempDirs.scratch("warc-spec-")
     val f = Warc.renderWarcinfo(date) ++
