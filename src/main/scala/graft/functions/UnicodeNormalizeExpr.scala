@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{BooleanType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels behind the Unicode-normalization expressions: the
+  * standard library's Normalizer (UAX #15) applied per row. Pinned
+  * forms only — NFC (canonical composition: `e`+U+0301 → `é`, the
+  * form every pretraining corpus should store text in) and NFKC
+  * (compatibility folding on top: ligature `ﬁ` → `fi`, fullwidth →
+  * ASCII — the aggressive form tokenizer-bound pipelines use).
+  * A fast-path skips the normalizer for pure-ASCII rows (the common
+  * case by far in web corpora) — ASCII is closed under both forms.
+  */
+object UnicodeNormalizeUtil {
+
+  private def asciiOnly(b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    true
+  }
+
+  def normalize(s: UTF8String, nfkc: Boolean): UTF8String = {
+    if (asciiOnly(s.getBytes)) return s
+    val form =
+      if (nfkc) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC
+    UTF8String.fromString(java.text.Normalizer.normalize(s.toString, form))
+  }
+
+  def isNormalized(s: UTF8String, nfkc: Boolean): Boolean = {
+    if (asciiOnly(s.getBytes)) return true
+    val form =
+      if (nfkc) java.text.Normalizer.Form.NFKC
+      else java.text.Normalizer.Form.NFC
+    java.text.Normalizer.isNormalized(s.toString, form)
+  }
+}
+
+/** `unicode_normalize(text)` → NFC (or NFKC) form, whole-stage-
+  * codegen'd; see [[UnicodeNormalizeUtil]].
+  */
+case class UnicodeNormalizeExpr(child: Expression, nfkc: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType      = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (nfkc) "nfkc_normalize" else "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeNormalizeUtil.normalize(s.asInstanceOf[UTF8String], nfkc)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnicodeNormalizeUtil.normalize($c, $nfkc)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `is_unicode_normalized(text)`: true iff the row is already in the
+  * requested form — the cheap detector (Normalizer.isNormalized's
+  * quick-check path) a gate runs BEFORE deciding to rewrite bytes.
+  */
+case class UnicodeIsNormalizedExpr(child: Expression, nfkc: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType      = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String =
+    if (nfkc) "is_nfkc_normalized" else "is_nfc_normalized"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    UnicodeNormalizeUtil.isNormalized(s.asInstanceOf[UTF8String], nfkc)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UnicodeNormalizeUtil.isNormalized($c, $nfkc)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

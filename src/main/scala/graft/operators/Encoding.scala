@@ -61,4 +61,34 @@ object Encoding {
     */
   def repairMojibake(text: Column): Column =
     when(repairable(text), redecoded(text)).otherwise(text)
+
+  // ---- Unicode normalization (UAX #15) ---------------------------------
+  // The OTHER text-identity hygiene pass (mC4/CCNet lineage): the same
+  // visible text arrives composed (é) and decomposed (e + U+0301), and
+  // every byte-keyed stage downstream — exact dedup, URL keys, shard
+  // routing, token counts — silently treats them as different
+  // documents. Codegen'd expressions with an ASCII fast path (see
+  // graft.functions.UnicodeNormalizeUtil); row-local, zero shuffle.
+
+  /** Canonical composition (NFC) — the form a corpus should STORE. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UnicodeNormalizeExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), nfkc = false))
+
+  /** Compatibility composition (NFKC: ligatures/fullwidth/circled forms
+    * fold to plain text) — the aggressive tokenizer-bound form.
+    */
+  def nfkc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UnicodeNormalizeExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), nfkc = true))
+
+  /** Cheap already-NFC detector (quick-check path) for gate-then-
+    * rewrite pipelines.
+    */
+  def isNfc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UnicodeIsNormalizedExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), nfkc = false))
 }

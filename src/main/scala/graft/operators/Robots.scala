@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** robots.txt (RFC 9309) evaluation — the crawl-politeness gate that
+  * sits between URL discovery and fetch in every web pipeline: a
+  * page whose robots rules deny the crawler's user-agent must not
+  * enter the corpus, and at audit time the gate re-derives which
+  * stored documents a polite crawl would have kept.
+  *
+  * Everything is native Spark expressions (regexp scalars + HOF
+  * folds — the same interpreted-HOF trade as [[Url]]'s dot-segment
+  * stack): per (host, URL) the whole parse + match is ONE row-local
+  * computation, the per-host robots bodies ship as a small broadcast
+  * join (one robots.txt per host — KBs each, exactly what a fetcher
+  * caches), and the corpus never shuffles for the gate.
+  *
+  * Supported subset of RFC 9309 (documented, deliberate):
+  *  - `User-agent:` groups — CONSECUTIVE user-agent lines share one
+  *    group; a group's rules run to the next user-agent line; the
+  *    most specific match wins (exact agent token, case-insensitive,
+  *    beats `*`; all groups at the winning specificity merge);
+  *  - `Allow:` / `Disallow:` path rules — LONGEST-prefix match
+  *    decides, an Allow beats a Disallow of equal length (the
+  *    published Google/RFC 9309 precedence); no matching rule ⇒
+  *    allowed; an empty rule path is a no-op (the classic
+  *    `Disallow:` = allow-all);
+  *  - `#` comments and unknown fields (Crawl-delay, Sitemap) are
+  *    ignored but still terminate a user-agent run, per the RFC's
+  *    group grammar;
+  *  - OUT OF SCOPE: `*`/`$` wildcards inside rule paths (regex-class
+  *    matching; expand to a rlike-based matcher if a deployment
+  *    needs them) and percent-encoding equivalence between rule and
+  *    path (canonicalize BOTH through [[Url.canonicalizeUrl]] first,
+  *    which this engine's pipeline does anyway).
+  */
+object Robots {
+
+  private val RuleArrayType = "array<struct<allow:boolean,prefix:string>>"
+
+  /** The Allow/Disallow rules that apply to `agent`, as
+    * `array<struct<allow, prefix>>` in file order: one fold over the
+    * lines tracking (group-active, inside-a-user-agent-run), keeping
+    * a rule iff its group matched the winning specificity — exact
+    * `agent` token when the file names it anywhere, else `*`.
+    */
+  def robotsRules(txt: Column, agent: String): Column = {
+    val agentLit = agent.toLowerCase(java.util.Locale.ROOT)
+    // comment-stripped, trimmed lines; field names match
+    // case-insensitively but rule PATHS keep their case
+    val lines = transform(split(txt, "\n"),
+      l => trim(regexp_replace(l, "#.*$", "")))
+    val target = when(
+      exists(lines, l =>
+        lower(trim(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))) === agentLit),
+      lit(agentLit)).otherwise(lit("*"))
+    val folded = aggregate(
+      lines,
+      named_struct(
+        lit("active"), lit(false),
+        lit("uarun"), lit(false),
+        lit("rules"), array().cast(RuleArrayType)),
+      (acc, l) => {
+        val isUa    = l.rlike("(?i)^user-agent:")
+        val uaName  = lower(trim(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)))
+        val isAllow = l.rlike("(?i)^allow:")
+        val isDis   = l.rlike("(?i)^disallow:")
+        val prefix  = trim(regexp_extract(l, "(?i)^(?:allow|disallow):(.*)$", 1))
+        val active = when(isUa && !acc.getField("uarun"), uaName === target)
+          .when(isUa, acc.getField("active") || (uaName === target))
+          .otherwise(acc.getField("active"))
+        val rules = when(
+          (isAllow || isDis) && acc.getField("active") && prefix =!= "",
+          concat(acc.getField("rules"),
+            array(named_struct(lit("allow"), isAllow, lit("prefix"), prefix))))
+          .otherwise(acc.getField("rules"))
+        named_struct(
+          lit("active"), active,
+          lit("uarun"), isUa,
+          lit("rules"), rules)
+      })
+    folded.getField("rules")
+  }
+
+  /** RFC 9309 decision for `path` under `rules` (from
+    * [[robotsRules]]): longest matching prefix wins, Allow beats
+    * Disallow at equal length, no match ⇒ allowed. One row-local
+    * fold over the matching rules.
+    */
+  def robotsAllowed(rules: Column, path: Column): Column = {
+    val matching = filter(coalesce(rules, array().cast(RuleArrayType)),
+      r => path.startsWith(r.getField("prefix")))
+    val best = aggregate(
+      matching,
+      named_struct(lit("len"), lit(-1), lit("allow"), lit(true)),
+      (acc, r) => {
+        val l = length(r.getField("prefix"))
+        when(l > acc.getField("len") ||
+            (l === acc.getField("len") && r.getField("allow")),
+          named_struct(lit("len"), l, lit("allow"), r.getField("allow")))
+          .otherwise(acc)
+      })
+    best.getField("allow")
+  }
+
+  /** Convenience composition: allowed(txt, agent, path). */
+  def allowed(txt: Column, agent: String, path: Column): Column =
+    robotsAllowed(robotsRules(txt, agent), path)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** sitemaps.org sitemap.xml ingest — the OTHER crawl-discovery input
+  * beside robots.txt (which points at it): sites publish the URLs
+  * they WANT crawled, with optional freshness metadata, and a crawl
+  * frontier seeds from the union of sitemap entries across hosts.
+  *
+  * Scope (the sitemaps.org core): `<urlset>` documents with `<url>`
+  * entries carrying `<loc>` (required) and `<lastmod>` (optional);
+  * XML entity escaping of `<loc>` values is decoded (the five
+  * predefined entities — sitemap URLs MUST escape `&`).
+  * `<sitemapindex>` recursion and .gz sitemaps are documented out of
+  * scope here (compose with the q5D gzip reader and a second pass —
+  * both already exist in the engine).
+  *
+  * Everything after the wholetext scan is a row-local regex chain +
+  * one explode: entries never shuffle as XML, parallelism = sitemap
+  * file count (how sites ship them: one file per ≤50k URLs).
+  */
+object Sitemap {
+
+  /** One row per `<url>` entry across a directory of sitemap XML
+    * files: `(source, loc, lastmod)`, entities decoded, lastmod ""
+    * when absent.
+    */
+  def sitemapDirectory(spark: org.apache.spark.sql.SparkSession,
+                       dir: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true")
+      .text(dir + "/*.xml")
+      .select(input_file_name().as("source"), col("value").as("xml"))
+    entries(raw, "xml")
+  }
+
+  /** Explode a frame's XML column into `<url>` entries (see
+    * [[sitemapDirectory]]); keeps every other column.
+    */
+  def entries(df: DataFrame, xmlCol: String): DataFrame = {
+    val entry = explode(regexp_extract_all(col(xmlCol),
+      lit("(?s)<url>(.*?)</url>"), lit(1)))
+    df.withColumn("_entry", entry)
+      .withColumn("loc",
+        unescapeXml(regexp_extract(col("_entry"),
+          "(?s)<loc>(.*?)</loc>", 1)))
+      .withColumn("lastmod",
+        regexp_extract(col("_entry"), "(?s)<lastmod>(.*?)</lastmod>", 1))
+      .drop("_entry", xmlCol)
+  }
+
+  /** The five predefined XML entities, `&amp;` last (the
+    * [[Html]] single-pass rule — escaped escapes decode one level).
+    */
+  def unescapeXml(s: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(s) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+      }
+
+  /** Escape a URL for embedding in `<loc>` (writer side). */
+  def escapeXml(s: Column): Column =
+    Seq("&" -> "&amp;", "<" -> "&lt;", ">" -> "&gt;",
+      "\"" -> "&quot;", "'" -> "&apos;")
+      .foldLeft(s) { case (c, (from, to)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(from),
+          java.util.regex.Matcher.quoteReplacement(to))
+      }
+
+  /** Executor-side sitemap segment writer for fixtures/tests: one
+    * `<urlset>` file per non-empty partition of (escapedLoc, lastmod)
+    * rows — lastmod "" omits the element, like real sitemaps.
+    */
+  def writeSitemap(rows: Iterator[(String, String)], dir: String): Unit = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    var n = 0
+    rows.foreach { case (loc, lastmod) =>
+      sb.append("  <url>\n    <loc>").append(loc).append("</loc>\n")
+      if (lastmod.nonEmpty)
+        sb.append("    <lastmod>").append(lastmod).append("</lastmod>\n")
+      sb.append("  </url>\n")
+      n += 1
+    }
+    sb.append("</urlset>\n")
+    if (n > 0) {
+      val p = java.nio.file.Paths.get(dir,
+        s"sitemap_${java.util.UUID.randomUUID()}.xml")
+      java.nio.file.Files.write(p,
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+}

@@ -135,6 +135,54 @@ object CurationQueries {
       |         WHEN g % 3 = 1 THEN 'example.com'
       |         ELSE 'site' || (g % 7) || '.org' END""".stripMargin
 
+  // ---- q6W/q7W shared robots gate --------------------------------------
+  // Per-host robots.txt bodies, synthesized closed-form from the HOST
+  // STRING itself (site number + TLD class — the derivation a fetcher's
+  // per-host cache would key on), three rule classes: rc 0 names the
+  // crawler with longest-match Allow-beats-Disallow precedence live
+  // (/p1 denied but /p1/x re-allowed, /p2 denied) under a deny-all *
+  // group; rc 1 has no named group (falls to *, /p3 + /p4 denied);
+  // rc 2 exercises consecutive-UA group sharing and the no-op empty
+  // Disallow (everything allowed). The oracle's expectation is a
+  // CLOSED FORM of g — it never replays the parser.
+  private[graft] def robotsTable(hosts: DataFrame): DataFrame = {
+    val site = regexp_extract(col("host"), "^www\\.site([0-9]+)\\.", 1)
+      .cast("int")
+    val t = when(col("host").endsWith(".co.uk"), 0)
+      .when(col("host").endsWith(".example.com"), 1).otherwise(2)
+    val rc = (site + t * 7) % 3
+    val txt = when(rc === 0, lit(
+      "User-agent: graftbot\nDisallow: /p2\nDisallow: /p1\n" +
+        "Allow: /p1/x\n\nUser-agent: *\nDisallow: /\n"))
+      .when(rc === 1, lit(
+        "# corpus-wide politeness\nUser-agent: *\nDisallow: /p3\n" +
+          "Disallow: /p4\n"))
+      .otherwise(lit(
+        "User-agent: otherbot\nDisallow: /\n\n" +
+          "User-agent: graftbot\nUser-agent: extrabot\nDisallow:\n"))
+    hosts.select(col("host"), txt.as("robots_txt"))
+  }
+
+  // The gate itself: canonicalize, split host/path, broadcast-join the
+  // per-host robots table, decide row-locally. `docs` may be a batch
+  // frame (q6W) or a stream (q7W) — the join is stream-static-legal
+  // and the decision is stateless.
+  private[graft] def robotsGate(docs: DataFrame,
+                                robots: DataFrame): DataFrame = {
+    import graft.operators.{Robots, Url}
+    docs
+      .select(col("doc_id"),
+        Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
+      .select(col("doc_id"),
+        Url.hostOf(col("curl")).as("host"),
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
+          .as("path"))
+      .join(broadcast(robots), "host")
+      .select(col("doc_id"), col("host"), col("path"),
+        Robots.allowed(col("robots_txt"), "graftbot", col("path"))
+          .as("allowed"))
+  }
+
   // ---- q6S/q7T shared mojibake gate ------------------------------------
   // One definition of the corruption + detect + repair projection,
   // shared by the batch query and its streaming twin (stateless and
@@ -165,7 +213,7 @@ object CurationQueries {
       |  (doc_id % 4 <> 0) AS mojibake,
       |  (doc_id % 4 IN (1, 3)) AS repairable,
       |  md5(text || CASE doc_id % 4
-      |        WHEN 1 THEN ' café'
+      |        WHEN 1 THEN ' caf' || chr(233)
       |        WHEN 2 THEN ' donâ€™t'
       |        WHEN 3 THEN ' über'
       |        ELSE '' END) AS repaired_md5
@@ -355,6 +403,28 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // robots.txt politeness gate (RFC 9309 subset — the fetch-or-not
+    // decision a polite crawl runs per discovered URL, and the audit a
+    // stored corpus runs to prove it was polite): canonical URL →
+    // (host, path), per-host robots bodies broadcast (KBs per host,
+    // the fetcher-cache shape), parse + longest-match decision all
+    // row-local — the corpus adds zero shuffle for the gate. Rule
+    // classes per host exercise exact-agent-beats-*, Allow-beats-
+    // Disallow at the longest match, group merging, and the no-op
+    // empty Disallow; the oracle's allowed bit is a CLOSED FORM of g.
+    "q6W_robots_gate" -> { (s, d) =>
+      import graft.operators.Url
+      // one robots body per DISTINCT host (the fetch-cache shape),
+      // derived from the corpus's own hosts
+      val robots = robotsTable(
+        Tables.documents(s, d)
+          .select(Url.hostOf(
+            Url.canonicalizeUrl(messyUrl(col("doc_id")))).as("host"))
+          .distinct())
+      robotsGate(Tables.documents(s, d).select("doc_id"), robots)
+        .orderBy("doc_id")
+    },
+
     // Encoding-repair gate (mojibake): deterministic corruption markers
     // appended per doc_id — ' cafÃ©' (UTF-8 é read as Latin-1,
     // byte-reversible), ' donâ€™t' (CP1252-special class: € and ™ have
@@ -368,6 +438,35 @@ object CurationQueries {
       mojibakeGate(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // Unicode-normalization gate (UAX #15 — the mC4/CCNet hygiene pass
+    // beside q6S's mojibake repair): the same visible text arrives
+    // composed (é) and decomposed (e+U+0301), and every byte-keyed
+    // stage downstream (exact dedup, URL keys, shard routing) silently
+    // splits on the difference. Deterministic markers per doc_id cover
+    // the classes — decomposed-accent (NFC recomposes), compatibility
+    // ligature ﬁ (ALREADY NFC-normal; only NFKC folds it to "fi"),
+    // combining-ring A+U+030A (→ Å) — run through the real codegen'd
+    // normalizer with its ASCII fast path. The oracle's expectations
+    // are CLOSED FORMS of doc_id with the composed forms as literals,
+    // so the gate proves the normalizer actually recomposed the bytes.
+    // Row-local, zero shuffle. (Relies on the same ASCII fixture
+    // precondition EncodingSpec asserts for q6S.)
+    "q6X_unicode_nfc" -> { (s, d) =>
+      import graft.operators.Encoding
+      val id = col("doc_id")
+      val marker = when(id % 4 === 1, lit(" cafe\u0301"))
+        .when(id % 4 === 2, lit(" \uFB01le"))
+        .when(id % 4 === 3, lit(" A\u030A"))
+        .otherwise(lit(""))
+      Tables.documents(s, d)
+        .select(id, concat(col("text"), marker).as("raw"))
+        .select(id,
+          Encoding.isNfc(col("raw")).as("was_nfc"),
+          md5(Encoding.nfc(col("raw"))).as("nfc_md5"),
+          md5(Encoding.nfkc(col("raw"))).as("nfkc_md5"))
+        .orderBy("doc_id")
+    },
+
     // Curriculum ordering (easy→hard training order, quality score as
     // the difficulty proxy): decile EDGES come from the distributed
     // exact-quantile operator (one aggregate, 9 rows) and BROADCAST;
@@ -376,32 +475,52 @@ object CurationQueries {
     // a `Window.partitionBy(decile)` would cap the stage at 10 tasks
     // with ~corpus/10 rows per sort (the round-10 judge's one weak —
     // the low-cardinality cousin of the single-partition window
-    // PlanAuditSpec bans), so instead the SAME quantile aggregate also
-    // yields finer sub-bucket edges (CurriculumRankBuckets of them,
-    // one shared scan for all 9 + B-1 specs), each row gets a
-    // row-local (decile, bucket), ranks run per (decile, bucket) —
-    // parallelism 10 × B, per-task state corpus/(10 × B) — and the
-    // broadcast cumulative bucket counts restore the exact per-decile
-    // position. Output is bit-equal to the single-window rank (bucket
-    // edges are monotone in quality, ties never straddle a bucket).
-    // The training order is (decile, pos_in_decile). Decile edges
-    // round to 4 decimals before comparison — the q0D-proven precision
-    // at which the two engines' quantile interpolation is bit-stable;
-    // sub-bucket edges are engine-internal (any monotone slicing gives
-    // the same output), so they stay raw.
+    // PlanAuditSpec bans), so instead a percentile_approx sketch yields
+    // finer sub-bucket edges (CurriculumRankBuckets of them, one
+    // bounded-state aggregate), each row gets a row-local
+    // (decile, bucket), ranks run per (decile, bucket) — parallelism
+    // 10 × B, per-task state corpus/(10 × B) — and the broadcast
+    // cumulative bucket counts restore the exact per-decile position.
+    // Output is bit-equal to the single-window rank (bucket edges are
+    // monotone in quality, ties never straddle a bucket — so the
+    // SKETCHED edges change nothing but the slice sizes). The training
+    // order is (decile, pos_in_decile). Decile edges round to 4
+    // decimals before comparison — the q0D-proven precision at which
+    // the two engines' quantile interpolation is bit-stable; sub-bucket
+    // edges are engine-internal, so they stay raw.
     "q6T_curriculum_order" -> { (s, d) =>
       import graft.operators.{Quantiles, Ranks}
       val b = CurriculumRankBuckets
+      // localCheckpoint: the downstream plan reads this frame FOUR ways
+      // (two edge passes, the rank's count side, the rank's join side)
+      // — uncut, each one re-runs the quality tokenization over the
+      // whole corpus. What materializes is the (doc_id, quality)
+      // projection — ~16 B/row, metadata-thin at any corpus size —
+      // never the text.
       val scored = Tables.documents(s, d)
         .select(col("doc_id"), round(qualityScore(col("text")), 6).as("quality"))
+        .localCheckpoint()
+      // decile edges are OUTPUT-VISIBLE (they decide each doc's decile,
+      // hash-gated) — exact, via the distributed quantile operator.
+      // Sub-bucket edges are ENGINE-INTERNAL (any monotone cuts yield
+      // the identical rank — the Ranks contract), so they come from ONE
+      // percentile_approx aggregate (bounded GK summary, partial-
+      // aggregated) instead of 127 more exact specs: the round-11
+      // profile measured the 136-exact-spec edge job at ~10 s of wide-
+      // codegen interpolation vs ~0.3 s for the sketch. One row; cut so
+      // both broadcast sites reuse the computed copy.
       val edges = Quantiles.globalQuantiles(scored,
-        (1 to 9).map(k => ("quality", k / 10.0, s"e$k")) ++
-          (1 until b).map(k => ("quality", k.toDouble / b, s"f$k")))
+          (1 to 9).map(k => ("quality", k / 10.0, s"e$k")))
+        .crossJoin(scored.agg(percentile_approx(col("quality"),
+          array((1 until b).map(k => lit(k.toDouble / b)): _*),
+          lit(10000)).as("_farr")))
+        .localCheckpoint()
       val decile = (1 to 9)
         .map(k => when(col("quality") > round(col(s"e$k"), 4), 1).otherwise(0))
         .reduce(_ + _) + lit(1)
       val bucket = (1 until b)
-        .map(k => when(col("quality") > col(s"f$k"), 1).otherwise(0))
+        .map(k => when(col("quality") > element_at(col("_farr"), k), 1)
+          .otherwise(0))
         .reduce(_ + _)
       val assigned = scored.crossJoin(broadcast(edges))
         .select(col("doc_id"), col("quality"),
@@ -778,6 +897,46 @@ object CurationQueries {
          |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '$UrlCapSalt'), doc_id) AS rn
          |  FROM dom)
          |WHERE rn <= $DomainCap
+         |ORDER BY doc_id""".stripMargin,
+
+    // NFC mirror: closed forms of doc_id with the COMPOSED forms as
+    // literals (é = U+00E9, Å = U+00C5; the ligature stays under NFC
+    // and folds to "fi" under NFKC) — an independent expectation, not
+    // a normalizer replay.
+    "q6X_unicode_nfc" ->
+      s"""SELECT doc_id,
+         |  (doc_id % 4 IN (0, 2)) AS was_nfc,
+         |  md5(text || CASE doc_id % 4
+         |        WHEN 1 THEN ' caf' || chr(233)
+         |        WHEN 2 THEN ' ' || chr(64257) || 'le'
+         |        WHEN 3 THEN ' ' || chr(197)
+         |        ELSE '' END) AS nfc_md5,
+         |  md5(text || CASE doc_id % 4
+         |        WHEN 1 THEN ' caf' || chr(233)
+         |        WHEN 2 THEN ' file'
+         |        WHEN 3 THEN ' ' || chr(197)
+         |        ELSE '' END) AS nfkc_md5
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+
+    // Robots mirror: host/path replay from g; rc = (site + tld·7) % 3
+    // with site = g % 7 and tld class = g % 3 by construction; the
+    // allowed bit is the CLOSED FORM of the three fixed rule classes —
+    // the parser is never replayed. NOTE rc 0's `Disallow: /p1` is a
+    // PREFIX rule: it blocks k = 10 (`/p10/...`) as well as k = 1 —
+    // and k = 1 alone is re-allowed by the longer `Allow: /p1/x`.
+    "q6W_robots_gate" ->
+      s"""WITH $duckUrlBase,
+         |r AS (
+         |  SELECT doc_id, g, h, g % 11 AS k,
+         |    ((g % 7) + (g % 3) * 7) % 3 AS rc
+         |  FROM mb)
+         |SELECT doc_id, h AS host,
+         |  '/p' || k || '/x~e' AS path,
+         |  CASE WHEN rc = 0 THEN k NOT IN (2, 10)
+         |       WHEN rc = 1 THEN k NOT IN (3, 4)
+         |       ELSE true END AS allowed
+         |FROM r
          |ORDER BY doc_id""".stripMargin,
 
     // Curriculum mirror: q21's quality formula, quantile_cont edges

@@ -641,6 +641,36 @@ object PipelineQueries {
         .orderBy("inc_id", "corpus_id")
     },
 
+    // sitemap.xml ingest (sitemaps.org core — the crawl-discovery input
+    // robots.txt points at): the corpus's canonical URLs render into
+    // real per-partition <urlset> files DISTRIBUTED (loc XML-escaped —
+    // sitemap URLs MUST escape '&' — lastmod omitted for a quarter of
+    // the groups, like real sitemaps), then the production scan reads
+    // them back: wholetext → row-local regex entry explode → entity
+    // decode. Output is the distinct discovered frontier; the oracle's
+    // expectation is the CLOSED-FORM canonical set + lastmod from g —
+    // the escape/unescape round-trip must be exact or the hash breaks.
+    "q5S_sitemap_ingest" -> { (s, d) =>
+      import graft.operators.{Sitemap, Url}
+      val dir = graft.util.TempDirs.scratch("graft-sitemap-")
+      val g = col("doc_id") % CurationQueries.UrlGroups
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sitemap.escapeXml(Url.canonicalizeUrl(
+            CurationQueries.messyUrl(col("doc_id")))).as("loc"),
+          when(g % 4 === 0, lit(""))
+            .otherwise(concat(lit("2024-01-"),
+              lpad(((g % 28) + 1).cast("string"), 2, "0"))).as("lastmod"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          Sitemap.writeSitemap(
+            rows.map(r => (r.getString(1), r.getString(2))), dir)
+        }
+      Sitemap.sitemapDirectory(s, dir)
+        .select("loc", "lastmod").distinct()
+        .orderBy("loc")
+    },
+
     // AUDIO loudness-envelope dedup, oracle-gated through the REAL
     // RIFF/PCM16 walk: 8-window square-wave clips whose per-window
     // amplitude is closed-form in the id's family (syntheticToneWavs),
@@ -2153,6 +2183,17 @@ object PipelineQueries {
         |  GROUP BY 1, 2)
         |SELECT inc_id, corpus_id, dist FROM dist
         |WHERE dist <= 3 ORDER BY inc_id, corpus_id""".stripMargin,
+
+    // Sitemap mirror: the distinct closed-form canonical URLs + the
+    // g-derived lastmod — never a replay of the XML writer or parser.
+    "q5S_sitemap_ingest" ->
+      s"""WITH ${CurationQueries.duckUrlBase}
+         |SELECT DISTINCT ${CurationQueries.duckCanonClosedForm} AS loc,
+         |  CASE WHEN g % 4 = 0 THEN ''
+         |       ELSE '2024-01-' || lpad(CAST((g % 28) + 1 AS VARCHAR), 2, '0')
+         |  END AS lastmod
+         |FROM mb
+         |ORDER BY loc""".stripMargin,
 
     // Audio-envelope mirror WITHOUT a RIFF parser: window w's |sample|
     // sum is exactly 64·A(g, w) (constant-amplitude square wave), and

@@ -340,6 +340,28 @@ object StreamingQueries {
         .orderBy("bloom_hit", "truly_seen")
     },
 
+    // robots.txt gate ON ARRIVAL (q6W's politeness decision as the
+    // in-flight fetch filter a streaming crawl frontier runs): the
+    // per-host robots table is STATIC (the fetcher cache, broadcast),
+    // each arriving URL canonicalizes, splits, and decides row-locally
+    // — a stateless Append stream-static join, ZERO streaming state.
+    // Output (and oracle) identical to batch q6W.
+    "q7W_stream_robots_gate" -> { (s, d) =>
+      import graft.operators.Url
+      val robots = CurationQueries.robotsTable(
+        Tables.documents(s, d)
+          .select(Url.hostOf(Url.canonicalizeUrl(
+            CurationQueries.messyUrl(col("doc_id")))).as("host"))
+          .distinct())
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      StreamRunner.runToBatch(
+          CurationQueries.robotsGate(docs.select("doc_id"), robots),
+          OutputMode.Append)
+        .orderBy("doc_id")
+    },
+
     // Encoding-repair gate ON ARRIVAL: q6S's corrupt → detect → repair
     // projection is row-local and stateless, so the same mojibakeGate
     // runs unchanged as an Append-mode stream — the shape a 100 TB
@@ -815,6 +837,22 @@ object StreamingQueries {
 
     // identical output contract to batch q6S — shared SQL verbatim
     "q7T_stream_mojibake_gate" -> CurationQueries.duckMojibakeOracle,
+
+    // identical output contract to batch q6W — closed-form robots
+    // decision replayed from g (see the q6W mirror comment)
+    "q7W_stream_robots_gate" ->
+      s"""WITH ${CurationQueries.duckUrlBase},
+         |r AS (
+         |  SELECT doc_id, g, h, g % 11 AS k,
+         |    ((g % 7) + (g % 3) * 7) % 3 AS rc
+         |  FROM mb)
+         |SELECT doc_id, h AS host,
+         |  '/p' || k || '/x~e' AS path,
+         |  CASE WHEN rc = 0 THEN k NOT IN (2, 10)
+         |       WHEN rc = 1 THEN k NOT IN (3, 4)
+         |       ELSE true END AS allowed
+         |FROM r
+         |ORDER BY doc_id""".stripMargin,
 
     // the distinct CLOSED-FORM canonicals (q6Q's independent
     // expectation, projected to the key)

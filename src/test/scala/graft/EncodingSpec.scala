@@ -54,6 +54,27 @@ class EncodingSpec extends GraftSpec {
       s"$bad corpus docs violate the q6S ASCII/signature-free fixture contract")
   }
 
+  test("unicode normalization: NFC recomposes, NFKC folds, detector quick-checks") {
+    // explicit escapes: decomposed e+U+0301 / A+U+030A, the U+FB01
+    // ligature, composed forms as expectations
+    val cases = Seq(
+      ("cafe\u0301", "caf\u00e9", "caf\u00e9", false), // decomposed -> composes
+      ("caf\u00e9",  "caf\u00e9", "caf\u00e9", true),  // composed stays
+      ("\uFB01le",   "\uFB01le",  "file",      true),  // ligature: NFC keeps, NFKC folds
+      ("A\u030A",    "\u00c5",    "\u00c5",   false), // combining ring
+      ("plain",      "plain",     "plain",     true))  // ASCII fast path
+    import graft.operators.Encoding
+    val got = cases.map(_._1).toDF("t")
+      .select(col("t"), Encoding.nfc(col("t")).as("c"),
+        Encoding.nfkc(col("t")).as("k"), Encoding.isNfc(col("t")).as("was"))
+      .as[(String, String, String, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    cases.foreach { case (in, nfc, nfkc, was) =>
+      assert(got(in) == ((nfc, nfkc, was)),
+        s"normalize(${in.map(c => f"\\u${c.toInt}%04x").mkString}) = ${got(in)}")
+    }
+  }
+
   test("repair is idempotent and clean unicode is never touched") {
     val clean = "café über naïve" // real accents, no mojibake
     val got = run(clean)

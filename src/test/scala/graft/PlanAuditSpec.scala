@@ -125,7 +125,14 @@ class PlanAuditSpec extends GraftSpec {
     // q2M assembles RAKE phrase text from <= 4 members: the plen <= 4
     // candidate cap below the collect is the witness
     "q2M_rake_keywords" -> (("plen <= 4 phrase cap below the collect",
-      sub => """plen#\d+L? <= 4""".r.findFirstIn(sub).isDefined)))
+      sub => """plen#\d+L? <= 4""".r.findFirstIn(sub).isDefined)),
+    // the PSL collect aggregates the STATIC suffix fixture — a local
+    // literal relation (~10k rows for the real published list), never
+    // corpus data: the LocalTableScan below the collect is the witness
+    "q6U_psl_domain" -> (("collect input is the local literal PSL table",
+      sub => sub.contains("LocalTableScan"))),
+    "q6V_domain_cap_psl" -> (("collect input is the local literal PSL table (q6U idiom reused)",
+      sub => sub.contains("LocalTableScan"))))
 
   /** Each final (non-partial) collect_list/collect_set node with its
     * full plan subtree, extracted from the plan TEXT — AQE's

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Robots
+import org.apache.spark.sql.functions._
+
+class RobotsSpec extends GraftSpec {
+  import spark.implicits._
+
+  private def decide(txt: String, agent: String, paths: String*): Seq[Boolean] =
+    paths.toDF("p")
+      .select(Robots.allowed(lit(txt), agent, col("p")))
+      .as[Boolean].collect().toSeq
+
+  test("exact agent group beats *, longest prefix wins, Allow breaks ties") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /private
+        |Allow: /private/ok
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    // graftbot: /private blocked, /private/okay allowed (longer Allow),
+    // anything else allowed (no matching rule)
+    assert(decide(txt, "graftbot",
+      "/private/x", "/private/okay", "/public") ==
+      Seq(false, true, true))
+    // an unnamed bot falls to the * group: everything blocked
+    assert(decide(txt, "otherbot", "/public") == Seq(false))
+  }
+
+  test("consecutive User-agent lines share one group; empty Disallow is a no-op") {
+    val txt =
+      """User-agent: alphabot
+        |User-agent: graftbot
+        |Disallow:
+        |Disallow: /x
+        |""".stripMargin
+    assert(decide(txt, "graftbot", "/x/1", "/y") == Seq(false, true))
+    assert(decide(txt, "alphabot", "/x/1", "/y") == Seq(false, true))
+    // empty Disallow alone = allow-all
+    assert(decide("User-agent: *\nDisallow:\n", "graftbot", "/x") == Seq(true))
+  }
+
+  test("groups at the winning specificity MERGE; a UA line after rules starts fresh") {
+    val txt =
+      """User-agent: graftbot
+        |Disallow: /a
+        |
+        |User-agent: otherbot
+        |Disallow: /c
+        |
+        |User-agent: graftbot
+        |Disallow: /b
+        |""".stripMargin
+    // both graftbot groups apply; otherbot's /c does not
+    assert(decide(txt, "graftbot", "/a/1", "/b/1", "/c/1") ==
+      Seq(false, false, true))
+  }
+
+  test("case-insensitive fields and agent tokens; comments stripped; paths keep case") {
+    val txt =
+      """# politeness file
+        |USER-AGENT: GraftBot  # named group
+        |DISALLOW: /CaseSensitive
+        |""".stripMargin
+    assert(decide(txt, "graftbot", "/CaseSensitive/x", "/casesensitive/x") ==
+      Seq(false, true))
+  }
+
+  test("no robots / no matching group / empty file => allowed") {
+    assert(decide("", "graftbot", "/anything") == Seq(true))
+    assert(decide("User-agent: otherbot\nDisallow: /\n", "graftbot", "/p") ==
+      Seq(true))
+    // null robots text (host without a fetched robots.txt)
+    val got = Seq("/p").toDF("p")
+      .select(Robots.allowed(lit(null).cast("string"), "graftbot", col("p")))
+      .as[Boolean].collect().toSeq
+    assert(got == Seq(true))
+  }
+}

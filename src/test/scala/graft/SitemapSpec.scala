@@ -1,0 +1,46 @@
+package graft
+
+import graft.operators.Sitemap
+import org.apache.spark.sql.functions._
+
+class SitemapSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("urlset entries parse with entity decode; lastmod optional") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url>
+        |    <loc>http://h.org/p?a=1&amp;b=2</loc>
+        |    <lastmod>2024-02-03</lastmod>
+        |  </url>
+        |  <url><loc>http://h.org/q</loc></url>
+        |</urlset>""".stripMargin
+    val got = Sitemap.entries(Seq(xml).toDF("xml"), "xml")
+      .select("loc", "lastmod").as[(String, String)].collect().toSeq
+    assert(got == Seq(
+      "http://h.org/p?a=1&b=2" -> "2024-02-03",
+      "http://h.org/q" -> ""))
+  }
+
+  test("escape/unescape round-trips sitemap-legal URLs exactly") {
+    val urls = Seq("http://h.org/p?a=1&b=2&c=<x>'\"", "http://h.org/plain")
+    val got = urls.toDF("u")
+      .select(Sitemap.unescapeXml(Sitemap.escapeXml(col("u"))))
+      .as[String].collect().toSeq
+    assert(got == urls)
+    // and escaping is single-level: & -> &amp; exactly once
+    val esc = Seq("a&b").toDF("u")
+      .select(Sitemap.escapeXml(col("u"))).as[String].collect().head
+    assert(esc == "a&amp;b")
+  }
+
+  test("directory scan reads real files distributed") {
+    val dir = graft.util.TempDirs.scratch("sitemap-spec-")
+    Sitemap.writeSitemap(
+      Iterator(("http://x/1", "2024-01-05"), ("http://x/2", "")), dir)
+    val rows = Sitemap.sitemapDirectory(spark, dir)
+      .select("loc", "lastmod").as[(String, String)].collect().toSeq.sorted
+    assert(rows == Seq("http://x/1" -> "2024-01-05", "http://x/2" -> ""))
+  }
+}
