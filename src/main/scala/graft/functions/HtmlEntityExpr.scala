@@ -43,8 +43,16 @@ object HtmlEntityUtil {
         var code      = 0L
         var digits    = 0
         var ok        = true
+        // ASCII digits ONLY (Character.digit would also accept
+        // fullwidth/Arabic-Indic digits, which HTML5, the documented
+        // grammar, and the oracle's [0-9] replay all reject)
+        def digitVal(c: Char): Int =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
         while (ok && j < n && digits < maxDigits) {
-          val d = Character.digit(str.charAt(j), if (hex) 16 else 10)
+          val d = digitVal(str.charAt(j))
           if (d < 0) ok = false
           else { code = code * (if (hex) 16 else 10) + d; digits += 1; j += 1 }
         }

@@ -202,8 +202,12 @@ object Warc {
       StructField("text", StringType)))
     val rows = spark.sparkContext.binaryFiles(dir + "/*.warc*")
       .flatMap { case (path, pds) =>
-        val in = maybeGunzipStream(
-          new java.io.BufferedInputStream(pds.open(), 65536))
+        // buffer ABOVE the gunzip as well: the header scan reads one
+        // byte at a time, and unbuffered that is one inflater call per
+        // header byte on .warc.gz segments
+        val in = new java.io.BufferedInputStream(
+          maybeGunzipStream(
+            new java.io.BufferedInputStream(pds.open(), 65536)), 65536)
         // close at exhaustion (the normal path) AND at task end (the
         // failure path) — a failed task must not leak the FS handle
         Option(org.apache.spark.TaskContext.get())

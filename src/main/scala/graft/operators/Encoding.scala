@@ -91,4 +91,10 @@ object Encoding {
     org.apache.spark.sql.GraftBridge.column(
       graft.functions.UnicodeIsNormalizedExpr(
         org.apache.spark.sql.GraftBridge.expression(text), nfkc = false))
+
+  /** NFKC counterpart of [[isNfc]] (symmetric with [[nfkc]]). */
+  def isNfkc(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.UnicodeIsNormalizedExpr(
+        org.apache.spark.sql.GraftBridge.expression(text), nfkc = true))
 }

@@ -75,9 +75,13 @@ object Robots {
           concat(acc.getField("rules"),
             array(named_struct(lit("allow"), isAllow, lit("prefix"), prefix))))
           .otherwise(acc.getField("rules"))
+        // RFC 9309 grammar: blank lines (and comment-only lines, which
+        // strip to blank) between consecutive User-agent lines do NOT
+        // split the group — only a RULE line ends a user-agent run
         named_struct(
           lit("active"), active,
-          lit("uarun"), isUa,
+          lit("uarun"),
+          when(l === "", acc.getField("uarun")).otherwise(isUa),
           lit("rules"), rules)
       })
     folded.getField("rules")

@@ -164,12 +164,20 @@ object CurationQueries {
   }
 
   // The gate itself: canonicalize, split host/path, broadcast-join the
-  // per-host robots table, decide row-locally. `docs` may be a batch
-  // frame (q6W) or a stream (q7W) — the join is stream-static-legal
-  // and the decision is stateless.
+  // per-host robots table, decide row-locally. The robots PARSE runs
+  // ONCE PER HOST on the broadcast side (rules ship as the array);
+  // only the longest-prefix decision fold runs per corpus row —
+  // re-parsing the same robots body per document would repeat the
+  // whole per-line fold thousands of times per host for nothing.
+  // `docs` may be a batch frame (q6W) or a stream (q7W) — the join is
+  // stream-static-legal and the decision is stateless.
   private[graft] def robotsGate(docs: DataFrame,
                                 robots: DataFrame): DataFrame = {
     import graft.operators.{Robots, Url}
+    val parsed = robots
+      .withColumn("_rules",
+        Robots.robotsRules(col("robots_txt"), "graftbot"))
+      .drop("robots_txt")
     docs
       .select(col("doc_id"),
         Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
@@ -177,10 +185,9 @@ object CurationQueries {
         Url.hostOf(col("curl")).as("host"),
         regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
           .as("path"))
-      .join(broadcast(robots), "host")
+      .join(broadcast(parsed), "host")
       .select(col("doc_id"), col("host"), col("path"),
-        Robots.allowed(col("robots_txt"), "graftbot", col("path"))
-          .as("allowed"))
+        Robots.robotsAllowed(col("_rules"), col("path")).as("allowed"))
   }
 
   // ---- q6S/q7T shared mojibake gate ------------------------------------

@@ -73,6 +73,11 @@ class EncodingSpec extends GraftSpec {
       assert(got(in) == ((nfc, nfkc, was)),
         s"normalize(${in.map(c => f"\\u${c.toInt}%04x").mkString}) = ${got(in)}")
     }
+    // isNfkc: the ligature is NFC-normal but NOT NFKC-normal
+    val k = cases.map(_._1).toDF("t")
+      .select(col("t"), Encoding.isNfkc(col("t"))).as[(String, Boolean)]
+      .collect().toMap
+    assert(!k("ﬁle") && k("plain") && k("café") && !k("café"))
   }
 
   test("repair is idempotent and clean unicode is never touched") {

@@ -77,6 +77,11 @@ class HtmlSpec extends GraftSpec {
     // digit runs, bare &#
     val (_, raw, _) = extract("<p>&#xzz; &#12 &#12345678; 100&#</p>")
     assert(raw == "&#xzz; &#12 &#12345678; 100&#")
+    // non-ASCII Unicode digits (fullwidth １２) are NOT digits here —
+    // HTML5, the documented grammar, and the oracle's [0-9] replay all
+    // reject them (Character.digit would have accepted them)
+    val (_, fw, _) = extract("<p>&#\uFF11\uFF12; stays</p>")
+    assert(fw == "&#\uFF11\uFF12; stays")
   }
 
   test("degenerate markup degrades to whitespace, never wrong text") {

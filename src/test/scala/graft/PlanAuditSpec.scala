@@ -336,7 +336,11 @@ class PlanAuditSpec extends GraftSpec {
       case _: TakeOrderedAndProjectExec                       => true
       case _: LocalLimitExec | _: GlobalLimitExec             => true
       case _: LocalTableScanExec                              => true // literal rows
-      case leaf if leaf.children.isEmpty && leaf.subqueries.isEmpty => false
+      // ANY other childless node is an unbounded source — including one
+      // carrying subqueries (DPP / scalar-subquery filters), which a
+      // `children.isEmpty && subqueries.isEmpty` guard would let fall
+      // through to the vacuously-true forall below
+      case leaf if leaf.children.isEmpty => false
       case node => node.children.forall(boundedBelow)
     }
     def offendingWindows(p: SparkPlan): Int = {
@@ -405,7 +409,11 @@ class PlanAuditSpec extends GraftSpec {
       case _: TakeOrderedAndProjectExec                       => true
       case _: LocalLimitExec | _: GlobalLimitExec             => true
       case _: LocalTableScanExec                              => true
-      case leaf if leaf.children.isEmpty && leaf.subqueries.isEmpty => false
+      // ANY other childless node is an unbounded source — including one
+      // carrying subqueries (DPP / scalar-subquery filters), which a
+      // `children.isEmpty && subqueries.isEmpty` guard would let fall
+      // through to the vacuously-true forall below
+      case leaf if leaf.children.isEmpty => false
       case node => node.children.forall(boundedBelow)
     }
     def aliasEnv(root: SparkPlan): Map[ExprId, Expression] = {

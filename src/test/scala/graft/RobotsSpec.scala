@@ -29,6 +29,18 @@ class RobotsSpec extends GraftSpec {
     assert(decide(txt, "otherbot", "/public") == Seq(false))
   }
 
+  test("blank/comment lines between User-agent lines do NOT split the group (RFC 9309)") {
+    val txt =
+      """User-agent: graftbot
+        |
+        |# both agents share this group
+        |User-agent: otherbot
+        |Disallow: /x
+        |""".stripMargin
+    assert(decide(txt, "graftbot", "/x/1", "/y") == Seq(false, true))
+    assert(decide(txt, "otherbot", "/x/1") == Seq(false))
+  }
+
   test("consecutive User-agent lines share one group; empty Disallow is a no-op") {
     val txt =
       """User-agent: alphabot
