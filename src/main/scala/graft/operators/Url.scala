@@ -109,22 +109,26 @@ object Url {
     * Decoding unreserved octets can never produce a URL delimiter, so
     * this runs safely over the WHOLE URL before component extraction.
     */
-  private def percentNormalize(u: Column): Column = {
-    val parts = split(u, "%", -1)
-    val fixed = transform(slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
-      p => {
-        val code = conv(substring(p, 1, 2), 16, 10).cast("int")
-        val rest = p.substr(lit(3), length(p))
-        val unreserved =
-          (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
-            (code >= 48 && code <= 57) ||
-            code.isin(45, 46, 95, 126) // - . _ ~
-        when(!p.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), p))
-          .when(unreserved, concat(chr(code), rest))
-          .otherwise(concat(lit("%"), upper(substring(p, 1, 2)), rest))
-      })
-    concat(element_at(parts, 1), array_join(fixed, ""))
-  }
+  private def percentNormalize(u: Column): Column =
+    // the split is referenced three times (head, slice bound, size) —
+    // bind it once (same interpreted-projection argument as
+    // [[canonicalizeUrl]]'s let-binding)
+    element_at(transform(array(split(u, "%", -1)), parts => {
+      val fixed = transform(
+        slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+        p => {
+          val code = conv(substring(p, 1, 2), 16, 10).cast("int")
+          val rest = p.substr(lit(3), length(p))
+          val unreserved =
+            (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+              (code >= 48 && code <= 57) ||
+              code.isin(45, 46, 95, 126) // - . _ ~
+          when(!p.rlike("^[0-9A-Fa-f]{2}"), concat(lit("%"), p))
+            .when(unreserved, concat(chr(code), rest))
+            .otherwise(concat(lit("%"), upper(substring(p, 1, 2)), rest))
+        })
+      concat(element_at(parts, 1), array_join(fixed, ""))
+    }), 1)
 
   /** Kept query string: tracking params out, remainder sorted; "" when
     * nothing survives.
@@ -144,23 +148,35 @@ object Url {
     */
   def canonicalizeUrl(url: Column,
                       trackingParams: String = TrackingParams): Column = {
-    val raw    = defrag(url)
-    val u      = percentNormalize(raw)
-    val scheme = lower(regexp_extract(u, SchemeRe, 1))
-    val auth   = regexp_replace(
-      regexp_extract(u, SchemeRe + "([^/?#]*)", 2), "^[^@/]*@", "")
-    val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
-    val port = regexp_extract(auth, ":([0-9]+)$", 1)
-    val portPart = when(
-      port === "" ||
-        (scheme === "http" && port === "80") ||
-        (scheme === "https" && port === "443"),
-      lit("")).otherwise(concat(lit(":"), port))
-    val path = resolvedPath(
-      regexp_extract(u, SchemeRe + "[^/?#]*([^?#]*)", 2))
-    when(scheme === "", raw) // schemeless garbage stays byte-stable
-      .otherwise(concat(scheme, lit("://"), host, portPart, path,
-        canonicalQuery(u, trackingParams)))
+    // LET-BINDING via one-element transform: the body references the
+    // defragged input twice and the percent-normalized form four times
+    // (scheme, authority, path, query). This expression contains HOFs,
+    // so the whole projection evaluates INTERPRETED — no subexpression
+    // elimination — and an unbound tree re-runs percentNormalize per
+    // reference (measured ~4x the per-row cost on the q6W profile).
+    // Binding each shared subtree to a lambda variable evaluates it
+    // exactly once per row.
+    def bind(value: Column)(body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    bind(defrag(url)) { raw =>
+      bind(percentNormalize(raw)) { u =>
+        val scheme = lower(regexp_extract(u, SchemeRe, 1))
+        val auth = regexp_replace(
+          regexp_extract(u, SchemeRe + "([^/?#]*)", 2), "^[^@/]*@", "")
+        val host = lower(regexp_replace(auth, ":[0-9]+$", ""))
+        val port = regexp_extract(auth, ":([0-9]+)$", 1)
+        val portPart = when(
+          port === "" ||
+            (scheme === "http" && port === "80") ||
+            (scheme === "https" && port === "443"),
+          lit("")).otherwise(concat(lit(":"), port))
+        val path = resolvedPath(
+          regexp_extract(u, SchemeRe + "[^/?#]*([^?#]*)", 2))
+        when(scheme === "", raw) // schemeless garbage stays byte-stable
+          .otherwise(concat(scheme, lit("://"), host, portPart, path,
+            canonicalQuery(u, trackingParams)))
+      }
+    }
   }
 
   /** Registrable domain of a lowercased host: the last two labels, or
