@@ -26,6 +26,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HtmlEntityUtil {
 
+  // ASCII digits ONLY — `hex` passed as a parameter so the hot scan
+  // never captures a mutable local (a captured var boxes to a
+  // runtime Ref, one allocation per candidate entity)
+  private def digitVal(c: Char, hex: Boolean): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
   def decodeNumericEntities(s: UTF8String): UTF8String = {
     val str = s.toString
     if (!str.contains("&#")) return s
@@ -46,13 +55,8 @@ object HtmlEntityUtil {
         // ASCII digits ONLY (Character.digit would also accept
         // fullwidth/Arabic-Indic digits, which HTML5, the documented
         // grammar, and the oracle's [0-9] replay all reject)
-        def digitVal(c: Char): Int =
-          if (c >= '0' && c <= '9') c - '0'
-          else if (hex && c >= 'a' && c <= 'f') c - 'a' + 10
-          else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
-          else -1
         while (ok && j < n && digits < maxDigits) {
-          val d = digitVal(str.charAt(j))
+          val d = digitVal(str.charAt(j), hex)
           if (d < 0) ok = false
           else { code = code * (if (hex) 16 else 10) + d; digits += 1; j += 1 }
         }

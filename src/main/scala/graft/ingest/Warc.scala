@@ -158,7 +158,11 @@ object Warc {
     val b0 = in.read(); val b1 = in.read()
     in.reset()
     if (b0 == 0x1f && b1 == 0x8b)
-      new java.util.zip.GZIPInputStream(in, 65536)
+      // buffer the DECOMPRESSED side too, here, for every caller: the
+      // header scan reads one byte at a time, and a bare
+      // GZIPInputStream pays one inflater call per such read
+      new java.io.BufferedInputStream(
+        new java.util.zip.GZIPInputStream(in, 65536), 65536)
     else in
   }
 
@@ -202,12 +206,10 @@ object Warc {
       StructField("text", StringType)))
     val rows = spark.sparkContext.binaryFiles(dir + "/*.warc*")
       .flatMap { case (path, pds) =>
-        // buffer ABOVE the gunzip as well: the header scan reads one
-        // byte at a time, and unbuffered that is one inflater call per
-        // header byte on .warc.gz segments
-        val in = new java.io.BufferedInputStream(
-          maybeGunzipStream(
-            new java.io.BufferedInputStream(pds.open(), 65536)), 65536)
+        // maybeGunzipStream buffers the decompressed side itself; the
+        // plain-.warc branch returns the single buffered raw stream
+        val in = maybeGunzipStream(
+          new java.io.BufferedInputStream(pds.open(), 65536))
         // close at exhaustion (the normal path) AND at task end (the
         // failure path) — a failed task must not leak the FS handle
         Option(org.apache.spark.TaskContext.get())

@@ -26,9 +26,11 @@ import org.apache.spark.sql.functions._
   *    published Google/RFC 9309 precedence); no matching rule ⇒
   *    allowed; an empty rule path is a no-op (the classic
   *    `Disallow:` = allow-all);
-  *  - `#` comments and unknown fields (Crawl-delay, Sitemap) are
-  *    ignored but still terminate a user-agent run, per the RFC's
-  *    group grammar;
+  *  - `#` comments and blank lines are ignored WITHOUT splitting a
+  *    user-agent run (RFC 9309 allows emptyline between
+  *    startgrouplines); unknown fields (Crawl-delay, Sitemap) are
+  *    ignored but DO end the run, per the RFC's group grammar;
+  *    CRLF/CR/LF line endings all parse;
   *  - OUT OF SCOPE: `*`/`$` wildcards inside rule paths (regex-class
   *    matching; expand to a rlike-based matcher if a deployment
   *    needs them) and percent-encoding equivalence between rule and
@@ -47,9 +49,12 @@ object Robots {
     */
   def robotsRules(txt: Column, agent: String): Column = {
     val agentLit = agent.toLowerCase(java.util.Locale.ROOT)
-    // comment-stripped, trimmed lines; field names match
-    // case-insensitively but rule PATHS keep their case
-    val lines = transform(split(txt, "\n"),
+    // comment-stripped, trimmed lines, split on ANY RFC 9309 EOL
+    // (CRLF / LF / CR — Windows-served robots.txt is CRLF and Spark's
+    // trim strips only spaces, so a bare \n split would leave a \r on
+    // every token); field names match case-insensitively but rule
+    // PATHS keep their case
+    val lines = transform(split(txt, "\r\n|\r|\n"),
       l => trim(regexp_replace(l, "#.*$", "")))
     val target = when(
       exists(lines, l =>
@@ -77,7 +82,8 @@ object Robots {
           .otherwise(acc.getField("rules"))
         // RFC 9309 grammar: blank lines (and comment-only lines, which
         // strip to blank) between consecutive User-agent lines do NOT
-        // split the group — only a RULE line ends a user-agent run
+        // split the group; any non-blank non-UA line (a rule, or an
+        // ignored field like Crawl-delay) ends the user-agent run
         named_struct(
           lit("active"), active,
           lit("uarun"),

@@ -19,6 +19,41 @@ class PlanAuditSpec extends GraftSpec {
       name -> fn(spark, sfDir).queryExecution.executedPlan
     }
 
+  // Shared plan-walk core for BOTH window audits (the subqueries-guard
+  // fix once existed as two synchronized edits — one definition so the
+  // next boundedness fix cannot diverge the audits).
+  private def unwrapPlan(p: org.apache.spark.sql.execution.SparkPlan)
+      : org.apache.spark.sql.execution.SparkPlan = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    p match {
+      case a: AdaptiveSparkPlanExec => unwrapPlan(a.executedPlan)
+      case s: QueryStageExec        => unwrapPlan(s.plan)
+      case other                    => other
+    }
+  }
+
+  /** True when every path from `p` to a source crosses a node that
+    * structurally bounds row count (aggregate keyed by a value domain,
+    * top-k, limit, literal rows) — the precondition for feeding a
+    * low-parallelism Window.
+    */
+  private def boundedBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, LocalLimitExec, GlobalLimitExec, LocalTableScanExec}
+    unwrapPlan(p) match {
+      case _: BaseAggregateExec                   => true
+      case _: TakeOrderedAndProjectExec           => true
+      case _: LocalLimitExec | _: GlobalLimitExec => true
+      case _: LocalTableScanExec                  => true // literal rows
+      // ANY other childless node is an unbounded source — including one
+      // carrying subqueries (DPP / scalar-subquery filters), which a
+      // `children.isEmpty && subqueries.isEmpty` guard would let fall
+      // through to the vacuously-true forall below
+      case leaf if leaf.children.isEmpty => false
+      case node => node.children.forall(boundedBelow)
+    }
+  }
+
   private lazy val plans: Map[String, String] =
     executedPlans.map { case (name, p) => name -> p.toString }
 
@@ -326,25 +361,8 @@ class PlanAuditSpec extends GraftSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.window.WindowExecBase
     import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, LocalLimitExec, GlobalLimitExec, LocalTableScanExec}
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-      case s: QueryStageExec        => unwrap(s.plan)
-      case other                    => other
-    }
-    def boundedBelow(p: SparkPlan): Boolean = unwrap(p) match {
-      case _: BaseAggregateExec                               => true
-      case _: TakeOrderedAndProjectExec                       => true
-      case _: LocalLimitExec | _: GlobalLimitExec             => true
-      case _: LocalTableScanExec                              => true // literal rows
-      // ANY other childless node is an unbounded source — including one
-      // carrying subqueries (DPP / scalar-subquery filters), which a
-      // `children.isEmpty && subqueries.isEmpty` guard would let fall
-      // through to the vacuously-true forall below
-      case leaf if leaf.children.isEmpty => false
-      case node => node.children.forall(boundedBelow)
-    }
     def offendingWindows(p: SparkPlan): Int = {
-      val node = unwrap(p)
+      val node = unwrapPlan(p)
       val self = node match {
         case w: WindowExecBase if w.partitionSpec.isEmpty &&
             !boundedBelow(w.child) => 1
@@ -399,27 +417,10 @@ class PlanAuditSpec extends GraftSpec {
     import org.apache.spark.sql.execution.window.WindowExecBase
     import org.apache.spark.sql.execution.{TakeOrderedAndProjectExec, LocalLimitExec, GlobalLimitExec, LocalTableScanExec}
     val MaxBoundedPartitions = BigInt(1024)
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-      case s: QueryStageExec        => unwrap(s.plan)
-      case other                    => other
-    }
-    def boundedBelow(p: SparkPlan): Boolean = unwrap(p) match {
-      case _: BaseAggregateExec                               => true
-      case _: TakeOrderedAndProjectExec                       => true
-      case _: LocalLimitExec | _: GlobalLimitExec             => true
-      case _: LocalTableScanExec                              => true
-      // ANY other childless node is an unbounded source — including one
-      // carrying subqueries (DPP / scalar-subquery filters), which a
-      // `children.isEmpty && subqueries.isEmpty` guard would let fall
-      // through to the vacuously-true forall below
-      case leaf if leaf.children.isEmpty => false
-      case node => node.children.forall(boundedBelow)
-    }
     def aliasEnv(root: SparkPlan): Map[ExprId, Expression] = {
       val acc = scala.collection.mutable.Map.empty[ExprId, Expression]
       def walk(p: SparkPlan): Unit = {
-        val node = unwrap(p)
+        val node = unwrapPlan(p)
         node.expressions.foreach(_.foreach {
           case a: Alias => acc(a.exprId) = a.child
           case _        => ()
@@ -455,7 +456,7 @@ class PlanAuditSpec extends GraftSpec {
     def offendingSpecs(root: SparkPlan): Seq[String] = {
       val env = aliasEnv(root)
       def walk(p: SparkPlan): Seq[String] = {
-        val node = unwrap(p)
+        val node = unwrapPlan(p)
         val self = node match {
           case w: WindowExecBase
               if w.partitionSpec.nonEmpty && !boundedBelow(w.child) =>

@@ -29,6 +29,17 @@ class RobotsSpec extends GraftSpec {
     assert(decide(txt, "otherbot", "/public") == Seq(false))
   }
 
+  test("CRLF (and lone-CR) robots.txt parses identically to LF (RFC 9309 EOL)") {
+    // Windows/IIS sites serve CRLF; a bare \n split would leave \r on
+    // every agent token and rule prefix, silently allowing everything
+    val lf   = "User-agent: graftbot\n\nUser-agent: otherbot\nDisallow: /x\n"
+    val crlf = lf.replace("\n", "\r\n")
+    val cr   = lf.replace("\n", "\r")
+    assert(decide(lf, "graftbot", "/x/1", "/y") == Seq(false, true))
+    assert(decide(crlf, "graftbot", "/x/1", "/y") == Seq(false, true))
+    assert(decide(cr, "graftbot", "/x/1", "/y") == Seq(false, true))
+  }
+
   test("blank/comment lines between User-agent lines do NOT split the group (RFC 9309)") {
     val txt =
       """User-agent: graftbot
