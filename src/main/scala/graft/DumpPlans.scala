@@ -79,7 +79,7 @@ object DumpPlans {
       ("q5N_packed_shards", "packed training-shard sink: tokens + salted-md5 shard route, ONE repartition(shard) exchange, executor-side stream-and-digest file write inside mapPartitions (sort before pack => byte-identical re-runs), binaryFile re-read joins the 8-row manifests -- no collect, no per-group buffer", PipelineQueries.queries("q5N_packed_shards")),
       ("q5P_warc_html_pipeline", "crawl-to-text front end: binaryFile WARC scan -> typed flatMap record walk (object path, per-file imperative parse, payloads never shuffle) -> row-local HTML extraction + anchor-ratio gate, all inside one narrow projection before the final sort", PipelineQueries.queries("q5P_warc_html_pipeline")),
       ("q4T_hits", "HITS (round-9 fusion): per round ONE edge||score hash join + map-side-combinable sum per direction, CUT once -- the one-row normalizer agg and the div projection both read the cut instead of re-running the join; zero-mass rows elided per round, restored in the output's left joins", PipelineQueries.queries("q4T_hits")),
-      ("q6T_curriculum_order", "curriculum ordering (round-11 rewrite): decile + sub-bucket edges from ONE exact-quantile aggregate broadcast into a row-local assignment, then the TWO-PHASE rank -- row_number windows keyed on (decile, bucket) so parallelism is 10 x 128 and per-task sort state corpus/1280 (the round-10 10-key decile window put ~corpus/10 in one task; PlanAuditSpec's bounded-cardinality window audit now bans that shape), cumulative bucket counts rejoin as BROADCAST offsets", CurationQueries.queries("q6T_curriculum_order")),
+      ("q6T_curriculum_order", "curriculum ordering (round-11 rewrite): EXACT decile edges (output-visible) + percentile_approx sub-bucket edges (engine-internal, bounded GK summary -- the 136-exact-spec form cost ~10 s of wide-codegen interpolation) broadcast into a row-local assignment over the localCheckpointed (doc_id, quality) projection, then the TWO-PHASE rank -- row_number windows keyed on (decile, bucket) so parallelism is 10 x 128 and per-task sort state corpus/1280 (the round-10 10-key decile window put ~corpus/10 in one task; PlanAuditSpec's bounded-cardinality window audit now bans that shape), cumulative bucket counts rejoin as BROADCAST offsets", CurationQueries.queries("q6T_curriculum_order")),
       ("q5R_image_near_dup_bucketed", "q5L's image near-dup screen on the 100 TB join shape: the corpus band table is NOT broadcast -- a pinned SortMergeJoin on (band, key), so a corpus whose bands exceed executor memory still joins (pre-bucket the stored band table and only the incoming side shuffles); hash-equal to the broadcast twin, MultimodalSpec asserts zero BroadcastExchange", PipelineQueries.queries("q5R_image_near_dup_bucketed")),
       ("q6U_psl_domain", "PSL-backed registrable domain: the suffix table collapses to ONE array row and BROADCASTS (collect_set agg + BroadcastNestedLoopJoin of a single row -- the PSL is ~10k static entries); the longest-suffix match is a row-local fold, so the corpus scan stays narrow with zero added keyed exchange", CurationQueries.queries("q6U_psl_domain")),
       ("q6W_robots_gate", "robots.txt politeness gate: per-host robots bodies BROADCAST (a KB-per-host fetcher cache), RFC 9309 parse + longest-match decision are row-local HOF folds -- the corpus pays one BroadcastHashJoin on host and zero keyed exchanges for the whole gate", CurationQueries.queries("q6W_robots_gate"))
