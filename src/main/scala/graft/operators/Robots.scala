@@ -31,15 +31,38 @@ import org.apache.spark.sql.functions._
   *    startgrouplines); unknown fields (Crawl-delay, Sitemap) are
   *    ignored but DO end the run, per the RFC's group grammar;
   *    CRLF/CR/LF line endings all parse;
-  *  - OUT OF SCOPE: `*`/`$` wildcards inside rule paths (regex-class
-  *    matching; expand to a rlike-based matcher if a deployment
-  *    needs them) and percent-encoding equivalence between rule and
+  *  - `*`/`$` special characters in rule paths (RFC 9309 §2.2.3):
+  *    `*` matches any octet run, a TRAILING `$` anchors the rule at
+  *    end-of-path; wildcard rules are compiled to a regex ONCE at
+  *    parse time (on the per-host broadcast side) and plain prefixes
+  *    keep the cheap startsWith path — specificity stays the rule
+  *    path's octet length, per the RFC;
+  *  - OUT OF SCOPE: percent-encoding equivalence between rule and
   *    path (canonicalize BOTH through [[Url.canonicalizeUrl]] first,
   *    which this engine's pipeline does anyway).
   */
 object Robots {
 
-  private val RuleArrayType = "array<struct<allow:boolean,prefix:string>>"
+  private val RuleArrayType =
+    "array<struct<allow:boolean,prefix:string,re:string>>"
+
+  /** Regex form of a rule path carrying RFC 9309 special characters,
+    * null for plain prefixes (which match via startsWith — the fast
+    * path, and the overwhelmingly common rule shape): every Java-regex
+    * metacharacter except `*` escapes, `*` becomes `.*`, a TRAILING
+    * `$` (stripped before escaping) anchors the end, `^` anchors the
+    * start.
+    */
+  private def ruleRegex(prefix: Column): Column = {
+    val endAnchor = prefix.endsWith("$")
+    val core = when(endAnchor, prefix.substr(lit(1), length(prefix) - 1))
+      .otherwise(prefix)
+    val escaped = regexp_replace(core, "([.\\[\\]{}()+\\-^$|?\\\\])", "\\\\$1")
+    val re = concat(lit("^"), regexp_replace(escaped, "\\*", ".*"),
+      when(endAnchor, lit("$")).otherwise(lit("")))
+    when(prefix.contains("*") || endAnchor, re)
+      .otherwise(lit(null).cast("string"))
+  }
 
   /** The Allow/Disallow rules that apply to `agent`, as
     * `array<struct<allow, prefix>>` in file order: one fold over the
@@ -78,7 +101,8 @@ object Robots {
         val rules = when(
           (isAllow || isDis) && acc.getField("active") && prefix =!= "",
           concat(acc.getField("rules"),
-            array(named_struct(lit("allow"), isAllow, lit("prefix"), prefix))))
+            array(named_struct(lit("allow"), isAllow, lit("prefix"), prefix,
+              lit("re"), ruleRegex(prefix)))))
           .otherwise(acc.getField("rules"))
         // RFC 9309 grammar: blank lines (and comment-only lines, which
         // strip to blank) between consecutive User-agent lines do NOT
@@ -100,7 +124,9 @@ object Robots {
     */
   def robotsAllowed(rules: Column, path: Column): Column = {
     val matching = filter(coalesce(rules, array().cast(RuleArrayType)),
-      r => path.startsWith(r.getField("prefix")))
+      r => when(r.getField("re").isNotNull,
+          regexp_like(path, r.getField("re")))
+        .otherwise(path.startsWith(r.getField("prefix"))))
     val best = aggregate(
       matching,
       named_struct(lit("len"), lit(-1), lit("allow"), lit(true)),

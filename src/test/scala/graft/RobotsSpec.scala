@@ -91,6 +91,28 @@ class RobotsSpec extends GraftSpec {
       Seq(false, true))
   }
 
+  test("path wildcards (RFC 9309 §2.2.3): * spans octets, trailing $ anchors") {
+    val txt =
+      """User-agent: *
+        |Disallow: /*.pdf$
+        |Disallow: /private*/data
+        |Disallow: /a.b
+        |""".stripMargin
+    assert(decide(txt, "graftbot",
+      "/doc/file.pdf",   // *.pdf$ matches at end -> blocked
+      "/doc/file.pdfx",  // $ anchor: not at end -> allowed
+      "/x.html",         // no rule matches
+      "/private2/data/x", // * spans "2" -> blocked
+      "/privatedata",    // needs the /data tail -> allowed
+      "/a.b/c",          // literal-dot rule, prefix semantics
+      "/axb/c"           // the DOT must not regex-match 'x'
+    ) == Seq(false, true, true, false, true, false, true))
+    // specificity with wildcards = rule-path octet length: Allow /a/b
+    // (4) beats Disallow /a* (3) on /a/b
+    val prec = "User-agent: *\nDisallow: /a*\nAllow: /a/b\n"
+    assert(decide(prec, "graftbot", "/a/b", "/a/c") == Seq(true, false))
+  }
+
   test("no robots / no matching group / empty file => allowed") {
     assert(decide("", "graftbot", "/anything") == Seq(true))
     assert(decide("User-agent: otherbot\nDisallow: /\n", "graftbot", "/p") ==
