@@ -63,7 +63,7 @@ object DumpPlans {
       ("q4N_triangles", "triangle census (round-7 rewrite): DEGREE-ORDERED orientation -- each edge points low-degree -> high-degree, so every out-degree is <= sqrt(2m) and the wedge self-join materializes O(m^1.5) candidates on ANY degree distribution (id-orientation put deg^2/2 on one hub key); two keyed equi-joins, no cartesian", PipelineQueries.queries("q4N_triangles")),
       ("q0M_sketch_quantiles", "bottom-k quantile sketch: the reservoir aggregate partial-combines (partitions x k entries cross the shuffle, never rows), estimates select IN-ROW from the sorted sample array (no explode, no window), exact-quantile + rank-audit passes broadcast the 1-row estimate table -- corpus passes stay narrow", RelationalQueries.queries("q0M_sketch_quantiles")),
       ("q0O_snapshot_diff", "snapshot diff: ONE full-outer SortMergeJoin co-partitioned on the key, null-safe <=> comparison computed columnar in the projection -- no per-row hashing pass, no second join; at 100 TB bucket both snapshots by key for a shuffle-free diff", RelationalQueries.queries("q0O_snapshot_diff")),
-      ("q0Q_bloom_join", "Bloom-filtered join (round-7 rewrite): the runtime filter is ONE codegen'd bloom_hit expression in the scan's DataFilters -- one md5 per row against a 16 KB plan-literal bitmap, rows drop BEFORE the join/shuffle. The Column-composed probe it replaced re-evaluated the md5 subtree per hex-digit reference (FilterExec does no subexpression elimination): measured 22.4 s -> ~1.5 s on the same 600 K-row probe", RelationalQueries.queries("q0Q_bloom_join")),
+      ("q0Q_bloom_join", "Bloom-filtered join (round-7 rewrite): the runtime filter is ONE codegen'd bloom_hit expression in the scan's DataFilters -- one md5 per row against an 8 KB plan-literal bitmap, rows drop BEFORE the join/shuffle. The Column-composed probe it replaced re-evaluated the md5 subtree per hex-digit reference (FilterExec does no subexpression elimination): measured 22.4 s -> ~1.5 s on the same 600 K-row probe", RelationalQueries.queries("q0Q_bloom_join")),
       ("q4U_interval_join", "point-in-interval range join: each interval explodes to its covered bins and BROADCASTS; points land in exactly ONE bin -- a BroadcastHashJoin on _bin with the exact containment as residual condition. The naive theta-join would be a BroadcastNestedLoopJoin; oversized intervals raise IN-PLAN instead of exploding", PipelineQueries.queries("q4U_interval_join")),
       ("q4V_scd2", "SCD Type 2 build: same-ts dedup + run collapse + validity intervals as a window CHAIN sharing ONE hashpartitioning(cust_key) exchange (the (key, ts)-partitioned dedup variant would force a second shuffle); the only other exchange is the output ORDER BY", PipelineQueries.queries("q4V_scd2")),
       ("q0S_pareto", "2-D Pareto frontier: per-distinct-x max aggregate BELOW the single-partition window (the window input is bounded by the x domain, never the corpus), survivors selected by a broadcast equi-join back on x -- no pairwise self-join, no corpus sort", RelationalQueries.queries("q0S_pareto")),

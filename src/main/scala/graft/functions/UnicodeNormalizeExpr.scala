@@ -17,14 +17,18 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object UnicodeNormalizeUtil {
 
-  private def asciiOnly(b: Array[Byte]): Boolean = {
+  // walk the backing bytes in place — UTF8String.getBytes copies them
+  // into a fresh array per row, an allocation on exactly the hot ASCII
+  // fast path this check exists to make cheap
+  private def asciiOnly(s: UTF8String): Boolean = {
+    val n = s.numBytes()
     var i = 0
-    while (i < b.length) { if (b(i) < 0) return false; i += 1 }
+    while (i < n) { if (s.getByte(i) < 0) return false; i += 1 }
     true
   }
 
   def normalize(s: UTF8String, nfkc: Boolean): UTF8String = {
-    if (asciiOnly(s.getBytes)) return s
+    if (asciiOnly(s)) return s
     val form =
       if (nfkc) java.text.Normalizer.Form.NFKC
       else java.text.Normalizer.Form.NFC
@@ -32,7 +36,7 @@ object UnicodeNormalizeUtil {
   }
 
   def isNormalized(s: UTF8String, nfkc: Boolean): Boolean = {
-    if (asciiOnly(s.getBytes)) return true
+    if (asciiOnly(s)) return true
     val form =
       if (nfkc) java.text.Normalizer.Form.NFKC
       else java.text.Normalizer.Form.NFC

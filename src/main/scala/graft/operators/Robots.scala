@@ -30,21 +30,43 @@ import org.apache.spark.sql.functions._
   *    user-agent run (RFC 9309 allows emptyline between
   *    startgrouplines); unknown fields (Crawl-delay, Sitemap) are
   *    ignored but DO end the run, per the RFC's group grammar;
-  *    CRLF/CR/LF line endings all parse;
+  *    CRLF/CR/LF line endings all parse; RFC 9309 WS is space OR TAB
+  *    (Spark's trim strips only 0x20 — a tab-indented field line or
+  *    a `Disallow:<tab>/x` value must parse, not silently allow);
+  *  - agent matching is by PRODUCT TOKEN (RFC 9309 §2.2.1): a site
+  *    writing `User-agent: graftbot/1.2` names graftbot — the value
+  *    compares up to the first `/`, case-insensitively;
+  *  - rule paths are percent-normalized AT PARSE TIME with the same
+  *    RFC 3986 §6.2.2.2 rule [[Url.canonicalizeUrl]] applies to
+  *    document URLs (`Disallow: /p%31` must match the canonical
+  *    `/p1`); this runs once per host on the broadcast side;
+  *    specificity counts the normalized octet length;
   *  - `*`/`$` special characters in rule paths (RFC 9309 §2.2.3):
   *    `*` matches any octet run, a TRAILING `$` anchors the rule at
   *    end-of-path; wildcard rules are compiled to a regex ONCE at
   *    parse time (on the per-host broadcast side) and plain prefixes
   *    keep the cheap startsWith path — specificity stays the rule
   *    path's octet length, per the RFC;
-  *  - OUT OF SCOPE: percent-encoding equivalence between rule and
-  *    path (canonicalize BOTH through [[Url.canonicalizeUrl]] first,
-  *    which this engine's pipeline does anyway).
+  *  - OUT OF SCOPE: `Crawl-delay` pacing (a fetcher-side concern,
+  *    not a keep/drop decision).
   */
 object Robots {
 
   private val RuleArrayType =
     "array<struct<allow:boolean,prefix:string,re:string>>"
+
+  /** RFC 9309 whitespace trim: space AND tab (Spark's `trim` strips
+    * only 0x20, and tab-formatted robots.txt is common in the wild).
+    */
+  private def wtrim(c: Column): Column =
+    regexp_replace(c, "^[ \\t]+|[ \\t]+$", "")
+
+  /** The product token of a `User-agent:` value, lowercased: the part
+    * before an optional `/version` suffix (RFC 9309 matches the
+    * token, so `graftbot/1.2` names graftbot).
+    */
+  private def uaToken(value: Column): Column =
+    lower(wtrim(regexp_extract(wtrim(value), "^([^/]*)", 1)))
 
   /** Regex form of a rule path carrying RFC 9309 special characters,
     * null for plain prefixes (which match via startsWith — the fast
@@ -73,15 +95,15 @@ object Robots {
   def robotsRules(txt: Column, agent: String): Column = {
     val agentLit = agent.toLowerCase(java.util.Locale.ROOT)
     // comment-stripped, trimmed lines, split on ANY RFC 9309 EOL
-    // (CRLF / LF / CR — Windows-served robots.txt is CRLF and Spark's
-    // trim strips only spaces, so a bare \n split would leave a \r on
-    // every token); field names match case-insensitively but rule
-    // PATHS keep their case
+    // (CRLF / LF / CR — Windows-served robots.txt is CRLF, so a bare
+    // \n split would leave a \r on every token); trimming is [ \t]
+    // (RFC 9309 WS — tab-indented lines must parse); field names
+    // match case-insensitively but rule PATHS keep their case
     val lines = transform(split(txt, "\r\n|\r|\n"),
-      l => trim(regexp_replace(l, "#.*$", "")))
+      l => wtrim(regexp_replace(l, "#.*$", "")))
     val target = when(
       exists(lines, l =>
-        lower(trim(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))) === agentLit),
+        uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)) === agentLit),
       lit(agentLit)).otherwise(lit("*"))
     val folded = aggregate(
       lines,
@@ -91,10 +113,14 @@ object Robots {
         lit("rules"), array().cast(RuleArrayType)),
       (acc, l) => {
         val isUa    = l.rlike("(?i)^user-agent:")
-        val uaName  = lower(trim(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)))
+        val uaName  = uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))
         val isAllow = l.rlike("(?i)^allow:")
         val isDis   = l.rlike("(?i)^disallow:")
-        val prefix  = trim(regexp_extract(l, "(?i)^(?:allow|disallow):(.*)$", 1))
+        // rule paths percent-normalize at parse time (the broadcast
+        // side, once per host) with the SAME §6.2.2.2 rule document
+        // URLs get — `Disallow: /p%31` must match canonical `/p1`
+        val prefix  = Url.percentNormalize(
+          wtrim(regexp_extract(l, "(?i)^(?:allow|disallow):(.*)$", 1)))
         val active = when(isUa && !acc.getField("uarun"), uaName === target)
           .when(isUa, acc.getField("active") || (uaName === target))
           .otherwise(acc.getField("active"))

@@ -38,16 +38,28 @@ object Sitemap {
     * [[sitemapDirectory]]); keeps every other column.
     */
   def entries(df: DataFrame, xmlCol: String): DataFrame = {
+    // `<url(?:\s[^>]*)?>` tolerates attributes on the entry tag
+    // WITHOUT also matching `<urlset ...>`; loc/lastmod values are
+    // whitespace-trimmed (regex \s, not Spark's space-only trim)
+    // because pretty-printed sitemaps put the URL on its own indented
+    // line and whitespace inside <loc> is not URL-significant
     val entry = explode(regexp_extract_all(col(xmlCol),
-      lit("(?s)<url>(.*?)</url>"), lit(1)))
+      lit("(?s)<url(?:\\s[^>]*)?>(.*?)</url>"), lit(1)))
     df.withColumn("_entry", entry)
       .withColumn("loc",
-        unescapeXml(regexp_extract(col("_entry"),
-          "(?s)<loc>(.*?)</loc>", 1)))
+        unescapeXml(wstrip(regexp_extract(col("_entry"),
+          "(?s)<loc(?:\\s[^>]*)?>(.*?)</loc>", 1))))
       .withColumn("lastmod",
-        regexp_extract(col("_entry"), "(?s)<lastmod>(.*?)</lastmod>", 1))
+        wstrip(regexp_extract(col("_entry"),
+          "(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>", 1)))
       .drop("_entry", xmlCol)
   }
+
+  /** Full whitespace strip (spaces, tabs, newlines) — Spark's `trim`
+    * strips only 0x20.
+    */
+  private def wstrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
 
   /** The five predefined XML entities, `&amp;` last (the
     * [[Html]] single-pass rule — escaped escapes decode one level).

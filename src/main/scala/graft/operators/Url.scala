@@ -108,8 +108,10 @@ object Url {
     * uppercase hex) or doesn't (a stray `%`, re-emitted verbatim).
     * Decoding unreserved octets can never produce a URL delimiter, so
     * this runs safely over the WHOLE URL before component extraction.
+    * (Shared with [[Robots]], which normalizes rule PATHS at parse
+    * time so `Disallow: /p%31` matches the canonical `/p1`.)
     */
-  private def percentNormalize(u: Column): Column =
+  private[operators] def percentNormalize(u: Column): Column =
     // the split is referenced three times (head, slice bound, size) —
     // bind it once (same interpreted-projection argument as
     // [[canonicalizeUrl]]'s let-binding)

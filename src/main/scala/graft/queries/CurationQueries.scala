@@ -145,6 +145,15 @@ object CurationQueries {
   // rc 2 exercises consecutive-UA group sharing and the no-op empty
   // Disallow (everything allowed). The oracle's expectation is a
   // CLOSED FORM of g — it never replays the parser.
+  // The bodies carry real-world formatting noise the parser must see
+  // through, each load-bearing against the closed form: rc 0 names
+  // the agent by PRODUCT TOKEN (`graftbot/1.0` — exact-match would
+  // drop the group and the deny-all * would block every k), spells
+  // /p2 with an encoded unreserved octet (`/p%32` — without §6.2.2.2
+  // rule normalization it matches no canonical path and k=2 flips to
+  // allowed), and rc 1 formats with RFC 9309 tab whitespace (a
+  // tab-indented field line + a tab after the colon — space-only
+  // trimming would allow /p3 and /p4).
   private[graft] def robotsTable(hosts: DataFrame): DataFrame = {
     val site = regexp_extract(col("host"), "^www\\.site([0-9]+)\\.", 1)
       .cast("int")
@@ -152,11 +161,11 @@ object CurationQueries {
       .when(col("host").endsWith(".example.com"), 1).otherwise(2)
     val rc = (site + t * 7) % 3
     val txt = when(rc === 0, lit(
-      "User-agent: graftbot\nDisallow: /p2\nDisallow: /p1\n" +
+      "User-agent: graftbot/1.0\nDisallow: /p%32\nDisallow: /p1\n" +
         "Allow: /p1/x\n\nUser-agent: *\nDisallow: /\n"))
       .when(rc === 1, lit(
-        "# corpus-wide politeness\nUser-agent: *\nDisallow: /p3\n" +
-          "Disallow: /p4\n"))
+        "# corpus-wide politeness\nUser-agent: *\n\tDisallow: /p3\n" +
+          "Disallow:\t/p4\n"))
       .otherwise(lit(
         "User-agent: otherbot\nDisallow: /\n\n" +
           "User-agent: graftbot\nUser-agent: extrabot\nDisallow:\n"))

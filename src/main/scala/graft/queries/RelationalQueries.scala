@@ -664,7 +664,7 @@ object RelationalQueries {
     // Bloom-filtered join (the runtime join filter): revenue by brand
     // for the Brand#1x line (a stable ~20% of parts at every scale),
     // with the fact side pre-screened by a 4×16384
-    // bloom grid built from the dim side's keys — the 16 KB bitmap
+    // bloom grid built from the dim side's keys — the 8 KB bitmap
     // rides into every scan task as a plan literal and drops
     // non-matching lineitem rows BEFORE the shuffle, the move that
     // turns a 100 TB big-big join's exchange into a fraction of

@@ -303,7 +303,7 @@ object StreamingQueries {
     // exact dropDuplicates carries one state row per distinct canonical
     // URL FOREVER, which a multi-year crawl cannot afford. Here the
     // HISTORICAL frontier (the canonical URLs of the first half of the
-    // logical page groups) packs into a 16 KB Bloom bitmap ONCE
+    // logical page groups) packs into an 8 KB Bloom bitmap ONCE
     // (driver-bounded by the grid, never the URL count) and every
     // arriving URL canonicalizes (q6P's exact operator) and probes the
     // broadcast bitmap via the codegen'd BloomHitExpr — ZERO streaming
@@ -312,7 +312,7 @@ object StreamingQueries {
     // StreamingSpec). One-sided error, measured IN the output: a truly
     // seen URL always flags (no false negatives — the crawl never
     // re-fetches known pages), and the (bloom_hit=true, truly_seen=
-    // false) row IS the false-positive count the 16 KB buys. The
+    // false) row IS the false-positive count the 8 KB buys. The
     // oracle replays the slice-hash arithmetic, false positives and
     // all (the q7N idiom applied to crawl frontier dedup).
     "q7V_stream_url_seen" -> { (s, d) =>
@@ -615,7 +615,7 @@ object StreamingQueries {
     },
 
     // Streaming Bloom runtime-filter flag: the dim side's keys pack
-    // into a 16 KB bitmap ONCE (driver-bounded by the grid, never the
+    // into an 8 KB bitmap ONCE (driver-bounded by the grid, never the
     // set), and every arriving row is flagged by the codegen'd
     // BloomHitExpr — one md5 per row, ZERO streaming state (stateless
     // Append projection, the q7J shape without even a broadcast join).

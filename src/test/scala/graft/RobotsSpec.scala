@@ -113,6 +113,55 @@ class RobotsSpec extends GraftSpec {
     assert(decide(prec, "graftbot", "/a/b", "/a/c") == Seq(true, false))
   }
 
+  test("RFC 9309 whitespace includes tabs: indented fields and tab-separated values parse") {
+    // a real-world 'Disallow:\t/private' must not yield the unmatched
+    // rule '\t/private' (which silently ALLOWS the disallowed path),
+    // and a tab-indented 'User-agent:' line must be recognized
+    val txt = "\tUser-agent:\tgraftbot\nDisallow:\t/private\t\n"
+    assert(decide(txt, "graftbot", "/private/x", "/public") ==
+      Seq(false, true))
+  }
+
+  test("User-agent matches by product token: 'graftbot/1.2' names graftbot (RFC 9309)") {
+    // exact-value matching would silently drop the named group and
+    // fall to *, flipping the decision both directions
+    val txt =
+      """User-agent: graftbot/1.2
+        |Disallow: /private
+        |
+        |User-agent: *
+        |Disallow: /
+        |""".stripMargin
+    assert(decide(txt, "graftbot", "/private/x", "/public") ==
+      Seq(false, true))
+    // and the crawler's own plain token still matches a plain value
+    assert(decide("User-agent: graftbot\nDisallow: /x\n",
+      "graftbot", "/x/1") == Seq(false))
+  }
+
+  test("rule paths percent-normalize at parse time (RFC 3986 §6.2.2.2)") {
+    // a rule written '/p%31' must match the canonical '/p1' (encoded
+    // unreserved octet decodes), and '/a%2fb' must match the canonical
+    // '/a%2Fb' (reserved octet keeps its encoding, hex uppercases) —
+    // document paths arrive canonicalized, so the rule side must
+    // normalize identically or the gate silently allows
+    val txt =
+      """User-agent: *
+        |Disallow: /p%31
+        |Disallow: /a%2fb
+        |""".stripMargin
+    assert(decide(txt, "graftbot",
+      "/p1/x",   // rule /p%31 normalizes to /p1 -> blocked
+      "/p2",     // no rule
+      "/a%2Fb/c" // rule /a%2fb normalizes to /a%2Fb -> blocked
+    ) == Seq(false, true, false))
+    // a decoded unreserved DOT must be regex-escaped when the rule
+    // also carries a wildcard: /%2Ea* blocks /.a/x but not /xa/x
+    val dotted = "User-agent: *\nDisallow: /%2Ea*\n"
+    assert(decide(dotted, "graftbot", "/.a/x", "/xa/x") ==
+      Seq(false, true))
+  }
+
   test("no robots / no matching group / empty file => allowed") {
     assert(decide("", "graftbot", "/anything") == Seq(true))
     assert(decide("User-agent: otherbot\nDisallow: /\n", "graftbot", "/p") ==

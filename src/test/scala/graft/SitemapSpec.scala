@@ -35,6 +35,28 @@ class SitemapSpec extends GraftSpec {
     assert(esc == "a&amp;b")
   }
 
+  test("pretty-printed values trim; entry/loc tags tolerate attributes; urlset is not an entry") {
+    // common in the wild: the URL on its own indented line inside
+    // <loc> (whitespace is not URL-significant), and attributes on
+    // the entry tag — neither may corrupt or drop the loc; and the
+    // attribute tolerance must NOT make <urlset ...> match as <url ...>
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url data-x="1">
+        |    <loc>
+        |      http://h.org/pretty
+        |    </loc>
+        |    <lastmod>
+        |      2024-05-06
+        |    </lastmod>
+        |  </url>
+        |</urlset>""".stripMargin
+    val got = Sitemap.entries(Seq(xml).toDF("xml"), "xml")
+      .select("loc", "lastmod").as[(String, String)].collect().toSeq
+    assert(got == Seq("http://h.org/pretty" -> "2024-05-06"))
+  }
+
   test("directory scan reads real files distributed") {
     val dir = graft.util.TempDirs.scratch("sitemap-spec-")
     Sitemap.writeSitemap(
