@@ -145,6 +145,73 @@ object Warc {
     Array.emptyByteArray
   }
 
+  /** The `charset` token declared in the HTTP envelope's
+    * `Content-Type` header, lowercased and dequoted; "" when the
+    * envelope carries none. The envelope bytes decode as ISO-8859-1
+    * (byte-transparent — header junk must not throw) for the scan.
+    */
+  def httpCharset(payload: Array[Byte]): String = {
+    var end = 0
+    var found = false
+    while (!found && end + 3 < payload.length) {
+      if (payload(end) == '\r' && payload(end + 1) == '\n' &&
+        payload(end + 2) == '\r' && payload(end + 3) == '\n') found = true
+      else end += 1
+    }
+    if (!found) return ""
+    val head = new String(payload, 0, end, "ISO-8859-1")
+    val ct = "(?im)^content-type:([^\r\n]*)$".r
+      .findFirstMatchIn(head).map(_.group(1)).getOrElse("")
+    "(?i)charset\\s*=\\s*\"?([^\";,\\s]+)\"?".r
+      .findFirstMatchIn(ct)
+      .map(_.group(1).trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("")
+  }
+
+  /** Labels the WHATWG Encoding Standard maps to windows-1252: real
+    * servers declare `iso-8859-1`/`latin1`/`us-ascii` while serving
+    * windows-1252 bytes (€ at 0x80, smart quotes at 0x91-0x94), and
+    * every browser decodes them as windows-1252 — so must an honest
+    * crawl ingest, or those octets mojibake as C1 controls.
+    */
+  private val Cp1252Labels = Set(
+    "iso-8859-1", "iso8859-1", "iso_8859-1", "iso88591", "iso-ir-100",
+    "latin1", "latin-1", "l1", "csisolatin1", "iso_8859-1:1987",
+    "ascii", "us-ascii", "ansi_x3.4-1968", "cp819", "ibm819",
+    "windows-1252", "cp1252", "x-cp1252")
+
+  /** Decode body bytes under a declared charset label: windows-1252
+    * for the WHATWG latin-1 alias class, UTF-8 for ""/utf-8/unknown
+    * labels, the named charset otherwise — always with REPLACE (never
+    * throw) semantics, so a lying charset yields U+FFFD replacement
+    * characters a downstream quality gate can count, not a torn task.
+    */
+  def decodeBody(body: Array[Byte], charsetLabel: String): String = {
+    val cs: java.nio.charset.Charset = charsetLabel match {
+      case "" | "utf-8" | "utf8" | "unicode-1-1-utf-8" =>
+        java.nio.charset.StandardCharsets.UTF_8
+      case l if Cp1252Labels.contains(l) =>
+        java.nio.charset.Charset.forName("windows-1252")
+      case other =>
+        try java.nio.charset.Charset.forName(other)
+        catch { case _: Exception =>
+          java.nio.charset.StandardCharsets.UTF_8 }
+    }
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(body)).toString
+  }
+
+  /** The response body as TEXT, decoded with the charset the HTTP
+    * envelope declares (see [[httpCharset]]/[[decodeBody]]) — the
+    * ingest-boundary decode: hard-coding UTF-8 here would mojibake
+    * every ISO-8859-1/windows-1252 response before any downstream
+    * repair gate could see clean bytes.
+    */
+  def httpBodyText(payload: Array[Byte]): String =
+    decodeBody(httpBody(payload), httpCharset(payload))
+
   /** Stream-level gunzip sniff: peek the two magic bytes via
     * mark/reset and wrap in a GZIPInputStream when they lead — the
     * decompressed bytes FLOW through [[parseWarcStream]] one record at
@@ -188,7 +255,9 @@ object Warc {
 
   /** One row per `response` record across a directory of .warc /
     * .warc.gz files: `(source, target_uri, warc_date, text)` with the
-    * HTTP envelope stripped and the body decoded as UTF-8.
+    * HTTP envelope stripped and the body decoded under the charset
+    * the envelope DECLARES (windows-1252 for the WHATWG latin-1
+    * aliases, UTF-8 fallback, REPLACE on malformed — [[httpBodyText]]).
     *
     * Scale shape: `binaryFiles` hands each task a LAZY handle
     * (`PortableDataStream`), the gunzip sniff wraps the raw stream,
@@ -203,6 +272,7 @@ object Warc {
       StructField("source", StringType),
       StructField("target_uri", StringType),
       StructField("warc_date", StringType),
+      StructField("charset", StringType),
       StructField("text", StringType)))
     val rows = spark.sparkContext.binaryFiles(dir + "/*.warc*")
       .flatMap { case (path, pds) =>
@@ -217,7 +287,7 @@ object Warc {
         val recs = parseWarcStream(in)
           .filter(_.warcType == "response")
           .map(r => Row(path, r.targetUri, r.date,
-            new String(httpBody(r.payload), "UTF-8")))
+            httpCharset(r.payload), httpBodyText(r.payload)))
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = recs.hasNext
@@ -230,10 +300,14 @@ object Warc {
     spark.createDataFrame(rows, schema)
   }
 
-  /** Render one response record (for fixture writers / tests). */
-  def renderResponse(uri: String, date: String, body: Array[Byte]): Array[Byte] = {
-    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain; " +
-      "charset=utf-8\r\n\r\n").getBytes("US-ASCII") ++ body
+  /** Render one response record (for fixture writers / tests);
+    * `contentType` is the HTTP envelope's declared type — the charset
+    * token in it drives [[httpBodyText]]'s decode on the way back.
+    */
+  def renderResponse(uri: String, date: String, body: Array[Byte],
+                     contentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $contentType\r\n\r\n")
+      .getBytes("US-ASCII") ++ body
     (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
       s"WARC-Date: $date\r\nContent-Type: application/http; msgtype=response\r\n" +
       s"Content-Length: ${http.length}\r\n\r\n").getBytes("US-ASCII") ++
@@ -249,14 +323,24 @@ object Warc {
     */
   def writeSegment(rows: Iterator[(Long, String)], dir: String,
                    uriPrefix: String, gzip: Boolean,
+                   date: String = "2024-01-01T00:00:00Z"): Unit =
+    writeRecords(
+      rows.map { case (id, body) =>
+        renderResponse(s"$uriPrefix$id", date, body.getBytes("UTF-8"))
+      }, dir, gzip, date)
+
+  /** The segment-file core shared by [[writeSegment]] and
+    * charset-varying fixture writers: a warcinfo preamble plus the
+    * given pre-rendered records, one file per non-empty partition,
+    * optionally gzipped.
+    */
+  def writeRecords(records: Iterator[Array[Byte]], dir: String,
+                   gzip: Boolean,
                    date: String = "2024-01-01T00:00:00Z"): Unit = {
     val buf = new java.io.ByteArrayOutputStream()
     buf.write(renderWarcinfo(date))
     var n = 0
-    rows.foreach { case (id, body) =>
-      buf.write(renderResponse(s"$uriPrefix$id", date, body.getBytes("UTF-8")))
-      n += 1
-    }
+    records.foreach { rec => buf.write(rec); n += 1 }
     if (n > 0) {
       val ext = if (gzip) ".warc.gz" else ".warc"
       val p = java.nio.file.Paths.get(dir,

@@ -84,6 +84,40 @@ class WarcSpec extends GraftSpec {
     assert(Warc.parseWarcStream(plain).size == 3)
   }
 
+  test("body decode honors the envelope's declared charset (WHATWG aliasing)") {
+    // declared iso-8859-1 with true latin-1 bytes
+    val latin = Warc.parseWarc(Warc.renderResponse("http://x/1", date,
+      "café über".getBytes("ISO-8859-1"),
+      "text/html; charset=iso-8859-1")).head
+    assert(Warc.httpCharset(latin.payload) == "iso-8859-1")
+    assert(Warc.httpBodyText(latin.payload) == "café über")
+    // WHATWG rule: a latin-1 label decodes as windows-1252 — € lives
+    // at 0x80, which strict ISO-8859-1 would turn into a C1 control
+    val cp1252 = Warc.parseWarc(Warc.renderResponse("http://x/2", date,
+      "€9".getBytes("windows-1252"),
+      "text/plain; charset=\"ISO-8859-1\"")).head
+    assert(Warc.httpCharset(cp1252.payload) == "iso-8859-1")
+    assert(Warc.httpBodyText(cp1252.payload) == "€9")
+    // quoted + mixed-case labels dequote and lowercase (done above);
+    // an unknown label falls back to UTF-8
+    val unknown = Warc.parseWarc(Warc.renderResponse("http://x/3", date,
+      "plain".getBytes("US-ASCII"), "text/plain; charset=x-bogus-enc")).head
+    assert(Warc.httpBodyText(unknown.payload) == "plain")
+  }
+
+  test("missing charset falls back to UTF-8; a lying charset yields U+FFFD, never a crash") {
+    val noCs = Warc.parseWarc(Warc.renderResponse("http://x/4", date,
+      "café".getBytes("UTF-8"), "text/plain")).head
+    assert(Warc.httpCharset(noCs.payload) == "")
+    assert(Warc.httpBodyText(noCs.payload) == "café")
+    // declared utf-8 but the bytes are latin-1: 0xE9 is a malformed
+    // UTF-8 lead byte — REPLACE semantics substitute U+FFFD so a
+    // downstream quality gate can count the damage
+    val lying = Warc.parseWarc(Warc.renderResponse("http://x/5", date,
+      "café!".getBytes("ISO-8859-1"), "text/plain; charset=utf-8")).head
+    assert(Warc.httpBodyText(lying.payload) == "caf�!")
+  }
+
   test("warcDirectory reads a real directory distributed") {
     val dir = graft.util.TempDirs.scratch("warc-spec-")
     val f = Warc.renderWarcinfo(date) ++
