@@ -671,6 +671,57 @@ object PipelineQueries {
         .orderBy("loc")
     },
 
+    // SITEMAP INDEX recursion over GZIPPED members — the shape real
+    // sites ship at exactly the scale this engine targets: a
+    // `<sitemapindex>` pointing at ≤50k-URL .xml.gz members. Same
+    // corpus payload as q5S, but the members are gzipped urlsets, a
+    // driver-written index references them BY URL (resolved by
+    // basename against the scan — the fetch cache shape), a DECOY
+    // urlset no index references must be ignored (its bogus URL would
+    // break the hash), and one dangling reference to a missing member
+    // must be tolerated. Oracle: q5S's verbatim closed form — the
+    // index hop + gzip codec must be invisible in the output.
+    "q5U_sitemap_index" -> { (s, d) =>
+      import graft.operators.{Sitemap, Url}
+      val dir = graft.util.TempDirs.scratch("graft-sitemap-idx-")
+      val g = col("doc_id") % CurationQueries.UrlGroups
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Sitemap.escapeXml(Url.canonicalizeUrl(
+            CurationQueries.messyUrl(col("doc_id")))).as("loc"),
+          when(g % 4 === 0, lit(""))
+            .otherwise(concat(lit("2024-01-"),
+              lpad(((g % 28) + 1).cast("string"), 2, "0"))).as("lastmod"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          Sitemap.writeSitemap(
+            rows.map(r => (r.getString(1), r.getString(2))), dir,
+            gzip = true)
+        }
+      // the decoy: a valid urlset NO index references — a crawler only
+      // fetches what the index lists, so its URL must not surface
+      Sitemap.writeSitemap(
+        Iterator(("http://decoy.local/never-fetched", "")), dir)
+      val members = {
+        val s2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        try {
+          val it = s2.iterator()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            if (n.endsWith(".xml.gz"))
+              b += s"http://corpus.local/sitemaps/$n"
+          }
+          b.result().sorted
+        } finally s2.close()
+      }
+      Sitemap.writeSitemapIndex(
+        members :+ "http://corpus.local/sitemaps/missing.xml.gz", dir)
+      Sitemap.sitemapForest(s, dir)
+        .select("loc", "lastmod").distinct()
+        .orderBy("loc")
+    },
+
     // AUDIO loudness-envelope dedup, oracle-gated through the REAL
     // RIFF/PCM16 walk: 8-window square-wave clips whose per-window
     // amplitude is closed-form in the id's family (syntheticToneWavs),
@@ -856,7 +907,11 @@ object PipelineQueries {
               "<body class=\"main\"><h1>Doc "),
             col("doc_id"),
             lit("</h1><p>"), col("text"),
-            lit("</p><div>&amp;&nbsp;footer</div></body></html>")
+            // entity coverage for the strip path: &amp; one-level,
+            // nbsp, the named punctuation/symbol forms, an unknown
+            // name that must survive as text
+            lit("</p><div>&amp;&nbsp;footer &mdash; &copy;2024 " +
+              "&hellip; &bogus;</div></body></html>")
           ).as("html"))
       wrapped.select(col("doc_id"),
           graft.operators.Curation.stripHtml(col("html")).as("clean_text"))
@@ -938,6 +993,48 @@ object PipelineQueries {
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
           col("text").as("doc_text"))
+        .orderBy("doc_id")
+    },
+
+    // CHARSET-AWARE WARC ingest: real crawl segments are full of
+    // ISO-8859-1 / windows-1252 responses whose charset is declared in
+    // the HTTP envelope's Content-Type — hard-decoding UTF-8 at the
+    // ingest boundary would mojibake every one of them BEFORE any
+    // downstream repair gate could see clean bytes. Four declaration
+    // classes per doc_id: utf-8 declared; iso-8859-1 declared with
+    // true latin-1 bytes (é/ü); iso-8859-1 declared (QUOTED, mixed
+    // case) with a windows-1252-only byte (€ at 0x80 — the WHATWG
+    // alias rule: browsers and honest crawls decode latin-1 labels as
+    // windows-1252); and NO charset parameter (UTF-8 fallback). The
+    // oracle's expectation is the CLOSED-FORM marker text per class —
+    // the decode must invert each encode byte-exactly.
+    "q5T_warc_charset" -> { (s, d) =>
+      import graft.ingest.Warc
+      val dir = graft.util.TempDirs.scratch("graft-warc-charset-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          val date = "2024-01-01T00:00:00Z"
+          Warc.writeRecords(rows.map { r =>
+            val id = r.getLong(0)
+            val (marker, enc, declared) = (id % 4) match {
+              case 0 => (" café", "UTF-8",
+                "text/plain; charset=utf-8")
+              case 1 => (" café über", "ISO-8859-1",
+                "text/html; charset=iso-8859-1")
+              case 2 => (" €9", "windows-1252",
+                "text/plain; charset=\"ISO-8859-1\"")
+              case _ => (" plain", "US-ASCII", "text/plain")
+            }
+            Warc.renderResponse(s"http://corpus.local/cs/$id", date,
+              (r.getString(1) + marker).getBytes(enc), declared)
+          }, dir, gzip = false, date = date)
+        }
+      Warc.warcDirectory(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/cs/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("charset"), md5(col("text")).as("text_md5"))
         .orderBy("doc_id")
     },
 
@@ -2195,6 +2292,18 @@ object PipelineQueries {
          |FROM mb
          |ORDER BY loc""".stripMargin,
 
+    // Index-recursion mirror: q5S's closed form verbatim — the
+    // sitemapindex hop, the gzip codec, the ignored decoy, and the
+    // dangling reference must all be invisible in the output.
+    "q5U_sitemap_index" ->
+      s"""WITH ${CurationQueries.duckUrlBase}
+         |SELECT DISTINCT ${CurationQueries.duckCanonClosedForm} AS loc,
+         |  CASE WHEN g % 4 = 0 THEN ''
+         |       ELSE '2024-01-' || lpad(CAST((g % 28) + 1 AS VARCHAR), 2, '0')
+         |  END AS lastmod
+         |FROM mb
+         |ORDER BY loc""".stripMargin,
+
     // Audio-envelope mirror WITHOUT a RIFF parser: window w's |sample|
     // sum is exactly 64·A(g, w) (constant-amplitude square wave), and
     // the 64s cancel exactly in the integer quantization, so the level
@@ -2229,11 +2338,13 @@ object PipelineQueries {
 
     // HTML-strip mirror: the correct output of stripping the known
     // wrapper is stated literally — headline text survives, script/
-    // style content vanishes, the footer entities decode.
+    // style content vanishes, the footer entities decode (named forms
+    // as chr() literals; the unknown &bogus; survives as text).
     "q5E_html_strip" ->
       """SELECT doc_id,
-        |       'Doc ' || doc_id || ' ' || trim(text) || ' & footer'
-        |         AS clean_text
+        |       'Doc ' || doc_id || ' ' || trim(text) || ' & footer ' ||
+        |         chr(8212) || ' ' || chr(169) || '2024 ' || chr(8230) ||
+        |         ' &bogus;' AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Gzip mirror: the codec round-trip is byte-lossless, so the scan
@@ -2249,6 +2360,22 @@ object PipelineQueries {
 
     "q5Q_warc_gz_ingest" ->
       """SELECT doc_id, text AS doc_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Charset mirror: the parsed charset token and the decoded text
+    // are CLOSED FORMS of doc_id (é = chr(233), ü = chr(252),
+    // € = chr(8364)) — the decode must invert each class's encode
+    // byte-exactly, including the windows-1252 € that a strict
+    // ISO-8859-1 decode cannot produce.
+    "q5T_warc_charset" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (1, 2) THEN 'iso-8859-1'
+        |       WHEN doc_id % 4 = 0 THEN 'utf-8' ELSE '' END AS charset,
+        |  md5(text || CASE doc_id % 4
+        |        WHEN 0 THEN ' caf' || chr(233)
+        |        WHEN 1 THEN ' caf' || chr(233) || ' ' || chr(252) || 'ber'
+        |        WHEN 2 THEN ' ' || chr(8364) || '9'
+        |        ELSE ' plain' END) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Crawl-to-text mirror: q2O's CTE chain (the WARC leg is byte-exact
