@@ -11,14 +11,22 @@ import org.apache.spark.sql.functions._
   * Scope (the sitemaps.org core): `<urlset>` documents with `<url>`
   * entries carrying `<loc>` (required) and `<lastmod>` (optional);
   * XML entity escaping of `<loc>` values is decoded (the five
-  * predefined entities — sitemap URLs MUST escape `&`).
-  * `<sitemapindex>` recursion and .gz sitemaps are documented out of
-  * scope here (compose with the q5D gzip reader and a second pass —
-  * both already exist in the engine).
+  * predefined entities — sitemap URLs MUST escape `&`); AND the
+  * `<sitemapindex>` layer — how real sites actually ship at scale:
+  * one index pointing at ≤50k-URL gzipped members. [[sitemapForest]]
+  * follows index→member references (member URL resolved by basename
+  * against the scanned directory — the fetch already happened, the
+  * scan IS the fetched cache), reads `.xml.gz` members through the
+  * codec transparently, ignores urlset files no index references
+  * (a crawler only fetches what the index lists), and drops
+  * dangling references (a listed-but-missing member must not tear
+  * the job).
   *
   * Everything after the wholetext scan is a row-local regex chain +
-  * one explode: entries never shuffle as XML, parallelism = sitemap
-  * file count (how sites ship them: one file per ≤50k URLs).
+  * one explode (the index membership is a small broadcast semi-join
+  * on file basenames — index refs are ≤50k tiny strings per site,
+  * never corpus-sized): entries never shuffle as XML, parallelism =
+  * sitemap file count (how sites ship them: one file per ≤50k URLs).
   */
 object Sitemap {
 
@@ -61,6 +69,48 @@ object Sitemap {
   private def wstrip(c: Column): Column =
     regexp_replace(c, "^\\s+|\\s+$", "")
 
+  /** `<sitemap>` member references of `<sitemapindex>` documents:
+    * `(…, loc, lastmod)` like [[entries]] but over the index element
+    * grammar. `<sitemap(?:\s…)?>` cannot match `<sitemapindex>` (the
+    * next octet must be `>` or whitespace).
+    */
+  def indexEntries(df: DataFrame, xmlCol: String): DataFrame = {
+    val ref = explode(regexp_extract_all(col(xmlCol),
+      lit("(?s)<sitemap(?:\\s[^>]*)?>(.*?)</sitemap>"), lit(1)))
+    df.withColumn("_ref", ref)
+      .withColumn("loc",
+        unescapeXml(wstrip(regexp_extract(col("_ref"),
+          "(?s)<loc(?:\\s[^>]*)?>(.*?)</loc>", 1))))
+      .withColumn("lastmod",
+        wstrip(regexp_extract(col("_ref"),
+          "(?s)<lastmod(?:\\s[^>]*)?>(.*?)</lastmod>", 1)))
+      .drop("_ref", xmlCol)
+  }
+
+  /** The full index→member scan (see object doc): one wholetext pass
+    * over `*.xml` + `*.xml.gz` (the codec decompresses in-stream),
+    * `<sitemapindex>` docs yield member references, and `<url>`
+    * entries come from exactly the urlset files those references name
+    * (by basename). One broadcast semi-join on basenames; the member
+    * XML never shuffles.
+    */
+  def sitemapForest(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true")
+      .option("pathGlobFilter", "*.xml*").text(dir)
+      .select(input_file_name().as("source"), col("value").as("xml"))
+    val isIdx = col("xml").contains("<sitemapindex")
+    val referencedBase = indexEntries(raw.filter(isIdx), "xml")
+      .select(regexp_extract(col("loc"), "([^/]+)$", 1).as("_base"))
+      .distinct()
+    val urlsets = raw.filter(!isIdx)
+      .withColumn("_base", regexp_extract(col("source"), "([^/]+)$", 1))
+    entries(
+      urlsets.join(broadcast(referencedBase), Seq("_base"), "left_semi")
+        .drop("_base"),
+      "xml")
+  }
+
   /** The five predefined XML entities, `&amp;` last (the
     * [[Html]] single-pass rule — escaped escapes decode one level).
     */
@@ -82,9 +132,12 @@ object Sitemap {
 
   /** Executor-side sitemap segment writer for fixtures/tests: one
     * `<urlset>` file per non-empty partition of (escapedLoc, lastmod)
-    * rows — lastmod "" omits the element, like real sitemaps.
+    * rows — lastmod "" omits the element, like real sitemaps;
+    * `gzip = true` writes an `.xml.gz` member, the shape index-based
+    * sites actually publish.
     */
-  def writeSitemap(rows: Iterator[(String, String)], dir: String): Unit = {
+  def writeSitemap(rows: Iterator[(String, String)], dir: String,
+                   gzip: Boolean = false): Unit = {
     val sb = new StringBuilder
     sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
     sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
@@ -98,10 +151,33 @@ object Sitemap {
     }
     sb.append("</urlset>\n")
     if (n > 0) {
+      val ext = if (gzip) ".xml.gz" else ".xml"
       val p = java.nio.file.Paths.get(dir,
-        s"sitemap_${java.util.UUID.randomUUID()}.xml")
-      java.nio.file.Files.write(p,
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        s"sitemap_${java.util.UUID.randomUUID()}$ext")
+      val bytes = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (gzip) {
+        val out = new java.util.zip.GZIPOutputStream(
+          java.nio.file.Files.newOutputStream(p))
+        try out.write(bytes) finally out.close()
+      } else java.nio.file.Files.write(p, bytes)
     }
+  }
+
+  /** Driver-side `<sitemapindex>` writer for fixtures/tests: one
+    * index file referencing `memberLocs` (already-escaped URLs).
+    */
+  def writeSitemapIndex(memberLocs: Seq[String], dir: String,
+                        fileName: String = "sitemap_index.xml"): Unit = {
+    val sb = new StringBuilder
+    sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+    sb.append("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+    memberLocs.foreach { loc =>
+      sb.append("  <sitemap>\n    <loc>").append(loc)
+        .append("</loc>\n  </sitemap>\n")
+    }
+    sb.append("</sitemapindex>\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, fileName),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -65,4 +65,30 @@ class SitemapSpec extends GraftSpec {
       .select("loc", "lastmod").as[(String, String)].collect().toSeq.sorted
     assert(rows == Seq("http://x/1" -> "2024-01-05", "http://x/2" -> ""))
   }
+
+  test("forest scan: index -> gzipped members; unreferenced + dangling tolerated") {
+    val dir = graft.util.TempDirs.scratch("sitemap-forest-")
+    // two gzipped members, one plain decoy NO index references
+    Sitemap.writeSitemap(Iterator(("http://x/a", "2024-03-01")), dir, gzip = true)
+    Sitemap.writeSitemap(Iterator(("http://x/b", "")), dir, gzip = true)
+    Sitemap.writeSitemap(Iterator(("http://decoy/never", "")), dir)
+    val members = {
+      val s2 = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val it = s2.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val n = it.next().getFileName.toString
+          if (n.endsWith(".xml.gz")) b += s"http://site/maps/$n"
+        }
+        b.result()
+      } finally s2.close()
+    }
+    Sitemap.writeSitemapIndex(
+      members :+ "http://site/maps/missing.xml.gz", dir)
+    val rows = Sitemap.sitemapForest(spark, dir)
+      .select("loc", "lastmod").as[(String, String)].collect().toSeq.sorted
+    // decoy excluded, dangling ref harmless, gz members decode
+    assert(rows == Seq("http://x/a" -> "2024-03-01", "http://x/b" -> ""))
+  }
 }
