@@ -58,15 +58,18 @@ object Url {
   val GenericSlds: Seq[String] = Seq("co", "com", "net", "org", "gov", "edu", "ac")
 
   /** A fixture-sized snippet of the Public Suffix List (publicsuffix
-    * .org — exact rules only) for tests and the q6U/q6V queries; a
-    * deployment loads the full published list into the `suffix` table
-    * instead. Includes `github.io`-style PRIVATE-section suffixes the
-    * [[GenericSlds]] heuristic cannot know about.
+    * .org) for tests and the q6U/q6V queries; a deployment loads the
+    * full published list into the `suffix` table instead. Includes
+    * `github.io`-style PRIVATE-section suffixes the [[GenericSlds]]
+    * heuristic cannot know about, plus the `.ck` wildcard/exception
+    * pair — the PSL's `*.` and `!` rule forms, carried VERBATIM (the
+    * match semantics live in [[registrableDomainPsl]], so the
+    * published list loads without preprocessing).
     */
   val SamplePsl: Seq[String] = Seq(
     "com", "org", "net", "io", "uk", "co.uk", "ac.uk", "gov.uk",
     "jp", "ac.jp", "co.jp", "br", "gov.br", "com.br",
-    "github.io", "blogspot.com")
+    "github.io", "blogspot.com", "*.ck", "!www.ck")
 
   private val SchemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
 
@@ -198,28 +201,47 @@ object Url {
   }
 
   /** PSL-backed registrable domain: `psl` is an ARRAY column holding
-    * the public-suffix set (ship it with [[withRegistrableDomainPsl]]
-    * — the PSL is ~10k static rows, a one-row broadcast, so the match
-    * itself stays row-local and shuffle-free). The registrable domain
-    * is one label + the host's LONGEST public suffix (the PSL match
-    * rule); a host with no matching suffix — or one that IS a bare
-    * public suffix — falls back to the [[registrableDomain]]
-    * heuristic, so missing PSL data degrades, never nulls. Exact
-    * rules only: the PSL's `*.` wildcard and `!` exception lines are
-    * documented out of scope (≪1% of rules; expand them to their
-    * exact forms when loading the published list).
+    * the public-suffix rules VERBATIM from the published list — exact
+    * suffixes plus `*.` wildcard and `!` exception lines (ship it
+    * with [[withRegistrableDomainPsl]] — the PSL is ~10k static rows,
+    * a one-row broadcast, so the match itself stays row-local and
+    * shuffle-free). The registrable domain is one label + the host's
+    * LONGEST matching public suffix, where a `*.S` rule makes ANY
+    * single label under S public (`*.ck` ⇒ `brand.ck` is public) and
+    * a matching `!E` exception overrides everything, pinning the
+    * registrable domain at E itself (`!www.ck` ⇒ `www.ck` registers
+    * even though `*.ck` would make it public) — the publicsuffix.org
+    * algorithm. A host with no matching suffix — or one that IS a
+    * bare public suffix — falls back to the [[registrableDomain]]
+    * heuristic, so missing PSL data degrades, never nulls.
     */
   def registrableDomainPsl(host: Column, psl: Column): Column = {
     val labels = split(host, "\\.")
     val n      = size(labels)
     def suffixOf(k: Column) = array_join(slice(labels, -k, k), ".")
-    // ascending fold over candidate suffix lengths 1..n-1: a longer
-    // match overwrites, so the accumulator ends at the LONGEST match
+    // ascending fold over candidate suffix lengths 1..n-1 (a public
+    // suffix must be PROPER — one label must remain): a longer match
+    // overwrites, so the accumulator ends at the LONGEST match; a
+    // k-label suffix also matches when its last k-1 labels appear
+    // under a `*.` wildcard rule
     val best = aggregate(
       filter(sequence(lit(1), greatest(n - 1, lit(1))), k => k <= n - 1),
       lit(0),
-      (acc, k) => when(array_contains(psl, suffixOf(k)), k).otherwise(acc))
-    when(best === 0, registrableDomain(host))
+      (acc, k) => when(
+        array_contains(psl, suffixOf(k)) ||
+          (k >= 2 && array_contains(psl, concat(lit("*."), suffixOf(k - 1)))),
+        k).otherwise(acc))
+    // exception rules run to k = n — the host ITSELF may be the
+    // exception (`www.ck`): a match pins the registrable domain at
+    // the exception's labels, overriding any wildcard/exact match
+    val exc = aggregate(
+      sequence(lit(1), greatest(n, lit(1))),
+      lit(0),
+      (acc, k) => when(
+        k <= n && array_contains(psl, concat(lit("!"), suffixOf(k))),
+        k).otherwise(acc))
+    when(exc > 0, array_join(slice(labels, -exc, exc), "."))
+      .when(best === 0, registrableDomain(host))
       .otherwise(array_join(slice(labels, -(best + 1), best + 1), "."))
   }
 

@@ -105,7 +105,19 @@ class UrlSpec extends GraftSpec {
       "github.io"         -> "github.io",
       // no suffix matches at all -> heuristic fallback
       "a.b.internal.lan"  -> "internal.lan",
-      "localhost"         -> "localhost")
+      "localhost"         -> "localhost",
+      // wildcard rule: *.ck makes brand.ck itself public, so the
+      // 3-label host registers whole
+      "shop.brand.ck"     -> "shop.brand.ck",
+      "a.shop.brand.ck"   -> "shop.brand.ck",
+      // exception rule: !www.ck overrides the wildcard — www.ck
+      // registers, and any host under it registers AS www.ck
+      "www.ck"            -> "www.ck",
+      "sub.www.ck"        -> "www.ck",
+      "a.sub.www.ck"      -> "www.ck",
+      // a bare wildcard-public suffix (brand.ck matches *.ck with
+      // nothing left to register) falls back to the heuristic
+      "brand.ck"          -> "brand.ck")
     val got = Url.withRegistrableDomainPsl(
         cases.map(_._1).toDF("h"), "h", psl, "d")
       .select("h", "d").as[(String, String)].collect().toMap
