@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKByRankAgg(es.head, es(1), k).toAggregateExpression()
       }))
     e.injectFunction((
+      FunctionIdentifier("bucket_of"),
+      info("bucket_of",
+        "_FUNC_(sorted_edges, v) - count of edges strictly below v (binary search bucket assignment)"),
+      (es: Seq[Expression]) => BucketOfExpr(es.head, es(1))))
+    e.injectFunction((
       FunctionIdentifier("bottom_k_sample"),
       info("bottom_k_sample",
         "_FUNC_(rank, id, v, k) - mergeable bottom-k value sample (DKW-bounded quantile sketch)"),

@@ -50,6 +50,11 @@ class ExtensionsSpec extends GraftSpec {
       val sample = bks.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("s")
         .map(x => (x.getString(0), x.getLong(1), x.getDouble(2)))
       assert(sample == Seq(("a", 1L, 10.0), ("b", 2L, 20.0)))
+      // round-12 registration: bucket_of (binary-search bucket index —
+      // edges strictly below v; the probe sits ON a duplicate edge)
+      val bo = extSession.sql(
+        "SELECT bucket_of(array(1.0D, 2.0D, 2.0D, 3.0D), 2.0D) AS b").head()
+      assert(bo.getInt(0) == 1)
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

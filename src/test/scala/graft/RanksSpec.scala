@@ -76,4 +76,22 @@ class RanksSpec extends GraftSpec {
       .collect()
     assert(got.nonEmpty && got.sameElements(want))
   }
+
+  test("bucket_of: binary search bit-equal to the comparison chain (ties, duplicates, ends)") {
+    import graft.functions.BucketOfExpr
+    import org.apache.spark.sql.GraftBridge
+    // duplicate edges (a quantile sketch can repeat a value) and
+    // probes sitting exactly ON edges — lower-bound must count edges
+    // STRICTLY below v, exactly like the Σ (v > e_k) chain it replaces
+    val edges = Seq(0.1, 0.2, 0.2, 0.5, 0.5, 0.5, 0.9)
+    val probes = Seq(0.0, 0.1, 0.15, 0.2, 0.3, 0.5, 0.7, 0.9, 1.0)
+    val df = probes.toDF("v")
+      .withColumn("_e", array(edges.map(lit): _*))
+    val got = df.select(GraftBridge.column(BucketOfExpr(
+        GraftBridge.expression(col("_e")),
+        GraftBridge.expression(col("v")))).as("b"))
+      .as[Int].collect().toSeq
+    val want = probes.map(v => edges.count(_ < v))
+    assert(got == want)
+  }
 }
