@@ -6,25 +6,59 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Static kernel behind [[DecodeNumericEntitiesExpr]]: one compiled
-  * scan decoding NUMERIC character references — `&#8217;` (1–7
-  * decimal digits) and `&#x2019;`/`&#X27;` (1–6 hex digits, either
-  * x case) — which real pages carry at volume where named entities
-  * are rare (CMS smart quotes ship as `&#8217;`/`&#x2019;`).
+/** Static kernel behind [[DecodeHtmlEntitiesExpr]]: ONE compiled scan
+  * decoding HTML character references — NUMERIC (`&#8217;`, 1–7
+  * decimal digits; `&#x2019;`/`&#X27;`, 1–6 hex digits, either x
+  * case) and a fixed NAMED table of the forms real pages carry at
+  * volume (`&mdash;` `&rsquo;` `&ldquo;` `&hellip;` `&copy;` … plus
+  * the classic `&lt;`/`&gt;`/`&quot;`/`&nbsp;` four). `&amp;` is
+  * deliberately NOT in the table: callers decode it LAST, outside the
+  * scan, so `&amp;`-escaped entities (`&amp;lt;`, `&amp;#8217;`)
+  * decode exactly one level.
   *
-  * Contract (mirrored exactly by the DuckDB oracle's split/transform
-  * replay — the digit-run grammar is RE2-expressible):
-  *  - a reference decodes ONLY when the digit run is terminated by
-  *    `;` within the length cap; anything else (`&#zz`, `&#12` at a
-  *    non-digit, an 8+-digit run) passes through byte-stable;
+  * Contract (mirrored exactly by the DuckDB oracle's replay — the
+  * named table as a replace chain BEFORE the numeric split/transform;
+  * the two compose identically because no decoded output contains
+  * `&`, so neither stage can create work for the other):
+  *  - a numeric reference decodes ONLY when the digit run is
+  *    terminated by `;` within the length cap; anything else (`&#zz`,
+  *    `&#12` at a non-digit, an 8+-digit run) passes through
+  *    byte-stable;
   *  - a parsed codepoint that is 0, a UTF-16 surrogate
   *    (U+D800–U+DFFF), or beyond U+10FFFF decodes to U+FFFD (the
   *    HTML5 replacement rule) — never a crash, never a raw
   *    ill-formed string;
+  *  - a named reference decodes ONLY with its terminating `;` and
+  *    only from the fixed table — an unknown name (`&bogus;`) passes
+  *    through byte-stable (HTML5 treats unknown references as text);
   *  - single pass, non-recursive: the OUTPUT is never rescanned, so
   *    `&#38;` yields a literal `&` that stays `&`.
   */
 object HtmlEntityUtil {
+
+  /** The named table: HTML5 names that actually occur at volume in
+    * web corpora (CMS punctuation, symbols, the XML four). `&nbsp;`
+    * maps to a PLAIN SPACE, not U+00A0 — extraction pipelines
+    * normalize whitespace immediately after, and a bare no-break
+    * space would survive normalization as an invisible dedup-splitting
+    * byte. `amp` is absent by design (see class doc).
+    */
+  private val Named: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("lt", "<");      m.put("gt", ">")
+    m.put("quot", "\"");   m.put("apos", "'")
+    m.put("nbsp", " ")
+    m.put("mdash", "—"); m.put("ndash", "–")
+    m.put("rsquo", "’"); m.put("lsquo", "‘")
+    m.put("ldquo", "“"); m.put("rdquo", "”")
+    m.put("hellip", "…"); m.put("middot", "·")
+    m.put("copy", "©");   m.put("reg", "®")
+    m.put("trade", "™");  m.put("deg", "°")
+    m
+  }
+
+  /** Longest name in [[Named]] — bounds the `;` lookahead. */
+  private val MaxNameLen = 6
 
   // ASCII digits ONLY — `hex` passed as a parameter so the hot scan
   // never captures a mutable local (a captured var boxes to a
@@ -35,9 +69,9 @@ object HtmlEntityUtil {
     else if (hex && c >= 'A' && c <= 'F') c - 'A' + 10
     else -1
 
-  def decodeNumericEntities(s: UTF8String): UTF8String = {
+  def decodeHtmlEntities(s: UTF8String): UTF8String = {
     val str = s.toString
-    if (!str.contains("&#")) return s
+    if (str.indexOf('&') < 0) return s
     val n  = str.length
     val sb = new java.lang.StringBuilder(n)
     var i  = 0
@@ -69,6 +103,20 @@ object HtmlEntityUtil {
           i = j + 1
           consumed = true
         }
+      } else if (c == '&' && i + 2 < n) {
+        // named reference: the chars up to the FIRST `;` within the
+        // name-length cap, looked up in the fixed table
+        var j = i + 2
+        val cap = math.min(n, i + 2 + MaxNameLen)
+        while (j < cap && str.charAt(j) != ';') j += 1
+        if (j < n && str.charAt(j) == ';') {
+          val rep = Named.get(str.substring(i + 1, j))
+          if (rep != null) {
+            sb.append(rep)
+            i = j + 1
+            consumed = true
+          }
+        }
       }
       if (!consumed) { sb.append(c); i += 1 }
     }
@@ -76,30 +124,32 @@ object HtmlEntityUtil {
   }
 }
 
-/** `decode_numeric_entities(text)`: HTML numeric character references
-  * → their codepoints, whole-stage-codegen'd (see [[HtmlEntityUtil]]
-  * for the exact grammar and the replacement rule). A compiled scan
-  * because Spark's `chr` is mod-256 (Latin-1 only) — a smart quote at
-  * U+2019 is simply not expressible through the built-in functions.
+/** `decode_html_entities(text)`: HTML character references (numeric +
+  * the fixed named table, `&amp;` excluded) → their codepoints,
+  * whole-stage-codegen'd (see [[HtmlEntityUtil]] for the exact
+  * grammar and the replacement rule). A compiled scan because Spark's
+  * `chr` is mod-256 (Latin-1 only) — a smart quote at U+2019 is
+  * simply not expressible through the built-in functions — and a
+  * per-name `regexp_replace` chain rescans the document once per name.
   */
-case class DecodeNumericEntitiesExpr(child: Expression) extends UnaryExpression {
+case class DecodeHtmlEntitiesExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType      = StringType
   override def nullIntolerant: Boolean = true
-  override def prettyName: String      = "decode_numeric_entities"
+  override def prettyName: String      = "decode_html_entities"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"decode_numeric_entities expects string, got ${other.simpleString}")
+      s"decode_html_entities expects string, got ${other.simpleString}")
   }
 
   override def nullSafeEval(s: Any): Any =
-    HtmlEntityUtil.decodeNumericEntities(s.asInstanceOf[UTF8String])
+    HtmlEntityUtil.decodeHtmlEntities(s.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HtmlEntityUtil.decodeNumericEntities($c)")
+      c => s"graft.functions.HtmlEntityUtil.decodeHtmlEntities($c)")
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }

@@ -43,12 +43,14 @@ object Curation {
       regexp_replace(noHead, "(?is)<script[^>]*>.*?</script>", " "),
       "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
-    val decoded = Seq(
-      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&"
-    ).foldLeft(noTags) { case (col0, (ent, ch)) =>
-      regexp_replace(col0, java.util.regex.Pattern.quote(ent), ch)
-    }
+    // entity decode: the compiled named+numeric scan (subsumes the
+    // old six-replace chain — &#39; via the numeric grammar, the
+    // named four plus the punctuation/symbol names), then &amp; LAST
+    // so escaped entities decode one level (the Html.decodeEntities
+    // order)
+    val decoded = regexp_replace(
+      graft.operators.Html.decodeHtmlEntities(noTags),
+      java.util.regex.Pattern.quote("&amp;"), "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

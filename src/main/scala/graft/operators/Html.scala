@@ -47,29 +47,24 @@ object Html {
     regexp_replace(paired, "(?is)<(script|style)\\b.*", " ")
   }
 
-  /** HTML numeric character references (`&#8217;` decimal,
-    * `&#x2019;` hex) → codepoints, one compiled pass — see
-    * [[graft.functions.HtmlEntityUtil]] for the exact grammar,
-    * length caps, and the U+FFFD replacement rule.
+  /** HTML character references — numeric (`&#8217;` decimal,
+    * `&#x2019;` hex) AND the fixed named table (`&mdash;` `&rsquo;`
+    * `&hellip;` `&copy;` …, `&amp;` excluded) → codepoints, one
+    * compiled pass — see [[graft.functions.HtmlEntityUtil]] for the
+    * exact grammar, length caps, and the U+FFFD replacement rule.
     */
-  def decodeNumericEntities(text: Column): Column =
+  def decodeHtmlEntities(text: Column): Column =
     org.apache.spark.sql.GraftBridge.column(
-      graft.functions.DecodeNumericEntitiesExpr(
+      graft.functions.DecodeHtmlEntitiesExpr(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
   private def decodeEntities(text: Column): Column = {
-    // fixed order, single pass each: named first, then ONE compiled
-    // numeric pass (decimal + hex — subsumes the old &#39; literal),
-    // then &amp; LAST so &amp;-escaped entities (&amp;lt;, &amp;#8217;)
-    // decode exactly one level. Known limit: a page spelling &#38;amp;
+    // ONE compiled pass for named + numeric references, then &amp;
+    // LAST so &amp;-escaped entities (&amp;lt;, &amp;#8217;) decode
+    // exactly one level. Known limit: a page spelling &#38;amp;
     // double-decodes — the inverse order would double-decode the far
     // more common &amp;#NNNN; class instead.
-    val named = Seq(
-      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"")
-    val n = named.foldLeft(text) { case (c, (from, to)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
-    }
-    regexp_replace(decodeNumericEntities(n),
+    regexp_replace(decodeHtmlEntities(text),
       java.util.regex.Pattern.quote("&amp;"), "&")
   }
 

@@ -30,10 +30,13 @@ object TextQueries {
         lit("<h1>Doc "), id.cast("string"), lit("</h1><!-- c"),
         id.cast("string"), lit(" --><p>"), text,
         lit("</p><p>Tail &lt;q&gt; &#39;v"), (id % 7).cast("string"),
-        // numeric-entity coverage: decimal smart quote, hex (both x
-        // cases), a >Latin-1 codepoint, and a malformed ref that must
-        // stay byte-stable
-        lit("&#39; r&#8217;s &#x2019;t &#X27;u &#970;v &#xzz w</p>")))
+        // entity coverage: decimal smart quote, hex (both x cases), a
+        // >Latin-1 codepoint, a malformed numeric ref that must stay
+        // byte-stable, the common NAMED punctuation/symbol forms, and
+        // an unknown name (&bogus;) that must pass through as text
+        lit("&#39; r&#8217;s &#x2019;t &#X27;u &#970;v &#xzz w " +
+          "&mdash;a &rsquo;b &ldquo;c&rdquo; &hellip;d &middot;e " +
+          "&copy;f &bogus; g</p>")))
     concat(
       lit("<html><head><title>Doc "), id.cast("string"),
       lit("</title><style>h1{x:y}</style></head><body>" +
@@ -534,7 +537,9 @@ object TextQueries {
   )
 
   // DuckDB single-pass entity decode, &amp; last (mirror of
-  // Html.decodeEntities).
+  // Html.decodeEntities — the named table as a replace chain BEFORE
+  // the numeric replay composes identically to the engine's one-pass
+  // scan because no decoded output contains '&').
   // Numeric-entity replay over a BOUND variable name (cheap to repeat):
   // same grammar as HtmlEntityUtil — 1-7 decimal / 1-6 hex digits
   // terminated by ';', U+FFFD for 0/surrogate/out-of-range, raw
@@ -559,9 +564,18 @@ object TextQueries {
   // numeric pass (binds the inner expression ONCE via a one-element
   // list_transform), &amp; last.
   private def duckDec(e: String): String = {
-    val named =
-      s"""replace(replace(replace(replace($e,
-         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')""".stripMargin
+    val named = Seq(
+      "&nbsp;" -> "' '", "&lt;" -> "'<'", "&gt;" -> "'>'",
+      "&quot;" -> "'\"'", "&apos;" -> "chr(39)",
+      "&mdash;" -> "chr(8212)", "&ndash;" -> "chr(8211)",
+      "&rsquo;" -> "chr(8217)", "&lsquo;" -> "chr(8216)",
+      "&ldquo;" -> "chr(8220)", "&rdquo;" -> "chr(8221)",
+      "&hellip;" -> "chr(8230)", "&middot;" -> "chr(183)",
+      "&copy;" -> "chr(169)", "&reg;" -> "chr(174)",
+      "&trade;" -> "chr(8482)", "&deg;" -> "chr(176)")
+      .foldLeft(e) { case (acc, (ent, rep)) =>
+        s"replace($acc, '$ent', $rep)"
+      }
     s"""replace(list_transform([$named], s -> ${duckNum("s")})[1], '&amp;', '&')"""
   }
 
@@ -584,7 +598,9 @@ object TextQueries {
          |         ELSE nav || '<h1>Doc ' || doc_id || '</h1><!-- c' ||
          |              doc_id || ' --><p>' || text ||
          |              '</p><p>Tail &lt;q&gt; &#39;v' || (doc_id % 7) ||
-         |              '&#39; r&#8217;s &#x2019;t &#X27;u &#970;v &#xzz w</p>' END ||
+         |              '&#39; r&#8217;s &#x2019;t &#X27;u &#970;v &#xzz w ' ||
+         |              '&mdash;a &rsquo;b &ldquo;c&rdquo; &hellip;d &middot;e ' ||
+         |              '&copy;f &bogus; g</p>' END ||
          |    '</body></html>' AS html
          |  FROM base),
          |vis AS (

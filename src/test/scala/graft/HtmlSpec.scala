@@ -84,6 +84,20 @@ class HtmlSpec extends GraftSpec {
     assert(fw == "&#\uFF11\uFF12; stays")
   }
 
+  test("named character references: the fixed table decodes, unknown names survive") {
+    val (_, text, _) = extract(
+      "<p>a&mdash;b &rsquo;c &ldquo;d&rdquo; &hellip;e &middot;f " +
+        "&copy;g &reg;h &trade;i &deg;j &apos;k</p>")
+    assert(text == "a—b ’c “d” …e ·f ©g ®h ™i °j 'k")
+    // an unknown name is TEXT per HTML5, and an unterminated known
+    // name never decodes
+    val (_, raw, _) = extract("<p>&bogus; x &mdash y</p>")
+    assert(raw == "&bogus; x &mdash y")
+    // &amp;-escaped NAMED refs decode exactly one level, like numeric
+    val (_, esc, _) = extract("<p>&amp;mdash; stays</p>")
+    assert(esc == "&mdash; stays")
+  }
+
   test("degenerate markup degrades to whitespace, never wrong text") {
     val (_, text, _) = extract("<p>ok</p><script>never closed...")
     assert(text == "ok")
