@@ -373,22 +373,31 @@ object CurationQueries {
     // PSL-backed registrable domain (the real-data upgrade of q6P's
     // heuristic): synthetic hosts from doc_id cover the case classes —
     // a PRIVATE-section suffix (blog.github.io, where the last-2-labels
-    // heuristic is WRONG), ccTLD+SLD (co.uk / ac.jp), and a plain gTLD.
-    // The suffix set is a one-row broadcast array; the longest-suffix
-    // match is a row-local fold, so the corpus never shuffles. Both
-    // the PSL answer and the heuristic answer are emitted with their
-    // divergence bit; the oracle's expectations are CLOSED FORMS of gp.
+    // heuristic is WRONG), ccTLD+SLD (co.uk / ac.jp), a plain gTLD,
+    // a `*.ck` WILDCARD match (any label under .ck is itself public,
+    // so the whole 3-label host registers — the heuristic is wrong
+    // again), and the `!www.ck` EXCEPTION (www.ck registers even
+    // though the wildcard would make it public). The suffix set is a
+    // one-row broadcast array carrying the rules verbatim; the
+    // longest-suffix match is a row-local fold, so the corpus never
+    // shuffles. Both the PSL answer and the heuristic answer are
+    // emitted with their divergence bit; the oracle's expectations
+    // are CLOSED FORMS of gp.
     "q6U_psl_domain" -> { (s, d) =>
       import graft.operators.Url
       import s.implicits._
       val gp = col("doc_id") % 12
-      val host = when(gp % 4 === 0,
+      val host = when(gp % 6 === 0,
           concat(lit("a"), gp.cast("string"), lit(".blog.github.io")))
-        .when(gp % 4 === 1,
+        .when(gp % 6 === 1,
           concat(lit("www.site"), gp.cast("string"), lit(".co.uk")))
-        .when(gp % 4 === 2,
+        .when(gp % 6 === 2,
           concat(lit("deep.sub.example"), gp.cast("string"), lit(".org")))
-        .otherwise(concat(lit("host.x"), gp.cast("string"), lit(".ac.jp")))
+        .when(gp % 6 === 3,
+          concat(lit("host.x"), gp.cast("string"), lit(".ac.jp")))
+        .when(gp % 6 === 4,
+          concat(lit("shop.brand"), gp.cast("string"), lit(".ck")))
+        .otherwise(concat(lit("sub"), gp.cast("string"), lit(".www.ck")))
       val psl = Url.SamplePsl.toDF("suffix")
       Url.withRegistrableDomainPsl(
           Tables.documents(s, d).select(col("doc_id"), host.as("host")),
@@ -483,6 +492,67 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // CRAWL FRONTIER end-to-end — the discovery-to-fetch composition
+    // every crawler runs, and the seam where operator-boundary bugs
+    // hide (the q5P/q69 precedent): sitemap-published URLs (REAL
+    // urlset files written + re-read, groups g % 3 == 0) ∪ link-
+    // discovered messy URLs (the other groups) → canonicalize (q6P,
+    // idempotent on the already-canonical sitemap leg) → exact
+    // frontier dedup → Bloom seen-filter against the historical
+    // frontier (q7V's 8 KB broadcast bitmap, groups g < 10 seen;
+    // false positives replay in the oracle) → robots politeness gate
+    // (q6W's broadcast per-host parse) → per-registrable-domain cap
+    // k = 1 (politeness budget; BINDING here — ~2 URLs share each
+    // domain, so the salted election is output-visible). Plan: every
+    // stage between the keyed exchanges is row-local/broadcast — the
+    // frontier-side shuffles are the dedup's (semantically required:
+    // discovery emits duplicates) and the domain-cap window's, both
+    // linear in the frontier (never the corpus); the robots leg adds
+    // only the q6W host-distinct exchange, bounded by the HOST count,
+    // feeding the broadcast parse.
+    "q6Y_crawl_frontier" -> { (s, d) =>
+      import graft.operators.{Robots, Sitemap, Sketch, Url}
+      val dir = graft.util.TempDirs.scratch("graft-frontier-")
+      val g = col("doc_id") % UrlGroups
+      Tables.documents(s, d).filter(g % 3 === 0)
+        .select(Sitemap.escapeXml(Url.canonicalizeUrl(
+          messyUrl(col("doc_id")))).as("loc"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          Sitemap.writeSitemap(rows.map(r => (r.getString(0), "")), dir)
+        }
+      val fromSitemap = Sitemap.sitemapDirectory(s, dir)
+        .select(col("loc").as("url"))
+      val discovered = Tables.documents(s, d).filter(g % 3 =!= 0)
+        .select(messyUrl(col("doc_id")).as("url"))
+      val frontier = fromSitemap.union(discovered)
+        .select(Url.canonicalizeUrl(col("url")).as("curl"))
+        .dropDuplicates("curl")
+      val seen = Tables.documents(s, d).filter(g < 10)
+        .select(Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
+      val words = Sketch.packBloom(
+        Sketch.bloomBits(seen, "curl", depth = 4, width = 16384),
+        depth = 4, width = 16384)
+      val unseen = frontier.filter(
+        !Sketch.bloomHitCol(col("curl"), words, depth = 4, width = 16384))
+      val withHostPath = unseen.select(col("curl"),
+        Url.hostOf(col("curl")).as("host"),
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
+          .as("path"))
+      val parsed = robotsTable(withHostPath.select("host").distinct())
+        .withColumn("_rules",
+          Robots.robotsRules(col("robots_txt"), "graftbot"))
+        .drop("robots_txt")
+      val allowed = withHostPath.join(broadcast(parsed), "host")
+        .filter(Robots.robotsAllowed(col("_rules"), col("path")))
+      val withDomain = allowed.select(col("curl"),
+        Url.registrableDomain(col("host")).as("domain"))
+      Curation.perStratumCap(withDomain, "curl", "domain",
+          k = 1, salt = "frontier")
+        .select("curl", "domain")
+        .orderBy("curl")
+    },
+
     // Curriculum ordering (easy→hard training order, quality score as
     // the difficulty proxy): decile EDGES come from the distributed
     // exact-quantile operator (one aggregate, 9 rows) and BROADCAST;
@@ -534,10 +604,16 @@ object CurationQueries {
       val decile = (1 to 9)
         .map(k => when(col("quality") > round(col(s"e$k"), 4), 1).otherwise(0))
         .reduce(_ + _) + lit(1)
-      val bucket = (1 until b)
-        .map(k => when(col("quality") > element_at(col("_farr"), k), 1)
-          .otherwise(0))
-        .reduce(_ + _)
+      // sub-bucket assignment: O(log B) binary search over the sorted
+      // sketch edges (codegen'd BucketOfExpr — bit-equal to the
+      // `Σ (quality > e_k)` chain, including duplicate-edge ties) with
+      // a B-independent projection width, so raising B for more rank
+      // parallelism costs nothing here; the old 127-term comparison
+      // chain was O(B) per row and a ~130-wide codegen'd projection
+      val bucket = org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BucketOfExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("_farr")),
+          org.apache.spark.sql.GraftBridge.expression(col("quality"))))
       val assigned = scored.crossJoin(broadcast(edges))
         .select(col("doc_id"), col("quality"),
           decile.as("decile"), bucket.as("_bkt"))
@@ -882,22 +958,31 @@ object CurationQueries {
     // PSL mirror: host replays from gp; BOTH expected domains are
     // closed forms of gp (the PSL answer and the heuristic answer),
     // not a SQL port of the longest-suffix fold.
+    // closed forms per gp % 6 class: wildcard `*.ck` makes
+    // brandN.ck itself public (whole 3-label host registers);
+    // exception `!www.ck` pins www.ck as the registrable domain
     "q6U_psl_domain" ->
       """WITH m AS (SELECT doc_id, doc_id % 12 AS gp FROM documents)
         |SELECT doc_id,
-        |  CASE WHEN gp % 4 = 0 THEN 'a' || gp || '.blog.github.io'
-        |       WHEN gp % 4 = 1 THEN 'www.site' || gp || '.co.uk'
-        |       WHEN gp % 4 = 2 THEN 'deep.sub.example' || gp || '.org'
-        |       ELSE 'host.x' || gp || '.ac.jp' END AS host,
-        |  CASE WHEN gp % 4 = 0 THEN 'blog.github.io'
-        |       WHEN gp % 4 = 1 THEN 'site' || gp || '.co.uk'
-        |       WHEN gp % 4 = 2 THEN 'example' || gp || '.org'
-        |       ELSE 'x' || gp || '.ac.jp' END AS domain,
-        |  CASE WHEN gp % 4 = 0 THEN 'github.io'
-        |       WHEN gp % 4 = 1 THEN 'site' || gp || '.co.uk'
-        |       WHEN gp % 4 = 2 THEN 'example' || gp || '.org'
-        |       ELSE 'x' || gp || '.ac.jp' END AS heur_domain,
-        |  (gp % 4 = 0) AS diverges
+        |  CASE WHEN gp % 6 = 0 THEN 'a' || gp || '.blog.github.io'
+        |       WHEN gp % 6 = 1 THEN 'www.site' || gp || '.co.uk'
+        |       WHEN gp % 6 = 2 THEN 'deep.sub.example' || gp || '.org'
+        |       WHEN gp % 6 = 3 THEN 'host.x' || gp || '.ac.jp'
+        |       WHEN gp % 6 = 4 THEN 'shop.brand' || gp || '.ck'
+        |       ELSE 'sub' || gp || '.www.ck' END AS host,
+        |  CASE WHEN gp % 6 = 0 THEN 'blog.github.io'
+        |       WHEN gp % 6 = 1 THEN 'site' || gp || '.co.uk'
+        |       WHEN gp % 6 = 2 THEN 'example' || gp || '.org'
+        |       WHEN gp % 6 = 3 THEN 'x' || gp || '.ac.jp'
+        |       WHEN gp % 6 = 4 THEN 'shop.brand' || gp || '.ck'
+        |       ELSE 'www.ck' END AS domain,
+        |  CASE WHEN gp % 6 = 0 THEN 'github.io'
+        |       WHEN gp % 6 = 1 THEN 'site' || gp || '.co.uk'
+        |       WHEN gp % 6 = 2 THEN 'example' || gp || '.org'
+        |       WHEN gp % 6 = 3 THEN 'x' || gp || '.ac.jp'
+        |       WHEN gp % 6 = 4 THEN 'brand' || gp || '.ck'
+        |       ELSE 'www.ck' END AS heur_domain,
+        |  (gp % 6 IN (0, 4)) AS diverges
         |FROM m
         |ORDER BY doc_id""".stripMargin,
 
@@ -954,6 +1039,55 @@ object CurationQueries {
          |       ELSE true END AS allowed
          |FROM r
          |ORDER BY doc_id""".stripMargin,
+
+    // Frontier mirror — the full composition in closed forms: every
+    // group's canonical URL enters (sitemap and discovered legs both
+    // collapse to the same closed form); seen = g < 10 plus the q7V
+    // slice-hash Bloom false positives (replayed, not assumed); the
+    // robots bit is q6W's rc closed form; the domain cap replays the
+    // salted row_number election.
+    "q6Y_crawl_frontier" ->
+      s"""WITH $duckUrlBase,
+         |cu AS (
+         |  SELECT DISTINCT g, $duckCanonClosedForm AS curl, h,
+         |    g % 11 AS k
+         |  FROM mb),
+         |seen AS (SELECT DISTINCT curl FROM cu WHERE g < 10),
+         |bloom AS (
+         |  SELECT DISTINCT j, ${DuckSql.bucketSlice("h2", "j", 16384)} AS b
+         |  FROM (SELECT md5(curl || ':bloom') AS h2, unnest(range(0, 4)) AS j
+         |        FROM seen)),
+         |probe AS (
+         |  SELECT curl, j, ${DuckSql.bucketSlice("h2", "j", 16384)} AS b
+         |  FROM (SELECT curl, md5(curl || ':bloom') AS h2,
+         |          unnest(range(0, 4)) AS j
+         |        FROM cu)),
+         |hit AS (
+         |  SELECT probe.curl,
+         |    min(CASE WHEN bloom.b IS NOT NULL THEN 1 ELSE 0 END) = 1
+         |      AS bloom_hit
+         |  FROM probe LEFT JOIN bloom
+         |    ON probe.j = bloom.j AND probe.b = bloom.b
+         |  GROUP BY 1),
+         |unseen AS (
+         |  SELECT c.* FROM cu c JOIN hit USING (curl)
+         |  WHERE NOT bloom_hit),
+         |rbt AS (
+         |  SELECT *, ((g % 7) + (g % 3) * 7) % 3 AS rc FROM unseen),
+         |alw AS (
+         |  SELECT * FROM rbt
+         |  WHERE CASE WHEN rc = 0 THEN k NOT IN (2, 10)
+         |             WHEN rc = 1 THEN k NOT IN (3, 4)
+         |             ELSE true END),
+         |dom AS (
+         |  SELECT curl, $duckDomainClosedForm AS domain FROM alw),
+         |cap AS (
+         |  SELECT curl, domain,
+         |    row_number() OVER (PARTITION BY domain
+         |      ORDER BY md5(curl || 'frontier'), curl) AS rn
+         |  FROM dom)
+         |SELECT curl, domain FROM cap WHERE rn = 1
+         |ORDER BY curl""".stripMargin,
 
     // Curriculum mirror: q21's quality formula, quantile_cont edges
     // (rounded to the q0D-proven 4 decimals), the same strict-> decile
