@@ -82,7 +82,8 @@ object DumpPlans {
       ("q6T_curriculum_order", "curriculum ordering (round-11 rewrite): EXACT decile edges (output-visible) + percentile_approx sub-bucket edges (engine-internal, bounded GK summary -- the 136-exact-spec form cost ~10 s of wide-codegen interpolation) broadcast into a row-local assignment over the localCheckpointed (doc_id, quality) projection, then the TWO-PHASE rank -- row_number windows keyed on (decile, bucket) so parallelism is 10 x 128 and per-task sort state corpus/1280 (the round-10 10-key decile window put ~corpus/10 in one task; PlanAuditSpec's bounded-cardinality window audit now bans that shape), cumulative bucket counts rejoin as BROADCAST offsets", CurationQueries.queries("q6T_curriculum_order")),
       ("q5R_image_near_dup_bucketed", "q5L's image near-dup screen on the 100 TB join shape: the corpus band table is NOT broadcast -- a pinned SortMergeJoin on (band, key), so a corpus whose bands exceed executor memory still joins (pre-bucket the stored band table and only the incoming side shuffles); hash-equal to the broadcast twin, MultimodalSpec asserts zero BroadcastExchange", PipelineQueries.queries("q5R_image_near_dup_bucketed")),
       ("q6U_psl_domain", "PSL-backed registrable domain: the suffix table collapses to ONE array row and BROADCASTS (collect_set agg + BroadcastNestedLoopJoin of a single row -- the PSL is ~10k static entries); the longest-suffix match is a row-local fold, so the corpus scan stays narrow with zero added keyed exchange", CurationQueries.queries("q6U_psl_domain")),
-      ("q6W_robots_gate", "robots.txt politeness gate: per-host robots bodies BROADCAST (a KB-per-host fetcher cache), RFC 9309 parse + longest-match decision are row-local HOF folds -- the corpus pays one BroadcastHashJoin on host and zero keyed exchanges for the whole gate", CurationQueries.queries("q6W_robots_gate"))
+      ("q6W_robots_gate", "robots.txt politeness gate: per-host robots bodies BROADCAST (a KB-per-host fetcher cache), RFC 9309 parse + longest-match decision are row-local HOF folds -- the corpus pays one BroadcastHashJoin on host and zero keyed exchanges for the whole gate", CurationQueries.queries("q6W_robots_gate")),
+      ("q6Y_crawl_frontier", "crawl frontier end-to-end (round-12): sitemap scan UNION parquet scan -> row-local canonicalize -> the frontier's ONLY corpus-side keyed exchanges are the exact dedup's and the domain-cap window's (both linear in the frontier); the Bloom seen-filter is a codegen'd probe against an 8 KB plan-literal bitmap (zero shuffle, rows drop BEFORE the robots join), the robots parse is a host-distinct exchange bounded by HOST count feeding one BroadcastHashJoin. The domain-cap window keys on a data-derived domain (cardinality scales with hosts -- not the bounded-spec shape the window audit bans)", CurationQueries.queries("q6Y_crawl_frontier"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")
