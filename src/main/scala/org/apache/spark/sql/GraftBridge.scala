@@ -17,4 +17,16 @@ object GraftBridge {
       spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Unload every cached state-store provider and stop the maintenance
+    * thread (they restart lazily on the next streaming query). Each
+    * terminated streaming run leaves its providers — with their
+    * in-memory version maps — in the executor-side cache until a
+    * maintenance cycle notices they are inactive; a benchmark that
+    * constructs hundreds of short streams in one JVM accumulates them
+    * as pure heap ballast + GC noise. Harness-only: correctness never
+    * depends on the cache (state reloads from the checkpoint).
+    */
+  def stopStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.stop()
 }
