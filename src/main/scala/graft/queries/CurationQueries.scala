@@ -50,8 +50,13 @@ object CurationQueries {
   // q6T sub-buckets per decile for the two-phase rank: parallelism is
   // 10 × this and per-task sort state corpus/(10 × this). 128 gives
   // 1,280-way rank parallelism at any corpus size from one extra set
-  // of quantile specs on the SAME scan; raise it for bigger clusters.
-  private val CurriculumRankBuckets = 128
+  // of quantile specs on the SAME scan; raise it for bigger clusters
+  // (env-tunable — the output is B-invariant by the Ranks bit-equality
+  // contract, and the bucket_of assignment is O(log B) per row with a
+  // B-independent projection, so raising it costs one longer sketch
+  // array broadcast and nothing else).
+  private val CurriculumRankBuckets =
+    sys.env.get("GRAFT_CURRICULUM_BUCKETS").map(_.toInt).getOrElse(128)
 
   /** The messy URL as a Spark column (mirrored by [[duckMessyUrl]]).
     * Shared with streaming q7U. */

@@ -181,11 +181,20 @@ object StreamingIngest {
     require(!incoming.columns.contains("_bands") &&
       incoming.columns.forall(!_.startsWith("_hit")),
       "incoming already has _bands/_hit* columns (would be clobbered)")
+    // MATERIALIZE the static side once: the caller hands a LOGICAL
+    // bucket table, and without the cut every band join re-derives it
+    // — nBands re-runs of the corpus minhash per micro-batch, per
+    // stream construction (measured as q77's 3-27 s bench variance;
+    // the heavy interpreted-HOF minhash amplified every GC/scheduling
+    // hiccup). What materializes is (band, bucket) longs — the
+    // fetcher-cache-sized artifact the incremental batch path (q3A)
+    // maintains anyway, never the corpus.
+    val staticBuckets = corpusBuckets.localCheckpoint()
     val withBands = incoming.withColumn("_bands",
       graft.operators.Dedup.minhashBandsCol(
         col(textCol), numHashes, shingleN, rowsPerBand))
     val checked = (0 until nBands).foldLeft(withBands) { (df, b) =>
-      val side = corpusBuckets
+      val side = staticBuckets
         .filter(col("band") === b)
         .select(col("bucket").as(s"_hit$b"))
         .distinct()
