@@ -32,6 +32,31 @@ object Bench {
     // stdout, and stray WARNs in the captured output make the run
     // harder to parse downstream.
     spark.sparkContext.setLogLevel("ERROR")
+    // Pause-o-meter: a daemon thread samples the clock every 100 ms and
+    // records the largest observed gap — a direct witness separating
+    // "the query was slow" from "the whole JVM/VM froze" (observed:
+    // one ~30 s freeze per full run landing on a RANDOM streaming
+    // query, tripping its spread retry with no plan/code change; GC
+    // logs from the same runs show no collection anywhere near that
+    // long, so the freeze is below the JVM). The max gap and its
+    // wall-clock time ship in the artifact so a reader can match a
+    // slow rep against a freeze instead of re-running.
+    val maxGapNs  = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gapAtMs   = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gapThread = new Thread(() => {
+      var last = System.nanoTime()
+      while (true) {
+        Thread.sleep(100)
+        val now = System.nanoTime()
+        val gap = now - last
+        if (gap > maxGapNs.get()) {
+          maxGapNs.set(gap); gapAtMs.set(System.currentTimeMillis())
+        }
+        last = now
+      }
+    }, "graft-bench-pause-meter")
+    gapThread.setDaemon(true)
+    gapThread.start()
     // Warm the session once (codegen compiler, parquet footer reads, JIT,
     // OS page cache) so per-query timings measure the queries, not JVM or
     // cold-IO startup. count() alone is metadata-only for parquet, so
@@ -177,14 +202,22 @@ object Bench {
     val streamingNames = SparkEntry.queries.keySet.filter(_.contains("_stream"))
       .toSeq.sorted
     var streamingFreshJvm = false
+    var childMaxGapSec    = 0.0
     val childResults: Seq[(String, Double, Seq[Double], Boolean, Double)] =
       if (!forkStreaming || streamingNames.isEmpty) Nil
       else {
         val childOut = java.nio.file.Files.createTempFile("graft-bench-child-", ".json")
         val javaBin = java.nio.file.Paths
           .get(sys.props("java.home"), "bin", "java").toString
-        val pb = new ProcessBuilder(javaBin, "-cp",
-          sys.props("java.class.path"), "graft.Bench")
+        // default (ergonomic) heap — an -Xmx8g cap was tried and made
+        // the heavy streaming-prep batch jobs SPILL (q7S 4.4 s → 10 s,
+        // q7B 20 s first rep: 32 tasks × ~75 MB execution memory);
+        // the GC log stays so a slow rep can be matched against
+        // collector activity after the fact (r12 evidence: 0 full
+        // GCs, ≤136 ms young pauses — GC is NOT the variance source)
+        val pb = new ProcessBuilder(javaBin,
+          "-Xlog:gc:file=/tmp/graft_bench_child_gc.log",
+          "-cp", sys.props("java.class.path"), "graft.Bench")
         pb.environment.put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment.put("SPARK_GRAFT_CPUS", cpus)
         pb.environment.put("SPARK_GRAFT_REPS", reps.toString)
@@ -199,6 +232,8 @@ object Bench {
           require(exit == 0, s"child bench exited $exit")
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(java.nio.file.Files.readAllBytes(childOut))
+          childMaxGapSec = Option(node.get("max_jvm_gap_sec"))
+            .map(_.asDouble(0.0)).getOrElse(0.0)
           val parsed = streamingNames.map { name =>
             val med = node.get("queries").get(name).asDouble(-1.0)
             val ts = {
@@ -256,7 +291,9 @@ object Bench {
     // gating on it would make every long run indict itself.
     val contended = ambientLoad > nCpus / 4.0 || residualSpread > SpreadLimit
     val total = merged.map(_._2).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","streaming_fresh_jvm":$streamingFreshJvm,"rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}"""
+    val maxGapSec = maxGapNs.get() / 1e9
+    val gapAtIso  = java.time.Instant.ofEpochMilli(gapAtMs.get()).toString
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","streaming_fresh_jvm":$streamingFreshJvm,"rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"max_jvm_gap_sec":${f"$maxGapSec%.3f"},"max_jvm_gap_at":"$gapAtIso","child_max_jvm_gap_sec":${f"$childMaxGapSec%.3f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}"""
     println(json)
     // ALSO write the artifact to a file: both BENCH_r05.json and
     // BENCH_r06.json driver artifacts carried "parsed": null because the

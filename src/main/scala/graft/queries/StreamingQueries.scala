@@ -362,6 +362,55 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // STREAMING CRAWL FRONTIER — q6Y's in-flight half, fully stateless:
+    // each arriving URL canonicalizes (row-local), probes the 8 KB
+    // broadcast Bloom seen-bitmap (q7V's zero-state filter — no false
+    // negatives, false positives replayed by the oracle), and passes
+    // the robots politeness gate (q7W's broadcast per-host parse) in
+    // ONE Append-mode pass with ZERO streaming state. The per-domain
+    // cap is the one frontier stage that NEEDS cross-row state, so it
+    // stays batch-side on the frontier store (q6Y) — in-flight
+    // admission vs stored-frontier budgeting, the split a real crawler
+    // runs. Output is per-arrival (doc_id, curl) of fetch-eligible
+    // URLs; every expectation is a closed form of g plus the replayed
+    // Bloom arithmetic.
+    "q7X_stream_frontier" -> { (s, d) =>
+      import graft.operators.{Robots, Sketch, Url}
+      val g = col("doc_id") % CurationQueries.UrlGroups
+      val seen = Tables.documents(s, d).filter(g < 10)
+        .select(Url.canonicalizeUrl(
+          CurationQueries.messyUrl(col("doc_id"))).as("curl"))
+      val words = Sketch.packBloom(
+        Sketch.bloomBits(seen, "curl", depth = 4, width = 16384),
+        depth = 4, width = 16384)
+      val parsed = CurationQueries.robotsTable(
+          Tables.documents(s, d)
+            .select(Url.hostOf(Url.canonicalizeUrl(
+              CurationQueries.messyUrl(col("doc_id")))).as("host"))
+            .distinct())
+        .withColumn("_rules",
+          Robots.robotsRules(col("robots_txt"), "graftbot"))
+        .drop("robots_txt")
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val gated = docs
+        .select(col("doc_id"),
+          Url.canonicalizeUrl(
+            CurationQueries.messyUrl(col("doc_id"))).as("curl"))
+        .filter(!Sketch.bloomHitCol(col("curl"), words,
+          depth = 4, width = 16384))
+        .select(col("doc_id"), col("curl"),
+          Url.hostOf(col("curl")).as("host"),
+          regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
+            .as("path"))
+        .join(broadcast(parsed), "host")
+        .filter(Robots.robotsAllowed(col("_rules"), col("path")))
+        .select("doc_id", "curl")
+      StreamRunner.runToBatch(gated, OutputMode.Append)
+        .orderBy("doc_id")
+    },
+
     // Encoding-repair gate ON ARRIVAL: q6S's corrupt → detect → repair
     // projection is row-local and stateless, so the same mojibakeGate
     // runs unchanged as an Append-mode stream — the shape a 100 TB
@@ -852,6 +901,41 @@ object StreamingQueries {
          |       WHEN rc = 1 THEN k NOT IN (3, 4)
          |       ELSE true END AS allowed
          |FROM r
+         |ORDER BY doc_id""".stripMargin,
+
+    // Frontier mirror: per-doc closed-form canonical URL, kept iff the
+    // q7V-replayed Bloom probe misses (seen = g < 10, false positives
+    // included) AND q6W's closed-form robots bit allows.
+    "q7X_stream_frontier" ->
+      s"""WITH ${CurationQueries.duckUrlBase},
+         |cu AS (
+         |  SELECT doc_id, g, ${CurationQueries.duckCanonClosedForm} AS curl,
+         |    g % 11 AS k, ((g % 7) + (g % 3) * 7) % 3 AS rc
+         |  FROM mb),
+         |seen AS (SELECT DISTINCT curl FROM cu WHERE g < 10),
+         |bloom AS (
+         |  SELECT DISTINCT j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT md5(curl || ':bloom') AS h, unnest(range(0, 4)) AS j
+         |        FROM seen)),
+         |dcu AS (SELECT DISTINCT curl FROM cu),
+         |probe AS (
+         |  SELECT curl, j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT curl, md5(curl || ':bloom') AS h,
+         |          unnest(range(0, 4)) AS j
+         |        FROM dcu)),
+         |hit AS (
+         |  SELECT probe.curl,
+         |    min(CASE WHEN bloom.b IS NOT NULL THEN 1 ELSE 0 END) = 1
+         |      AS bloom_hit
+         |  FROM probe LEFT JOIN bloom
+         |    ON probe.j = bloom.j AND probe.b = bloom.b
+         |  GROUP BY 1)
+         |SELECT doc_id, curl
+         |FROM cu JOIN hit USING (curl)
+         |WHERE NOT bloom_hit
+         |  AND (CASE WHEN rc = 0 THEN k NOT IN (2, 10)
+         |            WHEN rc = 1 THEN k NOT IN (3, 4)
+         |            ELSE true END)
          |ORDER BY doc_id""".stripMargin,
 
     // the distinct CLOSED-FORM canonicals (q6Q's independent
