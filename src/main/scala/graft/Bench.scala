@@ -11,6 +11,22 @@ object Bench {
     // load" without re-running
     val ambientLoad = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // hypervisor CPU-steal accounting (/proc/stat field 9, jiffies):
+    // round-12 diagnosis of the streaming-family burst variance — the
+    // pause-o-meter caught a 7.3 s whole-JVM wall freeze with ZERO GC
+    // activity, and /proc/stat showed ~2,400 stolen jiffies per 10 s
+    // on an otherwise-idle guest: the host steals CPU from this VM in
+    // bursts, inflating random reps by seconds. The artifact ships the
+    // per-run steal total so a reader can attribute a slow rep to the
+    // HOST, not the plan. 0 on platforms without steal accounting.
+    def stealJiffies(): Long =
+      try {
+        val l = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0).trim.split("\\s+")
+        if (l.length > 8) l(8).toLong else 0L
+      } catch { case _: Exception => 0L }
+    val stealStart = stealJiffies()
+    val wallStart  = System.nanoTime()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -289,11 +305,20 @@ object Bench {
     // local[32] registry run leaves its OWN decaying load average behind
     // (measured ~10 after a 10-minute run on an otherwise idle box), so
     // gating on it would make every long run indict itself.
-    val contended = ambientLoad > nCpus / 4.0 || residualSpread > SpreadLimit
+    // steal as a fraction of this run's total cpu-time budget
+    // (wall × cpus): >2% of the budget stolen means medians may
+    // overstate idle cost even when load-average looks clean
+    val stealSec  = (stealJiffies() - stealStart) / 100.0
+    val wallSec   = (System.nanoTime() - wallStart) / 1e9
+    val stealFrac =
+      if (wallSec > 0) stealSec / (wallSec * Runtime.getRuntime.availableProcessors)
+      else 0.0
+    val contended = ambientLoad > nCpus / 4.0 || residualSpread > SpreadLimit ||
+      stealFrac > 0.02
     val total = merged.map(_._2).sum
     val maxGapSec = maxGapNs.get() / 1e9
     val gapAtIso  = java.time.Instant.ofEpochMilli(gapAtMs.get()).toString
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","streaming_fresh_jvm":$streamingFreshJvm,"rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"max_jvm_gap_sec":${f"$maxGapSec%.3f"},"max_jvm_gap_at":"$gapAtIso","child_max_jvm_gap_sec":${f"$childMaxGapSec%.3f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"warmup_reps":1,"agg":"median","streaming_fresh_jvm":$streamingFreshJvm,"rep_times":$repTimes,"retried":$retriedQs,"contended":$contended,"max_residual_spread":${f"$residualSpread%.2f"},"max_jvm_gap_sec":${f"$maxGapSec%.3f"},"max_jvm_gap_at":"$gapAtIso","child_max_jvm_gap_sec":${f"$childMaxGapSec%.3f"},"host_steal_sec":${f"$stealSec%.1f"},"host_steal_frac":${f"$stealFrac%.4f"},"ambient_load_avg":$ambientLoad,"ambient_load_end":$ambientLoadEnd,"host_cpus":$nCpus}"""
     println(json)
     // ALSO write the artifact to a file: both BENCH_r05.json and
     // BENCH_r06.json driver artifacts carried "parsed": null because the
