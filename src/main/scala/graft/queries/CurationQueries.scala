@@ -47,6 +47,45 @@ object CurationQueries {
   private val DomainCap    = 10
   private val UrlCapSalt   = "urlcap"
 
+  // ---- q6Z/q7Y synthetic multi-line pages ------------------------------
+  // The documents fixture is single-line text, so (the q2O htmlPage
+  // idiom) each doc deterministically derives a 7-line "page" on both
+  // engines: a per-source masthead and contact footer (df = docs per
+  // source), a global cookie banner (df = corpus), two content slices
+  // of the real text (the second is EMPTY for short docs — the empty
+  // line is itself a shared key that must be dropped), a share/comments
+  // widget line keyed off doc_id, and one per-doc unique line that must
+  // always survive. The oracle template mirrors it string for string.
+  private[queries] def linesPage(
+      id: org.apache.spark.sql.Column,
+      source: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("=== "), source, lit(" daily digest ===\n"),
+      lit("We use cookies to improve your experience.\n"),
+      substring(text, 1, 80), lit("\n"),
+      substring(text, 81, 80), lit("\n"),
+      when(id % 3 === 0, lit("Share this article"))
+        .otherwise(concat(lit("Comments ("), (id % 7).cast("string"),
+          lit(")"))),
+      lit("\nContact editor@"), source, lit(".example.com\n"),
+      lit("article-"), id.cast("string"))
+
+  // q6Z/q7Y boilerplate threshold: a normalized line appearing in at
+  // least this many DISTINCT docs is template mass, not content (the
+  // C4 rule's shape; C4 used 3 over its dedup shards).
+  private[queries] val BoilerplateDf = 3
+
+  // DuckDB mirror of [[linesPage]] (same slices, same separators).
+  private[queries] val duckLinesPage: String =
+    "'=== ' || source || ' daily digest ===' || chr(10) || " +
+      "'We use cookies to improve your experience.' || chr(10) || " +
+      "substr(text, 1, 80) || chr(10) || substr(text, 81, 80) || chr(10) || " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'Share this article' " +
+      "ELSE 'Comments (' || CAST(doc_id % 7 AS VARCHAR) || ')' END || " +
+      "chr(10) || 'Contact editor@' || source || '.example.com' || " +
+      "chr(10) || 'article-' || CAST(doc_id AS VARCHAR)"
+
   // q6T sub-buckets per decile for the two-phase rank: parallelism is
   // 10 × this and per-task sort state corpus/(10 × this). 128 gives
   // 1,280-way rank parallelism at any corpus size from one extra set
@@ -556,6 +595,48 @@ object CurationQueries {
           k = 1, salt = "frontier")
         .select("curl", "domain")
         .orderBy("curl")
+    },
+
+    // LINE-LEVEL boilerplate dedup (the C4/CCNet pass): drop every line
+    // whose normalized form appears in >= BoilerplateDf DISTINCT docs
+    // (mastheads, cookie banners, contact footers — template mass that
+    // survives document-level dedup because each page differs by its
+    // content lines), then reassemble the survivors in original order.
+    // Plan shape at 100 TB: posexplode (row-local) → ONE line-key
+    // aggregate whose output is the heavy-hitter set — at most
+    // totalLines/df rows, so raising the threshold shrinks it and it is
+    // broadcastable long before the corpus is — → left_anti join →
+    // per-doc ordered reassembly whose collect buffer holds exactly ONE
+    // document's lines (the q76 span-island class: document-sized,
+    // never corpus-sized; the posexplode below the collect is the plan
+    // audit's witness). Joining on the normalized KEY keeps the anti
+    // join's build side to distinct heavy-hitter strings, not corpus
+    // rows.
+    "q6Z_line_dedup" -> { (s, d) =>
+      val pages = Tables.documents(s, d).select(col("doc_id"),
+        linesPage(col("doc_id"), col("source"), col("text")).as("page"))
+      val lines = pages.select(col("doc_id"),
+          posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
+        .withColumn("lkey", lower(trim(col("line"))))
+      val boiler = lines.groupBy("lkey")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= BoilerplateDf)
+        .select("lkey")
+      val kept = lines.join(boiler, Seq("lkey"), "left_anti")
+      val rebuilt = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("clean_text"))
+      pages
+        .select(col("doc_id"),
+          size(split(col("page"), "\n")).cast("long").as("n_lines"))
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .orderBy("doc_id")
     },
 
     // Curriculum ordering (easy→hard training order, quality score as
@@ -1093,6 +1174,38 @@ object CurationQueries {
          |  FROM dom)
          |SELECT curl, domain FROM cap WHERE rn = 1
          |ORDER BY curl""".stripMargin,
+
+    // Line-dedup mirror: the same 7-line template, the same normalized
+    // line-key df >= threshold rule, ordered reassembly via
+    // string_agg(... ORDER BY pos) — positions come from a parallel
+    // unnest(range(...)) so the list order is the template's.
+    "q6Z_line_dedup" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id, $duckLinesPage AS page FROM documents),
+         |t AS (
+         |  SELECT doc_id, string_split(page, chr(10)) AS l FROM pages),
+         |lines AS (
+         |  SELECT doc_id, unnest(range(1, len(l) + 1)) AS pos,
+         |    unnest(l) AS line
+         |  FROM t),
+         |keyed AS (
+         |  SELECT doc_id, pos, line, lower(trim(line)) AS lkey
+         |  FROM lines),
+         |boiler AS (
+         |  SELECT lkey FROM keyed GROUP BY lkey
+         |  HAVING count(DISTINCT doc_id) >= $BoilerplateDf),
+         |kept AS (
+         |  SELECT keyed.* FROM keyed ANTI JOIN boiler USING (lkey)),
+         |reb AS (
+         |  SELECT doc_id, count(*) AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT p.doc_id,
+         |  CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+         |  coalesce(r.n_kept, 0) AS n_kept,
+         |  coalesce(r.clean_text, '') AS clean_text
+         |FROM pages p LEFT JOIN reb r USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     // Curriculum mirror: q21's quality formula, quantile_cont edges
     // (rounded to the q0D-proven 4 decimals), the same strict-> decile

@@ -411,6 +411,43 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // Streaming LINE-BOILERPLATE flag (q6Z's serving half): the static
+    // corpus's heavy-hitter line keys (df >= BoilerplateDf) pack into
+    // an 8 KB Bloom bitmap ONCE (driver-bounded by the grid, never the
+    // set), and each arriving doc keeps its page lines INSIDE an array
+    // column — the membership probe runs per line via the codegen'd
+    // BloomHitExpr inside a HOF filter, so there is no explode, no
+    // shuffle, and ZERO streaming state (stateless Append projection,
+    // the q7N shape). No false negatives by the BloomProbe contract;
+    // false positives replay in the oracle's slice-hash arithmetic.
+    "q7Y_stream_line_flag" -> { (s, d) =>
+      import graft.operators.Sketch
+      val page = CurationQueries.linesPage(
+        col("doc_id"), col("source"), col("text"))
+      val statik = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(page, "\n")).as("line"))
+        .select(col("doc_id"), lower(trim(col("line"))).as("lkey"))
+      val boiler = statik.groupBy("lkey")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= CurationQueries.BoilerplateDf)
+      val words = Sketch.packBloom(
+        Sketch.bloomBits(boiler, "lkey", depth = 4, width = 16384),
+        depth = 4, width = 16384)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val out = docs
+        .select(col("doc_id"), split(page, "\n").as("lines"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(filter(col("lines"), l =>
+            Sketch.bloomHitCol(lower(trim(l)), words,
+              depth = 4, width = 16384))).cast("long").as("n_boiler"))
+      StreamRunner.runToBatch(out, OutputMode.Append)
+        .orderBy("doc_id")
+    },
+
     // Encoding-repair gate ON ARRIVAL: q6S's corrupt → detect → repair
     // projection is row-local and stateless, so the same mojibakeGate
     // runs unchanged as an Append-mode stream — the shape a 100 TB
@@ -936,6 +973,45 @@ object StreamingQueries {
          |  AND (CASE WHEN rc = 0 THEN k NOT IN (2, 10)
          |            WHEN rc = 1 THEN k NOT IN (3, 4)
          |            ELSE true END)
+         |ORDER BY doc_id""".stripMargin,
+
+    // Line-flag mirror: q6Z's template and heavy-hitter rule, then the
+    // q7N slice-hash bloom replay per DISTINCT line key (same
+    // md5 || ':bloom' digest, same 4-hex windows mod 16384) joined back
+    // to every line — false positives replay too.
+    "q7Y_stream_line_flag" ->
+      s"""WITH pages AS (
+         |  SELECT doc_id, ${CurationQueries.duckLinesPage} AS page
+         |  FROM documents),
+         |keyed AS (
+         |  SELECT doc_id, lower(trim(line)) AS lkey
+         |  FROM (SELECT doc_id, unnest(string_split(page, chr(10))) AS line
+         |        FROM pages)),
+         |boiler AS (
+         |  SELECT lkey FROM keyed GROUP BY lkey
+         |  HAVING count(DISTINCT doc_id) >= ${CurationQueries.BoilerplateDf}),
+         |bloom AS (
+         |  SELECT DISTINCT j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT md5(lkey || ':bloom') AS h, unnest(range(0, 4)) AS j
+         |        FROM boiler)),
+         |dk AS (SELECT DISTINCT lkey FROM keyed),
+         |probe AS (
+         |  SELECT lkey, j, ${DuckSql.bucketSlice("h", "j", 16384)} AS b
+         |  FROM (SELECT lkey, md5(lkey || ':bloom') AS h,
+         |          unnest(range(0, 4)) AS j
+         |        FROM dk)),
+         |hit AS (
+         |  SELECT probe.lkey,
+         |    min(CASE WHEN bloom.b IS NOT NULL THEN 1 ELSE 0 END) = 1
+         |      AS bloom_hit
+         |  FROM probe LEFT JOIN bloom
+         |    ON probe.j = bloom.j AND probe.b = bloom.b
+         |  GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_boiler
+         |FROM keyed JOIN hit USING (lkey)
+         |GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
     // the distinct CLOSED-FORM canonicals (q6Q's independent

@@ -387,4 +387,39 @@ class CurationSpec extends GraftSpec {
     val b = run(docs.repartition(13))
     assert(a.nonEmpty && a.sameElements(b))
   }
+
+  test("q6Z line dedup equals an independent Scala recompute of the C4 rule") {
+    // plain-Scala mirror of the template + threshold rule — not the
+    // query's plan, so agreement is evidence, not tautology
+    def page(id: Long, source: String, text: String): String = {
+      val widget =
+        if (id % 3 == 0) "Share this article" else s"Comments (${id % 7})"
+      s"=== $source daily digest ===\n" +
+        "We use cookies to improve your experience.\n" +
+        s"${text.slice(0, 80)}\n${text.slice(80, 160)}\n$widget\n" +
+        s"Contact editor@$source.example.com\narticle-$id"
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), page(r.getLong(0), r.getString(1), r.getString(2))))
+    val lines = docs.flatMap { case (id, p) =>
+      p.split("\n", -1).map(l => (id, l, l.trim.toLowerCase)) }
+    val boiler = lines.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val expected = docs.map { case (id, p) =>
+      val all  = p.split("\n", -1)
+      val kept = all.filter(l => !boiler.contains(l.trim.toLowerCase))
+      (id, all.length.toLong, kept.length.toLong, kept.mkString("\n"))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q6Z_line_dedup")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+    // the rule is live in both directions on this fixture: shared
+    // template lines dropped, the per-doc unique line always kept
+    assert(expected.forall { case (id, _, k, t) =>
+      k >= 1 && t.endsWith(s"article-$id") })
+    assert(expected.forall(!_._4.contains("We use cookies")))
+    assert(expected.exists(e => e._3 < e._2))
+  }
 }

@@ -152,6 +152,14 @@ class PlanAuditSpec extends GraftSpec {
     // <= len/k entries): the island aggregate's span_id key is the witness
     "q76_span_clean" -> (("span_id island aggregate below the collect",
       sub => sub.contains("span_id"))),
+    // per-doc line reassembly: the collect's input is the posexplode of
+    // ONE document's page lines (grouped back by the same doc_id), so
+    // the buffer holds one document's line count — document-sized,
+    // never corpus-sized (the q76 class). The explode below the collect
+    // is the witness: collecting corpus rows per group without it would
+    // drop the posexplode from the subtree.
+    "q6Z_line_dedup" -> (("posexplode of the doc's page lines below the collect",
+      sub => sub.contains("posexplode("))),
     // q6M's weight fold collects the per-SOURCE count frame (one row
     // per stratum, never the corpus): the source-keyed aggregate below
     // the collect is the witness

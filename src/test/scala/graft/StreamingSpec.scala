@@ -651,4 +651,39 @@ class StreamingSpec extends GraftSpec {
     assert(lastState.exists(_.numRowsTotal <= 4L),
       s"expected <=4 state rows (the flag cells), got ${lastState.map(_.numRowsTotal)}")
   }
+
+  test("q7Y line-boilerplate flag: no false negatives vs the exact heavy-hitter set") {
+    // exact per-doc boiler-line counts from a plain-Scala recompute of
+    // the q6Z template + threshold (the CurationSpec mirror); the
+    // streamed Bloom flag must count AT LEAST those lines per doc
+    // (no false negatives) and the overshoot is bounded FP noise
+    def page(id: Long, source: String, text: String): String = {
+      val widget =
+        if (id % 3 == 0) "Share this article" else s"Comments (${id % 7})"
+      s"=== $source daily digest ===\n" +
+        "We use cookies to improve your experience.\n" +
+        s"${text.slice(0, 80)}\n${text.slice(80, 160)}\n$widget\n" +
+        s"Contact editor@$source.example.com\narticle-$id"
+    }
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), page(r.getLong(0), r.getString(1), r.getString(2))))
+    val lines = docs.flatMap { case (id, p) =>
+      p.split("\n", -1).map(l => (id, l.trim.toLowerCase)) }
+    val boiler = lines.groupBy(_._2).filter(_._2.map(_._1).distinct.size >= 3).keySet
+    val exact = docs.map { case (id, p) =>
+      id -> p.split("\n", -1).count(l => boiler.contains(l.trim.toLowerCase)).toLong
+    }.toMap
+    val got = SparkEntry.queries("q7Y_stream_line_flag")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == docs.length)
+    assert(got.forall(_._2 == 7L), "every template page has 7 lines")
+    got.foreach { case (id, nLines, nBoiler) =>
+      assert(nBoiler >= exact(id),
+        s"doc $id: Bloom flagged $nBoiler < exact ${exact(id)} (false negative)")
+      assert(nBoiler <= nLines)
+    }
+    // the gate is live: some lines flagged, some kept
+    assert(got.exists(_._3 > 0) && got.forall(g => g._3 < g._2))
+  }
 }
