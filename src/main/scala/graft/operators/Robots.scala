@@ -47,8 +47,11 @@ import org.apache.spark.sql.functions._
   *    parse time (on the per-host broadcast side) and plain prefixes
   *    keep the cheap startsWith path — specificity stays the rule
   *    path's octet length, per the RFC;
-  *  - OUT OF SCOPE: `Crawl-delay` pacing (a fetcher-side concern,
-  *    not a keep/drop decision).
+  *  - `Crawl-delay` (de-facto extension) parses under the same
+  *    group-selection rule via [[crawlDelay]] and `Sitemap:`
+  *    directives via [[sitemapUrls]] — both feed data-plane artifacts
+  *    (the q80 fetch schedule, the q81 sitemap discovery); ENFORCING
+  *    the pacing at fetch time stays a fetcher-side concern.
   */
 object Robots {
 
@@ -141,6 +144,64 @@ object Robots {
           lit("rules"), rules)
       })
     folded.getField("rules")
+  }
+
+  /** The `Crawl-delay` (de-facto extension; seconds) that applies to
+    * `agent`, selected by the SAME group rule as [[robotsRules]]
+    * (exact product token when the file names it anywhere, else `*`):
+    * the LAST valid value in an applying group wins, a non-numeric
+    * value is ignored, null when no applying group declares one. Runs
+    * once per host on the broadcast side, like the rules parse — the
+    * fetch SCHEDULE built from it is a data-plane artifact (q80);
+    * enforcing the pacing remains the fetcher's job.
+    */
+  def crawlDelay(txt: Column, agent: String): Column = {
+    val agentLit = agent.toLowerCase(java.util.Locale.ROOT)
+    val lines = transform(split(txt, "\r\n|\r|\n"),
+      l => wtrim(regexp_replace(l, "#.*$", "")))
+    val target = when(
+      exists(lines, l =>
+        uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)) === agentLit),
+      lit(agentLit)).otherwise(lit("*"))
+    val folded = aggregate(
+      lines,
+      named_struct(
+        lit("active"), lit(false),
+        lit("uarun"), lit(false),
+        lit("delay"), lit(null).cast("double")),
+      (acc, l) => {
+        val isUa   = l.rlike("(?i)^user-agent:")
+        val uaName = uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))
+        val v      = wtrim(regexp_extract(l, "(?i)^crawl-delay:(.*)$", 1))
+        val isDelay = l.rlike("(?i)^crawl-delay:") &&
+          v.rlike("^[0-9]+(\\.[0-9]+)?$")
+        val active = when(isUa && !acc.getField("uarun"), uaName === target)
+          .when(isUa, acc.getField("active") || (uaName === target))
+          .otherwise(acc.getField("active"))
+        named_struct(
+          lit("active"), active,
+          lit("uarun"),
+          when(l === "", acc.getField("uarun")).otherwise(isUa),
+          lit("delay"),
+          when(isDelay && active, v.cast("double"))
+            .otherwise(acc.getField("delay")))
+      })
+    folded.getField("delay")
+  }
+
+  /** The `Sitemap:` directives of a robots.txt body, in file order —
+    * group-INDEPENDENT per the de-facto rule (the field is valid
+    * anywhere in the file, outside any user-agent group). Parsed once
+    * per host on the broadcast side; the URLs feed the
+    * [[graft.operators.Sitemap]] source (q81 → q5S discovery loop).
+    */
+  def sitemapUrls(txt: Column): Column = {
+    val lines = transform(split(txt, "\r\n|\r|\n"),
+      l => wtrim(regexp_replace(l, "#.*$", "")))
+    filter(
+      transform(filter(lines, l => l.rlike("(?i)^sitemap:")),
+        l => wtrim(regexp_extract(l, "(?i)^sitemap:(.*)$", 1))),
+      v => v =!= "")
   }
 
   /** RFC 9309 decision for `path` under `rules` (from

@@ -204,16 +204,31 @@ object CurationQueries {
     val t = when(col("host").endsWith(".co.uk"), 0)
       .when(col("host").endsWith(".example.com"), 1).otherwise(2)
     val rc = (site + t * 7) % 3
+    // Crawl-delay / Sitemap coverage rides the same bodies WITHOUT
+    // touching any rule line (q6W/q7W/q6Y/q7X outputs are delay-blind):
+    // rc 0 declares 2 s in the graftbot group and 10 s in the deny-all
+    // * group (which must NOT apply — group scoping), plus one Sitemap;
+    // rc 1's * group declares 1.5 s tab-separated, plus TWO sitemaps
+    // (one tab-indented lowercase-field line — the wtrim/case path);
+    // rc 2 declares 9 s only in the otherbot group (graftbot's applying
+    // group has none → null → the scheduler's default) and no sitemap.
     val txt = when(rc === 0, lit(
-      "User-agent: graftbot/1.0\nDisallow: /p%32\nDisallow: /p1\n" +
-        "Allow: /p1/x\n\nUser-agent: *\nDisallow: /\n"))
+      "User-agent: graftbot/1.0\nCrawl-delay: 2\nDisallow: /p%32\n" +
+        "Disallow: /p1\nAllow: /p1/x\n\n" +
+        "User-agent: *\nCrawl-delay: 10\nDisallow: /\n"))
       .when(rc === 1, lit(
         "# corpus-wide politeness\nUser-agent: *\n\tDisallow: /p3\n" +
-          "Disallow:\t/p4\n"))
+          "Disallow:\t/p4\nCrawl-delay:\t1.5\n"))
       .otherwise(lit(
-        "User-agent: otherbot\nDisallow: /\n\n" +
+        "User-agent: otherbot\nDisallow: /\nCrawl-delay: 9\n\n" +
           "User-agent: graftbot\nUser-agent: extrabot\nDisallow:\n"))
-    hosts.select(col("host"), txt.as("robots_txt"))
+    val maps = when(rc === 0,
+      concat(lit("Sitemap: https://"), col("host"), lit("/sitemap.xml\n")))
+      .when(rc === 1,
+        concat(lit("\tsitemap: https://"), col("host"), lit("/s1.xml\n"),
+          lit("Sitemap: https://"), col("host"), lit("/s2.xml\n")))
+      .otherwise(lit(""))
+    hosts.select(col("host"), concat(txt, maps).as("robots_txt"))
   }
 
   // The gate itself: canonicalize, split host/path, broadcast-join the
@@ -637,6 +652,66 @@ object CurationQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_text"), lit("")).as("clean_text"))
         .orderBy("doc_id")
+    },
+
+    // POLITENESS fetch schedule (the budgeting half a crawler runs
+    // after q6Y's admission): distinct canonical frontier → robots
+    // gate → per-HOST fetch slots honoring the host's declared
+    // Crawl-delay, parsed ONCE per host on the broadcast side under
+    // the same group-selection rule as the rules (1.0 s default when
+    // the applying group declares none — rc 2). Slot k fetches at
+    // k·delay, so the last slot per host is that host's fetch
+    // horizon. The rank window partitions on HOST: cardinality grows
+    // with the corpus (never a bounded-cardinality spec) and rows per
+    // host are the host's frontier share — the q6R cap-election shape,
+    // with the same salted-hash deterministic order.
+    "q80_fetch_schedule" -> { (s, d) =>
+      import graft.operators.{Robots, Url}
+      val frontier = Tables.documents(s, d)
+        .select(Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
+        .dropDuplicates("curl")
+        .select(col("curl"), Url.hostOf(col("curl")).as("host"),
+          regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
+            .as("path"))
+      val parsed = robotsTable(frontier.select("host").distinct())
+        .withColumn("_rules",
+          Robots.robotsRules(col("robots_txt"), "graftbot"))
+        .withColumn("delay_sec",
+          coalesce(Robots.crawlDelay(col("robots_txt"), "graftbot"),
+            lit(1.0)))
+        .drop("robots_txt")
+      val allowed = frontier.join(broadcast(parsed), "host")
+        .filter(Robots.robotsAllowed(col("_rules"), col("path")))
+      val w = Window.partitionBy("host")
+        .orderBy(md5(concat(col("curl"), lit("fetchslot"))), col("curl"))
+      allowed
+        .withColumn("rn", row_number().over(w))
+        .select(col("curl"), col("host"),
+          round(col("delay_sec"), 6).as("delay_sec"),
+          round((col("rn") - 1) * col("delay_sec"), 6).as("slot_sec"))
+        .orderBy("curl")
+    },
+
+    // robots.txt `Sitemap:` discovery — the directive that closes the
+    // crawl loop (robots → sitemap source → frontier). Group-
+    // independent per the de-facto rule; parsed once per host on the
+    // host-distinct (broadcast-sized) side and exploded to
+    // (host, pos, sitemap_url) rows that feed the q5S source. rc 0
+    // publishes one map, rc 1 two (one via a tab-indented lowercase
+    // field line — the wtrim/case path), rc 2 none.
+    "q81_robots_sitemaps" -> { (s, d) =>
+      import graft.operators.{Robots, Url}
+      val hosts = Tables.documents(s, d)
+        .select(Url.hostOf(Url.canonicalizeUrl(
+          messyUrl(col("doc_id")))).as("host"))
+        .distinct()
+      robotsTable(hosts)
+        .select(col("host"),
+          posexplode(Robots.sitemapUrls(col("robots_txt")))
+            .as(Seq("pos", "sitemap_url")))
+        .select(col("host"), col("pos").cast("long").as("pos"),
+          col("sitemap_url"))
+        .orderBy("host", "pos")
     },
 
     // Curriculum ordering (easy→hard training order, quality score as
@@ -1206,6 +1281,56 @@ object CurationQueries {
          |  coalesce(r.clean_text, '') AS clean_text
          |FROM pages p LEFT JOIN reb r USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
+
+    // Fetch-schedule mirror: closed-form canonical + q6W's rc allowed
+    // bit, the delay as a CLOSED FORM of rc (2.0 from the graftbot
+    // group, 1.5 from *, 1.0 default where the applying group declares
+    // none — an independent expectation, not a parser replay), the same
+    // salted row_number slot election.
+    "q80_fetch_schedule" ->
+      s"""WITH $duckUrlBase,
+         |cu AS (
+         |  SELECT DISTINCT g, $duckCanonClosedForm AS curl, h,
+         |    g % 11 AS k
+         |  FROM mb),
+         |r AS (
+         |  SELECT *, ((g % 7) + (g % 3) * 7) % 3 AS rc FROM cu),
+         |alw AS (
+         |  SELECT * FROM r
+         |  WHERE CASE WHEN rc = 0 THEN k NOT IN (2, 10)
+         |             WHEN rc = 1 THEN k NOT IN (3, 4)
+         |             ELSE true END),
+         |dl AS (
+         |  SELECT curl, h,
+         |    CASE WHEN rc = 0 THEN 2.0 WHEN rc = 1 THEN 1.5
+         |         ELSE 1.0 END AS delay
+         |  FROM alw),
+         |sl AS (
+         |  SELECT curl, h, delay,
+         |    row_number() OVER (PARTITION BY h
+         |      ORDER BY md5(curl || 'fetchslot'), curl) AS rn
+         |  FROM dl)
+         |SELECT curl, h AS host, round(delay, 6) AS delay_sec,
+         |  round((rn - 1) * delay, 6) AS slot_sec
+         |FROM sl
+         |ORDER BY curl""".stripMargin,
+
+    // Sitemap-directive mirror: the rc closed form of which maps each
+    // host publishes, in file order.
+    "q81_robots_sitemaps" ->
+      s"""WITH $duckUrlBase,
+         |hosts AS (
+         |  SELECT DISTINCT h, ((g % 7) + (g % 3) * 7) % 3 AS rc FROM mb),
+         |maps AS (
+         |  SELECT h, 0 AS pos, 'https://' || h || '/sitemap.xml' AS u
+         |  FROM hosts WHERE rc = 0
+         |  UNION ALL
+         |  SELECT h, 0, 'https://' || h || '/s1.xml' FROM hosts WHERE rc = 1
+         |  UNION ALL
+         |  SELECT h, 1, 'https://' || h || '/s2.xml' FROM hosts WHERE rc = 1)
+         |SELECT h AS host, CAST(pos AS BIGINT) AS pos, u AS sitemap_url
+         |FROM maps
+         |ORDER BY host, pos""".stripMargin,
 
     // Curriculum mirror: q21's quality formula, quantile_cont edges
     // (rounded to the q0D-proven 4 decimals), the same strict-> decile

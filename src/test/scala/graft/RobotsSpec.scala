@@ -172,4 +172,60 @@ class RobotsSpec extends GraftSpec {
       .as[Boolean].collect().toSeq
     assert(got == Seq(true))
   }
+
+  private def delay(txt: String, agent: String): Option[Double] =
+    Seq(1).toDF("i")
+      .select(Robots.crawlDelay(lit(txt), agent).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      .head
+
+  test("crawlDelay: applying group's value, group-scoped, last wins") {
+    val txt =
+      """User-agent: graftbot/2.0
+        |Crawl-delay: 2
+        |Disallow: /p
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |""".stripMargin
+    // the named group's delay, NOT the * group's
+    assert(delay(txt, "graftbot").contains(2.0))
+    // an unnamed bot falls to *
+    assert(delay(txt, "otherbot").contains(10.0))
+    // last valid value in the applying group wins
+    assert(delay("User-agent: *\nCrawl-delay: 1\nCrawl-delay: 3.5\n",
+      "graftbot").contains(3.5))
+  }
+
+  test("crawlDelay: invalid/absent values are ignored; tab WS parses") {
+    assert(delay("User-agent: *\nCrawl-delay: soon\n", "graftbot").isEmpty)
+    assert(delay("User-agent: *\nDisallow: /x\n", "graftbot").isEmpty)
+    assert(delay("", "graftbot").isEmpty)
+    // delay in a NON-applying group only => none for the named agent
+    assert(delay("User-agent: otherbot\nCrawl-delay: 9\n\n" +
+      "User-agent: graftbot\nDisallow:\n", "graftbot").isEmpty)
+    // RFC 9309 whitespace: tab after the colon, CRLF line endings
+    assert(delay("User-agent: *\r\nCrawl-delay:\t1.5\r\n", "graftbot")
+      .contains(1.5))
+  }
+
+  test("sitemapUrls: file order, group-independent, wtrim + case-insensitive") {
+    val txt =
+      """Sitemap: https://a.example/s1.xml
+        |User-agent: graftbot
+        |Disallow: /p
+        |	sitemap:	https://a.example/s2.xml
+        |SITEMAP: https://a.example/s3.xml
+        |Sitemap:
+        |""".stripMargin
+    val got = Seq(1).toDF("i")
+      .select(Robots.sitemapUrls(lit(txt)).as("m"))
+      .as[Seq[String]].head()
+    assert(got == Seq("https://a.example/s1.xml", "https://a.example/s2.xml",
+      "https://a.example/s3.xml"))
+    val none = Seq(1).toDF("i")
+      .select(Robots.sitemapUrls(lit("User-agent: *\nDisallow: /\n")).as("m"))
+      .as[Seq[String]].head()
+    assert(none.isEmpty)
+  }
 }
