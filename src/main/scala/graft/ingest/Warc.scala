@@ -145,6 +145,12 @@ object Warc {
     Array.emptyByteArray
   }
 
+  // compiled ONCE (object init), not per record — the charset scan
+  // sits on the per-record ingest hot path (cf. HtmlEntityUtil's
+  // compile-once discipline)
+  private val ContentTypeRe = "(?im)^content-type:([^\r\n]*)$".r
+  private val CharsetTokenRe = "(?i)charset\\s*=\\s*\"?([^\";,\\s]+)\"?".r
+
   /** The `charset` token declared in the HTTP envelope's
     * `Content-Type` header, lowercased and dequoted; "" when the
     * envelope carries none. The envelope bytes decode as ISO-8859-1
@@ -160,9 +166,9 @@ object Warc {
     }
     if (!found) return ""
     val head = new String(payload, 0, end, "ISO-8859-1")
-    val ct = "(?im)^content-type:([^\r\n]*)$".r
+    val ct = ContentTypeRe
       .findFirstMatchIn(head).map(_.group(1)).getOrElse("")
-    "(?i)charset\\s*=\\s*\"?([^\";,\\s]+)\"?".r
+    CharsetTokenRe
       .findFirstMatchIn(ct)
       .map(_.group(1).trim.toLowerCase(java.util.Locale.ROOT))
       .getOrElse("")
@@ -286,8 +292,13 @@ object Warc {
           .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
         val recs = parseWarcStream(in)
           .filter(_.warcType == "response")
-          .map(r => Row(path, r.targetUri, r.date,
-            httpCharset(r.payload), httpBodyText(r.payload)))
+          .map { r =>
+            // one header scan per record: the charset drives the column
+            // AND the body decode (httpBodyText would re-scan)
+            val cs = httpCharset(r.payload)
+            Row(path, r.targetUri, r.date, cs,
+              decodeBody(httpBody(r.payload), cs))
+          }
         new Iterator[Row] {
           override def hasNext: Boolean = {
             val h = recs.hasNext

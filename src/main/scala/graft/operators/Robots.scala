@@ -89,6 +89,49 @@ object Robots {
       .otherwise(lit(null).cast("string"))
   }
 
+  // ---- group grammar, defined ONCE -------------------------------------
+  // robotsRules and crawlDelay must agree on the group grammar or the
+  // q80 fetch schedule silently disagrees with the q6W gate — so the
+  // line split, the target election, and the active/uarun transition
+  // live here and both folds call them.
+
+  /** Comment-stripped, trimmed lines, split on ANY RFC 9309 EOL
+    * (CRLF / LF / CR — Windows-served robots.txt is CRLF, so a bare
+    * \n split would leave a \r on every token); trimming is [ \t]
+    * (RFC 9309 WS — tab-indented lines must parse); field names
+    * match case-insensitively but rule PATHS keep their case.
+    */
+  private def robotsLines(txt: Column): Column =
+    transform(split(txt, "\r\n|\r|\n"),
+      l => wtrim(regexp_replace(l, "#.*$", "")))
+
+  /** The group that wins for `agent`: its exact product token when the
+    * file names it anywhere, else `*`.
+    */
+  private def targetAgent(lines: Column, agentLit: String): Column =
+    when(
+      exists(lines, l =>
+        uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)) === agentLit),
+      lit(agentLit)).otherwise(lit("*"))
+
+  /** One step of the (active, uarun) group-state transition for line
+    * `l` given the fold's previous state. RFC 9309 grammar: blank
+    * lines (and comment-only lines, which strip to blank) between
+    * consecutive User-agent lines do NOT split the group; any
+    * non-blank non-UA line (a rule, or a field like Crawl-delay) ends
+    * the user-agent run.
+    */
+  private def groupStep(acc: Column, l: Column,
+      target: Column): (Column, Column) = {
+    val isUa   = l.rlike("(?i)^user-agent:")
+    val uaName = uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))
+    val active = when(isUa && !acc.getField("uarun"), uaName === target)
+      .when(isUa, acc.getField("active") || (uaName === target))
+      .otherwise(acc.getField("active"))
+    val uarun = when(l === "", acc.getField("uarun")).otherwise(isUa)
+    (active, uarun)
+  }
+
   /** The Allow/Disallow rules that apply to `agent`, as
     * `array<struct<allow, prefix>>` in file order: one fold over the
     * lines tracking (group-active, inside-a-user-agent-run), keeping
@@ -97,17 +140,8 @@ object Robots {
     */
   def robotsRules(txt: Column, agent: String): Column = {
     val agentLit = agent.toLowerCase(java.util.Locale.ROOT)
-    // comment-stripped, trimmed lines, split on ANY RFC 9309 EOL
-    // (CRLF / LF / CR — Windows-served robots.txt is CRLF, so a bare
-    // \n split would leave a \r on every token); trimming is [ \t]
-    // (RFC 9309 WS — tab-indented lines must parse); field names
-    // match case-insensitively but rule PATHS keep their case
-    val lines = transform(split(txt, "\r\n|\r|\n"),
-      l => wtrim(regexp_replace(l, "#.*$", "")))
-    val target = when(
-      exists(lines, l =>
-        uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)) === agentLit),
-      lit(agentLit)).otherwise(lit("*"))
+    val lines  = robotsLines(txt)
+    val target = targetAgent(lines, agentLit)
     val folded = aggregate(
       lines,
       named_struct(
@@ -115,8 +149,6 @@ object Robots {
         lit("uarun"), lit(false),
         lit("rules"), array().cast(RuleArrayType)),
       (acc, l) => {
-        val isUa    = l.rlike("(?i)^user-agent:")
-        val uaName  = uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))
         val isAllow = l.rlike("(?i)^allow:")
         val isDis   = l.rlike("(?i)^disallow:")
         // rule paths percent-normalize at parse time (the broadcast
@@ -124,23 +156,16 @@ object Robots {
         // URLs get — `Disallow: /p%31` must match canonical `/p1`
         val prefix  = Url.percentNormalize(
           wtrim(regexp_extract(l, "(?i)^(?:allow|disallow):(.*)$", 1)))
-        val active = when(isUa && !acc.getField("uarun"), uaName === target)
-          .when(isUa, acc.getField("active") || (uaName === target))
-          .otherwise(acc.getField("active"))
+        val (active, uarun) = groupStep(acc, l, target)
         val rules = when(
           (isAllow || isDis) && acc.getField("active") && prefix =!= "",
           concat(acc.getField("rules"),
             array(named_struct(lit("allow"), isAllow, lit("prefix"), prefix,
               lit("re"), ruleRegex(prefix)))))
           .otherwise(acc.getField("rules"))
-        // RFC 9309 grammar: blank lines (and comment-only lines, which
-        // strip to blank) between consecutive User-agent lines do NOT
-        // split the group; any non-blank non-UA line (a rule, or an
-        // ignored field like Crawl-delay) ends the user-agent run
         named_struct(
           lit("active"), active,
-          lit("uarun"),
-          when(l === "", acc.getField("uarun")).otherwise(isUa),
+          lit("uarun"), uarun,
           lit("rules"), rules)
       })
     folded.getField("rules")
@@ -157,12 +182,8 @@ object Robots {
     */
   def crawlDelay(txt: Column, agent: String): Column = {
     val agentLit = agent.toLowerCase(java.util.Locale.ROOT)
-    val lines = transform(split(txt, "\r\n|\r|\n"),
-      l => wtrim(regexp_replace(l, "#.*$", "")))
-    val target = when(
-      exists(lines, l =>
-        uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1)) === agentLit),
-      lit(agentLit)).otherwise(lit("*"))
+    val lines  = robotsLines(txt)
+    val target = targetAgent(lines, agentLit)
     val folded = aggregate(
       lines,
       named_struct(
@@ -170,18 +191,13 @@ object Robots {
         lit("uarun"), lit(false),
         lit("delay"), lit(null).cast("double")),
       (acc, l) => {
-        val isUa   = l.rlike("(?i)^user-agent:")
-        val uaName = uaToken(regexp_extract(l, "(?i)^user-agent:(.*)$", 1))
-        val v      = wtrim(regexp_extract(l, "(?i)^crawl-delay:(.*)$", 1))
+        val v       = wtrim(regexp_extract(l, "(?i)^crawl-delay:(.*)$", 1))
         val isDelay = l.rlike("(?i)^crawl-delay:") &&
           v.rlike("^[0-9]+(\\.[0-9]+)?$")
-        val active = when(isUa && !acc.getField("uarun"), uaName === target)
-          .when(isUa, acc.getField("active") || (uaName === target))
-          .otherwise(acc.getField("active"))
+        val (active, uarun) = groupStep(acc, l, target)
         named_struct(
           lit("active"), active,
-          lit("uarun"),
-          when(l === "", acc.getField("uarun")).otherwise(isUa),
+          lit("uarun"), uarun,
           lit("delay"),
           when(isDelay && active, v.cast("double"))
             .otherwise(acc.getField("delay")))
@@ -196,8 +212,7 @@ object Robots {
     * [[graft.operators.Sitemap]] source (q81 → q5S discovery loop).
     */
   def sitemapUrls(txt: Column): Column = {
-    val lines = transform(split(txt, "\r\n|\r|\n"),
-      l => wtrim(regexp_replace(l, "#.*$", "")))
+    val lines = robotsLines(txt)
     filter(
       transform(filter(lines, l => l.rlike("(?i)^sitemap:")),
         l => wtrim(regexp_extract(l, "(?i)^sitemap:(.*)$", 1))),

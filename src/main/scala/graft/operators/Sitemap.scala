@@ -100,8 +100,16 @@ object Sitemap {
       .option("pathGlobFilter", "*.xml*").text(dir)
       .select(input_file_name().as("source"), col("value").as("xml"))
     val isIdx = col("xml").contains("<sitemapindex")
+    // member references in the wild carry query strings (WordPress-
+    // style `sitemap.xml.gz?page=2`) and fragments — strip them BEFORE
+    // taking the basename, or a present-and-scanned member would read
+    // as a dangling reference and its URLs would silently vanish (a
+    // directory scan can only resolve to the file, so query-distinct
+    // references collapse to that file's one body)
     val referencedBase = indexEntries(raw.filter(isIdx), "xml")
-      .select(regexp_extract(col("loc"), "([^/]+)$", 1).as("_base"))
+      .select(regexp_extract(
+        regexp_replace(col("loc"), "[?#].*$", ""), "([^/]+)$", 1)
+        .as("_base"))
       .distinct()
     val urlsets = raw.filter(!isIdx)
       .withColumn("_base", regexp_extract(col("source"), "([^/]+)$", 1))

@@ -95,7 +95,16 @@ object CurationQueries {
   // B-independent projection, so raising it costs one longer sketch
   // array broadcast and nothing else).
   private val CurriculumRankBuckets =
-    sys.env.get("GRAFT_CURRICULUM_BUCKETS").map(_.toInt).getOrElse(128)
+    sys.env.get("GRAFT_CURRICULUM_BUCKETS").map { raw =>
+      // a bare .toInt here would throw inside this object's static
+      // init and take the WHOLE registry down with an opaque
+      // ExceptionInInitializerError that never names the knob
+      val n = raw.trim.toIntOption.getOrElse(throw new IllegalArgumentException(
+        s"GRAFT_CURRICULUM_BUCKETS must be a positive integer, got '$raw'"))
+      require(n > 0,
+        s"GRAFT_CURRICULUM_BUCKETS must be a positive integer, got '$raw'")
+      n
+    }.getOrElse(128)
 
   /** The messy URL as a Spark column (mirrored by [[duckMessyUrl]]).
     * Shared with streaming q7U. */
@@ -231,14 +240,40 @@ object CurationQueries {
     hosts.select(col("host"), concat(txt, maps).as("robots_txt"))
   }
 
+  // The parse side, defined ONCE for every robots consumer (q6W/q7W
+  // gate, q6Y/q7X frontier, q80 schedule): rules — and optionally the
+  // Crawl-delay — parse ONCE PER HOST on the broadcast side; only the
+  // row-local decision fold runs per corpus row. Re-parsing the same
+  // robots body per document would repeat the whole per-line fold
+  // thousands of times per host for nothing.
+  private[graft] def robotsParsed(hosts: DataFrame,
+                                  withDelay: Boolean = false): DataFrame = {
+    import graft.operators.Robots
+    val base = robotsTable(hosts)
+      .withColumn("_rules",
+        Robots.robotsRules(col("robots_txt"), "graftbot"))
+    (if (withDelay)
+       base.withColumn("delay_sec",
+         coalesce(Robots.crawlDelay(col("robots_txt"), "graftbot"),
+           lit(1.0)))
+     else base).drop("robots_txt")
+  }
+
+  // (host, path) of a canonical URL — the shape every robots decision
+  // joins and decides on. ONE definition so the path regex can't
+  // drift between the gate, the frontier, and the schedule.
+  private[graft] def hostPath(urls: DataFrame): DataFrame = {
+    import graft.operators.Url
+    urls
+      .withColumn("host", Url.hostOf(col("curl")))
+      .withColumn("path",
+        regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1))
+  }
+
   // The gate itself: canonicalize, split host/path, broadcast-join the
-  // per-host robots table, decide row-locally. The robots PARSE runs
-  // ONCE PER HOST on the broadcast side (rules ship as the array);
-  // only the longest-prefix decision fold runs per corpus row —
-  // re-parsing the same robots body per document would repeat the
-  // whole per-line fold thousands of times per host for nothing.
-  // `docs` may be a batch frame (q6W) or a stream (q7W) — the join is
-  // stream-static-legal and the decision is stateless.
+  // per-host robots table, decide row-locally. `docs` may be a batch
+  // frame (q6W) or a stream (q7W) — the join is stream-static-legal
+  // and the decision is stateless.
   private[graft] def robotsGate(docs: DataFrame,
                                 robots: DataFrame): DataFrame = {
     import graft.operators.{Robots, Url}
@@ -246,13 +281,9 @@ object CurationQueries {
       .withColumn("_rules",
         Robots.robotsRules(col("robots_txt"), "graftbot"))
       .drop("robots_txt")
-    docs
-      .select(col("doc_id"),
-        Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
-      .select(col("doc_id"),
-        Url.hostOf(col("curl")).as("host"),
-        regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
-          .as("path"))
+    hostPath(docs
+        .select(col("doc_id"),
+          Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl")))
       .join(broadcast(parsed), "host")
       .select(col("doc_id"), col("host"), col("path"),
         Robots.robotsAllowed(col("_rules"), col("path")).as("allowed"))
@@ -594,14 +625,8 @@ object CurationQueries {
         depth = 4, width = 16384)
       val unseen = frontier.filter(
         !Sketch.bloomHitCol(col("curl"), words, depth = 4, width = 16384))
-      val withHostPath = unseen.select(col("curl"),
-        Url.hostOf(col("curl")).as("host"),
-        regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
-          .as("path"))
-      val parsed = robotsTable(withHostPath.select("host").distinct())
-        .withColumn("_rules",
-          Robots.robotsRules(col("robots_txt"), "graftbot"))
-        .drop("robots_txt")
+      val withHostPath = hostPath(unseen)
+      val parsed = robotsParsed(withHostPath.select("host").distinct())
       val allowed = withHostPath.join(broadcast(parsed), "host")
         .filter(Robots.robotsAllowed(col("_rules"), col("path")))
       val withDomain = allowed.select(col("curl"),
@@ -620,13 +645,17 @@ object CurationQueries {
     // Plan shape at 100 TB: posexplode (row-local) → ONE line-key
     // aggregate whose output is the heavy-hitter set — at most
     // totalLines/df rows, so raising the threshold shrinks it and it is
-    // broadcastable long before the corpus is — → left_anti join →
-    // per-doc ordered reassembly whose collect buffer holds exactly ONE
-    // document's lines (the q76 span-island class: document-sized,
-    // never corpus-sized; the posexplode below the collect is the plan
-    // audit's witness). Joining on the normalized KEY keeps the anti
-    // join's build side to distinct heavy-hitter strings, not corpus
-    // rows.
+    // broadcastable long before the corpus is — → a LEFT join marking
+    // boilerplate lines → ONE per-doc aggregate computing total, kept
+    // count, and the ordered reassembly together (collect_list skips
+    // the nulled boilerplate structs), so the template never
+    // materializes a second time for a separate n_lines leg and docs
+    // whose every line drops still emit (count ≥ 1 per doc, empty
+    // concat). The collect buffer holds at most ONE document's lines
+    // (the q76 span-island class: document-sized, never corpus-sized;
+    // the posexplode below the collect is the plan audit's witness).
+    // Joining on the normalized KEY keeps the build side to distinct
+    // heavy-hitter strings, not corpus rows.
     "q6Z_line_dedup" -> { (s, d) =>
       val pages = Tables.documents(s, d).select(col("doc_id"),
         linesPage(col("doc_id"), col("source"), col("text")).as("page"))
@@ -636,21 +665,18 @@ object CurationQueries {
       val boiler = lines.groupBy("lkey")
         .agg(countDistinct("doc_id").as("df"))
         .filter(col("df") >= BoilerplateDf)
-        .select("lkey")
-      val kept = lines.join(boiler, Seq("lkey"), "left_anti")
-      val rebuilt = kept.groupBy("doc_id").agg(
-        count(lit(1)).as("n_kept"),
-        concat_ws("\n",
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line"))).as("clean_text"))
-      pages
-        .select(col("doc_id"),
-          size(split(col("page"), "\n")).cast("long").as("n_lines"))
-        .join(rebuilt, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_lines"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("clean_text"), lit("")).as("clean_text"))
+        .select(col("lkey"), lit(true).as("_boiler"))
+      lines.join(boiler, Seq("lkey"), "left")
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          count(when(col("_boiler").isNull, lit(1))).as("n_kept"),
+          concat_ws("\n",
+            transform(
+              array_sort(collect_list(
+                when(col("_boiler").isNull,
+                  struct(col("pos"), col("line"))))),
+              x => x.getField("line"))).as("clean_text"))
         .orderBy("doc_id")
     },
 
@@ -667,19 +693,11 @@ object CurationQueries {
     // with the same salted-hash deterministic order.
     "q80_fetch_schedule" -> { (s, d) =>
       import graft.operators.{Robots, Url}
-      val frontier = Tables.documents(s, d)
+      val frontier = hostPath(Tables.documents(s, d)
         .select(Url.canonicalizeUrl(messyUrl(col("doc_id"))).as("curl"))
-        .dropDuplicates("curl")
-        .select(col("curl"), Url.hostOf(col("curl")).as("host"),
-          regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
-            .as("path"))
-      val parsed = robotsTable(frontier.select("host").distinct())
-        .withColumn("_rules",
-          Robots.robotsRules(col("robots_txt"), "graftbot"))
-        .withColumn("delay_sec",
-          coalesce(Robots.crawlDelay(col("robots_txt"), "graftbot"),
-            lit(1.0)))
-        .drop("robots_txt")
+        .dropDuplicates("curl"))
+      val parsed = robotsParsed(frontier.select("host").distinct(),
+        withDelay = true)
       val allowed = frontier.join(broadcast(parsed), "host")
         .filter(Robots.robotsAllowed(col("_rules"), col("path")))
       val w = Window.partitionBy("host")

@@ -383,27 +383,20 @@ object StreamingQueries {
       val words = Sketch.packBloom(
         Sketch.bloomBits(seen, "curl", depth = 4, width = 16384),
         depth = 4, width = 16384)
-      val parsed = CurationQueries.robotsTable(
-          Tables.documents(s, d)
-            .select(Url.hostOf(Url.canonicalizeUrl(
-              CurationQueries.messyUrl(col("doc_id")))).as("host"))
-            .distinct())
-        .withColumn("_rules",
-          Robots.robotsRules(col("robots_txt"), "graftbot"))
-        .drop("robots_txt")
+      val parsed = CurationQueries.robotsParsed(
+        Tables.documents(s, d)
+          .select(Url.hostOf(Url.canonicalizeUrl(
+            CurationQueries.messyUrl(col("doc_id")))).as("host"))
+          .distinct())
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      val gated = docs
-        .select(col("doc_id"),
-          Url.canonicalizeUrl(
-            CurationQueries.messyUrl(col("doc_id"))).as("curl"))
-        .filter(!Sketch.bloomHitCol(col("curl"), words,
-          depth = 4, width = 16384))
-        .select(col("doc_id"), col("curl"),
-          Url.hostOf(col("curl")).as("host"),
-          regexp_extract(col("curl"), "^[a-z]+://[^/?#]*([^?#]*)", 1)
-            .as("path"))
+      val gated = CurationQueries.hostPath(docs
+          .select(col("doc_id"),
+            Url.canonicalizeUrl(
+              CurationQueries.messyUrl(col("doc_id"))).as("curl"))
+          .filter(!Sketch.bloomHitCol(col("curl"), words,
+            depth = 4, width = 16384)))
         .join(broadcast(parsed), "host")
         .filter(Robots.robotsAllowed(col("_rules"), col("path")))
         .select("doc_id", "curl")

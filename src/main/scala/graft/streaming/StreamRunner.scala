@@ -76,7 +76,15 @@ object StreamRunner {
         .trigger(Trigger.AvailableNow())
         .start()
       query.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      // the checkpoint is tmpfs-resident (RAM) and the query is done
+      // (AvailableNow ran to completion or threw): reclaim it NOW —
+      // a bench constructs each of ~30 streaming queries up to seven
+      // times, and pinning every checkpoint until JVM exit would
+      // ENOSPC a small /dev/shm mid-run
+      graft.util.TempDirs.deleteNow(ckpt)
+    }
     liveSinks.add(name)
     spark.table(name)
   }

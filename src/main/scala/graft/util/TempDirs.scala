@@ -47,6 +47,19 @@ object TempDirs {
     dir.toString
   }
 
+  /** Reclaim a scratch dir NOW (best-effort) instead of at JVM exit.
+    * tmpfs-resident checkpoints are RAM: a bench constructs hundreds
+    * of bounded stream replays, and pinning every checkpoint in
+    * /dev/shm until exit would ENOSPC a small tmpfs mid-run. Safe to
+    * call on a dir the shutdown hook also knows about (delete is
+    * idempotent; the hook ignores the already-gone path).
+    */
+  def deleteNow(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    deleteRecursively(p)
+    registry.remove(p)
+  }
+
   private def deleteRecursively(p: Path): Unit =
     try {
       if (Files.isDirectory(p))

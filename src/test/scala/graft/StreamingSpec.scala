@@ -683,7 +683,15 @@ class StreamingSpec extends GraftSpec {
         s"doc $id: Bloom flagged $nBoiler < exact ${exact(id)} (false negative)")
       assert(nBoiler <= nLines)
     }
-    // the gate is live: some lines flagged, some kept
-    assert(got.exists(_._3 > 0) && got.forall(g => g._3 < g._2))
+    // the gate is live and the overshoot stays FP noise: some lines
+    // flagged, some kept, and the POPULATION-level false-positive
+    // fraction is small. (A per-doc `n_boiler < n_lines` would couple
+    // the suite to the exact fixture bytes — the query's contract
+    // explicitly permits per-line false positives.)
+    assert(got.exists(_._3 > 0) && got.exists(g => g._3 < g._2))
+    val overshoot = got.map { case (id, _, b) => b - exact(id) }.sum
+    val totalLines = got.map(_._2).sum
+    assert(overshoot.toDouble / totalLines <= 0.05,
+      s"Bloom FP fraction ${overshoot.toDouble / totalLines} > 5% of lines")
   }
 }
