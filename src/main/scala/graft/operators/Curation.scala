@@ -507,6 +507,46 @@ object Curation {
       .withColumn("ppl", round(exp(col("avg_nll")), 6))
   }
 
+  /** Per-document Shannon entropy of the unigram token distribution
+    * (NATS — ln; a /ln(2) rescale to bits would add one more
+    * cross-engine float op for a constant factor), plus the normalized
+    * ent_ratio = H / ln(n_types) (≈1 = uniform over the doc's own
+    * vocabulary — per-term 6-dp rounding can nudge it a micro-unit
+    * past 1 — and 0 = one repeated token) — the gibberish/
+    * repetition discriminator quality pipelines pair with TTR (q61)
+    * and the top-gram fraction (q63). Distributed shape: explode →
+    * (doc, term) count with map-side combine → totals join back on the
+    * SAME key (partitioning reused, no extra shuffle) → the q6H nano
+    * fixed-point fold: each term's −(c/n)·ln(c/n) rounds to 6 dp
+    * (absorbing sub-ulp libm differences), scales to integer
+    * micro-units, and sums as LONGS — order-free, so the entropy
+    * replays bit-identically cross-engine. No collect, no window.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col(idCol))
+      .agg(sum("c").as("n"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(totals, idCol)
+      .select(col(idCol), col("n"), col("n_types"),
+        round(-p * log(p), 6).as("e"))
+      .groupBy(col(idCol), col("n"), col("n_types"))
+      .agg(sum(round(col("e") * lit(1e6)).cast("long")).as("_e_fx"))
+      .select(col(idCol),
+        col("n").as("n_tokens"), col("n_types"),
+        (col("_e_fx").cast("double") / lit(1e6)).as("entropy"),
+        // integer micro-ratio (the lmScore rule): one division of the
+        // micro-entropy by the 6-dp-rounded ln(n_types), rounded to an
+        // INTEGER on both engines, then /1e6 — a round(x, 6) of the
+        // exact rational would hit cross-engine .5-tie disagreements
+        when(col("n_types") > 1,
+          round(col("_e_fx").cast("double") /
+            round(log(col("n_types").cast("double")), 6)) / lit(1e6))
+          .otherwise(lit(0.0)).as("ent_ratio"))
+  }
+
   /** Sequence packing for pretraining: concatenate each shard's documents in
     * id order and cut the token stream into fixed `windowTokens` context
     * windows. Emits, per document, its token offset within the shard and the

@@ -893,6 +893,16 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Unigram token entropy + vocabulary-normalized ratio per doc —
+    // the gibberish/repetition quality signal (low ratio = template or
+    // repeated-token mass even when TTR looks sane). See
+    // Curation.tokenEntropy for the nano fixed-point cross-engine
+    // contract.
+    "q82_token_entropy" -> { (s, d) =>
+      Curation.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     // Token-distribution drift (the population-stability / KL monitor):
     // both KL directions between the even- and odd-doc_id halves over a
     // fixed 4096-bucket spine. Each slice reduces to a bucket count
@@ -1533,6 +1543,35 @@ object CurationQueries {
          |  FROM agg)
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          |FROM avgd
+         |ORDER BY doc_id""".stripMargin,
+
+    // Entropy mirror: identical per-term 6-dp rounding, micro-unit
+    // long sums, and the integer micro-ratio division.
+    "q82_token_entropy" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($duckToks) AS term FROM documents),
+         |counts AS (
+         |  SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+         |totals AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    count(*) AS n_types
+         |  FROM counts GROUP BY 1),
+         |terms AS (
+         |  SELECT c.doc_id, t.n, t.n_types,
+         |    round(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)) *
+         |      ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS e
+         |  FROM counts c JOIN totals t USING (doc_id)),
+         |agg AS (
+         |  SELECT doc_id, n, n_types,
+         |    sum(CAST(round(e * 1000000) AS BIGINT)) AS e_fx
+         |  FROM terms GROUP BY 1, 2, 3)
+         |SELECT doc_id, n AS n_tokens, n_types,
+         |  CAST(e_fx AS DOUBLE) / 1000000 AS entropy,
+         |  CASE WHEN n_types > 1 THEN
+         |    round(CAST(e_fx AS DOUBLE)
+         |      / round(ln(CAST(n_types AS DOUBLE)), 6)) / 1000000
+         |  ELSE 0.0 END AS ent_ratio
+         |FROM agg
          |ORDER BY doc_id""".stripMargin,
 
     // Drift mirror: identical spine, smoothing, and nano fixed-point

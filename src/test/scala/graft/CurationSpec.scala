@@ -388,6 +388,28 @@ class CurationSpec extends GraftSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("tokenEntropy: uniform ≈1, single-token 0, closed-form fixed points") {
+    val df = Seq(
+      (1L, "a b c d"), // uniform over 4 types
+      (2L, "x x x x"), // one repeated token
+      (3L, "a a b")    // H = -(2/3)ln(2/3) - (1/3)ln(1/3)
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val Seq(r1, r2, r3) = out.toSeq
+    assert(r1.getAs[Long]("n_tokens") == 4L && r1.getAs[Long]("n_types") == 4L)
+    // per-term fixed point: round(round(0.34657359…,6)·1e6)=346574, ×4
+    assert(math.abs(r1.getAs[Double]("entropy") - 1.386296) < 1e-9)
+    assert(math.abs(r1.getAs[Double]("ent_ratio") - 1.000001) < 1e-9)
+    assert(r2.getAs[Double]("entropy") == 0.0)
+    assert(r2.getAs[Double]("ent_ratio") == 0.0)
+    val h3 = -(2.0 / 3) * math.log(2.0 / 3) - (1.0 / 3) * math.log(1.0 / 3)
+    assert(math.abs(r3.getAs[Double]("entropy") - h3) < 2e-6)
+    assert(r3.getAs[Long]("n_types") == 2L)
+    // repetition discriminates: the uniform doc outranks the skewed one
+    assert(r1.getAs[Double]("ent_ratio") > r3.getAs[Double]("ent_ratio"))
+  }
+
   test("q6Z line dedup equals an independent Scala recompute of the C4 rule") {
     // plain-Scala mirror of the template + threshold rule — not the
     // query's plan, so agreement is evidence, not tautology
