@@ -228,4 +228,142 @@ class RobotsSpec extends GraftSpec {
       .as[Seq[String]].head()
     assert(none.isEmpty)
   }
+
+  // ---- property test: the Column folds vs an independent reference -----
+  // A plain-Scala parser written from the RFC 9309 semantics (not from
+  // the Column code): generated bodies cover group runs, blank/comment
+  // lines, tab WS, CRLF, case-mixed fields, product tokens, wildcard/$
+  // rules, percent octets (expected forms hand-pinned), invalid
+  // delays, and sitemap lines. Agreement on decision + delay + maps
+  // across randomized compositions is what no hand-picked fixture can
+  // certify.
+  private object Ref {
+    private val pct = Map("/p%31" -> "/p1", "/p%2f" -> "/p%2F")
+    private def wt(s: String) = s.replaceAll("^[ \\t]+|[ \\t]+$", "")
+    private def uaTok(v: String) =
+      wt(wt(v).split("/", 2)(0)).toLowerCase
+
+    case class Parsed(rules: Vector[(Boolean, String)],
+                      delay: Option[Double], maps: Vector[String])
+
+    def parse(txt: String, agent: String): Parsed = {
+      val lines = txt.split("\r\n|\r|\n", -1)
+        .map(l => wt(l.replaceAll("#.*$", "")))
+      val named = lines.exists(l =>
+        l.toLowerCase.startsWith("user-agent:") &&
+          uaTok(l.substring(11)) == agent)
+      val target = if (named) agent else "*"
+      var active = false; var uarun = false
+      var rules = Vector.empty[(Boolean, String)]
+      var delay: Option[Double] = None
+      var maps  = Vector.empty[String]
+      for (l <- lines) {
+        val lo   = l.toLowerCase
+        val isUa = lo.startsWith("user-agent:")
+        val preActive = active
+        if (isUa) {
+          val name = uaTok(l.substring(11))
+          active = if (!uarun) name == target else active || (name == target)
+        }
+        if ((lo.startsWith("allow:") || lo.startsWith("disallow:")) &&
+            preActive) {
+          val isAllow = lo.startsWith("allow:")
+          val raw = wt(l.substring(l.indexOf(':') + 1))
+          val prefix = pct.getOrElse(raw, raw)
+          if (prefix.nonEmpty) rules :+= ((isAllow, prefix))
+        }
+        if (lo.startsWith("crawl-delay:") && active) {
+          val v = wt(l.substring(12))
+          if (v.matches("[0-9]+(\\.[0-9]+)?")) delay = Some(v.toDouble)
+        }
+        if (lo.startsWith("sitemap:")) {
+          val v = wt(l.substring(8))
+          if (v.nonEmpty) maps :+= v
+        }
+        uarun = if (l.isEmpty) uarun else isUa
+      }
+      Parsed(rules, delay, maps)
+    }
+
+    private def matches(rulePath: String, path: String): Boolean =
+      if (rulePath.contains("*") || rulePath.endsWith("$")) {
+        val anchored = rulePath.endsWith("$")
+        val core = if (anchored) rulePath.dropRight(1) else rulePath
+        val re = "^" + core.flatMap(c =>
+          if (c == '*') ".*"
+          else java.util.regex.Pattern.quote(c.toString)) +
+          (if (anchored) "$" else "")
+        java.util.regex.Pattern.compile(re).matcher(path).find()
+      } else path.startsWith(rulePath)
+
+    def allowed(p: Parsed, path: String): Boolean = {
+      var bestLen = -1; var bestAllow = true
+      for ((allow, rp) <- p.rules if matches(rp, path)) {
+        val l = rp.length
+        if (l > bestLen || (l == bestLen && allow)) {
+          bestLen = l; bestAllow = allow
+        }
+      }
+      bestAllow
+    }
+  }
+
+  test("property: Column folds agree with an independent reference parser " +
+    "on generated robots bodies (decision, delay, sitemaps)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val params = Gen.Parameters.default
+    def samples[T](g: Gen[T], n: Int, seed0: Long): Seq[T] =
+      (0 until n).map(i => g.pureApply(params, Seed(seed0 + i)))
+
+    val uaLine = Gen.oneOf(
+      "User-agent: graftbot", "User-agent: GraftBot/1.0",
+      "user-AGENT:\tgraftbot", "User-agent: otherbot",
+      "User-agent: *", "User-agent: extrabot")
+    val path = Gen.oneOf(
+      "/", "/p1", "/p1/x", "/p2", "/p%31", "/p%2f", "/a*b", "/x$", "")
+    val ruleLine = for {
+      f <- Gen.oneOf("Allow:", "Disallow:", "allow:", "DISALLOW:\t")
+      p <- path
+    } yield s"$f $p"
+    val delayLine = Gen.oneOf(
+      "Crawl-delay: 1", "Crawl-delay: 2.5", "crawl-delay:\t10",
+      "Crawl-delay: soon", "Crawl-delay: 3 # note")
+    val otherLine = Gen.oneOf(
+      "", "# a comment", "\t", "Sitemap: https://h/s1.xml",
+      "sitemap:\thttps://h/s2.xml", "Sitemap:", "Host: h.example")
+    val line = Gen.frequency(
+      3 -> uaLine, 4 -> ruleLine, 2 -> delayLine, 3 -> otherLine)
+    val body = for {
+      n   <- Gen.chooseNum(0, 12)
+      ls  <- Gen.listOfN(n, line)
+      eol <- Gen.oneOf("\n", "\r\n")
+    } yield ls.mkString(eol)
+
+    val bodies = samples(body, 150, 43L)
+    val probes = Seq("/p1", "/p1/x", "/p%31", "/axxb", "/x")
+    val rows = bodies.flatMap(b => probes.map(p => (b, p)))
+      .toDF("txt", "p")
+      .select(col("txt"), col("p"),
+        Robots.allowed(col("txt"), "graftbot", col("p")).as("ok"),
+        Robots.crawlDelay(col("txt"), "graftbot").as("d"),
+        Robots.sitemapUrls(col("txt")).as("m"))
+      .collect()
+    rows.foreach { r =>
+      val txt = r.getString(0); val p = r.getString(1)
+      val ref = Ref.parse(txt, "graftbot")
+      assert(r.getBoolean(2) == Ref.allowed(ref, p),
+        s"decision mismatch for path $p on:\n$txt")
+      val d = if (r.isNullAt(3)) None else Some(r.getDouble(3))
+      assert(d == ref.delay, s"delay mismatch on:\n$txt")
+      assert(r.getSeq[String](4).toVector == ref.maps,
+        s"sitemap mismatch on:\n$txt")
+    }
+    // liveness: the generated corpus exercises BOTH decision outcomes,
+    // real delays, and nonempty sitemap lists — agreement over a
+    // vacuous corpus would certify nothing
+    assert(rows.exists(!_.getBoolean(2)) && rows.exists(_.getBoolean(2)))
+    assert(rows.exists(!_.isNullAt(3)) && rows.exists(_.isNullAt(3)))
+    assert(rows.exists(r => r.getSeq[String](4).nonEmpty))
+  }
 }
