@@ -515,8 +515,10 @@ object Curation {
     * past 1 — and 0 = one repeated token) — the gibberish/
     * repetition discriminator quality pipelines pair with TTR (q61)
     * and the top-gram fraction (q63). Distributed shape: explode →
-    * (doc, term) count with map-side combine → totals join back on the
-    * SAME key (partitioning reused, no extra shuffle) → the q6H nano
+    * (doc, term) count with map-side combine → totals join back on
+    * doc_id (the counts side reshuffles from (doc, term) to doc_id;
+    * the totals side reuses its own aggregation partitioning — both
+    * exchanges carry count rows, never text) → the q6H nano
     * fixed-point fold: each term's −(c/n)·ln(c/n) rounds to 6 dp
     * (absorbing sub-ulp libm differences), scales to integer
     * micro-units, and sums as LONGS — order-free, so the entropy

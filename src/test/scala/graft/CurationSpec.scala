@@ -396,7 +396,8 @@ class CurationSpec extends GraftSpec {
     ).toDF("doc_id", "text")
     val out = graft.operators.Curation.tokenEntropy(df, "doc_id", "text")
       .orderBy("doc_id").collect()
-    val Seq(r1, r2, r3) = out.toSeq
+    assert(out.length == 3, s"expected 3 docs, got ${out.length}")
+    val (r1, r2, r3) = (out(0), out(1), out(2))
     assert(r1.getAs[Long]("n_tokens") == 4L && r1.getAs[Long]("n_types") == 4L)
     // per-term fixed point: round(round(0.34657359…,6)·1e6)=346574, ×4
     assert(math.abs(r1.getAs[Double]("entropy") - 1.386296) < 1e-9)

@@ -238,7 +238,29 @@ class RobotsSpec extends GraftSpec {
   // across randomized compositions is what no hand-picked fixture can
   // certify.
   private object Ref {
-    private val pct = Map("/p%31" -> "/p1", "/p%2f" -> "/p%2F")
+    // RFC 3986 §6.2.2.2, implemented here from the spec (not pinned to
+    // the generator's current octets): decode %XX when the octet is
+    // UNRESERVED (ALPHA / DIGIT / - . _ ~), uppercase the hex
+    // otherwise; malformed triples pass through untouched.
+    private def pctNormalize(s: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%' && i + 2 < s.length &&
+            s.substring(i + 1, i + 3).matches("[0-9a-fA-F]{2}")) {
+          val v = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+          val ch = v.toChar
+          if (ch.isLetterOrDigit && ch < 128 || "-._~".contains(ch))
+            out.append(ch)
+          else
+            out.append('%').append(s.substring(i + 1, i + 3)
+              .toUpperCase(java.util.Locale.ROOT))
+          i += 3
+        } else { out.append(c); i += 1 }
+      }
+      out.toString
+    }
     private def wt(s: String) = s.replaceAll("^[ \\t]+|[ \\t]+$", "")
     private def uaTok(v: String) =
       wt(wt(v).split("/", 2)(0)).toLowerCase
@@ -268,8 +290,7 @@ class RobotsSpec extends GraftSpec {
         if ((lo.startsWith("allow:") || lo.startsWith("disallow:")) &&
             preActive) {
           val isAllow = lo.startsWith("allow:")
-          val raw = wt(l.substring(l.indexOf(':') + 1))
-          val prefix = pct.getOrElse(raw, raw)
+          val prefix = pctNormalize(wt(l.substring(l.indexOf(':') + 1)))
           if (prefix.nonEmpty) rules :+= ((isAllow, prefix))
         }
         if (lo.startsWith("crawl-delay:") && active) {
@@ -321,7 +342,8 @@ class RobotsSpec extends GraftSpec {
       "user-AGENT:\tgraftbot", "User-agent: otherbot",
       "User-agent: *", "User-agent: extrabot")
     val path = Gen.oneOf(
-      "/", "/p1", "/p1/x", "/p2", "/p%31", "/p%2f", "/a*b", "/x$", "")
+      "/", "/p1", "/p1/x", "/p2", "/p%31", "/p%2f", "/p%41", "/a*b",
+      "/x$", "")
     val ruleLine = for {
       f <- Gen.oneOf("Allow:", "Disallow:", "allow:", "DISALLOW:\t")
       p <- path
@@ -341,7 +363,7 @@ class RobotsSpec extends GraftSpec {
     } yield ls.mkString(eol)
 
     val bodies = samples(body, 150, 43L)
-    val probes = Seq("/p1", "/p1/x", "/p%31", "/axxb", "/x")
+    val probes = Seq("/p1", "/p1/x", "/p%31", "/pA", "/axxb", "/x")
     val rows = bodies.flatMap(b => probes.map(p => (b, p)))
       .toDF("txt", "p")
       .select(col("txt"), col("p"),
