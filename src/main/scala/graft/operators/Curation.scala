@@ -549,6 +549,38 @@ object Curation {
           .otherwise(lit(0.0)).as("ent_ratio"))
   }
 
+  /** Exact tie-corrected ROC-AUC of an integer feature against a
+    * boolean label — the threshold-free companion to the q6O Gini
+    * stump (and the ranking-quality half of the eval family next to
+    * KS/KL/PSI): AUC = P(v_pos > v_neg) + ½·P(v_pos = v_neg) over all
+    * positive×negative pairs, computed WITHOUT materializing pairs via
+    * the Mann-Whitney identity. Shape: one (value, pos, neg) count
+    * aggregate over the bounded integer domain (the q6O class — the
+    * cumulative window runs over DISTINCT feature values, never corpus
+    * rows), then 2U = Σ_v pos_v·(2·cumneg_{<v} + neg_v) in exact
+    * longs; the single final division rounds at integer micro-units
+    * (the lmScore rule) so the result replays bit-identically
+    * cross-engine. Exact while n_pos·n_neg < 2^62 — beyond that (a
+    * >10^12×10^12 pair space) use a sampled estimator instead.
+    */
+  def aucExact(df: DataFrame, featureCol: String, pos: Column): DataFrame = {
+    val per = df.groupBy(col(featureCol).as("v"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("pos"),
+        sum(when(pos, 0L).otherwise(1L)).as("neg"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    per
+      .withColumn("cumneg", coalesce(sum("neg").over(w), lit(0L)))
+      .agg(
+        sum(col("pos") * (lit(2L) * col("cumneg") + col("neg"))).as("u2"),
+        sum("pos").as("n_pos"), sum("neg").as("n_neg"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("u2").cast("double") * lit(1e6) /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))) / lit(1e6))
+          .otherwise(lit(null).cast("double")).as("auc"))
+  }
+
   /** Sequence packing for pretraining: concatenate each shard's documents in
     * id order and cut the token stream into fixed `windowTokens` context
     * windows. Emits, per document, its token offset within the shard and the

@@ -924,6 +924,17 @@ object CurationQueries {
         docs.filter(col("doc_id") % 2 =!= 0), "n_chars")
     },
 
+    // Exact ROC-AUC of n_chars ranking lang='en' against the rest —
+    // the threshold-free companion to q6O's best-threshold stump
+    // (does doc LENGTH rank English docs at all, before committing to
+    // a cut?). Mann-Whitney over the bounded n_chars domain; see
+    // Curation.aucExact for the pair-free identity and the exact-long
+    // contract.
+    "q83_auc_length" -> { (s, d) =>
+      Curation.aucExact(Tables.documents(s, d), "n_chars",
+        col("lang") === "en")
+    },
+
     // 1-D decision stump: the best n_chars threshold separating
     // English docs from the rest by weighted Gini impurity — the
     // counts-only ML primitive behind tree-based quality classifiers.
@@ -1636,6 +1647,34 @@ object CurationQueries {
         |FROM cum CROSS JOIN t
         |ORDER BY d_num DESC, at_value
         |LIMIT 1""".stripMargin,
+
+    // AUC mirror: the same per-value counts, the same 2U exact-long
+    // identity, the same single micro-unit division.
+    "q83_auc_length" ->
+      s"""WITH per AS (
+         |  SELECT n_chars AS v,
+         |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos,
+         |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS neg
+         |  FROM documents GROUP BY 1),
+         |cum AS (
+         |  SELECT v, pos, neg,
+         |    coalesce(sum(neg) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS cumneg
+         |  FROM per),
+         |agg AS (
+         |  SELECT
+         |    CAST(sum(pos * (2 * cumneg + neg)) AS BIGINT) AS u2,
+         |    CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(neg) AS BIGINT) AS n_neg
+         |  FROM cum)
+         |SELECT n_pos, n_neg, u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         |    round(CAST(u2 AS DOUBLE) * 1000000
+         |      / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)))
+         |      / 1000000
+         |  ELSE NULL END AS auc
+         |FROM agg""".stripMargin,
 
     // Stump mirror: same per-value class counts, same cumulative
     // window, the same closed-form impurity expression (identical

@@ -411,6 +411,33 @@ class CurationSpec extends GraftSpec {
     assert(r1.getAs[Double]("ent_ratio") > r3.getAs[Double]("ent_ratio"))
   }
 
+  test("aucExact: perfect/inverted/tied closed forms + brute-force pair parity") {
+    def auc(data: Seq[(Long, Boolean)]): Double = {
+      val df = data.toDF("v", "y")
+      graft.operators.Curation.aucExact(df, "v", col("y"))
+        .head().getAs[Double]("auc")
+    }
+    // perfectly separated, inverted, pure ties
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true))) == 1.0)
+    assert(auc(Seq((1L, true), (2L, true), (3L, false), (4L, false))) == 0.0)
+    assert(auc(Seq((5L, true), (5L, false), (5L, true), (5L, false))) == 0.5)
+    // brute-force parity on a mixed sample: AUC is the mean over all
+    // pos×neg pairs of [v_p > v_n] + 0.5·[v_p = v_n] — computed here
+    // directly from the pairs, independent of the Mann-Whitney identity
+    val mixed = Seq((3L, true), (1L, false), (3L, false), (7L, true),
+      (2L, false), (7L, false), (5L, true), (2L, true), (9L, false))
+    val pos = mixed.filter(_._2).map(_._1)
+    val neg = mixed.filterNot(_._2).map(_._1)
+    val brute = (for { p <- pos; n <- neg }
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum /
+      (pos.size * neg.size)
+    assert(math.abs(auc(mixed) - brute) < 1e-6)
+    // degenerate single-class input reports null, not a crash
+    val one = Seq((1L, true), (2L, true)).toDF("v", "y")
+    assert(graft.operators.Curation.aucExact(one, "v", col("y"))
+      .head().isNullAt(3))
+  }
+
   test("q6Z line dedup equals an independent Scala recompute of the C4 rule") {
     // plain-Scala mirror of the template + threshold rule — not the
     // query's plan, so agreement is evidence, not tautology
