@@ -28,6 +28,7 @@ object SparkEntry {
       DedupQueries.queries ++
       PipelineQueries.queries ++
       CurationQueries.queries ++
+      SignalQueries.queries ++
       StreamingQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -37,6 +38,7 @@ object SparkEntry {
       DedupQueries.oracles ++
       PipelineQueries.oracles ++
       CurationQueries.oracles ++
+      SignalQueries.oracles ++
       StreamingQueries.oracles
 
   /** Queries without a DuckDB oracle (driver records a rows-only

@@ -1,0 +1,164 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import java.nio.ByteBuffer
+
+/** Fixed-point Gram/moment aggregate over float vectors: one pass
+  * accumulates the row count, the per-dimension first-moment sums, and
+  * the full d×d second-moment (Gram) sums — the inputs PCA/whitening
+  * needs (`C = S/n − m·mᵀ`).
+  *
+  * Scale rationale: the composable formulation (double `posexplode`
+  * into (i, j) pairs → groupBy) explodes `d² × rows` scalar rows
+  * through the shuffle. This aggregate keeps ONE `long[1 + d + d²]`
+  * buffer per task (d=64 → ~33 KB), partial-combines map-side, and
+  * ships one buffer per partition — the shuffle carries d², never
+  * rows. (At very large d the d² buffer itself is the cost — d=4096
+  * is a 128 MB buffer; block the dimensions or sample first.)
+  *
+  * Cross-engine contract (the q82/q6L fixed-point idiom): every float
+  * term rounds HALF-AWAY-FROM-ZERO at 6 dp into micro-unit longs
+  * (`round(x·10⁶)` — exactly DuckDB's `CAST(round(e*1000000) AS
+  * BIGINT)`), and long sums are order-independent, so the aggregate is
+  * bit-identical under any partitioning and replayable in SQL.
+  *
+  * Buffer: `[n, s1_0..s1_{d-1}, sp_00, sp_01, .., sp_{d-1,d-1}]`
+  * (sp row-major); dimension fixed by the first non-null input.
+  * Eval → struct(n: long, s1: array<long>, sp: array<long>).
+  */
+case class GramAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean         = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s1", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("sp", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "gram_agg"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_agg expects array<float> or array<double>, got ${other.simpleString}")
+  }
+
+  private lazy val elementIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) return buffer
+    val arr = v.asInstanceOf[ArrayData]
+    val d   = arr.numElements()
+    val buf =
+      if (buffer.isEmpty) new Array[Long](1 + d + d * d)
+      else {
+        require(buffer.length == 1 + d + d * d,
+          s"gram_agg: dimension mismatch (buffer for d where 1+d+d^2=${buffer.length}, input d=$d)")
+        buffer
+      }
+    // skip rows with a null element, like vector_mean
+    var i = 0
+    while (i < d) {
+      if (arr.isNullAt(i)) return buf
+      i += 1
+    }
+    val e = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      e(i) = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    buf(0) += 1L
+    i = 0
+    while (i < d) {
+      buf(1 + i) += GramAgg.roundMicro(e(i) * 1e6)
+      var j = 0
+      val rowBase = 1 + d + i * d
+      while (j < d) {
+        buf(rowBase + j) += GramAgg.roundMicro(e(i) * e(j) * 1e6)
+        j += 1
+      }
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    if (b2.isEmpty) return b1
+    if (b1.isEmpty) return b2
+    require(b1.length == b2.length, "gram_agg: dimension mismatch in merge")
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer.isEmpty || buffer(0) == 0L) null
+    else {
+      val dd = buffer.length - 1
+      // solve 1 + d + d^2 = len → d
+      val d  = ((math.sqrt(4.0 * dd - 3.0) - 1.0) / 2.0).round.toInt
+      val s1 = new Array[Any](d)
+      val sp = new Array[Any](d * d)
+      var i  = 0
+      while (i < d) { s1(i) = buffer(1 + i); i += 1 }
+      i = 0
+      while (i < d * d) { sp(i) = buffer(1 + d + i); i += 1 }
+      InternalRow(buffer(0), new GenericArrayData(s1), new GenericArrayData(sp))
+    }
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb  = ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i   = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): GramAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): GramAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]) =
+    copy(child = c.head)
+}
+
+object GramAgg {
+  /** HALF-AWAY-FROM-ZERO rounding of an exact double to a long —
+    * DuckDB's `round(x)` and Spark's `round(col)` both round half away
+    * from zero, and off the (measure-zero) .5 boundary every correct
+    * rounding agrees, so this plain form replays the SQL contract
+    * without a BigDecimal per element.
+    */
+  def roundMicro(x: Double): Long =
+    if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+
+  /** Column form: `gram($"embedding")` inside `agg(...)`. */
+  def gram(c: Column): Column =
+    GraftBridge.column(
+      GramAgg(GraftBridge.expression(c)).toAggregateExpression())
+}

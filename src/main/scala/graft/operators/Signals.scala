@@ -1,0 +1,442 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-signal operators for training-data routing and compliance:
+  * secret/credential scanning, license-family detection, code-vs-prose
+  * scoring, readability, Unicode-script composition, k-anonymity audit,
+  * Zipf rank-frequency fit, and score calibration. The reference stops at
+  * chunk→embed→index (`scripts/ingest_documents.py`); these are the
+  * per-document gates and corpus-level audits a 100 TB pretraining
+  * pipeline runs when routing raw text into code/prose/language shards
+  * and before releasing a dataset (secrets, licenses, re-identification).
+  *
+  * Scale notes: every per-document signal here is a PURE codegen'd
+  * column chain (built-in regexp/string/array functions, no UDF) — a
+  * narrow per-row map with zero shuffle; the corpus-level audits
+  * (k-anonymity, Zipf, calibration) each reduce to ONE hash aggregate
+  * with map-side combine, and Zipf's regression window runs over a
+  * top-N limit (bounded input, never the corpus). Nothing here collects
+  * data to the driver.
+  *
+  * Cross-engine contract: all regexes are RE2-safe (no lookaround, no
+  * backreferences) so Spark's Java regex and DuckDB's RE2 agree
+  * match-for-match; all floating-point signals are closed forms over
+  * exact integer counts rounded at 6 dp, and every float SUM first
+  * rounds its terms at 6 dp and accumulates micro-unit longs (the
+  * q82/q6L fixed-point idiom) so aggregation order cannot move the hash.
+  */
+object Signals {
+
+  // ---- secret scanning -------------------------------------------------
+
+  /** AWS-style access-key id: the fixed `AKIA` prefix + 16 uppercase
+    * alphanumerics. The canonical example of a STRUCTURED credential
+    * (fixed prefix + fixed-width token) — the pattern class, not a
+    * vendor-complete list.
+    */
+  val AwsKeyRe: String = "AKIA[0-9A-Z]{16}"
+
+  /** `password: <value>` / `password=<value>` assignments, case-insensitive. */
+  val PasswordRe: String = "(?i)password\\s*[:=]\\s*[^\\s]+"
+
+  /** Long lowercase-hex runs (>= 40 chars): API tokens, SHA-1+ digests,
+    * session ids. Greedy, so one 48-char blob counts once.
+    */
+  val HexTokenRe: String = "[0-9a-f]{40,}"
+
+  /** Per-document secret scan: counts per pattern class, a has-secret
+    * flag, and the md5 of the redacted text (the artifact a release
+    * pipeline ships). One codegen'd projection per row; no shuffle.
+    */
+  def secretScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, AwsKeyRe, "<AWSKEY>"),
+          PasswordRe, "<PASSWORD>"),
+        HexTokenRe, "<HEXTOKEN>")
+    df.select(col(idCol),
+      regexp_count(t, lit(AwsKeyRe)).cast("long").as("n_aws_keys"),
+      regexp_count(t, lit(PasswordRe)).cast("long").as("n_passwords"),
+      regexp_count(t, lit(HexTokenRe)).cast("long").as("n_hex_tokens"),
+      (regexp_count(t, lit(AwsKeyRe)) + regexp_count(t, lit(PasswordRe)) +
+        regexp_count(t, lit(HexTokenRe)) > 0).as("has_secret"),
+      md5(redacted).as("redacted_md5"))
+  }
+
+  // ---- license detection -----------------------------------------------
+
+  /** License-family detection by canonical reference phrase (the
+    * The-Stack-style first-pass router; SPDX matching by full-text
+    * similarity is a later stage). Checked in a fixed priority order so
+    * a file quoting two licenses classifies deterministically. Input is
+    * lowercased here — callers pass raw text.
+    */
+  def licenseFamily(text: Column): Column = {
+    val t = lower(text)
+    when(t.contains("permission is hereby granted, free of charge"), "MIT")
+      .when(t.contains("licensed under the apache license, version 2.0"), "Apache-2.0")
+      .when(t.contains("gnu general public license"), "GPL")
+      .when(t.contains("redistribution and use in source and binary forms"), "BSD")
+      .when(t.contains("creative commons attribution"), "CC-BY")
+      .otherwise("none")
+  }
+
+  /** Families a permissively-licensed training corpus may ingest. */
+  val PermissiveFamilies: Seq[String] = Seq("MIT", "Apache-2.0", "BSD", "CC-BY")
+
+  // ---- code-vs-prose ---------------------------------------------------
+
+  /** Code keywords: cross-language tokens that almost never appear in
+    * prose with word boundaries AND code punctuation around them.
+    */
+  val CodeKeywordRe: String =
+    "(?i)\\b(function|return|import|class|def|let|const|var|void|public)\\b"
+
+  /** Code punctuation: braces, brackets, parens, semicolons, operators. */
+  val CodeSymbolRe: String = "[{}()\\[\\];=<>]"
+
+  /** Code-vs-prose routing score in [0, 1]: half from symbol density,
+    * half from (capped) keyword hits. Closed form over two exact integer
+    * counts and the char length, rounded at 6 dp.
+    */
+  def codeSignals(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.1): DataFrame = {
+    val t = col(textCol)
+    val kw  = regexp_count(t, lit(CodeKeywordRe)).cast("long")
+    val sym = regexp_count(t, lit(CodeSymbolRe)).cast("long")
+    val n   = length(t).cast("long")
+    val score = round(
+      sym.cast("double") / n.cast("double") * 0.5 +
+        least(kw, lit(10L)).cast("double") / 10.0 * 0.5, 6)
+    df.select(col(idCol),
+      kw.as("kw_hits"), sym.as("sym_count"), n.as("n_chars_aug"),
+      score.as("code_score"),
+      (score >= threshold).as("is_code"))
+  }
+
+  // ---- readability -----------------------------------------------------
+
+  /** Flesch reading ease + Flesch-Kincaid grade with the deterministic
+    * vowel-group syllable heuristic (each maximal `[aeiouy]+` run = one
+    * syllable, min 1 per word — the classic dictionary-free
+    * approximation). Sentences = maximal `[.!?]+` runs, min 1. All three
+    * inputs are exact integers; both scores are single closed-form
+    * doubles rounded at 6 dp.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val words = size(toks).cast("long")
+    val sentences = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+    val syllables = aggregate(
+      transform(toks, w => greatest(regexp_count(w, lit("[aeiouy]+")), lit(1))),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val wps = words.cast("double") / sentences.cast("double")
+    val spw = syllables.cast("double") / words.cast("double")
+    df.select(col(idCol),
+      words.as("n_words"), sentences.as("n_sentences"),
+      syllables.as("n_syllables"),
+      round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)
+        .as("flesch"),
+      round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)
+        .as("fk_grade"))
+  }
+
+  // ---- Unicode script composition ----------------------------------------
+
+  // Explicit BMP code-point ranges (not \p{Script=...} names) so the
+  // Java-regex and RE2 sides cannot disagree on script-property tables.
+  private val LatinRange = "[A-Za-z]"
+  private val CjkRange   = "[一-鿿]"
+  private val CyrRange   = "[Ѐ-ӿ]"
+  private val ArabRange  = "[؀-ۿ]"
+  private val GreekRange = "[Ͱ-Ͽ]"
+
+  /** Per-document script composition: counts per major script block, the
+    * non-Latin ratio, and the dominant script (fixed priority
+    * latin > cjk > cyrillic > arabic > greek on ties). The routing
+    * signal for per-script tokenizer/shard assignment, and a
+    * cross-check on n-gram language-ID (q22) for mixed-script pages.
+    */
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nLat = regexp_count(t, lit(LatinRange)).cast("long")
+    val nCjk = regexp_count(t, lit(CjkRange)).cast("long")
+    val nCyr = regexp_count(t, lit(CyrRange)).cast("long")
+    val nArab = regexp_count(t, lit(ArabRange)).cast("long")
+    val nGreek = regexp_count(t, lit(GreekRange)).cast("long")
+    val nonLatin = nCjk + nCyr + nArab + nGreek
+    val dominant =
+      when(nLat >= nCjk && nLat >= nCyr && nLat >= nArab && nLat >= nGreek, "latin")
+        .when(nCjk >= nCyr && nCjk >= nArab && nCjk >= nGreek, "cjk")
+        .when(nCyr >= nArab && nCyr >= nGreek, "cyrillic")
+        .when(nArab >= nGreek, "arabic")
+        .otherwise("greek")
+    df.select(col(idCol),
+      nLat.as("n_latin"), nCjk.as("n_cjk"), nCyr.as("n_cyrillic"),
+      nArab.as("n_arabic"), nGreek.as("n_greek"),
+      when(nLat + nonLatin > 0,
+        round(nonLatin.cast("double") / (nLat + nonLatin).cast("double"), 6))
+        .otherwise(0.0).as("non_latin_ratio"),
+      dominant.as("dominant_script"))
+  }
+
+  // ---- k-anonymity audit -------------------------------------------------
+
+  /** k-anonymity audit over quasi-identifier columns: group sizes per
+    * QID combination and whether each meets the k threshold — the
+    * re-identification-risk report a dataset release runs over its
+    * metadata columns. ONE hash aggregate (map-side combine); output is
+    * bounded by the QID value-domain product, not the corpus.
+    */
+  def kAnonymity(df: DataFrame, qidCols: Seq[Column], k: Int): DataFrame =
+    df.groupBy(qidCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k_anonymous", col("n") >= k)
+
+  // ---- Zipf rank-frequency fit ---------------------------------------------
+
+  /** Shared micro-fixed-point least-squares over (x, y) columns: per
+    * point x/y are 6-dp-rounded doubles, the four regression sums are
+    * micro-unit longs (order-free), the slope/intercept one closed form
+    * each — bit-identical cross-engine. Returns ONE row
+    * (n_pts, <slopeName>, <interceptName>).
+    */
+  private[operators] def fitLine(xy: DataFrame, slopeName: String,
+      interceptName: String): DataFrame = {
+    val fx = xy.select(
+      round(col("x") * 1e6).cast("long").as("xf"),
+      round(col("y") * 1e6).cast("long").as("yf"),
+      round(round(col("x") * col("x"), 6) * 1e6).cast("long").as("xxf"),
+      round(round(col("x") * col("y"), 6) * 1e6).cast("long").as("xyf"))
+    val sums = fx.agg(
+      count(lit(1)).as("n_pts"),
+      sum("xf").as("sxf"), sum("yf").as("syf"),
+      sum("xxf").as("sxxf"), sum("xyf").as("sxyf"))
+    val nD  = col("n_pts").cast("double")
+    val sx  = col("sxf").cast("double") / 1e6
+    val sy  = col("syf").cast("double") / 1e6
+    val sxx = col("sxxf").cast("double") / 1e6
+    val sxy = col("sxyf").cast("double") / 1e6
+    val slope = round((nD * sxy - sx * sy) / (nD * sxx - sx * sx), 6)
+    sums.select(col("n_pts"), slope.as(slopeName),
+      round((sy - slope * sx) / nD, 6).as(interceptName))
+  }
+
+  /** Least-squares fit of ln(frequency) against ln(rank) over the top-N
+    * corpus terms — the Zipf exponent (slope ≈ -1 for natural text;
+    * template/generated corpora drift toward 0). Term counts reduce in
+    * one hash aggregate; ranking runs over the top-N LIMIT (bounded
+    * input — the window never sees the corpus); the regression sums are
+    * 6-dp-rounded micro-unit longs so the fit replays bit-identically.
+    * Ties rank by term ascending (pinned).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(
+      count(lit(1)).as("vocab"),
+      sum("cnt").as("total_tokens"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(topN)
+    val ranked = top.withColumn("rank",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term").asc)))
+    val xyCols = ranked.select(
+      round(log(col("rank").cast("double")), 6).as("x"),
+      round(log(col("cnt").cast("double")), 6).as("y"))
+    fitLine(xyCols, "zipf_slope", "zipf_intercept")
+      .crossJoin(broadcast(totals))
+      .select(col("vocab"), col("total_tokens"), col("n_pts").as("n_top"),
+        col("zipf_slope"), col("zipf_intercept"))
+  }
+
+  /** Heaps'-law vocabulary-growth curve + exponent over the 2-gram
+    * vocabulary: cumulative distinct grams and cumulative gram count at
+    * `checkpoints` doc-id thresholds, with the log-log fit
+    * ln(vocab) = lnK + β·ln(tokens) (β ≈ 0.4–0.6 for natural text; a
+    * saturated/template vocabulary flattens toward 0 — the companion
+    * gate to [[zipfFit]]). Distributed shape: first-seen = ONE min
+    * aggregate over the gram explode (shuffle carries vocabulary, not
+    * occurrences); per-doc counts = one doc-keyed aggregate; each
+    * reduces against the `checkpoints`-row broadcast threshold table
+    * (a bounded constant-factor pass, never a corpus window or a
+    * cumulative-distinct blowup); the fit is [[fitLine]].
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    val grams = df.select(col(idCol).cast("long").as("id"),
+      explode(wordShingles(col(textCol), 2)).as("g"))
+    val firstSeen = grams.groupBy("g").agg(min("id").as("fs"))
+    val perDoc = grams.groupBy("id").agg(count(lit(1)).as("ng"))
+    val thr = df.agg(max(col(idCol)).as("mx"))
+      .select(explode(sequence(lit(1), lit(checkpoints))).as("q"), col("mx"))
+      .select(col("q"),
+        floor(col("mx") * col("q") / checkpoints).cast("long").as("t"))
+    val cumTok = perDoc.crossJoin(broadcast(thr))
+      .filter(col("id") <= col("t"))
+      .groupBy("q", "t").agg(sum("ng").as("cum_tokens"))
+    val cumVoc = firstSeen.crossJoin(broadcast(thr))
+      .filter(col("fs") <= col("t"))
+      .groupBy("q", "t").agg(count(lit(1)).as("cum_vocab"))
+    val pts = cumTok.join(cumVoc, Seq("q", "t"))
+    val xy = pts.select(
+      round(log(col("cum_tokens").cast("double")), 6).as("x"),
+      round(log(col("cum_vocab").cast("double")), 6).as("y"))
+    val fit = fitLine(xy, "heaps_beta", "heaps_lnk")
+      .select("heaps_beta", "heaps_lnk")
+    pts.crossJoin(broadcast(fit))
+      .select(col("q").as("checkpoint"), col("t").as("max_doc_id"),
+        col("cum_tokens"), col("cum_vocab"),
+        col("heaps_beta"), col("heaps_lnk"))
+      .orderBy("checkpoint")
+  }
+
+  // ---- PCA (top principal component) ---------------------------------------
+
+  /** Projection of every vector onto the corpus's top principal
+    * component — the dimensionality-reduction/whitening primitive an
+    * embedding pipeline runs before ANN indexing (q16/q17's upstream).
+    *
+    * Three stages, each the 100 TB shape:
+    *  1. moments: ONE corpus pass through [[graft.functions.GramAgg]] —
+    *     a fixed `long[1+d+d²]` buffer per task, map-side combined;
+    *     the shuffle carries d², never rows.
+    *  2. eigenvector: `iters` power-iteration steps on the d×d
+    *     covariance DRIVER-SIDE — the input is the one collected
+    *     moments row (bounded by d², corpus-independent — the PQ-train
+    *     / PSL-collect class of bounded driver work), with every float
+    *     step in the 6-dp micro-unit fixed point so the SQL oracle
+    *     replays it term for term. v₀ = 1/√d; each step rounds
+    *     components at 6 dp, pinning the trajectory.
+    *  3. projection: a row-local codegen-free HOF fold over literal
+    *     mean/component arrays — zero shuffle, the corpus streams.
+    *
+    * Covariance is the biased (1/n) form. A zero-variance corpus keeps
+    * v₀ (the norm-0 guard).
+    */
+  def pcaPowerProject(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 20): DataFrame = {
+    import graft.functions.GramAgg
+    // DuckDB round(x, s) is std::round(x * 10^s) / 10^s (half away from
+    // zero) — mirror that exact shape, NOT decimal-string rounding.
+    def round6(x: Double): Double = GramAgg.roundMicro(x * 1e6).toDouble / 1e6
+    val momRow = df.agg(GramAgg.gram(col(vecCol)).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.sp"))
+      .head() // ONE row, 1 + d + d² longs — bounded by dimension, not corpus
+    val n  = momRow.getLong(0)
+    val s1 = momRow.getSeq[Long](1)
+    val sp = momRow.getSeq[Long](2)
+    val d  = s1.length
+    val m = Array.tabulate(d)(j => round6(s1(j).toDouble / 1e6 / n))
+    val c = Array.tabulate(d, d)((i, j) =>
+      round6(sp(i * d + j).toDouble / 1e6 / n - m(i) * m(j)))
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < d) { acc += GramAgg.roundMicro(c(i)(j) * v(j) * 1e6); j += 1 }
+        acc.toDouble / 1e6
+      }
+      var nf = 0L
+      var i = 0
+      while (i < d) { nf += GramAgg.roundMicro(w(i) * w(i) * 1e6); i += 1 }
+      val nrm = math.sqrt(nf.toDouble / 1e6)
+      if (nrm > 0) v = Array.tabulate(d)(i => round6(w(i) / nrm))
+      it += 1
+    }
+    val mLit = typedLit(m.toSeq)
+    val vLit = typedLit(v.toSeq)
+    val terms = transform(sequence(lit(1), lit(d)), j =>
+      round((element_at(col(vecCol), j).cast("double") - element_at(mLit, j))
+        * element_at(vLit, j) * 1e6).cast("long"))
+    val pf = aggregate(terms, lit(0L), (a, b) => a + b)
+    df.select(col(idCol), round(pf.cast("double") / 1e6, 6).as("pc1"))
+  }
+
+  // ---- embedding outlier gate ----------------------------------------------
+
+  /** Embedding outlier gate: squared distance of every vector to the
+    * corpus mean, flagged against `factor ×` the covariance TRACE
+    * (= E[dist²] — so the threshold is the chi-square-style "several
+    * times the expected energy" cut a poisoning/corruption filter
+    * uses). Same shape as [[pcaPowerProject]]: ONE GramAgg moments pass
+    * (only the diagonal is consumed; the d²-bounded collect is the same
+    * audited row), then a row-local literal-array projection — the
+    * corpus streams with zero added shuffle. All arithmetic in the 6-dp
+    * micro fixed point; the flag compares the ROUNDED dist² against
+    * `factor × trace` (both engines compute the identical doubles).
+    */
+  def embedOutliers(df: DataFrame, idCol: String, vecCol: String,
+      factor: Double = 4.0): DataFrame = {
+    import graft.functions.GramAgg
+    def round6(x: Double): Double = GramAgg.roundMicro(x * 1e6).toDouble / 1e6
+    val momRow = df.agg(GramAgg.gram(col(vecCol)).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.sp"))
+      .head() // ONE row, bounded by d², corpus-independent
+    val n  = momRow.getLong(0)
+    val s1 = momRow.getSeq[Long](1)
+    val sp = momRow.getSeq[Long](2)
+    val d  = s1.length
+    val m = Array.tabulate(d)(j => round6(s1(j).toDouble / 1e6 / n))
+    var traceF = 0L
+    var j = 0
+    while (j < d) {
+      traceF += GramAgg.roundMicro(
+        (sp(j * d + j).toDouble / 1e6 / n - m(j) * m(j)) * 1e6)
+      j += 1
+    }
+    val trace = traceF.toDouble / 1e6
+    val mLit = typedLit(m.toSeq)
+    val terms = transform(sequence(lit(1), lit(d)), jj =>
+      round((element_at(col(vecCol), jj).cast("double") - element_at(mLit, jj))
+        * (element_at(col(vecCol), jj).cast("double") - element_at(mLit, jj))
+        * 1e6).cast("long"))
+    val pf = aggregate(terms, lit(0L), (a, b) => a + b)
+    df.select(col(idCol),
+        round(pf.cast("double") / 1e6, 6).as("dist2"))
+      .withColumn("ratio", round(col("dist2") / lit(trace), 6))
+      .withColumn("is_outlier", col("dist2") > lit(factor) * lit(trace))
+  }
+
+  // ---- score calibration -------------------------------------------------
+
+  /** Calibration table of a [0, 1] score against a boolean label over
+    * fixed decile bins: per-bin count, positive count/rate, mean score,
+    * and Brier contribution — the reliability diagram + Brier score that
+    * validates any quality classifier (q6K/q83's companion) before its
+    * cutoff routes corpus data. The score column must already be
+    * 6-dp-rounded; per-row float terms round at 6 dp and sum as
+    * micro-unit longs. ONE hash aggregate over `bins` groups.
+    */
+  def calibration(df: DataFrame, scoreCol: Column, labelCol: Column,
+      bins: Int = 10): DataFrame = {
+    val y = labelCol.cast("int")
+    val bin = least(floor(scoreCol * bins).cast("int"), lit(bins - 1))
+    val scoreF = round(scoreCol * 1e6).cast("long")
+    val brierF = round(
+      round((scoreCol - y.cast("double")) * (scoreCol - y.cast("double")), 6)
+        * 1e6).cast("long")
+    df.select(bin.as("bin"), y.as("y"), scoreF.as("sf"), brierF.as("bf"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum("y").cast("long").as("n_pos"),
+        sum("sf").as("sfs"), sum("bf").as("bfs"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("frac_pos"),
+        round(col("sfs").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("mean_score"),
+        round(col("bfs").cast("double") / 1e6 / col("n").cast("double"), 6)
+          .as("brier"))
+  }
+}

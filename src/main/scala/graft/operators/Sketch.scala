@@ -431,4 +431,65 @@ object Sketch {
               .getField("v")))
     }.drop("_svs")
   }
+
+  // ---- exact heavy hitters via a Misra-Gries candidate pass ------------
+
+  /** Per-partition Misra-Gries summaries (Misra & Gries 1982, "Finding
+    * repeated elements") → the candidate set for [[heavyHitters]]. Each
+    * partition keeps at most k−1 counters in one bounded map; an item
+    * with partition-local frequency > n_p/k always survives, so the
+    * UNION of partition summaries is a GUARANTEED superset of every
+    * item with global frequency > N/k (if Σc_i > (Σn_i)/k then some
+    * partition has c_i > n_i/k). Output ≤ (k−1) × partitions candidate
+    * rows — counter STATES are arrival-order-dependent and are
+    * discarded; only the key set (order-free) leaves the partition.
+    */
+  def heavyHitterCandidates(terms: DataFrame, termCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"heavy-hitter k must be >= 2, got $k")
+    import terms.sparkSession.implicits._
+    terms.select(col(termCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          if (counters.contains(t)) counters(t) += 1L
+          else if (counters.size < k - 1) counters(t) = 1L
+          else {
+            // decrement-all step; drop exhausted counters
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1L
+              if (c == 0L) dead += key else counters(key) = c
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        counters.keysIterator
+      }
+      .toDF(termCol).distinct()
+  }
+
+  /** EXACT heavy hitters (all terms with frequency > N/k) at corpus
+    * scale: the MG candidate pass bounds state to (k−1) counters per
+    * task, the candidate set BROADCASTS back as a semi-join filter, and
+    * only candidate occurrences reach the exact count aggregate — the
+    * shuffle carries ≤ (k−1)·partitions distinct terms instead of the
+    * full vocabulary. The output is the exact count table (deterministic
+    * — the arrival-order-dependent sketch never reaches it; the
+    * superset guarantee means no heavy hitter can be missed). This is
+    * the vocabulary-scale answer to "which terms/domains/URLs dominate"
+    * that exact group-by-everything cannot afford at 100 TB.
+    */
+  def heavyHitters(terms: DataFrame, termCol: String, k: Int): DataFrame = {
+    val cand = heavyHitterCandidates(terms, termCol, k)
+    val counts = terms
+      .join(broadcast(cand), Seq(termCol), "left_semi")
+      .groupBy(termCol).agg(count(lit(1)).as("cnt"))
+    val tot = terms.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(tot))
+      .filter(col("cnt") * k > col("total"))
+      .select(col(termCol), col("cnt"),
+        round(col("cnt").cast("double") / col("total").cast("double"), 6)
+          .as("share"))
+  }
 }

@@ -1,0 +1,597 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Signals
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-signal pack: secret scanning, license detection, code-vs-prose
+  * routing, readability, script composition, k-anonymity, Zipf fit, and
+  * score calibration over the `documents` fixture. The fixture text is
+  * plain ASCII prose with none of these signals, so (the q60 PII / q6K
+  * marker idiom) each per-document gate first AUGMENTS the text with a
+  * deterministic doc_id-derived marker — verified collision-free against
+  * the fixture vocabulary at all three scales — and the oracle mirrors
+  * the augmentation string-for-string. The corpus-level audits
+  * (q89/q8A/q8B) run on the raw fixture columns unaugmented.
+  *
+  * Scale: q84–q88 are row-local codegen'd projections (zero shuffle
+  * beyond Verify's orderBy); q89/q8B are one hash aggregate each;
+  * q8A's regression window runs over a top-N LIMIT, never the corpus.
+  */
+object SignalQueries {
+
+  // ---- q84/q7Z shared secret gate --------------------------------------
+  // Injections: doc_id % 11 → an AKIA-prefixed 16-char upper-hex key,
+  // doc_id % 13 → a password assignment, doc_id % 17 → a 48-char
+  // lowercase-hex token (md5 || md5-prefix). Appended AFTER the text so
+  // tokenization-sensitive signals elsewhere stay untouched.
+  private[queries] def secretGate(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val aws = when(id % 11 === 0,
+      concat(lit(" key AKIA"),
+        upper(substring(md5(concat(id.cast("string"), lit("aws"))), 1, 16))))
+      .otherwise(lit(""))
+    val pwd = when(id % 13 === 0,
+      concat(lit(" password: hunter"), id.cast("string")))
+      .otherwise(lit(""))
+    val hex = when(id % 17 === 0,
+      concat(lit(" token "), md5(concat(id.cast("string"), lit("h1"))),
+        substring(md5(concat(id.cast("string"), lit("h2"))), 1, 16)))
+      .otherwise(lit(""))
+    Signals.secretScan(
+      docs.select(id, concat(col("text"), aws, pwd, hex).as("aug")),
+      "doc_id", "aug")
+  }
+
+  // q84's closed-form oracle, shared verbatim by streaming q7Z (the
+  // q6S/q7T precedent: identical output contract, identical SQL).
+  private[queries] val duckSecretOracle: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 11 = 0
+      |         THEN ' key AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR) || 'aws'), 1, 16))
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0
+      |         THEN ' password: hunter' || CAST(doc_id AS VARCHAR)
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 17 = 0
+      |         THEN ' token ' || md5(CAST(doc_id AS VARCHAR) || 'h1')
+      |              || substr(md5(CAST(doc_id AS VARCHAR) || 'h2'), 1, 16)
+      |         ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(t, 'AKIA[0-9A-Z]{16}')) AS BIGINT) AS n_aws_keys,
+      |  CAST(len(regexp_extract_all(t, '(?i)password\s*[:=]\s*[^\s]+')) AS BIGINT) AS n_passwords,
+      |  CAST(len(regexp_extract_all(t, '[0-9a-f]{40,}')) AS BIGINT) AS n_hex_tokens,
+      |  (len(regexp_extract_all(t, 'AKIA[0-9A-Z]{16}'))
+      |   + len(regexp_extract_all(t, '(?i)password\s*[:=]\s*[^\s]+'))
+      |   + len(regexp_extract_all(t, '[0-9a-f]{40,}'))) > 0 AS has_secret,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+      |    'AKIA[0-9A-Z]{16}', '<AWSKEY>', 'g'),
+      |    '(?i)password\s*[:=]\s*[^\s]+', '<PASSWORD>', 'g'),
+      |    '[0-9a-f]{40,}', '<HEXTOKEN>', 'g')) AS redacted_md5
+      |FROM aug
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Secret/credential scan — the code-corpus release gate: count each
+    // credential pattern class, flag, and hash the redacted text.
+    "q84_secret_scan" -> { (s, d) =>
+      secretGate(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // License-family routing (The-Stack-style): inject a deterministic
+    // license header per doc_id % 6 (the sixth class is headerless) and
+    // classify by canonical reference phrase in fixed priority order.
+    "q85_license_detect" -> { (s, d) =>
+      val id = col("doc_id")
+      val hdr = when(id % 6 === 0,
+        lit("Permission is hereby granted, free of charge, to any person obtaining a copy of this software. "))
+        .when(id % 6 === 1,
+          lit("Licensed under the Apache License, Version 2.0 (the License). "))
+        .when(id % 6 === 2,
+          lit("This program is free software, released under the GNU General Public License. "))
+        .when(id % 6 === 3,
+          lit("Redistribution and use in source and binary forms, with or without modification, are permitted. "))
+        .when(id % 6 === 4,
+          lit("This work is licensed under a Creative Commons Attribution 4.0 International License. "))
+        .otherwise(lit(""))
+      val lic = Signals.licenseFamily(concat(hdr, col("text")))
+      Tables.documents(s, d)
+        .select(id, lic.as("license"),
+          lic.isin(Signals.PermissiveFamilies: _*).as("permissive"))
+        .orderBy("doc_id")
+    },
+
+    // Code-vs-prose routing: inject a one-line function per doc_id % 9
+    // and score by symbol density + capped keyword hits.
+    "q86_code_detect" -> { (s, d) =>
+      val id = col("doc_id")
+      val code = when(id % 9 === 0, concat(
+        lit(" function f"), id.cast("string"),
+        lit("(x) { return x + "), (id % 7).cast("string"),
+        lit("; } import util.lib; let y = f("), id.cast("string"), lit(");")))
+        .otherwise(lit(""))
+      Signals.codeSignals(
+        Tables.documents(s, d)
+          .select(id, concat(col("text"), code).as("aug")),
+        "doc_id", "aug", threshold = 0.1)
+        .orderBy("doc_id")
+    },
+
+    // Readability (Flesch / FK grade): the fixture has no sentence
+    // punctuation, so append doc_id % 4 + 1 deterministic sentence
+    // closers; syllables via the vowel-group heuristic.
+    "q87_readability" -> { (s, d) =>
+      val id = col("doc_id")
+      val marker = when(id % 4 === 0, lit(". pause"))
+        .when(id % 4 === 1, lit(". pause. pause"))
+        .when(id % 4 === 2, lit(". pause. pause. pause"))
+        .otherwise(lit(". pause. pause. pause. pause"))
+      Signals.readability(
+        Tables.documents(s, d)
+          .select(id, concat(col("text"), marker).as("aug")),
+        "doc_id", "aug")
+        .orderBy("doc_id")
+    },
+
+    // Unicode script composition: inject one non-Latin phrase per
+    // doc_id % 10 ∈ {3,7,8,9} (CJK / Cyrillic / Arabic / Greek) and
+    // report per-script counts, non-Latin ratio, dominant script.
+    "q88_script_mix" -> { (s, d) =>
+      val id = col("doc_id")
+      val marker = when(id % 10 === 3, lit(" 机器学习模型训练"))
+        .when(id % 10 === 7, lit(" Привет мир"))
+        .when(id % 10 === 8, lit(" مرحبا بالعالم"))
+        .when(id % 10 === 9, lit(" γειά σου κόσμε"))
+        .otherwise(lit(""))
+      Signals.scriptMix(
+        Tables.documents(s, d)
+          .select(id, concat(col("text"), marker).as("aug")),
+        "doc_id", "aug")
+        .orderBy("doc_id")
+    },
+
+    // k-anonymity audit over the metadata quasi-identifiers
+    // (lang, source, 100-char length band): group sizes + k >= 5 flag.
+    "q89_k_anonymity" -> { (s, d) =>
+      Signals.kAnonymity(
+        Tables.documents(s, d)
+          .select(col("lang"), col("source"),
+            floor(col("n_chars") / lit(100)).cast("long").as("len_band")),
+        Seq(col("lang"), col("source"), col("len_band")), k = 5)
+        .orderBy("lang", "source", "len_band")
+    },
+
+    // Zipf rank-frequency fit over the corpus vocabulary (top 1000 by
+    // count, term-ascending ties): the natural-vs-template corpus gate.
+    "q8A_zipf" -> { (s, d) =>
+      Signals.zipfFit(Tables.documents(s, d), "text", topN = 1000)
+    },
+
+    // EXACT heavy hitters (freq > N/16) via the Misra-Gries candidate
+    // pass: the fixture vocabulary is near-uniform (nothing clears any
+    // threshold), so — the q60 idiom — deterministic hot terms inject
+    // per doc_id: hotgamma (id%2, ×20) and hotalpha (id%3, ×16) clear
+    // N/16; hotbeta (id%5, ×8) becomes an MG CANDIDATE the exact verify
+    // pass must then REJECT (the two-pass contract, exercised for real).
+    "q8D_heavy_hitters" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      import graft.operators.Sketch
+      val id = col("doc_id")
+      val aug = concat(col("text"),
+        when(id % 2 === 0, lit(" hotgamma" * 20)).otherwise(lit("")),
+        when(id % 3 === 0, lit(" hotalpha" * 16)).otherwise(lit("")),
+        when(id % 5 === 0, lit(" hotbeta" * 8)).otherwise(lit("")))
+      val terms = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(aug)).as("term"))
+      Sketch.heavyHitters(terms, "term", k = 16)
+        .orderBy(col("cnt").desc, col("term"))
+    },
+
+    // Heaps'-law vocabulary growth over the 2-gram vocabulary: 10
+    // cumulative checkpoints + the log-log β fit — the natural-text
+    // growth gate beside q8A's Zipf exponent.
+    "q8E_heaps" -> { (s, d) =>
+      Signals.heapsFit(Tables.documents(s, d), "doc_id", "text",
+        checkpoints = 10)
+    },
+
+    // PCA: project every embedding onto the corpus's top principal
+    // component (20 fixed-point power-iteration steps on the GramAgg
+    // covariance — the dimensionality-reduction primitive upstream of
+    // the q16/q17 ANN indexes). The oracle replays the ENTIRE
+    // train+project path in SQL: moments, covariance, the 20-step
+    // recursion, the projection (the q1B PQ-k-means precedent).
+    "q8C_pca_project" -> { (s, d) =>
+      Signals.pcaPowerProject(Tables.embeddings(s, d), "vec_id", "embedding",
+          iters = 20)
+        .orderBy("vec_id")
+    },
+
+    // Embedding outlier gate: dist²-to-mean vs 4× the covariance trace
+    // (E[dist²]) — the poisoning/corruption filter an embedding pipeline
+    // runs before indexing. The fixture's vectors are normalized (dist²
+    // concentrates within ±4% of the trace — no natural outliers), so
+    // (the q60 idiom) vec_id % 97 vectors scale ×3 at the DOUBLE level
+    // on both engines; those and only those must flag.
+    "q8F_embed_outliers" -> { (s, d) =>
+      val scaled = transform(col("embedding"), x =>
+        x.cast("double") *
+          when(col("vec_id") % 97 === 0, lit(3.0)).otherwise(lit(1.0)))
+      Signals.embedOutliers(
+        Tables.embeddings(s, d).select(col("vec_id"), scaled.as("vec")),
+        "vec_id", "vec", factor = 4.0)
+        .orderBy("vec_id")
+    },
+
+    // Calibration of the max-normalized length score against lang='en'
+    // over 10 fixed bins: reliability table + per-bin Brier (q83's AUC
+    // asks "does length rank English"; this asks "is the score honest
+    // as a probability").
+    "q8B_calibration" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val mx = docs.agg(max("n_chars").as("mx"))
+      val scored = docs.crossJoin(broadcast(mx))
+        .select(
+          round(col("n_chars").cast("double") / col("mx").cast("double"), 6)
+            .as("score"),
+          (col("lang") === "en").as("y"))
+      Signals.calibration(scored, col("score"), col("y"), bins = 10)
+        .orderBy("bin")
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q84_secret_scan" -> duckSecretOracle,
+
+    "q85_license_detect" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software. '
+        |      WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 (the License). '
+        |      WHEN 2 THEN 'This program is free software, released under the GNU General Public License. '
+        |      WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without modification, are permitted. '
+        |      WHEN 4 THEN 'This work is licensed under a Creative Commons Attribution 4.0 International License. '
+        |      ELSE '' END || text AS t
+        |  FROM documents),
+        |lic AS (
+        |  SELECT doc_id,
+        |    CASE WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN 'MIT'
+        |         WHEN contains(lower(t), 'licensed under the apache license, version 2.0') THEN 'Apache-2.0'
+        |         WHEN contains(lower(t), 'gnu general public license') THEN 'GPL'
+        |         WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN 'BSD'
+        |         WHEN contains(lower(t), 'creative commons attribution') THEN 'CC-BY'
+        |         ELSE 'none' END AS license
+        |  FROM aug)
+        |SELECT doc_id, license,
+        |  license IN ('MIT', 'Apache-2.0', 'BSD', 'CC-BY') AS permissive
+        |FROM lic
+        |ORDER BY doc_id""".stripMargin,
+
+    "q86_code_detect" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN ' function f' || CAST(doc_id AS VARCHAR)
+        |              || '(x) { return x + ' || CAST(doc_id % 7 AS VARCHAR)
+        |              || '; } import util.lib; let y = f('
+        |              || CAST(doc_id AS VARCHAR) || ');'
+        |         ELSE '' END AS t
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '(?i)\b(function|return|import|class|def|let|const|var|void|public)\b')) AS BIGINT) AS kw_hits,
+        |    CAST(len(regexp_extract_all(t, '[{}()\[\];=<>]')) AS BIGINT) AS sym_count,
+        |    CAST(length(t) AS BIGINT) AS n_chars_aug
+        |  FROM aug),
+        |sc AS (
+        |  SELECT doc_id, kw_hits, sym_count, n_chars_aug,
+        |    round(CAST(sym_count AS DOUBLE) / CAST(n_chars_aug AS DOUBLE) * 0.5
+        |      + CAST(least(kw_hits, 10) AS DOUBLE) / 10.0 * 0.5, 6) AS code_score
+        |  FROM sig)
+        |SELECT doc_id, kw_hits, sym_count, n_chars_aug, code_score,
+        |  code_score >= 0.1 AS is_code
+        |FROM sc
+        |ORDER BY doc_id""".stripMargin,
+
+    "q87_readability" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 4
+         |      WHEN 0 THEN '. pause'
+         |      WHEN 1 THEN '. pause. pause'
+         |      WHEN 2 THEN '. pause. pause. pause'
+         |      ELSE '. pause. pause. pause. pause' END AS text
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT doc_id,
+         |    CAST(len(${DuckSql.toks}) AS BIGINT) AS n_words,
+         |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         |    CAST(list_sum(list_transform(${DuckSql.toks},
+         |      w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))) AS BIGINT) AS n_syllables
+         |  FROM aug)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835
+         |    - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch,
+         |  round(0.39 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+         |    - 15.59, 6) AS fk_grade
+         |FROM cnt
+         |ORDER BY doc_id""".stripMargin,
+
+    "q88_script_mix" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 10
+        |      WHEN 3 THEN ' 机器学习模型训练'
+        |      WHEN 7 THEN ' Привет мир'
+        |      WHEN 8 THEN ' مرحبا بالعالم'
+        |      WHEN 9 THEN ' γειά σου κόσμε'
+        |      ELSE '' END AS t
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+        |    CAST(len(regexp_extract_all(t, '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS n_cjk,
+        |    CAST(len(regexp_extract_all(t, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS n_cyrillic,
+        |    CAST(len(regexp_extract_all(t, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS n_arabic,
+        |    CAST(len(regexp_extract_all(t, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS n_greek
+        |  FROM aug)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_arabic, n_greek,
+        |  CASE WHEN n_latin + (n_cjk + n_cyrillic + n_arabic + n_greek) > 0
+        |       THEN round(CAST(n_cjk + n_cyrillic + n_arabic + n_greek AS DOUBLE)
+        |            / CAST(n_latin + (n_cjk + n_cyrillic + n_arabic + n_greek) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS non_latin_ratio,
+        |  CASE WHEN n_latin >= n_cjk AND n_latin >= n_cyrillic
+        |            AND n_latin >= n_arabic AND n_latin >= n_greek THEN 'latin'
+        |       WHEN n_cjk >= n_cyrillic AND n_cjk >= n_arabic
+        |            AND n_cjk >= n_greek THEN 'cjk'
+        |       WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_greek THEN 'cyrillic'
+        |       WHEN n_arabic >= n_greek THEN 'arabic'
+        |       ELSE 'greek' END AS dominant_script
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
+
+    "q89_k_anonymity" ->
+      """SELECT lang, source,
+        |  CAST(floor(n_chars / 100) AS BIGINT) AS len_band,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  count(*) >= 5 AS k_anonymous
+        |FROM documents
+        |GROUP BY 1, 2, 3
+        |ORDER BY lang, source, len_band""".stripMargin,
+
+    "q8A_zipf" ->
+      s"""WITH tk AS (
+         |  SELECT unnest(${DuckSql.toks}) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS cnt FROM tk GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+         |         CAST(sum(cnt) AS BIGINT) AS total_tokens
+         |  FROM c),
+         |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 1000),
+         |rk AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank
+         |  FROM top),
+         |xy AS (
+         |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+         |         round(ln(CAST(cnt AS DOUBLE)), 6) AS y
+         |  FROM rk),
+         |fx AS (
+         |  SELECT CAST(round(x * 1000000) AS BIGINT) AS xf,
+         |         CAST(round(y * 1000000) AS BIGINT) AS yf,
+         |         CAST(round(round(x * x, 6) * 1000000) AS BIGINT) AS xxf,
+         |         CAST(round(round(x * y, 6) * 1000000) AS BIGINT) AS xyf
+         |  FROM xy),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_top,
+         |         CAST(sum(xf) AS BIGINT) AS sxf, CAST(sum(yf) AS BIGINT) AS syf,
+         |         CAST(sum(xxf) AS BIGINT) AS sxxf, CAST(sum(xyf) AS BIGINT) AS sxyf
+         |  FROM fx),
+         |f AS (
+         |  SELECT n_top, sxf, syf,
+         |    round((CAST(n_top AS DOUBLE) * (CAST(sxyf AS DOUBLE) / 1000000)
+         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(syf AS DOUBLE) / 1000000))
+         |        / (CAST(n_top AS DOUBLE) * (CAST(sxxf AS DOUBLE) / 1000000)
+         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(sxf AS DOUBLE) / 1000000)), 6)
+         |      AS zipf_slope
+         |  FROM s)
+         |SELECT vocab, total_tokens, n_top, zipf_slope,
+         |  round(((CAST(syf AS DOUBLE) / 1000000)
+         |         - zipf_slope * (CAST(sxf AS DOUBLE) / 1000000))
+         |        / CAST(n_top AS DOUBLE), 6) AS zipf_intercept
+         |FROM f CROSS JOIN tot""".stripMargin,
+
+    // Heavy-hitter mirror: the oracle is GROUND TRUTH, not a sketch
+    // replay — exact counts over the augmented corpus with the same
+    // cnt·k > total integer threshold (the MG candidate pass is
+    // engine-internal; its superset guarantee means the exact output
+    // cannot depend on it).
+    "q8D_heavy_hitters" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 2 = 0 THEN repeat(' hotgamma', 20) ELSE '' END ||
+         |    CASE WHEN doc_id % 3 = 0 THEN repeat(' hotalpha', 16) ELSE '' END ||
+         |    CASE WHEN doc_id % 5 = 0 THEN repeat(' hotbeta', 8) ELSE '' END AS text
+         |  FROM documents),
+         |tk AS (SELECT unnest(${DuckSql.toks}) AS term FROM aug),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         |SELECT term, cnt,
+         |  round(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+         |FROM c CROSS JOIN t
+         |WHERE cnt * 16 > total
+         |ORDER BY cnt DESC, term""".stripMargin,
+
+    // Heaps mirror: same 2-gram unit, same first-seen min, same
+    // threshold table, same micro-unit regression as the q8A fit.
+    "q8E_heaps" ->
+      s"""WITH gr AS (
+         |  SELECT doc_id AS id, unnest(${DuckSql.grams(2)}) AS g
+         |  FROM documents),
+         |fs AS (SELECT g, min(id) AS fs FROM gr GROUP BY 1),
+         |pd AS (SELECT id, CAST(count(*) AS BIGINT) AS ng FROM gr GROUP BY 1),
+         |mxr AS (SELECT max(doc_id) AS mx FROM documents),
+         |thr AS (
+         |  SELECT qq.q AS q, CAST(floor(mx * qq.q / 10) AS BIGINT) AS t
+         |  FROM mxr, range(1, 11) qq(q)),
+         |ct AS (
+         |  SELECT thr.q, thr.t, CAST(sum(ng) AS BIGINT) AS cum_tokens
+         |  FROM pd JOIN thr ON pd.id <= thr.t GROUP BY 1, 2),
+         |cv AS (
+         |  SELECT thr.q, thr.t, CAST(count(*) AS BIGINT) AS cum_vocab
+         |  FROM fs JOIN thr ON fs.fs <= thr.t GROUP BY 1, 2),
+         |pts AS (
+         |  SELECT ct.q, ct.t, cum_tokens, cum_vocab
+         |  FROM ct JOIN cv ON cv.q = ct.q AND cv.t = ct.t),
+         |xy AS (
+         |  SELECT round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS x,
+         |         round(ln(CAST(cum_vocab AS DOUBLE)), 6) AS y
+         |  FROM pts),
+         |fx AS (
+         |  SELECT CAST(round(x * 1000000) AS BIGINT) AS xf,
+         |         CAST(round(y * 1000000) AS BIGINT) AS yf,
+         |         CAST(round(round(x * x, 6) * 1000000) AS BIGINT) AS xxf,
+         |         CAST(round(round(x * y, 6) * 1000000) AS BIGINT) AS xyf
+         |  FROM xy),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_pts,
+         |         CAST(sum(xf) AS BIGINT) AS sxf, CAST(sum(yf) AS BIGINT) AS syf,
+         |         CAST(sum(xxf) AS BIGINT) AS sxxf, CAST(sum(xyf) AS BIGINT) AS sxyf
+         |  FROM fx),
+         |f AS (
+         |  SELECT n_pts, sxf, syf,
+         |    round((CAST(n_pts AS DOUBLE) * (CAST(sxyf AS DOUBLE) / 1000000)
+         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(syf AS DOUBLE) / 1000000))
+         |        / (CAST(n_pts AS DOUBLE) * (CAST(sxxf AS DOUBLE) / 1000000)
+         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(sxf AS DOUBLE) / 1000000)), 6)
+         |      AS heaps_beta
+         |  FROM s),
+         |fit AS (
+         |  SELECT heaps_beta,
+         |    round(((CAST(syf AS DOUBLE) / 1000000)
+         |           - heaps_beta * (CAST(sxf AS DOUBLE) / 1000000))
+         |          / CAST(n_pts AS DOUBLE), 6) AS heaps_lnk
+         |  FROM f)
+         |SELECT pts.q AS checkpoint, pts.t AS max_doc_id,
+         |       cum_tokens, cum_vocab, heaps_beta, heaps_lnk
+         |FROM pts CROSS JOIN fit
+         |ORDER BY checkpoint""".stripMargin,
+
+    // Outlier mirror: same scaled input, same micro-unit moments (only
+    // the diagonal), the same trace fixed point, the same projection.
+    "q8F_embed_outliers" ->
+      """WITH ed AS (
+        |  SELECT vec_id AS id, j.j AS j,
+        |    CAST(embedding[j.j] AS DOUBLE)
+        |      * CASE WHEN vec_id % 97 = 0 THEN 3.0 ELSE 1.0 END AS e
+        |  FROM embeddings, range(1, 65) j(j)),
+        |s1 AS (
+        |  SELECT j, CAST(sum(CAST(round(e * 1000000) AS BIGINT)) AS BIGINT) AS sf,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ed GROUP BY j),
+        |m AS (SELECT j, round(CAST(sf AS DOUBLE) / 1000000 / n, 6) AS m FROM s1),
+        |diag AS (
+        |  SELECT j, CAST(sum(CAST(round(e * e * 1000000) AS BIGINT)) AS BIGINT) AS spf,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ed GROUP BY j),
+        |tr AS (
+        |  SELECT CAST(sum(CAST(round((CAST(spf AS DOUBLE) / 1000000 / diag.n
+        |           - m.m * m.m) * 1000000) AS BIGINT)) AS DOUBLE) / 1000000 AS trace
+        |  FROM diag JOIN m USING (j)),
+        |d2 AS (
+        |  SELECT ed.id,
+        |    CAST(sum(CAST(round((ed.e - m.m) * (ed.e - m.m) * 1000000) AS BIGINT)) AS BIGINT) AS pf
+        |  FROM ed JOIN m USING (j) GROUP BY ed.id),
+        |r AS (SELECT id, round(CAST(pf AS DOUBLE) / 1000000, 6) AS dist2 FROM d2)
+        |SELECT id AS vec_id, dist2,
+        |  round(dist2 / trace, 6) AS ratio,
+        |  dist2 > 4.0 * trace AS is_outlier
+        |FROM r CROSS JOIN tr
+        |ORDER BY vec_id""".stripMargin,
+
+    // PCA mirror: same micro-unit moments, same covariance closed form,
+    // the same 20 power-iteration steps as a recursive CTE (v0 = 1/√64
+    // = 0.125 exactly; every step's components round at 6 dp, every
+    // float sum is a micro-unit long — the trajectory is pinned), same
+    // fixed-point projection.
+    "q8C_pca_project" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT vec_id AS id, j.j AS j, CAST(embedding[j.j] AS DOUBLE) AS e
+        |  FROM embeddings, range(1, 65) j(j)),
+        |s1 AS (
+        |  SELECT j, CAST(sum(CAST(round(e * 1000000) AS BIGINT)) AS BIGINT) AS sf,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ed GROUP BY j),
+        |m AS (SELECT j, round(CAST(sf AS DOUBLE) / 1000000 / n, 6) AS m FROM s1),
+        |sp AS (
+        |  SELECT a.j AS i, b.j AS jj,
+        |         CAST(sum(CAST(round(a.e * b.e * 1000000) AS BIGINT)) AS BIGINT) AS spf,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM ed a JOIN ed b ON a.id = b.id
+        |  GROUP BY a.j, b.j),
+        |c AS (
+        |  SELECT sp.i, sp.jj AS j,
+        |         round(CAST(spf AS DOUBLE) / 1000000 / sp.n - mi.m * mj.m, 6) AS v
+        |  FROM sp JOIN m mi ON mi.j = sp.i JOIN m mj ON mj.j = sp.jj),
+        |walk(iter, i, v) AS (
+        |  -- the anchor literal must be DOUBLE: a bare 0.125 types the
+        |  -- recursive column DECIMAL(4,3) and quantizes every step
+        |  SELECT 0, j, CAST(0.125 AS DOUBLE) FROM m
+        |  UNION ALL
+        |  SELECT x.iter + 1, x.i, round(x.wv / n.nrm, 6)
+        |  FROM (
+        |    SELECT w.iter, c.i,
+        |           CAST(sum(CAST(round(c.v * w.v * 1000000) AS BIGINT)) AS DOUBLE)
+        |             / 1000000 AS wv
+        |    FROM walk w JOIN c ON c.j = w.i
+        |    GROUP BY w.iter, c.i) x
+        |  JOIN (
+        |    SELECT iter,
+        |           sqrt(CAST(sum(CAST(round(wv * wv * 1000000) AS BIGINT)) AS DOUBLE)
+        |                / 1000000) AS nrm
+        |    FROM (
+        |      SELECT w.iter, c.i,
+        |             CAST(sum(CAST(round(c.v * w.v * 1000000) AS BIGINT)) AS DOUBLE)
+        |               / 1000000 AS wv
+        |      FROM walk w JOIN c ON c.j = w.i
+        |      GROUP BY w.iter, c.i) y
+        |    GROUP BY iter) n ON n.iter = x.iter
+        |  WHERE x.iter < 20),
+        |vfin AS (SELECT i, v FROM walk WHERE iter = 20),
+        |proj AS (
+        |  SELECT ed.id,
+        |         CAST(sum(CAST(round((ed.e - m.m) * vf.v * 1000000) AS BIGINT)) AS BIGINT) AS pf
+        |  FROM ed JOIN m ON m.j = ed.j JOIN vfin vf ON vf.i = ed.j
+        |  GROUP BY ed.id)
+        |SELECT id AS vec_id, round(CAST(pf AS DOUBLE) / 1000000, 6) AS pc1
+        |FROM proj
+        |ORDER BY vec_id""".stripMargin,
+
+    "q8B_calibration" ->
+      """WITH mx AS (SELECT max(n_chars) AS mx FROM documents),
+        |sc AS (
+        |  SELECT round(CAST(n_chars AS DOUBLE) / CAST(mx AS DOUBLE), 6) AS score,
+        |         CAST(lang = 'en' AS INT) AS y
+        |  FROM documents CROSS JOIN mx),
+        |b AS (
+        |  SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin, y,
+        |    CAST(round(score * 1000000) AS BIGINT) AS sf,
+        |    CAST(round(round((score - CAST(y AS DOUBLE)) * (score - CAST(y AS DOUBLE)), 6)
+        |         * 1000000) AS BIGINT) AS bf
+        |  FROM sc)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+        |  round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_pos,
+        |  round(CAST(sum(sf) AS DOUBLE) / 1000000 / CAST(count(*) AS DOUBLE), 6) AS mean_score,
+        |  round(CAST(sum(bf) AS DOUBLE) / 1000000 / CAST(count(*) AS DOUBLE), 6) AS brier
+        |FROM b
+        |GROUP BY bin
+        |ORDER BY bin""".stripMargin
+  )
+}

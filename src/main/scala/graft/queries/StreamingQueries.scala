@@ -455,6 +455,20 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // Secret/credential gate ON ARRIVAL: q84's scan is row-local and
+    // stateless, so the same secretGate projection runs unchanged as an
+    // Append-mode stream — quarantine credentials before a document
+    // ever lands in the corpus, with ZERO streaming state. Output (and
+    // oracle) identical to batch q84.
+    "q7Z_stream_secret_flag" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      StreamRunner.runToBatch(SignalQueries.secretGate(docs),
+          OutputMode.Append)
+        .orderBy("doc_id")
+    },
+
     "q7E_stream_hll" -> { (s, d) =>
       import graft.functions.TextFunctions
       import graft.operators.Sketch
@@ -916,6 +930,7 @@ object StreamingQueries {
 
     // identical output contract to batch q6S — shared SQL verbatim
     "q7T_stream_mojibake_gate" -> CurationQueries.duckMojibakeOracle,
+    "q7Z_stream_secret_flag" -> SignalQueries.duckSecretOracle,
 
     // identical output contract to batch q6W — closed-form robots
     // decision replayed from g (see the q6W mirror comment)

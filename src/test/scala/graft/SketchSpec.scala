@@ -303,4 +303,54 @@ class SketchSpec extends GraftSpec {
     intercept[IllegalArgumentException](
       Sketch.referenceEdges(ref.limit(0).select(col("value").as("v")), "v", 20))
   }
+
+  test("heavyHitters: exact counts equal brute force under any partitioning") {
+    import spark.implicits._
+    // zipf-ish skew: term i appears 600/i times, i = 1..30 → N≈2400;
+    // with k=8 (thresh N/8≈300) exactly "t01" (600) and "t02" (300) — t02
+    // is 300 = N/8 EXACTLY when N=2400, so > is strict... construct and
+    // compare against brute force rather than hand-predicting.
+    val rows = (1 to 30).flatMap(i => Seq.fill(600 / i)(f"t$i%02d"))
+    for (parts <- Seq(1, 3, 13)) {
+      val terms = rows.toDF("term").repartition(parts)
+      val got = Sketch.heavyHitters(terms, "term", k = 8)
+        .orderBy(desc("cnt"), col("term"))
+        .select("term", "cnt").as[(String, Long)].collect().toSeq
+      val n = rows.size
+      val brute = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * 8 > n }
+        .toSeq.sortBy { case (t, c) => (-c, t) }
+      assert(got == brute, s"parts=$parts: got $got want $brute")
+    }
+  }
+
+  test("heavyHitterCandidates is a superset of the exact heavy set; state stays bounded") {
+    import spark.implicits._
+    // adversarial layout: the heavy term is SPREAD thin across partitions
+    // between walls of distinct noise terms (the layout that kills naive
+    // per-partition top-k — MG's guarantee must still surface it)
+    val heavy = Seq.fill(500)("needle")
+    val noise = (1 to 3000).map(i => s"n$i")
+    // deterministic pseudo-shuffle so the needles interleave through the
+    // noise instead of sitting in one contiguous block
+    val rows = (heavy ++ noise).zipWithIndex
+      .sortBy { case (_, i) => ((i * 2654435761L) % 104729, i) }
+      .map(_._1)
+    val k = 8
+    val n = rows.size
+    val exact = rows.groupBy(identity).view.mapValues(_.size).toMap
+      .filter { case (_, c) => c.toLong * k > n }.keySet
+    assert(exact == Set("needle"), s"fixture broken: $exact")
+    for (parts <- Seq(2, 7)) {
+      val cand = Sketch.heavyHitterCandidates(
+        rows.toDF("term").repartition(parts), "term", k)
+        .as[String].collect().toSet
+      assert(exact.subsetOf(cand),
+        s"parts=$parts: MG candidates $cand miss ${exact diff cand}")
+      assert(cand.size <= (k - 1) * parts + k,
+        s"parts=$parts: candidate set ${cand.size} exceeds the (k-1)×partitions bound")
+    }
+    intercept[IllegalArgumentException](
+      Sketch.heavyHitterCandidates(rows.toDF("term"), "term", k = 1))
+  }
 }
