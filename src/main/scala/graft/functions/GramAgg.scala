@@ -114,8 +114,8 @@ case class GramAgg(
     if (buffer.isEmpty || buffer(0) == 0L) null
     else {
       val dd = buffer.length - 1
-      // solve 1 + d + d^2 = len → d
-      val d  = ((math.sqrt(4.0 * dd - 3.0) - 1.0) / 2.0).round.toInt
+      // solve d^2 + d = dd exactly: (2d+1)^2 = 4·dd + 1
+      val d  = ((math.sqrt(4.0 * dd + 1.0) - 1.0) / 2.0).round.toInt
       val s1 = new Array[Any](d)
       val sp = new Array[Any](d * d)
       var i  = 0

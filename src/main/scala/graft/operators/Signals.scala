@@ -111,9 +111,12 @@ object Signals {
     val kw  = regexp_count(t, lit(CodeKeywordRe)).cast("long")
     val sym = regexp_count(t, lit(CodeSymbolRe)).cast("long")
     val n   = length(t).cast("long")
-    val score = round(
+    // empty text scores 0.0/not-code (Spark's Divide would emit NULL and
+    // DuckDB NaN — a router must always decide)
+    val score = when(n > 0, round(
       sym.cast("double") / n.cast("double") * 0.5 +
-        least(kw, lit(10L)).cast("double") / 10.0 * 0.5, 6)
+        least(kw, lit(10L)).cast("double") / 10.0 * 0.5, 6))
+      .otherwise(0.0)
     df.select(col(idCol),
       kw.as("kw_hits"), sym.as("sym_count"), n.as("n_chars_aug"),
       score.as("code_score"),
@@ -299,6 +302,35 @@ object Signals {
       .orderBy("checkpoint")
   }
 
+  // ---- shared embedding moments ---------------------------------------------
+
+  /** DuckDB `round(x, s)` is std::round(x·10^s)/10^s (half away from
+    * zero) — mirror that exact shape, NOT decimal-string rounding.
+    */
+  private def round6(x: Double): Double =
+    graft.functions.GramAgg.roundMicro(x * 1e6).toDouble / 1e6
+
+  /** ONE GramAgg moments pass, collected (one row, 1 + d + d² longs —
+    * bounded by dimension, not corpus) and unpacked into (n, d, mean,
+    * raw second-moment micro sums). Shared by [[pcaPowerProject]] and
+    * [[embedOutliers]] so the moments contract cannot fork.
+    */
+  private def collectMoments(df: DataFrame, vecCol: String)
+      : (Long, Int, Array[Double], Seq[Long]) = {
+    import graft.functions.GramAgg
+    val momRow = df.agg(GramAgg.gram(col(vecCol)).as("g"))
+      .select(col("g.n"), col("g.s1"), col("g.sp"))
+      .head()
+    require(!momRow.isNullAt(0),
+      s"moments over '$vecCol': input has no non-null vectors")
+    val n  = momRow.getLong(0)
+    val s1 = momRow.getSeq[Long](1)
+    val sp = momRow.getSeq[Long](2)
+    val d  = s1.length
+    val m  = Array.tabulate(d)(j => round6(s1(j).toDouble / 1e6 / n))
+    (n, d, m, sp)
+  }
+
   // ---- PCA (top principal component) ---------------------------------------
 
   /** Projection of every vector onto the corpus's top principal
@@ -325,17 +357,7 @@ object Signals {
   def pcaPowerProject(df: DataFrame, idCol: String, vecCol: String,
       iters: Int = 20): DataFrame = {
     import graft.functions.GramAgg
-    // DuckDB round(x, s) is std::round(x * 10^s) / 10^s (half away from
-    // zero) — mirror that exact shape, NOT decimal-string rounding.
-    def round6(x: Double): Double = GramAgg.roundMicro(x * 1e6).toDouble / 1e6
-    val momRow = df.agg(GramAgg.gram(col(vecCol)).as("g"))
-      .select(col("g.n"), col("g.s1"), col("g.sp"))
-      .head() // ONE row, 1 + d + d² longs — bounded by dimension, not corpus
-    val n  = momRow.getLong(0)
-    val s1 = momRow.getSeq[Long](1)
-    val sp = momRow.getSeq[Long](2)
-    val d  = s1.length
-    val m = Array.tabulate(d)(j => round6(s1(j).toDouble / 1e6 / n))
+    val (n, d, m, sp) = collectMoments(df, vecCol)
     val c = Array.tabulate(d, d)((i, j) =>
       round6(sp(i * d + j).toDouble / 1e6 / n - m(i) * m(j)))
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
@@ -379,15 +401,7 @@ object Signals {
   def embedOutliers(df: DataFrame, idCol: String, vecCol: String,
       factor: Double = 4.0): DataFrame = {
     import graft.functions.GramAgg
-    def round6(x: Double): Double = GramAgg.roundMicro(x * 1e6).toDouble / 1e6
-    val momRow = df.agg(GramAgg.gram(col(vecCol)).as("g"))
-      .select(col("g.n"), col("g.s1"), col("g.sp"))
-      .head() // ONE row, bounded by d², corpus-independent
-    val n  = momRow.getLong(0)
-    val s1 = momRow.getSeq[Long](1)
-    val sp = momRow.getSeq[Long](2)
-    val d  = s1.length
-    val m = Array.tabulate(d)(j => round6(s1(j).toDouble / 1e6 / n))
+    val (n, d, m, sp) = collectMoments(df, vecCol)
     var traceF = 0L
     var j = 0
     while (j < d) {

@@ -434,24 +434,22 @@ object Sketch {
 
   // ---- exact heavy hitters via a Misra-Gries candidate pass ------------
 
-  /** Per-partition Misra-Gries summaries (Misra & Gries 1982, "Finding
-    * repeated elements") → the candidate set for [[heavyHitters]]. Each
-    * partition keeps at most k−1 counters in one bounded map; an item
-    * with partition-local frequency > n_p/k always survives, so the
-    * UNION of partition summaries is a GUARANTEED superset of every
-    * item with global frequency > N/k (if Σc_i > (Σn_i)/k then some
-    * partition has c_i > n_i/k). Output ≤ (k−1) × partitions candidate
-    * rows — counter STATES are arrival-order-dependent and are
-    * discarded; only the key set (order-free) leaves the partition.
+  /** One Misra-Gries pass (Misra & Gries 1982, "Finding repeated
+    * elements"): per partition, at most k−1 counters in one bounded
+    * map, plus ONE sentinel row carrying the partition's row count —
+    * so the candidate set AND the corpus total come out of the same
+    * corpus scan. Rows: (kind 0, term, 0) per surviving candidate;
+    * (kind 1, "", n_p) per partition.
     */
-  def heavyHitterCandidates(terms: DataFrame, termCol: String,
-      k: Int): DataFrame = {
+  private def mgPass(terms: DataFrame, termCol: String, k: Int): DataFrame = {
     require(k >= 2, s"heavy-hitter k must be >= 2, got $k")
     import terms.sparkSession.implicits._
     terms.select(col(termCol).cast("string")).as[String]
       .mapPartitions { it =>
         val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        var np = 0L
         it.foreach { t =>
+          np += 1L
           if (counters.contains(t)) counters(t) += 1L
           else if (counters.size < k - 1) counters(t) = 1L
           else {
@@ -464,28 +462,46 @@ object Sketch {
             dead.foreach(counters.remove)
           }
         }
-        counters.keysIterator
+        counters.keysIterator.map(t => (0, t, 0L)) ++ Iterator((1, "", np))
       }
-      .toDF(termCol).distinct()
+      .toDF("kind", "term", "np")
   }
 
+  /** The MG candidate set: each partition's surviving keys. An item
+    * with partition-local frequency > n_p/k always survives, so the
+    * UNION of partition summaries is a GUARANTEED superset of every
+    * item with global frequency > N/k (if Σc_i > (Σn_i)/k then some
+    * partition has c_i > n_i/k). Output ≤ (k−1) × partitions candidate
+    * rows — counter STATES are arrival-order-dependent and are
+    * discarded; only the key set (order-free) leaves the partition.
+    */
+  def heavyHitterCandidates(terms: DataFrame, termCol: String,
+      k: Int): DataFrame =
+    mgPass(terms, termCol, k).filter(col("kind") === 0)
+      .select(col("term").as(termCol)).distinct()
+
   /** EXACT heavy hitters (all terms with frequency > N/k) at corpus
-    * scale: the MG candidate pass bounds state to (k−1) counters per
-    * task, the candidate set BROADCASTS back as a semi-join filter, and
-    * only candidate occurrences reach the exact count aggregate — the
-    * shuffle carries ≤ (k−1)·partitions distinct terms instead of the
-    * full vocabulary. The output is the exact count table (deterministic
-    * — the arrival-order-dependent sketch never reaches it; the
-    * superset guarantee means no heavy hitter can be missed). This is
-    * the vocabulary-scale answer to "which terms/domains/URLs dominate"
-    * that exact group-by-everything cannot afford at 100 TB.
+    * scale, in TWO corpus passes total: the MG pass bounds state to
+    * (k−1) counters per task and emits candidates + the corpus total
+    * together (localCheckpointed — ≤ k rows per partition — so its two
+    * consumers don't re-scan the corpus); the candidate set BROADCASTS
+    * back as a semi-join filter, and only candidate occurrences reach
+    * the exact count aggregate — the shuffle carries ≤ (k−1)·partitions
+    * distinct terms instead of the full vocabulary. The output is the
+    * exact count table (deterministic — the arrival-order-dependent
+    * sketch never reaches it; the superset guarantee means no heavy
+    * hitter can be missed). This is the vocabulary-scale answer to
+    * "which terms/domains/URLs dominate" that exact group-by-everything
+    * cannot afford at 100 TB.
     */
   def heavyHitters(terms: DataFrame, termCol: String, k: Int): DataFrame = {
-    val cand = heavyHitterCandidates(terms, termCol, k)
+    val pass = mgPass(terms, termCol, k).localCheckpoint()
+    val cand = pass.filter(col("kind") === 0)
+      .select(col("term").as(termCol)).distinct()
+    val tot = pass.filter(col("kind") === 1).agg(sum("np").as("total"))
     val counts = terms
       .join(broadcast(cand), Seq(termCol), "left_semi")
       .groupBy(termCol).agg(count(lit(1)).as("cnt"))
-    val tot = terms.agg(count(lit(1)).as("total"))
     counts.crossJoin(broadcast(tot))
       .filter(col("cnt") * k > col("total"))
       .select(col(termCol), col("cnt"),

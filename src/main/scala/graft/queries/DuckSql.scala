@@ -143,6 +143,42 @@ private[queries] object DuckSql {
     */
   def distinctGrams(n: Int): String = s"list_distinct(${grams(n)})"
 
+  /** Micro-fixed-point least-squares over an upstream CTE `xy(x, y)`
+    * (x/y already 6-dp-rounded doubles) — mirrors `Signals.fitLine`
+    * term for term: per-point micro-unit longs, order-free sums, the
+    * slope closed form, and the intercept computed FROM THE ROUNDED
+    * slope. Emits fragments `fx, lsq, fslope, fit`; `fit` exposes
+    * `(n_pts, <slopeName>, <interceptName>)`. ONE definition shared by
+    * the q8A (Zipf) and q8E (Heaps) oracles so the regression can
+    * never fork between them.
+    */
+  def fitLine(slopeName: String, interceptName: String): String =
+    s"""fx AS (
+       |  SELECT CAST(round(x * 1000000) AS BIGINT) AS xf,
+       |         CAST(round(y * 1000000) AS BIGINT) AS yf,
+       |         CAST(round(round(x * x, 6) * 1000000) AS BIGINT) AS xxf,
+       |         CAST(round(round(x * y, 6) * 1000000) AS BIGINT) AS xyf
+       |  FROM xy),
+       |lsq AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_pts,
+       |         CAST(sum(xf) AS BIGINT) AS sxf, CAST(sum(yf) AS BIGINT) AS syf,
+       |         CAST(sum(xxf) AS BIGINT) AS sxxf, CAST(sum(xyf) AS BIGINT) AS sxyf
+       |  FROM fx),
+       |fslope AS (
+       |  SELECT n_pts, sxf, syf,
+       |    round((CAST(n_pts AS DOUBLE) * (CAST(sxyf AS DOUBLE) / 1000000)
+       |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(syf AS DOUBLE) / 1000000))
+       |        / (CAST(n_pts AS DOUBLE) * (CAST(sxxf AS DOUBLE) / 1000000)
+       |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(sxf AS DOUBLE) / 1000000)), 6)
+       |      AS $slopeName
+       |  FROM lsq),
+       |fit AS (
+       |  SELECT n_pts, $slopeName,
+       |    round(((CAST(syf AS DOUBLE) / 1000000)
+       |           - $slopeName * (CAST(sxf AS DOUBLE) / 1000000))
+       |          / CAST(n_pts AS DOUBLE), 6) AS $interceptName
+       |  FROM fslope)""".stripMargin
+
   // ---- scala MurmurHash3 as 32-bit SQL arithmetic ---------------------
   // The engine's hash-derived randomness (LSH hyperplanes, the trigram
   // embedder) all bottoms out in scala.util.hashing.MurmurHash3, whose

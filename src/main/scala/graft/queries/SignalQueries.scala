@@ -291,8 +291,10 @@ object SignalQueries {
         |  FROM aug),
         |sc AS (
         |  SELECT doc_id, kw_hits, sym_count, n_chars_aug,
-        |    round(CAST(sym_count AS DOUBLE) / CAST(n_chars_aug AS DOUBLE) * 0.5
-        |      + CAST(least(kw_hits, 10) AS DOUBLE) / 10.0 * 0.5, 6) AS code_score
+        |    CASE WHEN n_chars_aug > 0 THEN
+        |      round(CAST(sym_count AS DOUBLE) / CAST(n_chars_aug AS DOUBLE) * 0.5
+        |        + CAST(least(kw_hits, 10) AS DOUBLE) / 10.0 * 0.5, 6)
+        |    ELSE 0.0 END AS code_score
         |  FROM sig)
         |SELECT doc_id, kw_hits, sym_count, n_chars_aug, code_score,
         |  code_score >= 0.1 AS is_code
@@ -383,30 +385,9 @@ object SignalQueries {
          |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
          |         round(ln(CAST(cnt AS DOUBLE)), 6) AS y
          |  FROM rk),
-         |fx AS (
-         |  SELECT CAST(round(x * 1000000) AS BIGINT) AS xf,
-         |         CAST(round(y * 1000000) AS BIGINT) AS yf,
-         |         CAST(round(round(x * x, 6) * 1000000) AS BIGINT) AS xxf,
-         |         CAST(round(round(x * y, 6) * 1000000) AS BIGINT) AS xyf
-         |  FROM xy),
-         |s AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_top,
-         |         CAST(sum(xf) AS BIGINT) AS sxf, CAST(sum(yf) AS BIGINT) AS syf,
-         |         CAST(sum(xxf) AS BIGINT) AS sxxf, CAST(sum(xyf) AS BIGINT) AS sxyf
-         |  FROM fx),
-         |f AS (
-         |  SELECT n_top, sxf, syf,
-         |    round((CAST(n_top AS DOUBLE) * (CAST(sxyf AS DOUBLE) / 1000000)
-         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(syf AS DOUBLE) / 1000000))
-         |        / (CAST(n_top AS DOUBLE) * (CAST(sxxf AS DOUBLE) / 1000000)
-         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(sxf AS DOUBLE) / 1000000)), 6)
-         |      AS zipf_slope
-         |  FROM s)
-         |SELECT vocab, total_tokens, n_top, zipf_slope,
-         |  round(((CAST(syf AS DOUBLE) / 1000000)
-         |         - zipf_slope * (CAST(sxf AS DOUBLE) / 1000000))
-         |        / CAST(n_top AS DOUBLE), 6) AS zipf_intercept
-         |FROM f CROSS JOIN tot""".stripMargin,
+         |${DuckSql.fitLine("zipf_slope", "zipf_intercept")}
+         |SELECT vocab, total_tokens, n_pts AS n_top, zipf_slope, zipf_intercept
+         |FROM fit CROSS JOIN tot""".stripMargin,
 
     // Heavy-hitter mirror: the oracle is GROUND TRUTH, not a sketch
     // replay — exact counts over the augmented corpus with the same
@@ -454,31 +435,7 @@ object SignalQueries {
          |  SELECT round(ln(CAST(cum_tokens AS DOUBLE)), 6) AS x,
          |         round(ln(CAST(cum_vocab AS DOUBLE)), 6) AS y
          |  FROM pts),
-         |fx AS (
-         |  SELECT CAST(round(x * 1000000) AS BIGINT) AS xf,
-         |         CAST(round(y * 1000000) AS BIGINT) AS yf,
-         |         CAST(round(round(x * x, 6) * 1000000) AS BIGINT) AS xxf,
-         |         CAST(round(round(x * y, 6) * 1000000) AS BIGINT) AS xyf
-         |  FROM xy),
-         |s AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_pts,
-         |         CAST(sum(xf) AS BIGINT) AS sxf, CAST(sum(yf) AS BIGINT) AS syf,
-         |         CAST(sum(xxf) AS BIGINT) AS sxxf, CAST(sum(xyf) AS BIGINT) AS sxyf
-         |  FROM fx),
-         |f AS (
-         |  SELECT n_pts, sxf, syf,
-         |    round((CAST(n_pts AS DOUBLE) * (CAST(sxyf AS DOUBLE) / 1000000)
-         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(syf AS DOUBLE) / 1000000))
-         |        / (CAST(n_pts AS DOUBLE) * (CAST(sxxf AS DOUBLE) / 1000000)
-         |           - (CAST(sxf AS DOUBLE) / 1000000) * (CAST(sxf AS DOUBLE) / 1000000)), 6)
-         |      AS heaps_beta
-         |  FROM s),
-         |fit AS (
-         |  SELECT heaps_beta,
-         |    round(((CAST(syf AS DOUBLE) / 1000000)
-         |           - heaps_beta * (CAST(sxf AS DOUBLE) / 1000000))
-         |          / CAST(n_pts AS DOUBLE), 6) AS heaps_lnk
-         |  FROM f)
+         |${DuckSql.fitLine("heaps_beta", "heaps_lnk")}
          |SELECT pts.q AS checkpoint, pts.t AS max_doc_id,
          |       cum_tokens, cum_vocab, heaps_beta, heaps_lnk
          |FROM pts CROSS JOIN fit
@@ -545,7 +502,10 @@ object SignalQueries {
         |  -- recursive column DECIMAL(4,3) and quantizes every step
         |  SELECT 0, j, CAST(0.125 AS DOUBLE) FROM m
         |  UNION ALL
-        |  SELECT x.iter + 1, x.i, round(x.wv / n.nrm, 6)
+        |  -- norm-0 guard mirrors the Scala side: a zero-variance corpus
+        |  -- keeps the previous component (wp.v), never divides by 0
+        |  SELECT x.iter + 1, x.i,
+        |         CASE WHEN n.nrm > 0 THEN round(x.wv / n.nrm, 6) ELSE wp.v END
         |  FROM (
         |    SELECT w.iter, c.i,
         |           CAST(sum(CAST(round(c.v * w.v * 1000000) AS BIGINT)) AS DOUBLE)
@@ -563,6 +523,7 @@ object SignalQueries {
         |      FROM walk w JOIN c ON c.j = w.i
         |      GROUP BY w.iter, c.i) y
         |    GROUP BY iter) n ON n.iter = x.iter
+        |  JOIN walk wp ON wp.iter = x.iter AND wp.i = x.i
         |  WHERE x.iter < 20),
         |vfin AS (SELECT i, v FROM walk WHERE iter = 20),
         |proj AS (

@@ -58,6 +58,21 @@ class SignalsSpec extends GraftSpec {
       .select("kw_hits", "is_code").as[(Long, Boolean)].collect().toSeq
     assert(out.head == ((0L, false)))
     assert(out(1)._1 == 4L && out(1)._2, s"code row scored ${out(1)}")
+    // empty text must still DECIDE: score 0.0 / not-code, never NULL
+    val empty = Signals.codeSignals(
+      Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .select("code_score", "is_code").as[(Double, Boolean)].head()
+    assert(empty == ((0.0, false)), empty.toString)
+  }
+
+  test("moments operators reject an empty input with a clear error, not an NPE") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException](
+      Signals.pcaPowerProject(empty, "vec_id", "embedding"))
+    assert(e1.getMessage.contains("no non-null vectors"))
+    val e2 = intercept[IllegalArgumentException](
+      Signals.embedOutliers(empty, "vec_id", "embedding"))
+    assert(e2.getMessage.contains("no non-null vectors"))
   }
 
   test("readability matches a hand-computed Flesch on a known sentence") {
