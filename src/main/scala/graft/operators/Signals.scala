@@ -105,18 +105,28 @@ object Signals {
     * half from (capped) keyword hits. Closed form over two exact integer
     * counts and the char length, rounded at 6 dp.
     */
+  /** The [0, 1] code score as a bare Column (shared by [[codeSignals]]
+    * and the composed release gate). Empty text scores 0.0 (Spark's
+    * Divide would emit NULL and DuckDB NaN — a router must always
+    * decide).
+    */
+  def codeScore(t: Column): Column = {
+    val kw  = regexp_count(t, lit(CodeKeywordRe)).cast("long")
+    val sym = regexp_count(t, lit(CodeSymbolRe)).cast("long")
+    val n   = length(t).cast("long")
+    when(n > 0, round(
+      sym.cast("double") / n.cast("double") * 0.5 +
+        least(kw, lit(10L)).cast("double") / 10.0 * 0.5, 6))
+      .otherwise(0.0)
+  }
+
   def codeSignals(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.1): DataFrame = {
     val t = col(textCol)
     val kw  = regexp_count(t, lit(CodeKeywordRe)).cast("long")
     val sym = regexp_count(t, lit(CodeSymbolRe)).cast("long")
     val n   = length(t).cast("long")
-    // empty text scores 0.0/not-code (Spark's Divide would emit NULL and
-    // DuckDB NaN — a router must always decide)
-    val score = when(n > 0, round(
-      sym.cast("double") / n.cast("double") * 0.5 +
-        least(kw, lit(10L)).cast("double") / 10.0 * 0.5, 6))
-      .otherwise(0.0)
+    val score = codeScore(t)
     df.select(col(idCol),
       kw.as("kw_hits"), sym.as("sym_count"), n.as("n_chars_aug"),
       score.as("code_score"),

@@ -21,26 +21,56 @@ import org.apache.spark.sql.functions._
   */
 object SignalQueries {
 
-  // ---- q84/q7Z shared secret gate --------------------------------------
-  // Injections: doc_id % 11 → an AKIA-prefixed 16-char upper-hex key,
-  // doc_id % 13 → a password assignment, doc_id % 17 → a 48-char
-  // lowercase-hex token (md5 || md5-prefix). Appended AFTER the text so
-  // tokenization-sensitive signals elsewhere stay untouched.
-  private[queries] def secretGate(docs: DataFrame): DataFrame = {
-    val id = col("doc_id")
-    val aws = when(id % 11 === 0,
+  // ---- shared deterministic injections ----------------------------------
+  // ONE definition per marker (q84/q85/q86 and the composed q8G read
+  // these) so a gate and the composition can never test different
+  // fixtures. Secret markers: doc_id % 11 → an AKIA-prefixed 16-char
+  // upper-hex key, % 13 → a password assignment, % 17 → a 48-char
+  // lowercase-hex token (md5 || md5-prefix) — appended AFTER the text
+  // so tokenization-sensitive signals elsewhere stay untouched.
+  private def secretMarkers(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = concat(
+    when(id % 11 === 0,
       concat(lit(" key AKIA"),
         upper(substring(md5(concat(id.cast("string"), lit("aws"))), 1, 16))))
-      .otherwise(lit(""))
-    val pwd = when(id % 13 === 0,
+      .otherwise(lit("")),
+    when(id % 13 === 0,
       concat(lit(" password: hunter"), id.cast("string")))
-      .otherwise(lit(""))
-    val hex = when(id % 17 === 0,
+      .otherwise(lit("")),
+    when(id % 17 === 0,
       concat(lit(" token "), md5(concat(id.cast("string"), lit("h1"))),
         substring(md5(concat(id.cast("string"), lit("h2"))), 1, 16)))
+      .otherwise(lit("")))
+
+  // License header per doc_id % 6 (the sixth class is headerless).
+  private def licenseHeader(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(id % 6 === 0,
+      lit("Permission is hereby granted, free of charge, to any person obtaining a copy of this software. "))
+      .when(id % 6 === 1,
+        lit("Licensed under the Apache License, Version 2.0 (the License). "))
+      .when(id % 6 === 2,
+        lit("This program is free software, released under the GNU General Public License. "))
+      .when(id % 6 === 3,
+        lit("Redistribution and use in source and binary forms, with or without modification, are permitted. "))
+      .when(id % 6 === 4,
+        lit("This work is licensed under a Creative Commons Attribution 4.0 International License. "))
       .otherwise(lit(""))
+
+  // One-line function per doc_id % 9 (the code-vs-prose signal).
+  private def codeMarker(id: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(id % 9 === 0, concat(
+      lit(" function f"), id.cast("string"),
+      lit("(x) { return x + "), (id % 7).cast("string"),
+      lit("; } import util.lib; let y = f("), id.cast("string"), lit(");")))
+      .otherwise(lit(""))
+
+  // ---- q84/q7Z shared secret gate --------------------------------------
+  private[queries] def secretGate(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
     Signals.secretScan(
-      docs.select(id, concat(col("text"), aws, pwd, hex).as("aug")),
+      docs.select(id, concat(col("text"), secretMarkers(id)).as("aug")),
       "doc_id", "aug")
   }
 
@@ -87,18 +117,7 @@ object SignalQueries {
     // classify by canonical reference phrase in fixed priority order.
     "q85_license_detect" -> { (s, d) =>
       val id = col("doc_id")
-      val hdr = when(id % 6 === 0,
-        lit("Permission is hereby granted, free of charge, to any person obtaining a copy of this software. "))
-        .when(id % 6 === 1,
-          lit("Licensed under the Apache License, Version 2.0 (the License). "))
-        .when(id % 6 === 2,
-          lit("This program is free software, released under the GNU General Public License. "))
-        .when(id % 6 === 3,
-          lit("Redistribution and use in source and binary forms, with or without modification, are permitted. "))
-        .when(id % 6 === 4,
-          lit("This work is licensed under a Creative Commons Attribution 4.0 International License. "))
-        .otherwise(lit(""))
-      val lic = Signals.licenseFamily(concat(hdr, col("text")))
+      val lic = Signals.licenseFamily(concat(licenseHeader(id), col("text")))
       Tables.documents(s, d)
         .select(id, lic.as("license"),
           lic.isin(Signals.PermissiveFamilies: _*).as("permissive"))
@@ -109,14 +128,9 @@ object SignalQueries {
     // and score by symbol density + capped keyword hits.
     "q86_code_detect" -> { (s, d) =>
       val id = col("doc_id")
-      val code = when(id % 9 === 0, concat(
-        lit(" function f"), id.cast("string"),
-        lit("(x) { return x + "), (id % 7).cast("string"),
-        lit("; } import util.lib; let y = f("), id.cast("string"), lit(");")))
-        .otherwise(lit(""))
       Signals.codeSignals(
         Tables.documents(s, d)
-          .select(id, concat(col("text"), code).as("aug")),
+          .select(id, concat(col("text"), codeMarker(id)).as("aug")),
         "doc_id", "aug", threshold = 0.1)
         .orderBy("doc_id")
     },
@@ -209,6 +223,34 @@ object SignalQueries {
       Signals.pcaPowerProject(Tables.embeddings(s, d), "vec_id", "embedding",
           iters = 20)
         .orderBy("vec_id")
+    },
+
+    // Composed release gate (the q69/q6Y composition precedent): ONE
+    // row-local pass assembles license header + code marker + secret
+    // markers onto each doc, then decides — has_secret (three credential
+    // regexes), license family, code/prose route, releasable =
+    // no-secret AND not-GPL, with the first failing rule as the reason.
+    // The composition is where gate-boundary bugs hide (a secret inside
+    // an injected license header, keywords inside a credential blob);
+    // every marker definition is shared with the standalone gates.
+    "q8G_release_gate" -> { (s, d) =>
+      val id = col("doc_id")
+      val aug = concat(licenseHeader(id), col("text"),
+        codeMarker(id), secretMarkers(id))
+      val docs = Tables.documents(s, d).select(id, aug.as("aug"))
+      val t = col("aug")
+      val nSec = regexp_count(t, lit(Signals.AwsKeyRe)) +
+        regexp_count(t, lit(Signals.PasswordRe)) +
+        regexp_count(t, lit(Signals.HexTokenRe))
+      val lic = Signals.licenseFamily(t)
+      val hasSecret = (nSec > 0).as("has_secret")
+      docs.select(id, hasSecret, lic.as("license"),
+          when(Signals.codeScore(t) >= 0.1, "code").otherwise("prose")
+            .as("route"),
+          (nSec === 0 && lic =!= "GPL").as("releasable"),
+          when(nSec > 0, "secret").when(lic === "GPL", "license")
+            .otherwise("ok").as("reason"))
+        .orderBy("doc_id")
     },
 
     // Embedding outlier gate: dist²-to-mean vs 4× the covariance trace
@@ -440,6 +482,71 @@ object SignalQueries {
          |       cum_tokens, cum_vocab, heaps_beta, heaps_lnk
          |FROM pts CROSS JOIN fit
          |ORDER BY checkpoint""".stripMargin,
+
+    // Release-gate mirror: ONE aug CTE (header || text || code ||
+    // secrets, string-for-string the shared Scala markers), the same
+    // three credential regexes, license chain, guarded code score, and
+    // decision logic.
+    "q8G_release_gate" ->
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    CASE doc_id % 6
+         |      WHEN 0 THEN 'Permission is hereby granted, free of charge, to any person obtaining a copy of this software. '
+         |      WHEN 1 THEN 'Licensed under the Apache License, Version 2.0 (the License). '
+         |      WHEN 2 THEN 'This program is free software, released under the GNU General Public License. '
+         |      WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without modification, are permitted. '
+         |      WHEN 4 THEN 'This work is licensed under a Creative Commons Attribution 4.0 International License. '
+         |      ELSE '' END
+         |    || text
+         |    || CASE WHEN doc_id % 9 = 0
+         |         THEN ' function f' || CAST(doc_id AS VARCHAR)
+         |              || '(x) { return x + ' || CAST(doc_id % 7 AS VARCHAR)
+         |              || '; } import util.lib; let y = f('
+         |              || CAST(doc_id AS VARCHAR) || ');'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 11 = 0
+         |         THEN ' key AKIA' || upper(substr(md5(CAST(doc_id AS VARCHAR) || 'aws'), 1, 16))
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 13 = 0
+         |         THEN ' password: hunter' || CAST(doc_id AS VARCHAR)
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0
+         |         THEN ' token ' || md5(CAST(doc_id AS VARCHAR) || 'h1')
+         |              || substr(md5(CAST(doc_id AS VARCHAR) || 'h2'), 1, 16)
+         |         ELSE '' END AS t
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id,
+         |    (len(regexp_extract_all(t, '${Signals.AwsKeyRe}'))
+         |     + len(regexp_extract_all(t, '${Signals.PasswordRe}'))
+         |     + len(regexp_extract_all(t, '${Signals.HexTokenRe}'))) AS n_sec,
+         |    CASE WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN 'MIT'
+         |         WHEN contains(lower(t), 'licensed under the apache license, version 2.0') THEN 'Apache-2.0'
+         |         WHEN contains(lower(t), 'gnu general public license') THEN 'GPL'
+         |         WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN 'BSD'
+         |         WHEN contains(lower(t), 'creative commons attribution') THEN 'CC-BY'
+         |         ELSE 'none' END AS license,
+         |    CAST(len(regexp_extract_all(t, '${Signals.CodeKeywordRe}')) AS BIGINT) AS kw,
+         |    CAST(len(regexp_extract_all(t, '${Signals.CodeSymbolRe}')) AS BIGINT) AS sym,
+         |    CAST(length(t) AS BIGINT) AS n
+         |  FROM aug),
+         |sc AS (
+         |  SELECT doc_id, n_sec, license,
+         |    CASE WHEN n > 0 THEN
+         |      round(CAST(sym AS DOUBLE) / CAST(n AS DOUBLE) * 0.5
+         |        + CAST(least(kw, 10) AS DOUBLE) / 10.0 * 0.5, 6)
+         |    ELSE 0.0 END AS code_score
+         |  FROM sig)
+         |SELECT doc_id,
+         |  n_sec > 0 AS has_secret,
+         |  license,
+         |  CASE WHEN code_score >= 0.1 THEN 'code' ELSE 'prose' END AS route,
+         |  (n_sec = 0) AND license <> 'GPL' AS releasable,
+         |  CASE WHEN n_sec > 0 THEN 'secret'
+         |       WHEN license = 'GPL' THEN 'license'
+         |       ELSE 'ok' END AS reason
+         |FROM sc
+         |ORDER BY doc_id""".stripMargin,
 
     // Outlier mirror: same scaled input, same micro-unit moments (only
     // the diagonal), the same trace fixed point, the same projection.

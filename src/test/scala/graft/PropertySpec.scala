@@ -590,4 +590,94 @@ class PropertySpec extends GraftSpec {
       assert(same.getAs[Long]("d_num") == 0L, s"seed $seed: D(a,a) != 0")
     }
   }
+
+  test("secret scan on generated bodies agrees with an independent " +
+    "hand-rolled scanner (counts per class + redaction removes every find)") {
+    import graft.operators.Signals
+    // bodies mix prose, planted credentials (sometimes split/truncated so
+    // near-misses occur), and hex runs straddling the 40-char line
+    val prose = Gen.listOfN(6,
+      Gen.oneOf("the", "merge", "batch", "deploy", "key", "token", "password"))
+      .map(_.mkString(" "))
+    val awsKey = Gen.listOfN(16, Gen.oneOf(('A' to 'Z') ++ ('0' to '9')))
+      .map("AKIA" + _.mkString)
+    val nearAws = Gen.listOfN(15, Gen.oneOf(('A' to 'Z') ++ ('0' to '9')))
+      .map("AKIA" + _.mkString + " ") // 15 chars then boundary: no match
+    val hexRun = Gen.chooseNum(36, 44).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("0123456789abcdef".toSeq)).map(_.mkString))
+    val pwd = Gen.oneOf("Password: hunter2", "PASSWORD=s3cr3t!", "password :x",
+      "password = ", "a password, not an assignment")
+    val piece = Gen.oneOf(prose, awsKey, nearAws, hexRun, pwd)
+    val body = Gen.chooseNum(2, 8).flatMap(n =>
+      Gen.listOfN(n, piece).map(_.mkString(" ")))
+
+    // independent reference scanners (no java.util.regex for the classes
+    // the regexes encode — a character-level re-implementation)
+    def refAws(s: String): Int = {
+      var c = 0; var i = 0
+      while (i + 20 <= s.length) {
+        if (s.startsWith("AKIA", i) &&
+          (4 until 20).forall(k => s(i + k).isDigit || (s(i + k) >= 'A' && s(i + k) <= 'Z')))
+          { c += 1; i += 20 } // regex consumes the match; continue after it
+        else i += 1
+      }
+      c
+    }
+    def refHex(s: String): Int = {
+      var c = 0; var i = 0
+      def isHex(ch: Char) = ch.isDigit || (ch >= 'a' && ch <= 'f')
+      while (i < s.length) {
+        if (isHex(s(i))) {
+          var j = i
+          while (j < s.length && isHex(s(j))) j += 1
+          if (j - i >= 40) c += 1
+          i = j
+        } else i += 1
+      }
+      c
+    }
+    def refPwd(s: String): Int = {
+      val l = s.toLowerCase; var c = 0; var i = 0
+      while (i + 8 <= l.length) {
+        if (l.startsWith("password", i)) {
+          var j = i + 8
+          while (j < s.length && (s(j) == ' ' || s(j) == '\t')) j += 1
+          if (j < s.length && (s(j) == ':' || s(j) == '=')) {
+            var p = j + 1
+            while (p < s.length && (s(p) == ' ' || s(p) == '\t')) p += 1
+            var q = p
+            while (q < s.length && s(q) != ' ' && s(q) != '\t') q += 1
+            if (q > p) { c += 1; i = q } else i = j + 1
+          } else i = j
+        } else i += 1
+      }
+      c
+    }
+    val bodies = samples(body, 150, 31000L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val got = Signals.secretScan(bodies.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_aws_keys", "n_passwords", "n_hex_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+    got.foreach { case (id, aws, pw, hex) =>
+      val t = bodies(id.toInt)._2
+      assert(aws == refAws(t), s"doc $id aws: got $aws want ${refAws(t)} in <$t>")
+      assert(pw == refPwd(t), s"doc $id pwd: got $pw want ${refPwd(t)} in <$t>")
+      assert(hex == refHex(t), s"doc $id hex: got $hex want ${refHex(t)} in <$t>")
+    }
+    // redaction completeness: re-scanning the redacted text finds nothing
+    val redacted = Signals.secretScan(
+      bodies.toDF("doc_id", "text"), "doc_id", "text")
+      .join(bodies.toDF("doc_id", "text"), "doc_id")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.regexp_replace(
+          org.apache.spark.sql.functions.regexp_replace(
+            org.apache.spark.sql.functions.regexp_replace(col("text"),
+              Signals.AwsKeyRe, "<AWSKEY>"),
+            Signals.PasswordRe, "<PASSWORD>"),
+          Signals.HexTokenRe, "<HEXTOKEN>").as("text"))
+    val residue = Signals.secretScan(redacted, "doc_id", "text")
+      .filter(col("has_secret"))
+    assert(residue.count() == 0, "redacted text still scans positive")
+  }
 }

@@ -65,6 +65,22 @@ class SignalsSpec extends GraftSpec {
     assert(empty == ((0.0, false)), empty.toString)
   }
 
+  test("q8G release gate: decisions are internally consistent on the fixture") {
+    val out = SparkEntry.queries("q8G_release_gate")(spark, sfDir)
+      .select("has_secret", "license", "route", "releasable", "reason")
+      .as[(Boolean, String, String, Boolean, String)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (sec, lic, route, rel, reason) =>
+      assert(rel == (!sec && lic != "GPL"), s"releasable inconsistent: $lic $sec $rel")
+      val want = if (sec) "secret" else if (lic == "GPL") "license" else "ok"
+      assert(reason == want, s"reason $reason != $want")
+      assert(route == "code" || route == "prose")
+    }
+    // composition must exercise every reason and both routes
+    assert(out.map(_._5).toSet == Set("secret", "license", "ok"))
+    assert(out.map(_._3).toSet == Set("code", "prose"))
+  }
+
   test("moments operators reject an empty input with a clear error, not an NPE") {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     val e1 = intercept[IllegalArgumentException](
