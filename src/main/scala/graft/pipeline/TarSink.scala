@@ -1,0 +1,203 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WebDataset-style tar shard sink — the archive format multimodal
+  * training loaders stream (one tar per shard, one named entry per
+  * sample), complementing the q5N token-record shards with the
+  * self-describing container the image/text pairing tools expect.
+  *
+  * Format (per shard `shard_%05d.tar`): POSIX USTAR entries in
+  * `pos_in_shard` order — 512-byte header + UTF-8 payload padded with
+  * NULs to a 512 boundary — then the standard two 512-byte zero
+  * end-of-archive blocks. Every header field is PINNED (mode 0000644,
+  * uid/gid 0, mtime 0, empty uname/gname, NUL device fields, entry
+  * name = zero-padded 12-digit id + ".txt"; octal fields are
+  * digits + one trailing space — the historically-accepted form that
+  * keeps every field byte printable) so the same corpus + seed yields
+  * BYTE-IDENTICAL archives on any cluster or partitioning — the q5N
+  * determinism contract, applied to a public container spec any
+  * `tar -t` can list.
+  *
+  * Scale shape (same as [[ShardSink]]): docs route via
+  * `Scale.deterministicShards`, ONE repartition(shard) exchange,
+  * entries stream through an executor-side write (no collect, no
+  * per-group buffer; parallelism = shard count — thousands at 100 TB).
+  * The manifest's `content_md5` is the md5 of the LOWERCASE HEX of the
+  * archive bytes (the ShardSink idiom — hex is what a SQL oracle can
+  * rebuild arithmetically), and [[readTarManifests]] re-parses the
+  * REAL bytes (magic, version, recomputed checksum, sizes, padding,
+  * terminator) so manifest == re-read manifest proves the round-trip.
+  */
+object TarSink {
+
+  final case class TarManifest(shard: Int, n_entries: Long,
+                               byte_size: Long, content_md5: String)
+
+  private val Block = 512
+
+  /** Entry name for a doc id: fixed-width so header byte layout is
+    * closed-form on both engines.
+    */
+  def entryName(id: Long): String = f"$id%012d.txt"
+
+  // header octal ASCII fields: digits + ONE trailing space (no NUL
+  // byte in any literal — unwritten header bytes stay zero because the
+  // array is zero-initialized)
+  private val ModeField  = "0000644 "
+  private val ZeroField  = "0000000 "            // uid, gid
+  private val MtimeField = "00000000000 "
+  private val Magic      = "ustar"               // byte 262 stays NUL (POSIX)
+  private val Version    = "00"
+
+  /** Build one 512-byte USTAR header. */
+  private def header(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](Block) // zero-initialized
+    def put(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < s.length) { h(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    put(0, name)
+    put(100, ModeField)
+    put(108, ZeroField)
+    put(116, ZeroField)
+    put(124, f"$size%011o" + " ")
+    put(136, MtimeField)
+    // chksum field counts as 8 spaces while summing
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+    h(156) = '0'.toByte // typeflag: regular file
+    put(257, Magic)
+    put(263, Version)
+    var sum = 0
+    var i   = 0
+    while (i < Block) { sum += h(i) & 0xff; i += 1 }
+    put(148, f"$sum%06o" + "  ")
+    h
+  }
+
+  /** Pack `docs` into `nShards` tar files under `outDir` and return
+    * the manifest (executor-side write; overwrite-safe because bytes
+    * are deterministic). Run an action (`localCheckpoint()`) before
+    * reading the files back.
+    */
+  def writeTarShards(docs: DataFrame, idCol: String, textCol: String,
+                     nShards: Int, seed: Int,
+                     outDir: String): Dataset[TarManifest] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = graft.operators.Scale
+      .deterministicShards(
+        docs.select(col(idCol).cast("long").as("id"),
+          coalesce(col(textCol), lit("")).as("t")),
+        "id", nShards, seed)
+      .select(col("shard"), col("pos_in_shard"), col("id"), col("t"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos_in_shard")
+    sharded.mapPartitions { rows =>
+      val out  = scala.collection.mutable.ArrayBuffer.empty[TarManifest]
+      val hexD = "0123456789abcdef"
+      var cur      = -1
+      var stream: java.io.OutputStream = null
+      var digest: java.security.MessageDigest = null
+      var nEntries = 0L
+      var nBytes   = 0L
+      def writeAll(bytes: Array[Byte]): Unit = {
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          digest.update(hexD.charAt(b >> 4).toByte)
+          digest.update(hexD.charAt(b & 0xf).toByte)
+          i += 1
+        }
+        stream.write(bytes)
+        nBytes += bytes.length
+      }
+      def close(): Unit = if (cur >= 0) {
+        writeAll(new Array[Byte](2 * Block)) // end-of-archive blocks
+        stream.close()
+        out += TarManifest(cur, nEntries, nBytes,
+          digest.digest().map(b => f"$b%02x").mkString)
+      }
+      def open(shard: Int): Unit = {
+        close()
+        cur = shard; nEntries = 0L; nBytes = 0L
+        digest = java.security.MessageDigest.getInstance("MD5")
+        stream = java.nio.file.Files.newOutputStream(
+          java.nio.file.Paths.get(outDir, f"shard_$shard%05d.tar"))
+      }
+      for (r <- rows) {
+        val shard = r.getInt(0)
+        if (shard != cur) open(shard)
+        val data = r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        writeAll(header(entryName(r.getLong(2)), data.length.toLong))
+        writeAll(data)
+        val pad = (Block - data.length % Block) % Block
+        if (pad > 0) writeAll(new Array[Byte](pad))
+        nEntries += 1
+      }
+      close()
+      out.iterator
+    }
+  }
+
+  /** Re-read `outDir`'s tar files and rebuild the manifest from the
+    * REAL bytes: walk the archive validating every header (magic,
+    * version, recomputed checksum), the entry-name shape, data
+    * padding, and the two-zero-block terminator; hex-digest the
+    * content the same way [[writeTarShards]] did.
+    */
+  def readTarManifests(spark: SparkSession, outDir: String): Dataset[TarManifest] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(outDir + "/shard_*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val shard = "shard_(\\d+)\\.tar$".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"unrecognized tar shard: $path"))
+        require(bytes.length % Block == 0 && bytes.length >= 2 * Block,
+          s"$path: not block-aligned (${bytes.length} bytes)")
+        var off = 0
+        var nEntries = 0L
+        def str(o: Int, n: Int): String = {
+          val end = (o until o + n).find(bytes(_) == 0).getOrElse(o + n)
+          new String(bytes, o, end - o, java.nio.charset.StandardCharsets.US_ASCII)
+        }
+        while (off + Block <= bytes.length &&
+            !(off until off + Block).forall(bytes(_) == 0)) {
+          require(str(off + 257, 6) == Magic, s"$path@$off: bad magic")
+          require(str(off + 263, 2) == Version, s"$path@$off: bad version")
+          var sum = 0
+          var i   = 0
+          while (i < Block) {
+            sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xff)
+            i += 1
+          }
+          require(java.lang.Long.parseLong(str(off + 148, 8).trim, 8) == sum,
+            s"$path@$off: checksum mismatch")
+          require(str(off, 100).matches("\\d{12}\\.txt"),
+            s"$path@$off: unexpected entry name '${str(off, 100)}'")
+          val size = java.lang.Long.parseLong(str(off + 124, 12).trim, 8)
+          val pad  = ((Block - size % Block) % Block).toInt
+          require(off + Block + size + pad <= bytes.length,
+            s"$path@$off: torn entry (size $size)")
+          require((off + Block + size.toInt until off + Block + size.toInt + pad)
+            .forall(bytes(_) == 0), s"$path@$off: nonzero padding")
+          off += Block + size.toInt + pad
+          nEntries += 1
+        }
+        require(off + 2 * Block <= bytes.length &&
+          (off until bytes.length).forall(bytes(_) == 0),
+          s"$path: missing end-of-archive zero blocks")
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        val hexD   = "0123456789abcdef"
+        bytes.foreach { b =>
+          digest.update(hexD.charAt((b & 0xff) >> 4).toByte)
+          digest.update(hexD.charAt(b & 0xf).toByte)
+        }
+        TarManifest(shard, nEntries, bytes.length.toLong,
+          digest.digest().map(b => f"$b%02x").mkString)
+      }
+  }
+}

@@ -269,6 +269,32 @@ object SignalQueries {
         .orderBy("vec_id")
     },
 
+    // WebDataset-style tar shard sink end-to-end (the q5N contract on
+    // a PUBLIC container format): docs route to 8 shards
+    // deterministically and pack to real USTAR archives under a
+    // scratch dir; the query re-reads the REAL bytes (validating
+    // magic/version/checksum/padding/terminator per entry), rebuilds
+    // the manifest, and emits manifest + roundtrip flag. The oracle
+    // rebuilds every header byte arithmetically — octal size field,
+    // header checksum, block padding — and md5s the same hex stream.
+    "q8H_tar_shards" -> { (s, d) =>
+      import graft.pipeline.TarSink
+      val dir = graft.util.TempDirs.scratch("graft-tar-")
+      val written = TarSink.writeTarShards(Tables.documents(s, d),
+          "doc_id", "text", nShards = 8, seed = 13, outDir = dir)
+        .toDF().localCheckpoint() // EXECUTES the pack before the re-read
+      val reread = TarSink.readTarManifests(s, dir).toDF()
+        .select(col("shard"), col("n_entries").as("r_entries"),
+          col("byte_size").as("r_bytes"), col("content_md5").as("r_md5"))
+      written.join(reread, Seq("shard"), "full")
+        .select(col("shard"), col("n_entries"), col("byte_size"),
+          col("content_md5"),
+          (col("n_entries") === col("r_entries") &&
+            col("byte_size") === col("r_bytes") &&
+            col("content_md5") === col("r_md5")).as("roundtrip"))
+        .orderBy("shard")
+    },
+
     // Calibration of the max-normalized length score against lang='en'
     // over 10 fixed bins: reliability table + per-bin Brier (q83's AUC
     // asks "does length rank English"; this asks "is the score honest
@@ -547,6 +573,69 @@ object SignalQueries {
          |       ELSE 'ok' END AS reason
          |FROM sc
          |ORDER BY doc_id""".stripMargin,
+
+    // Tar-sink mirror: route + rank exactly as the Spark side, then
+    // rebuild every USTAR byte as lowercase hex — the 16-char entry
+    // name, the pinned octal fields, the %011o size, the header
+    // checksum (2669 = the pinned fields' byte sum incl. the size
+    // field's trailing space; chksum counts as 8 spaces), 512-block
+    // data padding, two zero terminator blocks — string_agg in pos
+    // order, md5. Roundtrip pinned true (the Spark side proved it
+    // against the real files; an oracle can only replay the bytes).
+    "q8H_tar_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS tx,
+        |    md5(CAST(doc_id AS VARCHAR) || ':13') AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, tx,
+        |    CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER)
+        |      ORDER BY k, doc_id) AS pos
+        |  FROM t),
+        |e AS (
+        |  SELECT shard, pos,
+        |    printf('%012d', doc_id) || '.txt' AS name,
+        |    CAST(octet_length(encode(tx)) AS BIGINT) AS sz,
+        |    lower(hex(encode(tx))) AS datahex
+        |  FROM sh),
+        |f AS (
+        |  SELECT shard, pos, name, sz, datahex,
+        |    printf('%011o', sz) AS oct,
+        |    CAST((512 - sz % 512) % 512 AS BIGINT) AS pad
+        |  FROM e),
+        |g AS (
+        |  SELECT shard, pos, sz, pad, name, oct, datahex,
+        |    printf('%06o', CAST(
+        |      2669
+        |      + list_sum([ascii(substr(name, i, 1)) for i in range(1, 17)])
+        |      + list_sum([ascii(substr(oct, i, 1)) for i in range(1, 12)])
+        |      AS BIGINT)) AS chkoct
+        |  FROM f),
+        |hx AS (
+        |  SELECT shard, pos, sz, pad,
+        |    lower(hex(encode(name))) || repeat('00', 84)
+        |    || lower(hex(encode('0000644 ')))
+        |    || lower(hex(encode('0000000 '))) || lower(hex(encode('0000000 ')))
+        |    || lower(hex(encode(oct || ' ')))
+        |    || lower(hex(encode('00000000000 ')))
+        |    || lower(hex(encode(chkoct))) || '2020'
+        |    || '30'
+        |    || repeat('00', 100)
+        |    || lower(hex(encode('ustar'))) || '00' || lower(hex(encode('00')))
+        |    || repeat('00', 247)
+        |    || datahex || repeat('00', CAST(pad AS INTEGER)) AS entryhex
+        |  FROM g)
+        |SELECT shard,
+        |  CAST(count(*) AS BIGINT) AS n_entries,
+        |  CAST(sum(512 + sz + pad) + 1024 AS BIGINT) AS byte_size,
+        |  md5(string_agg(entryhex, '' ORDER BY pos) || repeat('00', 1024))
+        |    AS content_md5,
+        |  true AS roundtrip
+        |FROM hx
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
 
     // Outlier mirror: same scaled input, same micro-unit moments (only
     // the diagonal), the same trace fixed point, the same projection.

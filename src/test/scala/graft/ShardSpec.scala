@@ -48,4 +48,61 @@ class ShardSpec extends GraftSpec {
     assert(err.getMessage.contains("torn record") ||
       Option(err.getCause).exists(_.getMessage.contains("torn record")))
   }
+
+  test("tar sink: byte-identical re-runs, reader roundtrip, system tar can list it") {
+    import graft.pipeline.TarSink
+    val d1 = graft.util.TempDirs.scratch("tar-spec-a-")
+    val d2 = graft.util.TempDirs.scratch("tar-spec-b-")
+    val m1 = TarSink.writeTarShards(docs, "doc_id", "text", 2, seed = 9, d1)
+      .collect().sortBy(_.shard)
+    val m2 = TarSink.writeTarShards(docs, "doc_id", "text", 2, seed = 9, d2)
+      .collect().sortBy(_.shard)
+    assert(m1.toSeq == m2.toSeq, "same corpus + seed must manifest identically")
+    assert(m1.map(_.n_entries).sum == 6L)
+    m1.foreach { m =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d1, f"shard_${m.shard}%05d.tar"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d2, f"shard_${m.shard}%05d.tar"))
+      assert(a.toSeq == b.toSeq, s"tar shard ${m.shard} bytes differ")
+      assert(a.length.toLong == m.byte_size)
+      assert(a.length % 512 == 0)
+    }
+    val reread = TarSink.readTarManifests(spark, d1).collect().sortBy(_.shard)
+    assert(reread.toSeq == m1.toSeq)
+    // INTEROP: the system tar must list every entry (the format claim is
+    // the public spec, not just our own reader)
+    val sh = m1.head.shard
+    val proc = new ProcessBuilder("tar", "-tf",
+      java.nio.file.Paths.get(d1, f"shard_$sh%05d.tar").toString)
+      .redirectErrorStream(true).start()
+    val listed = scala.io.Source.fromInputStream(proc.getInputStream)
+      .getLines().toList
+    assert(proc.waitFor() == 0, s"system tar failed: ${listed.mkString("; ")}")
+    assert(listed.size.toLong == m1.head.n_entries, listed.toString)
+    assert(listed.forall(_.matches("\\d{12}\\.txt")), listed.toString)
+  }
+
+  test("tar reader rejects a corrupted header checksum and a missing terminator") {
+    import graft.pipeline.TarSink
+    val d = graft.util.TempDirs.scratch("tar-spec-bad-")
+    TarSink.writeTarShards(docs, "doc_id", "text", 1, seed = 9, d).collect()
+    val f = java.nio.file.Paths.get(d, "shard_00000.tar")
+    val orig = java.nio.file.Files.readAllBytes(f)
+    // flip a name byte without fixing the checksum
+    val bad = orig.clone(); bad(0) = (bad(0) ^ 1).toByte
+    java.nio.file.Files.write(f, bad)
+    val err = intercept[org.apache.spark.SparkException](
+      TarSink.readTarManifests(spark, d).collect())
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("checksum mismatch") || msg.contains("entry name"), msg)
+    // truncate the terminator blocks
+    java.nio.file.Files.write(f, orig.dropRight(1024))
+    val err2 = intercept[org.apache.spark.SparkException](
+      TarSink.readTarManifests(spark, d).collect())
+    val msg2 = err2.getMessage +
+      Option(err2.getCause).map(_.getMessage).getOrElse("")
+    assert(msg2.contains("end-of-archive"), msg2)
+  }
 }
