@@ -101,31 +101,35 @@ object Signals {
   /** Code punctuation: braces, brackets, parens, semicolons, operators. */
   val CodeSymbolRe: String = "[{}()\\[\\];=<>]"
 
-  /** Code-vs-prose routing score in [0, 1]: half from symbol density,
-    * half from (capped) keyword hits. Closed form over two exact integer
-    * counts and the char length, rounded at 6 dp.
-    */
+  // the three raw code signals — ONE definition feeding both the bare
+  // score and the per-signal columns, so they cannot drift
+  private def codeParts(t: Column): (Column, Column, Column) = (
+    regexp_count(t, lit(CodeKeywordRe)).cast("long"),
+    regexp_count(t, lit(CodeSymbolRe)).cast("long"),
+    length(t).cast("long"))
+
   /** The [0, 1] code score as a bare Column (shared by [[codeSignals]]
-    * and the composed release gate). Empty text scores 0.0 (Spark's
-    * Divide would emit NULL and DuckDB NaN — a router must always
-    * decide).
+    * and the composed release gate): half from symbol density, half
+    * from (capped) keyword hits, closed form over two exact integer
+    * counts and the char length, rounded at 6 dp. Empty text scores
+    * 0.0 (Spark's Divide would emit NULL and DuckDB NaN — a router
+    * must always decide).
     */
   def codeScore(t: Column): Column = {
-    val kw  = regexp_count(t, lit(CodeKeywordRe)).cast("long")
-    val sym = regexp_count(t, lit(CodeSymbolRe)).cast("long")
-    val n   = length(t).cast("long")
+    val (kw, sym, n) = codeParts(t)
     when(n > 0, round(
       sym.cast("double") / n.cast("double") * 0.5 +
         least(kw, lit(10L)).cast("double") / 10.0 * 0.5, 6))
       .otherwise(0.0)
   }
 
+  /** Code-vs-prose routing table: the raw signals, the score, and the
+    * threshold decision per row.
+    */
   def codeSignals(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.1): DataFrame = {
     val t = col(textCol)
-    val kw  = regexp_count(t, lit(CodeKeywordRe)).cast("long")
-    val sym = regexp_count(t, lit(CodeSymbolRe)).cast("long")
-    val n   = length(t).cast("long")
+    val (kw, sym, n) = codeParts(t)
     val score = codeScore(t)
     df.select(col(idCol),
       kw.as("kw_hits"), sym.as("sym_count"), n.as("n_chars_aug"),

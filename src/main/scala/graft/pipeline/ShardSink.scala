@@ -75,41 +75,26 @@ object ShardSink {
     sharded.mapPartitions { rows =>
       // rows arrive grouped by shard (partitioned by shard, sorted by
       // (shard, pos)); stream each shard's records to its file and its
-      // hex through one md5 — manifest state is <= shards-per-task rows
-      val out  = scala.collection.mutable.ArrayBuffer.empty[ShardManifest]
-      val hexD = "0123456789abcdef"
-      var cur          = -1
-      var stream: java.io.OutputStream = null
-      var digest: java.security.MessageDigest = null
+      // hex through one md5 ([[SinkIo.HexDigestWriter]]) — manifest
+      // state is <= shards-per-task rows
+      val out = scala.collection.mutable.ArrayBuffer.empty[ShardManifest]
+      val w   = new SinkIo.HexDigestWriter(outDir, s => f"shard_$s%05d.bin")
       var nDocs   = 0L
       var nTokens = 0L
-      var nBytes  = 0L
-      def close(): Unit = if (cur >= 0) {
-        stream.close()
-        out += ShardManifest(cur, nDocs, nTokens, nBytes,
-          digest.digest().map(b => f"$b%02x").mkString)
-      }
-      def open(shard: Int): Unit = {
-        close()
-        cur = shard; nDocs = 0L; nTokens = 0L; nBytes = 0L
-        digest = java.security.MessageDigest.getInstance("MD5")
-        stream = java.nio.file.Files.newOutputStream(
-          java.nio.file.Paths.get(outDir, f"shard_$shard%05d.bin"))
+      def close(): Unit = w.close().foreach { case (shard, bytes, md5hex) =>
+        out += ShardManifest(shard, nDocs, nTokens, bytes, md5hex)
       }
       def writeLe(v: Int): Unit = {
         var i = 0
-        while (i < 4) {
-          val b = (v >> (8 * i)) & 0xff
-          stream.write(b)
-          digest.update(hexD.charAt(b >> 4).toByte)
-          digest.update(hexD.charAt(b & 0xf).toByte)
-          i += 1
-        }
-        nBytes += 4
+        while (i < 4) { w.writeByte(v >> (8 * i)); i += 1 }
       }
       for (r <- rows) {
         val shard = r.getInt(0)
-        if (shard != cur) open(shard)
+        if (!w.isOpen || shard != w.current) {
+          close()
+          nDocs = 0L; nTokens = 0L
+          w.open(shard)
+        }
         val toks = r.getSeq[Int](2)
         writeLe(toks.length)
         toks.foreach(writeLe)
@@ -147,14 +132,8 @@ object ShardSink {
             s"torn record at $off in $path")
           nDocs += 1; nTokens += n; off += 4 + 4 * n
         }
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        val hexD   = "0123456789abcdef"
-        bytes.foreach { b =>
-          digest.update(hexD.charAt((b & 0xff) >> 4).toByte)
-          digest.update(hexD.charAt(b & 0xf).toByte)
-        }
         ShardManifest(shard, nDocs, nTokens, bytes.length.toLong,
-          digest.digest().map(b => f"$b%02x").mkString)
+          SinkIo.hexMd5(bytes))
       }
   }
 }

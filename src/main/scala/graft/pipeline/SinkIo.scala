@@ -1,0 +1,79 @@
+package graft.pipeline
+
+/** Shared executor-side machinery for the deterministic shard sinks
+  * ([[ShardSink]], [[TarSink]]): one open file per in-flight shard, every
+  * written byte fed to an md5 over its LOWERCASE HEX (the SQL-replayable
+  * digest idiom), byte count tracked. One definition so a digest or
+  * stream-handling fix can never drift between the sinks.
+  */
+private[pipeline] object SinkIo {
+
+  private val HexDigits = "0123456789abcdef"
+
+  /** md5 of the lowercase-hex encoding of `bytes` — the digest both
+    * sinks' manifests and re-readers use.
+    */
+  def hexMd5(bytes: Array[Byte]): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    bytes.foreach { b =>
+      digest.update(HexDigits.charAt((b & 0xff) >> 4).toByte)
+      digest.update(HexDigits.charAt(b & 0xf).toByte)
+    }
+    digest.digest().map(b => f"$b%02x").mkString
+  }
+
+  /** Streaming writer for one task's run of shards. `fileName` maps a
+    * shard id to its file name under `outDir`. Not thread-safe (one per
+    * task).
+    */
+  final class HexDigestWriter(outDir: String, fileName: Int => String) {
+    private var cur                                  = -1
+    private var stream: java.io.OutputStream         = null
+    private var digest: java.security.MessageDigest  = null
+    private var bytes                                = 0L
+
+    def isOpen: Boolean = cur >= 0
+    def current: Int    = cur
+    def byteCount: Long = bytes
+
+    /** Close the in-flight shard (if any) and return (shard, byte count,
+      * hex-md5).
+      */
+    def close(): Option[(Int, Long, String)] =
+      if (cur < 0) None
+      else {
+        stream.close()
+        val out = (cur, bytes, digest.digest().map(b => f"$b%02x").mkString)
+        cur = -1; stream = null; digest = null; bytes = 0L
+        Some(out)
+      }
+
+    def open(shard: Int): Unit = {
+      require(cur < 0, s"shard $cur still open")
+      cur = shard; bytes = 0L
+      digest = java.security.MessageDigest.getInstance("MD5")
+      stream = java.nio.file.Files.newOutputStream(
+        java.nio.file.Paths.get(outDir, fileName(shard)))
+    }
+
+    def writeByte(b: Int): Unit = {
+      val v = b & 0xff
+      digest.update(HexDigits.charAt(v >> 4).toByte)
+      digest.update(HexDigits.charAt(v & 0xf).toByte)
+      stream.write(v)
+      bytes += 1L
+    }
+
+    def write(data: Array[Byte]): Unit = {
+      var i = 0
+      while (i < data.length) {
+        val v = data(i) & 0xff
+        digest.update(HexDigits.charAt(v >> 4).toByte)
+        digest.update(HexDigits.charAt(v & 0xf).toByte)
+        i += 1
+      }
+      stream.write(data)
+      bytes += data.length
+    }
+  }
+}

@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
   * `Scale.deterministicShards`, ONE repartition(shard) exchange,
   * entries stream through an executor-side write (no collect, no
   * per-group buffer; parallelism = shard count — thousands at 100 TB).
+  * Files go through `java.nio` (the local-FS scope of this harness,
+  * like ShardSink); a cluster deployment swaps in the Hadoop
+  * FileSystem client with the same stream-and-digest loop.
   * The manifest's `content_md5` is the md5 of the LOWERCASE HEX of the
   * archive bytes (the ShardSink idiom — hex is what a SQL oracle can
   * rebuild arithmetically), and [[readTarManifests]] re-parses the
@@ -95,45 +98,32 @@ object TarSink {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "pos_in_shard")
     sharded.mapPartitions { rows =>
-      val out  = scala.collection.mutable.ArrayBuffer.empty[TarManifest]
-      val hexD = "0123456789abcdef"
-      var cur      = -1
-      var stream: java.io.OutputStream = null
-      var digest: java.security.MessageDigest = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[TarManifest]
+      val w   = new SinkIo.HexDigestWriter(outDir, s => f"shard_$s%05d.tar")
       var nEntries = 0L
-      var nBytes   = 0L
-      def writeAll(bytes: Array[Byte]): Unit = {
-        var i = 0
-        while (i < bytes.length) {
-          val b = bytes(i) & 0xff
-          digest.update(hexD.charAt(b >> 4).toByte)
-          digest.update(hexD.charAt(b & 0xf).toByte)
-          i += 1
+      def close(): Unit = if (w.isOpen) {
+        w.write(new Array[Byte](2 * Block)) // end-of-archive blocks
+        w.close().foreach { case (shard, bytes, md5hex) =>
+          out += TarManifest(shard, nEntries, bytes, md5hex)
         }
-        stream.write(bytes)
-        nBytes += bytes.length
-      }
-      def close(): Unit = if (cur >= 0) {
-        writeAll(new Array[Byte](2 * Block)) // end-of-archive blocks
-        stream.close()
-        out += TarManifest(cur, nEntries, nBytes,
-          digest.digest().map(b => f"$b%02x").mkString)
-      }
-      def open(shard: Int): Unit = {
-        close()
-        cur = shard; nEntries = 0L; nBytes = 0L
-        digest = java.security.MessageDigest.getInstance("MD5")
-        stream = java.nio.file.Files.newOutputStream(
-          java.nio.file.Paths.get(outDir, f"shard_$shard%05d.tar"))
       }
       for (r <- rows) {
         val shard = r.getInt(0)
-        if (shard != cur) open(shard)
+        if (!w.isOpen || shard != w.current) {
+          close()
+          nEntries = 0L
+          w.open(shard)
+        }
+        val id = r.getLong(2)
+        // the name field, the reader's \d{12} contract, and the oracle's
+        // fixed-width checksum all assume 12 decimal digits
+        require(id >= 0L && id < 1000000000000L,
+          s"tar entry id $id outside the 12-digit name contract [0, 10^12)")
         val data = r.getString(3).getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        writeAll(header(entryName(r.getLong(2)), data.length.toLong))
-        writeAll(data)
+        w.write(header(entryName(id), data.length.toLong))
+        w.write(data)
         val pad = (Block - data.length % Block) % Block
-        if (pad > 0) writeAll(new Array[Byte](pad))
+        if (pad > 0) w.write(new Array[Byte](pad))
         nEntries += 1
       }
       close()
@@ -190,14 +180,8 @@ object TarSink {
         require(off + 2 * Block <= bytes.length &&
           (off until bytes.length).forall(bytes(_) == 0),
           s"$path: missing end-of-archive zero blocks")
-        val digest = java.security.MessageDigest.getInstance("MD5")
-        val hexD   = "0123456789abcdef"
-        bytes.foreach { b =>
-          digest.update(hexD.charAt((b & 0xff) >> 4).toByte)
-          digest.update(hexD.charAt(b & 0xf).toByte)
-        }
         TarManifest(shard, nEntries, bytes.length.toLong,
-          digest.digest().map(b => f"$b%02x").mkString)
+          SinkIo.hexMd5(bytes))
       }
   }
 }

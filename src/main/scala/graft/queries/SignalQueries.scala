@@ -235,7 +235,10 @@ object SignalQueries {
     // every marker definition is shared with the standalone gates.
     "q8G_release_gate" -> { (s, d) =>
       val id = col("doc_id")
-      val aug = concat(licenseHeader(id), col("text"),
+      // coalesce like q8H: a NULL text must still gate (NULL regexp
+      // counts would make has_secret/releasable NULL while the reason
+      // chain falls through to 'ok' — an inconsistent decision)
+      val aug = concat(licenseHeader(id), coalesce(col("text"), lit("")),
         codeMarker(id), secretMarkers(id))
       val docs = Tables.documents(s, d).select(id, aug.as("aug"))
       val t = col("aug")
@@ -523,7 +526,7 @@ object SignalQueries {
          |      WHEN 3 THEN 'Redistribution and use in source and binary forms, with or without modification, are permitted. '
          |      WHEN 4 THEN 'This work is licensed under a Creative Commons Attribution 4.0 International License. '
          |      ELSE '' END
-         |    || text
+         |    || coalesce(text, '')
          |    || CASE WHEN doc_id % 9 = 0
          |         THEN ' function f' || CAST(doc_id AS VARCHAR)
          |              || '(x) { return x + ' || CAST(doc_id % 7 AS VARCHAR)

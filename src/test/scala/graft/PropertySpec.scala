@@ -666,13 +666,11 @@ class PropertySpec extends GraftSpec {
       assert(hex == refHex(t), s"doc $id hex: got $hex want ${refHex(t)} in <$t>")
     }
     // redaction completeness: re-scanning the redacted text finds nothing
-    val redacted = Signals.secretScan(
-      bodies.toDF("doc_id", "text"), "doc_id", "text")
-      .join(bodies.toDF("doc_id", "text"), "doc_id")
+    val redacted = bodies.toDF("doc_id", "text")
       .select(col("doc_id"),
-        org.apache.spark.sql.functions.regexp_replace(
-          org.apache.spark.sql.functions.regexp_replace(
-            org.apache.spark.sql.functions.regexp_replace(col("text"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"),
               Signals.AwsKeyRe, "<AWSKEY>"),
             Signals.PasswordRe, "<PASSWORD>"),
           Signals.HexTokenRe, "<HEXTOKEN>").as("text"))

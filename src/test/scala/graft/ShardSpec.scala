@@ -83,6 +83,17 @@ class ShardSpec extends GraftSpec {
     assert(listed.forall(_.matches("\\d{12}\\.txt")), listed.toString)
   }
 
+  test("tar writer rejects ids outside the 12-digit name contract") {
+    import graft.pipeline.TarSink
+    val d = graft.util.TempDirs.scratch("tar-spec-id-")
+    val bad = Seq((1000000000000L, "x"), (1L, "y")).toDF("doc_id", "text")
+    val err = intercept[org.apache.spark.SparkException](
+      TarSink.writeTarShards(bad, "doc_id", "text", 1, seed = 9, d).collect())
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("12-digit name contract"), msg)
+  }
+
   test("tar reader rejects a corrupted header checksum and a missing terminator") {
     import graft.pipeline.TarSink
     val d = graft.util.TempDirs.scratch("tar-spec-bad-")
