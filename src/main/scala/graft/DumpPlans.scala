@@ -86,7 +86,8 @@ object DumpPlans {
       ("q6Y_crawl_frontier", "crawl frontier end-to-end (round-12): sitemap scan UNION parquet scan -> row-local canonicalize -> the frontier's ONLY corpus-side keyed exchanges are the exact dedup's and the domain-cap window's (both linear in the frontier); the Bloom seen-filter is a codegen'd probe against an 8 KB plan-literal bitmap (zero shuffle, rows drop BEFORE the robots join), the robots parse is a host-distinct exchange bounded by HOST count feeding one BroadcastHashJoin. The domain-cap window keys on a data-derived domain (cardinality scales with hosts -- not the bounded-spec shape the window audit bans)", CurationQueries.queries("q6Y_crawl_frontier")),
       ("q8A_zipf", "Zipf rank-frequency fit: term counts partial-aggregate (shuffle carries vocab, not tokens), the rank row_number window runs ABOVE a GlobalLimit(topN) -- bounded input, the single-partition window never sees the corpus (the shape the window audit requires); regression sums are micro-unit long aggregates, the totals row broadcasts into the 1-row result", SignalQueries.queries("q8A_zipf")),
       ("q8C_pca_project", "PCA projection: the printed plan is ONLY the final row-local literal-array fold (scan -> project -> sort, zero shuffle) -- the moments pass ran at build time as ONE GramAgg ObjectHashAggregate (fixed long[1+d+d^2] buffer, map-side combined, shuffle carries d^2 not rows) feeding a d^2-bounded driver collect; the eigenvector arrives as a plan literal", SignalQueries.queries("q8C_pca_project")),
-      ("q8D_heavy_hitters", "exact heavy hitters, two-pass: the MG candidate MapPartitions keeps <= k-1 counters per task and emits keys only; the candidate set BROADCASTS as a left_semi filter BEFORE the exact count aggregate, so the keyed shuffle carries <= (k-1)*partitions terms -- the full-vocabulary groupBy this replaces is the thing that cannot run at web scale", SignalQueries.queries("q8D_heavy_hitters"))
+      ("q8D_heavy_hitters", "exact heavy hitters, two-pass: the MG candidate MapPartitions keeps <= k-1 counters per task and emits keys only; the candidate set BROADCASTS as a left_semi filter BEFORE the exact count aggregate, so the keyed shuffle carries <= (k-1)*partitions terms -- the full-vocabulary groupBy this replaces is the thing that cannot run at web scale", SignalQueries.queries("q8D_heavy_hitters")),
+      ("q8I_jsonl_shards", "gzipped-JSONL shard sink: the JSON line is a plan-side codegen'd projection (replayable escape chain), salted route + ONE repartition(shard) exchange, executor-side stream-through-gzip write inside mapPartitions; the re-read and Spark's own JSON parse join the 8-row manifests -- no collect, no per-group buffer, digest over the uncompressed payload", SignalQueries.queries("q8I_jsonl_shards"))
     )
     val out = new PrintWriter("/root/repo/PLANS.md")
     out.println("# PLANS - formatted physical plans of headline queries")

@@ -1,0 +1,153 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gzipped-JSONL shard sink — the interchange format LLM corpora
+  * actually ship in (Common Crawl derivatives, The Pile, RedPajama,
+  * Dolma all publish `*.jsonl.gz`), completing the sink family next to
+  * [[ShardSink]] (the mmap-able token pack) and [[TarSink]] (the
+  * WebDataset container): one `shard_%05d.jsonl.gz` per shard, one
+  * JSON object per line.
+  *
+  * Same determinism contract as q5N/q8H: docs route by the salted-md5
+  * `Scale.deterministicShards` order and write in `pos_in_shard`
+  * order, so the same corpus + seed yields byte-identical shards on
+  * any cluster or partitioning — re-runs of a 100 TB export are
+  * diffable by content hash. ONE repartition(shard) exchange,
+  * executor-side streaming write through [[SinkIo.HexDigestWriter]]
+  * (no collect, no per-group buffer; parallelism = shard count).
+  * Files go through `java.nio` (the local-FS scope of this harness);
+  * a cluster deployment swaps in the Hadoop FileSystem client.
+  *
+  * The JSON line assembles as a PLAN-SIDE column ([[jsonLine]]) so the
+  * SQL oracle replays the exact bytes; gzip happens below the digest —
+  * `content_md5` is the md5 of the LOWERCASE HEX of the UNCOMPRESSED
+  * shard payload (deflate output is not SQL-replayable; the content
+  * is), and [[readJsonlManifests]] gunzips the real files and
+  * re-digests the same way, so manifest == re-read manifest proves the
+  * payload round-tripped exactly. Interop with the PUBLIC format is
+  * proven separately (q8I): Spark's own JSON reader — an independent
+  * parser — reads the written files back and the text column must
+  * byte-equal the source.
+  *
+  * ESCAPING SCOPE: backslash, quote, and the \n \r \t controls — the
+  * classes real text corpora carry. Other control characters
+  * (U+0000–U+001F minus \n\r\t) would need \u00XX escapes the
+  * replayable-replace chain can't express, so the writer REJECTS them
+  * in-plan via raise_error — a loud scope failure, never silently
+  * invalid JSON.
+  */
+object JsonlSink {
+
+  final case class JsonlManifest(shard: Int, n_docs: Long,
+                                 byte_size: Long, content_md5: String)
+
+  /** JSON string-escape of `c` in the replayable subset: `\` `"`
+    * `\n` `\r` `\t` (backslash FIRST — later replacements introduce
+    * backslashes that must not re-escape). Remaining control chars
+    * raise in-plan.
+    */
+  def jsonEscape(c: Column): Column = {
+    val guarded = when(
+      c.rlike("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"),
+      raise_error(concat(lit("jsonEscape: control character outside " +
+        "the \\n\\r\\t scope in: "), substring(c, 1, 80))))
+      .otherwise(c)
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(guarded, lit("\\"), lit("\\\\")),
+            lit("\""), lit("\\\"")),
+          lit("\n"), lit("\\n")),
+        lit("\r"), lit("\\r")),
+      lit("\t"), lit("\\t"))
+  }
+
+  /** The full JSON line (no trailing newline): `{"doc_id":<id>,"text":
+    * "<escaped>"}`. NULL text serializes as empty (the q8G/q8H
+    * coalesce rule: a corpus row must never vanish from its shard).
+    */
+  def jsonLine(idCol: String, textCol: String): Column =
+    concat(lit("{\"doc_id\":"), col(idCol).cast("string"),
+      lit(",\"text\":\""), jsonEscape(coalesce(col(textCol), lit(""))),
+      lit("\"}"))
+
+  /** Write `docs` as `nShards` gzipped JSONL shard files under
+    * `outDir` and return the manifest. The caller must run an action
+    * (e.g. `localCheckpoint()`) before reading the files back.
+    */
+  def writeJsonlShards(docs: DataFrame, idCol: String, textCol: String,
+                       nShards: Int, seed: Int,
+                       outDir: String): Dataset[JsonlManifest] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sharded = graft.operators.Scale
+      .deterministicShards(
+        docs.select(col(idCol), jsonLine(idCol, textCol).as("line")),
+        idCol, nShards, seed)
+      .select(col("shard"), col("pos_in_shard"), col("line"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos_in_shard")
+    sharded.mapPartitions { rows =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[JsonlManifest]
+      val w = new SinkIo.HexDigestWriter(outDir,
+        s => f"shard_$s%05d.jsonl.gz", gzip = true)
+      var nDocs = 0L
+      def close(): Unit = w.close().foreach { case (shard, bytes, md5hex) =>
+        out += JsonlManifest(shard, nDocs, bytes, md5hex)
+      }
+      for (r <- rows) {
+        val shard = r.getInt(0)
+        if (!w.isOpen || shard != w.current) {
+          close()
+          nDocs = 0L
+          w.open(shard)
+        }
+        w.write(r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        w.writeByte('\n')
+        nDocs += 1
+      }
+      close()
+      out.iterator
+    }(org.apache.spark.sql.Encoders.product[JsonlManifest])
+  }
+
+  /** Re-read `outDir`'s shard files and rebuild the manifest from the
+    * REAL bytes: gunzip, validate the line frame (every line is a
+    * `{"doc_id":...}` object, the payload ends in exactly one
+    * newline), and hex-digest the uncompressed content the same way
+    * [[writeJsonlShards]] did.
+    */
+  def readJsonlManifests(spark: SparkSession,
+                         outDir: String): Dataset[JsonlManifest] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(outDir + "/shard_*.jsonl.gz")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .map { case (path, gz) =>
+        val shard = "shard_(\\d+)\\.jsonl\\.gz$".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"unrecognized shard file: $path"))
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(gz))
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        in.close()
+        val bytes = bos.toByteArray
+        require(bytes.nonEmpty && bytes.last == '\n',
+          s"$path: payload does not end in a newline")
+        val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        val lines = text.split("\n", -1).dropRight(1)
+        lines.zipWithIndex.foreach { case (l, i) =>
+          require(l.startsWith("{\"doc_id\":") && l.endsWith("\"}"),
+            s"$path line $i: not a doc object: ${l.take(80)}")
+        }
+        JsonlManifest(shard, lines.length.toLong, bytes.length.toLong,
+          SinkIo.hexMd5(bytes))
+      }
+  }
+}

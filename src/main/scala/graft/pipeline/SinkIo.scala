@@ -23,10 +23,13 @@ private[pipeline] object SinkIo {
   }
 
   /** Streaming writer for one task's run of shards. `fileName` maps a
-    * shard id to its file name under `outDir`. Not thread-safe (one per
-    * task).
+    * shard id to its file name under `outDir`. With `gzip`, bytes
+    * stream through a `GZIPOutputStream` while the digest and byte
+    * count stay over the UNCOMPRESSED payload — deflate output is not
+    * SQL-replayable, the content is. Not thread-safe (one per task).
     */
-  final class HexDigestWriter(outDir: String, fileName: Int => String) {
+  final class HexDigestWriter(outDir: String, fileName: Int => String,
+                              gzip: Boolean = false) {
     private var cur                                  = -1
     private var stream: java.io.OutputStream         = null
     private var digest: java.security.MessageDigest  = null
@@ -52,8 +55,9 @@ private[pipeline] object SinkIo {
       require(cur < 0, s"shard $cur still open")
       cur = shard; bytes = 0L
       digest = java.security.MessageDigest.getInstance("MD5")
-      stream = java.nio.file.Files.newOutputStream(
+      val raw = java.nio.file.Files.newOutputStream(
         java.nio.file.Paths.get(outDir, fileName(shard)))
+      stream = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
     }
 
     def writeByte(b: Int): Unit = {

@@ -66,6 +66,32 @@ object SignalQueries {
       lit("; } import util.lib; let y = f("), id.cast("string"), lit(");")))
       .otherwise(lit(""))
 
+  // ---- q8G/q8J shared release gate -------------------------------------
+  // The composed corpus release decision as ONE row-local projection
+  // over the augmented fixture (every marker definition shared with the
+  // standalone q84/q85/q86 gates). Shared by batch q8G and its
+  // streaming twin q8J — identical output contract, identical SQL.
+  // coalesce like q8H: a NULL text must still gate (NULL regexp counts
+  // would make has_secret/releasable NULL while the reason chain falls
+  // through to 'ok' — an inconsistent decision).
+  private[queries] def releaseGate(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val aug = concat(licenseHeader(id), coalesce(col("text"), lit("")),
+      codeMarker(id), secretMarkers(id))
+    val t = col("aug")
+    val nSec = regexp_count(t, lit(Signals.AwsKeyRe)) +
+      regexp_count(t, lit(Signals.PasswordRe)) +
+      regexp_count(t, lit(Signals.HexTokenRe))
+    val lic = Signals.licenseFamily(t)
+    docs.select(id, aug.as("aug"))
+      .select(id, (nSec > 0).as("has_secret"), lic.as("license"),
+        when(Signals.codeScore(t) >= 0.1, "code").otherwise("prose")
+          .as("route"),
+        (nSec === 0 && lic =!= "GPL").as("releasable"),
+        when(nSec > 0, "secret").when(lic === "GPL", "license")
+          .otherwise("ok").as("reason"))
+  }
+
   // ---- q84/q7Z shared secret gate --------------------------------------
   private[queries] def secretGate(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
@@ -234,26 +260,7 @@ object SignalQueries {
     // an injected license header, keywords inside a credential blob);
     // every marker definition is shared with the standalone gates.
     "q8G_release_gate" -> { (s, d) =>
-      val id = col("doc_id")
-      // coalesce like q8H: a NULL text must still gate (NULL regexp
-      // counts would make has_secret/releasable NULL while the reason
-      // chain falls through to 'ok' — an inconsistent decision)
-      val aug = concat(licenseHeader(id), coalesce(col("text"), lit("")),
-        codeMarker(id), secretMarkers(id))
-      val docs = Tables.documents(s, d).select(id, aug.as("aug"))
-      val t = col("aug")
-      val nSec = regexp_count(t, lit(Signals.AwsKeyRe)) +
-        regexp_count(t, lit(Signals.PasswordRe)) +
-        regexp_count(t, lit(Signals.HexTokenRe))
-      val lic = Signals.licenseFamily(t)
-      val hasSecret = (nSec > 0).as("has_secret")
-      docs.select(id, hasSecret, lic.as("license"),
-          when(Signals.codeScore(t) >= 0.1, "code").otherwise("prose")
-            .as("route"),
-          (nSec === 0 && lic =!= "GPL").as("releasable"),
-          when(nSec > 0, "secret").when(lic === "GPL", "license")
-            .otherwise("ok").as("reason"))
-        .orderBy("doc_id")
+      releaseGate(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // Embedding outlier gate: dist²-to-mean vs 4× the covariance trace
@@ -298,6 +305,51 @@ object SignalQueries {
         .orderBy("shard")
     },
 
+    // Gzipped-JSONL shard sink end-to-end (the q5N/q8H contract on the
+    // interchange format LLM corpora actually ship in): docs route to
+    // 8 shards deterministically, serialize to one JSON object per
+    // line (the line is a PLAN-SIDE column the oracle replays
+    // byte-for-byte), and stream through gzip to real *.jsonl.gz files
+    // under a scratch dir. Three legs, all in the output: the written
+    // manifest; roundtrip (gunzip the REAL bytes, re-digest, compare);
+    // and parse_ok — Spark's OWN JSON reader, an independent parser of
+    // the public format, reads the files back and every doc's text
+    // must byte-equal the source (the q8H `tar -tf` interop idiom).
+    // content_md5 digests the UNCOMPRESSED payload hex (deflate bytes
+    // are not SQL-replayable; the content is).
+    "q8I_jsonl_shards" -> { (s, d) =>
+      import graft.pipeline.JsonlSink
+      val dir = graft.util.TempDirs.scratch("graft-jsonl-")
+      val docs = Tables.documents(s, d)
+      val written = JsonlSink.writeJsonlShards(docs, "doc_id", "text",
+          nShards = 8, seed = 17, outDir = dir)
+        .toDF().localCheckpoint() // EXECUTES the pack before the re-read
+      val reread = JsonlSink.readJsonlManifests(s, dir).toDF()
+        .select(col("shard"), col("n_docs").as("r_docs"),
+          col("byte_size").as("r_bytes"), col("content_md5").as("r_md5"))
+      val parsed = s.read.schema("doc_id LONG, text STRING")
+        .json(dir + "/shard_*.jsonl.gz")
+      val src = docs.select(col("doc_id"),
+        coalesce(col("text"), lit("")).as("src_text"))
+      val interop = parsed.join(src, "doc_id")
+        .select(
+          (conv(substring(md5(concat_ws(":",
+              col("doc_id").cast("string"), lit("17"))), 1, 8), 16, 10)
+            .cast("long") % 8).cast("int").as("shard"),
+          (col("text") === col("src_text")).as("ok"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("p_docs"), bool_and(col("ok")).as("p_ok"))
+      written.join(reread, Seq("shard"), "full")
+        .join(interop, Seq("shard"), "full")
+        .select(col("shard"), col("n_docs"), col("byte_size"),
+          col("content_md5"),
+          (col("n_docs") === col("r_docs") &&
+            col("byte_size") === col("r_bytes") &&
+            col("content_md5") === col("r_md5")).as("roundtrip"),
+          (col("p_docs") === col("n_docs") && col("p_ok")).as("parse_ok"))
+        .orderBy("shard")
+    },
+
     // Calibration of the max-normalized length score against lang='en'
     // over 10 fixed bins: reliability table + per-bin Brier (q83's AUC
     // asks "does length rank English"; this asks "is the score honest
@@ -315,7 +367,7 @@ object SignalQueries {
     }
   )
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = Map(
 
     "q84_secret_scan" -> duckSecretOracle,
 
@@ -516,7 +568,12 @@ object SignalQueries {
     // secrets, string-for-string the shared Scala markers), the same
     // three credential regexes, license chain, guarded code score, and
     // decision logic.
-    "q8G_release_gate" ->
+    "q8G_release_gate" -> duckReleaseOracle
+  ) ++ oraclesTail
+
+  // q8G's closed-form oracle, shared verbatim by streaming q8J (the
+  // q84/q7Z precedent: identical output contract, identical SQL).
+  private[queries] lazy val duckReleaseOracle: String =
       s"""WITH aug AS (
          |  SELECT doc_id,
          |    CASE doc_id % 6
@@ -575,7 +632,9 @@ object SignalQueries {
          |       WHEN license = 'GPL' THEN 'license'
          |       ELSE 'ok' END AS reason
          |FROM sc
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+
+  private lazy val oraclesTail: Map[String, String] = Map(
 
     // Tar-sink mirror: route + rank exactly as the Spark side, then
     // rebuild every USTAR byte as lowercase hex — the 16-char entry
@@ -637,6 +696,43 @@ object SignalQueries {
         |    AS content_md5,
         |  true AS roundtrip
         |FROM hx
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // JSONL-sink mirror: route + rank exactly as the Spark side, build
+    // the SAME JSON line via the SAME five-step replace chain
+    // (backslash first), hex the UTF-8 bytes of line+newline, string_agg
+    // per shard in pos order, md5 — roundtrip and parse_ok pinned true
+    // (the Spark side proved them against the real files and its own
+    // JSON parser; an oracle can only replay the arithmetic).
+    "q8I_jsonl_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"text":"' ||
+        |    replace(replace(replace(replace(replace(coalesce(text, ''),
+        |      '\', '\\'),
+        |      '"', '\"'),
+        |      chr(10), '\n'),
+        |      chr(13), '\r'),
+        |      chr(9), '\t')
+        |    || '"}' AS line,
+        |    md5(CAST(doc_id AS VARCHAR) || ':17') AS k
+        |  FROM documents),
+        |sh AS (
+        |  SELECT line,
+        |    CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+        |    row_number() OVER (
+        |      PARTITION BY CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER)
+        |      ORDER BY k, doc_id) AS pos
+        |  FROM t)
+        |SELECT shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(octet_length(encode(line)) + 1) AS BIGINT) AS byte_size,
+        |  md5(string_agg(lower(hex(encode(line || chr(10)))), ''
+        |    ORDER BY pos)) AS content_md5,
+        |  true AS roundtrip,
+        |  true AS parse_ok
+        |FROM sh
         |GROUP BY shard
         |ORDER BY shard""".stripMargin,
 

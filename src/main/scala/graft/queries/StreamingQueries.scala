@@ -469,6 +469,21 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // The composed q8G release gate as a stream: every arriving doc
+    // decides has_secret / license / route / releasable / reason
+    // row-locally in-flight (the in-line release decision a corpus
+    // export runs while shards land) — ZERO streaming state, stateless
+    // Append mode, the q7Z shape on the composition. Shares q8G's
+    // oracle verbatim.
+    "q8J_stream_release_gate" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      StreamRunner.runToBatch(SignalQueries.releaseGate(docs),
+          OutputMode.Append)
+        .orderBy("doc_id")
+    },
+
     "q7E_stream_hll" -> { (s, d) =>
       import graft.functions.TextFunctions
       import graft.operators.Sketch
@@ -931,6 +946,8 @@ object StreamingQueries {
     // identical output contract to batch q6S — shared SQL verbatim
     "q7T_stream_mojibake_gate" -> CurationQueries.duckMojibakeOracle,
     "q7Z_stream_secret_flag" -> SignalQueries.duckSecretOracle,
+
+    "q8J_stream_release_gate" -> SignalQueries.duckReleaseOracle,
 
     // identical output contract to batch q6W — closed-form robots
     // decision replayed from g (see the q6W mirror comment)

@@ -57,10 +57,10 @@ class RegistrySpec extends AnyFunSuite {
       assert(c == SparkEntry.queries.size,
         s"README says $c registry queries; registry has ${SparkEntry.queries.size}"))
     val streaming = SparkEntry.queries.keySet.filter(_.contains("_stream"))
-    val sm = "(\\d+) Structured-Streaming queries \\(q70–(q7[0-9A-Z])\\)".r
+    val sm = "(\\d+) Structured-Streaming queries \\(q70–(q[0-9A-Z]{2})\\)".r
       .findFirstMatchIn(src)
     assert(sm.isDefined,
-      "README must state 'N Structured-Streaming queries (q70–q7X)'")
+      "README must state 'N Structured-Streaming queries (q70–qXY)'")
     assert(sm.get.group(1).toInt == streaming.size,
       s"README says ${sm.get.group(1)} streaming queries; registry has ${streaming.size}")
     val last = streaming.map(_.take(3)).max

@@ -83,6 +83,67 @@ class ShardSpec extends GraftSpec {
     assert(listed.forall(_.matches("\\d{12}\\.txt")), listed.toString)
   }
 
+  test("jsonl sink: byte-identical re-runs, reader roundtrip, independent JSON parser agrees") {
+    import graft.pipeline.JsonlSink
+    // every escape class live: quote, backslash, \n, \r, \t, empty,
+    // NULL (serializes as empty), and non-ASCII UTF-8
+    val jd = Seq(
+      (1L, "plain prose"), (2L, "say \"hi\" twice"),
+      (3L, "back\\slash and \\\" mix"), (4L, "line one\nline two"),
+      (5L, "tab\there\rcr"), (6L, ""), (7L, null: String),
+      (8L, "café résumé"))
+      .toDF("doc_id", "text")
+    val d1 = graft.util.TempDirs.scratch("jsonl-spec-a-")
+    val d2 = graft.util.TempDirs.scratch("jsonl-spec-b-")
+    val m1 = JsonlSink.writeJsonlShards(jd, "doc_id", "text", 2, seed = 7, d1)
+      .collect().sortBy(_.shard)
+    val m2 = JsonlSink.writeJsonlShards(jd, "doc_id", "text", 2, seed = 7, d2)
+      .collect().sortBy(_.shard)
+    assert(m1.toSeq == m2.toSeq, "same corpus + seed must manifest identically")
+    assert(m1.map(_.n_docs).sum == 8L)
+    m1.foreach { m =>
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d1, f"shard_${m.shard}%05d.jsonl.gz"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(d2, f"shard_${m.shard}%05d.jsonl.gz"))
+      assert(a.toSeq == b.toSeq, s"jsonl shard ${m.shard} gz bytes differ")
+    }
+    val reread = JsonlSink.readJsonlManifests(spark, d1).collect().sortBy(_.shard)
+    assert(reread.toSeq == m1.toSeq)
+    // INTEROP: an independent JSON parser (Jackson, not our writer's
+    // inverse) must round-trip every doc's text byte-for-byte
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val expected = Map(1L -> "plain prose", 2L -> "say \"hi\" twice",
+      3L -> "back\\slash and \\\" mix", 4L -> "line one\nline two",
+      5L -> "tab\there\rcr", 6L -> "", 7L -> "", 8L -> "café résumé")
+    val parsed = m1.flatMap { m =>
+      val in = new java.util.zip.GZIPInputStream(
+        java.nio.file.Files.newInputStream(
+          java.nio.file.Paths.get(d1, f"shard_${m.shard}%05d.jsonl.gz")))
+      val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      in.close()
+      lines.map { l =>
+        val node = om.readTree(l)
+        node.get("doc_id").asLong() -> node.get("text").asText()
+      }
+    }.toMap
+    assert(parsed == expected, s"independent parse drifted: $parsed")
+  }
+
+  test("jsonl sink rejects control characters outside the escape scope") {
+    import graft.pipeline.JsonlSink
+    val d = graft.util.TempDirs.scratch("jsonl-spec-ctl-")
+    val bad = Seq((1L, "has a bell \u0007 char")).toDF("doc_id", "text")
+    // raise_error surfaces as SparkRuntimeException (in-plan), possibly
+    // wrapped in a task-failure SparkException — accept either envelope
+    val err = intercept[Exception](
+      JsonlSink.writeJsonlShards(bad, "doc_id", "text", 1, seed = 3, d)
+        .collect())
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("control character"), msg)
+  }
+
   test("tar writer rejects ids outside the 12-digit name contract") {
     import graft.pipeline.TarSink
     val d = graft.util.TempDirs.scratch("tar-spec-id-")
