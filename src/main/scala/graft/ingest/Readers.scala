@@ -104,6 +104,38 @@ object Readers {
     * `.select("_corrupt", schema.fieldNames.head).filter(col("_corrupt")
     * .isNotNull)` — or `.cache()` the frame first.
     */
+  /** CSV landing-dir scan (the spreadsheet-era interchange format the
+    * long tail of corpus drops still arrives in) — the q59 JSONL
+    * contract on RFC 4180: explicit schema (no inference double-scan),
+    * PERMISSIVE parse with malformed rows captured as DATA in
+    * `_corrupt` (a bad id cell nulls only that field — the raw line
+    * and the surviving cells stay), RFC quoting (`"` quote, `""`
+    * escape). `multiLine` stays OFF — line-splittable parsing is the
+    * 100 TB contract; embedded newlines need the quoted-multiline mode
+    * whose files parse whole, so writers in this repo reject them
+    * instead (the JsonlSink scope rule).
+    */
+  def csvDirectory(
+      spark: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType
+  ): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "schema must not predeclare _corrupt")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("source")),
+      "schema must not declare a source field (withColumn would silently " +
+        "clobber the parsed data with the file path)")
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.csv")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(dir)
+      .withColumn("source", input_file_name())
+  }
+
   def jsonlDirectory(
       spark: SparkSession, dir: String,
       schema: org.apache.spark.sql.types.StructType

@@ -228,6 +228,92 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(topPairs)
 
+  /** LSH band-parameter planner — the "measure, don't guess" step
+    * BEFORE q32/q33's banding geometry is trusted (q3D measures recall
+    * of one chosen geometry after the fact; this prices every
+    * geometry first). For each (bands, rowsPerBand) factorization of
+    * the signature `budget`, the S-curve P(candidate | s) =
+    * 1 − (1 − s^r)^b is integrated against the corpus's MEASURED
+    * pair-similarity histogram (2%-wide cells over the exact Jaccard
+    * of all shingle-sharing pairs, the same capped universe the
+    * production dedup runs), yielding per geometry: expected candidate
+    * pairs (the verify-stage work), expected true pairs found
+    * (s ≥ threshold), recall, expected false candidates, and a cost =
+    * false + missPenalty × missed. The min-cost row (ties → fewer
+    * bands) is flagged `chosen`.
+    *
+    * Scale shape: the heavy work is the one exact-pair pass
+    * ([[jaccardPairsAbove]] at 0.0 — the inverted-index join, hot
+    * shingles capped); everything after reduces to a ≤50-row histogram
+    * crossed with ≤|divisors(budget)| geometry rows. DETERMINISM: the
+    * S-curve powers evaluate as per-step 6-dp-rounded folds (the q6G
+    * list_reduce idiom — replayable, no engine pow()), and all
+    * expectation sums accumulate as micro-unit longs (order-free).
+    * On a corpus slice with zero true pairs at the threshold, recall
+    * is NULL (no honest number exists), never a div-0.
+    */
+  def lshPlan(df: DataFrame, idCol: String, textCol: String,
+              shingleN: Int, budget: Int, threshold: Double,
+              missPenalty: Long = 10L,
+              maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(budget >= 1, "signature budget must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairsAbove(df, idCol, textCol, shingleN, 0.0,
+      maxShingleDf)
+    // 2%-wide similarity cells; jaccard == 1.0 clamps into the top cell
+    val hist = pairs
+      .select(least(floor(col("jaccard") * 50), lit(49L)).cast("int").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_pairs"))
+      .select(col("k"), col("n_pairs"),
+        round((col("k").cast("double") + 0.5) / 50.0, 6).as("s"))
+    val combos = (1 to budget).filter(budget % _ == 0)
+      .map(b => (b, budget / b)).toDF("bands", "rows_per_band")
+    // let-bind each fold result before the next references it (HOF
+    // lambdas re-evaluate referenced subtrees per element — the
+    // canonicalizeUrl lesson)
+    val scored = combos.crossJoin(hist)
+      .withColumn("sr",
+        aggregate(sequence(lit(1), col("rows_per_band")), lit(1.0),
+          (acc, _) => round(acc * col("s"), 6)))
+      .withColumn("p_cand",
+        lit(1.0) - aggregate(sequence(lit(1), col("bands")), lit(1.0),
+          (acc, _) => round(acc * (lit(1.0) - col("sr")), 6)))
+      .withColumn("is_true", col("s") >= lit(threshold))
+      .withColumn("term_micro",
+        round(col("n_pairs") * col("p_cand") * 1e6).cast("long"))
+    val agg = scored.groupBy("bands", "rows_per_band").agg(
+      sum(col("term_micro")).as("cand_micro"),
+      sum(when(col("is_true"), col("term_micro")).otherwise(0L))
+        .as("found_micro"),
+      sum(when(col("is_true"), col("n_pairs")).otherwise(0L)).as("n_true"))
+    val costed = agg.select(col("bands"), col("rows_per_band"),
+      round(col("cand_micro").cast("double") / 1e6, 6).as("exp_candidates"),
+      round(col("found_micro").cast("double") / 1e6, 6).as("exp_true_found"),
+      col("n_true"),
+      when(col("n_true") > 0,
+        round(col("found_micro").cast("double") / 1e6
+          / col("n_true").cast("double"), 6)).as("recall_at_t"),
+      round((col("cand_micro") - col("found_micro")).cast("double") / 1e6, 6)
+        .as("exp_false"),
+      ((col("cand_micro") - col("found_micro"))
+        + lit(missPenalty) * (col("n_true") * lit(1000000L)
+          - col("found_micro"))).as("cost_micro"))
+    // cut the ≤|divisors| costed table ONCE (the q5H/q4T idiom): both
+    // the argmin row and the output read the cut, so the heavy
+    // pair-histogram lineage under it executes once, not twice
+    val costedCut = costed.localCheckpoint()
+    val best = costedCut.agg(
+      min(struct(col("cost_micro"), col("bands"))).as("best"))
+    costedCut.crossJoin(broadcast(best))
+      .select(col("bands"), col("rows_per_band"), col("exp_candidates"),
+        col("exp_true_found"), col("n_true"), col("recall_at_t"),
+        col("exp_false"),
+        round(col("cost_micro").cast("double") / 1e6, 6).as("cost"),
+        (col("cost_micro") === col("best.cost_micro") &&
+          col("bands") === col("best.bands")).as("chosen"))
+  }
+
   /** Every pair at or above `minJaccard` — the THRESHOLD form of
     * [[jaccardPairs]] (no global sort, no top-k cut): the ground-truth
     * side of recall evaluation, and the "give me all real near-dups"

@@ -834,6 +834,44 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // Pretraining data recipe — the mixture table every pretraining
+    // paper publishes and q6M's REPORT companion: per language stratum,
+    // doc/token counts, natural share, the α=0.5 temperature-flattened
+    // target share (q6M's rounded-sqrt weights in micro fixed-point —
+    // long sums, order-free), the token budget each stratum receives
+    // from a 4×-corpus training budget, resulting epochs over the
+    // stratum, and the >4-epoch repetition flag (Muennighoff et al.
+    // 2023: returns diminish past ~4 epochs). The fixture's lang skew
+    // (en ≈ 2.7× de) populates BOTH flag classes at 4×. ONE aggregate
+    // over a bounded stratum domain; everything after is closed-form
+    // arithmetic on broadcast rows.
+    "q8L_data_recipe" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      val counts = Tables.documents(s, d).groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+      val w = counts.withColumn("w_micro",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+      val tot = w.agg(sum("n_tokens").as("tot_tokens"),
+        sum("w_micro").as("tot_w"))
+      w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double")
+            / col("tot_tokens").cast("double"), 6).as("natural_share"),
+          round(col("w_micro").cast("double")
+            / col("tot_w").cast("double"), 6).as("target_share"),
+          col("tot_tokens"))
+        .withColumn("tokens_budgeted",
+          floor(col("target_share") * lit(4.0)
+            * col("tot_tokens").cast("double")).cast("long"))
+        .withColumn("epochs",
+          round(col("tokens_budgeted").cast("double")
+            / col("n_tokens").cast("double"), 6))
+        .withColumn("over_epoch_cap", col("epochs") > 4.0)
+        .drop("tot_tokens")
+        .orderBy("lang")
+    },
+
     // Length-outlier pruning: keep docs inside the corpus [p10, p90]
     // token-count band.
     "q68_length_band" -> { (s, d) =>
@@ -1426,6 +1464,44 @@ object CurationQueries {
         |FROM rk r JOIN tgt t ON t.source = r.source
         |WHERE r.rn <= t.target
         |ORDER BY r.doc_id""".stripMargin,
+
+    // Recipe mirror: same stratum aggregate, same micro-unit sqrt
+    // weights (long sums), same rounded shares / floor budget / epochs.
+    "q8L_data_recipe" ->
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS w_micro
+         |  FROM counts),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |         CAST(sum(w_micro) AS BIGINT) AS tot_w
+         |  FROM w),
+         |shares AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+         |      AS natural_share,
+         |    round(CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE), 6)
+         |      AS target_share,
+         |    tot_tokens
+         |  FROM w CROSS JOIN tot),
+         |budget AS (
+         |  SELECT lang, n_docs, n_tokens, natural_share, target_share,
+         |    CAST(floor(target_share * 4.0 * CAST(tot_tokens AS DOUBLE))
+         |         AS BIGINT) AS tokens_budgeted
+         |  FROM shares)
+         |SELECT lang, n_docs, n_tokens, natural_share, target_share,
+         |  tokens_budgeted,
+         |  round(CAST(tokens_budgeted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS epochs,
+         |  round(CAST(tokens_budgeted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    > 4.0 AS over_epoch_cap
+         |FROM budget
+         |ORDER BY lang""".stripMargin,
 
     "q68_length_band" ->
       s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),

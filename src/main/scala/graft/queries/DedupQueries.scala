@@ -94,6 +94,20 @@ object DedupQueries {
         shingleN = 3, topPairs = 20)
     },
 
+    // LSH band-parameter planner: every (bands, rows) factorization of
+    // a 24-hash signature budget priced against the corpus's MEASURED
+    // pair-similarity histogram (the capped q3B universe) — expected
+    // candidates, recall at the q36 verify threshold, and the min-cost
+    // geometry flagged. The parameter-picking step before q32/q33's
+    // banding is trusted; q3D then measures the chosen geometry's
+    // recall after the fact.
+    "q8K_lsh_plan" -> { (s, d) =>
+      Dedup.lshPlan(Tables.documents(s, d), "doc_id", "text",
+          shingleN = 3, budget = 24, threshold = 0.5,
+          missPenalty = 10L, maxShingleDf = 100)
+        .orderBy("bands")
+    },
+
     // MinHash signatures (8 hash functions over 3-gram shingles).
     "q32_minhash_signatures" -> { (s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
@@ -536,6 +550,82 @@ object DedupQueries {
     // Same pair pipeline as q31, over the df-capped shingle universe
     // (sizes and common counts both computed AFTER the hot filter —
     // stop-word-removal semantics, exactly as the Spark side).
+    // Planner mirror: the q3B capped pair universe (df <= 100) → 2%
+    // similarity cells, the (bands, rows) divisors of 24 as VALUES, the
+    // same per-step-rounded folds via list_reduce (no engine pow()),
+    // micro-unit long sums, min-(cost, bands) chosen flag.
+    "q8K_lsh_plan" ->
+      s"""WITH sh0 AS (
+         |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),
+         |hot AS (
+         |  SELECT sh FROM sh0 GROUP BY sh HAVING count(*) > 100),
+         |sh AS (
+         |  SELECT doc, sh FROM sh0 WHERE sh NOT IN (SELECT sh FROM hot)),
+         |sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+         |common AS (
+         |  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc < b.doc
+         |  GROUP BY 1, 2),
+         |jac AS (
+         |  SELECT round(CAST(common AS DOUBLE)
+         |               / CAST(sa.n_sh + sb.n_sh - common AS DOUBLE), 6) AS j
+         |  FROM common
+         |  JOIN sizes sa ON sa.doc = doc_a
+         |  JOIN sizes sb ON sb.doc = doc_b),
+         |cells AS (
+         |  SELECT CAST(least(floor(j * 50), 49) AS INTEGER) AS k,
+         |         count(*) AS n_pairs,
+         |         round((least(floor(j * 50), 49) + 0.5) / 50.0, 6) AS s
+         |  FROM jac GROUP BY 1, 3),
+         |combos AS (
+         |  SELECT * FROM (VALUES (1, 24), (2, 12), (3, 8), (4, 6), (6, 4),
+         |                        (8, 3), (12, 2), (24, 1))
+         |    AS t(bands, rows_per_band)),
+         |scored AS (
+         |  SELECT bands, rows_per_band, n_pairs, s,
+         |    list_reduce([s for i in range(rows_per_band)],
+         |                (x, y) -> round(x * y, 6)) AS sr
+         |  FROM combos, cells),
+         |scored2 AS (
+         |  SELECT bands, rows_per_band, n_pairs, s,
+         |    1.0 - list_reduce([1.0 - sr for i in range(bands)],
+         |                      (x, y) -> round(x * y, 6)) AS p_cand
+         |  FROM scored),
+         |terms AS (
+         |  SELECT bands, rows_per_band, s >= 0.5 AS is_true, n_pairs,
+         |    CAST(round(n_pairs * p_cand * 1000000) AS BIGINT) AS term_micro
+         |  FROM scored2),
+         |agg AS (
+         |  SELECT bands, rows_per_band,
+         |    CAST(sum(term_micro) AS BIGINT) AS cand_micro,
+         |    CAST(sum(CASE WHEN is_true THEN term_micro ELSE 0 END) AS BIGINT)
+         |      AS found_micro,
+         |    CAST(sum(CASE WHEN is_true THEN n_pairs ELSE 0 END) AS BIGINT)
+         |      AS n_true
+         |  FROM terms GROUP BY 1, 2),
+         |costed AS (
+         |  SELECT bands, rows_per_band,
+         |    round(CAST(cand_micro AS DOUBLE) / 1000000, 6) AS exp_candidates,
+         |    round(CAST(found_micro AS DOUBLE) / 1000000, 6) AS exp_true_found,
+         |    n_true,
+         |    CASE WHEN n_true > 0
+         |         THEN round(CAST(found_micro AS DOUBLE) / 1000000
+         |                    / CAST(n_true AS DOUBLE), 6) END AS recall_at_t,
+         |    round(CAST(cand_micro - found_micro AS DOUBLE) / 1000000, 6)
+         |      AS exp_false,
+         |    (cand_micro - found_micro)
+         |      + 10 * (n_true * 1000000 - found_micro) AS cost_micro
+         |  FROM agg),
+         |best AS (
+         |  SELECT cost_micro AS bc, bands AS bb FROM costed
+         |  ORDER BY cost_micro, bands LIMIT 1)
+         |SELECT c.bands, c.rows_per_band, c.exp_candidates,
+         |  c.exp_true_found, c.n_true, c.recall_at_t, c.exp_false,
+         |  round(CAST(c.cost_micro AS DOUBLE) / 1000000, 6) AS cost,
+         |  (c.cost_micro = b.bc AND c.bands = b.bb) AS chosen
+         |FROM costed c, best b
+         |ORDER BY c.bands""".stripMargin,
+
     "q3B_jaccard_capped" ->
       s"""WITH sh0 AS (
          |  SELECT doc_id AS doc, unnest($duckShingles) AS sh FROM documents),

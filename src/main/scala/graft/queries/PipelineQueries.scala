@@ -1126,6 +1126,54 @@ object PipelineQueries {
         .orderBy(col("corrupt"), col("doc_id"))
     },
 
+    // CSV corpus ingest, oracle-gated (the q59 shape on RFC 4180): the
+    // corpus renders to real *.csv landing files DISTRIBUTED — fields
+    // containing comma/quote wrap in quotes with `""` doubling — and
+    // every doc_id % 89 == 0 row carries a deliberately NON-NUMERIC id
+    // cell ('x' prefix). `Readers.csvDirectory` reads it back under an
+    // explicit schema in PERMISSIVE mode: the bad cell nulls only
+    // doc_id, the raw line lands in `_corrupt` as data, and the text
+    // cell SURVIVES (CSV's cell-local failure model, vs JSONL's whole-
+    // line loss in q59 — both populations replayed from the table).
+    "q8M_csv_ingest" -> { (s, d) =>
+      import java.nio.file.{Files, Paths}
+      import java.nio.charset.StandardCharsets.UTF_8
+      val dir = graft.util.TempDirs.scratch("graft-csv-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(8)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          // RFC 4180 field quoting; embedded newlines are out of the
+          // line-splittable scope (csvDirectory doc) — fail loudly
+          def esc(sv: String): String = {
+            require(!sv.exists(c => c == '\n' || c == '\r'),
+              "embedded newline outside the line-splittable CSV scope")
+            if (sv.contains(",") || sv.contains("\""))
+              "\"" + sv.replace("\"", "\"\"") + "\""
+            else sv
+          }
+          val lines = rows.map { r =>
+            val id = r.getLong(0)
+            val t  = esc(r.getString(1))
+            if (id % 89 == 0) s"x$id,$t" else s"$id,$t"
+          }.toSeq
+          if (lines.nonEmpty) {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            Files.write(Paths.get(dir, f"part-$pid%05d.csv"),
+              lines.mkString("\n").getBytes(UTF_8))
+            ()
+          }
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      graft.ingest.Readers.csvDirectory(s, dir, schema)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("_corrupt").isNotNull.as("corrupt"))
+        .orderBy(col("corrupt"), col("doc_id"), col("text_md5"))
+    },
+
     // PDF ingest round-trip, oracle-gated (SURVEY S2 — the one row that
     // was spec-only): render every document to a REAL PDF file
     // (PdfWriter: Type0/Identity-H font, UTF-16BE hex strings, identity
@@ -2404,6 +2452,20 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 97 = 0)
         |SELECT * FROM good UNION ALL SELECT * FROM bad
         |ORDER BY corrupt, doc_id""".stripMargin,
+
+    // CSV mirror: good rows keep their id, corrupt rows null ONLY the
+    // id — the text cell parses either way (CSV's cell-local failure
+    // model), so both populations carry the real text md5.
+    "q8M_csv_ingest" ->
+      """WITH good AS (
+        |  SELECT doc_id, md5(text) AS text_md5, false AS corrupt
+        |  FROM documents WHERE doc_id % 89 <> 0),
+        |bad AS (
+        |  SELECT CAST(NULL AS BIGINT) AS doc_id, md5(text) AS text_md5,
+        |         true AS corrupt
+        |  FROM documents WHERE doc_id % 89 = 0)
+        |SELECT * FROM good UNION ALL SELECT * FROM bad
+        |ORDER BY corrupt, doc_id, text_md5""".stripMargin,
 
     // Video mirror WITHOUT a container: geometry, sampled frame indices
     // (0, 2, 4 capped by the frame count) and every pixel replay from

@@ -630,4 +630,37 @@ class DedupSpec extends GraftSpec {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("lshPlan: closed-form S-curve on a one-pair corpus, monotone in bands, one chosen") {
+    // exactly one overlapping pair, jaccard 1.0 → the clamped top cell
+    // (k = 49, s = 0.99); every geometry's expected-candidate count is
+    // the hand-computable per-step-rounded S-curve at s = 0.99
+    val two = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zq wq xq yq vq")) // shares no shingle with 1/2
+      .toDF("doc_id", "text")
+    val plan = Dedup.lshPlan(two, "doc_id", "text", shingleN = 3,
+        budget = 24, threshold = 0.5)
+      .collect().sortBy(_.getAs[Int]("bands"))
+    assert(plan.length == 8) // divisors of 24
+    def fold(x0: Double, x: Double, n: Int): Double =
+      (1 to n).foldLeft(x0)((a, _) =>
+        BigDecimal(a * x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    plan.foreach { r =>
+      val b = r.getAs[Int]("bands"); val rr = r.getAs[Int]("rows_per_band")
+      val sr = fold(1.0, 0.99, rr)
+      val p = 1.0 - fold(1.0, 1.0 - sr, b)
+      val expMicro = math.round(1L * p * 1e6)
+      assert(r.getAs[Double]("exp_candidates") == expMicro / 1e6,
+        s"($b,$rr): got ${r.getAs[Double]("exp_candidates")} want ${expMicro / 1e6}")
+      assert(r.getAs[Long]("n_true") == 1L)
+    }
+    // the S-curve is monotone in bands at fixed budget: more, narrower
+    // bands can only raise collision probability at every s
+    val cands = plan.map(_.getAs[Double]("exp_candidates")).toSeq
+    assert(cands == cands.sorted, s"not monotone in bands: $cands")
+    assert(plan.count(_.getAs[Boolean]("chosen")) == 1)
+  }
 }

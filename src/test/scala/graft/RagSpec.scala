@@ -71,6 +71,30 @@ class RagSpec extends GraftSpec {
     assert(got.forall(_.getAs[String]("source").endsWith("a.jsonl")))
   }
 
+  test("csv reader: RFC quoting round-trips, bad cells null locally, corrupt line captured") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-csv")
+    Files.writeString(dir.resolve("a.csv"),
+      "1,\"hello, \"\"world\"\"\"\n" + // RFC 4180 quoted comma + doubled quote
+        "x2,bad id cell\n" +          // non-numeric id -> corrupt, text survives
+        "3,plain\n")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val got = graft.ingest.Readers.csvDirectory(spark, dir.toString, schema)
+      .collect()
+    assert(got.length == 3)
+    val good = got.filter(_.isNullAt(2)).sortBy(_.getAs[Long]("doc_id"))
+    assert(good.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 3L))
+    assert(good.head.getAs[String]("text") == "hello, \"world\"")
+    val bad = got.filterNot(_.isNullAt(2))
+    assert(bad.length == 1)
+    assert(bad.head.isNullAt(0), "bad id cell must null only doc_id")
+    assert(bad.head.getAs[String]("text") == "bad id cell",
+      "the text cell must survive a bad sibling cell")
+    assert(bad.head.getAs[String]("_corrupt") == "x2,bad id cell")
+    assert(got.forall(_.getAs[String]("source").endsWith("a.csv")))
+  }
+
   test("ingest builds a populated index with chunk metadata") {
     val rows = index.read.collect()
     assert(rows.length >= 3)
