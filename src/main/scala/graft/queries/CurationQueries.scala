@@ -326,6 +326,42 @@ object CurationQueries {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q8L/q8N shared data-recipe arithmetic ---------------------------
+  // The per-stratum (lang, n_docs, n_tokens) aggregate — the ONLY part
+  // that touches the corpus (and the only stateful part of the q8N
+  // stream: strata-bounded rows).
+  private[queries] def recipeCounts(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions
+    docs.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+  }
+
+  // Closed-form mixture arithmetic over the counts table (α=0.5
+  // temperature weights in micro fixed-point, 4×-corpus budget, epochs
+  // + repetition flag). Shared verbatim by batch q8L and streaming q8N.
+  private[queries] def recipeFrom(counts: DataFrame): DataFrame = {
+    val w = counts.withColumn("w_micro",
+      round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
+    val tot = w.agg(sum("n_tokens").as("tot_tokens"),
+      sum("w_micro").as("tot_w"))
+    w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double")
+          / col("tot_tokens").cast("double"), 6).as("natural_share"),
+        round(col("w_micro").cast("double")
+          / col("tot_w").cast("double"), 6).as("target_share"),
+        col("tot_tokens"))
+      .withColumn("tokens_budgeted",
+        floor(col("target_share") * lit(4.0)
+          * col("tot_tokens").cast("double")).cast("long"))
+      .withColumn("epochs",
+        round(col("tokens_budgeted").cast("double")
+          / col("n_tokens").cast("double"), 6))
+      .withColumn("over_epoch_cap", col("epochs") > 4.0)
+      .drop("tot_tokens")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII scrub: synthesize deterministic PII from doc_id, normalize,
     // count each pattern, emit md5 of the redacted text.
@@ -846,30 +882,7 @@ object CurationQueries {
     // over a bounded stratum domain; everything after is closed-form
     // arithmetic on broadcast rows.
     "q8L_data_recipe" -> { (s, d) =>
-      import graft.functions.TextFunctions
-      val counts = Tables.documents(s, d).groupBy("lang").agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
-      val w = counts.withColumn("w_micro",
-        round(sqrt(col("n_tokens").cast("double")) * 1e6).cast("long"))
-      val tot = w.agg(sum("n_tokens").as("tot_tokens"),
-        sum("w_micro").as("tot_w"))
-      w.crossJoin(broadcast(tot))
-        .select(col("lang"), col("n_docs"), col("n_tokens"),
-          round(col("n_tokens").cast("double")
-            / col("tot_tokens").cast("double"), 6).as("natural_share"),
-          round(col("w_micro").cast("double")
-            / col("tot_w").cast("double"), 6).as("target_share"),
-          col("tot_tokens"))
-        .withColumn("tokens_budgeted",
-          floor(col("target_share") * lit(4.0)
-            * col("tot_tokens").cast("double")).cast("long"))
-        .withColumn("epochs",
-          round(col("tokens_budgeted").cast("double")
-            / col("n_tokens").cast("double"), 6))
-        .withColumn("over_epoch_cap", col("epochs") > 4.0)
-        .drop("tot_tokens")
-        .orderBy("lang")
+      recipeFrom(recipeCounts(Tables.documents(s, d))).orderBy("lang")
     },
 
     // Length-outlier pruning: keep docs inside the corpus [p10, p90]
@@ -1052,6 +1065,44 @@ object CurationQueries {
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> EN_STOP, "de" -> DE_STOP, "es" -> ES_STOP, "fr" -> FR_STOP,
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  // q8L's closed-form oracle, shared verbatim by streaming q8N (the
+  // q8G/q8J precedent: identical output contract, identical SQL).
+  private[queries] lazy val duckRecipeOracle: String =
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+         |      AS w_micro
+         |  FROM counts),
+         |tot AS (
+         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+         |         CAST(sum(w_micro) AS BIGINT) AS tot_w
+         |  FROM w),
+         |shares AS (
+         |  SELECT lang, n_docs, n_tokens,
+         |    round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
+         |      AS natural_share,
+         |    round(CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE), 6)
+         |      AS target_share,
+         |    tot_tokens
+         |  FROM w CROSS JOIN tot),
+         |budget AS (
+         |  SELECT lang, n_docs, n_tokens, natural_share, target_share,
+         |    CAST(floor(target_share * 4.0 * CAST(tot_tokens AS DOUBLE))
+         |         AS BIGINT) AS tokens_budgeted
+         |  FROM shares)
+         |SELECT lang, n_docs, n_tokens, natural_share, target_share,
+         |  tokens_budgeted,
+         |  round(CAST(tokens_budgeted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    AS epochs,
+         |  round(CAST(tokens_budgeted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+         |    > 4.0 AS over_epoch_cap
+         |FROM budget
+         |ORDER BY lang""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q60_pii_scrub" ->
@@ -1467,41 +1518,8 @@ object CurationQueries {
 
     // Recipe mirror: same stratum aggregate, same micro-unit sqrt
     // weights (long sums), same rounded shares / floor budget / epochs.
-    "q8L_data_recipe" ->
-      s"""WITH counts AS (
-         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         |         CAST(sum(len($duckToks)) AS BIGINT) AS n_tokens
-         |  FROM documents GROUP BY 1),
-         |w AS (
-         |  SELECT lang, n_docs, n_tokens,
-         |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
-         |      AS w_micro
-         |  FROM counts),
-         |tot AS (
-         |  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
-         |         CAST(sum(w_micro) AS BIGINT) AS tot_w
-         |  FROM w),
-         |shares AS (
-         |  SELECT lang, n_docs, n_tokens,
-         |    round(CAST(n_tokens AS DOUBLE) / CAST(tot_tokens AS DOUBLE), 6)
-         |      AS natural_share,
-         |    round(CAST(w_micro AS DOUBLE) / CAST(tot_w AS DOUBLE), 6)
-         |      AS target_share,
-         |    tot_tokens
-         |  FROM w CROSS JOIN tot),
-         |budget AS (
-         |  SELECT lang, n_docs, n_tokens, natural_share, target_share,
-         |    CAST(floor(target_share * 4.0 * CAST(tot_tokens AS DOUBLE))
-         |         AS BIGINT) AS tokens_budgeted
-         |  FROM shares)
-         |SELECT lang, n_docs, n_tokens, natural_share, target_share,
-         |  tokens_budgeted,
-         |  round(CAST(tokens_budgeted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-         |    AS epochs,
-         |  round(CAST(tokens_budgeted AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
-         |    > 4.0 AS over_epoch_cap
-         |FROM budget
-         |ORDER BY lang""".stripMargin,
+    "q8L_data_recipe" -> duckRecipeOracle,
+
 
     "q68_length_band" ->
       s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),

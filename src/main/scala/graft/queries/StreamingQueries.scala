@@ -469,6 +469,23 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // The q8L pretraining recipe as a LIVE mixture monitor: the
+    // per-language (n_docs, n_tokens) aggregate runs as a Complete-mode
+    // stream (state = strata rows FOREVER — the bounded-state floor for
+    // a mixture dashboard while shards land); the temperature weights /
+    // budget / epochs arithmetic applies batch-side to the streamed
+    // 5-row result via the SHARED CurationQueries.recipeFrom, so the
+    // live table is bit-identical to the batch recipe. Shares q8L's
+    // oracle verbatim.
+    "q8N_stream_data_recipe" -> { (s, d) =>
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val docs = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+      val counts = StreamRunner.runToBatch(
+        CurationQueries.recipeCounts(docs), OutputMode.Complete)
+      CurationQueries.recipeFrom(counts).orderBy("lang")
+    },
+
     // The composed q8G release gate as a stream: every arriving doc
     // decides has_secret / license / route / releasable / reason
     // row-locally in-flight (the in-line release decision a corpus
@@ -948,6 +965,8 @@ object StreamingQueries {
     "q7Z_stream_secret_flag" -> SignalQueries.duckSecretOracle,
 
     "q8J_stream_release_gate" -> SignalQueries.duckReleaseOracle,
+
+    "q8N_stream_data_recipe" -> CurationQueries.duckRecipeOracle,
 
     // identical output contract to batch q6W — closed-form robots
     // decision replayed from g (see the q6W mirror comment)

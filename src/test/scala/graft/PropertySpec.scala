@@ -678,4 +678,42 @@ class PropertySpec extends GraftSpec {
       .filter(col("has_secret"))
     assert(residue.count() == 0, "redacted text still scans positive")
   }
+
+  test("jsonl sink escaping on generated texts round-trips through an " +
+    "independent JSON parser byte-for-byte") {
+    import graft.pipeline.JsonlSink
+    // texts mix prose with every in-scope escape class (quotes,
+    // backslashes — incl. runs that end the string — \n \r \t, unicode)
+    // at arbitrary positions and densities
+    val piece = Gen.oneOf(
+      Gen.oneOf("plain", "words", "here"),
+      Gen.const("\""), Gen.const("\\"), Gen.const("\\\\"),
+      Gen.const("\n"), Gen.const("\r"), Gen.const("\t"),
+      Gen.const("\\\""), Gen.const("café"), Gen.const("{\"k\":1}"))
+    val textGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, piece).map(_.mkString))
+    val texts = samples(textGen, 120, 47000L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val dir = graft.util.TempDirs.scratch("jsonl-prop-")
+    JsonlSink.writeJsonlShards(texts.toDF("doc_id", "text"),
+      "doc_id", "text", 3, seed = 21, dir).collect()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".jsonl.gz")).flatMap { f =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.FileInputStream(f))
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList
+        in.close()
+        lines.map { l =>
+          val node = om.readTree(l)
+          node.get("doc_id").asLong() -> node.get("text").asText()
+        }
+      }.toMap
+    assert(parsed.size == texts.size)
+    texts.foreach { case (id, t) =>
+      assert(parsed(id) == t,
+        s"doc $id: independent parse <${parsed(id)}> != source <$t>")
+    }
+  }
 }
