@@ -588,6 +588,82 @@ object Curation {
     * needs. The cumulative sum is windowed PER SHARD, so shards pack in
     * parallel; within a shard packing is inherently sequential.
     */
+  final case class PackStats(shard: Int, strategy: String, n_docs: Long,
+                             n_oversized: Long, n_bins: Long,
+                             total_tokens: Long, padding: Long,
+                             waste_frac: Option[Double])
+
+  /** Document-boundary bin-packing waste report — the planner that
+    * sizes [[packSequences]]'s trade-off: q66's concat-then-slice spans
+    * waste zero tokens but split documents across windows; a
+    * boundary-respecting trainer instead PACKS whole docs into
+    * fixed-`contextLen` bins and pays padding. This operator prices
+    * that padding per shard for two deterministic policies — `arrival`
+    * (the q6C salted order) and `length_desc` (sort longest-first
+    * before the same next-fit scan, the classic fragmentation
+    * reducer) — so the sink chooses a policy from MEASURED waste, not
+    * folklore. Docs longer than the context can never fit a bin and
+    * are counted out (`n_oversized` — chunking upstream is q40/q50's
+    * job), never silently truncated.
+    *
+    * Scale shape: next-fit is a streaming recurrence — each pass is
+    * ONE repartition(shard) + sortWithinPartitions + a mapPartitions
+    * scan holding O(1) state (fill/bins/padding counters, the
+    * ShardSink iteration shape; no per-shard buffer). The oracle
+    * replays both folds with list_reduce over struct accumulators.
+    */
+  def packingWaste(df: DataFrame, idCol: String, textCol: String,
+                   nShards: Int, seed: Int,
+                   contextLen: Int): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val spark = df.sparkSession
+    val base = Scale.deterministicShards(
+        df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("len")),
+        idCol, nShards, seed)
+      .select(col("shard"), col("pos_in_shard"), col(idCol).as("id"),
+        col("len"))
+    def pass(strategy: String, orderCols: Seq[Column]) = {
+      val sorted = base
+        .repartition(nShards, col("shard"))
+        .sortWithinPartitions(col("shard") +: orderCols: _*)
+      sorted.mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[PackStats]
+        var cur = -1
+        var nDocs, nOver, bins, fill, pad, tot = 0L
+        def flush(): Unit = if (cur >= 0) {
+          if (fill > 0) { bins += 1; pad += contextLen - fill }
+          out += PackStats(cur, strategy, nDocs, nOver, bins, tot, pad,
+            if (bins > 0)
+              Some(graft.functions.GramAgg.roundMicro(
+                pad.toDouble / (bins * contextLen.toLong) * 1e6) / 1e6)
+            else None)
+        }
+        for (r <- rows) {
+          val shard = r.getInt(0)
+          if (shard != cur) {
+            flush()
+            cur = shard
+            nDocs = 0L; nOver = 0L; bins = 0L; fill = 0L; pad = 0L; tot = 0L
+          }
+          val len = r.getLong(3)
+          nDocs += 1
+          if (len > contextLen) nOver += 1
+          else {
+            tot += len
+            if (fill + len > contextLen) {
+              bins += 1; pad += contextLen - fill; fill = len
+            } else fill += len
+          }
+        }
+        flush()
+        out.iterator
+      }(org.apache.spark.sql.Encoders.product[PackStats])
+    }
+    pass("arrival", Seq(col("pos_in_shard")))
+      .unionByName(pass("length_desc", Seq(col("len").desc, col("id"))))
+      .toDF()
+  }
+
   def packSequences(df: DataFrame, shardCol: String, idCol: String,
                     textCol: String, windowTokens: Int): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")

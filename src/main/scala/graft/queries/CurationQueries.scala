@@ -885,6 +885,19 @@ object CurationQueries {
       recipeFrom(recipeCounts(Tables.documents(s, d))).orderBy("lang")
     },
 
+    // Bin-packing waste report: next-fit whole-document packing into
+    // 96-token bins per shard, priced for BOTH deterministic policies
+    // (salted arrival order vs longest-first) — the measured
+    // padding-waste comparison that picks the packing policy before a
+    // shard sink commits to one. Docs over the context are counted
+    // out, never truncated. Each pass is one exchange + an O(1)-state
+    // scan (the ShardSink shape).
+    "q8O_packing_waste" -> { (s, d) =>
+      Curation.packingWaste(Tables.documents(s, d), "doc_id", "text",
+          nShards = 8, seed = 23, contextLen = 96)
+        .orderBy("shard", "strategy")
+    },
+
     // Length-outlier pruning: keep docs inside the corpus [p10, p90]
     // token-count band.
     "q68_length_band" -> { (s, d) =>
@@ -1520,6 +1533,74 @@ object CurationQueries {
     // weights (long sums), same rounded shares / floor budget / epochs.
     "q8L_data_recipe" -> duckRecipeOracle,
 
+
+    // Packing-waste mirror: same salted route, both orderings as
+    // row_number sequences, the next-fit recurrence replayed as a
+    // RECURSIVE-CTE walk (the q50/q4B idiom; a list_reduce fold over a
+    // grouped list silently misfolds one group in this DuckDB build —
+    // found by a per-shard diff against an independent recompute),
+    // same final-bin flush.
+    "q8O_packing_waste" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, CAST(len($duckToks) AS BIGINT) AS len,
+         |    md5(CAST(doc_id AS VARCHAR) || ':23') AS k
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, len,
+         |    CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER) AS shard,
+         |    row_number() OVER (
+         |      PARTITION BY CAST(('0x' || substr(k, 1, 8))::BIGINT % 8 AS INTEGER)
+         |      ORDER BY k, doc_id) AS pos
+         |  FROM t),
+         |base AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN len > 96 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_oversized,
+         |    CAST(sum(CASE WHEN len <= 96 THEN len ELSE 0 END) AS BIGINT)
+         |      AS total_tokens
+         |  FROM sh GROUP BY 1),
+         |seq AS (
+         |  SELECT shard, 'arrival' AS strategy,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY pos)
+         |         AS BIGINT) AS i, len
+         |  FROM sh WHERE len <= 96
+         |  UNION ALL
+         |  SELECT shard, 'length_desc' AS strategy,
+         |    CAST(row_number() OVER (PARTITION BY shard
+         |                            ORDER BY len DESC, doc_id)
+         |         AS BIGINT) AS i, len
+         |  FROM sh WHERE len <= 96),
+         |cnt AS (SELECT shard, strategy, CAST(count(*) AS BIGINT) AS n
+         |        FROM seq GROUP BY 1, 2),
+         |walk AS (
+         |  SELECT shard, strategy, CAST(0 AS BIGINT) AS i,
+         |    CAST(0 AS BIGINT) AS fill, CAST(0 AS BIGINT) AS bins,
+         |    CAST(0 AS BIGINT) AS pad
+         |  FROM cnt
+         |  UNION ALL
+         |  SELECT w.shard, w.strategy, w.i + 1,
+         |    CASE WHEN w.fill + s.len > 96 THEN s.len
+         |         ELSE w.fill + s.len END,
+         |    CASE WHEN w.fill + s.len > 96 THEN w.bins + 1 ELSE w.bins END,
+         |    CASE WHEN w.fill + s.len > 96 THEN w.pad + (96 - w.fill)
+         |         ELSE w.pad END
+         |  FROM walk w JOIN seq s ON s.shard = w.shard
+         |    AND s.strategy = w.strategy AND s.i = w.i + 1),
+         |fin AS (
+         |  SELECT w.shard, w.strategy,
+         |    w.bins + CASE WHEN w.fill > 0 THEN 1 ELSE 0 END AS n_bins,
+         |    w.pad + CASE WHEN w.fill > 0 THEN 96 - w.fill ELSE 0 END
+         |      AS padding
+         |  FROM walk w JOIN cnt c ON c.shard = w.shard
+         |    AND c.strategy = w.strategy AND w.i = c.n)
+         |SELECT b.shard, f.strategy, b.n_docs, b.n_oversized,
+         |  CAST(f.n_bins AS BIGINT) AS n_bins, b.total_tokens,
+         |  CAST(f.padding AS BIGINT) AS padding,
+         |  CASE WHEN f.n_bins > 0
+         |       THEN round(CAST(f.padding AS DOUBLE) / (f.n_bins * 96.0), 6)
+         |       END AS waste_frac
+         |FROM fin f JOIN base b ON b.shard = f.shard
+         |ORDER BY b.shard, f.strategy""".stripMargin,
 
     "q68_length_band" ->
       s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),

@@ -472,4 +472,67 @@ class CurationSpec extends GraftSpec {
     assert(expected.forall(!_._4.contains("We use cookies")))
     assert(expected.exists(e => e._3 < e._2))
   }
+
+  test("packingWaste: independent fold parity, bin accounting identity, " +
+    "oversized excluded, partitioning-invariant") {
+    import graft.operators.{Curation, Scale}
+    // word counts 1..12 plus one oversized (len 15 > C=8)
+    val docs = (1L to 40L).map(id =>
+      (id, Seq.fill(if (id == 7L) 15 else (id % 12 + 1).toInt)("w")
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val C = 8
+    val got = Curation.packingWaste(docs, "doc_id", "text",
+        nShards = 3, seed = 5, contextLen = C)
+      .collect()
+      .map(r => ((r.getAs[Int]("shard"), r.getAs[String]("strategy")), r))
+      .toMap
+    assert(got.size == 6)
+    // independent reference: recompute shard/pos with the q6C formula
+    // and fold next-fit in plain Scala
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val base = (1L to 40L).map { id =>
+      val len = if (id == 7L) 15L else (id % 12 + 1)
+      val k = md5hex(s"$id:5")
+      (java.lang.Long.parseLong(k.take(8), 16) % 3, k, id, len)
+    }
+    def fold(lens: Seq[Long]): (Long, Long) = {
+      var fill = 0L; var bins = 0L; var pad = 0L
+      lens.foreach { l =>
+        if (fill + l > C) { bins += 1; pad += C - fill; fill = l }
+        else fill += l
+      }
+      if (fill > 0) { bins += 1; pad += C - fill }
+      (bins, pad)
+    }
+    base.groupBy(_._1).foreach { case (shard, rows) =>
+      val packed = rows.filter(_._4 <= C)
+      val arrival = fold(packed.sortBy(r => (r._2, r._3)).map(_._4))
+      val sorted  = fold(packed.sortBy(r => (-r._4, r._3)).map(_._4))
+      val ga = got((shard.toInt, "arrival"))
+      val gd = got((shard.toInt, "length_desc"))
+      assert((ga.getAs[Long]("n_bins"), ga.getAs[Long]("padding")) == arrival,
+        s"shard $shard arrival")
+      assert((gd.getAs[Long]("n_bins"), gd.getAs[Long]("padding")) == sorted,
+        s"shard $shard length_desc")
+      // accounting identity: packed tokens + padding fill the bins exactly
+      Seq(ga, gd).foreach { r =>
+        assert(r.getAs[Long]("total_tokens") + r.getAs[Long]("padding") ==
+          r.getAs[Long]("n_bins") * C)
+        assert(r.getAs[Long]("n_oversized") ==
+          rows.count(_._4 > C).toLong)
+      }
+    }
+    // partitioning invariance: a different input layout folds identically
+    val got2 = Curation.packingWaste(docs.repartition(7), "doc_id", "text",
+        nShards = 3, seed = 5, contextLen = C)
+      .collect()
+      .map(r => ((r.getAs[Int]("shard"), r.getAs[String]("strategy")),
+        (r.getAs[Long]("n_bins"), r.getAs[Long]("padding"))))
+      .toMap
+    assert(got.view.mapValues(r =>
+      (r.getAs[Long]("n_bins"), r.getAs[Long]("padding"))).toMap == got2)
+  }
 }
