@@ -957,6 +957,34 @@ object CurationQueries {
         .orderBy("doc_id")
     },
 
+    // CCNet head/middle/tail perplexity buckets (Wenzek et al. 2020's
+    // actual routing step): q6H's bigram-LM mean NLL per doc, corpus
+    // TERTILE edges from the distributed exact-quantile operator (two
+    // broadcast rows, 6-dp rounded on both engines), then a row-local
+    // bucket label — head = most in-domain third, the slice CCNet
+    // keeps; tail = the candidate-discard third. Composition of two
+    // proven legs (q6H scoring, q0D quantiles); the edges comparison
+    // rounds identically on both sides so the label boundary is
+    // bit-stable.
+    "q8P_ppl_buckets" -> { (s, d) =>
+      import graft.operators.Quantiles
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val scored = Curation.lmScore(docs,
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+        .select(col("doc_id"), col("avg_nll"))
+        .localCheckpoint() // edges + labels both read the scored table
+      val edges = Quantiles.globalQuantiles(scored,
+        Seq(("avg_nll", 1.0 / 3, "e1"), ("avg_nll", 2.0 / 3, "e2")))
+        .select(round(col("e1"), 6).as("e1"), round(col("e2"), 6).as("e2"))
+      scored.crossJoin(broadcast(edges))
+        .select(col("doc_id"), col("avg_nll"),
+          when(col("avg_nll") <= col("e1"), "head")
+            .when(col("avg_nll") <= col("e2"), "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+
     // Unigram token entropy + vocabulary-normalized ratio per doc —
     // the gibberish/repetition quality signal (low ratio = template or
     // repeated-token mass even when TTR looks sane). See
@@ -1729,6 +1757,45 @@ object CurationQueries {
          |  FROM agg)
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          |FROM avgd
+         |ORDER BY doc_id""".stripMargin,
+
+    // Bucket mirror: q6H's scoring CTE chain verbatim, tertile edges
+    // via quantile_cont rounded 6 dp, the same boundary comparisons.
+    "q8P_ppl_buckets" ->
+      s"""WITH uni AS (
+         |  SELECT w1, count(*) AS c1 FROM (
+         |    SELECT unnest($duckToks) AS w1 FROM documents WHERE doc_id % 10 = 0)
+         |  GROUP BY w1),
+         |vocab AS (SELECT count(*) AS v FROM uni),
+         |bg AS (
+         |  SELECT doc_id, unnest(${duckGrams(2)}) AS gram
+         |  FROM documents),
+         |bi AS (SELECT gram, count(*) AS c2 FROM bg WHERE doc_id % 10 = 0 GROUP BY gram),
+         |terms AS (
+         |  SELECT b.doc_id,
+         |    -round(ln(CAST(coalesce(bi.c2, 0) + 1 AS DOUBLE)
+         |            / CAST(coalesce(uni.c1, 0) + vocab.v AS DOUBLE)), 6) AS nll
+         |  FROM bg b
+         |  LEFT JOIN bi USING (gram)
+         |  LEFT JOIN uni ON string_split(b.gram, ' ')[1] = uni.w1
+         |  CROSS JOIN vocab),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    sum(CAST(round(nll * 1000000) AS BIGINT)) AS nll_fx
+         |  FROM terms GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id,
+         |    round(CAST(nll_fx AS DOUBLE) / n_bigrams) / 1000000 AS avg_nll
+         |  FROM agg),
+         |edges AS (
+         |  SELECT round(quantile_cont(avg_nll, 1.0/3), 6) AS e1,
+         |         round(quantile_cont(avg_nll, 2.0/3), 6) AS e2
+         |  FROM scored)
+         |SELECT doc_id, avg_nll,
+         |  CASE WHEN avg_nll <= e1 THEN 'head'
+         |       WHEN avg_nll <= e2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM scored CROSS JOIN edges
          |ORDER BY doc_id""".stripMargin,
 
     // Entropy mirror: identical per-term 6-dp rounding, micro-unit
