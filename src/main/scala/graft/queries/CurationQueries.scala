@@ -898,6 +898,53 @@ object CurationQueries {
         .orderBy("shard", "strategy")
     },
 
+    // Neyman-allocation stratified sample (optimal allocation,
+    // Neyman 1934 — the eval-set draw that beats proportional when
+    // strata differ in spread): per-language doc counts and
+    // token-count standard deviation from EXACT integer moment sums
+    // (n, Σx, Σx² — order-free longs; σ and the weights enter floats
+    // only in closed forms, the q0E contract), allocation targets
+    // ∝ n_h·σ_h over a 120-doc budget (micro-fixed-point weights,
+    // floor targets — the q6M idiom), then the deterministic salted-
+    // rank draw per stratum. High-variance strata get MORE slots per
+    // doc than proportional would give them.
+    "q8Q_neyman_sample" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("nt"))
+      val stats = docs.groupBy("lang").agg(
+        count(lit(1)).as("n_h"),
+        sum(col("nt")).as("sx"),
+        sum(col("nt") * col("nt")).as("sxx"))
+      val sigma = stats.withColumn("variance",
+          (col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double")
+              / col("n_h").cast("double")) / col("n_h").cast("double"))
+        .withColumn("sigma", round(sqrt(col("variance")), 6))
+        .withColumn("w_micro",
+          round(col("n_h").cast("double") * col("sigma") * 1e6).cast("long"))
+      val tot = sigma.agg(sum("w_micro").as("tot_w"))
+      val targets = sigma.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          floor(lit(120.0) * col("w_micro").cast("double")
+            / col("tot_w").cast("double")).cast("long").as("target"))
+      // bounded per-stratum reservoir (state <= strata x 120), NOT a
+      // corpus window keyed on the 5-value lang — the q6M draw idiom
+      import graft.functions.TopKByRankAgg
+      val ranked = docs.select(col("lang"), col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit("neyman"))).as("rk"))
+      val top = ranked.groupBy("lang")
+        .agg(TopKByRankAgg.topKByRank(col("rk"), col("doc_id"), 120).as("top"))
+      top.join(broadcast(targets), "lang")
+        .select(col("lang"), col("target"),
+          posexplode(col("top").getField("id")))
+        .toDF("lang", "target", "pos", "doc_id")
+        .filter(col("pos") < col("target"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // Length-outlier pruning: keep docs inside the corpus [p10, p90]
     // token-count band.
     "q68_length_band" -> { (s, d) =>
@@ -1758,6 +1805,43 @@ object CurationQueries {
          |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 6) AS ppl
          |FROM avgd
          |ORDER BY doc_id""".stripMargin,
+
+    // Neyman mirror: the same exact integer moments, the same closed-
+    // form sigma/weight/floor-target arithmetic, the same salted rank.
+    "q8Q_neyman_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(len($duckToks) AS BIGINT) AS nt
+         |  FROM documents),
+         |stats AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_h,
+         |    CAST(sum(nt) AS BIGINT) AS sx,
+         |    CAST(sum(nt * nt) AS BIGINT) AS sxx
+         |  FROM d GROUP BY 1),
+         |sig AS (
+         |  SELECT lang, n_h,
+         |    round(sqrt((CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_h AS DOUBLE))
+         |      / CAST(n_h AS DOUBLE)), 6) AS sigma
+         |  FROM stats),
+         |w AS (
+         |  SELECT lang,
+         |    CAST(round(CAST(n_h AS DOUBLE) * sigma * 1000000) AS BIGINT)
+         |      AS w_micro
+         |  FROM sig),
+         |tot AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tot_w FROM w),
+         |tgt AS (
+         |  SELECT lang,
+         |    CAST(floor(120.0 * CAST(w_micro AS DOUBLE)
+         |               / CAST(tot_w AS DOUBLE)) AS BIGINT) AS target
+         |  FROM w CROSS JOIN tot),
+         |rk AS (
+         |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'neyman'), doc_id) AS rn
+         |  FROM d)
+         |SELECT r.doc_id, r.lang
+         |FROM rk r JOIN tgt t ON t.lang = r.lang
+         |WHERE r.rn <= t.target
+         |ORDER BY r.doc_id""".stripMargin,
 
     // Bucket mirror: q6H's scoring CTE chain verbatim, tertile edges
     // via quantile_cont rounded 6 dp, the same boundary comparisons.
