@@ -1174,6 +1174,25 @@ object PipelineQueries {
         .orderBy(col("corrupt"), col("doc_id"), col("text_md5"))
     },
 
+    // ORC corpus round-trip: the corpus writes through Spark's NATIVE
+    // ORC datasource (the other columnar interchange format a
+    // warehouse-adjacent corpus drop arrives in) and reads back via
+    // the production scan path. The oracle never touches ORC — the
+    // hash gate proves write+read inverted each other exactly, typed
+    // columns included.
+    "q8T_orc_ingest" -> { (s, d) =>
+      val dir = graft.util.TempDirs.scratch("graft-orc-")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .repartition(4)
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("text_md5"),
+          col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // PDF ingest round-trip, oracle-gated (SURVEY S2 — the one row that
     // was spec-only): render every document to a REAL PDF file
     // (PdfWriter: Type0/Identity-H font, UTF-16BE hex strings, identity
@@ -2452,6 +2471,13 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 97 = 0)
         |SELECT * FROM good UNION ALL SELECT * FROM bad
         |ORDER BY corrupt, doc_id""".stripMargin,
+
+    // ORC mirror: the closed form over the source table — the Spark
+    // side proved the bytes round-tripped through the real files.
+    "q8T_orc_ingest" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS text_md5, lang, source
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // CSV mirror: good rows keep their id, corrupt rows null ONLY the
     // id — the text cell parses either way (CSV's cell-local failure

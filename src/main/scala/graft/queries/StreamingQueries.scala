@@ -469,6 +469,47 @@ object StreamingQueries {
         .orderBy("doc_id")
     },
 
+    // Streaming corpus EXPORT (the q79 ingest stream's write-side
+    // complement): the corpus lands as 4 hash-partitioned parquet
+    // files, a REAL file-source stream cuts them into 2 micro-batches
+    // (maxFilesPerTrigger=2), and each batch packs its docs into its
+    // own batch-<id>/ gzipped-JSONL shard set through the q8I sink.
+    // Per-batch bytes depend on the batch cut; the gate is the
+    // batch-split-INDEPENDENT union: Spark's own JSON parser reads
+    // every written shard back and each doc's text must byte-equal the
+    // source, exactly once, across exactly 2 batches.
+    "q8S_stream_export" -> { (s, d) =>
+      val landing = graft.util.TempDirs.scratch("graft-export-landing-")
+      val outDir  = graft.util.TempDirs.scratch("graft-export-out-")
+      val ck      = graft.util.TempDirs.scratch("graft-export-ck-")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .repartition(4, pmod(col("doc_id"), lit(4)))
+        .write.mode("overwrite").parquet(landing)
+      val docs = s.readStream
+        .schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(landing)
+      graft.streaming.StreamingIngest.runExportStreamOnce(
+        docs, outDir, ck, nShards = 4, seed = 29)
+      val parsed = s.read.schema("doc_id LONG, text STRING")
+        .json(outDir + "/batch-*/shard_*.jsonl.gz")
+        .withColumn("_file", input_file_name())
+      val src = Tables.documents(s, d)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("src_text"))
+      val stats = parsed.join(src, "doc_id").agg(
+        count(lit(1)).as("n_exported"),
+        sum(when(col("text") === col("src_text"), 1L).otherwise(0L))
+          .as("n_matched"),
+        countDistinct(regexp_extract(col("_file"), "batch-(\\d+)", 1))
+          .as("n_batches"))
+      val tot = src.agg(count(lit(1)).as("n_docs"))
+      tot.crossJoin(stats).select(
+        col("n_docs"), col("n_exported"), col("n_matched"), col("n_batches"),
+        (col("n_exported") === col("n_docs") &&
+          col("n_matched") === col("n_docs") &&
+          col("n_batches") === 2L).as("complete"))
+    },
+
     // The q8L pretraining recipe as a LIVE mixture monitor: the
     // per-language (n_docs, n_tokens) aggregate runs as a Complete-mode
     // stream (state = strata rows FOREVER — the bounded-state floor for
@@ -967,6 +1008,18 @@ object StreamingQueries {
     "q8J_stream_release_gate" -> SignalQueries.duckReleaseOracle,
 
     "q8N_stream_data_recipe" -> CurationQueries.duckRecipeOracle,
+
+    // Export mirror: content-complete closed form — every doc exported
+    // exactly once, text byte-equal, across exactly 2 micro-batches
+    // (ceil(4 landing files / 2 per trigger)); the Spark side proved it
+    // against the real files and its own JSON parser.
+    "q8S_stream_export" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_exported,
+        |       CAST(count(*) AS BIGINT) AS n_matched,
+        |       CAST(2 AS BIGINT) AS n_batches,
+        |       true AS complete
+        |FROM documents""".stripMargin,
 
     // identical output contract to batch q6W — closed-form robots
     // decision replayed from g (see the q6W mirror comment)

@@ -273,6 +273,31 @@ object VectorQueries {
         .orderBy("query_id")
     },
 
+    // Matryoshka truncation eval (Kusupati et al. 2022, the MRL
+    // practice every embedding pipeline now weighs): recall@10 of
+    // exact KNN over the FIRST-16-dim prefix vs full 64-dim exact KNN
+    // — the measurement that says whether a 4× cheaper index (ANN
+    // memory, PQ codes, broadcast size all scale with dim) keeps the
+    // neighbors. Both sides are the same audited topKBatch reduction;
+    // the truncation is a row-local slice. At 100 TB the query batch
+    // stays a constant set and the corpus streams once per side.
+    "q8R_matryoshka_recall" -> { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = graft.operators.Knn.topKBatch(
+        e, "vec_id", "embedding", queries, "query_id", "qvec", k = 10)
+      val et = e.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val qt = queries.select(col("query_id"),
+        slice(col("qvec"), 1, 16).as("qvec"))
+      val trunc = graft.operators.Knn.topKBatch(
+        et, "vec_id", "embedding", qt, "query_id", "qvec", k = 10)
+      graft.operators.AnnEval.recallAtK(exact, trunc,
+          "query_id", "vec_id", k = 10)
+        .orderBy("query_id")
+    },
+
     // SemDeDup-style semantic near-dup pairs: deterministic IVF cells
     // bound the pair space (cell equi-join, never n²), exact rounded
     // cosine >= 0.35 verifies within the cell — catches paraphrase
@@ -862,6 +887,41 @@ object VectorQueries {
          |    JOIN sigs s ON bit_count(xor(s.sig, qs.sig)) <= 2
          |    JOIN embeddings e ON e.vec_id = s.vec_id
          |    WHERE e.vec_id <> q.query_id) t
+         |  WHERE rn <= 10),
+         |hits AS (
+         |  SELECT a.query_id, count(*) AS n
+         |  FROM approx a JOIN exact x
+         |    ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+         |       round(coalesce(h.n, 0) / 10.0, 6) AS recall
+         |FROM (SELECT DISTINCT query_id FROM exact) qq
+         |LEFT JOIN hits h ON h.query_id = qq.query_id
+         |ORDER BY qq.query_id""".stripMargin,
+
+    // Matryoshka mirror: the q6B recall shape with the approx side =
+    // exact KNN over the 16-dim array prefix (materialized in CTEs so
+    // the cosine fragment's len() sees the sliced arrays).
+    "q8R_matryoshka_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+         |           FROM embeddings WHERE vec_id < 32),
+         |et AS (SELECT vec_id, embedding[1:16] AS emb FROM embeddings),
+         |qt AS (SELECT query_id, qvec[1:16] AS qv FROM q),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY q.query_id
+         |             ORDER BY round(${duckCosine("e.embedding", "q.qvec")}, 6) DESC,
+         |                      e.vec_id) AS rn
+         |    FROM embeddings e, q WHERE e.vec_id <> q.query_id) t
+         |  WHERE rn <= 10),
+         |approx AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT qt.query_id, e.vec_id,
+         |           row_number() OVER (PARTITION BY qt.query_id
+         |             ORDER BY round(${duckCosine("e.emb", "qt.qv")}, 6) DESC,
+         |                      e.vec_id) AS rn
+         |    FROM et e, qt WHERE e.vec_id <> qt.query_id) t
          |  WHERE rn <= 10),
          |hits AS (
          |  SELECT a.query_id, count(*) AS n

@@ -134,6 +134,40 @@ object StreamingIngest {
       landingStream(spark, landingDir, maxFilesPerTrigger, sourceBasename),
       index, embedder, checkpointDir, chunkSize, chunkOverlap)
 
+  /** Streaming corpus EXPORT — the write side of the streaming story
+    * (landing → transform → publish while the crawl still runs): every
+    * arriving micro-batch packs into its OWN `batch-<id>/` set of
+    * deterministic gzipped-JSONL shards via
+    * [[graft.pipeline.JsonlSink]]. Which docs share a batch depends on
+    * how the source cut files into triggers, so per-batch shard bytes
+    * are not replayable — but the UNION of all batches' parsed content
+    * is batch-split-independent, which is what the q8S gate checks.
+    * foreachBatch + AvailableNow + the checkpoint give each batch id a
+    * deterministic doc set per run; a batch retry overwrites its own
+    * dir (the sink's bytes are deterministic), never duplicates.
+    */
+  def runExportStreamOnce(
+      docs: DataFrame,
+      outDir: String,
+      checkpointDir: String,
+      nShards: Int,
+      seed: Int
+  ): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val dir = s"$outDir/batch-$id"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        graft.pipeline.JsonlSink
+          .writeJsonlShards(batch, "doc_id", "text", nShards, seed, dir)
+          .collect()
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming analytics over the events shape (batch q06's streaming
     * twin): watermarked tumbling-window counts per event type.
     */
