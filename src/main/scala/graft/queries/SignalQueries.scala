@@ -350,6 +350,66 @@ object SignalQueries {
         .orderBy("shard")
     },
 
+    // Cross-sink routing consistency: the SAME corpus + seed through
+    // all three shard sinks (packed tokens, tar, gzipped JSONL) must
+    // put every doc in the SAME shard — a doc's shard assignment is a
+    // corpus-layout contract that must not depend on container format
+    // (or a re-export to a new format would silently reshuffle
+    // training order). Per shard: the three sinks' doc counts + an
+    // agree flag; the oracle replays the salted route ONCE.
+    "q8U_sink_consistency" -> { (s, d) =>
+      import graft.pipeline.{JsonlSink, ShardSink, TarSink}
+      val docs = Tables.documents(s, d)
+      val db = graft.util.TempDirs.scratch("graft-cons-bin-")
+      val dt = graft.util.TempDirs.scratch("graft-cons-tar-")
+      val dj = graft.util.TempDirs.scratch("graft-cons-jsonl-")
+      val bin = ShardSink.writeShards(docs, "doc_id", "text", 8, 31, db)
+        .toDF().select(col("shard"), col("n_docs").as("bin_docs"))
+      val tar = TarSink.writeTarShards(docs, "doc_id", "text", 8, 31, dt)
+        .toDF().select(col("shard"), col("n_entries").as("tar_entries"))
+      val jl = JsonlSink.writeJsonlShards(docs, "doc_id", "text", 8, 31, dj)
+        .toDF().select(col("shard"), col("n_docs").as("jsonl_docs"))
+      bin.join(tar, "shard").join(jl, "shard")
+        .withColumn("agree",
+          col("bin_docs") === col("tar_entries") &&
+            col("tar_entries") === col("jsonl_docs"))
+        .orderBy("shard")
+    },
+
+    // Corpus concentration report (Herfindahl–Hirschman index over the
+    // lang and source strata): Σ share² from EXACT integer counts —
+    // the "is this corpus dominated by one site/language" gate
+    // RefinedWeb-class pipelines run before training, with the
+    // normalized index ((H − 1/k)/(1 − 1/k)) and the classic 0.15
+    // concentration line. The fixture's uniform source split scores
+    // ~0.05 (unconcentrated) while the skewed lang split crosses the
+    // line — both flag classes live. One hash aggregate per dimension
+    // over bounded stratum domains.
+    "q8V_concentration" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def hhi(dim: String) = {
+        val counts = docs.groupBy(col(dim).as("stratum"))
+          .agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum("n").as("tot"),
+          count(lit(1)).as("k"), max("n").as("mx"))
+        counts.crossJoin(broadcast(tot))
+          .agg(
+            first(col("k")).as("k"),
+            round(first(col("mx")).cast("double")
+              / first(col("tot")).cast("double"), 6).as("top_share"),
+            round(sum(col("n") * col("n")).cast("double")
+              / (first(col("tot")) * first(col("tot"))).cast("double"), 6)
+              .as("hhi"))
+          .select(lit(dim).as("dimension"), col("k"), col("top_share"),
+            col("hhi"),
+            round((col("hhi") - lit(1.0) / col("k").cast("double"))
+              / (lit(1.0) - lit(1.0) / col("k").cast("double")), 6)
+              .as("hhi_normalized"),
+            (col("hhi") > 0.15).as("concentrated"))
+      }
+      hhi("lang").unionByName(hhi("source")).orderBy("dimension")
+    },
+
     // Calibration of the max-normalized length score against lang='en'
     // over 10 fixed bins: reliability table + per-bin Brier (q83's AUC
     // asks "does length rank English"; this asks "is the score honest
@@ -698,6 +758,55 @@ object SignalQueries {
         |FROM hx
         |GROUP BY shard
         |ORDER BY shard""".stripMargin,
+
+    // Consistency mirror: ONE salted-route replay — all three sinks
+    // must land on it (agree pinned true; the Spark side proved it
+    // against three real sink executions).
+    "q8U_sink_consistency" ->
+      """WITH sh AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':31'), 1, 8))::BIGINT % 8
+        |              AS INTEGER) AS shard
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(count(*) AS BIGINT) AS bin_docs,
+        |  CAST(count(*) AS BIGINT) AS tar_entries,
+        |  CAST(count(*) AS BIGINT) AS jsonl_docs,
+        |  true AS agree
+        |FROM sh
+        |GROUP BY shard
+        |ORDER BY shard""".stripMargin,
+
+    // Concentration mirror: exact integer counts, the same rounded
+    // closed forms per dimension, normalized index from the ROUNDED
+    // hhi on both engines.
+    "q8V_concentration" ->
+      """WITH l AS (SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1),
+        |s AS (SELECT source AS stratum, CAST(count(*) AS BIGINT) AS n
+        |      FROM documents GROUP BY 1),
+        |lh AS (
+        |  SELECT 'lang' AS dimension,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |      AS top_share,
+        |    round(CAST(sum(n * n) AS DOUBLE)
+        |          / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi
+        |  FROM l),
+        |shh AS (
+        |  SELECT 'source' AS dimension,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+        |      AS top_share,
+        |    round(CAST(sum(n * n) AS DOUBLE)
+        |          / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi
+        |  FROM s),
+        |u AS (SELECT * FROM lh UNION ALL SELECT * FROM shh)
+        |SELECT dimension, k, top_share, hhi,
+        |  round((hhi - 1.0 / CAST(k AS DOUBLE))
+        |        / (1.0 - 1.0 / CAST(k AS DOUBLE)), 6) AS hhi_normalized,
+        |  hhi > 0.15 AS concentrated
+        |FROM u
+        |ORDER BY dimension""".stripMargin,
 
     // JSONL-sink mirror: route + rank exactly as the Spark side, build
     // the SAME JSON line via the SAME five-step replace chain
