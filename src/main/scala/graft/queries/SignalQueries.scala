@@ -376,6 +376,31 @@ object SignalQueries {
         .orderBy("shard")
     },
 
+    // Laplace-noised stats release (the ε-DP mechanism shape next to
+    // the q89 k-anonymity audit): per-lang doc counts perturbed by
+    // Laplace(Δ/ε) noise drawn via inverse CDF from the SEEDED md5
+    // uniform (the q6I draw idiom — deterministic so the oracle
+    // replays the mechanism arithmetic exactly; a production release
+    // swaps in a secret fresh seed, same plan). Sensitivity Δ=1 (one
+    // doc changes one count), ε=1; noise = −b·sign(u−½)·ln(1−2|u−½|),
+    // rounded 6 dp, released = max(0, n + round(noise)).
+    "q8W_dp_counts" -> { (s, d) =>
+      import graft.functions.TextFunctions
+      val counts = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val u = TextFunctions.hashUniform(concat(col("lang"), lit(":dp")))
+      val b = lit(1.0) // Δ/ε = 1/1
+      val noise = round(-b * signum(u - lit(0.5))
+        * log(lit(1.0) - lit(2.0) * abs(u - lit(0.5))), 6)
+      counts.select(col("lang"), col("n"),
+          round(u, 6).as("u"), noise.as("noise"))
+        .withColumn("released",
+          greatest(lit(0L), col("n") + round(col("noise")).cast("long")))
+        .withColumn("abs_error",
+          abs(col("released") - col("n")))
+        .orderBy("lang")
+    },
+
     // Corpus concentration report (Herfindahl–Hirschman index over the
     // lang and source strata): Σ share² from EXACT integer counts —
     // the "is this corpus dominated by one site/language" gate
@@ -775,6 +800,29 @@ object SignalQueries {
         |FROM sh
         |GROUP BY shard
         |ORDER BY shard""".stripMargin,
+
+    // DP-release mirror: the same md5-uniform draw, the same inverse-
+    // CDF Laplace arithmetic (raw u in the formula, rounded u only in
+    // the display column), the same away-from-zero integer rounding.
+    "q8W_dp_counts" ->
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+         |  FROM documents GROUP BY 1),
+         |drawn AS (
+         |  SELECT lang, n, ${DuckSql.uniform("lang || ':dp'")} AS u_raw
+         |  FROM counts),
+         |nz AS (
+         |  SELECT lang, n, u_raw,
+         |    round(-1.0 * sign(u_raw - 0.5)
+         |          * ln(1.0 - 2.0 * abs(u_raw - 0.5)), 6) AS noise
+         |  FROM drawn)
+         |SELECT lang, n, round(u_raw, 6) AS u, noise,
+         |  greatest(CAST(0 AS BIGINT), n + CAST(round(noise) AS BIGINT))
+         |    AS released,
+         |  abs(greatest(CAST(0 AS BIGINT), n + CAST(round(noise) AS BIGINT))
+         |      - n) AS abs_error
+         |FROM nz
+         |ORDER BY lang""".stripMargin,
 
     // Concentration mirror: exact integer counts, the same rounded
     // closed forms per dimension, normalized index from the ROUNDED

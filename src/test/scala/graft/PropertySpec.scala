@@ -679,6 +679,52 @@ class PropertySpec extends GraftSpec {
     assert(residue.count() == 0, "redacted text still scans positive")
   }
 
+  test("packingWaste on generated corpora matches an independent fold " +
+    "and keeps the bin accounting identity") {
+    import graft.operators.Curation
+    val C = 32
+    // lengths cluster around/below C with an oversized tail
+    val lenGen = Gen.frequency(
+      (6, Gen.chooseNum(1, C)), (2, Gen.chooseNum(C / 2, C)),
+      (1, Gen.chooseNum(C + 1, 3 * C)))
+    val lens = samples(lenGen, 200, 53000L).zipWithIndex
+      .map { case (l, i) => (i.toLong, Seq.fill(l)("w").mkString(" "), l.toLong) }
+    val docs = lens.map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val got = Curation.packingWaste(docs, "doc_id", "text",
+        nShards = 4, seed = 17, contextLen = C)
+      .collect()
+      .map(r => ((r.getAs[Int]("shard"), r.getAs[String]("strategy")), r))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def fold(ls: Seq[Long]): (Long, Long) = {
+      var fill = 0L; var bins = 0L; var pad = 0L
+      ls.foreach { l =>
+        if (fill + l > C) { bins += 1; pad += C - fill; fill = l }
+        else fill += l
+      }
+      if (fill > 0) { bins += 1; pad += C - fill }
+      (bins, pad)
+    }
+    lens.map { case (id, _, l) =>
+      val k = md5hex(s"$id:17")
+      (java.lang.Long.parseLong(k.take(8), 16) % 4, k, id, l)
+    }.groupBy(_._1).foreach { case (shard, rows) =>
+      val packed = rows.filter(_._4 <= C)
+      val arrival = fold(packed.sortBy(r => (r._2, r._3)).map(_._4))
+      val sorted  = fold(packed.sortBy(r => (-r._4, r._3)).map(_._4))
+      val ga = got((shard.toInt, "arrival"))
+      val gd = got((shard.toInt, "length_desc"))
+      assert((ga.getAs[Long]("n_bins"), ga.getAs[Long]("padding")) == arrival)
+      assert((gd.getAs[Long]("n_bins"), gd.getAs[Long]("padding")) == sorted)
+      Seq(ga, gd).foreach { r =>
+        assert(r.getAs[Long]("total_tokens") + r.getAs[Long]("padding") ==
+          r.getAs[Long]("n_bins") * C)
+      }
+    }
+  }
+
   test("jsonl sink escaping on generated texts round-trips through an " +
     "independent JSON parser byte-for-byte") {
     import graft.pipeline.JsonlSink
