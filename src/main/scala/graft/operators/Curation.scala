@@ -616,12 +616,15 @@ object Curation {
                    nShards: Int, seed: Int,
                    contextLen: Int): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
-    val spark = df.sparkSession
+    // cut the (shard, pos, id, len) projection ONCE (the q5H/q8K
+    // idiom): both strategy passes read the cut instead of re-running
+    // the tokenize + salted-route + rank-window lineage
     val base = Scale.deterministicShards(
         df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("len")),
         idCol, nShards, seed)
       .select(col("shard"), col("pos_in_shard"), col(idCol).as("id"),
         col("len"))
+      .localCheckpoint()
     def pass(strategy: String, orderCols: Seq[Column]) = {
       val sorted = base
         .repartition(nShards, col("shard"))

@@ -266,14 +266,28 @@ object Scale {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** The salted shuffle key behind [[deterministicShards]] — ONE
+    * definition of the routing arithmetic so a consumer re-deriving a
+    * row's shard (e.g. q8I's interop leg) can never drift from the
+    * sinks' own routing.
+    */
+  def shardKey(id: Column, seed: Int): Column =
+    md5(concat_ws(":", id.cast("string"), lit(seed.toString)))
+
+  /** Shard assignment for one id under (nShards, seed) — row-local,
+    * shares [[shardKey]]'s definition with the full layout.
+    */
+  def shardOf(id: Column, nShards: Int, seed: Int): Column =
+    (conv(substring(shardKey(id, seed), 1, 8), 16, 10).cast("long")
+      % nShards).cast("int")
+
   def deterministicShards(
       df: DataFrame, idCol: String, nShards: Int, seed: Int
   ): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
-    df.withColumn("shuffle_key",
-        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))))
+    df.withColumn("shuffle_key", shardKey(col(idCol), seed))
       .withColumn("shard",
         (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long")
           % nShards).cast("int"))

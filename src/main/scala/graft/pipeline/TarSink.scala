@@ -137,6 +137,42 @@ object TarSink {
     * padding, and the two-zero-block terminator; hex-digest the
     * content the same way [[writeTarShards]] did.
     */
+  /** (shard, doc_id) membership listing from the REAL archive bytes —
+    * entry names parse back to their ids (the \d{12} contract), headers
+    * validated lightly (magic + name; [[readTarManifests]] is the full
+    * structural check). Feeds the q8U cross-sink membership audit.
+    */
+  def readTarEntries(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(outDir + "/shard_*.tar")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val shard = "shard_(\\d+)\\.tar$".r.findFirstMatchIn(path)
+          .map(_.group(1).toInt)
+          .getOrElse(sys.error(s"unrecognized tar shard: $path"))
+        def str(o: Int, n: Int): String = {
+          val end = (o until o + n).find(bytes(_) == 0).getOrElse(o + n)
+          new String(bytes, o, end - o, java.nio.charset.StandardCharsets.US_ASCII)
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var off = 0
+        while (off + Block <= bytes.length &&
+            !(off until off + Block).forall(bytes(_) == 0)) {
+          require(str(off + 257, 6) == Magic, s"$path@$off: bad magic")
+          val name = str(off, 100)
+          require(name.matches("\\d{12}\\.txt"),
+            s"$path@$off: unexpected entry name '$name'")
+          out += ((shard, name.take(12).toLong))
+          val size = java.lang.Long.parseLong(str(off + 124, 12).trim, 8)
+          val pad  = ((Block - size % Block) % Block).toInt
+          off += Block + size.toInt + pad
+        }
+        out
+      }
+      .toDF("shard", "doc_id")
+  }
+
   def readTarManifests(spark: SparkSession, outDir: String): Dataset[TarManifest] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(outDir + "/shard_*.tar")

@@ -1667,15 +1667,18 @@ object CurationQueries {
          |    w.pad + CASE WHEN w.fill > 0 THEN 96 - w.fill ELSE 0 END
          |      AS padding
          |  FROM walk w JOIN cnt c ON c.shard = w.shard
-         |    AND c.strategy = w.strategy AND w.i = c.n)
-         |SELECT b.shard, f.strategy, b.n_docs, b.n_oversized,
-         |  CAST(f.n_bins AS BIGINT) AS n_bins, b.total_tokens,
-         |  CAST(f.padding AS BIGINT) AS padding,
-         |  CASE WHEN f.n_bins > 0
+         |    AND c.strategy = w.strategy AND w.i = c.n),
+         |strat AS (SELECT * FROM (VALUES ('arrival'), ('length_desc'))
+         |          AS t(strategy))
+         |SELECT b.shard, st.strategy, b.n_docs, b.n_oversized,
+         |  CAST(coalesce(f.n_bins, 0) AS BIGINT) AS n_bins, b.total_tokens,
+         |  CAST(coalesce(f.padding, 0) AS BIGINT) AS padding,
+         |  CASE WHEN coalesce(f.n_bins, 0) > 0
          |       THEN round(CAST(f.padding AS DOUBLE) / (f.n_bins * 96.0), 6)
          |       END AS waste_frac
-         |FROM fin f JOIN base b ON b.shard = f.shard
-         |ORDER BY b.shard, f.strategy""".stripMargin,
+         |FROM base b CROSS JOIN strat st
+         |LEFT JOIN fin f ON f.shard = b.shard AND f.strategy = st.strategy
+         |ORDER BY b.shard, st.strategy""".stripMargin,
 
     "q68_length_band" ->
       s"""WITH t AS (SELECT doc_id, len($duckToks) AS n_tokens FROM documents),

@@ -331,12 +331,13 @@ object SignalQueries {
         .json(dir + "/shard_*.jsonl.gz")
       val src = docs.select(col("doc_id"),
         coalesce(col("text"), lit("")).as("src_text"))
+      // shard re-derived through the SHARED routing helper (one
+      // definition with the sinks); <=> keeps the gate loud when the
+      // parser returns NULL text (=== would NULL out of bool_and)
       val interop = parsed.join(src, "doc_id")
         .select(
-          (conv(substring(md5(concat_ws(":",
-              col("doc_id").cast("string"), lit("17"))), 1, 8), 16, 10)
-            .cast("long") % 8).cast("int").as("shard"),
-          (col("text") === col("src_text")).as("ok"))
+          graft.operators.Scale.shardOf(col("doc_id"), 8, 17).as("shard"),
+          (col("text") <=> col("src_text")).as("ok"))
         .groupBy("shard")
         .agg(count(lit(1)).as("p_docs"), bool_and(col("ok")).as("p_ok"))
       written.join(reread, Seq("shard"), "full")
@@ -359,20 +360,49 @@ object SignalQueries {
     // agree flag; the oracle replays the salted route ONCE.
     "q8U_sink_consistency" -> { (s, d) =>
       import graft.pipeline.{JsonlSink, ShardSink, TarSink}
+      import graft.operators.Scale
       val docs = Tables.documents(s, d)
       val db = graft.util.TempDirs.scratch("graft-cons-bin-")
       val dt = graft.util.TempDirs.scratch("graft-cons-tar-")
       val dj = graft.util.TempDirs.scratch("graft-cons-jsonl-")
       val bin = ShardSink.writeShards(docs, "doc_id", "text", 8, 31, db)
         .toDF().select(col("shard"), col("n_docs").as("bin_docs"))
+      // tar and jsonl MEMBERSHIP re-reads list files eagerly, so their
+      // writes localCheckpoint (execute) first
       val tar = TarSink.writeTarShards(docs, "doc_id", "text", 8, 31, dt)
-        .toDF().select(col("shard"), col("n_entries").as("tar_entries"))
+        .toDF().localCheckpoint()
+        .select(col("shard"), col("n_entries").as("tar_entries"))
       val jl = JsonlSink.writeJsonlShards(docs, "doc_id", "text", 8, 31, dj)
-        .toDF().select(col("shard"), col("n_docs").as("jsonl_docs"))
+        .toDF().localCheckpoint()
+        .select(col("shard"), col("n_docs").as("jsonl_docs"))
+      // order-free 60-bit set fingerprint per shard (bit_xor of per-id
+      // md5 hashes — no overflow, no per-shard collect buffer); the
+      // tar side parses entry names from the REAL bytes, the jsonl
+      // side re-parses the real files with Spark's JSON reader
+      def fp(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(c.cast("string"), lit(":m"))), 1, 15),
+          16, 10).cast("long")
+      val tarFp = TarSink.readTarEntries(s, dt)
+        .select(col("shard"), fp(col("doc_id")).as("h"))
+        .groupBy("shard").agg(expr("bit_xor(h)").as("tar_fp"))
+      val jlFp = s.read.schema("doc_id LONG, text STRING")
+        .json(dj + "/shard_*.jsonl.gz")
+        .select(
+          regexp_extract(input_file_name(), "shard_(\\d+)", 1)
+            .cast("int").as("shard"),
+          fp(col("doc_id")).as("h"))
+        .groupBy("shard").agg(expr("bit_xor(h)").as("jsonl_fp"))
+      val routeFp = docs
+        .select(Scale.shardOf(col("doc_id"), 8, 31).as("shard"),
+          fp(col("doc_id")).as("h"))
+        .groupBy("shard").agg(expr("bit_xor(h)").as("route_fp"))
       bin.join(tar, "shard").join(jl, "shard")
+        .join(tarFp, "shard").join(jlFp, "shard").join(routeFp, "shard")
         .withColumn("agree",
           col("bin_docs") === col("tar_entries") &&
-            col("tar_entries") === col("jsonl_docs"))
+            col("tar_entries") === col("jsonl_docs") &&
+            col("tar_fp") === col("jsonl_fp") &&
+            col("jsonl_fp") === col("route_fp"))
         .orderBy("shard")
     },
 
@@ -417,13 +447,18 @@ object SignalQueries {
           .agg(count(lit(1)).as("n"))
         val tot = counts.agg(sum("n").as("tot"),
           count(lit(1)).as("k"), max("n").as("mx"))
+        // Σn² stays an exact long sum (order-free; bounds n per stratum
+        // at ~3·10⁹ — beyond that, pre-aggregate to coarser strata);
+        // tot² multiplies as DOUBLES — the long product wraps NEGATIVE
+        // past ~3·10⁹ total docs, exactly the scale this gate targets
         counts.crossJoin(broadcast(tot))
           .agg(
             first(col("k")).as("k"),
             round(first(col("mx")).cast("double")
               / first(col("tot")).cast("double"), 6).as("top_share"),
             round(sum(col("n") * col("n")).cast("double")
-              / (first(col("tot")) * first(col("tot"))).cast("double"), 6)
+              / (first(col("tot")).cast("double")
+                * first(col("tot")).cast("double")), 6)
               .as("hhi"))
           .select(lit(dim).as("dimension"), col("k"), col("top_share"),
             col("hhi"),
@@ -784,18 +819,24 @@ object SignalQueries {
         |GROUP BY shard
         |ORDER BY shard""".stripMargin,
 
-    // Consistency mirror: ONE salted-route replay — all three sinks
-    // must land on it (agree pinned true; the Spark side proved it
-    // against three real sink executions).
+    // Consistency mirror: ONE salted-route replay for counts AND the
+    // per-shard membership fingerprint (bit_xor of per-id md5 hashes) —
+    // all three sinks and both real-file re-reads must land on it
+    // (agree pinned true; the Spark side proved it against three real
+    // sink executions and two independent file re-parses).
     "q8U_sink_consistency" ->
       """WITH sh AS (
         |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':31'), 1, 8))::BIGINT % 8
-        |              AS INTEGER) AS shard
+        |              AS INTEGER) AS shard,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':m'), 1, 15))::BIGINT AS h
         |  FROM documents)
         |SELECT shard,
         |  CAST(count(*) AS BIGINT) AS bin_docs,
         |  CAST(count(*) AS BIGINT) AS tar_entries,
         |  CAST(count(*) AS BIGINT) AS jsonl_docs,
+        |  CAST(bit_xor(h) AS BIGINT) AS tar_fp,
+        |  CAST(bit_xor(h) AS BIGINT) AS jsonl_fp,
+        |  CAST(bit_xor(h) AS BIGINT) AS route_fp,
         |  true AS agree
         |FROM sh
         |GROUP BY shard
@@ -838,7 +879,8 @@ object SignalQueries {
         |    round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
         |      AS top_share,
         |    round(CAST(sum(n * n) AS DOUBLE)
-        |          / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi
+        |          / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6)
+        |      AS hhi
         |  FROM l),
         |shh AS (
         |  SELECT 'source' AS dimension,
@@ -846,7 +888,8 @@ object SignalQueries {
         |    round(CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
         |      AS top_share,
         |    round(CAST(sum(n * n) AS DOUBLE)
-        |          / CAST(sum(n) * sum(n) AS DOUBLE), 6) AS hhi
+        |          / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)), 6)
+        |      AS hhi
         |  FROM s),
         |u AS (SELECT * FROM lh UNION ALL SELECT * FROM shh)
         |SELECT dimension, k, top_share, hhi,

@@ -525,6 +525,19 @@ class CurationSpec extends GraftSpec {
           rows.count(_._4 > C).toLong)
       }
     }
+    // a shard whose docs are ALL oversized still reports (the review
+    // case the oracle's LEFT JOIN covers): zero bins, zero padding,
+    // NULL waste, everything in n_oversized
+    val allBig = (1L to 6L).map(id =>
+      (id, Seq.fill(C + 2)("w").mkString(" "))).toDF("doc_id", "text")
+    Curation.packingWaste(allBig, "doc_id", "text",
+        nShards = 2, seed = 5, contextLen = C)
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("n_bins") == 0L)
+        assert(r.getAs[Long]("padding") == 0L)
+        assert(r.isNullAt(r.fieldIndex("waste_frac")))
+        assert(r.getAs[Long]("n_oversized") == r.getAs[Long]("n_docs"))
+      }
     // partitioning invariance: a different input layout folds identically
     val got2 = Curation.packingWaste(docs.repartition(7), "doc_id", "text",
         nShards = 3, seed = 5, contextLen = C)

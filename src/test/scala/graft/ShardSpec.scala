@@ -144,6 +144,20 @@ class ShardSpec extends GraftSpec {
     assert(msg.contains("control character"), msg)
   }
 
+  test("tar entry listing recovers every (shard, doc_id) from the real bytes") {
+    import graft.pipeline.TarSink
+    val d = graft.util.TempDirs.scratch("tar-spec-ls-")
+    val m = TarSink.writeTarShards(docs, "doc_id", "text", 2, seed = 9, d)
+      .collect()
+    val entries = TarSink.readTarEntries(spark, d).collect()
+      .map(r => (r.getAs[Int]("shard"), r.getAs[Long]("doc_id")))
+    assert(entries.length.toLong == m.map(_.n_entries).sum)
+    assert(entries.map(_._2).sorted.toSeq == (1L to 6L))
+    // ids land in the shard the salted route assigns
+    val byShard = entries.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    m.foreach(mm => assert(byShard(mm.shard).size.toLong == mm.n_entries))
+  }
+
   test("tar writer rejects ids outside the 12-digit name contract") {
     import graft.pipeline.TarSink
     val d = graft.util.TempDirs.scratch("tar-spec-id-")
