@@ -251,36 +251,28 @@ object TextFunctions {
     size(array_distinct(t)).cast("double") / size(t).cast("double")
   }
 
-  /** Value of one lowercase-hex digit char, via ascii arithmetic (portable:
-    * Spark `instr`/`locate` only take literal needles, DuckDB lacks `conv`).
-    */
-  private def hexDigit(c: Column): Column = {
-    val a = ascii(c)
-    a - when(a >= 97, lit(87)).otherwise(lit(48))
-  }
-
   /** Deterministic bucket in [0, buckets): first 4 hex chars of md5(id as
     * string) → int → mod. Stable across engines, runs, and partitionings —
     * the primitive under train/val/test splits and weighted mixtures.
+    *
+    * r12 optimization (guide §1.2 "per-task work"): the hex window is
+    * parsed with ONE codegen'd `conv(hex, 16, 10)` instead of the old
+    * per-digit substring+ascii+CASE chain (4 ops and 4 UTF8String
+    * allocations per digit, re-evaluated wherever Catalyst pushes an
+    * inferred filter). Value-identical on md5 output (lowercase hex);
+    * the DuckDB oracle keeps its own per-digit SQL mirror unchanged.
     */
-  def hashBucket(id: Column, buckets: Int): Column = {
-    val h = md5(id.cast("string"))
-    val v = (0 until 4)
-      .map(i => hexDigit(substring(h, i + 1, 1)))
-      .reduce((acc, d) => acc * 16 + d)
-    v % buckets
-  }
+  def hashBucket(id: Column, buckets: Int): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("int") % buckets
 
   /** Integer value of `len` hex chars of an md5 digest starting at
     * 1-based char `start` (≤ 15 chars — the value must fit a signed
     * long). The generic window under [[hashUniform]] and the HLL rank
-    * bits; same ascii arithmetic as [[hashBucket]], oracle-replayable.
+    * bits; one codegen'd `conv` (see [[hashBucket]]), oracle-replayable.
     */
   def hexValue(digest: Column, start: Int, len: Int): Column = {
     require(len >= 1 && len <= 15, s"len must be in [1, 15], got $len")
-    (0 until len)
-      .map(i => hexDigit(substring(digest, start + i, 1)))
-      .foldLeft(lit(0L).cast("long"))((acc, d) => acc * 16 + d)
+    conv(substring(digest, start, len), 16, 10).cast("long")
   }
 
   /** Deterministic uniform draw in (0, 1): leading 8 hex chars of
@@ -306,9 +298,7 @@ object TextFunctions {
   def hashBucketSlice(digest: Column, slice: Column, buckets: Int): Column = {
     require(buckets >= 2 && buckets <= 65536,
       s"buckets must be in [2, 65536], got $buckets")
-    val v = (0 until 4)
-      .map(i => hexDigit(digest.substr(lit(4) * slice + (i + 1), lit(1))))
-      .reduce((acc, d) => acc * 16 + d)
-    v % buckets
+    conv(digest.substr(lit(4) * slice + 1, lit(4)), 16, 10)
+      .cast("int") % buckets
   }
 }
