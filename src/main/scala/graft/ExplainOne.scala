@@ -1,0 +1,69 @@
+package graft
+
+import java.io.PrintWriter
+import org.apache.spark.sql.SparkSession
+
+/** Optimization-round measurement tool (guide §1): dump the
+  * `.explain("formatted")` plan of named registry queries to
+  * `plans/<tag>/<query>_<suffix>.txt`, and optionally time each with the
+  * noop sink (computes every column, discards the write — §1.4).
+  *
+  * Usage:
+  *   SPARK_GRAFT_EXPLAIN_OUT=plans/r12 SPARK_GRAFT_EXPLAIN_SUFFIX=before \
+  *   SPARK_GRAFT_EXPLAIN_NOOP=3 \
+  *   sbt "runMain graft.ExplainOne q0X_cms_join_size q5P_warc_html_pipeline"
+  *
+  * Streaming queries (`_stream`) build a drained-sink batch frame; the
+  * dumped plan is that frame's (the live micro-batch plans are asserted
+  * in StreamingSpec). Timings print to stderr as `[explain] <q> noop rep
+  * N: <sec>`; nothing here is part of the driver bench contract.
+  */
+object ExplainOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_OUT", "plans/r12")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_SUFFIX", "before")
+    val noopReps = sys.env.getOrElse("SPARK_GRAFT_EXPLAIN_NOOP", "0").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.codingErrorAction", "true")
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "300s")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    args.foreach { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      val df = fn(spark, sfDir)
+      val out = new PrintWriter(s"$outDir/${name}_$suffix.txt")
+      out.println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      out.close()
+      System.err.println(s"[explain] wrote $outDir/${name}_$suffix.txt")
+      if (noopReps > 0) {
+        spark.sparkContext.setJobDescription(s"explain-noop: $name")
+        (1 to noopReps).foreach { i =>
+          val fresh = fn(spark, sfDir) // rebuild: no reuse across reps
+          val t0 = System.nanoTime()
+          fresh.write.format("noop").mode("overwrite").save()
+          System.err.println(
+            f"[explain] $name noop rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f")
+        }
+        spark.sparkContext.setJobDescription(null)
+        if (name.contains("_stream")) {
+          graft.streaming.StreamRunner.dropRetainedSinks(spark)
+          org.apache.spark.sql.GraftBridge.stopStateStores()
+        }
+      }
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -35,7 +35,7 @@ object Dedup {
     * doc is already co-partitioned.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    graft.util.Scans.fanOut(df, col(idCol))
       .select(
         col(idCol).as("doc"),
         explode(array_distinct(TextFunctions.wordShingles(col(textCol), n))).as("sh")
@@ -981,7 +981,7 @@ object Dedup {
       .otherwise(transform(
         sequence(lit(1), size(toks) - k + 1),
         i => struct(i.as("s"), array_join(slice(toks, i, lit(k)), " ").as("w"))))
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+    graft.util.Scans.fanOut(df, col(idCol))
       .select(col(idCol).as("doc"), explode(wins).as("win"))
       .select(col("doc"), col("win.s").cast("long").as("s"),
         md5(col("win.w")).as("wh"))

@@ -181,10 +181,11 @@ object Knn {
       topPairs: Int,
       scale: Int = 6
   ): DataFrame = {
-    // repartition the streamed side: a small corpus often scans as one
+    // fan out the streamed side: a small corpus often scans as one
     // file partition, which would serialize the O(n^2) scoring loop
-    val a = corpus
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
+    // (adaptive — no added shuffle when the scan already parallelizes;
+    // hash on the id, not round-robin, so placement is retry-stable)
+    val a = graft.util.Scans.fanOut(corpus, col(idCol))
       .select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     a.crossJoin(b)

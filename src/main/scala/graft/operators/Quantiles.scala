@@ -143,9 +143,19 @@ object Quantiles {
         }
       }
 
+    // fanOut (r12, guide §2.5): every ranked pass below re-executes
+    // `vals` — scan + explode + a keyed partial aggregate — and on an
+    // unsplittable single-row-group input all of that per-row work sat
+    // in ONE task. Hash-spreading the exploded rows on the full
+    // (group, column, value) key parallelizes each pass AND pre-aligns
+    // the frequency aggregation's partitioning; adaptive, so a real
+    // multi-split scan adds no shuffle. Aggregations and keyed windows
+    // downstream are partition-independent.
+    val spread = graft.util.Scans.fanOut(vals,
+      col("_g"), col("_ci"), col("_v"))
     val ranked =
-      if (useHistogram) histogramRanked(vals, specs, ci, histogramBuckets)
-      else frequencyRanked(vals)
+      if (useHistogram) histogramRanked(spread, specs, ci, histogramBuckets)
+      else frequencyRanked(spread)
     interpolate(ranked, specs, ci, groupCol)
   }
 

@@ -568,11 +568,15 @@ object CurationQueries {
       // one robots body per DISTINCT host (the fetch-cache shape),
       // derived from the corpus's own hosts
       val robots = robotsTable(
-        Tables.documents(s, d)
+        graft.util.Scans.fanOut(
+            Tables.documents(s, d).select("doc_id"), col("doc_id"))
           .select(Url.hostOf(
             Url.canonicalizeUrl(messyUrl(col("doc_id")))).as("host"))
           .distinct())
-      robotsGate(Tables.documents(s, d).select("doc_id"), robots)
+      // fanOut (r12): canonicalize + the per-row robots decision fold are
+      // the heavy stage; single-row-group scan = one task without it
+      robotsGate(graft.util.Scans.fanOut(
+          Tables.documents(s, d).select("doc_id"), col("doc_id")), robots)
         .orderBy("doc_id")
     },
 
@@ -640,17 +644,29 @@ object CurationQueries {
       import graft.operators.{Robots, Sitemap, Sketch, Url}
       val dir = graft.util.TempDirs.scratch("graft-frontier-")
       val g = col("doc_id") % UrlGroups
-      Tables.documents(s, d).filter(g % 3 === 0)
+      // fanOut BEFORE the canonicalize projection (r12): the old
+      // repartition sat above it, so the per-row URL work still ran in
+      // the single scan task and only the WRITE spread out
+      graft.util.Scans.fanOut(
+          Tables.documents(s, d).filter(g % 3 === 0).select("doc_id"),
+          col("doc_id"))
         .select(Sitemap.escapeXml(Url.canonicalizeUrl(
           messyUrl(col("doc_id")))).as("loc"))
-        .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           Sitemap.writeSitemap(rows.map(r => (r.getString(0), "")), dir)
         }
       val fromSitemap = Sitemap.sitemapDirectory(s, dir)
         .select(col("loc").as("url"))
-      val discovered = Tables.documents(s, d).filter(g % 3 =!= 0)
+      // fan out the discovered branch's doc ids (longs — the cheapest
+      // possible shuffle) so ITS share of the post-union canonicalize
+      // parallelizes; the sitemap branch is already one-partition-per-file
+      val discovered = graft.util.Scans.fanOut(
+          Tables.documents(s, d).filter(g % 3 =!= 0).select("doc_id"),
+          col("doc_id"))
         .select(messyUrl(col("doc_id")).as("url"))
+      // (no fanOut here — the union is already ~33-way parallel: one
+      // partition per sitemap file + the discovered side; an added
+      // shuffle measured as pure overhead, r12)
       val frontier = fromSitemap.union(discovered)
         .select(Url.canonicalizeUrl(col("url")).as("curl"))
         .dropDuplicates("curl")

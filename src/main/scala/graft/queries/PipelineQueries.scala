@@ -1058,6 +1058,15 @@ object PipelineQueries {
           Warc.writeSegment(rows.map(r => (r.getLong(0), r.getString(1))),
             dir, "http://corpus.local/page/", gzip = false)
         }
+      // r12 (guide §1.2/§7.2): the extracted columns localCheckpoint
+      // BEFORE the gate — PushPredicateThroughNonJoin otherwise inlines
+      // anchorRatio's full expression tree (≈30 regexp passes incl. a
+      // second extractText) into a Filter below the Project, and
+      // Filter/Project don't share subexpressions across operators, so
+      // every row paid the whole extraction twice. Measured at sf0.1:
+      // read+extract 1.3 s, with the pushed filter 5.0 s, with the cut
+      // 1.6 s. The materialized frame is the doc-count-sized metadata
+      // row (id, title, md5, ratio) — bytes per doc, never the HTML.
       Warc.warcDirectory(s, dir)
         .select(
           regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
@@ -1067,6 +1076,7 @@ object PipelineQueries {
           Html.title(col("html")).as("title"),
           md5(Html.extractText(col("html"))).as("text_md5"),
           Html.anchorRatio(col("html")).as("anchor_ratio"))
+        .localCheckpoint()
         .filter(col("anchor_ratio") <= 0.2)
         .select("doc_id", "title", "text_md5")
         .orderBy("doc_id")
@@ -1526,7 +1536,10 @@ object PipelineQueries {
     // no window, no UDF.
     "q4D_cdc_chunks" -> { (s, d) =>
       import graft.ingest.Chunker
-      Tables.documents(s, d)
+      // fanOut (r12): the rolling-hash fold + per-chunk md5 are the
+      // heavy per-row stage; on the single-row-group fixture scan they
+      // ran in ONE task (guide §2.5 unsplittable input)
+      graft.util.Scans.fanOut(Tables.documents(s, d), col("doc_id"))
         .select(col("doc_id"),
           posexplode(Chunker.cdcChunksCol(col("text"), divisor = 16))
             .as(Seq("chunk_idx", "chunk_text")))

@@ -134,7 +134,7 @@ object RelationalQueries {
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("rid"),
         col("l_extendedprice").cast("double").as("v"))
       val est = Sketch.sampleQuantiles(
-          rows.select(
+          graft.util.Scans.fanOut(rows, col("rid")).select(
               md5(concat(col("rid").cast("string"), lit("qsk"))).as("rk"),
               col("rid"), col("v"))
             .agg(bottomKSample(col("rk"), col("rid"), col("v"), 256)
@@ -179,7 +179,7 @@ object RelationalQueries {
         (col("l_orderkey") * 8 + col("l_linenumber")).cast("long").as("rid"),
         col("l_extendedprice").cast("double").as("v"))
       val est = Sketch.sampleQuantiles(
-          rows.select(col("g"),
+          graft.util.Scans.fanOut(rows, col("rid")).select(col("g"),
               md5(concat(col("rid").cast("string"), lit("gsk"))).as("rk"),
               col("rid"), col("v"))
             .groupBy("g")
@@ -218,7 +218,12 @@ object RelationalQueries {
       import graft.operators.{Kll, Quantiles}
       val li = Tables.lineitem(s, d)
       val rows = li.select(col("l_extendedprice").cast("double").as("v"))
-      val est = Kll.kllQuantiles(rows, "v",
+      // fanOut (r12): the per-partition sketch build ran in ONE task on
+      // the single-row-group scan; spreading by value parallelizes it.
+      // Only the within_kll FLAGS are output, and they hold under any
+      // merge tree (the raw estimates were already documented as
+      // partition-dependent and are not exposed).
+      val est = Kll.kllQuantiles(graft.util.Scans.fanOut(rows, col("v")), "v",
           Seq((0.25, "e25"), (0.5, "e50"), (0.75, "e75"), (0.9, "e90")),
           k = 256)
         .localCheckpoint(eager = false) // reused: ranks join + output
@@ -264,7 +269,9 @@ object RelationalQueries {
       val li = Tables.lineitem(s, d)
       val rows = li.select(col("l_returnflag").as("g"),
         col("l_extendedprice").cast("double").as("v"))
-      val est = rows.groupBy("g")
+      // fanOut (r12): parallelize the partial sketch build off the
+      // single-row-group scan; flags are merge-order-stable (above)
+      val est = graft.util.Scans.fanOut(rows, col("g"), col("v")).groupBy("g")
         .agg(kllQuantilesAgg(col("v"), 128, 0x6b6c6cL, Seq(0.5, 0.9)).as("sk"))
         .select(col("g"), col("sk.n").as("n"),
           element_at(col("sk.est"), 1).as("e50"),

@@ -172,7 +172,11 @@ object StreamingQueries {
     "q79_stream_ingest" -> { (s, d) =>
       import java.nio.file.Files
       val landing = graft.util.TempDirs.scratch("graft-landing-")
-      val ckpt    = graft.util.TempDirs.scratch("graft-ingest-ckpt-")
+      // tmpfs checkpoint (r12, the runToBatch pattern): the WAL fsync per
+      // micro-batch is measurement jitter, not part of the ingest; the
+      // landing JSON and the index parquet stay on disk — real files are
+      // what this query measures
+      val ckpt = graft.util.TempDirs.scratchIn("/dev/shm", "graft-ingest-ckpt-")
       val idxRoot = graft.util.TempDirs.scratch("graft-ingest-idx-")
       val docs    = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val nDocs   = docs.count()
@@ -196,6 +200,7 @@ object StreamingQueries {
         .select(col("text"), concat(col("doc_id"), lit(".txt")).as("source"))
       StreamingIngest.runIngestStreamOnce(uploads, index,
         new DeterministicEmbedder(64), ckpt)
+      graft.util.TempDirs.deleteNow(ckpt) // drained: reclaim the tmpfs WAL
       index.read
         .select(col("id"), col("source"), col("chunk_index"),
           length(col("text")).as("chunk_len"),
@@ -215,7 +220,7 @@ object StreamingQueries {
       import graft.operators.Knn
       val e       = Tables.embeddings(s, d)
       val landing = graft.util.TempDirs.scratch("graft-knnq-landing-")
-      val ckpt    = graft.util.TempDirs.scratch("graft-knnq-ckpt-")
+      val ckpt = graft.util.TempDirs.scratchIn("/dev/shm", "graft-knnq-ckpt-")
       val outDir  = graft.util.TempDirs.scratch("graft-knnq-out-")
       val qBatch  = e.filter(col("vec_id") % 10 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
@@ -226,6 +231,7 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1).parquet(landing)
       StreamingIngest.runKnnStreamOnce(queries, e, "vec_id", "embedding",
         "query_id", "qvec", k = 5, outDir = outDir, checkpointDir = ckpt)
+      graft.util.TempDirs.deleteNow(ckpt) // drained: reclaim the tmpfs WAL
       // read back under the operator's own schema (zero-row plan, no
       // action) — an empty query stream writes no parquet data files
       val outSchema = Knn.topKBatch(e.limit(0), "vec_id", "embedding",
@@ -349,15 +355,23 @@ object StreamingQueries {
     "q7W_stream_robots_gate" -> { (s, d) =>
       import graft.operators.Url
       val robots = CurationQueries.robotsTable(
-        Tables.documents(s, d)
+        graft.util.Scans.fanOut(
+            Tables.documents(s, d).select("doc_id"), col("doc_id"))
           .select(Url.hostOf(Url.canonicalizeUrl(
             CurationQueries.messyUrl(col("doc_id")))).as("host"))
           .distinct())
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // stateless fan-out shuffle ahead of the per-row canonicalize +
+      // robots fold (r12, the q7A/q7S note): an unsplittable-file
+      // micro-batch is otherwise ONE task for the whole gate
       StreamRunner.runToBatch(
-          CurationQueries.robotsGate(docs.select("doc_id"), robots),
+          CurationQueries.robotsGate(
+            docs.select("doc_id")
+              .repartition(s.sparkContext.defaultParallelism,
+                col("doc_id")),
+            robots),
           OutputMode.Append)
         .orderBy("doc_id")
     },
@@ -384,14 +398,19 @@ object StreamingQueries {
         Sketch.bloomBits(seen, "curl", depth = 4, width = 16384),
         depth = 4, width = 16384)
       val parsed = CurationQueries.robotsParsed(
-        Tables.documents(s, d)
+        graft.util.Scans.fanOut(
+            Tables.documents(s, d).select("doc_id"), col("doc_id"))
           .select(Url.hostOf(Url.canonicalizeUrl(
             CurationQueries.messyUrl(col("doc_id")))).as("host"))
           .distinct())
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
+      // stateless fan-out shuffle ahead of the per-arrival canonicalize
+      // + Bloom + robots folds (r12, the q7A/q7S/q7W note)
       val gated = CurationQueries.hostPath(docs
+          .select(col("doc_id"))
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"),
             Url.canonicalizeUrl(
               CurationQueries.messyUrl(col("doc_id"))).as("curl"))
@@ -599,8 +618,15 @@ object StreamingQueries {
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val docs = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
-      val terms = docs.select(
-        explode(TextFunctions.tokens(col("text"))).as("term"))
+      // stateless fan-out shuffle before the heavy tokenize+md5 stage
+      // (r12): a micro-batch over an unsplittable file reads as ONE
+      // task, serializing the per-row probe work ahead of the stateful
+      // aggregate; at scale a batch's file set is already parallel and
+      // this shuffle carries one pass of doc rows — the same bytes the
+      // partial aggregate would otherwise ship less reduced
+      val terms = docs
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
       StreamRunner
         .runToBatch(Sketch.cmsTable(terms, "term", depth = 4, width = 1024),
           OutputMode.Complete)
@@ -889,9 +915,13 @@ object StreamingQueries {
       val schema = s.read.parquet(s"$d/lineitem.parquet").schema
       val liStream = s.readStream.schema(schema)
         .option("pathGlobFilter", "lineitem.parquet").parquet(d)
+      // stateless fan-out shuffle before the per-row md5 probes (r12):
+      // the single-row-group micro-batch otherwise computes every probe
+      // in ONE task before the stateful grid aggregate (see q7A note)
       val streamedCells = StreamRunner.runToBatch(
         Sketch.cmsTable(
-          liStream.select(col("l_orderkey").cast("string").as("t")),
+          liStream.select(col("l_orderkey").cast("string").as("t"))
+            .repartition(s.sparkContext.defaultParallelism, col("t")),
           "t", depth = 4, width = width, salt = "jsz"),
         OutputMode.Complete)
       val est = streamedCells.select(col("j"), col("b"), col("c").as("ca"))

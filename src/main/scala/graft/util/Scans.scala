@@ -1,0 +1,51 @@
+package graft.util
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Scan-parallelism helpers (optimization round 12).
+  *
+  * The driver fixtures are single-file, SINGLE-ROW-GROUP parquet tables;
+  * Spark cannot split a parquet scan below row-group granularity, so
+  * every per-row expression that sits between such a scan and the first
+  * exchange executes in ONE task no matter how many cores the session
+  * has — a 600 k-row md5/tokenize/shingle stage runs single-threaded on
+  * `local[32]`. This is exactly the guide's §2.5 "input skew: one huge
+  * unsplittable file … repartition immediately after the read".
+  *
+  * [[fanOut]] makes that repartition SCALE-ADAPTIVE instead of
+  * unconditional: it fires only when the frame's planned partition count
+  * is below the session's default parallelism. At 100 TB a table scan
+  * carries thousands of row-group splits, the condition is false, and no
+  * shuffle is added; on an unsplittable input (one row group, one .gz
+  * member, a tiny landing dir) the narrow projected columns are
+  * hash-repartitioned once so the heavy per-row stage uses every core.
+  * Hash partitioning on a caller-chosen deterministic key (NEVER
+  * round-robin on non-deterministic input) keeps row placement stable
+  * under task retry (SPARK-38388) and skips round-robin's
+  * sort-before-repartition pass.
+  *
+  * Callers must only hand this frames whose downstream result is
+  * partition-independent (aggregations, joins, keyed windows — not
+  * pid-derived sketches or per-partition file writers unless those are
+  * themselves placement-invariant).
+  */
+object Scans {
+  def fanOut(df: DataFrame, key: Column*): DataFrame = {
+    require(key.nonEmpty, "fanOut needs a deterministic partitioning key")
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    // Size probe via the optimizer's estimate — deliberately NOT
+    // `df.rdd.getNumPartitions`: Dataset.rdd plans a DeserializeToObject
+    // execution (it fires QueryExecutionListeners and shows up as a
+    // construction-time job — QuantilesSpec guards against exactly
+    // that), and touching an AQE plan's RDD can eagerly materialize
+    // exchange stages. `optimizedPlan.stats` is job-free. The condition:
+    // an input the scan could not split into >= defaultParallelism
+    // max-size partitions anyway is worth one narrow shuffle; a real
+    // at-scale input (TBs) always exceeds it and adds NOTHING.
+    val maxPartitionBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val small = df.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(p) * maxPartitionBytes
+    if (small) df.repartition(p, key: _*) else df
+  }
+}
