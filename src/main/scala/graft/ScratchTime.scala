@@ -1,0 +1,82 @@
+package graft.queries
+import graft.Tables
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main for the optimization round — times named
+  * sub-plans of expensive queries with the noop sink. Not part of any
+  * driver contract; deleted or inert when the round closes.
+  */
+object ScratchTime {
+  def time(name: String, df: => DataFrame, reps: Int = 3): Unit =
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      System.err.println(f"[time] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.codingErrorAction", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val s = spark
+    import graft.ingest.Warc
+    import graft.operators.Html
+
+    Tables.documents(s, d).write.format("noop").mode("overwrite").save()
+
+    def writePhase(): String = {
+      val dir = graft.util.TempDirs.scratch("graft-warc-html-")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextQueries.htmlPage(col("doc_id"), col("text")).as("html"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+          Warc.writeSegment(rows.map(r => (r.getLong(0), r.getString(1))),
+            dir, "http://corpus.local/page/", gzip = false)
+        }
+      dir
+    }
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      writePhase()
+      System.err.println(f"[time] q5P writePhase rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f")
+    }
+    val dir = writePhase()
+    time("q5P warc read only", Warc.warcDirectory(s, dir))
+    time("q5P read+extract (no filter)", Warc.warcDirectory(s, dir)
+      .select(
+        regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("text").as("html"))
+      .select(col("doc_id"),
+        Html.title(col("html")).as("title"),
+        md5(Html.extractText(col("html"))).as("text_md5"),
+        Html.anchorRatio(col("html")).as("anchor_ratio")))
+    time("q5P full (filter+sort)", Warc.warcDirectory(s, dir)
+      .select(
+        regexp_extract(col("target_uri"), "/page/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("text").as("html"))
+      .select(col("doc_id"),
+        Html.title(col("html")).as("title"),
+        md5(Html.extractText(col("html"))).as("text_md5"),
+        Html.anchorRatio(col("html")).as("anchor_ratio"))
+      .filter(col("anchor_ratio") <= 0.2)
+      .select("doc_id", "title", "text_md5")
+      .orderBy("doc_id"))
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -654,14 +654,17 @@ object PipelineQueries {
       import graft.operators.{Sitemap, Url}
       val dir = graft.util.TempDirs.scratch("graft-sitemap-")
       val g = col("doc_id") % CurationQueries.UrlGroups
-      Tables.documents(s, d)
+      // fanOut BEFORE the canonicalize projection (r12, the q6Y/q5P
+      // writer fix): the old repartition sat above it, single-tasking
+      // the per-row URL work
+      graft.util.Scans.fanOut(
+          Tables.documents(s, d).select("doc_id"), col("doc_id"))
         .select(col("doc_id"),
           Sitemap.escapeXml(Url.canonicalizeUrl(
             CurationQueries.messyUrl(col("doc_id")))).as("loc"),
           when(g % 4 === 0, lit(""))
             .otherwise(concat(lit("2024-01-"),
               lpad(((g % 28) + 1).cast("string"), 2, "0"))).as("lastmod"))
-        .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           Sitemap.writeSitemap(
             rows.map(r => (r.getString(1), r.getString(2))), dir)
@@ -685,14 +688,15 @@ object PipelineQueries {
       import graft.operators.{Sitemap, Url}
       val dir = graft.util.TempDirs.scratch("graft-sitemap-idx-")
       val g = col("doc_id") % CurationQueries.UrlGroups
-      Tables.documents(s, d)
+      // fanOut BEFORE the canonicalize projection (r12, the q5S note)
+      graft.util.Scans.fanOut(
+          Tables.documents(s, d).select("doc_id"), col("doc_id"))
         .select(col("doc_id"),
           Sitemap.escapeXml(Url.canonicalizeUrl(
             CurationQueries.messyUrl(col("doc_id")))).as("loc"),
           when(g % 4 === 0, lit(""))
             .otherwise(concat(lit("2024-01-"),
               lpad(((g % 28) + 1).cast("string"), 2, "0"))).as("lastmod"))
-        .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           Sitemap.writeSitemap(
             rows.map(r => (r.getString(1), r.getString(2))), dir,
@@ -1050,10 +1054,13 @@ object PipelineQueries {
       import graft.ingest.Warc
       import graft.operators.Html
       val dir = graft.util.TempDirs.scratch("graft-warc-html-")
-      Tables.documents(s, d)
+      // fanOut BEFORE the page-render projection (r12): the old
+      // repartition sat above it, so the HTML render ran in the single
+      // scan task and only the WRITE spread out
+      graft.util.Scans.fanOut(
+          Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"),
           TextQueries.htmlPage(col("doc_id"), col("text")).as("html"))
-        .repartition(s.sparkContext.defaultParallelism)
         .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
           Warc.writeSegment(rows.map(r => (r.getLong(0), r.getString(1))),
             dir, "http://corpus.local/page/", gzip = false)
