@@ -508,16 +508,27 @@ object Graph {
     require(iters >= 1 && iters <= 50, s"iters must be in [1, 50], got $iters")
     require(dampingPct >= 1 && dampingPct <= 99,
       s"dampingPct must be in [1, 99], got $dampingPct")
-    // out-weight per source; node-sized, joins by key at any scale
+    // out-weight per source; node-sized, joins by key at any scale.
+    // r13: joined into the node table ONCE instead of per round — the
+    // old loop joined edges ⋈ rank ⋈ outW every iteration, shuffling the
+    // static outW table `iters` times (guide §2.4 remove shuffles
+    // outright). Every e.src has outw > 0 by construction (w > 0
+    // filter), so carrying outw on the rank row and inner-joining only
+    // edges ⋈ rank yields the identical contribution values; dst-only
+    // nodes coalesce to outw = 0, which the contrib expression never
+    // reads (they never appear as src).
     val outW = e.groupBy(col("src").as("node"))
       .agg(sum("w").as("outw"))
-    val base = init.localCheckpoint(eager = false)
-    var rank = base.select(col("node"), col("init").as("r"))
+    val base = init
+      .join(outW, Seq("node"), "left")
+      .select(col("node"), col("init"), col("tp"),
+        coalesce(col("outw"), lit(0L)).as("outw"))
+      .localCheckpoint(eager = false)
+    var rank = base.select(col("node"), col("init").as("r"), col("outw"))
       .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       val contrib = e
         .join(rank.withColumnRenamed("node", "src"), "src")
-        .join(outW.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr(s"(((r * $dampingPct) div 100) * w) div outw").as("c"))
         .groupBy("node")
@@ -525,7 +536,8 @@ object Graph {
       rank = base
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (col("tp") + coalesce(col("contrib"), lit(0L))).as("r"))
+          (col("tp") + coalesce(col("contrib"), lit(0L))).as("r"),
+          col("outw"))
         .localCheckpoint(eager = false)
     }
     rank.select(col("node"), col("r").as("rank_pico"),

@@ -182,9 +182,17 @@ object Quantiles {
     val freq = vals.groupBy("_g", "_ci", "_v").agg(count(lit(1)).as("_c"))
     val wCum = Window.partitionBy("_g", "_ci").orderBy("_v")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = freq.withColumn("_below", coalesce(sum("_c").over(wCum), lit(0L)))
-    val totals = freq.groupBy("_g", "_ci").agg(sum("_c").as("_cnt"))
-    cum.join(broadcast(totals), Seq("_g", "_ci"))
+    // r13: `_cnt` as a whole-partition window sum instead of a separate
+    // groupBy + broadcast join — the old `totals` aggregate referenced
+    // `freq` a SECOND time, so the scan + explode + fanOut exchange
+    // executed twice per query (guide §5 reuse-don't-recompute). Both
+    // windows share the (_g, _ci) partitioning, so the second adds no
+    // exchange and no sort; the values are identical (sum of the same
+    // `_c` longs per (_g, _ci)).
+    val wAll = Window.partitionBy("_g", "_ci")
+    freq
+      .withColumn("_below", coalesce(sum("_c").over(wCum), lit(0L)))
+      .withColumn("_cnt", sum("_c").over(wAll))
   }
 
   /** Histogram-refinement rank ranges: same output contract as

@@ -77,7 +77,18 @@ object Sketch {
       // md5+slice work drops by the occurrence/distinct ratio AND moves
       // off the single-row-group scan task onto all cores; the
       // estJoin sub-plan went 6.4 s → 1.3 s.
-      probeCols(terms.groupBy(col(termCol)).agg(count(lit(1)).as("_cms_n")),
+      // fanOut between the distinct aggregate and the probe (r13): the
+      // distinct-term table is a few MB at bench scale, so AQE coalesces
+      // the post-aggregate exchange to ONE partition by shuffle bytes —
+      // and the CPU-heavy md5+slice probe stage above it then runs
+      // single-task (measured 1.25 s single-task in q7S/q0X). The probe
+      // cost is per-ROW cpu, not bytes, which AQE's byte-based
+      // coalescing cannot see. At scale the distinct table's estimate
+      // exceeds the fanOut threshold and no shuffle is added.
+      probeCols(
+          graft.util.Scans.fanOut(
+            terms.groupBy(col(termCol)).agg(count(lit(1)).as("_cms_n")),
+            col(termCol)),
           termCol, depth, width, salt, carry = Seq("_cms_n"))
         .groupBy("j", "b").agg(sum(col("_cms_n")).as("c"))
     }

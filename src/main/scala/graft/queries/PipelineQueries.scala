@@ -1083,7 +1083,11 @@ object PipelineQueries {
           Html.title(col("html")).as("title"),
           md5(Html.extractText(col("html"))).as("text_md5"),
           Html.anchorRatio(col("html")).as("anchor_ratio"))
-        .localCheckpoint()
+        // lazy (eager = false) like the other lineage cuts: still blocks
+        // the predicate pushdown, but skips the extra eager job and, at
+        // cluster scale, doesn't force unreplicated executor blocks to
+        // materialize before they're needed (ADVICE r12)
+        .localCheckpoint(eager = false)
         .filter(col("anchor_ratio") <= 0.2)
         .select("doc_id", "title", "text_md5")
         .orderBy("doc_id")

@@ -251,7 +251,14 @@ object TextQueries {
     // expectations.
     "q2O_html_extract" -> { (s, d) =>
       import graft.operators.Html
-      Tables.documents(s, d)
+      // fanOut (r13, guide §2.5): the render + title/extractText/
+      // anchorRatio regex chains are all row-local in one projection
+      // above the single-row-group scan — without the fan-out the whole
+      // extraction ran in ONE task (bench scaling ratio 0.45 at 32
+      // cores). Same shape as the q5P/q5E siblings; adaptive, no
+      // shuffle at scale.
+      graft.util.Scans.fanOut(
+          Tables.documents(s, d).select("doc_id", "text"), col("doc_id"))
         .select(col("doc_id"),
           TextQueries.htmlPage(col("doc_id"), col("text")).as("html"))
         .select(col("doc_id"),

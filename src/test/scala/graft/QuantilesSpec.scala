@@ -58,17 +58,29 @@ class QuantilesSpec extends GraftSpec {
     assert(got.getDouble(0) == ref)
   }
 
-  test("runtime plan: the frequency exchange computes once (ReusedExchange), no percentile buffer") {
+  test("runtime plan: one frequency pass (windowed totals, no rejoin), no percentile buffer") {
     val df = Quantiles.groupQuantiles(li, "l_returnflag",
       Seq(("l_extendedprice", 0.5, "m")),
       histogramFallbackDistinct = Long.MaxValue) // pin the frequency path
     df.collect()
+    // AQE's executedPlan string prints the final plan AND repeats the
+    // initial plan below it — count nodes in the FINAL section only
     val plan = df.queryExecution.executedPlan.toString
-    // the static plan prints the frequency subtree under both the main
-    // side and the broadcast totals side; at runtime AQE must fold the
-    // second into a ReusedExchange of the first
-    assert(plan.contains("ReusedExchange"),
-      s"frequency table computed twice — no ReusedExchange in:\n$plan")
+      .split("== Initial Plan ==")(0)
+    // r13: `_cnt` is a whole-partition window sum sharing the running
+    // sum's (_g, _ci) exchange — the frequency subtree appears ONCE (one
+    // scan, one explode Generate), where the old broadcast-totals rejoin
+    // printed it twice and needed AQE's ReusedExchange to dedupe it
+    assert("FileScan parquet".r.findAllMatchIn(plan).size == 1,
+      s"frequency scan computed more than once in:\n$plan")
+    assert("Generate explode".r.findAllMatchIn(plan).size == 1,
+      s"explode computed more than once in:\n$plan")
+    // both window frames must ride one (_g, _ci) partitioning: exactly
+    // one exchange on (_g, _ci) above the frequency aggregate
+    assert("Window \\[".r.findAllMatchIn(plan).size == 2,
+      s"expected the running-sum and totals windows in:\n$plan")
+    assert(!plan.contains("BroadcastExchange"),
+      "the totals rejoin leaked back in")
     assert(!plan.contains("percentile("), "the buffer aggregate leaked back in")
   }
 
