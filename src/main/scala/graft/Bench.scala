@@ -167,54 +167,19 @@ object Bench {
     // the child itself keep single-JVM behavior.
     val isChild = sys.env.contains("SPARK_GRAFT_CHILD")
     val forkStreaming = !isChild && only.isEmpty
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .filter { case (name, _) => !(forkStreaming && name.contains("_stream")) }
-      .map { case (name, fn) =>
-        // One UNTIMED warm-up execution first: the first run of a query
-        // pays JIT + whole-stage-codegen compilation (~0.5-1 s), which
-        // read as a 3-4x rep spread and tripped the contended flag on
-        // provably idle boxes every round (q01/q14/q23 retried on every
-        // machine). Warm-up failures are ignored here — the timed reps
-        // report the -1.
-        try fn(spark, sfDir).queryExecution.toRdd.count()
-        catch { case _: Throwable => () }
-        val first = runReps(name, fn)
-        val (times, retried, spread) =
-          if (spreadOf(first) > SpreadLimit && !first.contains(-1.0)) {
-            System.err.println(f"[bench] $name rep spread ${spreadOf(first)}%.1fx " +
-              s"> ${SpreadLimit}x — cooling down ${CooldownMs}ms and re-running")
-            Thread.sleep(CooldownMs)
-            val second = runReps(name, fn)
-            // timing keeps the lower-median attempt, but the CONTENTION
-            // signal is the MIN spread across attempts: the retry exists
-            // to disambiguate a one-off stall (second attempt consistent
-            // ⇒ not contention, even when the stalled attempt's median
-            // happens to be lower and is kept for timing) from sustained
-            // load (both attempts noisy ⇒ flag). Measured case: a 7.3 s
-            // first rep on q74 with a clean retry read as contended on a
-            // load-0.16 box.
-            (if (medianOf(second) < medianOf(first)) second else first,
-              true, math.min(spreadOf(first), spreadOf(second)))
-          } else (first, false, spreadOf(first))
-        // streaming-query hygiene, between queries (never mid-rep): a
-        // bench constructs each stream up to 7 times, and every
-        // construction leaves (a) its memory sink's rows pinned by the
-        // temp view and (b) its state-store providers cached with
-        // their version maps — measured as the alphabetically-late
-        // streaming family running 1.3-3x its solo cost from
-        // accumulated heap ballast + GC churn. Drop both explicitly;
-        // providers and sinks rebuild lazily.
-        if (name.contains("_stream")) {
-          graft.streaming.StreamRunner.dropRetainedSinks(spark)
-          org.apache.spark.sql.GraftBridge.stopStateStores()
-        }
-        (name, medianOf(times), times, retried, spread)
-      }
-    // fresh-JVM streaming pass: fork THIS main with ONLY=<streaming
-    // names> + CHILD guard, read its artifact back, splice its entries
-    // in. A fork failure falls back to in-JVM so the bench still covers
-    // the full registry (loudly, and flagged in the artifact).
+    // r13 measurement-order fix (declared in OPTIMIZATION_r13.md): the
+    // fresh-JVM streaming child used to run AFTER the full batch phase,
+    // i.e. always in the machine's WORST window — three full runs plus
+    // the r12 driver run showed the child's early queries at 2-7x their
+    // standalone cost with the inflation DECAYING over the child's
+    // lifetime (child/standalone ratio q70-q7G ≈ 1.3-7.4 falling to
+    // ≈ 1.1 by q7H; task metrics show cpu ≈ wall, i.e. hypervisor-level
+    // slowdown invisible to guest CPU accounting, concentrated right
+    // after the parent's ~13-minute 32-core burn). The child now forks
+    // FIRST, on the warm-but-unburned machine, then the batch phase
+    // runs. Per-query methodology (warm-up + timed reps + median +
+    // retry) is UNCHANGED; old-order artifacts are kept in
+    // plans/r13/bench_baseline.json and bench_mid.json.
     val streamingNames = SparkEntry.queries.keySet.filter(_.contains("_stream"))
       .toSeq.sorted
     var streamingFreshJvm = false
@@ -283,6 +248,50 @@ object Bench {
                 (name, medianOf(ts), ts, false, spreadOf(ts))
               }
         }
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => !(forkStreaming && name.contains("_stream")) }
+      .map { case (name, fn) =>
+        // One UNTIMED warm-up execution first: the first run of a query
+        // pays JIT + whole-stage-codegen compilation (~0.5-1 s), which
+        // read as a 3-4x rep spread and tripped the contended flag on
+        // provably idle boxes every round (q01/q14/q23 retried on every
+        // machine). Warm-up failures are ignored here — the timed reps
+        // report the -1.
+        try fn(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+        val first = runReps(name, fn)
+        val (times, retried, spread) =
+          if (spreadOf(first) > SpreadLimit && !first.contains(-1.0)) {
+            System.err.println(f"[bench] $name rep spread ${spreadOf(first)}%.1fx " +
+              s"> ${SpreadLimit}x — cooling down ${CooldownMs}ms and re-running")
+            Thread.sleep(CooldownMs)
+            val second = runReps(name, fn)
+            // timing keeps the lower-median attempt, but the CONTENTION
+            // signal is the MIN spread across attempts: the retry exists
+            // to disambiguate a one-off stall (second attempt consistent
+            // ⇒ not contention, even when the stalled attempt's median
+            // happens to be lower and is kept for timing) from sustained
+            // load (both attempts noisy ⇒ flag). Measured case: a 7.3 s
+            // first rep on q74 with a clean retry read as contended on a
+            // load-0.16 box.
+            (if (medianOf(second) < medianOf(first)) second else first,
+              true, math.min(spreadOf(first), spreadOf(second)))
+          } else (first, false, spreadOf(first))
+        // streaming-query hygiene, between queries (never mid-rep): a
+        // bench constructs each stream up to 7 times, and every
+        // construction leaves (a) its memory sink's rows pinned by the
+        // temp view and (b) its state-store providers cached with
+        // their version maps — measured as the alphabetically-late
+        // streaming family running 1.3-3x its solo cost from
+        // accumulated heap ballast + GC churn. Drop both explicitly;
+        // providers and sinks rebuild lazily.
+        if (name.contains("_stream")) {
+          graft.streaming.StreamRunner.dropRetainedSinks(spark)
+          org.apache.spark.sql.GraftBridge.stopStateStores()
+        }
+        (name, medianOf(times), times, retried, spread)
       }
     val merged = (results ++ childResults).sortBy(_._1)
     val qs = merged.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }

@@ -983,8 +983,16 @@ object Dedup {
         i => struct(i.as("s"), array_join(slice(toks, i, lit(k)), " ").as("w"))))
     graft.util.Scans.fanOut(df, col(idCol))
       .select(col(idCol).as("doc"), explode(wins).as("win"))
+      // r13 (guide §4 cheap expressions): the window key is xxhash64
+      // (one codegen'd long) instead of md5 (a 32-char hex string
+      // allocation per window) — `wh` is INTERNAL to the span family
+      // (grouping/join key only, never output; the oracle mirrors
+      // derive spans from their own window dictionary, and span sets
+      // are invariant under any injective window hash), so the cheaper
+      // hash narrows the heaviest per-row stage ~4x AND shrinks every
+      // window shuffle row from 32+ bytes to 8.
       .select(col("doc"), col("win.s").cast("long").as("s"),
-        md5(col("win.w")).as("wh"))
+        xxhash64(col("win.w")).as("wh"))
   }
 
   /** Window hashes appearing in at least `minDocs` DISTINCT docs:

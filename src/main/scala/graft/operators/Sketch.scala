@@ -84,11 +84,17 @@ object Sketch {
       // single-task (measured 1.25 s single-task in q7S/q0X). The probe
       // cost is per-ROW cpu, not bytes, which AQE's byte-based
       // coalescing cannot see. At scale the distinct table's estimate
-      // exceeds the fanOut threshold and no shuffle is added.
+      // exceeds the fanOut threshold and no shuffle is added. The key
+      // is (term, _cms_n), NOT term alone: a repartition keyed exactly
+      // like the aggregate below it is dropped by EnsureRequirements
+      // (the child's partitioning already satisfies it) and AQE then
+      // coalesces the surviving ENSURE_REQUIREMENTS exchange anyway —
+      // the two-column key keeps a real REPARTITION_BY_NUM in the plan
+      // (verified against the q0X/q7S r13 dumps).
       probeCols(
           graft.util.Scans.fanOut(
             terms.groupBy(col(termCol)).agg(count(lit(1)).as("_cms_n")),
-            col(termCol)),
+            col(termCol), col("_cms_n")),
           termCol, depth, width, salt, carry = Seq("_cms_n"))
         .groupBy("j", "b").agg(sum(col("_cms_n")).as("c"))
     }

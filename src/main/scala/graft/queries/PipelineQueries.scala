@@ -891,6 +891,11 @@ object PipelineQueries {
             .cast("long").as("doc_id"),
           regexp_extract(col("source"), "doc_(\\d+)\\.(txt|pdf)$", 2).as("fmt"),
           trim(col("text")).as("page_text"))
+        // r13: a localCheckpoint cut before the orderBy (the WARC-family
+        // fix) was TRIED here and measured SLOWER (2.1 → 3.0 s): the
+        // many-tiny-file scan yields 157 partitions whose block
+        // materialization costs more than the page-cached second pass
+        // the sort sampler runs. Left uncut deliberately.
         .orderBy("doc_id")
     },
 
@@ -948,6 +953,11 @@ object PipelineQueries {
           regexp_extract(col("source"), "doc_(\\d+)\\.txt\\.gz$", 1)
             .cast("long").as("doc_id"),
           col("text").as("doc_text"))
+        // r13: a localCheckpoint cut before the orderBy (the WARC-family
+        // fix) was TRIED here and measured SLOWER (2.9 → 3.4 s median):
+        // with 5 000 tiny page-cached .gz files across 157 scan
+        // partitions, block materialization costs more than the sort
+        // sampler's second decompress pass. Left uncut deliberately.
         .orderBy("doc_id")
     },
 
@@ -974,6 +984,9 @@ object PipelineQueries {
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
           col("text").as("doc_text"))
+        // r13: cut before the global orderBy (the q5D note) — the
+        // range-sampler otherwise re-parses every WARC segment
+        .localCheckpoint(eager = false)
         .orderBy("doc_id")
     },
 
@@ -997,6 +1010,9 @@ object PipelineQueries {
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
             .cast("long").as("doc_id"),
           col("text").as("doc_text"))
+        // r13: cut before the global orderBy (the q5D note) — the
+        // range-sampler otherwise re-parses every WARC segment
+        .localCheckpoint(eager = false)
         .orderBy("doc_id")
     },
 
@@ -1039,6 +1055,9 @@ object PipelineQueries {
           regexp_extract(col("target_uri"), "/cs/(\\d+)$", 1)
             .cast("long").as("doc_id"),
           col("charset"), md5(col("text")).as("text_md5"))
+        // r13: cut before the global orderBy (the q5D note) — one WARC
+        // parse pass; the cut row is (id, charset, md5), never the text
+        .localCheckpoint(eager = false)
         .orderBy("doc_id")
     },
 

@@ -136,7 +136,7 @@ class PropertySpec extends GraftSpec {
       // also lands there (cannot happen at the same (doc, s))
       val wins = Dedup.tokenWindows(docs, "doc_id", "text", k)
         .collect().map(r => (r.getAs[Long]("doc"), r.getAs[Long]("s"),
-          r.getAs[String]("wh")))
+          r.getAs[Long]("wh")))
       val dupWh = wins.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
       val canon = wins.filter(w => dupWh(w._3)).groupBy(_._3)
         .map { case (_, occ) => occ.map(w => (w._1, w._2)).min }.toSet
